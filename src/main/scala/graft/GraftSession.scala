@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults.
+  *
+  * The reference (`/root/reference/src/main.py`) wires its pipeline through a
+  * config singleton (`src/utils/config.py:1`); here the equivalent knobs are
+  * Spark confs chosen for a large cluster but safe on local[N]:
+  *
+  *  - AQE on (runtime partition coalescing + skew-join splitting) so the
+  *    same code survives 100x data-volume changes without re-tuning.
+  *  - shuffle partitions sized to the parallelism at hand (the driver runs
+  *    local[32]; on a real cluster this would be 2-3x total cores and AQE
+  *    coalesces the excess).
+  *  - broadcast threshold left at default; small dims are hinted explicitly
+  *    with `broadcast()` where the size is known a priori.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+
+  /** Local session honoring the driver's SPARK_GRAFT_CPUS contract. */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

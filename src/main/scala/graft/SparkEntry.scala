@@ -1,13 +1,508 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract: `queries` = one entry per implemented operator from
+  * SURVEY.md §2; `oracleSql` = DuckDB-runnable equivalent SQL (identical
+  * column names + deterministic ORDER BY on both sides). Non-SQL-expressible
+  * operators (seeded-hash sketches) have queries but no oracle → driver does
+  * the rows-only check; their semantics are pinned by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  // ---- injected-null helpers (testdata has no nulls; cleaning operators
+  //      need some, so both engines null out the same deterministic slice).
+  private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).withColumn("o_orderpriority",
+      nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- E. analytics / views ----------
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+
+    "q_order_summary" -> ((s, d) => Analytics.orderSummary(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.lineitem(s, d))),
+
+    "q_delivery_performance" -> ((s, d) => Analytics.deliveryPerformance(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+
+    "q_star_join" -> ((s, d) => Analytics.starJoin(
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+
+    "q_top_n_per_group" -> ((s, d) => Analytics.topNPerGroup(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 3)),
+
+    "q_daily_revenue" -> ((s, d) => Analytics.dailyRevenue(Tables.orders(s, d))),
+
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30)),
+
+    "q_event_window" -> ((s, d) => Analytics.eventWindowAgg(Tables.events(s, d))),
+
+    // ---------- B. cleaning ----------
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select(col("keep_id"), col("dup_count"), col("text"))
+        .orderBy(col("keep_id"))),
+
+    "q_dedup_keepfirst" -> ((s, d) =>
+      Cleaning.dedupKeepFirst(Tables.events(s, d), Seq("user_id", "event_type"), "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"), col("props"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    "q_upsert_lastwins" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("event_id")).as("last_event_id"),
+          max_by(col("value"), col("event_id")).as("value"),
+          max_by(col("ts"), col("event_id")).as("ts"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    "q_missing_drop" -> ((s, d) =>
+      Cleaning.dropMissing(ordersWithNulls(s, d), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_missing_fill" -> ((s, d) => {
+      val injected = Tables.events(s, d)
+        .withColumn("event_type", nullif(col("event_type"), lit("error")))
+        .withColumn("value", when(col("value") < 1d, lit(null)).otherwise(col("value")))
+      Cleaning.fillConstants(Cleaning.fillUnknown(injected, Seq("event_type")),
+          Map("value" -> 0.0d))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_missing_fill_median" -> ((s, d) => {
+      val injected = Tables.customer(s, d).withColumn("bal",
+        when(col("c_acctbal") < 0d, lit(null)).otherwise(col("c_acctbal")))
+      val med = injected.agg(expr("percentile(bal, 0.5)").as("med"))
+      injected.crossJoin(broadcast(med))
+        .select(col("c_custkey"), round(coalesce(col("bal"), col("med")), 2).as("bal_filled"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_normalize_categorical" -> ((s, d) =>
+      Cleaning.normalizeCategorical(Tables.customer(s, d), Seq("c_mktsegment"), "lower")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          upper(trim(col("c_name"))).as("name_uc"))
+        .orderBy(col("c_custkey"))),
+
+    "q_derived_metrics" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Cleaning.durationHours(col("l_shipdate"), col("o_orderdate")).as("ship_delay_hours"),
+          Cleaning.costRatio(col("l_tax"), col("l_discount")).as("tax_to_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_timestamp_standardize" -> ((s, d) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      Tables.orders(s, d)
+        .withColumn("ts_str", date_format(col("o_orderdate"), fmt))
+        .select(col("o_orderkey"), col("ts_str"),
+          try_to_timestamp(col("ts_str"), lit(fmt)).as("reparsed"),
+          try_to_timestamp(col("o_orderpriority"), lit(fmt)).as("coerced_null"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_profile" -> ((s, d) =>
+      Cleaning.profile(Tables.lineitem(s, d), exactDistinct = true)
+        .orderBy(col("column"))),
+
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .orderBy(col("event_id"))),
+
+    // ---------- C. validation ----------
+    "q_validate_nulls" -> ((s, d) =>
+      Validation.validate(ordersWithNulls(s, d), Seq(
+          Validation.nullCheck("o_orderkey", 0.0, "critical"),
+          Validation.nullCheck("o_custkey", 0.0, "error"),
+          Validation.nullCheck("o_orderpriority", 0.3, "error")),
+        thresholds = Map("null_check_o_orderpriority" -> 0.3))
+        .orderBy(col("rule"))),
+
+    "q_validate_rules" -> ((s, d) =>
+      Validation.validate(Tables.lineitem(s, d), Seq(
+          Validation.rangeCheck("l_quantity", Some(1d), Some(50d), "error"),
+          Validation.rangeCheck("l_extendedprice", Some(0d), None, "error"),
+          Validation.rangeCheck("l_discount", Some(0d), Some(0.05), "warning"),
+          Validation.businessRule("tax_le_discount", col("l_tax") <= col("l_discount"))))
+        .orderBy(col("rule"))),
+
+    "q_validate_unique" -> ((s, d) =>
+      Validation.uniqueCheck(Tables.orders(s, d), Seq("o_custkey"))),
+
+    // ---------- F. LLM-pipeline operators ----------
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_chars_q"), col("n_words"),
+          col("mean_word_len"), col("stopword_ratio"), col("punct_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // band-bucket table (pair extraction is exercised in DedupSpec with
+    // planted near-dups; this corpus is dup-free so pairs would be empty)
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashBandBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc"), col("band"))),
+
+    "q_dedup_minhash_sig" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("signature"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.01, maxDf = 2000)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(500)),
+
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("vec_id"),
+          Similarity.hyperplaneSignature(col("embedding"), dim = 64, numPlanes = 12).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_binary_meta" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.featurize(s, media)
+        .select(col("doc_id"), col("byte_len"), col("content_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.featurize(s, media).orderBy(col("doc_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Casts: duckdb sum(int)→HUGEINT needs ::BIGINT to match
+  // Spark's long; len(list)→BIGINT needs ::INTEGER to match Spark's size().
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_order_summary" ->
+      """WITH items AS (
+        |  SELECT l_orderkey, count(*) AS item_count,
+        |         round(sum(l_extendedprice),2) AS total_price,
+        |         round(sum(l_extendedprice*l_discount),2) AS total_discount
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_orderdate, c_name, n_name AS nation,
+        |       coalesce(item_count, 0) AS item_count,
+        |       coalesce(total_price, 0.0) AS total_price,
+        |       coalesce(total_discount, 0.0) AS total_discount
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN items ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_delivery_performance" ->
+      """SELECT n_name AS nation, count(*) AS total_orders,
+        |       round(avg(o_totalprice),4) AS avg_order_price,
+        |       CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
+        |       CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+        |       CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT p_brand, n_name AS supp_nation,
+        |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |       count(*) AS line_count
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name ORDER BY p_brand, supp_nation""".stripMargin,
+
+    "q_top_n_per_group" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT nation, c_custkey, c_name, total_spend, "rank" FROM (
+        |  SELECT n_name AS nation, c_custkey, c_name, total_spend,
+        |         CAST(row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS "rank"
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN spend ON c_custkey = o_custkey)
+        |WHERE "rank" <= 3 ORDER BY nation, "rank"""".stripMargin,
+
+    "q_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |         round(sum(o_totalprice),2) AS revenue, count(*) AS order_count
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, revenue, order_count,
+        |       round(sum(revenue) OVER (ORDER BY order_day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_revenue
+        |FROM daily ORDER BY order_day""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS event_count, round(sum(value),2) AS session_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS event_count, round(sum(value),2) AS total_value,
+        |       count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_keepfirst" ->
+      """SELECT user_id, event_type, min(event_id) AS event_id,
+        |       arg_min(ts, event_id) AS ts, arg_min(value, event_id) AS value,
+        |       arg_min(props, event_id) AS props
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_upsert_lastwins" ->
+      """SELECT user_id, event_type, max(event_id) AS last_event_id,
+        |       arg_max(value, event_id) AS value, arg_max(ts, event_id) AS ts
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_missing_drop" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM (SELECT o_orderkey, nullif(o_orderpriority,'4-NOT SPECIFIED') AS o_orderpriority FROM orders)
+        |WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "q_missing_fill" ->
+      """SELECT event_id,
+        |       coalesce(nullif(event_type,'error'),'UNKNOWN') AS event_type,
+        |       coalesce(CASE WHEN value < 1 THEN NULL ELSE value END, 0.0) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_missing_fill_median" ->
+      """WITH injected AS (
+        |  SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       round(coalesce(bal, (SELECT median(bal) FROM injected)),2) AS bal_filled
+        |FROM injected ORDER BY c_custkey""".stripMargin,
+
+    "q_normalize_categorical" ->
+      """SELECT c_custkey, lower(trim(c_mktsegment)) AS segment,
+        |       upper(trim(c_name)) AS name_uc
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_derived_metrics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round((epoch(l_shipdate) - epoch(o_orderdate))/3600.0, 2) AS ship_delay_hours,
+        |       round(l_tax / nullif(l_discount, 0), 4) AS tax_to_discount
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_timestamp_standardize" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed,
+        |       try_strptime(o_orderpriority, '%Y-%m-%d %H:%M:%S') AS coerced_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_profile" -> {
+      // one UNION ALL branch per lineitem column, all stats from one CTE scan
+      val cols = Seq(
+        ("l_orderkey", "bigint", true), ("l_partkey", "bigint", true),
+        ("l_suppkey", "bigint", true), ("l_linenumber", "int", true),
+        ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+        ("l_discount", "double", true), ("l_tax", "double", true),
+        ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+        ("l_shipdate", "timestamp", false))
+      val branches = cols.map { case (c, dt, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mean = if (num) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", '$dt' AS dtype, count(*) AS row_count,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           | round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)/CAST(count(*) AS DOUBLE), 4) AS null_pct,
+           | count(DISTINCT $c) AS distinct_count, $mn AS min, $mx AS max, $mean AS mean
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY column")
+    },
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_validate_nulls" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN nullif(o_orderpriority,'4-NOT SPECIFIED') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'null_check_o_orderkey' AS rule, 'critical' AS severity, n AS row_count,
+        |         v1 AS violations, round(v1/CAST(greatest(n,1) AS DOUBLE),4) AS violation_pct, v1 <= 0 AS passed FROM agg
+        |  UNION ALL
+        |  SELECT 'null_check_o_custkey', 'error', n, v2, round(v2/CAST(greatest(n,1) AS DOUBLE),4), v2 <= 0 FROM agg
+        |  UNION ALL
+        |  SELECT 'null_check_o_orderpriority', 'error', n, v3, round(v3/CAST(greatest(n,1) AS DOUBLE),4), v3 <= 0.3*n FROM agg)
+        |ORDER BY rule""".stripMargin,
+
+    "q_validate_rules" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_tax <= l_discount, false) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'business_rule_tax_le_discount' AS rule, 'warning' AS severity, n AS row_count,
+        |         v4 AS violations, round(v4/CAST(greatest(n,1) AS DOUBLE),4) AS violation_pct, v4 <= 0 AS passed FROM agg
+        |  UNION ALL
+        |  SELECT 'range_check_l_discount', 'warning', n, v3, round(v3/CAST(greatest(n,1) AS DOUBLE),4), v3 <= 0 FROM agg
+        |  UNION ALL
+        |  SELECT 'range_check_l_extendedprice', 'error', n, v2, round(v2/CAST(greatest(n,1) AS DOUBLE),4), v2 <= 0 FROM agg
+        |  UNION ALL
+        |  SELECT 'range_check_l_quantity', 'error', n, v1, round(v1/CAST(greatest(n,1) AS DOUBLE),4), v1 <= 0 FROM agg)
+        |ORDER BY rule""".stripMargin,
+
+    "q_validate_unique" ->
+      """WITH g AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+        |SELECT 'unique_check_o_custkey' AS rule,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS duplicate_rows,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) = 0 AS passed
+        |FROM g""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_q,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_words,
+        |  round(CAST(length(text) - (len(string_split(trim(text),' ')) - 1) AS DOUBLE)
+        |        / len(string_split(trim(text),' ')), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(string_split(trim(text),' '),
+        |        w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split(trim(text),' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / greatest(length(text), 1), 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(trim(text),' '), w -> w IN ('the','a','an','of','and','to','in','is'))) AS en,
+        |    len(list_filter(string_split(trim(text),' '), w -> w IN ('el','la','de','y','que','en','los','un'))) AS es,
+        |    len(list_filter(string_split(trim(text),' '), w -> w IN ('le','la','de','et','les','des','un','une'))) AS fr,
+        |    len(list_filter(string_split(trim(text),' '), w -> w IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en >= greatest(es, fr, de) AND en > 0 THEN 'en'
+        |       WHEN es >= greatest(fr, de) AND es > 0 THEN 'es'
+        |       WHEN fr >= de AND fr > 0 THEN 'fr'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'und' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", neighbor_id, sim FROM ranked
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

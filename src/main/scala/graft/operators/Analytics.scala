@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics layer — the reference's SQL views
+  * (`/root/reference/src/load/schema.sql`) re-expressed as declarative
+  * DataFrame plans over the star schema, plus the time-series queries the
+  * reference's Airflow jobs imply.
+  *
+  * Join strategy: `region`/`nation` are O(10^2) rows at ANY scale factor —
+  * always broadcast. `customer`/`supplier`/`part` grow with SF; they are
+  * left to AQE, which picks broadcast at small SF and shuffled hash at
+  * 100 TB. Fact-fact joins (orders ⋈ lineitem) shuffle on the join key and
+  * benefit from AQE skew splitting.
+  */
+object Analytics {
+
+  /** Flagship pricing summary (TPC-H Q1 shape): the multi-aggregate scan
+    * every warehouse is judged on. Pure partial-agg — no shuffle of raw
+    * rows, only of the 6-group state.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** v_order_summary (schema.sql:208): per-order rollup with customer
+    * geography. orders ⋈ lineitem shuffles on orderkey; nation broadcast.
+    */
+  def orderSummary(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                   lineitem: DataFrame): DataFrame = {
+    val items = lineitem.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("item_count"),
+      round(sum(col("l_extendedprice")), 2).as("total_price"),
+      round(sum(col("l_extendedprice") * col("l_discount")), 2).as("total_discount"))
+    orders
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("c_name"), col("n_name").as("nation"),
+        coalesce(col("item_count"), lit(0L)).as("item_count"),
+        coalesce(col("total_price"), lit(0d)).as("total_price"),
+        coalesce(col("total_discount"), lit(0d)).as("total_discount"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** v_delivery_performance (schema.sql:230): per-geography conditional
+    * aggregation (delivered/canceled analogs = order status F/P/O).
+    */
+  def deliveryPerformance(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame): DataFrame =
+    orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_order_price"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fulfilled_count"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending_count"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_count"))
+      .orderBy(col("nation"))
+
+  /** Star join: revenue by part brand and supplier nation. Dim tables
+    * broadcast; the single big shuffle is lineitem's groupBy.
+    */
+  def starJoin(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+               nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name").as("supp_nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("p_brand"), col("supp_nation"))
+
+  /** Top-N rows per group via ranked window — partitioned by group key so
+    * the sort is per-group, never global.
+    */
+  def topNPerGroup(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                   n: Int): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("total_spend").desc, col("c_custkey"))
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("n_name").as("nation"), col("c_custkey"), col("c_name"), col("total_spend"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .orderBy(col("nation"), col("rank"))
+  }
+
+  /** Daily revenue with running cumulative total. The cumulative window is
+    * global-ordered but runs over the AGGREGATED series (one row per day)
+    * — tiny regardless of fact size.
+    */
+  def dailyRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("order_count"))
+    val w = Window.orderBy(col("order_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .orderBy(col("order_day"))
+  }
+
+  /** Gap-based sessionization over the events stream (batch form): a new
+    * session starts when a user is idle > `gapMinutes`. lag + cumulative
+    * sum over a per-user window — shuffles once on user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // double epoch (not long): event timestamps carry sub-second precision
+    val newSession = when(
+      col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double") > gapMinutes * 60d, 1L
+    ).otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+    events
+      .withColumn("session_seq", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Tumbling-window event aggregation, batch form of the streaming job in
+    * `graft.streaming.EventStreams`. date_trunc keeps it SQL-portable.
+    */
+  def eventWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"),
+        count_distinct(col("user_id")).as("distinct_users"))
+      .orderBy(col("window_start"), col("event_type"))
+}

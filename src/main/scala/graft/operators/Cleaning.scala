@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Cleaning operators — Spark-native rethink of the reference's pandas
+  * cleaners (`/root/reference/src/transform/cleaners.py`).
+  *
+  * Everything here is pure `Column` algebra: no UDFs, no driver-side loops,
+  * so every transform stays inside whole-stage codegen and scales linearly
+  * with partitions. Where pandas semantics depend on physical row order
+  * (keep="first", ffill) the Spark version demands an explicit ordering
+  * column — on a distributed, unordered dataset "first" is meaningless
+  * without one.
+  */
+object Cleaning {
+
+  /** Exact dedup keeping one deterministic winner per key.
+    *
+    * Reference: `cleaners.py:104` `remove_duplicates(keep="first")`.
+    * Implemented as `min_by(struct(*), tiebreak)` aggregation rather than a
+    * row_number window: a partial-aggregating groupBy is one shuffle with
+    * map-side combine, whereas a window needs shuffle + full sort per key
+    * group. At 100 TB the map-side combine collapses duplicate-heavy inputs
+    * before the wire.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val packed = struct(others.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(min_by(packed, col(tiebreak)).as("_row"))
+      .select(keys.map(col) ++ others.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
+  /** Plain distinct-rows dedup (reference `keep` irrelevant: rows identical). */
+  def dedupExact(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** Drop rows with nulls in any of `required` (reference strategy="drop"). */
+  def dropMissing(df: DataFrame, required: Seq[String]): DataFrame =
+    df.na.drop("any", required)
+
+  /** Fill nulls with per-column constants (reference strategy="fill"). */
+  def fillConstants(df: DataFrame, fills: Map[String, Any]): DataFrame =
+    df.na.fill(fills)
+
+  /** Fill string nulls with "UNKNOWN", mirroring the reference's default. */
+  def fillUnknown(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.fill("UNKNOWN", cols)
+
+  /** Median fill. `exact=true` uses `percentile` (exact; one extra shuffle,
+    * matches the DuckDB oracle bit-for-bit on interpolation); the 100 TB
+    * path is `exact=false` → `approx_percentile` (single pass, bounded
+    * memory sketch). Reference: `cleaners.py:86` fillna(median).
+    */
+  def fillMedian(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    val aggs = cols.map { c =>
+      (if (exact) expr(s"percentile($c, 0.5)") else expr(s"approx_percentile($c, 0.5)")).as(c)
+    }
+    val med = df.agg(aggs.head, aggs.tail: _*).head()
+    val fills = cols.zipWithIndex.collect {
+      case (c, i) if !med.isNullAt(i) => c -> med.getDouble(i)
+    }.toMap[String, Any]
+    df.na.fill(fills)
+  }
+
+  /** Parse string timestamps with coercion (bad rows → null, as pandas
+    * errors="coerce"); session TZ is UTC. Reference: `cleaners.py:137`.
+    */
+  def standardizeTimestamps(df: DataFrame, cols: Seq[String], fmt: Option[String] = None): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val parsed = fmt.map(f => try_to_timestamp(col(c), lit(f))).getOrElse(try_to_timestamp(col(c)))
+      d.withColumn(c, parsed)
+    }
+
+  /** Trim + case-fold categorical strings. Reference: `cleaners.py:175`. */
+  def normalizeCategorical(df: DataFrame, cols: Seq[String], mode: String = "lower"): DataFrame = {
+    val f: Column => Column = mode match {
+      case "lower" => lower _
+      case "upper" => upper _
+      case "title" => initcap _
+      case other   => throw new IllegalArgumentException(s"case mode: $other")
+    }
+    cols.foldLeft(df)((d, c) => d.withColumn(c, f(trim(col(c)))))
+  }
+
+  /** Attach derived metric columns. Reference: `cleaners.py:212`. */
+  def withDerived(df: DataFrame, metrics: Map[String, Column]): DataFrame =
+    metrics.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** Hours between two timestamps, rounded like the reference's
+    * `delivery_duration_hours` (`cleaners.py:306`).
+    */
+  def durationHours(end: Column, start: Column): Column =
+    round((end.cast("double") - start.cast("double")) / 3600d, 2)
+
+  /** freight/price style ratio with 0-price → null (`cleaners.py:457`). */
+  def costRatio(cost: Column, price: Column): Column =
+    round(cost / nullif(price, lit(0d)), 4)
+
+  /** Per-column profile in long form — ONE aggregate pass over the table
+    * (the reference profiles per column in a python loop,
+    * `csv_loader.py:219`). Output: (column, dtype, null_count, null_pct,
+    * distinct_count, min, max, mean) with numeric stats null for
+    * non-numeric columns. distinct is HyperLogLog (approx) — exact ndv per
+    * column would be one shuffle per column at scale.
+    */
+  def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
+    val n = count(lit(1))
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        (if (exactDistinct) count_distinct(c) else approx_count_distinct(c)).as(s"${f.name}__ndv"),
+        (if (numeric) min(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (numeric) max(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__max"),
+        (if (numeric) avg(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__mean"))
+    }
+    val wide = df.agg(n.as("__n"), aggs.toIndexedSeq: _*)
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', '${f.dataType.simpleString}', `${f.name}__nulls`, `${f.name}__ndv`, `${f.name}__min`, `${f.name}__max`, `${f.name}__mean`"
+    }.mkString(", ")
+    wide.select(col("__n"), expr(
+        s"stack(${fields.length}, $stackArgs) as (column, dtype, null_count, distinct_count, min, max, mean)"))
+      .select(
+        col("column"), col("dtype"), col("__n").as("row_count"),
+        col("null_count"),
+        round(col("null_count") / col("__n"), 4).as("null_pct"),
+        col("distinct_count"), col("min"), col("max"),
+        round(col("mean"), 4).as("mean"))
+  }
+}

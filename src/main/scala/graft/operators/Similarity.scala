@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Vector similarity over an `Array[Float]` embedding column.
+  *
+  * Two paths:
+  *  - brute-force top-k: broadcast the (small) QUERY set against the corpus
+  *    — the corpus is scanned once, never self-joined. Correct baseline.
+  *  - LSH (random hyperplane) buckets: candidates shuffle on the bucket
+  *    signature → per-bucket scoring only. The 100 TB path.
+  *
+  * Dot products use the higher-order `aggregate`/`zip_with` built-ins in
+  * double precision — codegen'd, no UDF, and bit-stable across engines.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns (computed in
+    * double).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot  = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+    val na   = sqrt(aggregate(a, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb   = sqrt(aggregate(b, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** All (a,b) a<b pairs from an array — helper for bucketed self-joins. */
+  def sortedPairs(docs: Column): Column =
+    flatten(transform(docs, a =>
+      transform(filter(docs, b => b > a), b => struct(a.as("_1"), b.as("_2")))))
+
+  /** Brute-force cosine top-k: every corpus row scored against every QUERY
+    * row (queries broadcast — the big side streams). Ranking window
+    * partitions by query id so sorts stay per-query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) as a literal column — tiny,
+    * shipped with the plan; no driver collect of data.
+    */
+  private def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit signature of `vec` against `numPlanes` hyperplanes. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeLit, (x, w) => x.cast("double") * w),
+        lit(0d), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed near-dup pairs: signature equality (all bits) as bucket
+    * key, exact cosine verification inside buckets. One shuffle on the
+    * 8-byte signature.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      numPlanes: Int, threshold: Double): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), dim, numPlanes).as("sig"))
+    val l = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Exact cosine near-dup pairs over the full corpus (oracle-checkable
+    * baseline; quadratic — use only at validation scale or behind LSH).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

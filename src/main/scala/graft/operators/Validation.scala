@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation — Spark-native rethink of the reference's
+  * `DataValidator` (`/root/reference/src/transform/validators.py`).
+  *
+  * The reference runs each check as its own pandas pass; here ALL row-level
+  * rules for a table compile into ONE aggregate (single scan, partial aggs
+  * map-side), and the report is itself a DataFrame so it can be persisted,
+  * joined, or alerted on downstream. At 100 TB one scan vs. k scans is the
+  * whole ballgame.
+  */
+object Validation {
+
+  /** severity mirrors validators.py:27 ValidationSeverity. */
+  final case class Rule(name: String, severity: String, violation: Column)
+
+  /** Null-fraction threshold check (validators.py:116 add_null_check). */
+  def nullCheck(column: String, maxNullPct: Double, severity: String = "error"): Rule =
+    Rule(s"null_check_$column", severity, col(column).isNull) // threshold applied in report
+
+  /** Range check (validators.py:233 add_range_check). */
+  def rangeCheck(column: String, min: Option[Double], max: Option[Double],
+                 severity: String = "warning"): Rule = {
+    val c = col(column)
+    val lo = min.map(c < _).getOrElse(lit(false))
+    val hi = max.map(c > _).getOrElse(lit(false))
+    Rule(s"range_check_$column", severity, lo || hi)
+  }
+
+  /** Custom business rule; `valid` is the row-level validity predicate
+    * (validators.py:296 add_business_rule).
+    */
+  def businessRule(name: String, valid: Column, severity: String = "warning"): Rule =
+    Rule(s"business_rule_$name", severity, !coalesce(valid, lit(false)))
+
+  /** One-pass report: (rule, severity, row_count, violations, violation_pct,
+    * passed). Thresholded rules pass `passed` expressions via `thresholds`
+    * (rule name → max allowed violation fraction, default 0).
+    */
+  def validate(df: DataFrame, rules: Seq[Rule],
+               thresholds: Map[String, Double] = Map.empty): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +:
+      rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { r =>
+      val thr = thresholds.getOrElse(r.name, 0.0)
+      s"'${r.name}', '${r.severity}', `${r.name}`, ${thr}d"
+    }.mkString(", ")
+    wide.select(col("row_count"), expr(
+        s"stack(${rules.length}, $stackArgs) as (rule, severity, violations, threshold)"))
+      .select(col("rule"), col("severity"), col("row_count"), col("violations"),
+        round(col("violations") / greatest(col("row_count"), lit(1L)), 4).as("violation_pct"),
+        (col("violations") <= col("threshold") * col("row_count")).as("passed"))
+  }
+
+  /** Uniqueness check (validators.py:180 add_unique_check) — needs its own
+    * shuffle on the key, so it is not folded into the single-pass report.
+    * Returns (rule, duplicate_keys, duplicate_rows, passed).
+    */
+  def uniqueCheck(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_keys"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)).as("duplicate_rows"))
+      .select(
+        lit(s"unique_check_${keys.mkString(",")}").as("rule"),
+        col("duplicate_keys"), col("duplicate_rows"),
+        (col("duplicate_rows") === 0L).as("passed"))
+
+  /** Schema check (validators.py:160) — schema is driver-side metadata in
+    * Spark, no job needed. Returns mismatch descriptions, empty = pass.
+    */
+  def schemaCheck(df: DataFrame, expected: Map[String, String]): Seq[String] = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    expected.flatMap { case (name, dt) =>
+      actual.get(name) match {
+        case None          => Some(s"Missing column: $name")
+        case Some(`dt`)    => None
+        case Some(other)   => Some(s"$name: expected $dt, got $other")
+      }
+    }.toSeq
+  }
+}
