@@ -28,6 +28,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Sketch ops (MinHash affine perms, rolling fingerprints) are defined
+      // over Z/2^64 — Java long wraparound IS the semantics, so ANSI
+      // overflow-checking is off (Spark 3.x default; DuckDB oracles use
+      // explicit casts so cross-engine compares are unaffected).
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read as raw long nanos and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session honoring the driver's SPARK_GRAFT_CPUS contract. */

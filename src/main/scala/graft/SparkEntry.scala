@@ -230,9 +230,9 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,
@@ -243,8 +243,8 @@ object SparkEntry {
     "q_order_summary" ->
       """WITH items AS (
         |  SELECT l_orderkey, count(*) AS item_count,
-        |         round(sum(l_extendedprice),2) AS total_price,
-        |         round(sum(l_extendedprice*l_discount),2) AS total_discount
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))),2) AS DOUBLE) AS total_price,
+        |         CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,6))),2) AS DOUBLE) AS total_discount
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT o_orderkey, o_orderstatus, o_orderdate, c_name, n_name AS nation,
         |       coalesce(item_count, 0) AS item_count,
@@ -268,7 +268,7 @@ object SparkEntry {
 
     "q_star_join" ->
       """SELECT p_brand, n_name AS supp_nation,
-        |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS revenue,
         |       count(*) AS line_count
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -278,7 +278,7 @@ object SparkEntry {
 
     "q_top_n_per_group" ->
       """WITH spend AS (
-        |  SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend
+        |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS total_spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT nation, c_custkey, c_name, total_spend, "rank" FROM (
         |  SELECT n_name AS nation, c_custkey, c_name, total_spend,
@@ -291,7 +291,7 @@ object SparkEntry {
     "q_daily_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS order_day,
-        |         round(sum(o_totalprice),2) AS revenue, count(*) AS order_count
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS revenue, count(*) AS order_count
         |  FROM orders GROUP BY 1)
         |SELECT order_day, revenue, order_count,
         |       round(sum(revenue) OVER (ORDER BY order_day
@@ -311,13 +311,15 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |       min(ts) AS session_start, max(ts) AS session_end,
-        |       count(*) AS event_count, round(sum(value),2) AS session_value
+        |       count(*) AS event_count,
+        |       CAST(round(sum(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |       count(*) AS event_count, round(sum(value),2) AS total_value,
+        |       count(*) AS event_count,
+        |       CAST(round(sum(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE) AS total_value,
         |       count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
@@ -383,7 +385,7 @@ object SparkEntry {
         ("l_quantity", "double", true), ("l_extendedprice", "double", true),
         ("l_discount", "double", true), ("l_tax", "double", true),
         ("l_returnflag", "string", false), ("l_linestatus", "string", false),
-        ("l_shipdate", "timestamp", false))
+        ("l_shipdate", "timestamp_ntz", false))
       val branches = cols.map { case (c, dt, num) =>
         val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
         val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
@@ -394,7 +396,7 @@ object SparkEntry {
            | count(DISTINCT $c) AS distinct_count, $mn AS min, $mx AS max, $mean AS mean
            |FROM lineitem""".stripMargin
       }
-      branches.mkString("", "\nUNION ALL\n", "\nORDER BY column")
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
     "q_json_extract" ->

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  import org.apache.spark.sql.Column
+
+  /** Money-sum: sum in DECIMAL(30,6) rather than double. Double summation
+    * is order-dependent, and with 32 partial aggregates the row order is
+    * nondeterministic — a sum landing near a .005 boundary rounds
+    * differently run-to-run (and engine-to-engine). Casting each summand
+    * to decimal makes the aggregate exact and the rounding deterministic;
+    * DECIMAL(30,6) holds 1e23 so it cannot overflow at 100 TB.
+    */
+  private def moneySum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(30,6)")), scale).cast("double")
+
   /** Flagship pricing summary (TPC-H Q1 shape): the multi-aggregate scan
     * every warehouse is judged on. Pure partial-agg — no shuffle of raw
     * rows, only of the 6-group state.
@@ -26,9 +38,9 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -42,8 +54,8 @@ object Analytics {
                    lineitem: DataFrame): DataFrame = {
     val items = lineitem.groupBy(col("l_orderkey")).agg(
       count(lit(1)).as("item_count"),
-      round(sum(col("l_extendedprice")), 2).as("total_price"),
-      round(sum(col("l_extendedprice") * col("l_discount")), 2).as("total_discount"))
+      moneySum(col("l_extendedprice")).as("total_price"),
+      moneySum(col("l_extendedprice") * col("l_discount")).as("total_discount"))
     orders
       .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"), "left")
@@ -89,7 +101,7 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("p_brand"), col("n_name").as("supp_nation"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("line_count"))
       .orderBy(col("p_brand"), col("supp_nation"))
 
@@ -99,8 +111,8 @@ object Analytics {
   def topNPerGroup(orders: DataFrame, customer: DataFrame, nation: DataFrame,
                    n: Int): DataFrame = {
     val spend = orders.groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"))
-    val w = Window.partitionBy(col("n_name")).orderBy(col("total_spend").desc, col("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("total_spend").desc, col("c_custkey"))
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(spend, col("c_custkey") === col("o_custkey"))
@@ -117,7 +129,7 @@ object Analytics {
   def dailyRevenue(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("order_day"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("order_count"))
     val w = Window.orderBy(col("order_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,9 +144,11 @@ object Analytics {
     */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // double epoch (not long): event timestamps carry sub-second precision
+    // double epoch (not long): event timestamps carry sub-second precision;
+    // NTZ→TIMESTAMP first (UTC session = same wall clock), then to seconds.
+    def epochSec(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("double")
     val newSession = when(
-      col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double") > gapMinutes * 60d, 1L
+      epochSec(col("ts")) - epochSec(lag(col("ts"), 1).over(byUser)) > gapMinutes * 60d, 1L
     ).otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
     events
       .withColumn("session_seq", sum(newSession).over(
@@ -144,7 +158,7 @@ object Analytics {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("event_count"),
-        round(sum(col("value")), 2).as("session_value"))
+        moneySum(col("value")).as("session_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 
@@ -155,7 +169,7 @@ object Analytics {
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("event_count"),
-        round(sum(col("value")), 2).as("total_value"),
+        moneySum(col("value")).as("total_value"),
         count_distinct(col("user_id")).as("distinct_users"))
       .orderBy(col("window_start"), col("event_type"))
 }

@@ -93,7 +93,7 @@ object Cleaning {
     * `delivery_duration_hours` (`cleaners.py:306`).
     */
   def durationHours(end: Column, start: Column): Column =
-    round((end.cast("double") - start.cast("double")) / 3600d, 2)
+    round((end.cast("timestamp").cast("double") - start.cast("timestamp").cast("double")) / 3600d, 2)
 
   /** freight/price style ratio with 0-price → null (`cleaners.py:457`). */
   def costRatio(cost: Column, price: Column): Column =

@@ -1,0 +1,70 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load layer — Spark-native rethink of the reference's `DatabaseLoader`
+  * (`/root/reference/src/load/db_loader.py`).
+  *
+  * The reference batches INSERTs into SQLite/Postgres (`db_loader.py:225`
+  * load_dataframe, 1000-row executemany). At 100 TB the warehouse IS the
+  * object store: partitioned columnar files written in parallel by every
+  * executor, no single-writer bottleneck. Upsert (INSERT ON CONFLICT,
+  * `db_loader.py:319`) becomes a last-wins merge computed BEFORE the write
+  * (see [[upsert]]) — merge-on-read table formats do the same thing under
+  * the hood.
+  */
+object DataSink {
+
+  /** Write partitioned parquet. `partitionBy` columns become directory
+    * keys — queries filtering on them get partition pruning for free.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** CSV export (reference parity: the reference round-trips CSVs). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** JSON-lines export. */
+  def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Last-wins upsert of `updates` into `current` by `keys`, versioned by
+    * `versionCol` (highest wins; updates break ties). Equivalent to the
+    * reference's INSERT ON CONFLICT UPDATE (`db_loader.py:319`) but
+    * computed as ONE max_by aggregation over the union — a single shuffle
+    * on the key, partial-aggregated map-side, instead of row-at-a-time
+    * conflict resolution.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
+             versionCol: String): DataFrame = {
+    val cols = current.columns.toSeq
+    require(updates.columns.toSeq == cols, "upsert: schemas must match")
+    val others = cols.filterNot(keys.contains)
+    // _pri: updates (1) beat current (0) at equal version
+    val unioned = current.withColumn("_pri", lit(0))
+      .unionByName(updates.withColumn("_pri", lit(1)))
+    val winner = struct(col(versionCol) :: col("_pri") :: Nil: _*)
+    unioned.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), winner).as("_row"))
+      .select(keys.map(col) ++ others.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
+  /** ETL run log entry (reference: `db_loader.py:443` log_etl_run) —
+    * appended as a one-row parquet partition; a table of these IS the
+    * etl_runs table.
+    */
+  def logEtlRun(spark: SparkSession, path: String, runId: String, stage: String,
+                status: String, rowsProcessed: Long,
+                finishedAt: java.sql.Timestamp): Unit = {
+    import spark.implicits._
+    Seq((runId, stage, status, rowsProcessed, finishedAt))
+      .toDF("run_id", "stage", "status", "rows_processed", "finished_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV ingestion — Spark-native rethink of the reference's chunked pandas
+  * loader (`/root/reference/src/extract/csv_loader.py:64` load_csv).
+  *
+  * The reference streams a file in 10k-row chunks on one machine; here the
+  * file (or directory of files) is split by Spark into `maxPartitionBytes`
+  * tasks, so "chunking" is the execution model itself and scales with the
+  * cluster. Extraction metadata (`csv_loader.py:100`: extracted_at,
+  * source_file) becomes two metadata columns derived from
+  * `input_file_name()` — per-partition constants, no extra pass.
+  *
+  * Malformed rows follow pandas' errors="coerce" spirit: PERMISSIVE mode
+  * nulls out bad fields and captures the raw line in `_corrupt_record`
+  * instead of failing the job (a 100 TB ingest WILL contain garbage rows;
+  * dying on row 3 billion is not an option).
+  */
+object CsvSource {
+
+  /** Read CSV with an explicit schema (never infer at scale — inference is
+    * a full extra pass over the data), tolerant of corrupt rows.
+    *
+    * @param schema   explicit column types; a `_corrupt_record` string
+    *                 column is appended automatically for bad-row capture.
+    * @param tsFormat timestamp parse pattern for timestamp-typed columns.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           header: Boolean = true,
+           tsFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(CorruptCol)) schema
+      else schema.add(CorruptCol, "string", nullable = true)
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("timestampFormat", tsFormat)
+      .option("timestampNTZFormat", tsFormat)
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Attach the reference's extraction metadata (`csv_loader.py:100`):
+    * which physical file each row came from and when it was extracted.
+    * `extractedAt` is caller-supplied so runs are reproducible/idempotent
+    * (the reference stamps wall-clock time, which breaks re-runs).
+    */
+  def withIngestMetadata(df: DataFrame, extractedAt: java.sql.Timestamp): DataFrame =
+    df.withColumn("source_file", input_file_name())
+      .withColumn("extracted_at", lit(extractedAt))
+
+  /** Split a tolerant read into (clean rows, quarantined rows) — the
+    * scale-friendly version of the reference's skip-and-log. Both sides
+    * come from the SAME scan (Spark caches nothing; two filters over one
+    * cheap source). The bad side keeps ALL columns (parsed-null fields +
+    * the raw line): Spark disallows a raw-file scan that references only
+    * `_corrupt_record`, and the context columns are what you want in a
+    * quarantine table anyway.
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val bad = df.filter(col(CorruptCol).isNotNull)
+    val good = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    (good, bad)
+  }
+}

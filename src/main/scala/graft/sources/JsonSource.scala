@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** JSON / REST-payload ingestion — Spark-native rethink of the reference's
+  * `APIConnector` (`/root/reference/src/extract/api_connector.py`).
+  *
+  * The reference pulls JSON over HTTP and flattens it row-by-row in Python.
+  * In a Spark pipeline the payloads land first (object store / Kafka) and
+  * are parsed declaratively: nested structs project with dot-paths, arrays
+  * explode into child rows — all codegen'd, no per-record Python.
+  */
+object JsonSource {
+
+  /** Read a directory/file of JSON records with an explicit schema
+    * (multiline tolerated for API-dump files).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           multiline: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiline.toString).schema(schema).json(path)
+
+  /** Parse a string column of JSON payloads in place (the landed-in-a-
+    * column shape: Kafka value, events.props, …).
+    */
+  def parseColumn(df: DataFrame, jsonCol: String, schema: DataType): DataFrame =
+    df.withColumn(jsonCol, from_json(col(jsonCol), schema))
+
+  /** Flatten one level of nested structs to `parent_child` columns —
+    * the reference's products flattening (`api_connector.py:137`
+    * fetch_products: rating.{rate,count} → rating_rate, rating_count).
+    */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case s: StructType =>
+          s.fieldNames.map(n => col(s"`${f.name}`.`$n`").as(s"${f.name}_$n")).toSeq
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }.toIndexedSeq
+    df.select(cols: _*)
+  }
+
+  /** Explode an array-of-structs column into child rows carrying the
+    * parent keys — the reference's carts → order-items expansion
+    * (`api_connector.py:168` fetch_carts: one row per cart product).
+    */
+  def explodeItems(df: DataFrame, arrayCol: String, parentCols: Seq[String]): DataFrame = {
+    val item = explode(col(arrayCol)).as("_item")
+    val base = df.select(parentCols.map(col) :+ item: _*)
+    val itemFields = base.schema("_item").dataType.asInstanceOf[StructType].fieldNames
+    base.select(parentCols.map(col) ++ itemFields.map(n => col(s"_item.`$n`").as(n)): _*)
+  }
+}

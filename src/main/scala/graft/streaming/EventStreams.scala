@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the batch analytics — the reference's
+  * Airflow-scheduled incremental loads (`/root/reference/dags/
+  * etl_pipeline_dag.py`) re-expressed as continuous queries. Each stream
+  * is the EXACT batch plan from `operators.Analytics` plus a watermark, so
+  * batch and streaming answers agree (the lambda-architecture trap the
+  * reference's cron reruns fall into).
+  */
+object EventStreams {
+
+  /** Input row for typed stateful ops. */
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         ts: Timestamp, value: Double)
+
+  /** One closed session per user (emitted on gap timeout). */
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, event_count: Long,
+                           session_value: Double)
+
+  /** Internal per-user session accumulator (public: Catalyst's generated
+    * encoder code must be able to call the accessors).
+    */
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
+
+  /** Tumbling-window event aggregation (streaming form of
+    * `Analytics.eventWindowAgg`): watermark bounds state; late rows beyond
+    * it are dropped, on-time rows land in their hour bucket.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("event_count"), col("total_value"), col("approx_users"))
+
+  /** Streaming gap sessionization via flatMapGroupsWithState — the
+    * streaming twin of `Analytics.sessionize`. State per user is O(1)
+    * (start/last/count/sum), closed either by a gap-exceeding event or by
+    * event-time timeout, so state size is bounded by active users, not
+    * history.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.nEvents, st.totalValue)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(t, t, 1L, e.value)
+                case s if t - s.lastMs > gapMs =>
+                  closed ::= flush(userId, s)
+                  st = SessionState(t, t, 1L, e.value)
+                case s =>
+                  st = SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.totalValue + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on key columns, state bounded by the watermark
+    * horizon (streaming twin of `Cleaning.dedupKeepFirst`).
+    */
+  def dedup(events: DataFrame, keys: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+}
