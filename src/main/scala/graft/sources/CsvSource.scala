@@ -24,6 +24,14 @@ object CsvSource {
   /** Read CSV with an explicit schema (never infer at scale — inference is
     * a full extra pass over the data), tolerant of corrupt rows.
     *
+    * Implemented as `text` scan + `from_csv` rather than `spark.read.csv`
+    * with a corrupt-record column: Spark refuses raw-CSV scans whose
+    * pruned column set is ONLY `_corrupt_record`, which breaks innocent
+    * queries like `quarantine(df)._1.count()`. Parsing in a projection
+    * makes the corrupt column an ordinary computed column — prunable,
+    * filterable, aggregatable. Line-delimited records assumed (embedded
+    * newlines in quoted fields need the builder reader + persist).
+    *
     * @param schema   explicit column types; a `_corrupt_record` string
     *                 column is appended automatically for bad-row capture.
     * @param tsFormat timestamp parse pattern for timestamp-typed columns.
@@ -34,14 +42,16 @@ object CsvSource {
     val withCorrupt =
       if (schema.fieldNames.contains(CorruptCol)) schema
       else schema.add(CorruptCol, "string", nullable = true)
-    spark.read
-      .option("header", header.toString)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("timestampFormat", tsFormat)
-      .option("timestampNTZFormat", tsFormat)
-      .schema(withCorrupt)
-      .csv(path)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol,
+      "timestampFormat" -> tsFormat,
+      "timestampNTZFormat" -> tsFormat)
+    val lines = spark.read.text(path)
+    val headerLine = schema.fieldNames.mkString(",")
+    val body = if (header) lines.filter(col("value") =!= headerLine) else lines
+    body.select(from_csv(col("value"), withCorrupt, opts).as("_r"))
+      .select(withCorrupt.fieldNames.map(n => col(s"_r.`$n`").as(n)): _*)
   }
 
   val CorruptCol = "_corrupt_record"
@@ -59,9 +69,7 @@ object CsvSource {
     * scale-friendly version of the reference's skip-and-log. Both sides
     * come from the SAME scan (Spark caches nothing; two filters over one
     * cheap source). The bad side keeps ALL columns (parsed-null fields +
-    * the raw line): Spark disallows a raw-file scan that references only
-    * `_corrupt_record`, and the context columns are what you want in a
-    * quarantine table anyway.
+    * the raw line) — that context is what a quarantine table needs.
     */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val bad = df.filter(col(CorruptCol).isNotNull)

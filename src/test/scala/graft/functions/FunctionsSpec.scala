@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.{Dedup, Similarity}
+
+/** The native Catalyst expressions are differentially tested against their
+  * pure-Column formulations (same math, independent implementations), and
+  * checked in BOTH evaluation modes — codegen and interpreted — since
+  * `doGenCode` and `nullSafeEval` are separate code paths.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def texts = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "sphinx of black quartz judge my vow")
+  ).toDF("id", "text")
+
+  test("cosine_sim SQL function matches the Column formulation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.5f, 0.25f))
+    ).toDF("a", "b")
+    val out = df.select(
+      round(expr("cosine_sim(a, b)"), 10).as("native"),
+      round(Similarity.cosine(col("a"), col("b")), 10).as("column"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim handles zero vectors (NaN) and nulls") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(0.0 as float)), array(cast(0.0 as float))) AS z, " +
+      "cosine_sim(cast(null as array<float>), array(cast(1.0 as float))) AS n").head()
+    assert(r.getDouble(0).isNaN)
+    assert(r.isNullAt(1))
+  }
+
+  test("simhash64 expression matches the pure-Column simhash") {
+    val out = texts.select(
+      expr("simhash64(split(text, ' '))").as("native"),
+      Dedup.simhash64(col("text")).as("column"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} column=${r.getLong(1)}"))
+  }
+
+  test("expressions agree between codegen and interpreted modes") {
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    def eval(): Seq[(Long, Double)] = texts.select(
+        expr("simhash64(split(text, ' '))").as("h"),
+        expr("cosine_sim(array(cast(1.0 as float), cast(2.0 as float)), " +
+             "array(cast(3.0 as float), cast(4.0 as float)))").as("c"))
+      .collect().toIndexedSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    try {
+      spark.conf.set(conf, "true");  val gen = eval()
+      spark.conf.set(conf, "false"); val interp = eval()
+      assert(gen == interp)
+    } finally spark.conf.set(conf, before)
+  }
+}

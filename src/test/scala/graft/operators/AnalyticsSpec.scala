@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricingSummary aggregates per (returnflag, linestatus)") {
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.1, 0.05),
+      ("A", "F", 20.0, 200.0, 0.2, 0.05),
+      ("R", "O", 5.0, 50.0, 0.0, 0.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Analytics.pricingSummary(li).collect()
+    assert(out.length == 2)
+    val af = out.find(_.getString(0) == "A").get
+    assert(af.getAs[Double]("sum_qty") == 30.0)
+    assert(af.getAs[Double]("sum_base_price") == 300.0)
+    // 100*0.9 + 200*0.8 = 250; charge = 250 * 1.05
+    assert(af.getAs[Double]("sum_disc_price") == 250.0)
+    assert(af.getAs[Double]("sum_charge") == 262.5)
+    assert(af.getAs[Long]("count_order") == 2L)
+  }
+
+  test("sessionize splits on idle gap and aggregates per session") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 1.0),
+      (2L, 10L, "2026-01-01 10:10:00", 2.0),
+      (3L, 10L, "2026-01-01 11:00:00", 4.0),  // 50 min gap > 30 → new session
+      (4L, 20L, "2026-01-01 09:00:00", 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = Analytics.sessionize(ev, 30).collect()
+    assert(out.length == 3)
+    val u10 = out.filter(_.getAs[Long]("user_id") == 10L)
+    assert(u10.map(_.getAs[Long]("event_count")).toSeq == Seq(2L, 1L))
+    assert(u10(0).getAs[Double]("session_value") == 3.0)
+    assert(u10(1).getAs[Double]("session_value") == 4.0)
+  }
+
+  test("topNPerGroup ranks by spend within nation") {
+    val orders = Seq((1L, 100L, 50.0), (2L, 100L, 50.0), (3L, 101L, 30.0), (4L, 102L, 999.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((100L, "alice", 1), (101L, "bob", 1), (102L, "eve", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val nation = Seq((1, "FRANCE"), (2, "PERU")).toDF("n_nationkey", "n_name")
+    val out = Analytics.topNPerGroup(orders, customer, nation, 1).collect()
+    assert(out.length == 2)
+    val fr = out.find(_.getAs[String]("nation") == "FRANCE").get
+    assert(fr.getAs[String]("c_name") == "alice" && fr.getAs[Double]("total_spend") == 100.0)
+    assert(out.find(_.getAs[String]("nation") == "PERU").get.getAs[String]("c_name") == "eve")
+  }
+
+  test("dailyRevenue running total accumulates in date order") {
+    val orders = Seq(
+      ("2026-01-02 00:00:00", 10.0), ("2026-01-01 00:00:00", 5.0), ("2026-01-02 00:00:00", 1.0)
+    ).toDF("o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+    val out = Analytics.dailyRevenue(orders).collect()
+    assert(out.map(_.getAs[Double]("revenue")).toSeq == Seq(5.0, 11.0))
+    assert(out.map(_.getAs[Double]("cum_revenue")).toSeq == Seq(5.0, 16.0))
+  }
+
+  test("deliveryPerformance splits counts by order status") {
+    val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val customer = Seq((100L, 1)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((1, "KENYA")).toDF("n_nationkey", "n_name")
+    val r = Analytics.deliveryPerformance(orders, customer, nation).head()
+    assert(r.getAs[Long]("total_orders") == 3L)
+    assert(r.getAs[Long]("fulfilled_count") == 2L)
+    assert(r.getAs[Long]("open_count") == 1L)
+    assert(r.getAs[Long]("pending_count") == 0L)
+    assert(r.getAs[Double]("avg_order_price") == 20.0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepFirst keeps the row with the smallest tiebreak per key") {
+    val df = Seq(
+      ("u1", "click", 3L, 30.0), ("u1", "click", 1L, 10.0),
+      ("u1", "click", 2L, 20.0), ("u2", "view", 5L, 50.0)
+    ).toDF("user", "etype", "seq", "v")
+    val out = Cleaning.dedupKeepFirst(df, Seq("user", "etype"), "seq")
+      .orderBy("user").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("seq") == 1L && out(0).getAs[Double]("v") == 10.0)
+    assert(out(1).getAs[Long]("seq") == 5L)
+  }
+
+  test("dropMissing / fillConstants / fillUnknown") {
+    val df = Seq((1, Some("a"), Some(1.5)), (2, None, None), (3, Some("c"), None))
+      .toDF("id", "s", "x")
+    assert(Cleaning.dropMissing(df, Seq("s")).count() == 2)
+    assert(Cleaning.dropMissing(df, Seq("s", "x")).count() == 1)
+    val filled = Cleaning.fillConstants(Cleaning.fillUnknown(df, Seq("s")), Map("x" -> 9.9))
+      .orderBy("id").collect()
+    assert(filled(1).getAs[String]("s") == "UNKNOWN")
+    assert(filled(1).getAs[Double]("x") == 9.9 && filled(2).getAs[Double]("x") == 9.9)
+  }
+
+  test("fillMedian exact uses the true median") {
+    val df = Seq(Some(1.0), Some(100.0), Some(3.0), None, Some(2.0))
+      .toDF("x") // median of {1,2,3,100} = 2.5
+    val out = Cleaning.fillMedian(df, Seq("x"), exact = true)
+      .filter(col("x") === 2.5)
+    assert(out.count() == 1)
+  }
+
+  test("standardizeTimestamps coerces bad strings to null") {
+    val df = Seq("2026-01-05 10:00:00", "not a time").toDF("ts")
+    val out = Cleaning.standardizeTimestamps(df, Seq("ts"), Some("yyyy-MM-dd HH:mm:ss"))
+    assert(out.filter(col("ts").isNull).count() == 1)
+    assert(out.filter(col("ts").isNotNull).count() == 1)
+  }
+
+  test("normalizeCategorical trims and folds case") {
+    val df = Seq("  FuRniTure ", "auto").toDF("cat")
+    val lower = Cleaning.normalizeCategorical(df, Seq("cat"), "lower")
+      .as[String].collect().sorted
+    assert(lower.toSeq == Seq("auto", "furniture"))
+    val title = Cleaning.normalizeCategorical(df, Seq("cat"), "title")
+      .as[String].collect().sorted
+    assert(title.toSeq == Seq("Auto", "Furniture"))
+    intercept[IllegalArgumentException] {
+      Cleaning.normalizeCategorical(df, Seq("cat"), "shout")
+    }
+  }
+
+  test("durationHours and costRatio") {
+    val df = Seq(("2026-01-01 00:00:00", "2026-01-02 06:00:00", 5.0, 0.0))
+      .toDF("start", "end", "cost", "price")
+      .select(to_timestamp(col("start")).as("start"), to_timestamp(col("end")).as("end"),
+        col("cost"), col("price"))
+    val out = df.select(
+      Cleaning.durationHours(col("end"), col("start")).as("h"),
+      Cleaning.costRatio(col("cost"), col("price")).as("r")).head()
+    assert(out.getDouble(0) == 30.0)
+    assert(out.isNullAt(1)) // zero price → null, not div-by-zero
+  }
+
+  test("profile reports nulls, ndv and numeric stats in one pass") {
+    val df = Seq((1, Some(10.0), "a"), (2, None, "b"), (3, Some(30.0), "b"))
+      .toDF("id", "x", "s")
+    val p = Cleaning.profile(df, exactDistinct = true).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("x").getAs[Long]("null_count") == 1L)
+    assert(p("x").getAs[Long]("row_count") == 3L)
+    assert(p("x").getAs[Double]("min") == 10.0 && p("x").getAs[Double]("max") == 30.0)
+    assert(p("x").getAs[Double]("mean") == 20.0)
+    assert(p("s").getAs[Long]("distinct_count") == 2L)
+    assert(p("s").isNullAt(p("s").fieldIndex("min"))) // non-numeric → null stats
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The sketch operators are seeded-deterministic but not SQL-expressible;
+  * their semantics are pinned here with planted near-duplicates instead of
+  * a DuckDB oracle (SURVEY.md §4).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then naps in the warm sun"
+  private val nearDup = base.replace("naps", "rests") // one-token edit
+  private val unrelated = "completely different content about databases shuffles partitions and columnar storage formats"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactByContent groups exact duplicates only") {
+    val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhashCandidates finds planted near-dup, not unrelated pair") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must always collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "one-token-edit near-dup should share a band bucket")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash signature is deterministic and component-wise minimal") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(4)) // identical text → identical signature
+    assert(sigs(1).length == 16)
+    assert(sigs(1) != sigs(3))
+    // near-dup shares most signature components (minhash property)
+    val shared = sigs(1).zip(sigs(2)).count { case (a, b) => a == b }
+    assert(shared >= 8, s"near-dup shared only $shared/16 minhash components")
+  }
+
+  test("simhashCandidates: exact dup at hamming 0; near-dup within 3 bits") {
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(out((1L, 4L)) == 0)
+    assert(out.get((1L, 2L)).forall(_ <= 3))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash64 column matches between identical texts and differs across corpus") {
+    val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1) == hashes(4))
+    assert(hashes(1) != hashes(3))
+    val hamming12 = java.lang.Long.bitCount(hashes(1) ^ hashes(2))
+    assert(hamming12 <= 8, s"near-dup simhash hamming was $hamming12")
+  }
+
+  test("ngramJaccardPairs computes exact shingle jaccard") {
+    val tiny = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(tiny, "doc_id", "text", k = 3, threshold = 0.0)
+      .collect()
+    // shingles(1)={abc,bcd}, shingles(2)={abc,bce}: inter 1, union 3
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
+    assert(out(0).getAs[Double]("jaccard") == 0.3333)
+  }
+
+  test("ngramJaccardVerify filters candidates below threshold") {
+    val tiny = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardVerify(tiny, "doc_id", "text", cands, k = 3, threshold = 0.3)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+  }
+}

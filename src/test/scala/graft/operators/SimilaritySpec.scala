@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to 1
+    (4L, Array(2.0f, 0.0f, 0.0f))    // colinear with 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: colinear → 1, orthogonal → 0") {
+    val sims = vecs.as("a").join(vecs.as("b"), expr("a.vec_id < b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 4L)) == 1.0)
+    assert(sims((1L, 3L)) == 0.0)
+    assert(sims((1L, 2L)) > 0.99 && sims((1L, 2L)) < 1.0)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("query_id") == 1L)
+    assert(out(0).getAs[Long]("neighbor_id") == 4L) // colinear wins rank 1
+    assert(out(0).getAs[Int]("rank") == 1)
+    assert(out(1).getAs[Long]("neighbor_id") == 2L)
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("hyperplaneSignature is deterministic and groups colinear vectors") {
+    def sigsOf() = vecs.select(col("vec_id"),
+        Similarity.hyperplaneSignature(col("embedding"), dim = 3, numPlanes = 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs = sigsOf()
+    assert(sigs == sigsOf()) // seeded → reproducible across runs
+    assert(sigs(1L) == sigs(4L)) // same direction → identical sign pattern
+  }
+
+  test("lshNearDupPairs finds colinear pair, skips orthogonal") {
+    val out = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 3, numPlanes = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 4L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosineNearDupPairs thresholds exact all-pairs") {
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 4L))) // (1,2) sim ≈ 0.9939 falls below 0.999
+  }
+
+  test("sortedPairs emits each unordered pair once") {
+    val out = spark.sql("SELECT 1").select(
+      Similarity.sortedPairs(array(lit(3L), lit(1L), lit(2L))).as("p"))
+      .selectExpr("explode(p) AS q").selectExpr("q._1", "q._2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validate computes all rules in one pass with thresholds") {
+    val df = Seq(
+      (Some(5.0), Some("x")), (Some(-1.0), None), (Some(200.0), Some("y")), (None, Some("z"))
+    ).toDF("amount", "tag")
+    val report = Validation.validate(df, Seq(
+        Validation.nullCheck("tag", 0.0, "critical"),
+        Validation.rangeCheck("amount", Some(0.0), Some(100.0), "error"),
+        Validation.businessRule("amount_present", col("amount").isNotNull)),
+      thresholds = Map("null_check_tag" -> 0.5))
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+
+    val nulls = report("null_check_tag")
+    assert(nulls.getAs[Long]("violations") == 1L)
+    assert(nulls.getAs[Boolean]("passed")) // 25% ≤ 50% threshold
+    val range = report("range_check_amount")
+    assert(range.getAs[Long]("violations") == 2L) // -1 and 200; null NOT a range violation
+    assert(!range.getAs[Boolean]("passed"))
+    val rule = report("business_rule_amount_present")
+    assert(rule.getAs[Long]("violations") == 1L)
+    assert(rule.getAs[Double]("violation_pct") == 0.25)
+  }
+
+  test("uniqueCheck counts duplicate keys and rows") {
+    val df = Seq(1, 1, 1, 2, 3, 3).toDF("k")
+    val r = Validation.uniqueCheck(df, Seq("k")).head()
+    assert(r.getAs[Long]("duplicate_keys") == 2L)  // 1 and 3
+    assert(r.getAs[Long]("duplicate_rows") == 3L)  // two extra 1s + one extra 3
+    assert(!r.getAs[Boolean]("passed"))
+    assert(Validation.uniqueCheck(df.distinct(), Seq("k")).head().getAs[Boolean]("passed"))
+  }
+
+  test("schemaCheck reports missing and mistyped columns") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assert(Validation.schemaCheck(df, Map("id" -> "bigint", "name" -> "string")).isEmpty)
+    val bad = Validation.schemaCheck(df, Map("id" -> "int", "missing_col" -> "string"))
+    assert(bad.exists(_.contains("id: expected int, got bigint")))
+    assert(bad.exists(_.contains("Missing column: missing_col")))
+  }
+}

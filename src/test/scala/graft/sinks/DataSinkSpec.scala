@@ -1,0 +1,49 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DataSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: last version wins, updates beat current on ties, new keys insert") {
+    val cur = Seq((1L, "a", 1L), (2L, "b", 1L), (4L, "d", 9L)).toDF("k", "v", "version")
+    val upd = Seq((2L, "b2", 2L), (3L, "c", 1L), (1L, "a-tie", 1L), (4L, "d-old", 3L))
+      .toDF("k", "v", "version")
+    val out = DataSink.upsert(cur, upd, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a-tie", 2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val cur = Seq((1L, "a")).toDF("k", "v")
+    val upd = Seq((1L, "a", 2L)).toDF("k", "v", "version")
+    intercept[IllegalArgumentException] { DataSink.upsert(cur, upd, Seq("k"), "version") }
+  }
+
+  test("partitioned parquet write round-trips with pruning-friendly layout") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val df = Seq((1L, "2026-01-01", 5.0), (2L, "2026-01-02", 6.0), (3L, "2026-01-01", 7.0))
+      .toDF("id", "day", "x")
+    DataSink.writeParquet(df, s"$dir/t", partitionBy = Seq("day"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 3)
+    assert(new java.io.File(s"$dir/t").list().count(_.startsWith("day=")) == 2)
+    // append mode adds rows instead of replacing
+    DataSink.writeParquet(df.filter(col("id") === 1L), s"$dir/t",
+      partitionBy = Seq("day"), mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.read.parquet(s"$dir/t").count() == 4)
+  }
+
+  test("logEtlRun appends run records") {
+    val dir = Files.createTempDirectory("etl_log").toFile.getAbsolutePath + "/log"
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 01:00:00")
+    DataSink.logEtlRun(spark, dir, "r1", "extract", "success", 100L, ts)
+    DataSink.logEtlRun(spark, dir, "r1", "load", "success", 90L, ts)
+    val log = spark.read.parquet(dir)
+    assert(log.count() == 2)
+    assert(log.select("stage").as[String].collect().toSet == Set("extract", "load"))
+  }
+}

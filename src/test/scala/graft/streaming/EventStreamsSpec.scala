@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: gap split, watermark close, timeout close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 10, "click", ts("2026-01-01 10:05:00"), 2.0),
+      EventStreams.Event(3, 10, "click", ts("2026-01-01 12:00:00"), 4.0),
+      EventStreams.Event(4, 11, "view", ts("2026-01-01 10:20:00"), 8.0))
+    val sq = EventStreams.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_spec").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      // advance watermark far enough to time out the open sessions
+      ms.addData(EventStreams.Event(5, 10, "click", ts("2026-01-01 15:00:00"), 16.0))
+      sq.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, event_count, session_value FROM sess_spec ORDER BY user_id, session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(out.contains((10L, 2L, 3.0)))  // first session: events 1+2
+      assert(out.contains((10L, 1L, 4.0)))  // second session closed by event 5's watermark
+      assert(out.contains((11L, 1L, 8.0)))  // user 11 closed by event-time timeout
+    } finally sq.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:30"), 1.0),
+      EventStreams.Event(9, 12, "view", ts("2026-01-01 10:01:00"), 3.0))
+    val sq = EventStreams.dedup(ms.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dd_spec").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dd_spec").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 9L))
+    } finally sq.stop()
+  }
+
+  test("windowedCounts aggregates into hourly tumbling windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:05:00"), 1.0),
+      EventStreams.Event(2, 11, "click", ts("2026-01-01 10:55:00"), 2.0),
+      EventStreams.Event(3, 10, "view", ts("2026-01-01 11:05:00"), 4.0))
+    val sq = EventStreams.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("wc_spec").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      ms.addData(EventStreams.Event(9, 10, "click", ts("2026-01-01 14:00:00"), 0.0))
+      sq.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window_start, event_type, event_count, total_value FROM wc_spec ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.contains((ts("2026-01-01 10:00:00"), "click", 2L, 3.0)))
+      assert(out.contains((ts("2026-01-01 11:00:00"), "view", 1L, 4.0)))
+    } finally sq.stop()
+  }
+}
