@@ -9,13 +9,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // noop sink, not count(): count() lets Catalyst prune computed columns
+    // (a projection-heavy query would be timed as a bare scan), while noop
+    // materializes every output column exactly like a real write.
+    def exec(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warmup: plan + codegen + JIT
+        val w0 = System.nanoTime()
+        exec(name, fn) // warmup: plan + codegen + JIT
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+        exec(name, fn)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s warm=${(t0 - w0) / 1e9}%8.2f timed=$t%8.2f")
+        name -> t
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

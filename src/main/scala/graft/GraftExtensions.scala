@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, SimHash64Expr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSim, MinHashSigExpr, SimHash64Expr}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -19,6 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(array<float>, array<float>)")
         CosineSim(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_sig(array<string>, k, numHashes)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: $what must be an integer literal, got $other")
+        }
+        MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
       }))
 
     ext.injectFunction((

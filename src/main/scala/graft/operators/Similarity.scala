@@ -20,15 +20,14 @@ import scala.util.Random
 object Similarity {
 
   /** Cosine similarity between two float-array columns (computed in
-    * double).
+    * double). Delegates to the native `cosine_sim` expression
+    * (`functions/CosineSim.scala`): one fused codegen'd loop versus three
+    * interpreted array traversals — this sits inside every O(pairs)
+    * similarity join, so it is THE hot spot of the similarity family.
+    * (The aggregate/zip_with formulation lives in `FunctionsSpec` as the
+    * differential reference.)
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot  = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v)
-    val na   = sqrt(aggregate(a, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb   = sqrt(aggregate(b, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** All (a,b) a<b pairs from an array — helper for bucketed self-joins. */
   def sortedPairs(docs: Column): Column =

@@ -11,12 +11,43 @@ import graft.operators.{Dedup, Similarity}
   */
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.Column
 
   private def texts = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "pack my box with five dozen liquor jugs"),
     (3L, "sphinx of black quartz judge my vow")
   ).toDF("id", "text")
+
+  // ---- independent pure-Column reference formulations (the operators
+  //      delegate to the native expressions; these pin their semantics) ----
+
+  private def refCosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  private def refSimhash(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    val bits = (0 until 64).map { b =>
+      val ones = size(filter(toks, t => shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  private def refMinhash(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = graft.operators.Dedup.shingles(text, k)
+    val hashes = (0 until numHashes).map { j =>
+      array_min(transform(sh, s =>
+        xxhash64(s) * lit(MinHashSigExpr.laneA(j)) + lit(MinHashSigExpr.laneB(j))))
+    }
+    array(hashes: _*)
+  }
 
   test("cosine_sim SQL function matches the Column formulation") {
     val df = Seq(
@@ -25,9 +56,20 @@ class FunctionsSpec extends SparkSpec {
     ).toDF("a", "b")
     val out = df.select(
       round(expr("cosine_sim(a, b)"), 10).as("native"),
-      round(Similarity.cosine(col("a"), col("b")), 10).as("column"))
+      round(refCosine(col("a"), col("b")), 10).as("column"))
       .collect()
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("minhash_sig matches the Column formulation (incl. short texts)") {
+    val df = texts.union(Seq((4L, "ab"), (5L, "one two")).toDF("id", "text"))
+    val out = df.select(
+      graft.operators.Dedup.minhashSignature(col("text"), 3, 16).as("native"),
+      refMinhash(col("text"), 3, 16).as("column"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
   }
 
   test("cosine_sim handles zero vectors (NaN) and nulls") {
@@ -40,8 +82,8 @@ class FunctionsSpec extends SparkSpec {
 
   test("simhash64 expression matches the pure-Column simhash") {
     val out = texts.select(
-      expr("simhash64(split(text, ' '))").as("native"),
-      Dedup.simhash64(col("text")).as("column"))
+      Dedup.simhash64(col("text")).as("native"),
+      refSimhash(col("text")).as("column"))
       .collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native=${r.getLong(0)} column=${r.getLong(1)}"))
