@@ -80,6 +80,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_missing_ffill" -> ((s, d) => {
+      val injected = Tables.events(s, d)
+        .withColumn("value", when(col("value") < 1d, lit(null)).otherwise(col("value")))
+      Cleaning.fillForward(injected, Seq("value"), Seq("event_id"), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value_ffill"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_missing_interpolate" -> ((s, d) => {
+      val injected = Tables.events(s, d)
+        .withColumn("value", when(col("value") < 1d, lit(null)).otherwise(col("value")))
+      Cleaning.interpolateLinear(injected, "value", Seq("event_id"), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value_interp"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_missing_fill_median" -> ((s, d) => {
       val injected = Tables.customer(s, d).withColumn("bal",
         when(col("c_acctbal") < 0d, lit(null)).otherwise(col("c_acctbal")))
@@ -350,6 +366,41 @@ object SparkEntry {
         |       coalesce(nullif(event_type,'error'),'UNKNOWN') AS event_type,
         |       coalesce(CASE WHEN value < 1 THEN NULL ELSE value END, 0.0) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_missing_ffill" ->
+      """WITH injected AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN value < 1 THEN NULL ELSE value END AS value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       round(last_value(value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+        |FROM injected ORDER BY event_id""".stripMargin,
+
+    "q_missing_interpolate" ->
+      """WITH injected AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN value < 1 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |pos AS (
+        |  SELECT *, row_number() OVER w AS p FROM injected
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |ctx AS (
+        |  SELECT *,
+        |    last_value(value IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN p END IGNORE NULLS) OVER wp AS pp,
+        |    first_value(value IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN p END IGNORE NULLS) OVER wn AS np
+        |  FROM pos
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN value IS NOT NULL THEN value
+        |             WHEN pv IS NULL THEN NULL
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 4) AS value_interp
+        |FROM ctx ORDER BY event_id""".stripMargin,
 
     "q_missing_fill_median" ->
       """WITH injected AS (

@@ -65,6 +65,59 @@ object Cleaning {
     df.na.fill(fills)
   }
 
+  /** Forward-fill nulls from the last non-null value in `orderCols` order
+    * within each partition (pandas ffill, `cleaners.py:62`). A distributed
+    * ffill REQUIRES explicit partition+order columns — pandas leans on
+    * physical row order, which doesn't exist across executors. One shuffle
+    * on the partition key; the running `last(ignoreNulls)` is a single
+    * forward pass per group.
+    */
+  def fillForward(df: DataFrame, cols: Seq[String], orderCols: Seq[String],
+                  partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Backward-fill: mirror of [[fillForward]] (pandas bfill). */
+  def fillBackward(df: DataFrame, cols: Seq[String], orderCols: Seq[String],
+                   partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Linear interpolation of null runs by row position (pandas
+    * `interpolate(method="linear")`, `cleaners.py:89`), with pandas' edge
+    * semantics: leading nulls stay null, trailing nulls carry the last
+    * known value. Two window passes (previous/next known value and
+    * position) over one shuffle on the partition key.
+    */
+  def interpolateLinear(df: DataFrame, valueCol: String, orderCols: Seq[String],
+                        partitionCols: Seq[String]): DataFrame = {
+    val part = partitionCols.map(col)
+    val order = orderCols.map(col)
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val pos = row_number().over(w)
+    df.withColumn("_pos", pos)
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("_pp", last(when(v.isNotNull, col("_pos")), ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("_np", first(when(v.isNotNull, col("_pos")), ignoreNulls = true).over(wNext))
+      .withColumn(valueCol,
+        when(v.isNotNull, v)
+          .when(col("_pv").isNull, lit(null))            // leading nulls stay
+          .when(col("_nv").isNull, col("_pv"))           // trailing → ffill
+          .otherwise(col("_pv") + (col("_nv") - col("_pv"))
+            * (col("_pos") - col("_pp")) / (col("_np") - col("_pp"))))
+      .drop("_pos", "_pv", "_pp", "_nv", "_np")
+  }
+
   /** Parse string timestamps with coercion (bad rows → null, as pandas
     * errors="coerce"); session TZ is UTC. Reference: `cleaners.py:137`.
     */

@@ -37,6 +37,30 @@ class CleaningSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("fillForward / fillBackward respect partition and order") {
+    val df = Seq(
+      ("u1", 1L, Some(10.0)), ("u1", 2L, None), ("u1", 3L, None), ("u1", 4L, Some(40.0)),
+      ("u2", 1L, None), ("u2", 2L, Some(5.0))
+    ).toDF("u", "seq", "x")
+    val ff = Cleaning.fillForward(df, Seq("x"), Seq("seq"), Seq("u"))
+      .orderBy("u", "seq").select("x").collect().map(r => Option(r.get(0)))
+    assert(ff.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), None, Some(5.0)))
+    val bf = Cleaning.fillBackward(df, Seq("x"), Seq("seq"), Seq("u"))
+      .orderBy("u", "seq").select("x").collect().map(r => Option(r.get(0)))
+    assert(bf.toSeq == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0), Some(5.0), Some(5.0)))
+  }
+
+  test("interpolateLinear matches pandas edge semantics") {
+    // pandas: [nan, 1, nan, nan, 4, nan].interpolate() = [nan, 1, 2, 3, 4, 4]
+    val df = Seq(
+      ("u", 1L, None), ("u", 2L, Some(1.0)), ("u", 3L, None),
+      ("u", 4L, None), ("u", 5L, Some(4.0)), ("u", 6L, None)
+    ).toDF("u", "seq", "x")
+    val out = Cleaning.interpolateLinear(df, "x", Seq("seq"), Seq("u"))
+      .orderBy("seq").select("x").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(4.0)))
+  }
+
   test("standardizeTimestamps coerces bad strings to null") {
     val df = Seq("2026-01-05 10:00:00", "not a time").toDF("ts")
     val out = Cleaning.standardizeTimestamps(df, Seq("ts"), Some("yyyy-MM-dd HH:mm:ss"))
