@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-management utilities.
+  *
+  * AQE already splits skewed JOIN partitions and map-side partial
+  * aggregation absorbs skew for algebraic aggregates (sum/count/min/max).
+  * What neither fixes is `count_distinct` over a skewed or huge key: the
+  * distinct-value state for a hot key must all land in one task. The
+  * salted two-phase form here splits the VALUE space instead, so state is
+  * bounded by buckets, not by the hottest key.
+  */
+object Skew {
+
+  /** Exact distinct count per key, skew-proof: phase 1 groups by
+    * (keys, hash(value) % buckets) — disjoint value slices, so the
+    * per-slice exact distinct counts SUM to the true distinct count in
+    * phase 2. The hottest key's state is spread over `buckets` tasks.
+    *
+    * vs `count_distinct`: same exactness, but no single-task bottleneck
+    * and no OOM on a hot key at 100 TB.
+    */
+  def countDistinctSalted(df: DataFrame, keys: Seq[String], valueCol: String,
+                          outCol: String, buckets: Int = 64): DataFrame = {
+    // No null pre-filter: it would drop keys whose values are ALL null,
+    // which count_distinct keeps (as 0). count_distinct already ignores
+    // nulls inside each slice.
+    val slice = pmod(hash(col(valueCol)), lit(buckets))
+    df.groupBy(keys.map(col) :+ slice.as("_slice"): _*)
+      .agg(count_distinct(col(valueCol)).as("_slice_ndv"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_slice_ndv")).as(outCol))
+  }
+
+  /** Key-frequency diagnostic: the `topN` heaviest keys with their share
+    * of the table — the first thing to look at when a stage straggles.
+    */
+  def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("rows"))
+    val total = df.count().toDouble
+    counts
+      .withColumn("share", round(col("rows") / total, 6))
+      .orderBy(col("rows").desc)
+      .limit(topN)
+  }
+
+  /** Salt column for manually pre-splitting a hot aggregation key:
+    * deterministic (hash of `from` columns), never random — reruns and
+    * retries must land rows in the same bucket.
+    */
+  def saltColumn(from: Seq[Column], buckets: Int): Column =
+    pmod(hash(from: _*), lit(buckets))
+}

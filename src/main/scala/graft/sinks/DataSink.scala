@@ -34,6 +34,21 @@ object DataSink {
   def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Bucketed table write: rows are hash-partitioned into `numBuckets`
+    * files per partition by `bucketCols` (and optionally sorted within
+    * buckets). Joins and aggregations on the bucket key between tables
+    * bucketed the same way need NO shuffle — the co-location is the
+    * on-disk layout. This is how two 50 TB fact tables join without
+    * moving either (requires the table catalog, hence saveAsTable).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Last-wins upsert of `updates` into `current` by `keys`, versioned by
     * `versionCol` (highest wins; updates break ties). Equivalent to the
     * reference's INSERT ON CONFLICT UPDATE (`db_loader.py:319`) but

@@ -82,6 +82,27 @@ object ManualDrive {
     sq3.processAllAvailable()
     spark.sql("select * from wc order by window_start, event_type").show(false)
     sq3.stop()
+    println("=== Skew: salted distinct + histogram; bucketed co-located join")
+    val skewed = ((0 until 500).map(i => ("hot", s"v${i % 100}")) ++ Seq(("cold", "x")))
+      .toDF("k", "v")
+    graft.operators.Skew.countDistinctSalted(skewed, Seq("k"), "v", "ndv").orderBy("k").show()
+    graft.operators.Skew.keyHistogram(skewed, Seq("k")).show()
+    val t1 = (1L to 100L).map(i => (i, i * 2)).toDF("k", "a")
+    graft.sinks.DataSink.writeBucketed(t1, "drive_bkt", Seq("k"), 4)
+    println("bucketed join plan Exchange count: " +
+      "Exchange".r.findAllIn(spark.table("drive_bkt")
+        .groupBy("k").count().queryExecution.executedPlan.toString).length)
+    spark.sql("DROP TABLE IF EXISTS drive_bkt")
+
+    println("=== Incremental file ingest (AvailableNow)")
+    val base = java.nio.file.Files.createTempDirectory("drive_ingest").toFile.getAbsolutePath
+    val ingSchema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/src/b1")
+    EventStreams.ingestAvailableNow(spark, s"$base/src/*", ingSchema, s"$base/sink", s"$base/ckpt")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$base/src/b2")
+    EventStreams.ingestAvailableNow(spark, s"$base/src/*", ingSchema, s"$base/sink", s"$base/ckpt")
+    println("ingested rows after two incremental runs: " + spark.read.parquet(s"$base/sink").count())
+
     println("DRIVE COMPLETE")
     spark.stop()
   }

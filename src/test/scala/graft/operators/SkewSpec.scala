@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = {
+    // hot key "h" with 500 rows over 100 distinct values; cold keys tiny
+    val hot = (0 until 500).map(i => ("h", s"v${i % 100}"))
+    val cold = Seq(("c1", "x"), ("c1", "x"), ("c2", null))
+    (hot ++ cold).toDF("k", "v")
+  }
+
+  test("countDistinctSalted equals count_distinct exactly") {
+    val expected = skewed.groupBy("k").agg(count_distinct(col("v")).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.countDistinctSalted(skewed, Seq("k"), "v", "ndv", buckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == expected)
+    assert(salted("h") == 100L && salted("c1") == 1L && salted("c2") == 0L)
+  }
+
+  test("keyHistogram surfaces the hot key first with its share") {
+    val h = Skew.keyHistogram(skewed, Seq("k"), topN = 2).collect()
+    assert(h(0).getString(0) == "h")
+    assert(h(0).getLong(1) == 500L)
+    assert(h(0).getAs[Double]("share") > 0.99 * 500.0 / 503.0)
+  }
+
+  test("saltColumn is deterministic and bounded") {
+    val s = skewed.select(Skew.saltColumn(Seq(col("v")), 8).as("salt"))
+      .agg(min("salt"), max("salt")).head()
+    assert(s.getInt(0) >= 0 && s.getInt(1) < 8)
+  }
+}

@@ -37,6 +37,25 @@ class DataSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val df1 = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val df2 = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+    DataSink.writeBucketed(df1, "bkt_a", Seq("k"), 4, sortCols = Seq("k"))
+    DataSink.writeBucketed(df2, "bkt_b", Seq("k"), 4, sortCols = Seq("k"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("logEtlRun appends run records") {
     val dir = Files.createTempDirectory("etl_log").toFile.getAbsolutePath + "/log"
     val ts = java.sql.Timestamp.valueOf("2026-08-12 01:00:00")

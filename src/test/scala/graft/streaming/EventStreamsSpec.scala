@@ -48,6 +48,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("ingestAvailableNow processes only files new since the last checkpoint") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("ingest").toFile.getAbsolutePath
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/batch1")
+
+    EventStreams.ingestAvailableNow(spark, s"$src/*", schema, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 2)
+
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$src/batch2")
+    EventStreams.ingestAvailableNow(spark, s"$src/*", schema, sink, ckpt)
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 3) // batch1 NOT reprocessed: exactly-once append
+    assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("windowedCounts aggregates into hourly tumbling windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
