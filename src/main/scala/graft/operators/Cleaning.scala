@@ -167,7 +167,7 @@ object Cleaning {
       val numeric = f.dataType.isInstanceOf[NumericType]
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        (if (exactDistinct) count_distinct(c) else approx_count_distinct(c)).as(s"${f.name}__ndv"),
+        (if (exactDistinct) lit(0L) else approx_count_distinct(c)).as(s"${f.name}__ndv"),
         (if (numeric) min(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__min"),
         (if (numeric) max(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__max"),
         (if (numeric) avg(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__mean"))
@@ -176,9 +176,27 @@ object Cleaning {
     val stackArgs = fields.map { f =>
       s"'${f.name}', '${f.dataType.simpleString}', `${f.name}__nulls`, `${f.name}__ndv`, `${f.name}__min`, `${f.name}__max`, `${f.name}__mean`"
     }.mkString(", ")
-    wide.select(col("__n"), expr(
+    val long = wide.select(col("__n"), expr(
         s"stack(${fields.length}, $stackArgs) as (column, dtype, null_count, distinct_count, min, max, mean)"))
-      .select(
+    val out = if (!exactDistinct) long else {
+      // Exact NDV without the multi-distinct Expand (which replicates every
+      // row once per column inside ONE aggregate): explode to (column,
+      // value-string) pairs, two-phase distinct → count. 2× the shuffled
+      // rows of one column, instead of #columns× through a single hot agg;
+      // value→string is injective per type so counts are exact.
+      val pairs = df.select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("column"),
+          col(f.name).cast("string").as("v"))).toIndexedSeq: _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+      val ndv = pairs.groupBy(col("column"), col("v")).agg(lit(1))
+        .groupBy(col("column")).agg(count(lit(1)).as("__exact_ndv"))
+      long.drop("distinct_count")
+        .join(ndv, Seq("column"), "left")
+        .withColumn("distinct_count", coalesce(col("__exact_ndv"), lit(0L)))
+        .drop("__exact_ndv")
+    }
+    out.select(
         col("column"), col("dtype"), col("__n").as("row_count"),
         col("null_count"),
         round(col("null_count") / col("__n"), 4).as("null_pct"),
