@@ -34,6 +34,9 @@ object SparkEntry {
     "q_delivery_performance" -> ((s, d) => Analytics.deliveryPerformance(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
 
+    "q_delivery_percentiles" -> ((s, d) => Analytics.deliveryPercentiles(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+
     "q_star_join" -> ((s, d) => Analytics.starJoin(
       Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
 
@@ -225,6 +228,13 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.ivfBuild(emb, "vec_id", "embedding", numCentroids = 16)
+      Similarity.ivfSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 4)
+    }),
+
     "q_binary_meta" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
       Multimodal.featurize(s, media)
@@ -279,6 +289,16 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
         |       CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "q_delivery_percentiles" ->
+      """SELECT n_name AS nation,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
 

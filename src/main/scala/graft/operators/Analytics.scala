@@ -138,6 +138,26 @@ object Analytics {
       .orderBy(col("order_day"))
   }
 
+  /** Exact order-value percentiles per geography — the SLA-style rollup
+    * the reference's delivery view implies but can't express in SQLite.
+    * One array-percentile aggregate (single sort per group), split into
+    * scalar columns. The approx path at 100 TB swaps `percentile` for
+    * `approx_percentile` unchanged.
+    */
+  def deliveryPercentiles(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame): DataFrame =
+    orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("_p"))
+      .select(col("nation"),
+        round(col("_p").getItem(0), 4).as("p50"),
+        round(col("_p").getItem(1), 4).as("p90"),
+        round(col("_p").getItem(2), 4).as("p99"))
+      .orderBy(col("nation"))
+
   /** Gap-based sessionization over the events stream (batch form): a new
     * session starts when a user is idle > `gapMinutes`. lag + cumulative
     * sum over a per-user window — shuffles once on user_id.

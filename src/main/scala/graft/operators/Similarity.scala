@@ -90,6 +90,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer partitions
+    * the corpus into `numCentroids` cells; a query searches only the
+    * `nProbe` cells whose centroids are nearest. Complements the
+    * hyperplane-LSH path: IVF adapts to the data distribution (learned
+    * cells) where LSH is data-oblivious.
+    *
+    * The assigned corpus is the durable index — at 100 TB you persist it
+    * partitioned by `cell` so a probe is a partition-pruned read, not a
+    * scan.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build: fit k-means (MLlib, seeded) and tag every row with its cell. */
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val prepared = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(numCentroids).setSeed(seed).fit(prepared)
+    val assigned = model.transform(prepared)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Search: rank cells per query by centroid cosine (tiny broadcast
+    * cross-score), probe the top `nProbe` cells, exact-score only rows in
+    * probed cells, return top-k per query.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wCell))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    index.assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("v")), 4))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine near-dup pairs over the full corpus (oracle-checkable
     * baseline; quadratic — use only at validation scale or behind LSH).
     */

@@ -97,6 +97,39 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Continuous last-wins upsert into a parquet target — the streaming
+    * form of the reference's INSERT ON CONFLICT load (`db_loader.py:319`),
+    * expressed as foreachBatch + `DataSink.upsert` (exactly the shape a
+    * MERGE INTO takes on a merge-on-read table format). Each micro-batch
+    * merges into the current snapshot and atomically swaps directories —
+    * readers always see a complete version.
+    */
+  def upsertSink(updates: DataFrame, targetDir: String, checkpointDir: String,
+                 keys: Seq[String], versionCol: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        val tmp = new org.apache.hadoop.fs.Path(targetDir + "__next")
+        val merged =
+          if (fs.exists(target))
+            graft.sinks.DataSink.upsert(spark.read.parquet(targetDir), batch, keys, versionCol)
+          else batch
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(tmp, target)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental file ingest — the Spark-idiomatic replacement for the
     * reference's Airflow-scheduled batch loads (`dags/etl_pipeline_dag.py`
     * daily cron): a file stream with `Trigger.AvailableNow` processes

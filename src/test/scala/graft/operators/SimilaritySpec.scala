@@ -57,6 +57,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 4L))) // (1,2) sim ≈ 0.9939 falls below 0.999
   }
 
+  test("ivfSearch with all cells probed equals brute force; fewer probes stay in-cluster") {
+    // two well-separated clusters around e1 and e3
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.98f, 0.02f, 0.0f)),
+      (3L, Array(0.99f, 0.01f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f)), (11L, Array(0.0f, 0.02f, 0.98f)),
+      (12L, Array(0.01f, 0.0f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(pts, "vec_id", "embedding", numCentroids = 2)
+    val queries = pts.filter(col("vec_id").isin(1L, 10L))
+
+    val exhaustive = Similarity.ivfSearch(index, queries, "vec_id", "embedding", 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(pts, queries, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exhaustive == brute) // probing every cell == exact search
+
+    val probed = Similarity.ivfSearch(index, queries, "vec_id", "embedding", 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(probed.toSet == Set((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L)))
+  }
+
   test("sortedPairs emits each unordered pair once") {
     val out = spark.sql("SELECT 1").select(
       Similarity.sortedPairs(array(lit(3L), lit(1L), lit(2L))).as("p"))

@@ -68,6 +68,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("upsertSink merges micro-batches last-wins into the parquet target") {
+    import java.nio.file.Files
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("upsert_sink").toFile.getAbsolutePath
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 10, "view", ts("2026-01-01 10:01:00"), 2.0))
+    EventStreams.upsertSink(ms.toDF(), s"$base/t", s"$base/ckpt",
+      keys = Seq("user_id", "event_type"), versionCol = "event_id")
+    ms.addData( // same key, higher version: must replace
+      EventStreams.Event(7, 10, "click", ts("2026-01-01 11:00:00"), 9.0))
+    EventStreams.upsertSink(ms.toDF(), s"$base/t", s"$base/ckpt",
+      keys = Seq("user_id", "event_type"), versionCol = "event_id")
+    val out = spark.read.parquet(s"$base/t")
+      .select("user_id", "event_type", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
+  }
+
   test("windowedCounts aggregates into hourly tumbling windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
