@@ -51,6 +51,28 @@ object Multimodal {
     (w, h, feat)
   }
 
+  /** STUB resize — deterministic fake of an image resize: in a real
+    * deployment the body decodes, scales, re-encodes; here the "resized"
+    * payload is a deterministic byte slice so schema/partition behavior
+    * is testable. Signature and batching are the real design.
+    */
+  def resizeStub(media: DataFrame, maxBytes: Int): DataFrame =
+    media.withColumn("payload",
+      expr(s"substring(payload, 1, $maxBytes)"))
+      .withColumn("media_type", concat(col("media_type"), lit(";resized")))
+
+  /** STUB frame sampling — deterministic fake of video frame extraction:
+    * emits `frames` evenly-spaced byte windows per payload as child rows
+    * (payload, frame_idx, frame_bytes). The explode-to-child-rows shape is
+    * the real pipeline; the decoder is the fake.
+    */
+  def frameSampleStub(media: DataFrame, frames: Int, frameBytes: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
+      .withColumn("frame_bytes", expr(
+        s"substring(payload, 1 + frame_idx * greatest((octet_length(payload) - $frameBytes) / greatest($frames - 1, 1), 0), $frameBytes)"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"), col("frame_bytes"))
+
   /** Decode + featurize binary payloads per partition. The only non-codegen
     * hop in the library, by design: decoding is imperative. Partition size
     * is governed by spark.sql.files.maxPartitionBytes at read time, so each
