@@ -18,10 +18,12 @@ object Bench {
       try {
         val w0 = System.nanoTime()
         exec(name, fn) // warmup: plan + codegen + JIT
-        val t0 = System.nanoTime()
-        exec(name, fn)
-        val t = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s warm=${(t0 - w0) / 1e9}%8.2f timed=$t%8.2f")
+        // min of two timed passes: single-pass numbers on a shared local
+        // JVM carry GC/JIT noise an order above real query cost
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); exec(name, fn); (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[bench] $name%-28s warm=${(System.nanoTime() - w0) / 1e9}%8.2f best=$t%8.2f")
         name -> t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -38,9 +38,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
-  /** Local session honoring the driver's SPARK_GRAFT_CPUS contract. */
+  /** Local session honoring the driver's SPARK_GRAFT_CPUS contract
+    * (falling back to all available cores, never a hardcoded small N).
+    */
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -94,6 +94,13 @@ object ManualDrive {
         .groupBy("k").count().queryExecution.executedPlan.toString).length)
     spark.sql("DROP TABLE IF EXISTS drive_bkt")
 
+    println("=== Multimodal stubs: resize + frame sampling")
+    val media = graft.operators.Multimodal.withBinaryPayload(
+      Seq((1L, "hello world of binary payloads")).toDF("doc_id", "text"), "doc_id", "text")
+    graft.operators.Multimodal.resizeStub(media, 8)
+      .select(col("doc_id"), length(col("payload")).as("resized_len"), col("media_type")).show(false)
+    graft.operators.Multimodal.frameSampleStub(media, frames = 3, frameBytes = 4).show(false)
+
     println("=== Incremental file ingest (AvailableNow)")
     val base = java.nio.file.Files.createTempDirectory("drive_ingest").toFile.getAbsolutePath
     val ingSchema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
