@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Scale probe: replicate the sf0.1 tables ~16× with key remapping (so
+  * group/join cardinalities scale too, not just row counts) and time the
+  * headline operators. A plan that survives 100 TB should scale roughly
+  * linearly here; anything super-linear is a design smell to fix NOW.
+  *
+  * Run: `sbt "Test/runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+  private val Mult = 16
+
+  private def amplify(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame = {
+    // cross with range(Mult), shifting each replica's keys into its own id
+    // space so joins/groups see Mult× distinct keys, not Mult× duplicates
+    val withRep = df.crossJoin(spark.range(Mult).select(col("id").as("_rep")))
+    keyCols.foldLeft(withRep)((d, k) =>
+        d.withColumn(k, col(k) + col("_rep") * offset)).drop("_rep")
+      // the sf0.1 files are single-split; a 100 TB source arrives in
+      // thousands of splits — spread replicas or everything runs 1-core
+      .repartition(Runtime.getRuntime.availableProcessors())
+  }
+
+  private var spark: SparkSession = _
+
+  def main(args: Array[String]): Unit = {
+    spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    def time(name: String, sf01Secs: Double)(df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s ${Mult}x=${t}%6.2f s   1x=${sf01Secs}%5.2f s   ratio=${t / sf01Secs}%5.1f (linear=$Mult)")
+    }
+
+    val li = amplify(Tables.lineitem(spark, d), Seq("l_orderkey"), 10_000_000L)
+    val ord = amplify(Tables.orders(spark, d), Seq("o_orderkey", "o_custkey"), 10_000_000L)
+    val ev = amplify(Tables.events(spark, d), Seq("event_id", "user_id"), 10_000_000L)
+    val docs = amplify(Tables.documents(spark, d), Seq("doc_id"), 10_000_000L)
+
+    time("pricing_summary", 2.11) { Analytics.pricingSummary(li) }
+    time("star_join", 1.14) {
+      Analytics.starJoin(Tables.lineitem(spark, d).crossJoin(
+          spark.range(Mult).select((col("id") * 0).as("_z"))).drop("_z"),
+        Tables.part(spark, d), Tables.supplier(spark, d), Tables.nation(spark, d))
+    }
+    time("sessionize", 1.0) { Analytics.sessionize(ev, 30) }
+    time("minhash_buckets", 0.38) { Dedup.minhashBandBuckets(docs, "doc_id", "text") }
+    time("dedup_keepfirst", 0.51) {
+      Cleaning.dedupKeepFirst(ev, Seq("user_id", "event_type"), "event_id")
+    }
+    time("validate_rules", 0.22) {
+      Validation.validate(li, Seq(
+        Validation.rangeCheck("l_quantity", Some(1d), Some(50d), "error"),
+        Validation.rangeCheck("l_discount", Some(0d), Some(0.05), "warning"),
+        Validation.businessRule("tax_le_discount", col("l_tax") <= col("l_discount"))))
+    }
+    spark.stop()
+  }
+}
