@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, MinHashSigExpr, SimHash64Expr}
+import graft.functions.{CosineSim, MinHashSigExpr, SimHash64Expr, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig: $what must be an integer literal, got $other")
         }
         MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "top_k_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "top_k_by(score double, id bigint, k)")
+        TopKByAgg(args(0), args(1), args(2))
       }))
 
     ext.injectFunction((

@@ -34,23 +34,31 @@ object Similarity {
     flatten(transform(docs, a =>
       transform(filter(docs, b => b > a), b => struct(a.as("_1"), b.as("_2")))))
 
+  /** Explode a `top_k_by` result array into (rank, neighbor_id, sim) rows. */
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("_pos", "item")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("item.id").as("neighbor_id"), col("item.score").as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Brute-force cosine top-k: every corpus row scored against every QUERY
-    * row (queries broadcast — the big side streams). Ranking window
-    * partitions by query id so sorts stay per-query.
+    * row (queries broadcast — the big side streams). Ranking uses the
+    * native `top_k_by` bounded-heap aggregate, NOT a row_number window: a
+    * window would shuffle and per-group sort all |corpus|×|queries|
+    * scored rows, while the aggregate partial-combines map-side so the
+    * shuffle carries at most k rows per query per mapper.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val grouped = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 4).as("sim"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by", col("sim"), col("neighbor_id"), lit(k)).as("tk"))
+    explodeTopK(grouped)
   }
 
   /** Deterministic random hyperplanes (seeded) as a literal column — tiny,
@@ -134,17 +142,14 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wCell))
       .filter(col("c_rank") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("cell"))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    index.assigned
+    val grouped = index.assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("v")), 4))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
-      .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"),
+        round(cosine(col("q_vec"), col("v")), 4).as("sim"), col("id").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by", col("sim"), col("neighbor_id"), lit(k)).as("tk"))
+    explodeTopK(grouped)
   }
 
   /** Exact cosine near-dup pairs over the full corpus (oracle-checkable

@@ -89,6 +89,24 @@ class FunctionsSpec extends SparkSpec {
       s"native=${r.getLong(0)} column=${r.getLong(1)}"))
   }
 
+  test("top_k_by: ranking, ties to smaller id, null-safe, merges across partitions") {
+    val df = spark.range(0, 1000).repartition(8) // force multi-partition partial merges
+      .select(col("id"),
+        (lit(1000) - pmod(col("id"), lit(500))).cast("double").as("score"))
+    // scores repeat twice (id and id+500 share a score) → tie goes to smaller id
+    val out = df.groupBy(lit(1).as("g"))
+      .agg(expr("top_k_by(score, id, 3)").as("tk"))
+      .selectExpr("inline(tk)")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1000.0, 0L), (1000.0, 500L), (999.0, 1L)))
+
+    val withNulls = Seq((Some(5.0), 1L), (None, 2L), (Some(7.0), 3L))
+      .toDF("score", "id")
+    val o2 = withNulls.agg(expr("top_k_by(score, id, 2)").as("tk"))
+      .selectExpr("inline(tk)").collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(o2.toSeq == Seq((7.0, 3L), (5.0, 1L))) // null score skipped
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
