@@ -97,6 +97,15 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: join a stream against a dimension table
+    * (the reference's orders⋈customers view, continuously). The static
+    * side is broadcast per micro-batch, so the stream never shuffles; at
+    * scale the dim can instead be a bucketed table for co-located reads.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, joinCols: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), joinCols, joinType)
+
   /** Continuous last-wins upsert into a parquet target — the streaming
     * form of the reference's INSERT ON CONFLICT load (`db_loader.py:319`),
     * expressed as foreachBatch + `DataSink.upsert` (exactly the shape a

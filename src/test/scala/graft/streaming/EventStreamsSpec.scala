@@ -68,6 +68,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("enrich joins a stream against a static dimension without shuffling the stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((10L, "gold"), (12L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 11, "view", ts("2026-01-01 10:01:00"), 2.0))
+    val sq = EventStreams.enrich(ms.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enr_spec").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val out = spark.sql("SELECT user_id, tier FROM enr_spec ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(out.toSeq == Seq((10L, Some("gold")), (11L, None)))
+    } finally sq.stop()
+  }
+
   test("upsertSink merges micro-batches last-wins into the parquet target") {
     import java.nio.file.Files
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
