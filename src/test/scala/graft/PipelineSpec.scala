@@ -47,6 +47,38 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").head().getAs[String]("status") == "aborted")
   }
 
+  test("end-to-end on the real star schema: clean, derive, validate, load") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pipe_e2e").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.001"
+    val report = Pipeline.run(spark, "e2e",
+      extract = graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey")),
+      stages = Seq(
+        Pipeline.Stage("derive", df => Cleaning.withDerived(df, Map(
+          "ship_delay_hours" -> Cleaning.durationHours(col("l_shipdate"), col("o_orderdate")),
+          "net_price" -> (col("l_extendedprice") * (lit(1d) - col("l_discount")))))),
+        Pipeline.Stage("normalize", df =>
+          Cleaning.normalizeCategorical(df, Seq("l_returnflag"), "upper"))),
+      gate = Some(Pipeline.Gate(Seq(
+        Validation.nullCheck("l_orderkey", 0.0, "critical"),
+        Validation.rangeCheck("l_quantity", Some(0d), Some(100d), "critical")))),
+      load = df => graft.sinks.DataSink.writeParquet(df, s"$dir/fact",
+        partitionBy = Seq("l_returnflag")),
+      logPath = Some(s"$dir/log"),
+      now = () => java.sql.Timestamp.valueOf("2026-08-12 00:00:00"))
+    assert(!report.aborted)
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.count() == report.loaded && report.loaded > 1000)
+    assert(back.columns.contains("ship_delay_hours"))
+    // partition pruning works on the loaded layout
+    val pruned = back.filter(col("l_returnflag") === "R")
+    assert(pruned.count() > 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("l_returnflag"))
+  }
+
   test("non-abort severities don't gate the load") {
     var loadCalled = false
     val report = Pipeline.run(spark, "run-warn",

@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.execution.ExplainMode
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    Seq("q1_pricing_summary", "q_star_join", "q_ann_topk", "q_dedup_minhash", "q_sessionize")
+      .foreach { n =>
+        println(s"##### $n")
+        println(SparkEntry.queries(n)(spark, d).queryExecution
+          .explainString(ExplainMode.fromString("simple")))
+      }
+    spark.stop()
+  }
+}
