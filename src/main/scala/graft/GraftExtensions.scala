@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, MinHashSigExpr, SimHash64Expr, TopKByAgg}
+import graft.functions.{CosineSim, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -35,6 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig: $what must be an integer literal, got $other")
         }
         MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("shingles_of"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles_of"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingles_of(array<string>, k)")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles_of: k must be an integer literal, got $other")
+        }
+        ShinglesExpr(args.head, k)
       }))
 
     ext.injectFunction((

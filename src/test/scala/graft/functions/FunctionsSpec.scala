@@ -40,8 +40,17 @@ class FunctionsSpec extends SparkSpec {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  private def refShingles(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
   private def refMinhash(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = graft.operators.Dedup.shingles(text, k)
+    val sh = refShingles(text, k)
     val hashes = (0 until numHashes).map { j =>
       array_min(transform(sh, s =>
         xxhash64(s) * lit(MinHashSigExpr.laneA(j)) + lit(MinHashSigExpr.laneB(j))))
@@ -87,6 +96,16 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native=${r.getLong(0)} column=${r.getLong(1)}"))
+  }
+
+  test("shingles_of matches the Column formulation (distinct, order, short texts)") {
+    val df = texts.union(Seq(
+      (4L, "ab"), (5L, "one two"), (6L, "a b a b a b")).toDF("id", "text"))
+    val out = df.select(
+      graft.operators.Dedup.shingles(col("text"), 3).as("native"),
+      refShingles(col("text"), 3).as("column"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
   test("top_k_by: ranking, ties to smaller id, null-safe, merges across partitions") {

@@ -68,6 +68,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming sessionize agrees with the batch sessionize on identical input") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 10, "click", ts("2026-01-01 10:20:00"), 2.0),
+      EventStreams.Event(3, 10, "buy", ts("2026-01-01 11:30:00"), 4.0),
+      EventStreams.Event(4, 11, "view", ts("2026-01-01 09:00:00"), 8.0),
+      EventStreams.Event(5, 11, "view", ts("2026-01-01 09:10:00"), 16.0))
+
+    val batch = graft.operators.Analytics.sessionize(events.toDF(), 30)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"), r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("event_count"), r.getAs[Double]("session_value"))).toSet
+
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(events: _*)
+    val sq = EventStreams.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("equiv_sess").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      // a far-future event per user flushes every open session via watermark
+      ms.addData(EventStreams.Event(98, 10, "x", ts("2026-01-02 00:00:00"), 0.0),
+        EventStreams.Event(99, 11, "x", ts("2026-01-02 00:00:00"), 0.0))
+      sq.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT user_id, session_start, session_end, event_count, session_value FROM equiv_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(stream == batch,
+        s"stream=$stream\nbatch=$batch") // same sessions from both engines
+    } finally sq.stop()
+  }
+
   test("enrich joins a stream against a static dimension without shuffling the stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
