@@ -164,6 +164,11 @@ object SparkEntry {
     "q_validate_unique" -> ((s, d) =>
       Validation.uniqueCheck(Tables.orders(s, d), Seq("o_custkey"))),
 
+    // skew-proof exact NDV (value-space slicing) — must equal count_distinct
+    "q_skew_ndv" -> ((s, d) =>
+      Skew.countDistinctSalted(Tables.events(s, d), Seq("event_type"), "user_id", "ndv")
+        .orderBy(col("event_type"))),
+
     // ---------- F. LLM-pipeline operators ----------
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -516,6 +521,10 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS duplicate_rows,
         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) = 0 AS passed
         |FROM g""".stripMargin,
+
+    "q_skew_ndv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS ndv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
