@@ -66,6 +66,16 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).isNullAt(0)) // coerced, not failed
   }
 
+  test("registerAll exposes every table to spark.sql (the reference's query() surface)") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val out = spark.sql(
+      """SELECT n_name, count(*) AS customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY customers DESC LIMIT 3""".stripMargin)
+    assert(out.count() == 3)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
+
   test("Tables.events converts nano timestamps to a usable timestamp column") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType.typeName.startsWith("timestamp"))
