@@ -34,6 +34,11 @@ object SparkEntry {
     "q_delivery_performance" -> ((s, d) => Analytics.deliveryPerformance(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
 
+    "q_pricing_rollup" -> ((s, d) => Analytics.pricingRollup(Tables.lineitem(s, d))),
+
+    "q_user_pivot" -> ((s, d) => Analytics.userActivityPivot(
+      Tables.events(s, d), Seq("click", "view", "purchase", "signup", "error"))),
+
     "q_delivery_percentiles" -> ((s, d) => Analytics.deliveryPercentiles(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
 
@@ -296,6 +301,22 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "q_pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_user_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_delivery_percentiles" ->
       """SELECT n_name AS nation,

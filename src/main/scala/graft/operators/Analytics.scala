@@ -138,6 +138,30 @@ object Analytics {
       .orderBy(col("order_day"))
   }
 
+  /** Hierarchical subtotals via ROLLUP — (flag, status), (flag), and the
+    * grand total in ONE pass (Spark expands grouping sets before the
+    * partial agg, so it is still a single shuffle of group state).
+    */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Wide per-user activity matrix via PIVOT over a FIXED type list —
+    * pivoting on explicit values keeps the schema static (an unpinned
+    * pivot needs a driver-side distinct pass to discover columns, a
+    * full extra job at 100 TB).
+    */
+  def userActivityPivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+
   /** Exact order-value percentiles per geography — the SLA-style rollup
     * the reference's delivery view implies but can't express in SQLite.
     * One array-percentile aggregate (single sort per group), split into

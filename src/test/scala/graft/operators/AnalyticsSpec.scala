@@ -62,6 +62,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("cum_revenue")).toSeq == Seq(5.0, 16.0))
   }
 
+  test("pricingRollup emits subtotals and a grand total") {
+    val li = Seq(
+      ("A", "F", 100.0, 0.0), ("A", "O", 50.0, 0.0), ("R", "F", 10.0, 0.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+    val out = Analytics.pricingRollup(li).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2)))
+    assert(out.length == 6) // 3 leaves + 2 flag subtotals + 1 grand total
+    assert(out.contains((None, None, 160.0)))        // grand total
+    assert(out.contains((Some("A"), None, 150.0)))   // flag subtotal
+    assert(out.contains((Some("A"), Some("F"), 100.0)))
+  }
+
+  test("userActivityPivot produces a fixed wide schema with zero fills") {
+    val ev = Seq((10L, "click"), (10L, "click"), (10L, "view"), (11L, "purchase"))
+      .toDF("user_id", "event_type")
+    val out = Analytics.userActivityPivot(ev, Seq("click", "view", "purchase"))
+    assert(out.columns.toSeq == Seq("user_id", "click", "view", "purchase"))
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(10L) == ((2L, 1L, 0L)))
+    assert(rows(11L) == ((0L, 0L, 1L)))
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
