@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKByAgg}
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{CosineSim, HyperplaneSigExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -35,6 +37,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig: $what must be an integer literal, got $other")
         }
         MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "hyperplane_sig(array<float>, dim, numPlanes, seed)")
+        def intOf(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig: $what must be an integer literal, got $other")
+        }
+        val seed = args(3) match {
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig: seed must be a numeric literal, got $other")
+        }
+        HyperplaneSigExpr(args.head, intOf(args(1), "dim"), intOf(args(2), "numPlanes"), seed)
       }))
 
     ext.injectFunction((

@@ -61,25 +61,14 @@ object Similarity {
     explodeTopK(grouped)
   }
 
-  /** Deterministic random hyperplanes (seeded) as a literal column — tiny,
-    * shipped with the plan; no driver collect of data.
+  /** Sign-bit signature of `vec` against `numPlanes` seeded Gaussian
+    * hyperplanes. Delegates to the native `hyperplane_sig` expression —
+    * planes ship once as a plan reference object and each row is
+    * `numPlanes` fused dot products (the zip_with/aggregate formulation
+    * lives in `FunctionsSpec` as the differential reference).
     */
-  private def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Seq[Seq[Double]] = {
-    val rng = new Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
-  }
-
-  /** Sign-bit signature of `vec` against `numPlanes` hyperplanes. */
-  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeLit, (x, w) => x.cast("double") * w),
-        lit(0d), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column =
+    call_function("hyperplane_sig", vec, lit(dim), lit(numPlanes), lit(seed))
 
   /** LSH-bucketed near-dup pairs: signature equality (all bits) as bucket
     * key, exact cosine verification inside buckets. One shuffle on the

@@ -98,6 +98,23 @@ class FunctionsSpec extends SparkSpec {
       s"native=${r.getLong(0)} column=${r.getLong(1)}"))
   }
 
+  test("hyperplane_sig matches the Column formulation") {
+    val df = Seq(
+      Array(1.0f, 0.0f, 0.5f), Array(-0.3f, 2.0f, -1.0f), Array(0.0f, 0.0f, 0.0f)
+    ).toDF("v")
+    val planes = HyperplaneSigExpr.planesFor(3, 8, 42L)
+    val refBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(col("v"), planeLit, (x, w) => x.cast("double") * w),
+        lit(0d), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val out = df.select(
+      graft.operators.Similarity.hyperplaneSignature(col("v"), 3, 8).as("native"),
+      refBits.as("column")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("shingles_of matches the Column formulation (distinct, order, short texts)") {
     val df = texts.union(Seq(
       (4L, "ab"), (5L, "one two"), (6L, "a b a b a b")).toDF("id", "text"))
