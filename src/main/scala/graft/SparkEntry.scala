@@ -50,6 +50,14 @@ object SparkEntry {
 
     "q_daily_revenue" -> ((s, d) => Analytics.dailyRevenue(Tables.orders(s, d))),
 
+    "q_moving_avg" -> ((s, d) => Analytics.movingAvgRevenue(Tables.orders(s, d))),
+
+    // anti join against a filtered fact (all customers have SOME order in
+    // this corpus; "no urgent order" gives a real non-empty orphan set)
+    "q_anti_join" -> ((s, d) => Analytics.customersWithoutOrders(
+      Tables.customer(s, d),
+      Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"))),
+
     "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30)),
 
     "q_event_window" -> ((s, d) => Analytics.eventWindowAgg(Tables.events(s, d))),
@@ -359,6 +367,22 @@ object SparkEntry {
         |       round(sum(revenue) OVER (ORDER BY order_day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_revenue
         |FROM daily ORDER BY order_day""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, revenue,
+        |       round(avg(revenue) OVER (ORDER BY order_day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+        |FROM daily ORDER BY order_day""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -182,6 +182,31 @@ object Analytics {
         round(col("_p").getItem(2), 4).as("p99"))
       .orderBy(col("nation"))
 
+  /** 7-day moving average over the daily revenue series (sliding ROWS
+    * frame). The window runs over the AGGREGATED one-row-per-day series —
+    * tiny regardless of fact size, like [[dailyRevenue]]'s running total.
+    */
+  def movingAvgRevenue(orders: DataFrame, days: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("order_day")).rowsBetween(-(days - 1), Window.currentRow)
+    daily
+      .withColumn("avg_7d", round(avg(col("revenue")).over(w), 4))
+      .orderBy(col("order_day"))
+  }
+
+  /** Customers with no orders — LEFT ANTI join (the warehouse "orphans"
+    * check). Anti joins broadcast/shuffle exactly like inner joins but
+    * ship only the left side forward; at scale prefer this over
+    * NOT IN/except-distinct formulations that need an extra aggregate.
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
   /** Gap-based sessionization over the events stream (batch form): a new
     * session starts when a user is idle > `gapMinutes`. lag + cumulative
     * sum over a per-user window — shuffles once on user_id.
