@@ -102,6 +102,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming windowedCounts agrees with batch eventWindowAgg on counts and sums") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = (0 until 30).map(i => EventStreams.Event(
+      i.toLong, (i % 5).toLong, if (i % 2 == 0) "click" else "view",
+      ts(f"2026-01-01 ${10 + i / 15}%02d:${(i * 3) % 60}%02d:00"), i.toDouble))
+
+    val batch = graft.operators.Analytics.eventWindowAgg(events.toDF())
+      .select("window_start", "event_type", "event_count", "total_value")
+      .collect().map(r => (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(events: _*)
+    val sq = EventStreams.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("equiv_wc").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      ms.addData(EventStreams.Event(99, 0, "x", ts("2026-01-02 00:00:00"), 0.0)) // flush watermark
+      sq.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT window_start, event_type, event_count, total_value FROM equiv_wc WHERE event_type <> 'x'")
+        .collect().map(r => (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(stream == batch, s"stream=$stream\nbatch=$batch")
+    } finally sq.stop()
+  }
+
   test("enrich joins a stream against a static dimension without shuffling the stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
