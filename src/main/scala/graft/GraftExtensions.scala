@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{CosineSim, HyperplaneSigExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKByAgg}
+import graft.functions.{CosineSim, HyperplaneSigExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -77,6 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "top_k_by(score double, id bigint, k)")
         TopKByAgg(args(0), args(1), args(2))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_any"),
+      new ExpressionInfo(classOf[TopKAnyAgg].getName, "top_k_any"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "top_k_any(score double, payload, k)")
+        TopKAnyAgg(args(0), args(1), args(2))
       }))
 
     ext.injectFunction((

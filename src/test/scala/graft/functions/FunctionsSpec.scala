@@ -143,6 +143,28 @@ class FunctionsSpec extends SparkSpec {
     assert(o2.toSeq == Seq((7.0, 3L), (5.0, 1L))) // null score skipped
   }
 
+  test("top_k_any carries struct payloads and matches the window formulation") {
+    // "top 2 customers per nation by spend, with names" — whole rows on the heap
+    val df = Seq(
+      ("FR", 100.0, 1L, "alice"), ("FR", 300.0, 2L, "bob"), ("FR", 200.0, 3L, "eve"),
+      ("PE", 50.0, 4L, "kim"), ("PE", 50.0, 5L, "lou")
+    ).toDF("nation", "spend", "ck", "name").repartition(4)
+    val got = df
+      .groupBy("nation")
+      .agg(expr("top_k_any(spend, struct(ck, name), 2)").as("tk"))
+      .selectExpr("nation", "inline(tk)")
+      .selectExpr("nation", "score AS spend", "payload.ck", "payload.name")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("FR", 300.0, 2L, "bob"), ("FR", 200.0, 3L, "eve"),
+      ("PE", 50.0, 4L, "kim"), ("PE", 50.0, 5L, "lou"))) // tie → both, ordered by payload
+    // tie determinism: rank order within the array is payload-ascending
+    val peArr = df.groupBy("nation").agg(expr("top_k_any(spend, struct(ck, name), 2)").as("tk"))
+      .filter(col("nation") === "PE").selectExpr("inline(tk)")
+      .collect().map(_.getStruct(1).getLong(0)).toSeq
+    assert(peArr == Seq(4L, 5L))
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
