@@ -48,6 +48,9 @@ object SparkEntry {
     "q_top_n_per_group" -> ((s, d) => Analytics.topNPerGroup(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 3)),
 
+    "q_top_n_heap" -> ((s, d) => Analytics.topNPerGroupHeap(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 3)),
+
     "q_daily_revenue" -> ((s, d) => Analytics.dailyRevenue(Tables.orders(s, d))),
 
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgRevenue(Tables.orders(s, d))),
@@ -347,6 +350,18 @@ object SparkEntry {
         |GROUP BY p_brand, n_name ORDER BY p_brand, supp_nation""".stripMargin,
 
     "q_top_n_per_group" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT nation, c_custkey, c_name, total_spend, "rank" FROM (
+        |  SELECT n_name AS nation, c_custkey, c_name, total_spend,
+        |         CAST(row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS "rank"
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN spend ON c_custkey = o_custkey)
+        |WHERE "rank" <= 3 ORDER BY nation, "rank"""".stripMargin,
+
+    "q_top_n_heap" ->
       """WITH spend AS (
         |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS total_spend
         |  FROM orders GROUP BY o_custkey)

@@ -122,6 +122,34 @@ object Analytics {
       .orderBy(col("nation"), col("rank"))
   }
 
+  /** [[topNPerGroup]] computed through the `top_k_any` bounded-heap
+    * aggregate instead of a ranked window — identical output (same
+    * oracle), different physical shape: per-nation heaps partial-merge
+    * map-side, no per-group sort. Registered separately so the bench
+    * compares both formulations on real data.
+    */
+  def topNPerGroupHeap(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                       n: Int): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("n_name").as("nation"), col("c_custkey"), col("c_name"), col("total_spend"))
+      .groupBy(col("nation"))
+      // payload leads with c_custkey: top_k_any breaks score ties by
+      // ascending payload order = ascending custkey, matching the window
+      // version's (total_spend DESC, c_custkey ASC)
+      .agg(call_function("top_k_any", col("total_spend"),
+        struct(col("c_custkey"), col("c_name")), lit(n)).as("tk"))
+      .select(col("nation"), posexplode(col("tk")).as(Seq("_pos", "item")))
+      .select(col("nation"), col("item.payload.c_custkey").as("c_custkey"),
+        col("item.payload.c_name").as("c_name"),
+        col("item.score").as("total_spend"),
+        (col("_pos") + 1).cast("int").as("rank"))
+      .orderBy(col("nation"), col("rank"))
+  }
+
   /** Daily revenue with running cumulative total. The cumulative window is
     * global-ordered but runs over the AGGREGATED series (one row per day)
     * — tiny regardless of fact size.
