@@ -215,10 +215,18 @@ object SparkEntry {
       Dedup.minhashBandBuckets(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc"), col("band"))),
 
+    // signature re-encoded to scalars (hash + min/max lanes): the driver's
+    // pandas comparer can't sort array columns; the full array is pinned in
+    // DedupSpec's differential test (rows-only here — xxhash64 lanes aren't
+    // SQL-reproducible in DuckDB by design)
     "q_dedup_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("signature"))
+        .select(col("doc_id"),
+          xxhash64(col("signature")).as("sig_hash"),
+          array_min(col("signature")).as("sig_min"),
+          array_max(col("signature")).as("sig_max"))
         .orderBy(col("doc_id"))),
 
     "q_dedup_simhash" -> ((s, d) =>
@@ -263,9 +271,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // scalar projection of the featurizer (the `feature` array itself is
+    // pinned by MultimodalSpec; arrays break the driver's pandas comparer).
+    // width/height come from the deterministic stub decode, which IS
+    // SQL-expressible → full DuckDB oracle.
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
-      Multimodal.featurize(s, media).orderBy(col("doc_id"))
+      Multimodal.featurize(s, media)
+        .select(col("doc_id"), col("byte_len"), col("content_sha"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH near-dup SCALE path with a full oracle: plant direction-identical
+    // copies (embedding × 2, shifted id) on BOTH engines — scaling by a
+    // positive power of two preserves every hyperplane sign bit EXACTLY
+    // (fp scaling by 2 commutes with rounding), so the planted pairs are
+    // guaranteed to collide and LSH output == exact all-pairs at θ=0.9
+    // by construction, not sampling luck.
+    "q_ann_lsh_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(emb.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Similarity.lshNearDupPairs(planted, "vec_id", "embedding", dim = 64,
+          numPlanes = 12, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -645,6 +676,28 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |       sha256(text) AS content_sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.stubDecode: w = 1+(len*31+id)%64, h = 1+(len*17+7id)%64
+    "q_multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       sha256(text) AS content_sha,
+        |       CAST(1 + (octet_length(encode(text))*31 + doc_id) % 64 AS INTEGER) AS width,
+        |       CAST(1 + (octet_length(encode(text))*17 + doc_id*7) % 64 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_lsh_pairs" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM planted a, planted b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

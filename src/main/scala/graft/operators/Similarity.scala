@@ -70,21 +70,35 @@ object Similarity {
   def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column =
     call_function("hyperplane_sig", vec, lit(dim), lit(numPlanes), lit(seed))
 
-  /** LSH-bucketed near-dup pairs: signature equality (all bits) as bucket
-    * key, exact cosine verification inside buckets. One shuffle on the
-    * 8-byte signature.
+  /** LSH-bucketed near-dup pairs: signature equality (all bits of a table's
+    * `numPlanes` sign bits) as bucket key, exact cosine verification inside
+    * buckets. Shuffles on the fixed-width (table, signature) key only.
+    *
+    * `numTables` is the OR-amplification recall knob (E2LSH-style): with
+    * per-plane collision probability p = 1 − θ_angle/π, a qualifying pair is
+    * found with probability 1 − (1 − p^numPlanes)^numTables — raise tables
+    * for recall, raise planes for precision/bucket-size. Candidate work is
+    * Σ bucket² per table, never n².
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                      numPlanes: Int, threshold: Double): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), dim, numPlanes).as("sig"))
-    val l = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("sig"))
+                      numPlanes: Int, threshold: Double,
+                      numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    val sigs = array((0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(col(vecCol), dim, numPlanes, seed + t).as("sig"))
+    }: _*)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"), explode(sigs).as("ts"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("id"), col("v"))
+    val l = e.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = e.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+    // >1 table can surface the same pair from several tables; dedup on the
+    // small (id_a, id_b, sim) triple AFTER the threshold filter.
+    if (numTables > 1) pairs.distinct() else pairs
   }
 
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer partitions
