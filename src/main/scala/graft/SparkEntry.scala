@@ -55,6 +55,11 @@ object SparkEntry {
 
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgRevenue(Tables.orders(s, d))),
 
+    // co-located fact-fact join through bucketed staging tables — zero
+    // Exchange on the join (plan pinned in DataSinkSpec)
+    "q_bucketed_join" -> ((s, d) => Analytics.orderRevenueBucketed(
+      s, Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // anti join against a filtered fact (all customers have SOME order in
     // this corpus; "no urgent order" gives a real non-empty orphan set)
     "q_anti_join" -> ((s, d) => Analytics.customersWithoutOrders(
@@ -423,6 +428,14 @@ object SparkEntry {
         |       round(avg(revenue) OVER (ORDER BY order_day
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
         |FROM daily ORDER BY order_day""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

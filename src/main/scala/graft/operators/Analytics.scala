@@ -47,6 +47,35 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Per-order revenue via BUCKETED staging tables — the co-located
+    * fact-fact join: both sides land as `numBuckets` hash buckets on the
+    * order key ([[graft.sinks.DataSink.writeBucketed]]), so the
+    * sort-merge join (forced with a merge hint — a broadcast would hide
+    * the point) reads matching buckets side by side with ZERO Exchange,
+    * and the per-order aggregation reuses the same partitioning (group
+    * keys ⊇ bucket key). This is how two 50 TB fact tables join without
+    * moving either; the one-shuffle alternative is `orderSummary`.
+    */
+  def orderRevenueBucketed(spark: org.apache.spark.sql.SparkSession,
+                           orders: DataFrame, lineitem: DataFrame,
+                           numBuckets: Int = 8): DataFrame = {
+    graft.sinks.DataSink.dropStagingTable(spark, "graft_bkt_orders")
+    graft.sinks.DataSink.dropStagingTable(spark, "graft_bkt_lineitem")
+    graft.sinks.DataSink.writeBucketed(
+      orders.select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_bkt_orders", Seq("o_orderkey"), numBuckets, sortCols = Seq("o_orderkey"))
+    graft.sinks.DataSink.writeBucketed(
+      lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_bkt_lineitem", Seq("l_orderkey"), numBuckets, sortCols = Seq("l_orderkey"))
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** v_order_summary (schema.sql:208): per-order rollup with customer
     * geography. orders ⋈ lineitem shuffles on orderkey; nation broadcast.
     */

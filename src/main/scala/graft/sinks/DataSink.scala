@@ -49,6 +49,20 @@ object DataSink {
       .saveAsTable(table)
   }
 
+  /** Drop a staging table from BOTH the catalog and its warehouse
+    * location. The in-memory catalog forgets tables across sessions while
+    * their directories persist, so a bare `saveAsTable(Overwrite)` in a
+    * fresh session dies with LOCATION_ALREADY_EXISTS; staging rewrites
+    * must clear both.
+    */
+  def dropStagingTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Last-wins upsert of `updates` into `current` by `keys`, versioned by
     * `versionCol` (highest wins; updates break ties). Equivalent to the
     * reference's INSERT ON CONFLICT UPDATE (`db_loader.py:319`) but

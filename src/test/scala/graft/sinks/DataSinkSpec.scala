@@ -56,6 +56,26 @@ class DataSinkSpec extends SparkSpec {
     }
   }
 
+  test("orderRevenueBucketed: the registered query's join and agg have zero Exchange") {
+    val orders = (1L to 200L).map(i => (i, if (i % 2 == 0) "F" else "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val lineitem = (1L to 1000L).map(i => (1 + i % 200, 100.0 + i, 0.05))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    try {
+      val result = graft.operators.Analytics.orderRevenueBucketed(spark, orders, lineitem, 4)
+      assert(result.count() == 200)
+      val plan = result.queryExecution.executedPlan.toString
+      // the final orderBy legitimately range-shuffles the small result; the
+      // JOIN and per-order AGG must not hash-shuffle any fact rows
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg should not hash-shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("logEtlRun appends run records") {
     val dir = Files.createTempDirectory("etl_log").toFile.getAbsolutePath + "/log"
     val ts = java.sql.Timestamp.valueOf("2026-08-12 01:00:00")
