@@ -42,18 +42,24 @@ object Validation {
     */
   def validate(df: DataFrame, rules: Seq[Rule],
                thresholds: Map[String, Double] = Map.empty): DataFrame = {
+    // aggregates carry positional aliases and rule names travel as lit()s —
+    // never spliced into SQL text — so a rule named `x', 'y` (or one that
+    // collides with a column) cannot inject into or break the plan
     val aggs = count(lit(1)).as("row_count") +:
-      rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(s"_v$i")
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map { r =>
-      val thr = thresholds.getOrElse(r.name, 0.0)
-      s"'${r.name}', '${r.severity}', `${r.name}`, ${thr}d"
-    }.mkString(", ")
-    wide.select(col("row_count"), expr(
-        s"stack(${rules.length}, $stackArgs) as (rule, severity, violations, threshold)"))
-      .select(col("rule"), col("severity"), col("row_count"), col("violations"),
-        round(col("violations") / greatest(col("row_count"), lit(1L)), 4).as("violation_pct"),
-        (col("violations") <= col("threshold") * col("row_count")).as("passed"))
+    val entries = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), lit(r.severity).as("severity"),
+        col(s"_v$i").as("violations"),
+        lit(thresholds.getOrElse(r.name, 0.0)).as("threshold"))
+    }: _*)
+    wide.select(col("row_count"), explode(entries).as("e"))
+      .select(col("e.rule").as("rule"), col("e.severity").as("severity"),
+        col("row_count"), col("e.violations").as("violations"),
+        round(col("e.violations") / greatest(col("row_count"), lit(1L)), 4).as("violation_pct"),
+        (col("e.violations") <= col("e.threshold") * col("row_count")).as("passed"))
   }
 
   /** Uniqueness check (validators.py:180 add_unique_check) — needs its own

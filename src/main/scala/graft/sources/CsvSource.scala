@@ -48,8 +48,13 @@ object CsvSource {
       "timestampFormat" -> tsFormat,
       "timestampNTZFormat" -> tsFormat)
     val lines = spark.read.text(path)
-    val headerLine = schema.fieldNames.mkString(",")
-    val body = if (header) lines.filter(col("value") =!= headerLine) else lines
+    // header detection tolerates per-field quoting, padding, and case —
+    // real exports disagree on all three (exact string equality would pass
+    // `"id", Name` through as a data row and null-parse it into noise)
+    val headerRegex = schema.fieldNames
+      .map(n => "\\s*\"?" + java.util.regex.Pattern.quote(n) + "\"?\\s*")
+      .mkString("(?i)^", ",", "$")
+    val body = if (header) lines.filter(!col("value").rlike(headerRegex)) else lines
     body.select(from_csv(col("value"), withCorrupt, opts).as("_r"))
       .select(withCorrupt.fieldNames.map(n => col(s"_r.`$n`").as(n)): _*)
   }

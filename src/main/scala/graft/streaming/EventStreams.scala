@@ -109,9 +109,16 @@ object EventStreams {
   /** Continuous last-wins upsert into a parquet target — the streaming
     * form of the reference's INSERT ON CONFLICT load (`db_loader.py:319`),
     * expressed as foreachBatch + `DataSink.upsert` (exactly the shape a
-    * MERGE INTO takes on a merge-on-read table format). Each micro-batch
-    * merges into the current snapshot and atomically swaps directories —
-    * readers always see a complete version.
+    * MERGE INTO takes on a merge-on-read table format).
+    *
+    * Versioning protocol (the snapshot-pointer pattern table formats use):
+    * each micro-batch merges the current snapshot into a NEW directory
+    * `targetDir/v_<batchId>`, then atomically repoints `targetDir/_LATEST`
+    * at it (`FileContext.rename(OVERWRITE)` — single-file rename, atomic on
+    * HDFS and posix). Readers resolve the pointer via [[readUpserted]] and
+    * always see one complete version; a crash mid-write leaves the pointer
+    * on the previous good snapshot. The previous snapshot survives one more
+    * batch so in-flight readers finish; older ones are GC'd.
     */
   def upsertSink(updates: DataFrame, targetDir: String, checkpointDir: String,
                  keys: Seq[String], versionCol: String,
@@ -121,23 +128,58 @@ object EventStreams {
     val q = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = spark.sparkContext.hadoopConfiguration
         val target = new org.apache.hadoop.fs.Path(targetDir)
-        val tmp = new org.apache.hadoop.fs.Path(targetDir + "__next")
-        val merged =
-          if (fs.exists(target))
-            graft.sinks.DataSink.upsert(spark.read.parquet(targetDir), batch, keys, versionCol)
-          else batch
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(tmp, target)
+        val fs = target.getFileSystem(conf)
+        val merged = currentSnapshot(spark, targetDir) match {
+          case Some(cur) => graft.sinks.DataSink.upsert(cur, batch, keys, versionCol)
+          case None      => batch
+        }
+        val snapName = f"v_$batchId%019d"
+        merged.write.mode("overwrite").parquet(s"$targetDir/$snapName")
+        // atomic pointer swap: tmp file + rename-with-overwrite
+        val tmp = new org.apache.hadoop.fs.Path(target, "_LATEST.tmp")
+        val latest = new org.apache.hadoop.fs.Path(target, "_LATEST")
+        val out = fs.create(tmp, true)
+        try out.write(snapName.getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        fc.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // GC: keep the new snapshot and its predecessor, drop older
+        val snaps = fs.listStatus(target).map(_.getPath.getName)
+          .filter(_.startsWith("v_")).sorted
+        snaps.dropRight(2).foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(target, s), true))
         ()
       }
       .start()
     q.awaitTermination()
   }
+
+  /** Name of the live snapshot directory under an [[upsertSink]] target:
+    * the `_LATEST` pointer if present, else the highest-numbered snapshot
+    * (pointer lost mid-crash — the last fully written version wins).
+    */
+  def currentSnapshotName(spark: SparkSession, targetDir: String): Option[String] = {
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return None
+    val latest = new org.apache.hadoop.fs.Path(target, "_LATEST")
+    if (fs.exists(latest)) {
+      val buf = new Array[Byte](fs.getFileStatus(latest).getLen.toInt)
+      val in = fs.open(latest)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim)
+    } else fs.listStatus(target).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).sorted.lastOption
+  }
+
+  /** Resolve and read the live snapshot written by [[upsertSink]]. */
+  def readUpserted(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    currentSnapshotName(spark, targetDir).map(s => spark.read.parquet(s"$targetDir/$s"))
+
+  private def currentSnapshot(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    readUpserted(spark, targetDir)
 
   /** Incremental file ingest — the Spark-idiomatic replacement for the
     * reference's Airflow-scheduled batch loads (`dags/etl_pipeline_dag.py`

@@ -81,6 +81,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim and hyperplane_sig implicitly cast array<double> inputs") {
+    // before inputTypes were declared, a double array was read as garbage
+    // floats; now analysis inserts a cast and values come out right
+    val viaDouble = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c").head().getDouble(0)
+    assert(math.abs(viaDouble - 1.0) < 1e-9)
+    val sigs = spark.sql(
+      "SELECT hyperplane_sig(array(1.0d, 2.0d), 2, 8, 42L) AS d, " +
+      "hyperplane_sig(array(cast(1.0 as float), cast(2.0 as float)), 2, 8, 42L) AS f").head()
+    assert(sigs.getLong(0) == sigs.getLong(1))
+    // non-numeric arrays must fail ANALYSIS, not read garbage at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array('a'), array('b'))").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_sig(array('a'), 1, 8, 42L)").head()
+    }
+  }
+
   test("cosine_sim handles zero vectors (NaN) and nulls") {
     val r = spark.sql(
       "SELECT cosine_sim(array(cast(0.0 as float)), array(cast(0.0 as float))) AS z, " +

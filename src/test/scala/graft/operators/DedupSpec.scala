@@ -34,6 +34,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("minhashBandBuckets rejects band counts that would drop signature lanes") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandBuckets(df, "doc_id", "text", numHashes = 16, bands = 5)
+    }
+  }
+
   test("minhash signature is deterministic and component-wise minimal") {
     val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))

@@ -28,6 +28,17 @@ class ValidationSpec extends SparkSpec {
     assert(rule.getAs[Double]("violation_pct") == 0.25)
   }
 
+  test("validate is safe for rule names with quotes, backticks, and column collisions") {
+    val df = Seq((1.0, "x"), (-5.0, "y")).toDF("amount", "rule")
+    val report = Validation.validate(df, Seq(
+        Validation.businessRule("o'brien's `check`, stage 'two'", col("amount") >= 0),
+        // rule named identically to a real column must not collide
+        Validation.nullCheck("rule", 0.0, "error")))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(report("business_rule_o'brien's `check`, stage 'two'") == 1L)
+    assert(report("null_check_rule") == 0L)
+  }
+
   test("uniqueCheck counts duplicate keys and rows") {
     val df = Seq(1, 1, 1, 2, 3, 3).toDF("k")
     val r = Validation.uniqueCheck(df, Seq("k")).head()

@@ -31,6 +31,22 @@ class SourcesSpec extends SparkSpec {
     assert(badRows(0).getAs[String](CsvSource.CorruptCol).startsWith("NOT A NUMBER"))
   }
 
+  test("CsvSource drops quoted/padded/case-variant header lines") {
+    val dir = Files.createTempDirectory("csv_hdr").toFile
+    val f = new java.io.File(dir, "export.csv")
+    Files.writeString(f.toPath,
+      """"ID", Status ,TOTAL
+        |1,delivered,120.50
+        |2,shipped,80.00
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("total", DoubleType)))
+    val (good, bad) = CsvSource.quarantine(CsvSource.read(spark, f.getAbsolutePath, schema))
+    assert(good.count() == 2, "variant header must be dropped, not null-parsed")
+    assert(bad.count() == 0)
+  }
+
   test("JsonSource: struct flatten and item explode") {
     val dir = Files.createTempDirectory("json_src").toFile
     val f = new java.io.File(dir, "carts.json")

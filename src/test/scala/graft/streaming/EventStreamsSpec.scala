@@ -162,10 +162,30 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.Event(7, 10, "click", ts("2026-01-01 11:00:00"), 9.0))
     EventStreams.upsertSink(ms.toDF(), s"$base/t", s"$base/ckpt",
       keys = Seq("user_id", "event_type"), versionCol = "event_id")
-    val out = spark.read.parquet(s"$base/t")
+    val out = EventStreams.readUpserted(spark, s"$base/t").get
       .select("user_id", "event_type", "event_id", "value")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(out == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
+    // snapshot-pointer protocol: _LATEST names a complete snapshot dir and
+    // at most the current + previous snapshots are retained
+    val files = new java.io.File(s"$base/t").list().toSeq
+    assert(files.contains("_LATEST"))
+    val snaps = files.filter(_.startsWith("v_"))
+    assert(snaps.nonEmpty && snaps.size <= 2, s"snapshot GC: $snaps")
+    assert(snaps.contains(EventStreams.currentSnapshotName(spark, s"$base/t").get))
+  }
+
+  test("readUpserted falls back to the newest snapshot when the pointer is lost") {
+    import java.nio.file.Files
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("upsert_crash").toFile.getAbsolutePath
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0))
+    EventStreams.upsertSink(ms.toDF(), s"$base/t", s"$base/ckpt",
+      keys = Seq("user_id"), versionCol = "event_id")
+    assert(new java.io.File(s"$base/t/_LATEST").delete()) // simulate crash window
+    val recovered = EventStreams.readUpserted(spark, s"$base/t").get
+    assert(recovered.count() == 1)
   }
 
   test("windowedCounts aggregates into hourly tumbling windows") {
