@@ -18,9 +18,12 @@ object Bench {
       try {
         val w0 = System.nanoTime()
         exec(name, fn) // warmup: plan + codegen + JIT
-        // min of two timed passes: single-pass numbers on a shared local
-        // JVM carry GC/JIT noise an order above real query cost
-        val t = (1 to 2).map { _ =>
+        // best of five timed passes: single-pass numbers on a shared local
+        // JVM carry GC/JIT noise an order above real query cost, and
+        // best-of-two still showed ±80% round-over-round swings on
+        // unchanged queries — five brings variance inside ~20% so a
+        // regression is attributable to code, not scheduling luck
+        val t = (1 to 5).map { _ =>
           val t0 = System.nanoTime(); exec(name, fn); (System.nanoTime() - t0) / 1e9
         }.min
         System.err.println(f"[bench] $name%-28s warm=${(System.nanoTime() - w0) / 1e9}%8.2f best=$t%8.2f")

@@ -18,7 +18,35 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+  /** External conf overrides (parity with the reference's
+    * `src/utils/config.py` + `config/config.yaml` layering): a
+    * `key=value` properties file of Spark confs, resolved from the
+    * `GRAFT_CONF` env var or a `graft.conf` in the working directory.
+    * File entries win over the code defaults below; absent file = pure
+    * defaults (same precedence the reference gives yaml-over-defaults).
+    */
+  def overrides(confFile: Option[String] = None): Map[String, String] = {
+    val path = confFile
+      .orElse(sys.env.get("GRAFT_CONF"))
+      .getOrElse("graft.conf")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(f)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  def builder(master: String, shufflePartitions: Int,
+              confFile: Option[String] = None): SparkSession.Builder =
+    overrides(confFile).foldLeft(defaultBuilder(master, shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  private def defaultBuilder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

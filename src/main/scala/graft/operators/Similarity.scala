@@ -134,9 +134,18 @@ object Similarity {
   /** Search: rank cells per query by centroid cosine (tiny broadcast
     * cross-score), probe the top `nProbe` cells, exact-score only rows in
     * probed cells, return top-k per query.
+    *
+    * `broadcastQueries = true` (default) ships the probe set to every
+    * executor — right when the query set is small (ad-hoc lookups).
+    * For BULK query sets (batch re-embedding, join-with-corpus jobs) set
+    * it false: probes then shuffle-join the assigned corpus on `cell`
+    * (both sides hash-partitioned on a small int key; AQE splits skewed
+    * cells), so nothing is materialized per-executor regardless of query
+    * count.
     */
   def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
-                vecCol: String, k: Int, nProbe: Int): DataFrame = {
+                vecCol: String, k: Int, nProbe: Int,
+                broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cell"))
@@ -146,7 +155,7 @@ object Similarity {
       .filter(col("c_rank") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("cell"))
     val grouped = index.assigned
-      .join(broadcast(probes), Seq("cell"))
+      .join(if (broadcastQueries) broadcast(probes) else probes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"),
         round(cosine(col("q_vec"), col("v")), 4).as("sim"), col("id").as("neighbor_id"))

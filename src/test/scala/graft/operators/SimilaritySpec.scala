@@ -79,6 +79,38 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.toSet == Set((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L)))
   }
 
+  test("ivfSearch bulk path (shuffle join, >10k queries) matches the broadcast path") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding", numCentroids = 4)
+    // 12k bulk queries recycled from corpus vectors under fresh ids
+    val queries = corpus.crossJoin(spark.range(60).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 1000L).as("vec_id"), col("embedding"))
+    assert(queries.count() == 12000)
+
+    val bulk = Similarity.ivfSearch(index, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, broadcastQueries = false)
+    // exactly ONE broadcast hint remains (the tiny centroid table inside the
+    // probe computation) — the 12k-row probe set itself is NOT hinted, so the
+    // corpus join is free to shuffle on `cell`
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints(bulk) == 1)
+    assert(hints(Similarity.ivfSearch(index, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2)) == 2)
+
+    val sample = queries.filter(col("vec_id") < 50L)
+    val viaBulk = Similarity.ivfSearch(index, sample, "vec_id", "embedding",
+        k = 3, nProbe = 2, broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaBroadcast = Similarity.ivfSearch(index, sample, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaBulk == viaBroadcast)
+    assert(bulk.count() == 12000 * 3)
+  }
+
   test("sortedPairs emits each unordered pair once") {
     val out = spark.sql("SELECT 1").select(
       Similarity.sortedPairs(array(lit(3L), lit(1L), lit(2L))).as("p"))
