@@ -1,0 +1,86 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+
+class RestSourceSpec extends SparkSpec {
+
+  private def policy(sleeps: ArrayBuffer[Long], attempts: Int = 3) =
+    RestSource.RetryPolicy(attempts = attempts, initialDelayMs = 100,
+      backoffFactor = 2.0, sleeper = sleeps += _)
+
+  test("fetchWithRetry backs off exponentially on transient statuses, then succeeds") {
+    val sleeps = ArrayBuffer.empty[Long]
+    var calls = 0
+    val flaky: RestSource.Fetch = (_, _) => {
+      calls += 1
+      if (calls <= 3) Left(RestSource.HttpError(503, "unavailable"))
+      else Right("""[{"id": 1}]""")
+    }
+    val out = RestSource.fetchWithRetry(flaky, "/products", policy = policy(sleeps))
+    assert(out == Right("""[{"id": 1}]"""))
+    assert(calls == 4)
+    assert(sleeps.toSeq == Seq(100L, 200L, 400L), "exponential schedule")
+  }
+
+  test("fetchWithRetry gives up after the retry budget and on non-retryable statuses") {
+    val sleeps = ArrayBuffer.empty[Long]
+    var calls = 0
+    val dead: RestSource.Fetch = (_, _) => { calls += 1; Left(RestSource.HttpError(500, "boom")) }
+    assert(RestSource.fetchWithRetry(dead, "/x", policy = policy(sleeps)).isLeft)
+    assert(calls == 4) // 1 initial + 3 retries
+
+    calls = 0
+    val notFound: RestSource.Fetch = (_, _) => { calls += 1; Left(RestSource.HttpError(404, "no")) }
+    assert(RestSource.fetchWithRetry(notFound, "/x", policy = policy(sleeps)).isLeft)
+    assert(calls == 1, "404 must not retry")
+  }
+
+  test("RateLimiter enforces the minimum interval with injected clock") {
+    val sleeps = ArrayBuffer.empty[Long]
+    var now = 1000L
+    val rl = new RestSource.RateLimiter(50, clock = () => now, sleeper = sleeps += _)
+    rl.acquire()            // first call free
+    now += 10
+    rl.acquire()            // 10ms elapsed → wait 40
+    now += 100
+    rl.acquire()            // long gap → no wait
+    assert(sleeps.toSeq == Seq(40L))
+  }
+
+  test("fetchPaged walks pages until the empty page and lands them as rows") {
+    val served = ArrayBuffer.empty[String]
+    val fetch: RestSource.Fetch = (_, params) => {
+      served += params("page")
+      params("page").toInt match {
+        case 1 => Right("""[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""")
+        case 2 => Right("""{"id": 3, "v": "c"}""") // bare object page
+        case _ => Right("[]")
+      }
+    }
+    val pages = RestSource.fetchPaged(fetch, "/carts")
+    assert(served.toSeq == Seq("1", "2", "3"))
+    assert(pages.size == 2)
+    val df = RestSource.land(spark, pages)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fetchPaged surfaces exhausted retries as an error and honors maxPages") {
+    val sleeps = ArrayBuffer.empty[Long]
+    val dead: RestSource.Fetch = (_, _) => Left(RestSource.HttpError(429, "limited"))
+    intercept[java.io.IOException] {
+      RestSource.fetchPaged(dead, "/x", policy = policy(sleeps))
+    }
+    val infinite: RestSource.Fetch = (_, _) => Right("""[{"id": 1}]""")
+    assert(RestSource.fetchPaged(infinite, "/x", maxPages = 7).size == 7)
+  }
+
+  test("extract composes paging + landing into one DataFrame") {
+    val fetch: RestSource.Fetch = (_, params) =>
+      if (params("page").toInt <= 2) Right(s"""[{"id": ${params("page")}}]""")
+      else Right("[]")
+    val df = RestSource.extract(spark, fetch, "/users")
+    assert(df.count() == 2)
+  }
+}
