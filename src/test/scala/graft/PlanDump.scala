@@ -5,7 +5,8 @@ object PlanDump {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    Seq("q1_pricing_summary", "q_star_join", "q_ann_topk", "q_dedup_minhash", "q_sessionize")
+    Seq("q1_pricing_summary", "q_star_join", "q_ann_topk", "q_dedup_minhash", "q_sessionize",
+        "q_bucketed_join", "q_ann_lsh_pairs")
       .foreach { n =>
         println(s"##### $n")
         println(SparkEntry.queries(n)(spark, d).queryExecution

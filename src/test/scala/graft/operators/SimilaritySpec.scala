@@ -51,6 +51,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshNearDupPairs OR-amplification: more tables strictly grow recall toward exact") {
+    val rnd = new scala.util.Random(11)
+    // 40 planted near-dup pairs at ~0.97 cosine plus noise vectors
+    val base = (1L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val perturbed = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (200L to 260L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = (base ++ perturbed ++ noise).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 30, s"fixture should plant many near-dups, got ${exact.size}")
+
+    def lsh(tables: Int): Set[(Long, Long)] =
+      Similarity.lshNearDupPairs(df, "vec_id", "embedding", dim = 16,
+          numPlanes = 8, threshold = 0.9, numTables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val one = lsh(1); val sixteen = lsh(16)
+    assert(one.subsetOf(exact) && sixteen.subsetOf(exact), "no false positives: exact verify")
+    assert(one.subsetOf(sixteen), "adding tables can only add candidates")
+    assert(sixteen.size > one.size, "amplification must recover pairs one table misses")
+    assert(sixteen == exact, "16 tables of 8 planes reach full recall on this corpus")
+  }
+
   test("cosineNearDupPairs thresholds exact all-pairs") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
