@@ -64,6 +64,22 @@ object ScaleProbe {
         Validation.rangeCheck("l_discount", Some(0d), Some(0.05), "warning"),
         Validation.businessRule("tax_le_discount", col("l_tax") <= col("l_discount"))))
     }
+    // LSH pair extraction must scale with Σ bucket², not (16n)²: replicas
+    // get a SMALL per-component deterministic perturbation (sin of
+    // component×replica) so directions stay as diverse as the originals —
+    // a constant shift would make every high-replica vector near-parallel
+    // and plant a genuinely quadratic answer
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(Mult).select(col("id").as("_rep")))
+      .select((col("vec_id") + col("_rep") * 10_000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (sin((i + 1).cast("double") * (col("_rep") + 1) * 0.7) * 0.2).cast("float"))
+          .as("embedding"))
+      .repartition(Runtime.getRuntime.availableProcessors())
+    time("lsh_neardup_pairs", 0.39) {
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        numPlanes = 12, threshold = 0.9, numTables = 4)
+    }
     spark.stop()
   }
 }
