@@ -52,4 +52,30 @@ object Skew {
     */
   def saltColumn(from: Seq[Column], buckets: Int): Column =
     pmod(hash(from: _*), lit(buckets))
+
+  /** Skew-proof equi-join for the contexts AQE's skew splitting cannot
+    * reach (streaming micro-batches run with AQE disabled; some plans pin
+    * their shuffle before AQE can intervene): every row of the big side
+    * salts into one of `buckets` sub-keys — row-varying salt, NOT derived
+    * from the key, or the hot key would stay together — while the small
+    * side replicates across all buckets, and the join runs on
+    * (keys, salt). The hottest key's rows spread over `buckets` tasks
+    * instead of one straggler.
+    *
+    * Cost: `buckets`× replication of `small` — use when `small` is too
+    * big to broadcast but far smaller than `big`. Only join types that
+    * preserve `small` replication semantics are allowed (each big row
+    * still matches exactly its key's small rows).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin: $joinType would duplicate unmatched replicated rows; " +
+        "right/full joins need the unsalted form")
+    val salted = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

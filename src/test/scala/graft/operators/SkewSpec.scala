@@ -29,6 +29,27 @@ class SkewSpec extends SparkSpec {
     assert(h(0).getAs[Double]("share") > 0.99 * 500.0 / 503.0)
   }
 
+  test("saltedJoin matches the plain join and spreads the hot key") {
+    // 10k-row hot key plus a tail, joined to a 3-row dim
+    val big = ((1 to 10000).map(_ => (1L, "hot")) ++
+      (2 to 50).map(i => (i.toLong, s"k$i"))).toDF("k", "payload")
+    val dim = Seq((1L, "dim1"), (2L, "dim2"), (99L, "unmatched")).toDF("k", "attr")
+
+    val plain = big.join(dim, Seq("k"), "left")
+      .groupBy(col("k"), col("attr")).count()
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), buckets = 8, joinType = "left")
+      .groupBy(col("k"), col("attr")).count()
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(salted == plain)
+
+    // inner form: 10000 hot-key matches + one k=2 match
+    assert(Skew.saltedJoin(big, dim, Seq("k"), 8).count() == 10001)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, Seq("k"), 8, joinType = "full")
+    }
+  }
+
   test("saltColumn is deterministic and bounded") {
     val s = skewed.select(Skew.saltColumn(Seq(col("v")), 8).as("salt"))
       .agg(min("salt"), max("salt")).head()
