@@ -79,6 +79,27 @@ class PipelineSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("l_returnflag"))
   }
 
+  test("pipeline loads into the JDBC warehouse with a DB-side run log (main.py parity)") {
+    import graft.sinks.JdbcWarehouse
+    val dbDir = Files.createTempDirectory("pipe-derby").toFile.getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+
+    val report = Pipeline.run(spark, "run-jdbc",
+      extract = source,
+      stages = Seq(Pipeline.Stage("clean", df => Cleaning.dropMissing(df, Seq("tag")))),
+      gate = Some(Pipeline.Gate(Seq(Validation.nullCheck("id", 0.0, "critical")))),
+      load = df => JdbcWarehouse.load(df,
+        url, "fact", org.apache.spark.sql.SaveMode.Overwrite, props = props))
+    assert(!report.aborted && report.loaded == 2)
+    assert(JdbcWarehouse.read(spark, url, "fact", props).count() == 2)
+    JdbcWarehouse.logEtlRun(spark, url, "etl_runs", report.runId,
+      "pipeline", "success", report.loaded, ts, props)
+    assert(JdbcWarehouse.read(spark, url, "etl_runs", props).count() == 1)
+  }
+
   test("non-abort severities don't gate the load") {
     var loadCalled = false
     val report = Pipeline.run(spark, "run-warn",
