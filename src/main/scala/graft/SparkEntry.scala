@@ -234,6 +234,25 @@ object SparkEntry {
           array_max(col("signature")).as("sig_max"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end dedup DECISION: plant two extra copies of every doc,
+    // find pairs (minhash bands → exact-jaccard verify at 0.999 ≈ identical
+    // shingle sets), cluster them (connected components), elect min-id
+    // canonicals. Oracle = min(doc_id) per identical text — equivalent
+    // because exact dups collide with probability 1 and θ=0.999 admits
+    // nothing below identical shingle sets.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val candidates = Dedup.minhashCandidates(planted, "doc_id", "text")
+      val verified = Dedup.ngramJaccardVerify(planted, "doc_id", "text",
+        candidates, k = 3, threshold = 0.999)
+      Dedup.assignCanonical(planted, "doc_id", verified.select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -471,6 +490,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keepfirst" ->
       """SELECT user_id, event_type, min(event_id) AS event_id,

@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpec {
     assert(shared >= 8, s"near-dup shared only $shared/16 minhash components")
   }
 
+  test("dedupClusters: chains merge transitively, min id labels the cluster") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("assignCanonical: cluster members map to min id, singletons to self") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (9L, "lonely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.assignCanonical(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("simhashCandidates: exact dup at hamming 0; near-dup within 3 bits") {
     val out = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
