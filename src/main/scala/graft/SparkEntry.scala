@@ -692,6 +692,32 @@ object SparkEntry {
         |       ELSE 'und' END AS pred_lang
         |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // exact shingle-jaccard is engine-independent: DuckDB mirrors the
+    // inverted-index join (shared-shingle counts / set sizes). Valid while
+    // maxDf (2000) exceeds the corpus's max shingle df — true at the
+    // driver's sf0.01 gate (500 docs).
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 4) >= 0.01
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 500""".stripMargin,
+
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
