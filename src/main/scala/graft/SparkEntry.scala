@@ -295,6 +295,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // frame sampling (video stub): evenly-spaced byte windows as child
+    // rows; frame hashes/lengths are deterministic byte math, so DuckDB
+    // replicates them via hex slicing — the explode-to-child-rows plumbing
+    // gets a full oracle
+    "q_frame_sample" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.frameSampleStub(media, frames = 4, frameBytes = 64)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).as("frame_len"),
+          hex(col("frame_bytes")).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // scalar projection of the featurizer (the `feature` array itself is
     // pinned by MultimodalSpec; arrays break the driver's pandas comparer).
     // width/height come from the deterministic stub decode, which IS
@@ -743,6 +756,24 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors frameSampleStub's byte windows: pos = trunc(1 + idx*(n-64)/3.0)
+    // (Spark's double→int cast truncates; DuckDB's rounds, hence trunc()),
+    // bytes sliced via hex so multibyte text can't skew offsets
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, h, n, unnest(range(0, 4)) AS frame_idx FROM m),
+        |c AS (
+        |  SELECT doc_id, frame_idx, n, h,
+        |    CAST(trunc(1 + frame_idx * greatest((n - 64) / 3.0, 0)) AS BIGINT) AS pos
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(least(64, n - pos + 1) AS INTEGER) AS frame_len,
+        |  substr(h, CAST((pos - 1) * 2 + 1 AS BIGINT), 128) AS frame_hex
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
 
     // mirrors Multimodal.stubDecode: w = 1+(len*31+id)%64, h = 1+(len*17+7id)%64
     "q_multimodal_features" ->
