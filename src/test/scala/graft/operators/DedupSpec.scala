@@ -60,6 +60,15 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dedupClusters: pointer jumping converges a 64-node chain in few rounds") {
+    // worst-case topology for plain propagation (diameter 63); pointer
+    // jumping must finish within ~log2(64)+slack rounds, not 63
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 64 && labels.forall(_._2 == 1L))
+  }
+
   test("assignCanonical: cluster members map to min id, singletons to self") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (9L, "lonely")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
