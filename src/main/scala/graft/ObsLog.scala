@@ -1,0 +1,68 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Execution observability — the Spark-native analog of the reference's
+  * structured ETL logger (`/root/reference/src/utils/logger.py`): where the
+  * reference logs stage name + rows + wall time per pandas step, here a
+  * `QueryExecutionListener` records every completed ACTION (write, collect,
+  * count) with its duration, root physical operator, and output-row metric
+  * when the plan exposes one — no instrumentation in operator code, the
+  * engine reports on itself.
+  *
+  * Records buffer in memory (bounded) and flush to any sink as a DataFrame
+  * — parquet next to the run log, or `JdbcWarehouse.load` into the
+  * warehouse's observability table.
+  */
+final class ObsLog(maxBuffered: Int = 10000) extends QueryExecutionListener {
+
+  final case class Record(at: java.sql.Timestamp, action: String, durationMs: Long,
+                          rootOperator: String, outputRows: Option[Long],
+                          error: Option[String])
+
+  private val buf = new ConcurrentLinkedQueue[Record]()
+
+  private def record(funcName: String, qe: QueryExecution, durationNs: Long,
+                     error: Option[String]): Unit = {
+    if (buf.size >= maxBuffered) { buf.poll(); () } // drop oldest, never block
+    val root = qe.executedPlan
+    val rows = root.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
+    buf.add(Record(new java.sql.Timestamp(System.currentTimeMillis()), funcName,
+      durationNs / 1000000L, root.nodeName, rows, error))
+    ()
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    record(funcName, qe, durationNs, None)
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    record(funcName, qe, 0L, Some(exception.toString))
+
+  /** Snapshot the buffered records as a DataFrame (does not clear). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    buf.iterator().asScala.toSeq
+      .map(r => (r.at, r.action, r.durationMs, r.rootOperator,
+        r.outputRows.getOrElse(-1L), r.error.getOrElse("")))
+      .toDF("at", "action", "duration_ms", "root_operator", "output_rows", "error")
+  }
+
+  def clear(): Unit = buf.clear()
+}
+
+object ObsLog {
+  /** Attach a fresh ObsLog to the session; returns it for flushing. */
+  def attach(spark: SparkSession, maxBuffered: Int = 10000): ObsLog = {
+    val l = new ObsLog(maxBuffered)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: ObsLog): Unit =
+    spark.listenerManager.unregister(l)
+}
