@@ -112,6 +112,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_missing_bfill" -> ((s, d) => {
+      val injected = Tables.events(s, d)
+        .withColumn("value", when(col("value") < 1d, lit(null)).otherwise(col("value")))
+      Cleaning.fillBackward(injected, Seq("value"), Seq("event_id"), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value_bfill"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_missing_interpolate" -> ((s, d) => {
       val injected = Tables.events(s, d)
         .withColumn("value", when(col("value") < 1d, lit(null)).otherwise(col("value")))
@@ -545,6 +553,17 @@ object SparkEntry {
         |       round(last_value(value IGNORE NULLS) OVER (
         |         PARTITION BY user_id ORDER BY event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+        |FROM injected ORDER BY event_id""".stripMargin,
+
+    "q_missing_bfill" ->
+      """WITH injected AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN value < 1 THEN NULL ELSE value END AS value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       round(first_value(value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS value_bfill
         |FROM injected ORDER BY event_id""".stripMargin,
 
     "q_missing_interpolate" ->

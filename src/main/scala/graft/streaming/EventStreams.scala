@@ -97,6 +97,19 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming exact-content dedup for document ingestion (the streaming
+    * twin of `Dedup.exactByContent`): dedup on the 8-byte xxhash64 of the
+    * content within the watermark horizon — state stores hashes, never
+    * documents, so a firehose of large texts keeps bounded state.
+    */
+  def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("_content_hash", xxhash64(col(textCol)))
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at

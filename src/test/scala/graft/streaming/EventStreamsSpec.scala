@@ -32,6 +32,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("dedupByContent drops streamed duplicate texts, keeps distinct ones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    ms.addData(
+      (1L, "the same document", ts("2026-01-01 10:00:00")),
+      (2L, "the same document", ts("2026-01-01 10:01:00")),
+      (3L, "a different document", ts("2026-01-01 10:02:00")))
+    val sq = EventStreams.dedupByContent(
+        ms.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+      .writeStream.format("memory").queryName("cdedup_spec").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM cdedup_spec ORDER BY doc_id")
+        .collect().map(_.getLong(0))
+      assert(out.toSeq == Seq(1L, 3L), "second copy of identical text must be dropped")
+    } finally sq.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
