@@ -161,6 +161,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CSV ingest round-trip: lineitem → writeCsv (header) → CsvSource.read
+    // (schema'd, corrupt-tolerant) must reproduce the source exactly —
+    // longs/strings verbatim, doubles via shortest-round-trip formatting.
+    // Oracle is simply the original table: proves the whole CSV path
+    // (reference csv_loader.py parity) preserves data.
+    "q_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").option("header", "true").csv(stage)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      graft.sources.CsvSource.read(s, stage, schema)
+        .drop(graft.sources.CsvSource.CorruptCol)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_profile" -> ((s, d) =>
       Cleaning.profile(Tables.lineitem(s, d), exactDistinct = true)
         .orderBy(col("column"))),
@@ -615,6 +636,10 @@ object SparkEntry {
         |       try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed,
         |       try_strptime(o_orderpriority, '%Y-%m-%d %H:%M:%S') AS coerced_null
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {
       // one UNION ALL branch per lineitem column, all stats from one CTE scan
