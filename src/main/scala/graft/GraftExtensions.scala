@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.IntegerType
 
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{CosineSim, HyperplaneSigExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CosineSim, Fingerprint64Expr, HyperplaneSigExpr, MarkerCountExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -93,6 +96,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(array<string>)")
         SimHash64Expr(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("marker_count"),
+      new ExpressionInfo(classOf[MarkerCountExpr].getName, "marker_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "marker_count(array<string>, 'w1,w2,…')")
+        val words = args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString.split(",").toSeq
+          case other => throw new IllegalArgumentException(
+            s"marker_count: marker set must be a string literal, got $other")
+        }
+        MarkerCountExpr(args.head, words)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64Expr].getName, "fingerprint64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "fingerprint64(array<string>)")
+        Fingerprint64Expr(args.head)
       }))
   }
 }

@@ -234,8 +234,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q_lang_id" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      TextAnalysis.langIdFrame(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("pred_lang"))
         .orderBy(col("doc_id"))),
 
     "q_fingerprint" -> ((s, d) =>

@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the `documents`
-  * table. All pure Column algebra (split / filter / aggregate higher-order
-  * functions) — codegen'd, no UDFs, so a 100 TB corpus is one linear scan.
+  * table. Counting/scoring runs through native codegen'd expressions
+  * (`marker_count`, `fingerprint64` in `graft.functions`) — higher-order
+  * lambda Columns are CodegenFallback, i.e. interpreted per row, which is
+  * the wrong constant factor for a 100 TB linear scan. The HOF
+  * formulations survive in `FunctionsSpec` as differential references.
   */
 object TextAnalysis {
 
@@ -30,56 +33,91 @@ object TextAnalysis {
   val FrStop  = Seq("le", "la", "de", "et", "les", "des", "un", "une")
   val DeStop  = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
 
-  private def inList(w: Column, words: Seq[String]): Column =
-    w.isin(words.map(_.asInstanceOf[Any]): _*)
+  /** Count of `toks` members belonging to `words` — native single-pass
+    * hash-set probe (`functions/MarkerCountExpr.scala`).
+    */
+  def markerCountTokens(toks: Column, words: Seq[String]): Column =
+    call_function("marker_count", toks, lit(words.mkString(",")))
 
-  /** Count of tokens belonging to `words` — higher-order filter, no join. */
+  /** Count of tokens of `text` belonging to `words`. Prefer
+    * [[markerCountTokens]] over a pre-projected token column when several
+    * marker sets score the same text — the tokenization then runs once.
+    */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), w => inList(w, words)))
+    markerCountTokens(tokens(text), words)
 
   /** Quality signals: char count, word count, mean word length, stopword
-    * ratio, punctuation ratio, all-caps ratio. A downstream filter keeps
-    * documents inside healthy ranges (the reference's null/range checks,
-    * re-aimed at text).
+    * ratio, punctuation ratio. A downstream filter keeps documents inside
+    * healthy ranges (the reference's null/range checks, re-aimed at text).
+    *
+    * Tokenization is projected ONCE (`_q_toks`); every signal reads the
+    * materialized array/attribute, so the scan tokenizes each document a
+    * single time regardless of how many signals reference it.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nWords = size(toks)
-    df.withColumn("n_chars_q", length(t))
-      .withColumn("n_words", nWords)
+    df.withColumn("_q_toks", tokens(t))
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_words", size(col("_q_toks")))
       .withColumn("mean_word_len",
-        round((length(t) - (nWords - lit(1))).cast("double") / nWords, 4))
+        round((col("n_chars_q") - (col("n_words") - lit(1))).cast("double")
+          / col("n_words"), 4))
       .withColumn("stopword_ratio",
-        round(markerCount(t, EnStop).cast("double") / nWords, 4))
+        round(markerCountTokens(col("_q_toks"), EnStop).cast("double")
+          / col("n_words"), 4))
       .withColumn("punct_ratio",
         round(size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-          / greatest(length(t), lit(1)), 4))
+          / greatest(col("n_chars_q"), lit(1)), 4))
+      .drop("_q_toks")
   }
 
-  /** Marker-word language ID. Deterministic argmax with fixed tie order
-    * en > es > fr > de; 'und' (undetermined) when nothing matches. A real
-    * system swaps in char-n-gram profiles; the plumbing (one scan, one
-    * scored column) is identical.
+  /** The language decision given the four marker counts: deterministic
+    * argmax with fixed tie order en > es > fr > de; 'und' (undetermined)
+    * when nothing matches.
     */
-  def langId(text: Column): Column = {
-    val en = markerCount(text, EnStop)
-    val es = markerCount(text, EsStop)
-    val fr = markerCount(text, FrStop)
-    val de = markerCount(text, DeStop)
+  def langDecision(en: Column, es: Column, fr: Column, de: Column): Column =
     when(en >= greatest(es, fr, de) && en > 0, "en")
       .when(es >= greatest(fr, de) && es > 0, "es")
       .when(fr >= de && fr > 0, "fr")
       .when(de > 0, "de")
       .otherwise("und")
+
+  /** Marker-word language ID over a full frame — the scan form: tokenize
+    * once, project the four marker counts once each (native
+    * `marker_count`), decide over the scalar attributes. The when-chain
+    * re-references counts freely because they are plain attributes by
+    * then, not recomputed expressions. A real system swaps in char-n-gram
+    * profiles; the plumbing (one scan, one scored column) is identical.
+    */
+  def langIdFrame(df: DataFrame, textCol: String,
+                  outCol: String = "pred_lang"): DataFrame = {
+    val counted = df.withColumn("_lang_toks", tokens(col(textCol)))
+      .withColumn("_mc_en", markerCountTokens(col("_lang_toks"), EnStop))
+      .withColumn("_mc_es", markerCountTokens(col("_lang_toks"), EsStop))
+      .withColumn("_mc_fr", markerCountTokens(col("_lang_toks"), FrStop))
+      .withColumn("_mc_de", markerCountTokens(col("_lang_toks"), DeStop))
+    counted
+      .withColumn(outCol,
+        langDecision(col("_mc_en"), col("_mc_es"), col("_mc_fr"), col("_mc_de")))
+      .drop("_lang_toks", "_mc_en", "_mc_es", "_mc_fr", "_mc_de")
+  }
+
+  /** Column-form language ID (compose-anywhere convenience). Counts are
+    * native, but conditional branches may re-evaluate them — inside a hot
+    * full-corpus scan use [[langIdFrame]], which projects each count once.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    langDecision(markerCountTokens(toks, EnStop), markerCountTokens(toks, EsStop),
+      markerCountTokens(toks, FrStop), markerCountTokens(toks, DeStop))
   }
 
   /** Rolling polynomial fingerprint over tokens (Rabin-Karp style):
     * h_i = h_{i-1} * B + xxhash64(token_i)  (mod 2^64 via Long overflow).
     * Order-sensitive, so re-ordered near-identical documents fingerprint
-    * differently while exact duplicates always collide.
+    * differently while exact duplicates always collide. Native single-pass
+    * expression (`functions/Fingerprint64Expr.scala`).
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    call_function("fingerprint64", tokens(text))
 }

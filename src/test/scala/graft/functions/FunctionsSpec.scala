@@ -184,14 +184,66 @@ class FunctionsSpec extends SparkSpec {
     assert(peArr == Seq(4L, 5L))
   }
 
+  test("marker_count matches the higher-order filter formulation") {
+    import graft.operators.TextAnalysis
+    val df = texts.union(Seq(
+      (4L, "el que la y the of"), (5L, "xx yy zz"), (6L, "")).toDF("id", "text"))
+    val markerSets = Seq(TextAnalysis.EnStop, TextAnalysis.EsStop,
+      TextAnalysis.FrStop, TextAnalysis.DeStop)
+    markerSets.foreach { words =>
+      val toks = split(trim(col("text")), "\\s+")
+      val ref = size(filter(toks, w => w.isin(words.map(_.asInstanceOf[Any]): _*)))
+      val out = df.select(
+        TextAnalysis.markerCount(col("text"), words).as("native"),
+        ref.as("column")).collect()
+      out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    }
+    // null input → null out; wrong type fails analysis
+    val n = spark.sql("SELECT marker_count(cast(null as array<string>), 'a,b')").head()
+    assert(n.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT marker_count(array(1, 2), 'a,b')").head()
+    }
+  }
+
+  test("fingerprint64 matches the higher-order aggregate formulation") {
+    val df = texts.union(Seq((4L, "one"), (5L, "")).toDF("id", "text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val ref = aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    val out = df.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("native"),
+      ref.as("column")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} column=${r.getLong(1)}"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fingerprint64(array(1, 2))").head()
+    }
+  }
+
+  test("langIdFrame agrees with the Column-form langId") {
+    import graft.operators.TextAnalysis
+    val df = texts.union(Seq(
+      (4L, "el que la y que en"), (5L, "le et les des une"),
+      (6L, "der und ist ein nicht"), (7L, "xx yy zz")).toDF("id", "text"))
+    val frame = TextAnalysis.langIdFrame(df, "text")
+      .select(col("id"), col("pred_lang")).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val column = df.select(col("id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(frame == column)
+    assert(frame(4L) == "es" && frame(5L) == "fr" && frame(6L) == "de" && frame(7L) == "und")
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
-    def eval(): Seq[(Long, Double)] = texts.select(
+    def eval(): Seq[(Long, Double, Int, Long)] = texts.select(
         expr("simhash64(split(text, ' '))").as("h"),
         expr("cosine_sim(array(cast(1.0 as float), cast(2.0 as float)), " +
-             "array(cast(3.0 as float), cast(4.0 as float)))").as("c"))
-      .collect().toIndexedSeq.map(r => (r.getLong(0), r.getDouble(1)))
+             "array(cast(3.0 as float), cast(4.0 as float)))").as("c"),
+        expr("marker_count(split(text, ' '), 'the,of,my')").as("m"),
+        expr("fingerprint64(split(text, ' '))").as("f"))
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
     try {
       spark.conf.set(conf, "true");  val gen = eval()
       spark.conf.set(conf, "false"); val interp = eval()
