@@ -164,11 +164,25 @@ object Similarity {
     explodeTopK(grouped)
   }
 
-  /** Exact cosine near-dup pairs over the full corpus (oracle-checkable
-    * baseline; quadratic — use only at validation scale or behind LSH).
+  /** Exact cosine near-dup pairs (oracle-checkable baseline). The
+    * non-equi self-join is a BroadcastNestedLoopJoin — O(n²), a
+    * cartesian-class plan that CANNOT run on a full corpus (at 100× data
+    * it is 10,000× work), so the input size is BOUNDED by construction:
+    * the operator counts its input and refuses anything over
+    * `maxExactRows`. Past the bound, use [[lshNearDupPairs]] — the
+    * bucketed scale path with the same output contract (oracle-matched by
+    * `q_ann_lsh_pairs`).
+    *
+    * The count is one extra (cheap, columns-pruned) pass — the price of
+    * making the quadratic plan unreachable rather than merely documented.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, maxExactRows: Long = 10000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxExactRows,
+      s"cosineNearDupPairs: input has $n rows > maxExactRows=$maxExactRows — " +
+        s"the exact all-pairs plan is O(n²) and reserved for validation " +
+        s"scale; use lshNearDupPairs for the full corpus")
     val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     l.join(r, col("id_a") < col("id_b"))

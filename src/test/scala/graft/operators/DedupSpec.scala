@@ -111,4 +111,29 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
   }
+
+  test("dedupClusters: empty pairs frame → empty labels, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(empty)
+    assert(labels.count() == 0 && rounds == 0)
+    // a corpus with zero near-dups: every doc is its own canonical
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val out = Dedup.assignCanonical(docs, "doc_id", empty)
+      .select("doc_id", "canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("dedupClusters: 1,024-node chain converges in O(log n) rounds") {
+    // worst-case diameter: one chain 0-1-2-…-1023. Min-label propagation
+    // alone needs ~n rounds; pointer jumping must finish in ≈log2(n).
+    val n = 1024
+    val chain = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(chain, maxIter = 25)
+    assert(rounds <= 2 * 10 + 2, s"expected ≤22 rounds for a $n-chain, took $rounds")
+    val out = labels.collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "every chain node must label to min id 0")
+  }
 }

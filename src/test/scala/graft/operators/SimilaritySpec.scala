@@ -82,6 +82,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 4L))) // (1,2) sim ≈ 0.9939 falls below 0.999
   }
 
+  test("cosineNearDupPairs refuses inputs beyond the quadratic-plan bound") {
+    // the O(n²) BroadcastNestedLoopJoin must be unreachable on a full
+    // corpus: the operator throws at construction, before any join runs
+    val big = spark.range(0, 100)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(big, "vec_id", "embedding", 0.9, maxExactRows = 99L)
+    }
+    assert(e.getMessage.contains("maxExactRows"))
+    // at or under the bound the exact baseline still runs
+    assert(Similarity.cosineNearDupPairs(big, "vec_id", "embedding", 0.9999,
+      maxExactRows = 100L).count() >= 0)
+  }
+
   test("ivfSearch with all cells probed equals brute force; fewer probes stay in-cluster") {
     // two well-separated clusters around e1 and e3
     val pts = Seq(
