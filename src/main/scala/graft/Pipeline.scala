@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.operators.Validation
 import graft.sinks.DataSink
@@ -17,6 +18,10 @@ import graft.sinks.DataSink
   *  - Validation reports are DataFrames; a failed critical rule aborts
   *    before any write (the reference loads first and logs after).
   *  - The run log is itself a partitioned table (`DataSink.logEtlRun`).
+  *  - The loaded row count rides on the SAME job as the write
+  *    (`Dataset.observe`) — the reference counts the pandas frame it
+  *    already holds; a separate `count()` here would re-execute the whole
+  *    pipeline, a 2× cost for a log line at 100 TB.
   */
 object Pipeline {
 
@@ -37,9 +42,13 @@ object Pipeline {
                              loaded: Long, aborted: Boolean)
 
   /** Run extract → stages → gate → load. `load` is only invoked when the
-    * gate passes (or no gate is given). Row counts are taken from the ONE
-    * post-transform plan — counting after each stage would re-execute the
-    * prefix repeatedly.
+    * gate passes (or no gate is given).
+    *
+    * The success path executes the transformed plan ONCE: an observed
+    * row-count metric is attached to the plan `load` writes, so the count
+    * is a by-product of the load job. If the loader never runs an action
+    * (a dry-run loader), the observation is empty and the count falls
+    * back to a separate pass — correctness over economy in the odd case.
     */
   def run(spark: SparkSession, runId: String,
           extract: => DataFrame,
@@ -48,7 +57,8 @@ object Pipeline {
           load: DataFrame => Unit,
           logPath: Option[String] = None,
           now: () => java.sql.Timestamp =
-            () => new java.sql.Timestamp(System.currentTimeMillis())): RunReport = {
+            () => new java.sql.Timestamp(System.currentTimeMillis()),
+          stageLabel: String = "pipeline"): RunReport = {
 
     val transformed = stages.foldLeft(extract)((df, s) => s.transform(df))
 
@@ -63,8 +73,19 @@ object Pipeline {
 
     var loaded = 0L
     if (!aborted) {
-      loaded = transformed.count()
-      load(transformed)
+      val obs = Observation(s"graft_pipeline_$runId")
+      val observed = transformed.observe(obs, count(lit(1)).as("rows"))
+      load(observed)
+      // metrics arrive via the (asynchronous) listener bus: an unbounded
+      // wait would deadlock on a loader that ran no action, so wait
+      // briefly for the load job's metrics, then fall back
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      loaded =
+        try Await.result(obs.future, 5.seconds).getAs[Long]("rows")
+        catch { case _: java.util.concurrent.TimeoutException =>
+          transformed.count() // loader ran no action
+        }
     }
 
     val results = Seq(
@@ -73,8 +94,48 @@ object Pipeline {
       StageResult("load", loaded, ok = !aborted))
     logPath.foreach { p =>
       val status = if (aborted) "aborted" else "success"
-      DataSink.logEtlRun(spark, p, runId, "pipeline", status, loaded, now())
+      DataSink.logEtlRun(spark, p, runId, stageLabel, status, loaded, now())
     }
     RunReport(runId, results, loaded, aborted)
+  }
+
+  /** One table's slice of a full-pipeline run: its extract arm, transform
+    * stages, and validation gate. The sink is shared across tables (see
+    * [[runAll]]).
+    */
+  final case class TableJob(table: String,
+                            extract: SparkSession => DataFrame,
+                            stages: Seq[Stage] = Nil,
+                            gate: Option[Gate] = None)
+
+  final case class FullRunReport(runId: String,
+                                 tables: Map[String, RunReport],
+                                 anyAborted: Boolean)
+
+  /** Multi-table pipeline run — the reference's `run_full_pipeline`
+    * (main.py:265; `_extract` at :144 returns a dict of tables, the DAG's
+    * parallel extract arms at etl_pipeline_dag.py:252): N tables, each
+    * through its own extract → stages → gate chain, all loaded through
+    * one `load(table, df)` sink (e.g. `JdbcWarehouse.load` per table),
+    * one consolidated report, one run-log row per table.
+    *
+    * A failed gate aborts THAT table's load and marks the run; other
+    * tables still process (the reference likewise loads what validated —
+    * per-arm isolation). Tables run sequentially on the driver; each
+    * table's work is distributed by Spark, and arms are independent
+    * single-action jobs a deployment can submit from separate threads if
+    * driver-side overlap matters.
+    */
+  def runAll(spark: SparkSession, runId: String,
+             jobs: Seq[TableJob],
+             load: (String, DataFrame) => Unit,
+             logPath: Option[String] = None,
+             now: () => java.sql.Timestamp =
+               () => new java.sql.Timestamp(System.currentTimeMillis())): FullRunReport = {
+    val reports = jobs.map { j =>
+      j.table -> run(spark, s"$runId/${j.table}", j.extract(spark), j.stages,
+        j.gate, df => load(j.table, df), logPath, now, stageLabel = j.table)
+    }.toMap
+    FullRunReport(runId, reports, reports.values.exists(_.aborted))
   }
 }

@@ -100,6 +100,103 @@ class PipelineSpec extends SparkSpec {
     assert(JdbcWarehouse.read(spark, url, "etl_runs", props).count() == 1)
   }
 
+  test("success path executes the transformed plan exactly once (observed count)") {
+    val dir = Files.createTempDirectory("pipe_once").toFile.getAbsolutePath
+    val obsLog = ObsLog.attach(spark)
+    try {
+      val report = Pipeline.run(spark, "run-once",
+        extract = source,
+        stages = Seq(Pipeline.Stage("fill", df => Cleaning.fillUnknown(df, Seq("tag")))),
+        gate = Some(Pipeline.Gate(Seq(Validation.nullCheck("id", 0.0, "critical")))),
+        load = df => graft.sinks.DataSink.writeParquet(df, s"$dir/out"))
+      assert(!report.aborted && report.loaded == 3)
+      // exactly two actions: the gate's validation collect + the load
+      // write (which carries the observed count) — no separate count() job
+      val eventually = (1 to 100).iterator
+        .map { _ => Thread.sleep(25); obsLog.toDF(spark).count() }
+        .find(_ >= 2)
+      assert(eventually.contains(2L),
+        s"expected 2 actions (gate + load), saw ${obsLog.toDF(spark).count()}")
+    } finally ObsLog.detach(spark, obsLog)
+  }
+
+  test("runAll drives multiple tables through gates into one warehouse (run_full_pipeline parity)") {
+    import graft.sinks.JdbcWarehouse
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("pipe_all").toFile.getAbsolutePath
+    val dbDir = s"$dir/wh"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+
+    // three extract arms of different shapes: CSV (with a corrupt row),
+    // JSON, and parquet — the reference's _extract dict of tables
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orders.csv"),
+      "order_id,amount\n1,10.5\n2,oops\n3,7.25\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/carts.json"),
+      """{"cart_id": 1, "user": "a"}
+        |{"cart_id": 2, "user": "b"}""".stripMargin.getBytes)
+
+    val ordersSchema = StructType(Seq(
+      StructField("order_id", LongType), StructField("amount", DoubleType)))
+    val jobs = Seq(
+      Pipeline.TableJob("orders",
+        extract = s => graft.sources.CsvSource.quarantine(
+          graft.sources.CsvSource.read(s, s"$dir/orders.csv", ordersSchema))._1,
+        gate = Some(Pipeline.Gate(Seq(Validation.nullCheck("order_id", 0.0, "critical"))))),
+      Pipeline.TableJob("carts",
+        extract = s => graft.sources.JsonSource.read(s, s"$dir/carts.json",
+          StructType(Seq(StructField("cart_id", LongType), StructField("user", StringType))))),
+      Pipeline.TableJob("fact",
+        extract = s => graft.sources.Tables.nation(s, "/root/testdata/sf0.001"),
+        stages = Seq(Pipeline.Stage("norm",
+          df => Cleaning.normalizeCategorical(df, Seq("n_name"), "lower")))))
+
+    val full = Pipeline.runAll(spark, "full-1", jobs,
+      load = (table, df) => JdbcWarehouse.load(df, url, table,
+        org.apache.spark.sql.SaveMode.Overwrite, props = props),
+      logPath = Some(s"$dir/log"),
+      now = () => ts)
+
+    assert(!full.anyAborted && full.tables.keySet == Set("orders", "carts", "fact"))
+    assert(full.tables("orders").loaded == 2) // corrupt row quarantined
+    assert(full.tables("carts").loaded == 2)
+    assert(full.tables("fact").loaded == 25)
+    // everything queryable in the one warehouse
+    assert(JdbcWarehouse.read(spark, url, "orders", props).count() == 2)
+    assert(JdbcWarehouse.read(spark, url, "carts", props).count() == 2)
+    assert(JdbcWarehouse.read(spark, url, "fact", props).count() == 25)
+    // one consolidated run log: a row per table, keyed by the shared run id
+    val log = spark.read.parquet(s"$dir/log")
+    assert(log.count() == 3)
+    assert(log.select("stage").collect().map(_.getString(0)).toSet ==
+      Set("orders", "carts", "fact"))
+    // and the warehouse-side etl_runs rows (db_loader.py:443 parity)
+    full.tables.foreach { case (table, r) =>
+      JdbcWarehouse.logEtlRun(spark, url, "etl_runs", r.runId, table,
+        if (r.aborted) "aborted" else "success", r.loaded, ts, props)
+    }
+    assert(JdbcWarehouse.read(spark, url, "etl_runs", props).count() == 3)
+  }
+
+  test("runAll: a failed gate aborts only that table's load") {
+    val dir = Files.createTempDirectory("pipe_part").toFile.getAbsolutePath
+    var loadedTables = List.empty[String]
+    val full = Pipeline.runAll(spark, "full-2", Seq(
+        Pipeline.TableJob("bad",
+          extract = _ => source, // tag nulls unfixed
+          gate = Some(Pipeline.Gate(Seq(Validation.nullCheck("tag", 0.0, "critical"))))),
+        Pipeline.TableJob("good", extract = _ => source)),
+      load = (table, df) => {
+        loadedTables ::= table
+        graft.sinks.DataSink.writeParquet(df, s"$dir/$table")
+      })
+    assert(full.anyAborted)
+    assert(full.tables("bad").aborted && !full.tables("good").aborted)
+    assert(loadedTables == List("good"))
+  }
+
   test("non-abort severities don't gate the load") {
     var loadCalled = false
     val report = Pipeline.run(spark, "run-warn",
