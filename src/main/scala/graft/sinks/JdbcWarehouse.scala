@@ -5,6 +5,7 @@ import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** JDBC warehouse load/read — Spark-native rethink of the reference's
   * `DatabaseLoader` (`/root/reference/src/load/db_loader.py:225`
@@ -122,6 +123,77 @@ object JdbcWarehouse {
       conn.commit()
     }
   }
+
+  /** A warehouse table definition for [[initializeSchema]]: schema plus
+    * the constraint/index DDL the reference's schema.sql carries.
+    */
+  final case class TableDef(name: String, schema: StructType,
+                            primaryKey: Seq[String] = Nil,
+                            indexes: Seq[Seq[String]] = Nil)
+
+  /** The `etl_runs` bookkeeping table ([[logEtlRun]]'s target), indexed by
+    * run id — the analog of the reference's etl_runs DDL in schema.sql.
+    */
+  val EtlRunsDef: TableDef = TableDef("etl_runs",
+    StructType(Seq(
+      StructField("run_id", StringType), StructField("stage", StringType),
+      StructField("status", StringType), StructField("rows_processed", LongType),
+      StructField("finished_at", TimestampType))),
+    indexes = Seq(Seq("run_id")))
+
+  /** ANSI DDL type for a Spark field. Strings map to VARCHAR, not
+    * CLOB/TEXT: Derby's CLOB rejects pushed-down `=` predicates, and a
+    * warehouse dim column should be comparable/indexable.
+    */
+  def ddlType(dt: DataType): String = dt match {
+    case LongType          => "BIGINT"
+    case IntegerType       => "INTEGER"
+    case ShortType         => "SMALLINT"
+    case DoubleType        => "DOUBLE"
+    case FloatType         => "REAL"
+    case BooleanType       => "BOOLEAN"
+    case DateType          => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType    => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType        => "VARCHAR(4000)"
+    case other => throw new IllegalArgumentException(
+      s"ddlType: no warehouse mapping for ${other.simpleString}")
+  }
+
+  /** CREATE TABLE statement for a [[TableDef]] (no IF NOT EXISTS — Derby
+    * lacks it; [[initializeSchema]] probes first).
+    */
+  def createTableDdl(t: TableDef): String = {
+    val cols = t.schema.fields.map { f =>
+      val nullability = if (f.nullable) "" else " NOT NULL"
+      s"${f.name} ${ddlType(f.dataType)}$nullability"
+    }
+    val pk = if (t.primaryKey.nonEmpty)
+      Seq(s"PRIMARY KEY (${t.primaryKey.mkString(", ")})") else Nil
+    s"CREATE TABLE ${t.name} (${(cols ++ pk).mkString(", ")})"
+  }
+
+  /** Bootstrap the warehouse schema before any load — the reference's
+    * `initialize_schema` (db_loader.py:84 executes schema.sql: tables +
+    * indexes). Spark's JDBC sink otherwise CREATEs implicitly on first
+    * write, which loses constraints, indexes, and NOT NULLs, and races
+    * when several arms first-write concurrently. Idempotent: existing
+    * tables are left untouched, so re-runs and rolling deploys are safe.
+    *
+    * @return the table names actually created this call.
+    */
+  def initializeSchema(url: String, tables: Seq[TableDef],
+                       props: Properties = new Properties): Seq[String] =
+    tables.filterNot(t => tableExists(url, t.name, props)).map { t =>
+      withConnection(url, props) { conn =>
+        val st = conn.createStatement()
+        st.execute(createTableDdl(t))
+        t.indexes.zipWithIndex.foreach { case (cols, i) =>
+          st.execute(s"CREATE INDEX idx_${t.name}_$i ON ${t.name} (${cols.mkString(", ")})")
+        }
+      }
+      t.name
+    }
 
   /** ETL run log row (db_loader.py:443 log_etl_run), appended via JDBC. */
   def logEtlRun(spark: SparkSession, url: String, table: String, runId: String,

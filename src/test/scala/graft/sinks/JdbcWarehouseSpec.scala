@@ -85,6 +85,47 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(projected.columns.toSet == Set("ID", "name"))
   }
 
+  test("initializeSchema bootstraps DDL (tables, PK, indexes) before any load") {
+    import org.apache.spark.sql.types._
+    val freshDir = Files.createTempDirectory("graft-derby-boot").toFile.getAbsolutePath
+    val freshUrl = s"jdbc:derby:$freshDir/wh;create=true"
+    val dim = JdbcWarehouse.TableDef("dim_customer",
+      StructType(Seq(
+        StructField("c_id", LongType, nullable = false),
+        StructField("c_name", StringType),
+        StructField("c_bal", DecimalType(12, 2)),
+        StructField("c_since", TimestampType))),
+      primaryKey = Seq("c_id"),
+      indexes = Seq(Seq("c_name")))
+
+    // empty warehouse → both tables created, once
+    val created = JdbcWarehouse.initializeSchema(freshUrl,
+      Seq(dim, JdbcWarehouse.EtlRunsDef), props)
+    assert(created == Seq("dim_customer", "etl_runs"))
+    assert(JdbcWarehouse.tableExists(freshUrl, "dim_customer", props))
+    assert(JdbcWarehouse.tableExists(freshUrl, "etl_runs", props))
+    // idempotent: second call touches nothing
+    assert(JdbcWarehouse.initializeSchema(freshUrl,
+      Seq(dim, JdbcWarehouse.EtlRunsDef), props).isEmpty)
+
+    // loads APPEND into the bootstrapped DDL (no implicit CREATE), and the
+    // declared types round-trip
+    val rows = Seq((1L, "alice", BigDecimal("10.50"), new Timestamp(1700000000000L)))
+      .toDF("c_id", "c_name", "c_bal", "c_since")
+    JdbcWarehouse.load(rows, freshUrl, "dim_customer", SaveMode.Append, props = props)
+    val back = JdbcWarehouse.read(spark, freshUrl, "dim_customer", props).head()
+    assert(back.getLong(0) == 1L && back.getString(1) == "alice")
+    assert(back.getDecimal(2) == new java.math.BigDecimal("10.50"))
+    // the PK the DDL declared actually constrains: duplicate key rejected
+    intercept[Exception] {
+      JdbcWarehouse.load(rows, freshUrl, "dim_customer", SaveMode.Append, props = props)
+    }
+    // etl_runs initialized with the shape logEtlRun appends
+    JdbcWarehouse.logEtlRun(spark, freshUrl, "etl_runs", "boot-1", "load",
+      "success", 1L, new Timestamp(1700000000000L), props)
+    assert(JdbcWarehouse.read(spark, freshUrl, "etl_runs", props).count() == 1)
+  }
+
   test("logEtlRun appends run records to the warehouse") {
     val ts = new Timestamp(1700000000000L)
     JdbcWarehouse.logEtlRun(spark, url, "etl_runs", "run-1", "load", "success", 42L, ts, props)
