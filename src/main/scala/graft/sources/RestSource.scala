@@ -81,12 +81,25 @@ object RestSource {
     * non-retryable error after retries, or `maxPages` (the hard stop the
     * reference lacks — an API bug returning the same page forever must not
     * spin the extractor). Returns the raw page bodies, ready for [[land]].
+    *
+    * Hitting `maxPages` with data still flowing THROWS by default: a
+    * silently truncated extract is indistinguishable from a complete one
+    * downstream, which is how partial loads go unnoticed. Pass
+    * `allowTruncated = true` for deliberate sampling/backfill caps.
+    *
+    * `saveRawTo` persists each page body (one `page_NNNNN.json` per page,
+    * written BEFORE the extractor moves on — api_connector.py:246
+    * `save_raw`): the raw landing zone that makes parse bugs replayable
+    * without re-hitting the rate-limited API.
     */
   def fetchPaged(fetch: Fetch, endpoint: String,
                  params: Map[String, String] = Map.empty,
                  pageParam: String = "page", maxPages: Int = 1000,
                  policy: RetryPolicy = RetryPolicy(),
-                 limiter: Option[RateLimiter] = None): Seq[String] = {
+                 limiter: Option[RateLimiter] = None,
+                 saveRawTo: Option[String] = None,
+                 allowTruncated: Boolean = false): Seq[String] = {
+    saveRawTo.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val pages = Seq.newBuilder[String]
     var page = 1
     var done = false
@@ -94,13 +107,34 @@ object RestSource {
       limiter.foreach(_.acquire())
       fetchWithRetry(fetch, endpoint, params + (pageParam -> page.toString), policy) match {
         case Right(body) if isEmptyPage(body) => done = true
-        case Right(body)                      => pages += body; page += 1
+        case Right(body) =>
+          saveRawTo.foreach { d =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"page_$page%05d.json"),
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          pages += body; page += 1
         case Left(err) => throw new java.io.IOException(
           s"REST fetch $endpoint page $page failed after retries: " +
             s"HTTP ${err.status} ${err.message}")
       }
     }
+    if (!done && !allowTruncated) throw new java.io.IOException(
+      s"REST fetch $endpoint truncated at maxPages=$maxPages with data still " +
+        "flowing — pass allowTruncated=true if a partial extract is intended")
     pages.result()
+  }
+
+  /** Re-land previously saved raw pages ([[fetchPaged]]'s `saveRawTo`
+    * directory) without touching the API — the replay path.
+    */
+  def landSaved(spark: SparkSession, rawDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val paths = java.nio.file.Files.list(java.nio.file.Paths.get(rawDir))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("page_"))
+      .toSeq.sortBy(_.getFileName.toString)
+    land(spark, paths.map(p => new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** Land raw JSON page bodies as a DataFrame: each body may be a single
@@ -114,12 +148,15 @@ object RestSource {
   }
 
   /** One-call extraction of a paged endpoint into a DataFrame — the
-    * `fetch_products`/`fetch_carts` shape (api_connector.py:137).
+    * `fetch_products`/`fetch_carts` shape (api_connector.py:137), with the
+    * optional raw landing zone (`save_raw=True` parity).
     */
   def extract(spark: SparkSession, fetch: Fetch, endpoint: String,
               params: Map[String, String] = Map.empty,
               pageParam: String = "page", maxPages: Int = 1000,
               policy: RetryPolicy = RetryPolicy(),
-              limiter: Option[RateLimiter] = None): DataFrame =
-    land(spark, fetchPaged(fetch, endpoint, params, pageParam, maxPages, policy, limiter))
+              limiter: Option[RateLimiter] = None,
+              saveRawTo: Option[String] = None): DataFrame =
+    land(spark, fetchPaged(fetch, endpoint, params, pageParam, maxPages, policy,
+      limiter, saveRawTo))
 }

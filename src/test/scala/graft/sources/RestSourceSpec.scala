@@ -72,8 +72,36 @@ class RestSourceSpec extends SparkSpec {
     intercept[java.io.IOException] {
       RestSource.fetchPaged(dead, "/x", policy = policy(sleeps))
     }
+    // hitting the cap with data still flowing is a TRUNCATED extract —
+    // loud by default, explicit opt-in for deliberate sampling caps
     val infinite: RestSource.Fetch = (_, _) => Right("""[{"id": 1}]""")
-    assert(RestSource.fetchPaged(infinite, "/x", maxPages = 7).size == 7)
+    val e = intercept[java.io.IOException] {
+      RestSource.fetchPaged(infinite, "/x", maxPages = 7)
+    }
+    assert(e.getMessage.contains("truncated"))
+    assert(RestSource.fetchPaged(infinite, "/x", maxPages = 7,
+      allowTruncated = true).size == 7)
+  }
+
+  test("saveRawTo lands raw page bodies before parsing; landSaved replays them") {
+    val dir = java.nio.file.Files.createTempDirectory("rest-raw").toString
+    val fetch: RestSource.Fetch = (_, params) =>
+      params("page").toInt match {
+        case 1 => Right("""[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""")
+        case 2 => Right("""{"id": 3, "v": "c"}""")
+        case _ => Right("[]")
+      }
+    val df = RestSource.extract(spark, fetch, "/carts", saveRawTo = Some(dir))
+    assert(df.count() == 3)
+    // raw bodies on disk, byte-identical, one file per page in order
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("page_00001.json", "page_00002.json"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "page_00002.json"))) == """{"id": 3, "v": "c"}""")
+    // replay from the landing zone without the API: same rows
+    val replayed = RestSource.landSaved(spark, dir)
+    assert(replayed.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("extract composes paging + landing into one DataFrame") {
