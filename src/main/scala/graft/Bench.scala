@@ -22,21 +22,29 @@ object Bench {
         // JVM carry GC/JIT noise an order above real query cost, and
         // best-of-two still showed ±80% round-over-round swings on
         // unchanged queries — five brings variance inside ~20% so a
-        // regression is attributable to code, not scheduling luck
-        val t = (1 to 5).map { _ =>
+        // regression is attributable to code, not scheduling luck.
+        // All five passes run back-to-back in this one JVM; the median is
+        // reported alongside so a contention-poisoned best (or a lucky
+        // one) is visible as best≪median instead of masquerading as a
+        // regression/improvement.
+        val passes = (1 to 5).map { _ =>
           val t0 = System.nanoTime(); exec(name, fn); (System.nanoTime() - t0) / 1e9
-        }.min
-        System.err.println(f"[bench] $name%-28s warm=${(System.nanoTime() - w0) / 1e9}%8.2f best=$t%8.2f")
-        name -> t
+        }.sorted
+        val t = passes.head
+        val med = passes(passes.length / 2)
+        System.err.println(f"[bench] $name%-28s warm=${(System.nanoTime() - w0) / 1e9}%8.2f best=$t%8.2f med=$med%8.2f")
+        name -> (t, med)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        name -> (-1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (b, _)) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -25,14 +26,21 @@ final class ObsLog(maxBuffered: Int = 10000) extends QueryExecutionListener {
                           error: Option[String])
 
   private val buf = new ConcurrentLinkedQueue[Record]()
+  // ConcurrentLinkedQueue.size is O(n) — a listener that walks its buffer
+  // on EVERY completed action would grow linearly with the buffer; the
+  // counter keeps the cap check O(1)
+  private val buffered = new AtomicInteger(0)
 
   private def record(funcName: String, qe: QueryExecution, durationNs: Long,
                      error: Option[String]): Unit = {
-    if (buf.size >= maxBuffered) { buf.poll(); () } // drop oldest, never block
+    if (buffered.get >= maxBuffered && buf.poll() != null) {
+      buffered.decrementAndGet() // drop oldest, never block
+    }
     val root = qe.executedPlan
     val rows = root.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
     buf.add(Record(new java.sql.Timestamp(System.currentTimeMillis()), funcName,
       durationNs / 1000000L, root.nodeName, rows, error))
+    buffered.incrementAndGet()
     ()
   }
 
@@ -52,7 +60,7 @@ final class ObsLog(maxBuffered: Int = 10000) extends QueryExecutionListener {
       .toDF("at", "action", "duration_ms", "root_operator", "output_rows", "error")
   }
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); buffered.set(0) }
 }
 
 object ObsLog {

@@ -53,16 +53,24 @@ object Cleaning {
     * matches the DuckDB oracle bit-for-bit on interpolation); the 100 TB
     * path is `exact=false` → `approx_percentile` (single pass, bounded
     * memory sketch). Reference: `cleaners.py:86` fillna(median).
+    *
+    * LAZY: the one-row median aggregate broadcast-joins onto the frame
+    * (`crossJoin(broadcast(…))`) instead of materializing via a driver
+    * action mid-build — the fill composes into the caller's plan and
+    * executes with it, so a pipeline stage stays one job. Medians cast
+    * back to each column's own type, matching `na.fill` semantics.
     */
   def fillMedian(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     val aggs = cols.map { c =>
-      (if (exact) expr(s"percentile($c, 0.5)") else expr(s"approx_percentile($c, 0.5)")).as(c)
+      (if (exact) expr(s"percentile($c, 0.5)") else expr(s"approx_percentile($c, 0.5)"))
+        .as(s"_med_$c")
     }
-    val med = df.agg(aggs.head, aggs.tail: _*).head()
-    val fills = cols.zipWithIndex.collect {
-      case (c, i) if !med.isNullAt(i) => c -> med.getDouble(i)
-    }.toMap[String, Any]
-    df.na.fill(fills)
+    val med = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(med))
+    cols.foldLeft(joined) { (d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"_med_$c").cast(df.schema(c).dataType)))
+      }
+      .drop(cols.map(c => s"_med_$c"): _*)
   }
 
   /** Forward-fill nulls from the last non-null value in `orderCols` order

@@ -72,8 +72,14 @@ object Skew {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
       s"saltedJoin: $joinType would duplicate unmatched replicated rows; " +
         "right/full joins need the unsalted form")
+    // salt must be DETERMINISTIC in row content: a salt from
+    // monotonically_increasing_id()/rand() changes when a stage retry
+    // recomputes a shuffle partition, duplicating or losing rows under
+    // partial recomputation. Hashing the whole row spreads a hot key's
+    // rows across buckets (they differ somewhere off-key); rows identical
+    // in EVERY column share a bucket, the one residual hot case.
     val salted = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

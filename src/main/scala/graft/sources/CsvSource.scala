@@ -50,7 +50,13 @@ object CsvSource {
     val lines = spark.read.text(path)
     // header detection tolerates per-field quoting, padding, and case —
     // real exports disagree on all three (exact string equality would pass
-    // `"id", Name` through as a data row and null-parse it into noise)
+    // `"id", Name` through as a data row and null-parse it into noise).
+    // CAVEAT: the filter strips EVERY matching line anywhere in the input
+    // (the right call for multi-part exports, which repeat the header per
+    // chunk) — so a data row whose field values coincide, case-insensitively,
+    // with the column names is silently dropped. All-string schemas whose
+    // data can echo the header need a stricter reader (header=false + an
+    // explicit per-file first-line skip).
     val headerRegex = schema.fieldNames
       .map(n => "\\s*\"?" + java.util.regex.Pattern.quote(n) + "\"?\\s*")
       .mkString("(?i)^", ",", "$")

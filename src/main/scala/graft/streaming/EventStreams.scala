@@ -97,18 +97,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Streaming exact-content dedup for document ingestion (the streaming
-    * twin of `Dedup.exactByContent`): dedup on the 8-byte xxhash64 of the
-    * content within the watermark horizon — state stores hashes, never
-    * documents, so a firehose of large texts keeps bounded state.
+  /** Streaming content dedup for document ingestion (the streaming twin
+    * of `Dedup.exactByContent`): dedup on (length, xxhash64) of the
+    * content within the watermark horizon — state stores the 12-byte
+    * digest pair, never documents, so a firehose of large texts keeps
+    * bounded state. The length lane cuts the 64-bit-collision
+    * false-positive risk (birthday bound ~2^32 docs on the hash alone —
+    * real at firehose scale) to collisions that ALSO match on exact
+    * length; swap in a 256-bit digest (`sha2(text, 256)`) if provable
+    * no-loss dedup is required.
     */
   def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
                      watermark: String = "1 hour"): DataFrame =
     docs.withColumn("_content_hash", xxhash64(col(textCol)))
+      .withColumn("_content_len", length(col(textCol)))
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_content_hash")
-      .drop("_content_hash")
+      .dropDuplicatesWithinWatermark("_content_hash", "_content_len")
+      .drop("_content_hash", "_content_len")
 
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
