@@ -243,6 +243,36 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // C4/Gopher-style repetition quality signals (boilerplate/spam score
+    // high while passing exact+near dedup, because each DOC is unique but
+    // its content repeats internally)
+    "q_text_repetition" -> ((s, d) =>
+      Curation.repetitionSignals(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("dup_word_ratio"), col("dup_2gram_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub: plant a deterministic email+phone on every 5th doc (both
+    // engines inject identically), redact, count matches — proves the
+    // redaction actually fires, not just passes clean text through
+    "q_redact" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("dirty",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 (555) 010-"), col("doc_id")))
+          .otherwise(col("text")))
+      injected.select(col("doc_id"),
+          Curation.redactPII(col("dirty")).as("clean_text"),
+          Curation.piiMatchCount(col("dirty")).as("pii_matches"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic content-hash train/val split (stable across runs,
+    // partitionings, and engines; exact dups land on the same side)
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Curation.hashSplit(col("text")).as("split_label"))
+        .orderBy(col("doc_id"))),
+
     // band-bucket table (pair extraction is exercised in DedupSpec with
     // planted near-dups; this corpus is dup-free so pairs would be empty)
     "q_dedup_minhash" -> ((s, d) =>
@@ -748,6 +778,36 @@ object SparkEntry {
         |       WHEN de > 0 THEN 'de'
         |       ELSE 'und' END AS pred_lang
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  round(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS dup_word_ratio,
+        |  round(1 - CASE WHEN len(t) >= 2
+        |      THEN len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+        |      ELSE 1 END / CAST(greatest(len(t) - 1, 1) AS DOUBLE), 4) AS dup_2gram_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' || doc_id
+        |         ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(dirty, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS pii_matches
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 14
+        |       THEN 'train' ELSE 'val' END AS split_label
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // exact shingle-jaccard is engine-independent: DuckDB mirrors the
     // inverted-index join (shared-shingle counts / set sizes). Valid while
