@@ -121,21 +121,43 @@ object Pipeline {
     *
     * A failed gate aborts THAT table's load and marks the run; other
     * tables still process (the reference likewise loads what validated —
-    * per-arm isolation). Tables run sequentially on the driver; each
-    * table's work is distributed by Spark, and arms are independent
-    * single-action jobs a deployment can submit from separate threads if
-    * driver-side overlap matters.
+    * per-arm isolation). `parallelism > 1` submits arms from that many
+    * driver threads — the DAG's parallel extracts; Spark schedules the
+    * concurrent jobs across the cluster, which matters when single arms
+    * can't saturate it. Run-log rows are written AFTER all arms finish,
+    * from one thread: concurrent appends into one log directory would
+    * race on the output committer's temp dirs.
     */
   def runAll(spark: SparkSession, runId: String,
              jobs: Seq[TableJob],
              load: (String, DataFrame) => Unit,
              logPath: Option[String] = None,
              now: () => java.sql.Timestamp =
-               () => new java.sql.Timestamp(System.currentTimeMillis())): FullRunReport = {
-    val reports = jobs.map { j =>
+               () => new java.sql.Timestamp(System.currentTimeMillis()),
+             parallelism: Int = 1): FullRunReport = {
+    def runOne(j: TableJob): (String, RunReport) =
       j.table -> run(spark, s"$runId/${j.table}", j.extract(spark), j.stages,
-        j.gate, df => load(j.table, df), logPath, now, stageLabel = j.table)
-    }.toMap
+        j.gate, df => load(j.table, df), logPath = None, now, stageLabel = j.table)
+
+    val reports: Map[String, RunReport] =
+      if (parallelism <= 1 || jobs.size <= 1) jobs.map(runOne).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, jobs.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(jobs.map(j => Future(runOne(j)))), Duration.Inf).toMap
+        finally pool.shutdown()
+      }
+
+    logPath.foreach { p =>
+      jobs.foreach { j => // original arm order, one writer thread
+        val r = reports(j.table)
+        DataSink.logEtlRun(spark, p, r.runId, j.table,
+          if (r.aborted) "aborted" else "success", r.loaded, now())
+      }
+    }
     FullRunReport(runId, reports, reports.values.exists(_.aborted))
   }
 }

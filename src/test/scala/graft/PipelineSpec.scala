@@ -180,6 +180,27 @@ class PipelineSpec extends SparkSpec {
     assert(JdbcWarehouse.read(spark, url, "etl_runs", props).count() == 3)
   }
 
+  test("runAll parallel arms produce the same reports as sequential") {
+    val dir = Files.createTempDirectory("pipe_par").toFile.getAbsolutePath
+    val jobs = Seq(
+      Pipeline.TableJob("t1", extract = _ => source,
+        stages = Seq(Pipeline.Stage("fill", df => Cleaning.fillUnknown(df, Seq("tag"))))),
+      Pipeline.TableJob("t2", extract = _ => source.filter(col("amount") > 0)),
+      Pipeline.TableJob("t3", extract = _ => source,
+        gate = Some(Pipeline.Gate(Seq(Validation.nullCheck("tag", 0.0, "critical"))))))
+    def sink(sub: String) = (table: String, df: org.apache.spark.sql.DataFrame) =>
+      graft.sinks.DataSink.writeParquet(df, s"$dir/$sub/$table")
+    val seq = Pipeline.runAll(spark, "par-run", jobs, sink("seq"),
+      logPath = Some(s"$dir/log_seq"))
+    val par = Pipeline.runAll(spark, "par-run", jobs, sink("par"),
+      logPath = Some(s"$dir/log_par"), parallelism = 3)
+    assert(par.tables.view.mapValues(r => (r.loaded, r.aborted)).toMap ==
+      seq.tables.view.mapValues(r => (r.loaded, r.aborted)).toMap)
+    assert(par.anyAborted && par.tables("t3").aborted)
+    assert(spark.read.parquet(s"$dir/par/t1").count() == 3)
+    assert(spark.read.parquet(s"$dir/log_par").count() == 3)
+  }
+
   test("runAll: a failed gate aborts only that table's load") {
     val dir = Files.createTempDirectory("pipe_part").toFile.getAbsolutePath
     var loadedTables = List.empty[String]
