@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, Fingerprint64Expr, HyperplaneSigExpr, MarkerCountExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -117,6 +117,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "fingerprint64(array<string>)")
         Fingerprint64Expr(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2NormalizeExpr].getName, "l2_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "l2_normalize(array<float|double>)")
+        L2NormalizeExpr(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8Expr].getName, "quantize_i8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantize_i8(array<float|double>)")
+        QuantizeI8Expr(args.head)
       }))
   }
 }

@@ -332,6 +332,35 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     }),
 
+    // embedding STORAGE ops (native single-pass exprs), oracle-checked via
+    // scalar projections (driver's comparer can't sort array columns; the
+    // arrays themselves are pinned in FunctionsSpec):
+    // unit-normalize — l2_after must be 1, lane0 mirrors the exact values
+    "q_embed_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          call_function("l2_normalize", col("embedding")).as("ne"),
+          col("embedding"))
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("embedding"),
+            lit(0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_before"),
+          round(sqrt(aggregate(col("ne"),
+            lit(0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_after"),
+          round(element_at(col("ne"), 1).cast("double"), 6).as("lane0"))
+        .orderBy(col("vec_id"))),
+
+    // symmetric int8 quantization — scale + lane extrema/sum are exact
+    // integer/double math both engines reproduce bit-for-bit
+    "q_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), call_function("quantize_i8", col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          round(col("qz.scale"), 6).as("q_scale"),
+          array_min(col("qz.q")).cast("int").as("q_min"),
+          array_max(col("qz.q")).cast("int").as("q_max"),
+          aggregate(col("qz.q"), lit(0), (a, x) => a + x.cast("int")).as("q_sum"))
+        .orderBy(col("vec_id"))),
+
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       emb.select(col("vec_id"),
@@ -855,6 +884,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, "rank", neighbor_id, sim FROM ranked
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_embed_normalize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, nrm,
+        |         list_transform(e, x -> CAST(x / nrm AS REAL)) AS ne
+        |  FROM s)
+        |SELECT vec_id, round(nrm, 6) AS l2_before,
+        |  round(sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_after,
+        |  round(CAST(ne[1] AS DOUBLE), 6) AS lane0
+        |FROM n ORDER BY vec_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |         127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(e, x -> CAST(least(greatest(trunc(x * scale), -127), 127) AS INTEGER)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS q_scale,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max,
+        |  CAST(list_sum(qv) AS INTEGER) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

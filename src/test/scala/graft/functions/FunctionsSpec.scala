@@ -233,6 +233,49 @@ class FunctionsSpec extends SparkSpec {
     assert(frame(4L) == "es" && frame(5L) == "fr" && frame(6L) == "de" && frame(7L) == "und")
   }
 
+  test("l2_normalize matches the Column formulation; zero vector passes through") {
+    val df = Seq(
+      Array(3.0f, 4.0f), Array(-1.5f, 2.5f, 0.5f), Array(0.0f, 0.0f)
+    ).toDF("v")
+    val norm = sqrt(aggregate(col("v"), lit(0d), (a, x) => a + x.cast("double") * x.cast("double")))
+    val ref = transform(col("v"), x =>
+      when(norm === 0d, lit(0.0f)).otherwise((x.cast("double") / norm).cast("float")))
+    val out = df.select(expr("l2_normalize(v)").as("native"), ref.as("column")).collect()
+    out.foreach(r => assert(r.getSeq[Float](0) == r.getSeq[Float](1)))
+    // unit length (within float rounding) for non-zero inputs
+    val n2 = df.filter(aggregate(col("v"), lit(0d), (a, x) => a + x.cast("double")) =!= 0d)
+      .select(sqrt(aggregate(expr("l2_normalize(v)"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))).as("n")).collect()
+    n2.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-6))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT l2_normalize(array('a'))").head()
+    }
+  }
+
+  test("quantize_i8: scale, truncation, clamp, zero vector, dequantization error") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),   // maxAbs 1.0 → scale 127
+      (2L, Array(0.0f, 0.0f)),           // zero vector → scale 0, q all 0
+      (3L, Array(2.0f))                  // single lane → exactly ±127
+    ).toDF("id", "v")
+    val out = df.select(col("id"), expr("quantize_i8(v)").as("qz"))
+      .select(col("id"), col("qz.scale"), col("qz.q"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    assert(out(1L)._1 == 127.0)
+    assert(out(1L)._2 == Seq[Byte](63, -127, 31)) // trunc(0.5*127)=63, trunc(0.25*127)=31
+    assert(out(2L) == ((0.0, Seq[Byte](0, 0))))
+    assert(out(3L)._2 == Seq[Byte](127))
+    // dequantization x̂ = q/scale reconstructs within one quantization step
+    val err = df.filter(col("id") === 1L)
+      .select(expr("quantize_i8(v)").as("qz"), col("v"))
+      .select(max(abs(expr("zip_with(v, qz.q, (x, q) -> abs(cast(x as double) - q / qz.scale))")
+        .getItem(0))).as("e")).head().getDouble(0)
+    assert(err <= 1.0 / 127 + 1e-9)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantize_i8(array('a'))").head()
+    }
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
