@@ -131,6 +131,27 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
+  /** Persist the IVF index as its durable on-disk form: the assigned
+    * corpus PARTITIONED BY CELL (so a probe of `nProbe` cells is a
+    * partition-PRUNED read — `nProbe/numCentroids` of the data touches
+    * disk, not a full scan) plus the tiny centroid table beside it.
+    * This is the difference between an index you rebuild per session and
+    * one a 100 TB deployment shares across jobs.
+    */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Reload a persisted index. Scans prune on `cell` (partition column);
+    * pinned by a spec that checks the probe plan's partition filters.
+    */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("id"), col("v"), col("cell").cast("int").as("cell")),
+      spark.read.parquet(s"$dir/centroids"))
+
   /** Search: rank cells per query by centroid cosine (tiny broadcast
     * cross-score), probe the top `nProbe` cells, exact-score only rows in
     * probed cells, return top-k per query.

@@ -151,6 +151,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bulk.count() == 12000 * 3)
   }
 
+  test("ivfSave/ivfLoad: durable index, partition-pruned probes, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toFile.getAbsolutePath
+    val corpus = spark.range(0, 400).select(
+      col("id").as("vec_id"),
+      array((col("id") % 20).cast("float"), (col("id") % 7).cast("float"),
+        lit(1.0f)).as("embedding"))
+    val built = Similarity.ivfBuild(corpus, "vec_id", "embedding", numCentroids = 4)
+    Similarity.ivfSave(built, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+
+    // the on-disk layout IS partitioned by cell: a cell filter prunes at
+    // the source instead of scanning the corpus
+    val pruned = loaded.assigned.filter(col("cell") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell"),
+      s"expected a partition filter on cell, plan:\n$scan")
+    assert(pruned.count() > 0 && pruned.count() < 400)
+
+    // searching the reloaded index matches searching the in-memory one
+    val queries = corpus.filter(col("vec_id") < 3)
+    def results(ix: Similarity.IvfIndex) =
+      Similarity.ivfSearch(ix, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(results(loaded) == results(built))
+  }
+
   test("sortedPairs emits each unordered pair once") {
     val out = spark.sql("SELECT 1").select(
       Similarity.sortedPairs(array(lit(3L), lit(1L), lit(2L))).as("p"))
