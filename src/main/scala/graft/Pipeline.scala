@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.operators.Validation
 import graft.sinks.DataSink
@@ -73,19 +75,36 @@ object Pipeline {
 
     var loaded = 0L
     if (!aborted) {
-      val obs = Observation(s"graft_pipeline_$runId")
-      val observed = transformed.observe(obs, count(lit(1)).as("rows"))
-      load(observed)
-      // metrics arrive via the (asynchronous) listener bus: an unbounded
-      // wait would deadlock on a loader that ran no action, so wait
-      // briefly for the load job's metrics, then fall back
-      import scala.concurrent.Await
-      import scala.concurrent.duration._
-      loaded =
-        try Await.result(obs.future, 5.seconds).getAs[Long]("rows")
-        catch { case _: java.util.concurrent.TimeoutException =>
-          transformed.count() // loader ran no action
-        }
+      // NOT sql.Observation: its promise completes on the loader's FIRST
+      // action, so a guard like `if (!df.isEmpty) df.write…` would record
+      // the limit(1) probe's count as `loaded`. This listener keeps the
+      // MAX observed count instead — any action either short-circuits
+      // with a limit (count ≤ N) or fully executes the deterministic
+      // plan (count = N), so the max over the loader's actions IS the
+      // full row count as long as at least one full pass (the write)
+      // happened.
+      val metricName = s"graft_pipeline_$runId"
+      val observed = transformed.observe(metricName, count(lit(1)).as("rows"))
+      val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val listener = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+          qe.observedMetrics.get(metricName).foreach { row =>
+            val n = row.getAs[Long]("rows")
+            seen.updateAndGet(m => math.max(m, n)); ()
+          }
+        override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        load(observed)
+        // metrics arrive via the asynchronous listener bus: wait briefly
+        // for the load job's event, then fall back to a separate count —
+        // a 2× cost paid only when the loader ran no action at all (or
+        // the bus is pathologically backlogged), never silently wrong
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (seen.get < 0 && System.nanoTime() < deadline) Thread.sleep(25)
+        loaded = if (seen.get >= 0) seen.get else transformed.count()
+      } finally spark.listenerManager.unregister(listener)
     }
 
     val results = Seq(
@@ -135,9 +154,24 @@ object Pipeline {
              now: () => java.sql.Timestamp =
                () => new java.sql.Timestamp(System.currentTimeMillis()),
              parallelism: Int = 1): FullRunReport = {
+    require(jobs.map(_.table).distinct.size == jobs.size,
+      s"runAll: duplicate table names in ${jobs.map(_.table)} — two arms would " +
+        "double-load one target and only the last report would survive")
+
+    // an arm that THROWS (loader/extract failure) must not take down the
+    // other arms' reports and log rows — per-arm isolation covers crashes,
+    // not just gate aborts. The crashed arm reports loaded=0, aborted,
+    // with the exception on its load stage, and logs status "failed".
     def runOne(j: TableJob): (String, RunReport) =
-      j.table -> run(spark, s"$runId/${j.table}", j.extract(spark), j.stages,
-        j.gate, df => load(j.table, df), logPath = None, now, stageLabel = j.table)
+      j.table -> {
+        try run(spark, s"$runId/${j.table}", j.extract(spark), j.stages,
+          j.gate, df => load(j.table, df), logPath = None, now, stageLabel = j.table)
+        catch { case scala.util.control.NonFatal(e) =>
+          RunReport(s"$runId/${j.table}",
+            Seq(StageResult("load", 0L, ok = false, failures = Seq(e.toString))),
+            loaded = 0L, aborted = true)
+        }
+      }
 
     val reports: Map[String, RunReport] =
       if (parallelism <= 1 || jobs.size <= 1) jobs.map(runOne).toMap
@@ -151,11 +185,14 @@ object Pipeline {
         finally pool.shutdown()
       }
 
+    def status(r: RunReport): String =
+      if (!r.aborted) "success"
+      else if (r.stages.exists(s => s.stage == "load" && s.failures.nonEmpty)) "failed"
+      else "aborted"
     logPath.foreach { p =>
       jobs.foreach { j => // original arm order, one writer thread
         val r = reports(j.table)
-        DataSink.logEtlRun(spark, p, r.runId, j.table,
-          if (r.aborted) "aborted" else "success", r.loaded, now())
+        DataSink.logEtlRun(spark, p, r.runId, j.table, status(r), r.loaded, now())
       }
     }
     FullRunReport(runId, reports, reports.values.exists(_.aborted))

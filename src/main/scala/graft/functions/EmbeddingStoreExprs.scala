@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
   * LANE, the wrong constant for corpus-wide preprocessing. All arithmetic
   * is double-precision and engine-portable, so the DuckDB oracle mirrors
   * it bit-for-bit.
+  *
+  * A vector with a NULL lane is an invalid embedding: both expressions
+  * return NULL for it (silently reading the slot as 0.0 would fabricate
+  * a direction; the caller decides whether to drop or repair).
   */
 trait VecUnaryExpr extends UnaryExpression {
   protected def isDouble: Boolean = child.dataType match {
@@ -30,12 +34,24 @@ trait VecUnaryExpr extends UnaryExpression {
     case _                        => false
   }
 
+  override def nullable: Boolean = true // null input OR a null-lane vector
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires an array<float> or array<double> argument, got ${other.simpleString}")
   }
+
+  /** eval/codegen shared: compute may return null (null-lane vector) —
+    * route it into the expression's null slot, not a bare null value.
+    */
+  protected def nullAwareGenCode(ctx: CodegenContext, ev: ExprCode,
+                                 call: String => String): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = ${call(c)};
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
 }
 
 case class L2NormalizeExpr(child: Expression) extends VecUnaryExpr {
@@ -46,19 +62,22 @@ case class L2NormalizeExpr(child: Expression) extends VecUnaryExpr {
     L2NormalizeExpr.compute(input.asInstanceOf[ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.L2NormalizeExpr.compute($c, $isDouble)")
+    nullAwareGenCode(ctx, ev, c => s"graft.functions.L2NormalizeExpr.compute($c, $isDouble)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object L2NormalizeExpr {
-  /** Zero vectors pass through unchanged (still zero after "normalize"). */
+  /** Zero vectors pass through unchanged (still zero after "normalize");
+    * a null lane nulls the result.
+    */
   def compute(vec: ArrayData, elemIsDouble: Boolean): ArrayData = {
     val n = vec.numElements()
     var ss = 0d
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i)) return null
       val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
       ss += x * x
       i += 1
@@ -85,7 +104,7 @@ case class QuantizeI8Expr(child: Expression) extends VecUnaryExpr {
     QuantizeI8Expr.compute(input.asInstanceOf[ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeI8Expr.compute($c, $isDouble)")
+    nullAwareGenCode(ctx, ev, c => s"graft.functions.QuantizeI8Expr.compute($c, $isDouble)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -95,13 +114,14 @@ object QuantizeI8Expr {
   /** scale = 127/max|x| (0 for the all-zero vector, whose q is all
     * zeros); q_i = trunc(x_i · scale) clamped to [-127, 127]. trunc, not
     * round: truncation is identical across engines while round-half
-    * conventions differ.
+    * conventions differ. A null lane nulls the result.
     */
   def compute(vec: ArrayData, elemIsDouble: Boolean): InternalRow = {
     val n = vec.numElements()
     var maxAbs = 0d
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i)) return null
       val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
       val a = math.abs(x)
       if (a > maxAbs) maxAbs = a

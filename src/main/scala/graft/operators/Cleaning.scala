@@ -58,17 +58,35 @@ object Cleaning {
     * (`crossJoin(broadcast(…))`) instead of materializing via a driver
     * action mid-build — the fill composes into the caller's plan and
     * executes with it, so a pipeline stage stays one job. Medians cast
-    * back to each column's own type, matching `na.fill` semantics.
+    * back to each column's own type, and NaN counts as missing exactly
+    * like `na.fill` (and pandas fillna) treats it — a 0/0 upstream ratio
+    * must not survive the clean stage just because it isn't null.
     */
   def fillMedian(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     val aggs = cols.map { c =>
-      (if (exact) expr(s"percentile($c, 0.5)") else expr(s"approx_percentile($c, 0.5)"))
+      // NaN must not pollute the median either (NaN sorts greatest in
+      // Spark; pandas' median skips it) — mask to null inside the agg
+      val floating = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      val src = if (floating) s"CASE WHEN isnan($c) THEN NULL ELSE $c END" else c
+      (if (exact) expr(s"percentile($src, 0.5)") else expr(s"approx_percentile($src, 0.5)"))
         .as(s"_med_$c")
     }
     val med = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(med))
     cols.foldLeft(joined) { (d, c) =>
-        d.withColumn(c, coalesce(col(c), col(s"_med_$c").cast(df.schema(c).dataType)))
+        val v = col(c)
+        val isFloating = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        val missing = if (isFloating) v.isNull || v.isNaN else v.isNull
+        d.withColumn(c,
+          when(missing, col(s"_med_$c").cast(df.schema(c).dataType)).otherwise(v))
       }
       .drop(cols.map(c => s"_med_$c"): _*)
   }

@@ -62,24 +62,37 @@ object Skew {
     * (keys, salt). The hottest key's rows spread over `buckets` tasks
     * instead of one straggler.
     *
+    * Salt derivation is a real trade-off, so it is a switch:
+    *  - default (content hash of every big-side column): DETERMINISTIC —
+    *    a stage retry that recomputes a shuffle partition reassigns
+    *    identical salts, so no row duplicates or disappears under
+    *    partial recomputation. Spreads any hot key whose rows differ in
+    *    SOME column; rows byte-identical across ALL columns share a
+    *    bucket (dedup upstream, or flip the switch).
+    *  - `spreadIdenticalRows = true` (round-robin row ids): spreads even
+    *    byte-identical duplicates, but carries the classic rand-salting
+    *    caveat — a recomputed partition can assign different salts, so
+    *    only use it where the lineage is retry-free (checkpointed input,
+    *    foreachBatch over a persisted micro-batch) or duplicates
+    *    dominate the hot key.
+    *
     * Cost: `buckets`× replication of `small` — use when `small` is too
     * big to broadcast but far smaller than `big`. Only join types that
     * preserve `small` replication semantics are allowed (each big row
     * still matches exactly its key's small rows).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+                 buckets: Int = 16, joinType: String = "inner",
+                 spreadIdenticalRows: Boolean = false): DataFrame = {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
       s"saltedJoin: $joinType would duplicate unmatched replicated rows; " +
         "right/full joins need the unsalted form")
-    // salt must be DETERMINISTIC in row content: a salt from
-    // monotonically_increasing_id()/rand() changes when a stage retry
-    // recomputes a shuffle partition, duplicating or losing rows under
-    // partial recomputation. Hashing the whole row spreads a hot key's
-    // rows across buckets (they differ somewhere off-key); rows identical
-    // in EVERY column share a bucket, the one residual hot case.
-    val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val salt =
+      if (spreadIdenticalRows)
+        pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int")
+      else
+        pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets))
+    val salted = big.withColumn("_salt", salt)
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

@@ -119,9 +119,21 @@ object RestSource {
             s"HTTP ${err.status} ${err.message}")
       }
     }
-    if (!done && !allowTruncated) throw new java.io.IOException(
-      s"REST fetch $endpoint truncated at maxPages=$maxPages with data still " +
-        "flowing — pass allowTruncated=true if a partial extract is intended")
+    if (!done) {
+      // an API with EXACTLY maxPages pages is a complete extract, not a
+      // truncated one — probe one page past the cap to tell them apart
+      // (one extra request, only on the boundary/truncation path); a
+      // probe error counts as "maybe more data", i.e. truncated
+      limiter.foreach(_.acquire())
+      val more =
+        fetchWithRetry(fetch, endpoint, params + (pageParam -> page.toString), policy) match {
+          case Right(body) => !isEmptyPage(body)
+          case Left(_)     => true
+        }
+      if (more && !allowTruncated) throw new java.io.IOException(
+        s"REST fetch $endpoint truncated at maxPages=$maxPages with data still " +
+          "flowing — pass allowTruncated=true if a partial extract is intended")
+    }
     pages.result()
   }
 
@@ -130,9 +142,12 @@ object RestSource {
     */
   def landSaved(spark: SparkSession, rawDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val paths = java.nio.file.Files.list(java.nio.file.Paths.get(rawDir))
-      .iterator().asScala.filter(_.getFileName.toString.startsWith("page_"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(rawDir))
+    val paths = // numeric sort (zero-padding alone breaks past its width)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("page_")).toVector
+        .sortBy(p => p.getFileName.toString.filter(_.isDigit).toLong)
+      finally listing.close() // Files.list leaks an fd unless closed
     land(spark, paths.map(p => new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)))
   }
@@ -156,7 +171,8 @@ object RestSource {
               pageParam: String = "page", maxPages: Int = 1000,
               policy: RetryPolicy = RetryPolicy(),
               limiter: Option[RateLimiter] = None,
-              saveRawTo: Option[String] = None): DataFrame =
+              saveRawTo: Option[String] = None,
+              allowTruncated: Boolean = false): DataFrame =
     land(spark, fetchPaged(fetch, endpoint, params, pageParam, maxPages, policy,
-      limiter, saveRawTo))
+      limiter, saveRawTo, allowTruncated))
 }

@@ -180,6 +180,48 @@ class PipelineSpec extends SparkSpec {
     assert(JdbcWarehouse.read(spark, url, "etl_runs", props).count() == 3)
   }
 
+  test("loaded count is the FULL row count even when the loader probes first") {
+    // a guard action (isEmpty = limit(1) job) must not be recorded as the
+    // loaded count — the max over the loader's actions is the full pass
+    val dir = Files.createTempDirectory("pipe_guard").toFile.getAbsolutePath
+    val report = Pipeline.run(spark, "run-guard",
+      extract = source,
+      stages = Nil,
+      gate = None,
+      load = df => { if (!df.isEmpty) graft.sinks.DataSink.writeParquet(df, s"$dir/out") })
+    assert(report.loaded == 3, s"guard probe leaked into loaded=${report.loaded}")
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
+
+  test("runAll isolates a crashing arm: other arms load and all rows logged") {
+    val dir = Files.createTempDirectory("pipe_crash").toFile.getAbsolutePath
+    val full = Pipeline.runAll(spark, "crash-run", Seq(
+        Pipeline.TableJob("ok1", extract = _ => source),
+        Pipeline.TableJob("boom", extract = _ => source),
+        Pipeline.TableJob("ok2", extract = _ => source)),
+      load = (table, df) => {
+        if (table == "boom") throw new RuntimeException("transient sink failure")
+        graft.sinks.DataSink.writeParquet(df, s"$dir/$table")
+      },
+      logPath = Some(s"$dir/log"),
+      now = () => java.sql.Timestamp.valueOf("2026-08-12 00:00:00"))
+    assert(full.anyAborted)
+    assert(!full.tables("ok1").aborted && !full.tables("ok2").aborted)
+    assert(full.tables("boom").aborted &&
+      full.tables("boom").stages.exists(s => s.failures.exists(_.contains("transient"))))
+    assert(spark.read.parquet(s"$dir/ok1").count() == 3)
+    assert(spark.read.parquet(s"$dir/ok2").count() == 3)
+    val log = spark.read.parquet(s"$dir/log")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[String]("status")).toMap
+    assert(log == Map("ok1" -> "success", "boom" -> "failed", "ok2" -> "success"))
+    // misconfigured duplicate arm names are rejected up front
+    intercept[IllegalArgumentException] {
+      Pipeline.runAll(spark, "dup", Seq(
+        Pipeline.TableJob("t", extract = _ => source),
+        Pipeline.TableJob("t", extract = _ => source)), (_, _) => ())
+    }
+  }
+
   test("runAll parallel arms produce the same reports as sequential") {
     val dir = Files.createTempDirectory("pipe_par").toFile.getAbsolutePath
     val jobs = Seq(

@@ -250,6 +250,17 @@ class FunctionsSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT l2_normalize(array('a'))").head()
     }
+    // a null LANE is an invalid embedding → whole result null (reading
+    // the slot as 0.0 would fabricate a direction), in both eval modes
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    try Seq("true", "false").foreach { m =>
+      spark.conf.set(conf, m)
+      val r = spark.sql(
+        "SELECT l2_normalize(array(cast(1.0 as float), cast(null as float))) AS a, " +
+        "quantize_i8(array(cast(1.0 as float), cast(null as float))) AS b").head()
+      assert(r.isNullAt(0) && r.isNullAt(1), s"mode=$m")
+    } finally spark.conf.set(conf, before)
   }
 
   test("quantize_i8: scale, truncation, clamp, zero vector, dequantization error") {

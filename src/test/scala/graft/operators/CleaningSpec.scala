@@ -37,6 +37,20 @@ class CleaningSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("fillMedian treats NaN as missing (fill AND median) like na.fill/pandas") {
+    // NaN from a 0/0 upstream ratio must not survive the clean stage, and
+    // must not pollute the median (NaN sorts greatest in Spark ordering)
+    val df = Seq(1.0, Double.NaN, 3.0, 2.0, Double.NaN).toDF("x")
+    val out = Cleaning.fillMedian(df, Seq("x"), exact = true)
+      .collect().map(_.getDouble(0)).sorted
+    assert(!out.exists(_.isNaN))
+    assert(out.toSeq == Seq(1.0, 2.0, 2.0, 2.0, 3.0)) // median of {1,2,3} = 2
+    // and the whole fill stays one lazy plan (no mid-build action): the
+    // analyzed plan of the output still contains the aggregate subtree
+    val lazyOut = Cleaning.fillMedian(df, Seq("x"))
+    assert(lazyOut.queryExecution.analyzed.toString.contains("approx_percentile"))
+  }
+
   test("fillForward / fillBackward respect partition and order") {
     val df = Seq(
       ("u1", 1L, Some(10.0)), ("u1", 2L, None), ("u1", 3L, None), ("u1", 4L, Some(40.0)),

@@ -30,8 +30,9 @@ class SkewSpec extends SparkSpec {
   }
 
   test("saltedJoin matches the plain join and spreads the hot key") {
-    // 10k-row hot key plus a tail, joined to a 3-row dim
-    val big = ((1 to 10000).map(_ => (1L, "hot")) ++
+    // 10k-row hot key (rows DIFFER off-key, the common real shape) plus a
+    // tail, joined to a 3-row dim
+    val big = ((1 to 10000).map(i => (1L, s"hot$i")) ++
       (2 to 50).map(i => (i.toLong, s"k$i"))).toDF("k", "payload")
     val dim = Seq((1L, "dim1"), (2L, "dim2"), (99L, "unmatched")).toDF("k", "attr")
 
@@ -43,11 +44,33 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
     assert(salted == plain)
 
+    // the content salt ACTUALLY spreads the hot key's rows across buckets
+    val spread = big.filter(col("k") === 1L)
+      .select(Skew.saltColumn(big.columns.map(col).toIndexedSeq, 8).as("s"))
+      .select(count_distinct(col("s"))).head().getLong(0)
+    assert(spread == 8L, s"hot key occupied $spread of 8 buckets")
+
     // inner form: 10000 hot-key matches + one k=2 match
     assert(Skew.saltedJoin(big, dim, Seq("k"), 8).count() == 10001)
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(big, dim, Seq("k"), 8, joinType = "full")
     }
+  }
+
+  test("saltedJoin spreadIdenticalRows covers byte-identical duplicate floods") {
+    // all 10k hot rows byte-identical: the content hash maps them to ONE
+    // bucket (retry-safe but no spread) — the round-robin mode spreads
+    // them and still joins correctly
+    val big = ((1 to 10000).map(_ => (1L, "hot")) ++
+      (2 to 50).map(i => (i.toLong, s"k$i"))).toDF("k", "payload")
+    val dim = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "attr")
+    val out = Skew.saltedJoin(big, dim, Seq("k"), buckets = 8,
+      spreadIdenticalRows = true)
+    assert(out.count() == 10001)
+    val perBucket = big.filter(col("k") === 1L)
+      .select(pmod(monotonically_increasing_id(), lit(8L)).as("s"))
+      .select(count_distinct(col("s"))).head().getLong(0)
+    assert(perBucket > 1L, "identical rows must spread over multiple buckets")
   }
 
   test("saltColumn is deterministic and bounded") {

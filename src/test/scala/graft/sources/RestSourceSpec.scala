@@ -81,6 +81,12 @@ class RestSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
     assert(RestSource.fetchPaged(infinite, "/x", maxPages = 7,
       allowTruncated = true).size == 7)
+    // an API with EXACTLY maxPages pages is complete, not truncated: the
+    // boundary probe (one request past the cap) sees the empty page
+    val exactly7: RestSource.Fetch = (_, params) =>
+      if (params("page").toInt <= 7) Right(s"""[{"id": ${params("page")}}]""")
+      else Right("[]")
+    assert(RestSource.fetchPaged(exactly7, "/x", maxPages = 7).size == 7)
   }
 
   test("saveRawTo lands raw page bodies before parsing; landSaved replays them") {
