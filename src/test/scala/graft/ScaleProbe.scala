@@ -80,6 +80,17 @@ object ScaleProbe {
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
         numPlanes = 12, threshold = 0.9, numTables = 4)
     }
+    // text/curation scans: the per-row constant IS the cost model here —
+    // if these are linear, the 100 TB scan is too (1× figures: TimeOne
+    // on the registry query shapes, quiet JVM)
+    time("lang_id", 0.45) { TextAnalysis.langIdFrame(docs, "text") }
+    time("text_repetition", 0.40) { Curation.repetitionSignals(docs, "text") }
+    time("redact_pii", 0.65) {
+      docs.select(col("doc_id"), Curation.redactPII(col("text")).as("t"))
+    }
+    time("embed_quantize", 0.25) {
+      emb.select(col("vec_id"), call_function("quantize_i8", col("embedding")).as("qz"))
+    }
     spark.stop()
   }
 }
