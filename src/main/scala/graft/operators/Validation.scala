@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Validation {
 
-  /** severity mirrors validators.py:27 ValidationSeverity. */
-  final case class Rule(name: String, severity: String, violation: Column)
+  /** severity mirrors validators.py:27 ValidationSeverity; `threshold` is
+    * the rule's own max allowed violation fraction (a `thresholds` map
+    * entry in [[validate]] still overrides it).
+    */
+  final case class Rule(name: String, severity: String, violation: Column,
+                        threshold: Double = 0.0)
 
-  /** Null-fraction threshold check (validators.py:116 add_null_check). */
+  /** Null-fraction threshold check (validators.py:116 add_null_check).
+    * `maxNullPct` rides ON the rule — callers are not required to
+    * duplicate it into `validate`'s thresholds map.
+    */
   def nullCheck(column: String, maxNullPct: Double, severity: String = "error"): Rule =
-    Rule(s"null_check_$column", severity, col(column).isNull) // threshold applied in report
+    Rule(s"null_check_$column", severity, col(column).isNull, maxNullPct)
 
   /** Range check (validators.py:233 add_range_check). */
   def rangeCheck(column: String, min: Option[Double], max: Option[Double],
@@ -47,13 +54,16 @@ object Validation {
     // collides with a column) cannot inject into or break the plan
     val aggs = count(lit(1)).as("row_count") +:
       rules.zipWithIndex.map { case (r, i) =>
-        sum(when(r.violation, 1L).otherwise(0L)).as(s"_v$i")
+        // coalesce: sum over an EMPTY frame is null, and a null violation
+        // count would read as passed=false — an empty extract (a legal
+        // incremental run) must not trip every gate
+        coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L)).as(s"_v$i")
       }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val entries = array(rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"), lit(r.severity).as("severity"),
         col(s"_v$i").as("violations"),
-        lit(thresholds.getOrElse(r.name, 0.0)).as("threshold"))
+        lit(thresholds.getOrElse(r.name, r.threshold)).as("threshold"))
     }: _*)
     wide.select(col("row_count"), explode(entries).as("e"))
       .select(col("e.rule").as("rule"), col("e.severity").as("severity"),
@@ -68,9 +78,10 @@ object Validation {
     */
   def uniqueCheck(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col).toIndexedSeq: _*).agg(count(lit(1)).as("cnt"))
-      .agg(
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_keys"),
-        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)).as("duplicate_rows"))
+      .agg( // coalesce: empty input has zero groups → null sums → a
+            // legitimately-empty table would read as FAILING uniqueness
+        coalesce(sum(when(col("cnt") > 1, 1L).otherwise(0L)), lit(0L)).as("duplicate_keys"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)), lit(0L)).as("duplicate_rows"))
       .select(
         lit(s"unique_check_${keys.mkString(",")}").as("rule"),
         col("duplicate_keys"), col("duplicate_rows"),

@@ -73,7 +73,12 @@ object DataSink {
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
              versionCol: String): DataFrame = {
     val cols = current.columns.toSeq
-    require(updates.columns.toSeq == cols, "upsert: schemas must match")
+    // column SETS must match; order is free (unionByName is by-name, and
+    // requiring exact order made repeated upserts self-incompatible: the
+    // output used to come back keys-first, so merging a written snapshot
+    // with the next batch's original order failed on the 3rd round)
+    require(updates.columns.toSet == cols.toSet,
+      s"upsert: column sets must match, got ${updates.columns.toSeq} vs $cols")
     val others = cols.filterNot(keys.contains)
     // _pri: updates (1) beat current (0) at equal version
     val unioned = current.withColumn("_pri", lit(0))
@@ -82,6 +87,7 @@ object DataSink {
     unioned.groupBy(keys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), winner).as("_row"))
       .select(keys.map(col) ++ others.map(c => col(s"_row.$c").as(c)): _*)
+      .select(cols.map(col): _*) // restore current's column order
   }
 
   /** ETL run log entry (reference: `db_loader.py:443` log_etl_run) —

@@ -27,16 +27,33 @@ object JsonSource {
   def parseColumn(df: DataFrame, jsonCol: String, schema: DataType): DataFrame =
     df.withColumn(jsonCol, from_json(col(jsonCol), schema))
 
+  /** Claim a unique output name: `wanted` if free, else `wanted_2`,
+    * `wanted_3`, … — a flatten/explode that emits two columns with one
+    * name poisons everything downstream (AMBIGUOUS_REFERENCE on by-name
+    * access, duplicate-column failure on write), and API payloads DO
+    * carry ids at several levels.
+    */
+  private def claim(taken: scala.collection.mutable.Set[String], wanted: String): String = {
+    val name = if (!taken(wanted)) wanted
+      else Iterator.from(2).map(i => s"${wanted}_$i").find(!taken(_)).get
+    taken += name
+    name
+  }
+
   /** Flatten one level of nested structs to `parent_child` columns —
     * the reference's products flattening (`api_connector.py:137`
     * fetch_products: rating.{rate,count} → rating_rate, rating_count).
+    * Name collisions (a top-level `rating_rate` next to struct
+    * `rating{rate}`) disambiguate with a numeric suffix in field order.
     */
   def flattenStructs(df: DataFrame): DataFrame = {
+    val taken = scala.collection.mutable.Set.empty[String]
     val cols: Seq[Column] = df.schema.fields.flatMap { f =>
       f.dataType match {
         case s: StructType =>
-          s.fieldNames.map(n => col(s"`${f.name}`.`$n`").as(s"${f.name}_$n")).toSeq
-        case _ => Seq(col(s"`${f.name}`"))
+          s.fieldNames.map(n =>
+            col(s"`${f.name}`.`$n`").as(claim(taken, s"${f.name}_$n"))).toSeq
+        case _ => Seq(col(s"`${f.name}`").as(claim(taken, f.name)))
       }
     }.toIndexedSeq
     df.select(cols: _*)
@@ -45,11 +62,15 @@ object JsonSource {
   /** Explode an array-of-structs column into child rows carrying the
     * parent keys — the reference's carts → order-items expansion
     * (`api_connector.py:168` fetch_carts: one row per cart product).
+    * An item field sharing a parent column's name (ids at both levels)
+    * disambiguates with a numeric suffix.
     */
   def explodeItems(df: DataFrame, arrayCol: String, parentCols: Seq[String]): DataFrame = {
     val item = explode(col(arrayCol)).as("_item")
     val base = df.select(parentCols.map(col) :+ item: _*)
     val itemFields = base.schema("_item").dataType.asInstanceOf[StructType].fieldNames
-    base.select(parentCols.map(col) ++ itemFields.map(n => col(s"_item.`$n`").as(n)): _*)
+    val taken = scala.collection.mutable.Set(parentCols: _*)
+    base.select(parentCols.map(col) ++
+      itemFields.map(n => col(s"_item.`$n`").as(claim(taken, n))): _*)
   }
 }

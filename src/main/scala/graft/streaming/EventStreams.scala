@@ -25,13 +25,24 @@ object EventStreams {
                            session_value: Double)
 
   /** Internal per-user session accumulator (public: Catalyst's generated
-    * encoder code must be able to call the accessors).
+    * encoder code must be able to call the accessors). `totalValue` is a
+    * DECIMAL, not a running double: double accumulation is order-dependent
+    * (per-batch chunks + state carryover order ≠ the batch plan's partial
+    * aggregation order), so a cent could flap vs the batch twin. Summands
+    * are scaled to 6 like `Analytics.moneySum`'s decimal(30,6) cast.
     */
-  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long,
+                                totalValue: BigDecimal)
+
+  private def money6(d: Double): BigDecimal =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
 
   /** Tumbling-window event aggregation (streaming form of
     * `Analytics.eventWindowAgg`): watermark bounds state; late rows beyond
-    * it are dropped, on-time rows land in their hour bucket.
+    * it are dropped, on-time rows land in their hour bucket. The value sum
+    * goes through decimal(30,6) exactly like the batch twin's `moneySum` —
+    * a raw double sum would disagree with the batch answer by a cent
+    * whenever partial-agg order lands near a rounding boundary.
     */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
@@ -39,7 +50,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("event_count"),
-        round(sum(col("value")), 2).as("total_value"),
+        round(sum(col("value").cast("decimal(30,6)")), 2).cast("double").as("total_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("event_count"), col("total_value"), col("approx_users"))
@@ -55,7 +66,8 @@ object EventStreams {
     val gapMs = gapMinutes * 60000L
 
     def flush(userId: Long, st: SessionState): Session =
-      Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.nEvents, st.totalValue)
+      Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.nEvents,
+        st.totalValue.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -73,12 +85,13 @@ object EventStreams {
               val t = e.ts.getTime
               st match {
                 case null =>
-                  st = SessionState(t, t, 1L, e.value)
+                  st = SessionState(t, t, 1L, money6(e.value))
                 case s if t - s.lastMs > gapMs =>
                   closed ::= flush(userId, s)
-                  st = SessionState(t, t, 1L, e.value)
+                  st = SessionState(t, t, 1L, money6(e.value))
                 case s =>
-                  st = SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.totalValue + e.value)
+                  st = SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1,
+                    s.totalValue + money6(e.value))
               }
             }
             state.update(st)
@@ -148,31 +161,45 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val target = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = target.getFileSystem(conf)
-        val merged = currentSnapshot(spark, targetDir) match {
-          case Some(cur) => graft.sinks.DataSink.upsert(cur, batch, keys, versionCol)
-          case None      => batch
-        }
-        val snapName = f"v_$batchId%019d"
-        merged.write.mode("overwrite").parquet(s"$targetDir/$snapName")
-        // atomic pointer swap: tmp file + rename-with-overwrite
-        val tmp = new org.apache.hadoop.fs.Path(target, "_LATEST.tmp")
-        val latest = new org.apache.hadoop.fs.Path(target, "_LATEST")
-        val out = fs.create(tmp, true)
-        try out.write(snapName.getBytes("UTF-8")) finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-        fc.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // GC: keep the new snapshot and its predecessor, drop older
-        val snaps = fs.listStatus(target).map(_.getPath.getName)
-          .filter(_.startsWith("v_")).sorted
-        snaps.dropRight(2).foreach(s =>
-          fs.delete(new org.apache.hadoop.fs.Path(target, s), true))
-        ()
+        applyUpsertBatch(spark, batch, batchId, targetDir, keys, versionCol)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch of the upsert protocol (factored out of the stream
+    * closure so the at-least-once replay path is directly testable).
+    * Idempotent per batchId: foreachBatch replays a batch when the job
+    * crashed AFTER the pointer swap but BEFORE the checkpoint commit —
+    * the pointer already naming this snapshot proves the batch fully
+    * committed, and re-merging would read `v_<batchId>` while overwriting
+    * it (self-read failure / snapshot loss), so the replay is a no-op.
+    */
+  def applyUpsertBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                       targetDir: String, keys: Seq[String], versionCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(conf)
+    val snapName = f"v_$batchId%019d"
+    if (!currentSnapshotName(spark, targetDir).contains(snapName)) {
+      val merged = currentSnapshot(spark, targetDir) match {
+        case Some(cur) => graft.sinks.DataSink.upsert(cur, batch, keys, versionCol)
+        case None      => batch
+      }
+      merged.write.mode("overwrite").parquet(s"$targetDir/$snapName")
+      // atomic pointer swap: tmp file + rename-with-overwrite
+      val tmp = new org.apache.hadoop.fs.Path(target, "_LATEST.tmp")
+      val latest = new org.apache.hadoop.fs.Path(target, "_LATEST")
+      val out = fs.create(tmp, true)
+      try out.write(snapName.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      fc.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // GC: keep the new snapshot and its predecessor, drop older
+      val snaps = fs.listStatus(target).map(_.getPath.getName)
+        .filter(_.startsWith("v_")).sorted
+      snaps.dropRight(2).foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(target, s), true))
+    }
   }
 
   /** Name of the live snapshot directory under an [[upsertSink]] target:

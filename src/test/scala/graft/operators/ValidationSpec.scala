@@ -48,6 +48,31 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.uniqueCheck(df.distinct(), Seq("k")).head().getAs[Boolean]("passed"))
   }
 
+  test("empty input passes all checks (a legal empty incremental run must not trip gates)") {
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "tag")
+    val report = Validation.validate(empty, Seq(
+      Validation.nullCheck("tag", 0.0, "critical"),
+      Validation.rangeCheck("id", Some(0d), None, "error"))).collect()
+    report.foreach { r =>
+      assert(r.getAs[Long]("violations") == 0L, r.toString)
+      assert(r.getAs[Boolean]("passed"), r.toString)
+    }
+    assert(Validation.uniqueCheck(empty, Seq("id")).head().getAs[Boolean]("passed"))
+  }
+
+  test("nullCheck's own maxNullPct is honored without a separate thresholds map") {
+    // 1 null in 4 rows = 25% nulls: allowed at 30%, failed at 20%
+    val df = Seq(Some("a"), Some("b"), Some("c"), None).toDF("tag")
+    val loose = Validation.validate(df, Seq(Validation.nullCheck("tag", 0.3))).head()
+    assert(loose.getAs[Boolean]("passed"))
+    val strict = Validation.validate(df, Seq(Validation.nullCheck("tag", 0.2))).head()
+    assert(!strict.getAs[Boolean]("passed"))
+    // an explicit thresholds-map entry still overrides the rule's own
+    val overridden = Validation.validate(df, Seq(Validation.nullCheck("tag", 0.2)),
+      thresholds = Map("null_check_tag" -> 0.3)).head()
+    assert(overridden.getAs[Boolean]("passed"))
+  }
+
   test("schemaCheck reports missing and mistyped columns") {
     val df = Seq((1L, "a")).toDF("id", "name")
     assert(Validation.schemaCheck(df, Map("id" -> "bigint", "name" -> "string")).isEmpty)

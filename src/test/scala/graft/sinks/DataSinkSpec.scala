@@ -23,6 +23,24 @@ class DataSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { DataSink.upsert(cur, upd, Seq("k"), "version") }
   }
 
+  test("upsert preserves column order and chains: upsert(upsert(...)) with non-prefix keys") {
+    // the output used to come back keys-first, so feeding one upsert's
+    // output (a written snapshot) into the next with the ORIGINAL column
+    // order failed on round 3 of any streaming merge whose keys are not
+    // the schema prefix
+    val cur = Seq((10L, 1L, "a", 1L), (11L, 2L, "b", 1L)).toDF("id", "k", "v", "version")
+    val upd1 = Seq((12L, 2L, "b2", 2L)).toDF("id", "k", "v", "version")
+    val r1 = DataSink.upsert(cur, upd1, Seq("k"), "version")
+    assert(r1.columns.toSeq == Seq("id", "k", "v", "version"))
+    val upd2 = Seq((13L, 3L, "c", 1L)).toDF("id", "k", "v", "version")
+    val r2 = DataSink.upsert(r1, upd2, Seq("k"), "version") // must not throw
+    assert(r2.collect().map(r => r.getLong(1) -> r.getString(2)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // and differently-ORDERED (same-set) updates are accepted by name
+    val reordered = Seq(("d", 4L, 1L, 14L)).toDF("v", "k", "version", "id")
+    assert(DataSink.upsert(cur, reordered, Seq("k"), "version").count() == 3)
+  }
+
   test("partitioned parquet write round-trips with pruning-friendly layout") {
     val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
     val df = Seq((1L, "2026-01-01", 5.0), (2L, "2026-01-02", 6.0), (3L, "2026-01-01", 7.0))

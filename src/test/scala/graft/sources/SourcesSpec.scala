@@ -72,6 +72,26 @@ class SourcesSpec extends SparkSpec {
     assert(items.filter(col("cart_id") === 1L).count() == 2)
   }
 
+  test("JsonSource flatten/explode disambiguate colliding names instead of emitting duplicates") {
+    import spark.implicits._
+    // ids at BOTH levels (the common API-payload shape): a duplicate
+    // output column would throw AMBIGUOUS_REFERENCE downstream
+    val carts = Seq((1L, 100L, Seq((7L, 2L)))).toDF("id", "total", "items")
+      .withColumn("items", col("items").cast("array<struct<id: bigint, qty: bigint>>"))
+    val items = JsonSource.explodeItems(carts, "items", Seq("id"))
+    assert(items.columns.toSeq == Seq("id", "id_2", "qty"))
+    assert(items.select("id", "id_2").head() == org.apache.spark.sql.Row(1L, 7L))
+
+    // top-level rating_rate next to struct rating{rate}: flatten must not
+    // produce two rating_rate columns
+    val prods = Seq((1L, 9.9, (4.5, 10L))).toDF("pid", "rating_rate", "rating")
+      .withColumn("rating", col("rating").cast("struct<rate: double, count: bigint>"))
+    val flat = JsonSource.flattenStructs(prods)
+    assert(flat.columns.toSeq == Seq("pid", "rating_rate", "rating_rate_2", "rating_count"))
+    assert(flat.select("rating_rate", "rating_rate_2").head() ==
+      org.apache.spark.sql.Row(9.9, 4.5))
+  }
+
   test("JsonSource.parseColumn parses embedded JSON strings") {
     import spark.implicits._
     val df = Seq((1L, """{"k": 7}"""), (2L, "not json")).toDF("id", "props")

@@ -193,6 +193,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(snaps.contains(EventStreams.currentSnapshotName(spark, s"$base/t").get))
   }
 
+  test("applyUpsertBatch replay of a committed batch is a no-op (at-least-once safety)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("upsert_replay").toFile.getAbsolutePath
+    val b0 = Seq((1L, 10L, "click", ts("2026-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    EventStreams.applyUpsertBatch(spark, b0, 0L, s"$base/t",
+      keys = Seq("user_id", "event_type"), versionCol = "event_id")
+    val afterFirst = EventStreams.readUpserted(spark, s"$base/t").get.collect().toSeq
+    // crash between pointer swap and checkpoint commit → foreachBatch
+    // replays batchId 0: must not merge v_0 into itself (self-read
+    // overwrite) nor change the snapshot
+    EventStreams.applyUpsertBatch(spark, b0, 0L, s"$base/t",
+      keys = Seq("user_id", "event_type"), versionCol = "event_id")
+    assert(EventStreams.currentSnapshotName(spark, s"$base/t").get.endsWith("0"))
+    assert(EventStreams.readUpserted(spark, s"$base/t").get.collect().toSeq == afterFirst)
+    // and a NEW batch still merges on top, three rounds deep (non-prefix
+    // keys: the column-order fix in DataSink.upsert)
+    val b1 = Seq((7L, 10L, "click", ts("2026-01-01 11:00:00"), 9.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    EventStreams.applyUpsertBatch(spark, b1, 1L, s"$base/t", Seq("user_id", "event_type"), "event_id")
+    val b2 = Seq((9L, 11L, "view", ts("2026-01-01 12:00:00"), 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    EventStreams.applyUpsertBatch(spark, b2, 2L, s"$base/t", Seq("user_id", "event_type"), "event_id")
+    val out = EventStreams.readUpserted(spark, s"$base/t").get
+      .select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((10L, "click", 7L), (11L, "view", 9L)))
+  }
+
   test("readUpserted falls back to the newest snapshot when the pointer is lost") {
     import java.nio.file.Files
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
