@@ -18,6 +18,7 @@ object Bench {
       try {
         val w0 = System.nanoTime()
         exec(name, fn) // warmup: plan + codegen + JIT
+        val warmSec = (System.nanoTime() - w0) / 1e9
         // best of five timed passes: single-pass numbers on a shared local
         // JVM carry GC/JIT noise an order above real query cost, and
         // best-of-two still showed ±80% round-over-round swings on
@@ -32,7 +33,7 @@ object Bench {
         }.sorted
         val t = passes.head
         val med = passes(passes.length / 2)
-        System.err.println(f"[bench] $name%-28s warm=${(System.nanoTime() - w0) / 1e9}%8.2f best=$t%8.2f med=$med%8.2f")
+        System.err.println(f"[bench] $name%-28s warm=$warmSec%8.2f best=$t%8.2f med=$med%8.2f")
         name -> (t, med)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

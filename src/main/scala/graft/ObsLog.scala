@@ -37,7 +37,11 @@ final class ObsLog(maxBuffered: Int = 10000) extends QueryExecutionListener {
       buffered.decrementAndGet() // drop oldest, never block
     }
     val root = qe.executedPlan
-    val rows = root.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
+    // filter on metric PRESENCE only: a genuine 0-row result (empty load)
+    // must not be reported as "unknown" (-1); that sentinel is reserved for
+    // roots that expose no numOutputRows metric at all. (SQLMetric.value
+    // clamps unset sum metrics to 0, so 0 here means "0 rows observed".)
+    val rows = root.metrics.get("numOutputRows").map(_.value)
     buf.add(Record(new java.sql.Timestamp(System.currentTimeMillis()), funcName,
       durationNs / 1000000L, root.nodeName, rows, error))
     buffered.incrementAndGet()

@@ -846,9 +846,13 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
         |sh AS (
+        |  -- mirrors shingles_of: docs shorter than k collapse to ONE
+        |  -- whole-text shingle instead of producing no shingles at all
         |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END)) AS s
         |  FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (

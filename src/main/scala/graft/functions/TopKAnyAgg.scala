@@ -70,7 +70,10 @@ case class TopKAnyAgg(score: Expression, payload: Expression, kExpr: Expression,
     val s = score.eval(input)
     if (s != null) {
       val p = InternalRow.copyValue(payload.eval(input))
-      buffer.add((s.asInstanceOf[Double], p))
+      // null payloads are skipped (as in TopKByAgg): the tie-break
+      // ordering can't compare null, and a rank entry without its
+      // payload carries no information
+      if (p != null) buffer.add((s.asInstanceOf[Double], p))
     }
     buffer
   }

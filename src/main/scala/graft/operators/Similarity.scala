@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.Random
-
 /** Vector similarity over an `Array[Float]` embedding column.
   *
   * Two paths:
@@ -28,11 +26,6 @@ object Similarity {
     * differential reference.)
     */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
-
-  /** All (a,b) a<b pairs from an array — helper for bucketed self-joins. */
-  def sortedPairs(docs: Column): Column =
-    flatten(transform(docs, a =>
-      transform(filter(docs, b => b > a), b => struct(a.as("_1"), b.as("_2")))))
 
   /** Explode a `top_k_by` result array into (rank, neighbor_id, sim) rows. */
   private def explodeTopK(grouped: DataFrame): DataFrame =

@@ -92,35 +92,96 @@ object JdbcWarehouse {
 
   /** Upsert `updates` into `table` by `keys` (db_loader.py:319 INSERT ON
     * CONFLICT UPDATE): last-wins on `versionCol`, updates beating current
-    * on ties. The merge runs distributed, lands in `table_staging`, and the
-    * swap is DROP + RENAME in one transaction (transactional DDL where the
-    * engine supports it, e.g. Derby/Postgres).
+    * on ties. The merge runs distributed and lands in `table_staging`;
+    * the publish is then `DELETE FROM table; INSERT INTO table SELECT …
+    * FROM table_staging` inside ONE transaction, so readers see the old
+    * or the new snapshot, never a half-written one, and the main table's
+    * own DDL — column types, PRIMARY KEY, NOT NULL, indexes (e.g. from
+    * [[initializeSchema]]) — is never dropped. (A DROP + RENAME swap
+    * would silently replace the bootstrapped table with the staging
+    * table's Spark-implicit DDL: CLOB strings, no constraints, no
+    * indexes.) Each inserted column is CAST to the main table's declared
+    * type, so a CLOB staging column lands back in its VARCHAR home. The
+    * server-side INSERT..SELECT moves the already-merged snapshot
+    * engine-locally — one statement, not a round trip per row.
     *
-    * @param renameSql dialect hook for the swap statement; default is the
-    *                  Derby/MySQL `RENAME TABLE a TO b` form.
+    * @param readPartitioning optional `(column, lower, upper, n)`: read
+    *                         the current snapshot through `n` parallel
+    *                         range-partitioned connections instead of one
+    *                         ([[readPartitioned]]) — use for big tables.
     */
   def upsert(spark: SparkSession, url: String, table: String, updates: DataFrame,
              keys: Seq[String], versionCol: String, batchSize: Int = 1000,
              props: Properties = new Properties,
-             renameSql: (String, String) => String =
-               (a, b) => s"RENAME TABLE $a TO $b"): Unit = {
+             readPartitioning: Option[(String, Long, Long, Int)] = None): Unit = {
     if (!tableExists(url, table, props)) {
       load(updates, url, table, SaveMode.ErrorIfExists, batchSize, props)
       return
     }
-    val current = read(spark, url, table, props)
-    val merged = DataSink.upsert(current, updates.select(current.columns.map(col).toIndexedSeq: _*),
-      keys, versionCol)
+    // the main table's STORED column names (and lossy-mapped types) anchor
+    // every name below: JDBC engines case-fold unquoted DDL (Derby stores
+    // ID for unquoted `id`), while Spark's JDBC sink quotes identifiers —
+    // mixing the two silently diverges, so normalize once, here
+    val colDefs = withConnection(url, props)(declaredColumns(_, table))
+    val current = readPartitioning match {
+      case Some((c, lo, hi, n)) => readPartitioned(spark, url, table, c, lo, hi, n, props)
+      case None                 => read(spark, url, table, props)
+    }
+    def stored(name: String): String =
+      colDefs.map(_._1).find(_.equalsIgnoreCase(name)).getOrElse(name)
+    val updNorm = updates.select(current.columns.map(c => col(c).as(stored(c))).toIndexedSeq: _*)
+    val curNorm = current.select(current.columns.map(c => col(c).as(stored(c))).toIndexedSeq: _*)
+    val merged = DataSink.upsert(curNorm, updNorm, keys.map(stored), stored(versionCol))
     val staging = s"${table}_staging"
     // the staging write EXECUTES the lazy read of `table`, so the snapshot
-    // is fully consumed before anything below mutates it
+    // is fully consumed before anything below mutates it; its quoted
+    // column names now match the main table's stored names exactly
     load(merged, url, staging, SaveMode.Overwrite, batchSize, props)
     withConnection(url, props) { conn =>
       conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      st.execute(s"DROP TABLE $table")
-      st.execute(renameSql(staging, table))
-      conn.commit()
+      try {
+        val st = conn.createStatement()
+        st.execute(s"DELETE FROM $table")
+        val names = colDefs.map { case (n, _) => "\"" + n + "\"" }
+        val sel = colDefs.map {
+          // cast only the types Spark's implicit staging DDL maps lossily
+          // (Derby: StringType→CLOB, not assignable to VARCHAR without an
+          // explicit cast); identical types pass through bare
+          case (n, Some(t)) => s"""CAST("$n" AS $t)"""
+          case (n, None)    => "\"" + n + "\""
+        }.mkString(", ")
+        st.execute(s"INSERT INTO $table (${names.mkString(", ")}) " +
+          s"SELECT $sel FROM $staging")
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+      conn.setAutoCommit(true)
+      conn.createStatement().execute(s"DROP TABLE $staging")
+    }
+  }
+
+  /** `(stored name, cast-target type when lossy-mapped)` per column of
+    * `table`, in ordinal order, from JDBC catalog metadata (probing the
+    * stored-case variants, which differ per engine).
+    */
+  private def declaredColumns(conn: Connection, table: String): Seq[(String, Option[String])] = {
+    def probe(name: String): Seq[(String, Int, String, Int, Int)] = {
+      val rs = conn.getMetaData.getColumns(null, null, name, null)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Int, Int)]
+      while (rs.next()) buf += ((rs.getString("COLUMN_NAME"), rs.getInt("ORDINAL_POSITION"),
+        rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS")))
+      rs.close()
+      buf.sortBy(_._2).toSeq
+    }
+    val found = Seq(table.toUpperCase, table, table.toLowerCase).view.map(probe)
+      .find(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(s"no column metadata for table $table"))
+    found.map { case (name, _, typeName, size, digits) =>
+      val cast = typeName.toUpperCase match {
+        case v @ ("VARCHAR" | "CHAR")    => Some(s"$v($size)")
+        case d @ ("DECIMAL" | "NUMERIC") => Some(s"$d($size,$digits)")
+        case _                           => None
+      }
+      (name, cast)
     }
   }
 
@@ -177,22 +238,37 @@ object JdbcWarehouse {
     * `initialize_schema` (db_loader.py:84 executes schema.sql: tables +
     * indexes). Spark's JDBC sink otherwise CREATEs implicitly on first
     * write, which loses constraints, indexes, and NOT NULLs, and races
-    * when several arms first-write concurrently. Idempotent: existing
-    * tables are left untouched, so re-runs and rolling deploys are safe.
+    * when several arms first-write concurrently. Idempotent AND
+    * concurrency-safe: existing tables are left untouched, and a CREATE
+    * that loses a concurrent race (probe said absent, another arm created
+    * it first) is treated as already-exists, not an error — the race
+    * winner creates the indexes.
     *
-    * @return the table names actually created this call.
+    * @return the table names actually created by THIS call.
     */
   def initializeSchema(url: String, tables: Seq[TableDef],
                        props: Properties = new Properties): Seq[String] =
-    tables.filterNot(t => tableExists(url, t.name, props)).map { t =>
+    tables.filterNot(t => tableExists(url, t.name, props)).flatMap { t =>
       withConnection(url, props) { conn =>
         val st = conn.createStatement()
-        st.execute(createTableDdl(t))
-        t.indexes.zipWithIndex.foreach { case (cols, i) =>
-          st.execute(s"CREATE INDEX idx_${t.name}_$i ON ${t.name} (${cols.mkString(", ")})")
-        }
+        val won =
+          try { st.execute(createTableDdl(t)); true }
+          catch {
+            case e: java.sql.SQLException =>
+              // re-probe on THIS connection: lost race → fine; else real
+              val exists =
+                try { conn.createStatement()
+                  .executeQuery(s"SELECT 1 FROM ${t.name} WHERE 1=0").close(); true }
+                catch { case _: java.sql.SQLException => false }
+              if (exists) false else throw e
+          }
+        if (won) {
+          t.indexes.zipWithIndex.foreach { case (cols, i) =>
+            st.execute(s"CREATE INDEX idx_${t.name}_$i ON ${t.name} (${cols.mkString(", ")})")
+          }
+          Some(t.name)
+        } else None
       }
-      t.name
     }
 
   /** ETL run log row (db_loader.py:443 log_etl_run), appended via JDBC. */

@@ -176,12 +176,4 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(results(loaded) == results(built))
   }
-
-  test("sortedPairs emits each unordered pair once") {
-    val out = spark.sql("SELECT 1").select(
-      Similarity.sortedPairs(array(lit(3L), lit(1L), lit(2L))).as("p"))
-      .selectExpr("explode(p) AS q").selectExpr("q._1", "q._2")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
-  }
 }

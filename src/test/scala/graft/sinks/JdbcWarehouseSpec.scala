@@ -126,6 +126,39 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(JdbcWarehouse.read(spark, freshUrl, "etl_runs", props).count() == 1)
   }
 
+  test("upsert preserves bootstrapped DDL: VARCHAR stays comparable, PK enforced") {
+    import org.apache.spark.sql.types._
+    val freshDir = Files.createTempDirectory("graft-derby-upddl").toFile.getAbsolutePath
+    val freshUrl = s"jdbc:derby:$freshDir/wh;create=true"
+    val t = JdbcWarehouse.TableDef("accounts",
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType),
+        StructField("version", LongType))),
+      primaryKey = Seq("id"))
+    JdbcWarehouse.initializeSchema(freshUrl, Seq(t), props)
+    JdbcWarehouse.load(Seq((1L, "alice", 1L), (2L, "bob", 1L)).toDF("id", "name", "version"),
+      freshUrl, "accounts", SaveMode.Append, props = props)
+
+    JdbcWarehouse.upsert(spark, freshUrl, "accounts",
+      Seq((2L, "bob2", 2L), (3L, "carol", 1L)).toDF("id", "name", "version"),
+      Seq("id"), "version", props = props,
+      readPartitioning = Some(("id", 1L, 2L, 2)))
+
+    // a pushed-down string '=' predicate: works on VARCHAR, throws on the
+    // CLOB column a DROP+RENAME publish would have left behind
+    val hit = JdbcWarehouse.read(spark, freshUrl, "accounts", props)
+      .filter(col("name") === "bob2").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(JdbcWarehouse.read(spark, freshUrl, "accounts", props).count() == 3)
+    // the PK declared at bootstrap still constrains after the publish
+    intercept[Exception] {
+      JdbcWarehouse.load(Seq((3L, "dup", 9L)).toDF("id", "name", "version"),
+        freshUrl, "accounts", SaveMode.Append, props = props)
+    }
+    assert(!JdbcWarehouse.tableExists(freshUrl, "accounts_staging", props))
+  }
+
   test("logEtlRun appends run records to the warehouse") {
     val ts = new Timestamp(1700000000000L)
     JdbcWarehouse.logEtlRun(spark, url, "etl_runs", "run-1", "load", "success", 42L, ts, props)
