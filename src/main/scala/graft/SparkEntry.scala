@@ -422,6 +422,67 @@ object SparkEntry {
       Similarity.lshNearDupPairs(planted, "vec_id", "embedding", dim = 64,
           numPlanes = 12, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // incremental LSH probe: a batch of x2-scaled copies (sign bits — and
+    // thus signatures — preserved exactly, so recall is 1.0 by
+    // construction) probed against the corpus signature index; at 0.9 the
+    // only qualifying pairs are the planted identities (max natural
+    // pairwise cosine ~0.51), so the exact cross-join oracle is total
+    "q_ann_lsh_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpusIx = Similarity.lshSignatureIndex(emb, "vec_id", "embedding",
+        dim = 64, numPlanes = 12)
+      val batch = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.lshNearDupAgainst(batch, corpusIx, "vec_id", "embedding",
+          dim = 64, numPlanes = 12, threshold = 0.9)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // incremental exact dedup: an arriving batch (with 10 planted corpus
+    // copies) deduped against the corpus fingerprint table
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 250)
+      val planted = corpus.orderBy(col("doc_id")).limit(10)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") >= 250).unionByName(planted)
+      Dedup.dedupAgainstCorpus(batch, Dedup.contentFingerprints(corpus, "text"),
+          "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // as-of join: each event enriched with the user's latest order as of
+    // the event time; the right side is arg-max-deduped per (key, time)
+    // so the result is deterministic (orders has duplicate
+    // (custkey, orderdate) instants)
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      Temporal.asofJoin(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range join: events attributed to the hour-long window BEFORE each
+    // purchase by the same user (bin-bucketed, no cartesian)
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pts = ev.select(col("user_id"), col("event_id"), col("ts"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("win_lo"), col("ts").as("win_hi"))
+      Temporal.rangeJoin(pts, wins, Seq("user_id"), Seq("p_user"),
+          "ts", "win_lo", "win_hi", binWidthSec = 3600L)
+        .select(col("purchase_id"), col("event_id"))
+        .orderBy(col("purchase_id"), col("event_id"))
     })
   )
 
@@ -961,6 +1022,54 @@ object SparkEntry {
         |FROM planted a, planted b
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact cross-pairs oracle: recall 1.0 by the x2-scaling construction,
+    // and only the planted identity pairs clear the 0.9 threshold
+    "q_ann_lsh_incr" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(b.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |FROM batch b, embeddings c
+        |WHERE round(list_cosine_similarity(b.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.9
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // text-equality mirror of the (length, xxhash64) fingerprint anti-join
+    // — identical results absent 64-bit collisions, which the testdata
+    // (and any planted case) cannot produce
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |planted AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM corpus
+        |  ORDER BY doc_id LIMIT 10),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id, text FROM planted)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM batch b2 WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.o_orderkey AS last_orderkey,
+        |       o.o_totalprice AS last_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS event_id
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        |WHERE p.event_type = 'purchase'
+        |  AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+        |ORDER BY purchase_id, event_id""".stripMargin
   )
 }

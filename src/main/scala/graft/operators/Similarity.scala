@@ -76,12 +76,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       numPlanes: Int, threshold: Double,
                       numTables: Int = 1, seed: Long = 42L): DataFrame = {
-    val sigs = array((0 until numTables).map { t =>
-      struct(lit(t).as("t"),
-        hyperplaneSignature(col(vecCol), dim, numPlanes, seed + t).as("sig"))
-    }: _*)
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"), explode(sigs).as("ts"))
-      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("id"), col("v"))
+    val e = lshSignatureIndex(df, idCol, vecCol, dim, numPlanes, numTables, seed)
     val l = e.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val r = e.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("t", "sig"))
@@ -91,6 +86,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
     // >1 table can surface the same pair from several tables; dedup on the
     // small (id_a, id_b, sim) triple AFTER the threshold filter.
+    if (numTables > 1) pairs.distinct() else pairs
+  }
+
+  /** The `(table, signature, id, vector)` LSH index rows for a corpus —
+    * the persistable half of the LSH family. Write it out partitioned (or
+    * bucketed) by `(t, sig)` once; every arriving batch then probes it
+    * ([[lshNearDupAgainst]]) without re-hashing the corpus.
+    */
+  def lshSignatureIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        numPlanes: Int, numTables: Int = 1,
+                        seed: Long = 42L): DataFrame = {
+    val sigs = array((0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(col(vecCol), dim, numPlanes, seed + t).as("sig"))
+    }: _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), explode(sigs).as("ts"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("id"), col("v"))
+  }
+
+  /** Incremental near-dup probe: NEW batch vectors against an EXISTING
+    * corpus index ([[lshSignatureIndex]] rows, typically reloaded from
+    * its persisted form) — the live-ingest sibling of
+    * [[lshNearDupPairs]]. The join touches only buckets the batch's own
+    * signatures hit, so per-batch cost scales with the batch and its
+    * bucket sizes, independent of corpus row count. Same OR-amplification
+    * recall semantics; `(batch_id, corpus_id, sim)` pairs at `sim >=
+    * threshold`, exact-cosine verified.
+    *
+    * The batch index must be built with the SAME dim/planes/tables/seed
+    * as the corpus index — different planes never collide.
+    */
+  def lshNearDupAgainst(batch: DataFrame, corpusIndex: DataFrame,
+                        idCol: String, vecCol: String, dim: Int,
+                        numPlanes: Int, threshold: Double,
+                        numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    val b = lshSignatureIndex(batch, idCol, vecCol, dim, numPlanes, numTables, seed)
+      .select(col("t"), col("sig"), col("id").as("batch_id"), col("v").as("v_b"))
+    val c = corpusIndex
+      .select(col("t"), col("sig"), col("id").as("corpus_id"), col("v").as("v_c"))
+    val pairs = b.join(c, Seq("t", "sig"))
+      .withColumn("sim", round(cosine(col("v_b"), col("v_c")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("sim"))
     if (numTables > 1) pairs.distinct() else pairs
   }
 

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark's relational operators don't provide natively:
+  * as-of (latest-state enrichment) and range (interval containment).
+  * Both are expressed so Catalyst plans a SINGLE hash shuffle on
+  * fixed-width keys — never a BroadcastNestedLoopJoin, whose O(n·m)
+  * comparison count is the classic scale-killer for time predicates.
+  * (The reference's views only need equi-joins — schema.sql — but any
+  * feature/training pipeline over event streams needs both of these.)
+  */
+object Temporal {
+
+  /** As-of join: each left row picks the LATEST right row with
+    * `rightTime <= leftTime` sharing its key — "the customer's most
+    * recent order as of this event". Implemented as union + running
+    * window, the shuffle-once formulation: tag both sides, sort each key
+    * group by (time, side), and carry the last non-null right payload
+    * forward — one Exchange on the key, one sort, no join node at all. A
+    * join-based formulation (`rightTime <= leftTime` + argmax) is a
+    * non-equi join: BNLJ, O(n·m) per key.
+    *
+    * At equal timestamps the right row wins (inclusive as-of). Right rows
+    * should be unique per (key, time); duplicate-instant rows are
+    * tie-broken deterministically by largest payload (struct order) when
+    * the payload type is orderable.
+    *
+    * Left rows with no qualifying right row keep null payload columns
+    * (left-outer semantics). Hot keys concentrate a partition each — for
+    * skewed key domains pre-split with [[Skew]] tooling.
+    *
+    * @param payloadCols right columns to carry onto the left rows
+    * @param tolerance   optional interval ([[functions.expr]]
+    *                    `"INTERVAL 1 HOUR"`): matches older than
+    *                    `leftTime - tolerance` are nulled out
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTime: String, rightTime: String,
+               payloadCols: Seq[String],
+               tolerance: Option[Column] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"asofJoin: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    val pay = struct(col(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(col): _*)
+    val payType = right.select(pay).schema.head.dataType
+    val leftNonKey = left.columns.filterNot(leftKeys.contains).toSeq
+    val rightU = right.select(
+      rightKeys.zip(leftKeys).map { case (r, l) => col(r).as(l) } ++
+        Seq(col(rightTime).cast("timestamp").as("_t"), lit(0).as("_side"), pay.as("_pay")) ++
+        leftNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftU = left.select(
+      leftKeys.map(col) ++
+        Seq(col(leftTime).cast("timestamp").as("_t"), lit(1).as("_side"),
+          lit(null).cast(payType).as("_pay")) ++
+        leftNonKey.map(col): _*)
+    val ordering =
+      Seq(col("_t").asc, col("_side").asc) ++
+        (if (RowOrdering.isOrderable(payType)) Seq(col("_pay").asc_nulls_first) else Nil)
+    val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightU.unionByName(leftU)
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("_m",
+        when(col("_m._rt") >= col("_t") - tol, col("_m")))
+      case None => matched
+    }
+    bounded.select(left.columns.map(col).toSeq ++
+      payloadCols.map(p => col(s"_m.$p").as(p)): _*)
+  }
+
+  /** Range (interval) join: left POINT rows (`leftTime`) matched to right
+    * INTERVAL rows (`[rightLo, rightHi)`, half-open) sharing their key —
+    * "events inside each campaign window". Both sides bucket into
+    * `binWidthSec`-second bins: an interval replicates to every bin it
+    * overlaps, a point maps to exactly ONE, so the join is a plain hash
+    * equi-join on (keys, bin) with the exact predicate re-checked after.
+    * Each qualifying (point, interval) pair meets in exactly the point's
+    * bin — no duplicate results, no dedup pass.
+    *
+    * Replication factor is ceil(interval/binWidth)+1 — size `binWidthSec`
+    * near the TYPICAL interval length so most intervals land in 1–2 bins.
+    * Column names must be disjoint across the two sides (rename first).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKeys: Seq[String], rightKeys: Seq[String],
+                leftTime: String, rightLo: String, rightHi: String,
+                binWidthSec: Long): DataFrame = {
+    require(binWidthSec > 0, s"rangeJoin: binWidthSec must be positive, got $binWidthSec")
+    val overlap = left.columns.filterNot(leftKeys.contains)
+      .intersect(right.columns.filterNot(rightKeys.contains))
+    require(overlap.isEmpty,
+      s"rangeJoin: non-key column names must be disjoint, both sides have ${overlap.toSeq}")
+    def binOf(c: Column): Column =
+      floor(c.cast("timestamp").cast("double") / binWidthSec).cast("long")
+    val lb = left.withColumn("_bin", binOf(col(leftTime)))
+    val rb = right.withColumn("_bin",
+      explode(sequence(binOf(col(rightLo)), binOf(col(rightHi)))))
+    val joinCond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => lb(l) === rb(r) }
+      .reduce(_ && _) && lb("_bin") === rb("_bin")
+    lb.join(rb, joinCond)
+      .filter(col(leftTime).cast("timestamp") >= col(rightLo).cast("timestamp") &&
+        col(leftTime).cast("timestamp") < col(rightHi).cast("timestamp"))
+      .select(left.columns.map(lb(_)).toSeq ++
+        right.columns.filterNot(rightKeys.contains).map(rb(_)): _*)
+  }
+}

@@ -53,6 +53,29 @@ class DedupSpec extends SparkSpec {
     assert(shared >= 8, s"near-dup shared only $shared/16 minhash components")
   }
 
+  test("dedupAgainstCorpus: corpus dups dropped, within-batch keeps first, fresh survive") {
+    val corpus = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),      // already in corpus -> dropped
+      (11L, nearDup),   // fresh (one-token edit is a DIFFERENT exact content)
+      (12L, "brand new arrival text"),
+      (13L, "brand new arrival text") // within-batch dup -> keep 12
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch,
+        Dedup.contentFingerprints(corpus, "text"), "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(11L, 12L))
+  }
+
+  test("dedupAgainstCorpus on an empty corpus keeps the whole deduped batch") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch,
+        Dedup.contentFingerprints(corpus, "text"), "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("dedupClusters: chains merge transitively, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
     val labels = Dedup.dedupClusters(pairs)

@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshNearDupAgainst: batch probes the corpus index without self-pairs") {
+    val corpus = vecs
+    val ix = Similarity.lshSignatureIndex(corpus, "vec_id", "embedding",
+      dim = 3, numPlanes = 8)
+    // batch = scaled copy of corpus vec 1 (identical signature) + a
+    // direction no corpus vector points in
+    val batch = Seq(
+      (101L, Array(2.0f, 0.0f, 0.0f)),
+      (102L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDupAgainst(batch, ix, "vec_id", "embedding",
+        dim = 3, numPlanes = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.exists(_._1 == 101L), "scaled copy must hit its corpus source")
+    assert(!out.exists(_._1 == 102L), "orthogonal batch vector must not match")
+    // probing never pairs corpus rows with each other
+    assert(out.forall(p => p._1 >= 101L && p._2 < 101L))
+  }
+
   test("lshNearDupPairs OR-amplification: more tables strictly grow recall toward exact") {
     val rnd = new scala.util.Random(11)
     // 40 planted near-dup pairs at ~0.97 cosine plus noise vectors

@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** As-of and range join semantics on hand-built frames: boundary
+  * inclusivity, latest-wins, left-outer nulls, tolerance, tie
+  * determinism, and the bin-replication no-duplicates claim.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def quotes = Seq(
+    // key, time, px
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:05:00"), 2.0),
+    ("A", ts("2024-01-01 11:00:00"), 3.0),
+    ("B", ts("2024-01-01 10:02:00"), 9.0)
+  ).toDF("sym", "qt", "px")
+
+  private def trades = Seq(
+    // key, time, id
+    ("A", ts("2024-01-01 10:04:59"), 1L), // between quotes 1 and 2 -> 1.0
+    ("A", ts("2024-01-01 10:05:00"), 2L), // exactly at quote 2 -> inclusive 2.0
+    ("A", ts("2024-01-01 12:00:00"), 3L), // after everything -> latest 3.0
+    ("A", ts("2024-01-01 09:00:00"), 4L), // before everything -> null
+    ("C", ts("2024-01-01 10:30:00"), 5L)  // key with no quotes -> null
+  ).toDF("sym", "tt", "trade_id")
+
+  test("asofJoin: latest-at-or-before, inclusive boundary, left-outer nulls") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofJoin: tolerance nulls out stale matches") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), tolerance = Some(expr("INTERVAL 10 MINUTE")))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // trade 3 at 12:00 only has the 11:00 quote — 60 min stale, dropped
+    assert(out(3L).isEmpty)
+    assert(out(1L).contains(1.0) && out(2L).contains(2.0))
+  }
+
+  test("asofJoin: duplicate-instant right rows tie-break deterministically (max payload)") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("sym", "qt", "px")
+    val t = Seq(("A", ts("2024-01-01 10:30:00"), 1L)).toDF("sym", "tt", "trade_id")
+    val picked = (1 to 5).map { _ =>
+      Temporal.asofJoin(t, dupQuotes, Seq("sym"), Seq("sym"), "tt", "qt", Seq("px"))
+        .select(col("px")).head().getDouble(0)
+    }
+    assert(picked.forall(_ == 5.0))
+  }
+
+  test("asofJoin: one shuffle on the key, no join node") {
+    val plan = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+      "tt", "qt", Seq("px")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join operator, got:\n$plan")
+  }
+
+  private def points = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), 1L),
+    ("u1", ts("2024-01-01 10:59:59"), 2L),
+    ("u1", ts("2024-01-01 11:00:00"), 3L), // at hi -> excluded (half-open)
+    ("u1", ts("2024-01-01 09:59:59"), 4L), // before lo -> excluded
+    ("u2", ts("2024-01-01 10:30:00"), 5L)  // other key -> excluded
+  ).toDF("user", "pt", "point_id")
+
+  test("rangeJoin: half-open interval, key isolation, multi-bin intervals match once") {
+    val wins = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 100L)
+    ).toDF("w_user", "lo", "hi", "win_id")
+    // binWidth 600 s: the hour-long interval spans 7 bins — each
+    // qualifying point must still appear exactly once
+    val out = Temporal.rangeJoin(points, wins, Seq("user"), Seq("w_user"),
+        "pt", "lo", "hi", binWidthSec = 600L)
+      .select(col("win_id"), col("point_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((100L, 1L), (100L, 2L)))
+  }
+
+  test("rangeJoin rejects colliding non-key column names") {
+    val wins = Seq(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 9L))
+      .toDF("w_user", "lo", "hi", "point_id") // collides with points
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(points, wins, Seq("user"), Seq("w_user"),
+        "pt", "lo", "hi", binWidthSec = 600L)
+    }
+  }
+}
