@@ -45,10 +45,20 @@ object Temporal {
                tolerance: Option[Column] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"asofJoin: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    val reserved = Set("_t", "_side", "_pay", "_m", "_rt")
+    val clashes = (left.columns ++ payloadCols).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoin: column names ${clashes.toSeq} collide with internal staging names $reserved — rename them first")
     val pay = struct(col(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(col): _*)
     val payType = right.select(pay).schema.head.dataType
     val leftNonKey = left.columns.filterNot(leftKeys.contains).toSeq
-    val rightU = right.select(
+    // right rows with a null time or null key can never legitimately win
+    // an as-of match (SQL joins don't match nulls; a null _t would sort
+    // first and leak its payload onto every earlier left row), so drop
+    // them before the union
+    val rightValid = right.filter(
+      (col(rightTime).isNotNull +: rightKeys.map(col(_).isNotNull)).reduce(_ && _))
+    val rightU = rightValid.select(
       rightKeys.zip(leftKeys).map { case (r, l) => col(r).as(l) } ++
         Seq(col(rightTime).cast("timestamp").as("_t"), lit(0).as("_side"), pay.as("_pay")) ++
         leftNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -85,22 +95,36 @@ object Temporal {
     *
     * Replication factor is ceil(interval/binWidth)+1 — size `binWidthSec`
     * near the TYPICAL interval length so most intervals land in 1–2 bins.
-    * Column names must be disjoint across the two sides (rename first).
+    * A single pathological interval (an open-ended 9999-12-31 sentinel)
+    * would otherwise explode into millions of rows, so any interval
+    * spanning more than `maxBinsPerInterval` bins fails LOUDLY rather
+    * than hanging an executor. Column names must be disjoint across the
+    * two sides (rename first). Null keys, times, or interval bounds
+    * never match (inner-join semantics).
     */
   def rangeJoin(left: DataFrame, right: DataFrame,
                 leftKeys: Seq[String], rightKeys: Seq[String],
                 leftTime: String, rightLo: String, rightHi: String,
-                binWidthSec: Long): DataFrame = {
+                binWidthSec: Long, maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidthSec > 0, s"rangeJoin: binWidthSec must be positive, got $binWidthSec")
     val overlap = left.columns.filterNot(leftKeys.contains)
       .intersect(right.columns.filterNot(rightKeys.contains))
     require(overlap.isEmpty,
       s"rangeJoin: non-key column names must be disjoint, both sides have ${overlap.toSeq}")
+    val clashes = (left.columns ++ right.columns).filter(_ == "_bin")
+    require(clashes.isEmpty,
+      "rangeJoin: column name _bin collides with the internal bin column — rename it first")
     def binOf(c: Column): Column =
       floor(c.cast("timestamp").cast("double") / binWidthSec).cast("long")
     val lb = left.withColumn("_bin", binOf(col(leftTime)))
-    val rb = right.withColumn("_bin",
-      explode(sequence(binOf(col(rightLo)), binOf(col(rightHi)))))
+    val binLo = binOf(col(rightLo))
+    val binHi = binOf(col(rightHi))
+    val guardedLo = when(binHi - binLo <= lit(maxBinsPerInterval), binLo)
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of ${binWidthSec}s ("),
+        col(rightLo).cast("string"), lit(" .. "), col(rightHi).cast("string"),
+        lit(") — widen binWidthSec or clean the interval"))).cast("long"))
+    val rb = right.withColumn("_bin", explode(sequence(guardedLo, binHi)))
     val joinCond = leftKeys.zip(rightKeys)
       .map { case (l, r) => lb(l) === rb(r) }
       .reduce(_ && _) && lb("_bin") === rb("_bin")

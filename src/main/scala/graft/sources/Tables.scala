@@ -37,7 +37,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` works on the dir. */
+  /** Register every table as a temp view so `spark.sql` works on the dir.
+    * Goes through the typed accessors, not raw `load`, so views carry the
+    * same normalizations — in particular `events.ts` is a timestamp, not
+    * the raw long nanos the nanosAsLong scan yields.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    All.foreach { n =>
+      val df = n match {
+        case "events" => events(spark, dir)
+        case other    => load(spark, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -31,7 +31,7 @@ object EventStreams {
     * aggregation order), so a cent could flap vs the batch twin. Summands
     * are scaled to 6 like `Analytics.moneySum`'s decimal(30,6) cast.
     */
-  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long,
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long,
                                 totalValue: BigDecimal)
 
   private def money6(d: Double): BigDecimal =
@@ -63,10 +63,21 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    // session arithmetic runs in MICROSECONDS (Timestamp.getTime alone is
+    // ms-truncated): the batch twin compares full event-time precision, so
+    // two events exactly gap-plus-a-few-hundred-µs apart must split in
+    // both engines, and emitted bounds must be the true event times
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def flush(userId: Long, st: SessionState): Session =
-      Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.nEvents,
+      Session(userId, toTs(st.startUs), toTs(st.lastUs), st.nEvents,
         st.totalValue.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     events
@@ -81,21 +92,24 @@ object EventStreams {
           } else {
             var closed = List.empty[Session]
             var st = state.getOption.orNull
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
               st match {
                 case null =>
                   st = SessionState(t, t, 1L, money6(e.value))
-                case s if t - s.lastMs > gapMs =>
+                case s if t - s.lastUs > gapUs =>
                   closed ::= flush(userId, s)
                   st = SessionState(t, t, 1L, money6(e.value))
                 case s =>
-                  st = SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1,
-                    s.totalValue + money6(e.value))
+                  // a cross-batch late event can predate the open session's
+                  // start (the watermark bounds it to within one gap, so it
+                  // always belongs to THIS session): widen the start too
+                  st = SessionState(math.min(s.startUs, t), math.max(s.lastUs, t),
+                    s.nEvents + 1, s.totalValue + money6(e.value))
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            state.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes * 60000L)
             closed.reverse.iterator
           }
       }
@@ -181,7 +195,12 @@ object EventStreams {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(conf)
     val snapName = f"v_$batchId%019d"
-    if (!currentSnapshotName(spark, targetDir).contains(snapName)) {
+    // the replay guard trusts ONLY the pointer: a v_<batchId> directory
+    // without it may be a PARTIAL write from a crash mid-batch (the
+    // listing fallback would bless it and lose the batch), and even a
+    // complete one without the pointer swap never became visible — the
+    // merge must re-run either way
+    if (!pointerName(fs, target).contains(snapName)) {
       val merged = currentSnapshot(spark, targetDir) match {
         case Some(cur) => graft.sinks.DataSink.upsert(cur, batch, keys, versionCol)
         case None      => batch
@@ -204,20 +223,31 @@ object EventStreams {
 
   /** Name of the live snapshot directory under an [[upsertSink]] target:
     * the `_LATEST` pointer if present, else the highest-numbered snapshot
-    * (pointer lost mid-crash — the last fully written version wins).
+    * whose write COMMITTED (its `_SUCCESS` marker exists — a partial
+    * crash-orphan directory must never be blessed as the live version).
     */
   def currentSnapshotName(spark: SparkSession, targetDir: String): Option[String] = {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) return None
+    pointerName(fs, target).orElse {
+      fs.listStatus(target).map(_.getPath.getName)
+        .filter(_.startsWith("v_")).sorted.reverseIterator
+        .find(s => fs.exists(new org.apache.hadoop.fs.Path(target, s"$s/_SUCCESS")))
+    }
+  }
+
+  /** The `_LATEST` pointer's value, with no directory-listing fallback. */
+  private def pointerName(fs: org.apache.hadoop.fs.FileSystem,
+                          target: org.apache.hadoop.fs.Path): Option[String] = {
     val latest = new org.apache.hadoop.fs.Path(target, "_LATEST")
-    if (fs.exists(latest)) {
+    if (!fs.exists(latest)) None
+    else {
       val buf = new Array[Byte](fs.getFileStatus(latest).getLen.toInt)
       val in = fs.open(latest)
       try in.readFully(0, buf) finally in.close()
       Some(new String(buf, "UTF-8").trim)
-    } else fs.listStatus(target).map(_.getPath.getName)
-      .filter(_.startsWith("v_")).sorted.lastOption
+    }
   }
 
   /** Resolve and read the live snapshot written by [[upsertSink]]. */

@@ -92,6 +92,43 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 1L), (100L, 2L)))
   }
 
+  test("asofJoin: null right time or key never leaks a payload") {
+    val dirtyQuotes = Seq(
+      (Some("A"), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (Some("A"), None, 99.0),               // null time: would sort first and leak
+      (None, Some(ts("2024-01-01 09:00:00")), 77.0) // null key: joins never match null
+    ).toDF("sym", "qt", "px")
+    val t = Seq(
+      (Some("A"), ts("2024-01-01 09:30:00"), 1L), // before first real quote -> null
+      (None, ts("2024-01-01 10:30:00"), 2L)       // null-key left row -> null
+    ).toDF("sym", "tt", "trade_id")
+    val out = Temporal.asofJoin(t, dirtyQuotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> None))
+  }
+
+  test("asofJoin rejects inputs using internal staging column names") {
+    val t = Seq(("A", ts("2024-01-01 10:00:00"), 1L)).toDF("sym", "tt", "_pay")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(t, quotes, Seq("sym"), Seq("sym"), "tt", "qt", Seq("px"))
+    }
+  }
+
+  test("rangeJoin fails loudly on a pathological open-ended interval") {
+    val wins = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("9999-12-31 00:00:00"), 1L)
+    ).toDF("w_user", "lo", "hi", "win_id")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(points, wins, Seq("user"), Seq("w_user"),
+        "pt", "lo", "hi", binWidthSec = 3600L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("rangeJoin: interval spans")), s"got: $e")
+  }
+
   test("rangeJoin rejects colliding non-key column names") {
     val wins = Seq(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 9L))
       .toDF("w_user", "lo", "hi", "point_id") // collides with points

@@ -110,6 +110,10 @@ class SourcesSpec extends SparkSpec {
         |GROUP BY n_name ORDER BY customers DESC LIMIT 3""".stripMargin)
     assert(out.count() == 3)
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    // the events VIEW must carry the same ts normalization as the typed
+    // accessor — raw long nanos here would make SQL over the view diverge
+    val tsType = spark.sql("SELECT ts FROM events").schema.head.dataType.typeName
+    assert(tsType.startsWith("timestamp"), s"events view ts must be a timestamp, got $tsType")
   }
 
   test("Tables.events converts nano timestamps to a usable timestamp column") {

@@ -222,6 +222,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set((10L, "click", 7L), (11L, "view", 9L)))
   }
 
+  test("applyUpsertBatch re-runs batch 0 over a partial crash-orphan snapshot") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("upsert_orphan").toFile.getAbsolutePath
+    // crash mid-write of the very first batch: v_0 exists but is partial
+    // (no _SUCCESS) and _LATEST was never created — the replay guard must
+    // NOT bless it as committed, or batch 0's rows are lost forever
+    val orphan = new java.io.File(s"$base/t/v_0000000000000000000")
+    assert(orphan.mkdirs())
+    Files.write(orphan.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val b0 = Seq((1L, 10L, "click", ts("2026-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    EventStreams.applyUpsertBatch(spark, b0, 0L, s"$base/t",
+      keys = Seq("user_id"), versionCol = "event_id")
+    assert(new java.io.File(s"$base/t/_LATEST").exists())
+    val out = EventStreams.readUpserted(spark, s"$base/t").get.collect()
+    assert(out.length == 1 && out.head.getAs[Long]("event_id") == 1L)
+    // and a partial dir alone (no pointer) is never surfaced to readers
+    assert(new java.io.File(s"$base/t/_LATEST").delete())
+    val orphan2 = new java.io.File(s"$base/t/v_0000000000000000009")
+    assert(orphan2.mkdirs()) // sorts above v_0, but has no _SUCCESS
+    assert(EventStreams.currentSnapshotName(spark, s"$base/t")
+      .contains("v_0000000000000000000"))
+  }
+
+  test("sessionize widens session_start for a cross-batch late event") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val sq = EventStreams.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      ms.addData(EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0))
+      sq.processAllAvailable()
+      // late but within watermark (10:00 − 30 min = 09:30): merges into
+      // the open session and must LOWER its start, as the batch twin does
+      ms.addData(EventStreams.Event(2, 10, "click", ts("2026-01-01 09:50:00"), 2.0))
+      sq.processAllAvailable()
+      ms.addData(EventStreams.Event(3, 10, "click", ts("2026-01-01 15:00:00"), 4.0))
+      sq.processAllAvailable()
+      val out = spark.sql(
+        "SELECT session_start, session_end, event_count FROM sess_late WHERE event_count = 2")
+        .collect()
+      assert(out.length == 1)
+      assert(out.head.getTimestamp(0) == ts("2026-01-01 09:50:00"))
+      assert(out.head.getTimestamp(1) == ts("2026-01-01 10:00:00"))
+    } finally sq.stop()
+  }
+
   test("readUpserted falls back to the newest snapshot when the pointer is lost") {
     import java.nio.file.Files
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
