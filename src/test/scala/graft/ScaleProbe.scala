@@ -91,6 +91,31 @@ object ScaleProbe {
     time("embed_quantize", 0.25) {
       emb.select(col("vec_id"), call_function("quantize_i8", col("embedding")).as("qz"))
     }
+    // temporal joins: one shuffle each — the as-of window and the
+    // (key, bin) hash join must both scale with rows, not pairs
+    val ordDedup = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    time("asof_join", 0.80) {
+      Temporal.asofJoin(ev.select(col("event_id"), col("user_id"), col("ts")),
+        ordDedup, Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+    }
+    time("range_join", 0.44) {
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("win_lo"), col("ts").as("win_hi"))
+      Temporal.rangeJoin(ev.select(col("user_id"), col("event_id"), col("ts")), wins,
+        Seq("user_id"), Seq("p_user"), "ts", "win_lo", "win_hi", binWidthSec = 3600L)
+    }
+    // incremental dedup: per-batch cost must track the BATCH, with the
+    // corpus entering only through the fingerprint/signature join
+    time("dedup_incremental", 0.54) {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      Dedup.dedupAgainstCorpus(batch, Dedup.contentFingerprints(corpus, "text"),
+        "doc_id", "text")
+    }
     spark.stop()
   }
 }
