@@ -60,7 +60,8 @@ object Pipeline {
           logPath: Option[String] = None,
           now: () => java.sql.Timestamp =
             () => new java.sql.Timestamp(System.currentTimeMillis()),
-          stageLabel: String = "pipeline"): RunReport = {
+          stageLabel: String = "pipeline",
+          observeWaitMs: Long = 5000L): RunReport = {
 
     val transformed = stages.foldLeft(extract)((df, s) => s.transform(df))
 
@@ -100,8 +101,11 @@ object Pipeline {
         // metrics arrive via the asynchronous listener bus: wait briefly
         // for the load job's event, then fall back to a separate count —
         // a 2× cost paid only when the loader ran no action at all (or
-        // the bus is pathologically backlogged), never silently wrong
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        // the bus is pathologically backlogged), never silently wrong.
+        // A dry-run loader (plan-validation only, no action) pays the
+        // full wait before the fallback — pass a small `observeWaitMs`
+        // on such paths instead of the bus-backlog-tolerant default
+        val deadline = System.nanoTime() + observeWaitMs * 1000 * 1000
         while (seen.get < 0 && System.nanoTime() < deadline) Thread.sleep(25)
         loaded = if (seen.get >= 0) seen.get else transformed.count()
       } finally spark.listenerManager.unregister(listener)
@@ -158,18 +162,29 @@ object Pipeline {
       s"runAll: duplicate table names in ${jobs.map(_.table)} — two arms would " +
         "double-load one target and only the last report would survive")
 
-    // an arm that THROWS (loader/extract failure) must not take down the
-    // other arms' reports and log rows — per-arm isolation covers crashes,
-    // not just gate aborts. The crashed arm reports loaded=0, aborted,
-    // with the exception on its load stage, and logs status "failed".
+    // an arm that THROWS must not take down the other arms' reports and
+    // log rows — per-arm isolation covers crashes, not just gate aborts.
+    // The failure is ATTRIBUTED: an extract-arm crash reports on an
+    // "extract" stage, anything later (transform action / gate / loader)
+    // on a neutral "run" stage — a broken source path must not send the
+    // operator debugging the warehouse sink. Either way the arm reports
+    // loaded=0, aborted, and logs status "failed".
+    def crashReport(stage: String, e: Throwable): RunReport =
+      RunReport(s"$runId/<arm>",
+        Seq(StageResult(stage, 0L, ok = false, failures = Seq(e.toString))),
+        loaded = 0L, aborted = true)
     def runOne(j: TableJob): (String, RunReport) =
       j.table -> {
-        try run(spark, s"$runId/${j.table}", j.extract(spark), j.stages,
-          j.gate, df => load(j.table, df), logPath = None, now, stageLabel = j.table)
-        catch { case scala.util.control.NonFatal(e) =>
-          RunReport(s"$runId/${j.table}",
-            Seq(StageResult("load", 0L, ok = false, failures = Seq(e.toString))),
-            loaded = 0L, aborted = true)
+        (try Right(j.extract(spark))
+         catch { case scala.util.control.NonFatal(e) => Left(e) }) match {
+          case Left(e) => crashReport("extract", e)
+            .copy(runId = s"$runId/${j.table}")
+          case Right(df) =>
+            try run(spark, s"$runId/${j.table}", df, j.stages,
+              j.gate, d => load(j.table, d), logPath = None, now, stageLabel = j.table)
+            catch { case scala.util.control.NonFatal(e) =>
+              crashReport("run", e).copy(runId = s"$runId/${j.table}")
+            }
         }
       }
 
@@ -187,7 +202,9 @@ object Pipeline {
 
     def status(r: RunReport): String =
       if (!r.aborted) "success"
-      else if (r.stages.exists(s => s.stage == "load" && s.failures.nonEmpty)) "failed"
+      // crashes carry failures on a non-validate stage (extract/run);
+      // a gate abort carries them on "validate" only
+      else if (r.stages.exists(s => s.stage != "validate" && s.failures.nonEmpty)) "failed"
       else "aborted"
     logPath.foreach { p =>
       jobs.foreach { j => // original arm order, one writer thread

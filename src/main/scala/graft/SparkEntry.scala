@@ -890,7 +890,9 @@ object SparkEntry {
         |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
         |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(dirty, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS pii_matches
+        |     + len(regexp_extract_all(
+        |         regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS pii_matches
         |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->

@@ -70,7 +70,9 @@ case class L2NormalizeExpr(child: Expression) extends VecUnaryExpr {
 
 object L2NormalizeExpr {
   /** Zero vectors pass through unchanged (still zero after "normalize");
-    * a null lane nulls the result.
+    * a null, NaN, or infinite lane nulls the result — dividing by a
+    * NaN/Inf norm would otherwise fabricate a direction out of an
+    * invalid embedding (same contract as `quantize_i8`).
     */
   def compute(vec: ArrayData, elemIsDouble: Boolean): ArrayData = {
     val n = vec.numElements()
@@ -79,6 +81,7 @@ object L2NormalizeExpr {
     while (i < n) {
       if (vec.isNullAt(i)) return null
       val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
       ss += x * x
       i += 1
     }
@@ -114,7 +117,11 @@ object QuantizeI8Expr {
   /** scale = 127/max|x| (0 for the all-zero vector, whose q is all
     * zeros); q_i = trunc(x_i · scale) clamped to [-127, 127]. trunc, not
     * round: truncation is identical across engines while round-half
-    * conventions differ. A null lane nulls the result.
+    * conventions differ. A null, NaN, or infinite lane nulls the result
+    * — (NaN·scale).toLong is 0, so such a lane would otherwise quantize
+    * to a FABRICATED real value (and an Inf lane would zero the whole
+    * vector via scale = 0), exactly the corruption the null contract
+    * exists to prevent.
     */
   def compute(vec: ArrayData, elemIsDouble: Boolean): InternalRow = {
     val n = vec.numElements()
@@ -123,6 +130,7 @@ object QuantizeI8Expr {
     while (i < n) {
       if (vec.isNullAt(i)) return null
       val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
       val a = math.abs(x)
       if (a > maxAbs) maxAbs = a
       i += 1

@@ -59,10 +59,15 @@ object Curation {
     regexp_replace(regexp_replace(text, EmailPattern, emailToken),
       PhonePattern, phoneToken)
 
-  /** Count of PII matches (for scrub-rate monitoring dashboards). */
+  /** Count of PII matches (for scrub-rate monitoring dashboards). Phones
+    * are counted AFTER email redaction, mirroring [[redactPII]]'s order —
+    * a digit run inside an email address must not count twice, so the
+    * count equals the placeholders actually emitted.
+    */
   def piiMatchCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(PhonePattern), lit(0)))
 
   /** Deterministic train/validation split on CONTENT hash: the last hex
     * nibble of md5(text) (uniform over 16 values) goes to `train` when

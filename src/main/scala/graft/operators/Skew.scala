@@ -90,8 +90,20 @@ object Skew {
     val salt =
       if (spreadIdenticalRows)
         pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int")
-      else
-        pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets))
+      else {
+        // hash() rejects map-typed input — salt over the hashable columns
+        // only (join keys are always hashable, so this is never empty;
+        // rows differing ONLY in a map column share a bucket)
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+          case _ => true
+        }
+        val saltCols = big.schema.fields.filter(f => hashable(f.dataType))
+          .map(f => col(f.name)).toIndexedSeq
+        saltColumn(saltCols, buckets)
+      }
     val salted = big.withColumn("_salt", salt)
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

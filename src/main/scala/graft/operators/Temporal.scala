@@ -49,6 +49,9 @@ object Temporal {
     val clashes = (left.columns ++ payloadCols).filter(reserved.contains)
     require(clashes.isEmpty,
       s"asofJoin: column names ${clashes.toSeq} collide with internal staging names $reserved — rename them first")
+    val payClash = payloadCols.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
+    require(payClash.isEmpty,
+      s"asofJoin: payload columns ${payClash} collide with left column names — alias them on the right first")
     val pay = struct(col(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(col): _*)
     val payType = right.select(pay).schema.head.dataType
     val leftNonKey = left.columns.filterNot(leftKeys.contains).toSeq
@@ -119,7 +122,11 @@ object Temporal {
     val lb = left.withColumn("_bin", binOf(col(leftTime)))
     val binLo = binOf(col(rightLo))
     val binHi = binOf(col(rightHi))
-    val guardedLo = when(binHi - binLo <= lit(maxBinsPerInterval), binLo)
+    // null bounds drop the row (sequence(null, …) → null → explode emits
+    // nothing — inner-join semantics); only a REAL oversized interval
+    // fails loudly
+    val guardedLo = when(binLo.isNull || binHi.isNull, lit(null).cast("long"))
+      .when(binHi - binLo <= lit(maxBinsPerInterval), binLo)
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of ${binWidthSec}s ("),
         col(rightLo).cast("string"), lit(" .. "), col(rightHi).cast("string"),

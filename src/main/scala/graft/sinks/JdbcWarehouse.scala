@@ -161,14 +161,28 @@ object JdbcWarehouse {
 
   /** `(stored name, cast-target type when lossy-mapped)` per column of
     * `table`, in ordinal order, from JDBC catalog metadata (probing the
-    * stored-case variants, which differ per engine).
+    * stored-case variants, which differ per engine). The metadata lookup
+    * is scoped to the connection's current schema and the table-name
+    * pattern is escaped (getColumns patterns are LIKE patterns — an
+    * unescaped `_` in `dim_customer` matches DIMXCUSTOMER too) and the
+    * rows re-filtered on exact name, so a similarly-named table can
+    * never pollute the column list.
     */
   private def declaredColumns(conn: Connection, table: String): Seq[(String, Option[String])] = {
+    val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    def escape(s: String): String =
+      s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val schema = scala.util.Try(conn.getSchema).toOption.flatMap(Option(_)).orNull
     def probe(name: String): Seq[(String, Int, String, Int, Int)] = {
-      val rs = conn.getMetaData.getColumns(null, null, name, null)
+      val rs = md.getColumns(null,
+        if (schema == null) null else escape(schema), escape(name), null)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Int, Int)]
-      while (rs.next()) buf += ((rs.getString("COLUMN_NAME"), rs.getInt("ORDINAL_POSITION"),
-        rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS")))
+      while (rs.next()) {
+        if (rs.getString("TABLE_NAME") == name)
+          buf += ((rs.getString("COLUMN_NAME"), rs.getInt("ORDINAL_POSITION"),
+            rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS")))
+      }
       rs.close()
       buf.sortBy(_._2).toSeq
     }

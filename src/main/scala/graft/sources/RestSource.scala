@@ -119,11 +119,13 @@ object RestSource {
             s"HTTP ${err.status} ${err.message}")
       }
     }
-    if (!done) {
+    if (!done && !allowTruncated) {
       // an API with EXACTLY maxPages pages is a complete extract, not a
       // truncated one — probe one page past the cap to tell them apart
       // (one extra request, only on the boundary/truncation path); a
-      // probe error counts as "maybe more data", i.e. truncated
+      // probe error counts as "maybe more data", i.e. truncated. When the
+      // caller already accepted truncation, the probe's answer would be
+      // discarded — skip the wasted (rate-limited) request entirely
       limiter.foreach(_.acquire())
       val more =
         fetchWithRetry(fetch, endpoint, params + (pageParam -> page.toString), policy) match {

@@ -198,6 +198,8 @@ class PipelineSpec extends SparkSpec {
     val full = Pipeline.runAll(spark, "crash-run", Seq(
         Pipeline.TableJob("ok1", extract = _ => source),
         Pipeline.TableJob("boom", extract = _ => source),
+        Pipeline.TableJob("badsrc",
+          extract = _ => throw new RuntimeException("missing source path")),
         Pipeline.TableJob("ok2", extract = _ => source)),
       load = (table, df) => {
         if (table == "boom") throw new RuntimeException("transient sink failure")
@@ -209,11 +211,17 @@ class PipelineSpec extends SparkSpec {
     assert(!full.tables("ok1").aborted && !full.tables("ok2").aborted)
     assert(full.tables("boom").aborted &&
       full.tables("boom").stages.exists(s => s.failures.exists(_.contains("transient"))))
+    // crash ATTRIBUTION: a broken source is an extract failure, a sink
+    // crash reports on the neutral run stage — not on "load" for both
+    assert(full.tables("badsrc").stages.map(_.stage) == Seq("extract"))
+    assert(full.tables("badsrc").stages.head.failures.exists(_.contains("missing source")))
+    assert(full.tables("boom").stages.map(_.stage) == Seq("run"))
     assert(spark.read.parquet(s"$dir/ok1").count() == 3)
     assert(spark.read.parquet(s"$dir/ok2").count() == 3)
     val log = spark.read.parquet(s"$dir/log")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[String]("status")).toMap
-    assert(log == Map("ok1" -> "success", "boom" -> "failed", "ok2" -> "success"))
+    assert(log == Map("ok1" -> "success", "boom" -> "failed",
+      "badsrc" -> "failed", "ok2" -> "success"))
     // misconfigured duplicate arm names are rejected up front
     intercept[IllegalArgumentException] {
       Pipeline.runAll(spark, "dup", Seq(

@@ -287,6 +287,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("l2_normalize and quantize_i8 null out NaN/Inf lanes (no fabricated values)") {
+    val df = Seq(
+      (1L, Array(1.0f, Float.NaN)),
+      (2L, Array(1.0f, Float.PositiveInfinity)),
+      (3L, Array(1.0f, 2.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        expr("l2_normalize(v)").as("n"), expr("quantize_i8(v)").as("qz"))
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(out(1L) == ((true, true)), "NaN lane must null the result")
+    assert(out(2L) == ((true, true)), "Inf lane must null the result")
+    assert(out(3L) == ((false, false)))
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)

@@ -37,6 +37,14 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("no pii here, just words and the number seven", 0)))
   }
 
+  test("piiMatchCount does not double-count a digit run inside an email") {
+    val docs = Seq((1L, "reach 5550107788@carrier.com")).toDF("doc_id", "text")
+    val out = docs.select(Curation.redactPII(col("text")).as("clean"),
+      Curation.piiMatchCount(col("text")).as("n")).head()
+    assert(out.getString(0) == "reach <EMAIL>")
+    assert(out.getInt(1) == 1, "one redaction emitted -> count must be 1")
+  }
+
   test("hashSplit: deterministic, content-based, dups co-assigned, ratio sane") {
     val docs = spark.range(0, 2000)
       .select(col("id"), concat(lit("document number "), col("id")).as("text"))

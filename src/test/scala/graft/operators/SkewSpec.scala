@@ -78,4 +78,16 @@ class SkewSpec extends SparkSpec {
       .agg(min("salt"), max("salt")).head()
     assert(s.getInt(0) >= 0 && s.getInt(1) < 8)
   }
+
+  test("saltedJoin tolerates map-typed payload columns (salts on hashable cols only)") {
+    val big = Seq(
+      (1L, Map("a" -> "b"), "x"), (1L, Map("c" -> "d"), "y"),
+      (2L, Map.empty[String, String], "z")
+    ).toDF("k", "props", "v")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val out = Skew.saltedJoin(big, small, Seq("k"), buckets = 4)
+      .select(col("k"), col("v"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1L, "x", "one"), (1L, "y", "one"), (2L, "z", "two")))
+  }
 }

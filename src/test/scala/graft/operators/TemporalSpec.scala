@@ -129,6 +129,25 @@ class TemporalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("rangeJoin: interval spans")), s"got: $e")
   }
 
+  test("rangeJoin drops rows with null interval bounds instead of failing") {
+    val wins = Seq(
+      ("u1", Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 11:00:00")), 1L),
+      ("u1", None, Some(ts("2024-01-01 11:00:00")), 2L),
+      ("u1", Some(ts("2024-01-01 10:00:00")), None, 3L)
+    ).toDF("w_user", "lo", "hi", "win_id")
+    val out = Temporal.rangeJoin(points, wins, Seq("user"), Seq("w_user"),
+        "pt", "lo", "hi", binWidthSec = 600L)
+      .select(col("win_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
+  test("asofJoin rejects payload columns that collide with left columns") {
+    val q = quotes.withColumnRenamed("px", "trade_id") // payload name = left col
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, q, Seq("sym"), Seq("sym"), "tt", "qt", Seq("trade_id"))
+    }
+  }
+
   test("rangeJoin rejects colliding non-key column names") {
     val wins = Seq(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 9L))
       .toDF("w_user", "lo", "hi", "point_id") // collides with points

@@ -79,8 +79,13 @@ class RestSourceSpec extends SparkSpec {
       RestSource.fetchPaged(infinite, "/x", maxPages = 7)
     }
     assert(e.getMessage.contains("truncated"))
-    assert(RestSource.fetchPaged(infinite, "/x", maxPages = 7,
+    // opted-in truncation skips the boundary probe: exactly maxPages
+    // requests, no wasted rate-limited call whose answer is discarded
+    var truncCalls = 0
+    val counted: RestSource.Fetch = (_, _) => { truncCalls += 1; Right("""[{"id": 1}]""") }
+    assert(RestSource.fetchPaged(counted, "/x", maxPages = 7,
       allowTruncated = true).size == 7)
+    assert(truncCalls == 7, s"probe must be skipped, got $truncCalls requests")
     // an API with EXACTLY maxPages pages is complete, not truncated: the
     // boundary probe (one request past the cap) sees the empty page
     val exactly7: RestSource.Fetch = (_, params) =>
