@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.sinks.DataSink
 import graft.sources.Tables
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -469,6 +470,21 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
           col("o_totalprice").as("last_totalprice"))
         .orderBy(col("event_id"))
+    }),
+
+    // SCD2 history build: each customer's order priority "in force" over
+    // time — consecutive same-priority orders suppressed, each version
+    // closed by the next change, latest open ((custkey, orderdate) is
+    // argmax-deduped first for a deterministic chain)
+    "q_scd2" -> ((s, d) => {
+      val changes = Tables.orders(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
+        .select(col("o_custkey").as("custkey"), col("priority"),
+          col("o_orderdate").as("effective_from"))
+      val dimSchema = changes
+        .withColumn("effective_to", lit(null).cast(changes.schema("effective_from").dataType))
+      DataSink.scd2Merge(dimSchema.filter(lit(false)), changes, Seq("custkey"))
+        .orderBy(col("custkey"), col("effective_from"))
     }),
 
     // range join: events attributed to the hour-long window BEFORE each
@@ -1055,6 +1071,23 @@ object SparkEntry {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM batch b2 WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey,
+        |         max_by(o_orderpriority, o_orderkey) AS priority,
+        |         o_orderdate AS effective_from
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |kept AS (
+        |  SELECT custkey, priority, effective_from FROM (
+        |    SELECT custkey, priority, effective_from,
+        |           lag(priority) OVER (PARTITION BY custkey ORDER BY effective_from) AS prev
+        |    FROM ch)
+        |  WHERE prev IS NULL OR prev <> priority)
+        |SELECT custkey, priority, effective_from,
+        |       lead(effective_from) OVER (PARTITION BY custkey ORDER BY effective_from)
+        |         AS effective_to
+        |FROM kept ORDER BY custkey, effective_from""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (

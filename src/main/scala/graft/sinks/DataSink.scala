@@ -90,6 +90,56 @@ object DataSink {
       .select(cols.map(col): _*) // restore current's column order
   }
 
+  /** SCD Type-2 dimension merge — the history-preserving sibling of
+    * [[upsert]]: instead of overwriting a key's row, each attribute
+    * change CLOSES the previous version (its `effectiveTo` set to the
+    * change instant) and opens a new one (`effectiveTo` null). The full
+    * history stays queryable — [[graft.operators.Temporal.asofJoin]] or a
+    * `from <= t < to` predicate reads the dimension as of any instant.
+    *
+    * `current` carries keys + attributes + `effectiveFrom`/`effectiveTo`
+    * (closed rows have a non-null `effectiveTo`); `updates` carries keys
+    * + attributes + `effectiveFrom` (the change instant). Semantics:
+    *  - per key, versions are chained in `effectiveFrom` order: each
+    *    one's `effectiveTo` becomes the NEXT version's `effectiveFrom`;
+    *    the latest stays open. Several updates to one key in one batch
+    *    chain correctly (no per-batch last-wins collapse).
+    *  - a no-op update (attributes identical to the version in force at
+    *    its instant, null-safe) is suppressed — classic SCD2 skips
+    *    non-changes rather than splitting history.
+    *  - already-closed history is untouched.
+    *
+    * One shuffle on the key (window) — closed rows don't re-sort. Keys
+    * must be unique per (key, effectiveFrom) across open+updates for a
+    * deterministic chain.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
+                effectiveFrom: String = "effective_from",
+                effectiveTo: String = "effective_to"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = current.columns.toSeq
+    val attrs = cols.filterNot(c =>
+      keys.contains(c) || c == effectiveFrom || c == effectiveTo)
+    require((keys :+ effectiveFrom).forall(updates.columns.contains),
+      s"scd2Merge: updates must carry $keys and $effectiveFrom, got ${updates.columns.toSeq}")
+    val open = current.filter(col(effectiveTo).isNull)
+    val closed = current.filter(col(effectiveTo).isNotNull)
+    val candidates = open.unionByName(
+      updates.withColumn(effectiveTo,
+        lit(null).cast(current.schema(effectiveTo).dataType)).select(cols.map(col): _*))
+    val byTime = Window.partitionBy(keys.map(col): _*).orderBy(col(effectiveFrom))
+    val attrStruct = struct(attrs.map(col): _*)
+    // suppress consecutive no-changes, then chain validity on the kept rows
+    val changedOnly = candidates
+      .withColumn("_prev", lag(attrStruct, 1).over(byTime))
+      .filter(col("_prev").isNull || !(col("_prev") <=> attrStruct))
+      .drop("_prev")
+    changedOnly
+      .withColumn(effectiveTo, lead(col(effectiveFrom), 1).over(byTime))
+      .unionByName(closed)
+      .select(cols.map(col): _*)
+  }
+
   /** ETL run log entry (reference: `db_loader.py:443` log_etl_run) —
     * appended as a one-row parquet partition; a table of these IS the
     * etl_runs table.

@@ -103,4 +103,39 @@ class DataSinkSpec extends SparkSpec {
     assert(log.count() == 2)
     assert(log.select("stage").as[String].collect().toSet == Set("extract", "load"))
   }
+
+  test("scd2Merge: closes on change, suppresses no-ops, chains a batch, keeps history") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val current = Seq(
+      // key 1: one closed version + one open
+      (1L, "bronze", t("2026-01-01 00:00:00"), Option(t("2026-02-01 00:00:00"))),
+      (1L, "silver", t("2026-02-01 00:00:00"), Option.empty[java.sql.Timestamp]),
+      // key 2: open only
+      (2L, "gold", t("2026-01-15 00:00:00"), Option.empty[java.sql.Timestamp])
+    ).toDF("k", "tier", "effective_from", "effective_to")
+    val updates = Seq(
+      (1L, "gold", t("2026-03-01 00:00:00")),   // real change -> close silver
+      (1L, "gold", t("2026-03-10 00:00:00")),   // no-op vs the 03-01 version
+      (2L, "gold", t("2026-02-20 00:00:00")),   // no-op vs current open
+      (3L, "bronze", t("2026-03-05 00:00:00")), // brand-new key
+      (3L, "silver", t("2026-03-06 00:00:00"))  // same-batch second change chains
+    ).toDF("k", "tier", "effective_from")
+
+    val out = DataSink.scd2Merge(current, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(out == Set(
+      (1L, "bronze", t("2026-01-01 00:00:00"), Some(t("2026-02-01 00:00:00"))),
+      (1L, "silver", t("2026-02-01 00:00:00"), Some(t("2026-03-01 00:00:00"))),
+      (1L, "gold",   t("2026-03-01 00:00:00"), None),
+      (2L, "gold",   t("2026-01-15 00:00:00"), None),
+      (3L, "bronze", t("2026-03-05 00:00:00"), Some(t("2026-03-06 00:00:00"))),
+      (3L, "silver", t("2026-03-06 00:00:00"), None)))
+    // the history reads back as-of any instant via a from <= t < to scan
+    val asOfFeb15 = DataSink.scd2Merge(current, updates, Seq("k"))
+      .filter(col("effective_from") <= lit(t("2026-02-15 00:00:00")) &&
+        (col("effective_to").isNull || col("effective_to") > lit(t("2026-02-15 00:00:00"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOfFeb15 == Map(1L -> "silver", 2L -> "gold"))
+  }
 }
