@@ -17,17 +17,19 @@ object Temporal {
 
   /** As-of join: each left row picks the LATEST right row with
     * `rightTime <= leftTime` sharing its key — "the customer's most
-    * recent order as of this event". Implemented as union + running
-    * window, the shuffle-once formulation: tag both sides, sort each key
-    * group by (time, side), and carry the last non-null right payload
-    * forward — one Exchange on the key, one sort, no join node at all. A
+    * recent order as of this event" (`direction = "forward"` flips it:
+    * the EARLIEST right row with `rightTime >= leftTime`, "the next
+    * shipment after this order"). Implemented as union + running window,
+    * the shuffle-once formulation: tag both sides, sort each key group
+    * by (time, side), and carry the last non-null right payload forward
+    * — one Exchange on the key, one sort, no join node at all. A
     * join-based formulation (`rightTime <= leftTime` + argmax) is a
     * non-equi join: BNLJ, O(n·m) per key.
     *
-    * At equal timestamps the right row wins (inclusive as-of). Right rows
-    * should be unique per (key, time); duplicate-instant rows are
-    * tie-broken deterministically by largest payload (struct order) when
-    * the payload type is orderable.
+    * At equal timestamps the right row wins (inclusive as-of, both
+    * directions). Right rows should be unique per (key, time);
+    * duplicate-instant rows are tie-broken deterministically by largest
+    * payload (struct order) when the payload type is orderable.
     *
     * Left rows with no qualifying right row keep null payload columns
     * (left-outer semantics). Hot keys concentrate a partition each — for
@@ -35,16 +37,22 @@ object Temporal {
     *
     * @param payloadCols right columns to carry onto the left rows
     * @param tolerance   optional interval ([[functions.expr]]
-    *                    `"INTERVAL 1 HOUR"`): matches older than
-    *                    `leftTime - tolerance` are nulled out
+    *                    `"INTERVAL 1 HOUR"`): matches farther from
+    *                    `leftTime` than the tolerance are nulled out
+    * @param direction   `"backward"` (latest at-or-before, default) or
+    *                    `"forward"` (earliest at-or-after)
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftTime: String, rightTime: String,
                payloadCols: Seq[String],
-               tolerance: Option[Column] = None): DataFrame = {
+               tolerance: Option[Column] = None,
+               direction: String = "backward"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"asofJoin: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    require(Set("backward", "forward")(direction),
+      s"asofJoin: direction must be backward or forward, got $direction")
+    val backward = direction == "backward"
     val reserved = Set("_t", "_side", "_pay", "_m", "_rt")
     val clashes = (left.columns ++ payloadCols).filter(reserved.contains)
     require(clashes.isEmpty,
@@ -70,8 +78,12 @@ object Temporal {
         Seq(col(leftTime).cast("timestamp").as("_t"), lit(1).as("_side"),
           lit(null).cast(payType).as("_pay")) ++
         leftNonKey.map(col): _*)
+    // forward = the same running scan over time REVERSED: walking
+    // latest-to-earliest, the last right row seen at-or-above a left row
+    // is the earliest at-or-after it (right still sorts before left at
+    // equal instants — inclusive both ways)
     val ordering =
-      Seq(col("_t").asc, col("_side").asc) ++
+      Seq(if (backward) col("_t").asc else col("_t").desc, col("_side").asc) ++
         (if (RowOrdering.isOrderable(payType)) Seq(col("_pay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,7 +92,8 @@ object Temporal {
       .filter(col("_side") === 1)
     val bounded = tolerance match {
       case Some(tol) => matched.withColumn("_m",
-        when(col("_m._rt") >= col("_t") - tol, col("_m")))
+        when(if (backward) col("_m._rt") >= col("_t") - tol
+             else col("_m._rt") <= col("_t") + tol, col("_m")))
       case None => matched
     }
     bounded.select(left.columns.map(col).toSeq ++

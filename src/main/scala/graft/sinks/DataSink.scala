@@ -49,6 +49,38 @@ object DataSink {
       .saveAsTable(table)
   }
 
+  /** Compact a parquet directory to `targetFileMB`-sized files — the
+    * small-files pass every long-running ingest needs: streaming
+    * micro-batches and per-run appends accumulate thousands of KB-scale
+    * files whose open/footer overhead eventually dominates scans (and
+    * strains the namenode/object-store listing). Sizing comes from the
+    * directory's actual on-disk bytes, not a row-count guess, so skewed
+    * row widths still land near the target. The rewrite goes to a
+    * temp directory first and swaps in only after it fully commits — a
+    * crash mid-compaction leaves the original intact.
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): (Int, Int) = {
+    require(targetFileMB > 0, s"compact: targetFileMB must be positive, got $targetFileMB")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).filter { s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")
+    }
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nOut).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.compact.old")
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, path), s"compact: could not swap in compacted $dir")
+    fs.delete(old, true)
+    (dataFiles.length, nOut)
+  }
+
   /** Drop a staging table from BOTH the catalog and its warehouse
     * location. The in-memory catalog forgets tables across sessions while
     * their directories persist, so a bare `saveAsTable(Overwrite)` in a

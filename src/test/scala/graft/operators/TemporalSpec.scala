@@ -52,6 +52,28 @@ class TemporalSpec extends SparkSpec {
     assert(out(1L).contains(1.0) && out(2L).contains(2.0))
   }
 
+  test("asofJoin forward: earliest at-or-after, inclusive, tolerance bounds lookahead") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), direction = "forward")
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(
+      1L -> Some(2.0), // 10:04:59 -> next quote 10:05
+      2L -> Some(2.0), // exactly at 10:05 -> inclusive
+      3L -> None,      // after the last quote -> nothing ahead
+      4L -> Some(1.0), // 09:00 -> first quote 10:00
+      5L -> None))     // key with no quotes
+    val bounded = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), tolerance = Some(expr("INTERVAL 10 MINUTE")),
+        direction = "forward")
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // trade 4 at 09:00 only has the 10:00 quote ahead — 60 min away, dropped
+    assert(bounded(4L).isEmpty && bounded(1L).contains(2.0))
+  }
+
   test("asofJoin: duplicate-instant right rows tie-break deterministically (max payload)") {
     val dupQuotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1.0),

@@ -104,6 +104,21 @@ class DataSinkSpec extends SparkSpec {
     assert(log.select("stage").as[String].collect().toSet == Set("extract", "load"))
   }
 
+  test("compact rewrites a many-small-files directory to the sized target, data intact") {
+    val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath + "/t"
+    val df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    val (nBefore, nAfter) = DataSink.compact(spark, dir, targetFileMB = 128)
+    assert(nBefore == 40 && nAfter == 1, s"got $nBefore -> $nAfter")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq)
+    assert(!new java.io.File(s"$dir.compact.tmp").exists())
+    assert(!new java.io.File(s"$dir.compact.old").exists())
+  }
+
   test("scd2Merge: closes on change, suppresses no-ops, chains a batch, keeps history") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val current = Seq(
