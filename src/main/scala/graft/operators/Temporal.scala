@@ -83,7 +83,11 @@ object Temporal {
     // is the earliest at-or-after it (right still sorts before left at
     // equal instants — inclusive both ways)
     val ordering =
-      Seq(if (backward) col("_t").asc else col("_t").desc, col("_side").asc) ++
+      // desc defaults to NULLS LAST, which would put a null-time left row
+      // at the END of the reversed scan where it sees every right payload
+      // — nulls must lead in both directions so they match nothing
+      Seq(if (backward) col("_t").asc_nulls_first else col("_t").desc_nulls_first,
+        col("_side").asc) ++
         (if (RowOrdering.isOrderable(payType)) Seq(col("_pay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -49,31 +49,52 @@ object DataSink {
       .saveAsTable(table)
   }
 
-  /** Compact a parquet directory to `targetFileMB`-sized files — the
-    * small-files pass every long-running ingest needs: streaming
+  /** Compact a FLAT parquet directory to `targetFileMB`-sized files —
+    * the small-files pass every long-running ingest needs: streaming
     * micro-batches and per-run appends accumulate thousands of KB-scale
     * files whose open/footer overhead eventually dominates scans (and
     * strains the namenode/object-store listing). Sizing comes from the
     * directory's actual on-disk bytes, not a row-count guess, so skewed
-    * row widths still land near the target. The rewrite goes to a
-    * temp directory first and swaps in only after it fully commits — a
-    * crash mid-compaction leaves the original intact.
+    * row widths still land near the target.
+    *
+    * A Hive-partitioned layout (`day=.../part-*.parquet`) is REFUSED:
+    * rewriting it here would flatten the partition columns into one
+    * unpartitioned dataset and destroy pruning — compact each leaf
+    * partition directory instead.
+    *
+    * The rewrite lands in a sibling temp dir and swaps in via two
+    * renames; the bytes are never at risk, and the one crash window
+    * (original moved aside, compacted not yet in place) self-heals: the
+    * next call — or read via this method — finds the `.compact.old`
+    * survivor and restores it before doing anything else.
     *
     * @return (files before, files after)
     */
   def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): (Int, Int) = {
     require(targetFileMB > 0, s"compact: targetFileMB must be positive, got $targetFileMB")
-    val path = new org.apache.hadoop.fs.Path(dir)
+    val path = new org.apache.hadoop.fs.Path(dir) // normalizes trailing slashes
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sibling(suffix: String) =
+      new org.apache.hadoop.fs.Path(path.getParent, path.getName + suffix)
+    val tmp = sibling(".compact.tmp")
+    val old = sibling(".compact.old")
+    // self-heal a previous crash between the two swap renames
+    if (!fs.exists(path) && fs.exists(old)) {
+      require(fs.rename(old, path), s"compact: could not restore $old to $dir")
+    }
     val dataFiles = fs.listStatus(path).filter { s =>
       s.isFile && s.getPath.getName.endsWith(".parquet")
     }
+    val subdirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subdirs.isEmpty,
+      s"compact: $dir holds a partitioned layout (${subdirs.take(3).mkString(", ")}…) — " +
+        "compact each leaf partition directory instead, or the partition " +
+        "columns would be flattened away")
     val bytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compact.tmp")
     fs.delete(tmp, true)
     spark.read.parquet(dir).repartition(nOut).write.parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$dir.compact.old")
     fs.delete(old, true)
     require(fs.rename(path, old), s"compact: could not move $dir aside")
     require(fs.rename(tmp, path), s"compact: could not swap in compacted $dir")
@@ -139,7 +160,13 @@ object DataSink {
     *  - a no-op update (attributes identical to the version in force at
     *    its instant, null-safe) is suppressed — classic SCD2 skips
     *    non-changes rather than splitting history.
-    *  - already-closed history is untouched.
+    *  - already-closed history is untouched. An update whose instant
+    *    falls INSIDE a key's closed history (late historical rewrite)
+    *    fails LOUDLY — it would silently produce overlapping validity
+    *    intervals; replay the dimension build instead.
+    *  - updates with a null key or null `effectiveFrom` never merge
+    *    (dropped, mirroring join null semantics) — a null change
+    *    instant would otherwise chain a phantom head version.
     *
     * One shuffle on the key (window) — closed rows don't re-sort. Keys
     * must be unique per (key, effectiveFrom) across open+updates for a
@@ -154,10 +181,29 @@ object DataSink {
       keys.contains(c) || c == effectiveFrom || c == effectiveTo)
     require((keys :+ effectiveFrom).forall(updates.columns.contains),
       s"scd2Merge: updates must carry $keys and $effectiveFrom, got ${updates.columns.toSeq}")
+    require(!cols.contains("_prev") && !cols.contains("_hist_end"),
+      "scd2Merge: column names _prev/_hist_end collide with internal staging names — rename them first")
     val open = current.filter(col(effectiveTo).isNull)
     val closed = current.filter(col(effectiveTo).isNotNull)
+    val updValid = updates.filter(
+      (col(effectiveFrom).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+    // an update instant inside CLOSED history would overlap the closed
+    // intervals this merge never rewrites — corrupt silently, so fail loudly
+    val histEnd = closed.groupBy(keys.map(col): _*)
+      .agg(max(col(effectiveTo)).as("_hist_end"))
+    val updChecked = updValid.join(histEnd, keys, "left")
+      .withColumn(effectiveFrom,
+        when(col("_hist_end").isNotNull && col(effectiveFrom) < col("_hist_end"),
+          raise_error(concat(lit("scd2Merge: update instant "),
+            col(effectiveFrom).cast("string"),
+            lit(" predates closed history ending "),
+            col("_hist_end").cast("string"),
+            lit(" — late historical rewrites need a dimension rebuild")))
+            .cast(current.schema(effectiveFrom).dataType))
+          .otherwise(col(effectiveFrom)))
+      .drop("_hist_end")
     val candidates = open.unionByName(
-      updates.withColumn(effectiveTo,
+      updChecked.withColumn(effectiveTo,
         lit(null).cast(current.schema(effectiveTo).dataType)).select(cols.map(col): _*))
     val byTime = Window.partitionBy(keys.map(col): _*).orderBy(col(effectiveFrom))
     val attrStruct = struct(attrs.map(col): _*)

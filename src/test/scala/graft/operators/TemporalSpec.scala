@@ -74,6 +74,18 @@ class TemporalSpec extends SparkSpec {
     assert(bounded(4L).isEmpty && bounded(1L).contains(2.0))
   }
 
+  test("asofJoin forward: a null left time matches nothing (desc scan nulls-first)") {
+    val t = Seq(
+      (Some("A"), Option.empty[Timestamp], 1L),
+      (Some("A"), Some(ts("2024-01-01 09:00:00")), 2L)
+    ).toDF("sym", "tt", "trade_id")
+    val out = Temporal.asofJoin(t, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), direction = "forward")
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(1.0)))
+  }
+
   test("asofJoin: duplicate-instant right rows tie-break deterministically (max payload)") {
     val dupQuotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1.0),

@@ -119,6 +119,57 @@ class DataSinkSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir.compact.old").exists())
   }
 
+  test("compact refuses partitioned layouts, heals a crashed swap, tolerates trailing slash") {
+    val base = Files.createTempDirectory("compact_edge").toFile.getAbsolutePath
+    // partitioned layout must be refused, not flattened
+    val part = s"$base/part_t"
+    spark.range(100).selectExpr("id", "id % 3 AS day").write.partitionBy("day").parquet(part)
+    val e = intercept[IllegalArgumentException] { DataSink.compact(spark, part) }
+    assert(e.getMessage.contains("partitioned layout"))
+    assert(spark.read.parquet(part).columns.contains("day"), "layout untouched after refusal")
+
+    // trailing slash: internals must stay SIBLINGS of the dataset dir
+    val flat = s"$base/flat_t"
+    spark.range(100).toDF("id").repartition(5).write.parquet(flat)
+    val (b5, a1) = DataSink.compact(spark, flat + "/", targetFileMB = 64)
+    assert(b5 == 5 && a1 == 1)
+    assert(spark.read.parquet(flat).count() == 100)
+    assert(!new java.io.File(s"$flat/.compact.tmp").exists() &&
+      !new java.io.File(s"$flat/.compact.old").exists(), "no litter inside the dataset")
+
+    // crash window between the two swap renames: dir gone, .old survives
+    assert(new java.io.File(flat).renameTo(new java.io.File(s"$flat.compact.old")))
+    val (b1, _) = DataSink.compact(spark, flat)
+    assert(b1 == 1, "self-heal must restore the survivor before compacting")
+    assert(spark.read.parquet(flat).count() == 100)
+  }
+
+  test("scd2Merge: late historical updates fail loudly; null instants/keys never merge") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val current = Seq(
+      (1L, "bronze", t("2026-01-01 00:00:00"), Option(t("2026-02-01 00:00:00"))),
+      (1L, "silver", t("2026-02-01 00:00:00"), Option.empty[java.sql.Timestamp])
+    ).toDF("k", "tier", "effective_from", "effective_to")
+    // an instant inside closed history would create overlapping intervals
+    val late = Seq((1L, "silver", Option(t("2026-01-10 00:00:00"))))
+      .toDF("k", "tier", "effective_from")
+    val e = intercept[Exception] {
+      DataSink.scd2Merge(current, late, Seq("k")).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("predates closed history")), s"got: $e")
+    // null instants and null keys are dropped, not phantom-chained
+    val dirty = Seq(
+      (Option(1L), "gold", Option(t("2026-03-01 00:00:00"))),
+      (Option(1L), "pink", Option.empty[java.sql.Timestamp]),
+      (Option.empty[Long], "teal", Option(t("2026-03-02 00:00:00"))))
+      .toDF("k", "tier", "effective_from")
+    val out = DataSink.scd2Merge(current, dirty, Seq("k"))
+      .collect().map(r => (r.get(0), r.getString(1))).toSet
+    assert(out.map(_._2) == Set("bronze", "silver", "gold"))
+  }
+
   test("scd2Merge: closes on change, suppresses no-ops, chains a batch, keeps history") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val current = Seq(
