@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hyperplane_sig: seed must be a numeric literal, got $other")
         }
         HyperplaneSigExpr(args.head, intOf(args(1), "dim"), intOf(args(2), "numPlanes"), seed)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain(bloomBytes, bigintHash)")
+        BloomMightContainExpr(args.head, args(1))
       }))
 
     ext.injectFunction((

@@ -39,8 +39,10 @@ object Temporal {
     * @param tolerance   optional interval ([[functions.expr]]
     *                    `"INTERVAL 1 HOUR"`): matches farther from
     *                    `leftTime` than the tolerance are nulled out
-    * @param direction   `"backward"` (latest at-or-before, default) or
-    *                    `"forward"` (earliest at-or-after)
+    * @param direction   `"backward"` (latest at-or-before, default),
+    *                    `"forward"` (earliest at-or-after), or
+    *                    `"nearest"` (closer of the two; exact ties
+    *                    prefer the backward match)
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
@@ -50,10 +52,9 @@ object Temporal {
                direction: String = "backward"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"asofJoin: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
-    require(Set("backward", "forward")(direction),
-      s"asofJoin: direction must be backward or forward, got $direction")
-    val backward = direction == "backward"
-    val reserved = Set("_t", "_side", "_pay", "_m", "_rt")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward, forward, or nearest, got $direction")
+    val reserved = Set("_t", "_side", "_pay", "_m", "_rt", "_mb", "_mf")
     val clashes = (left.columns ++ payloadCols).filter(reserved.contains)
     require(clashes.isEmpty,
       s"asofJoin: column names ${clashes.toSeq} collide with internal staging names $reserved — rename them first")
@@ -81,23 +82,38 @@ object Temporal {
     // forward = the same running scan over time REVERSED: walking
     // latest-to-earliest, the last right row seen at-or-above a left row
     // is the earliest at-or-after it (right still sorts before left at
-    // equal instants — inclusive both ways)
-    val ordering =
-      // desc defaults to NULLS LAST, which would put a null-time left row
-      // at the END of the reversed scan where it sees every right payload
-      // — nulls must lead in both directions so they match nothing
-      Seq(if (backward) col("_t").asc_nulls_first else col("_t").desc_nulls_first,
-        col("_side").asc) ++
-        (if (RowOrdering.isOrderable(payType)) Seq(col("_pay").asc_nulls_first) else Nil)
-    val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(ordering: _*)
+    // equal instants — inclusive both ways). nearest computes both scans
+    // over the SAME key partitioning (one Exchange, two sorts) and picks
+    // the closer match per row.
+    val payTie =
+      if (RowOrdering.isOrderable(payType)) Seq(col("_pay").asc_nulls_first) else Nil
+    // desc defaults to NULLS LAST, which would put a null-time left row
+    // at the END of the reversed scan where it sees every right payload
+    // — nulls must lead in both directions so they match nothing
+    def scanWindow(asc: Boolean) = Window.partitionBy(leftKeys.map(col): _*)
+      .orderBy((if (asc) col("_t").asc_nulls_first else col("_t").desc_nulls_first)
+        +: col("_side").asc +: payTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightU.unionByName(leftU)
-      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val backScan = last(col("_pay"), ignoreNulls = true).over(scanWindow(asc = true))
+    val fwdScan = last(col("_pay"), ignoreNulls = true).over(scanWindow(asc = false))
+    val unioned = rightU.unionByName(leftU)
+    val matched = (direction match {
+      case "backward" => unioned.withColumn("_m", backScan)
+      case "forward"  => unioned.withColumn("_m", fwdScan)
+      case _ =>
+        val back = col("_mb"); val fwd = col("_mf")
+        val distBack = col("_t").cast("double") - back.getField("_rt").cast("double")
+        val distFwd = fwd.getField("_rt").cast("double") - col("_t").cast("double")
+        unioned.withColumn("_mb", backScan).withColumn("_mf", fwdScan)
+          .withColumn("_m",
+            when(back.isNull, fwd).when(fwd.isNull, back)
+              .when(distFwd < distBack, fwd).otherwise(back)) // tie → backward
+          .drop("_mb", "_mf")
+    }).filter(col("_side") === 1)
     val bounded = tolerance match {
       case Some(tol) => matched.withColumn("_m",
-        when(if (backward) col("_m._rt") >= col("_t") - tol
-             else col("_m._rt") <= col("_t") + tol, col("_m")))
+        when(col("_m._rt") >= col("_t") - tol && col("_m._rt") <= col("_t") + tol,
+          col("_m")))
       case None => matched
     }
     bounded.select(left.columns.map(col).toSeq ++

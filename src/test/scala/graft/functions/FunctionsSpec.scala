@@ -301,6 +301,31 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((false, false)))
   }
 
+  test("bloom_might_contain: no false negatives, literal-only, codegen agrees") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (1L to 500L).foreach(i => bf.putLong(i * 7))
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val df = spark.range(1, 1001).select((col("id") * 7).as("h"))
+    def hits(): Long = df.filter(
+      call_function("bloom_might_contain", lit(bytes), col("h"))).count()
+    // every inserted value must hit (no false negatives); false positives
+    // bounded loosely by fpp on the 500 non-inserted values
+    val n = hits()
+    assert(n >= 500 && n <= 560, s"got $n")
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      assert(hits() == n, "interpreted mode must agree with codegen")
+    } finally spark.conf.set(conf, before)
+    // a non-literal bloom would deserialize per row — rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("bloom_might_contain",
+        lit(bytes) + lit(Array.emptyByteArray), col("h"))).head()
+    }
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)

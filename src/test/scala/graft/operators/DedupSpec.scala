@@ -67,6 +67,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(11L, 12L))
   }
 
+  test("dedupAgainstCorpusBloom agrees with the plain anti-join exactly") {
+    val corpus = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base), (11L, nearDup), (12L, "fresh one"), (13L, "fresh one"),
+      (14L, unrelated), (15L, "another fresh")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.contentFingerprints(corpus, "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val plain = ids(Dedup.dedupAgainstCorpus(batch, fps, "doc_id", "text"))
+    val bloomed = ids(Dedup.dedupAgainstCorpusBloom(batch, fps, "doc_id", "text"))
+    assert(bloomed == plain && plain == Set(11L, 12L, 15L))
+  }
+
   test("dedupAgainstCorpus on an empty corpus keeps the whole deduped batch") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val batch = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")

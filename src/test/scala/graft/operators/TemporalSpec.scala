@@ -86,6 +86,30 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(1.0)))
   }
 
+  test("asofJoin nearest: closer side wins, exact ties prefer backward, tolerance symmetric") {
+    val q = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 11:00:00"), 2.0)
+    ).toDF("sym", "qt", "px")
+    val t = Seq(
+      ("A", ts("2024-01-01 10:20:00"), 1L), // 20 min back vs 40 fwd -> 1.0
+      ("A", ts("2024-01-01 10:40:00"), 2L), // 40 back vs 20 fwd -> 2.0
+      ("A", ts("2024-01-01 10:30:00"), 3L), // exact tie -> backward 1.0
+      ("A", ts("2024-01-01 09:00:00"), 4L), // only forward exists -> 1.0
+      ("A", ts("2024-01-01 12:00:00"), 5L)  // only backward exists -> 2.0
+    ).toDF("sym", "tt", "trade_id")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      Temporal.asofJoin(t, q, Seq("sym"), Seq("sym"), "tt", "qt", Seq("px"),
+          tolerance = tol, direction = "nearest")
+        .select(col("trade_id"), col("px")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(run(None) == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(1.0), 5L -> Some(2.0)))
+    val bounded = run(Some(expr("INTERVAL 30 MINUTE")))
+    assert(bounded(4L).isEmpty && bounded(5L).isEmpty, "distance bound applies both ways")
+    assert(bounded(1L).contains(1.0) && bounded(3L).contains(1.0))
+  }
+
   test("asofJoin: duplicate-instant right rows tie-break deterministically (max payload)") {
     val dupQuotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1.0),
