@@ -102,8 +102,10 @@ object Temporal {
       case "forward"  => unioned.withColumn("_m", fwdScan)
       case _ =>
         val back = col("_mb"); val fwd = col("_mf")
-        val distBack = col("_t").cast("double") - back.getField("_rt").cast("double")
-        val distFwd = fwd.getField("_rt").cast("double") - col("_t").cast("double")
+        // exact integer micros, not double epoch-seconds: a ~0.5 µs cast
+        // rounding error could flip the documented backward tie preference
+        val distBack = unix_micros(col("_t")) - unix_micros(back.getField("_rt"))
+        val distFwd = unix_micros(fwd.getField("_rt")) - unix_micros(col("_t"))
         unioned.withColumn("_mb", backScan).withColumn("_mf", fwdScan)
           .withColumn("_m",
             when(back.isNull, fwd).when(fwd.isNull, back)

@@ -320,9 +320,11 @@ class FunctionsSpec extends SparkSpec {
       assert(hits() == n, "interpreted mode must agree with codegen")
     } finally spark.conf.set(conf, before)
     // a non-literal bloom would deserialize per row — rejected at analysis
+    // (the probe must be a genuine ATTRIBUTE of binary type: analysis-time
+    // foldability is what the expression checks)
     intercept[org.apache.spark.sql.AnalysisException] {
-      df.select(call_function("bloom_might_contain",
-        lit(bytes) + lit(Array.emptyByteArray), col("h"))).head()
+      df.withColumn("bloom_col", lit(bytes))
+        .select(call_function("bloom_might_contain", col("bloom_col"), col("h"))).head()
     }
   }
 
