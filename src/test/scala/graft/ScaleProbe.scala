@@ -116,6 +116,16 @@ object ScaleProbe {
       Dedup.dedupAgainstCorpus(batch, Dedup.contentFingerprints(corpus, "text"),
         "doc_id", "text")
     }
+    // SCD2: one keyed window pass over the change stream
+    time("scd2_merge", 0.89) {
+      val changes = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
+        .select(col("o_custkey").as("custkey"), col("priority"),
+          col("o_orderdate").as("effective_from"))
+      val dim = changes.withColumn("effective_to",
+        lit(null).cast(changes.schema("effective_from").dataType))
+      graft.sinks.DataSink.scd2Merge(dim.filter(lit(false)), changes, Seq("custkey"))
+    }
     spark.stop()
   }
 }
