@@ -144,6 +144,37 @@ class DataSinkSpec extends SparkSpec {
     assert(spark.read.parquet(flat).count() == 100)
   }
 
+  test("asofJoin over an SCD2 dimension equals the interval lookup (cross-operator)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val current = Seq(
+      (1L, "bronze", t("2026-01-01 00:00:00"), Option(t("2026-02-01 00:00:00"))),
+      (1L, "silver", t("2026-02-01 00:00:00"), Option.empty[java.sql.Timestamp]),
+      (2L, "gold", t("2026-01-15 00:00:00"), Option.empty[java.sql.Timestamp])
+    ).toDF("k", "tier", "effective_from", "effective_to")
+    val dim = DataSink.scd2Merge(current,
+      Seq((1L, "gold", t("2026-03-01 00:00:00"))).toDF("k", "tier", "effective_from"),
+      Seq("k"))
+    val facts = Seq(
+      (1L, t("2026-01-20 00:00:00"), 100L), (1L, t("2026-02-15 00:00:00"), 101L),
+      (1L, t("2026-03-15 00:00:00"), 102L), (2L, t("2026-01-01 00:00:00"), 103L)
+    ).toDF("k", "at", "fact_id")
+    // backward as-of on effective_from picks the version in force — the
+    // same row a from <= t < to interval filter selects
+    val viaAsof = graft.operators.Temporal.asofJoin(facts, dim, Seq("k"), Seq("k"),
+        "at", "effective_from", Seq("tier"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    val viaInterval = facts.join(dim, Seq("k"), "left")
+      .filter(col("effective_from") <= col("at") &&
+        (col("effective_to").isNull || col("effective_to") > col("at")))
+      .collect().map(r => r.getAs[Long]("fact_id") -> Some(r.getAs[String]("tier"))).toMap
+    assert(viaAsof == Map(100L -> Some("bronze"), 101L -> Some("silver"),
+      102L -> Some("gold"), 103L -> None))
+    // fact 103 predates key 2's first version: interval lookup drops the
+    // row entirely, as-of keeps it with a null — same in-force answers
+    assert(viaInterval == viaAsof.filter(_._2.isDefined))
+  }
+
   test("scd2Merge: late historical updates fail loudly; null instants/keys never merge") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val current = Seq(
