@@ -513,9 +513,9 @@ object SparkEntry {
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_disc_price,
         | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity),4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice),4) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -538,7 +538,7 @@ object SparkEntry {
 
     "q_delivery_performance" ->
       """SELECT n_name AS nation, count(*) AS total_orders,
-        |       round(avg(o_totalprice),4) AS avg_order_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(o_totalprice),4) AS avg_order_price,
         |       CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
         |       CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
         |       CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count

@@ -10,12 +10,30 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
-    new java.io.File(outDir).mkdirs()
+    // start from an EMPTY out dir: a reused dir would keep a previous
+    // run's parquet for any query that now fails (or was renamed), and
+    // the compare step would grade the stale result as a green MATCH
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(outFile)
+    }
+    outFile.mkdirs()
+    var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a partial dir behind for the compare to misread
+        val d = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (d.exists()) rm(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,5 +52,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.reverse.mkString(", "))
+      sys.exit(1) // a failed query must fail the gate, not vanish from it
+    }
   }
 }

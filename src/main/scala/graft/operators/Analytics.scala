@@ -29,6 +29,15 @@ object Analytics {
   private def moneySum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast("decimal(30,6)")), scale).cast("double")
 
+  /** Order-independent money average: exact decimal(30,6) sum divided by
+    * the non-null count, rounded as double. A plain `avg(double)` sums
+    * in nondeterministic partial-agg merge order, so a group mean near a
+    * rounding boundary flips run-to-run and engine-vs-oracle — the same
+    * flap [[moneySum]] exists to prevent.
+    */
+  def moneyAvg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(30,6)")).cast("double") / count(c), scale)
+
   /** Flagship pricing summary (TPC-H Q1 shape): the multi-aggregate scan
     * every warehouse is judged on. Pure partial-agg — no shuffle of raw
     * rows, only of the 6-group state.
@@ -41,9 +50,9 @@ object Analytics {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("sum_disc_price"),
         moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax"))).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -111,7 +120,7 @@ object Analytics {
       .groupBy(col("n_name").as("nation"))
       .agg(
         count(lit(1)).as("total_orders"),
-        round(avg(col("o_totalprice")), 4).as("avg_order_price"),
+        moneyAvg(col("o_totalprice")).as("avg_order_price"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fulfilled_count"),
         sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending_count"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_count"))

@@ -31,7 +31,9 @@ object Cleaning {
     val packed = struct(others.map(col).toIndexedSeq: _*)
     df.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(min_by(packed, col(tiebreak)).as("_row"))
-      .select(keys.map(col) ++ others.map(c => col(s"_row.$c").as(c)): _*)
+      // getField, not a "_row.name" string path: a column name containing
+      // a dot would misparse as a deeper nesting level
+      .select(keys.map(col) ++ others.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** Plain distinct-rows dedup (reference `keep` irrelevant: rows identical). */
@@ -71,7 +73,11 @@ object Cleaning {
              org.apache.spark.sql.types.FloatType => true
         case _ => false
       }
-      val src = if (floating) s"CASE WHEN isnan($c) THEN NULL ELSE $c END" else c
+      // backtick-quote the spliced name: an unquoted special-char name
+      // breaks the parse, and a keyword-like one (`current_date`) would
+      // silently bind to the FUNCTION and fill with today's date
+      val cq = "`" + c.replace("`", "``") + "`"
+      val src = if (floating) s"CASE WHEN isnan($cq) THEN NULL ELSE $cq END" else cq
       (if (exact) expr(s"percentile($src, 0.5)") else expr(s"approx_percentile($src, 0.5)"))
         .as(s"_med_$c")
     }
@@ -192,7 +198,10 @@ object Cleaning {
       val c = col(f.name)
       val numeric = f.dataType.isInstanceOf[NumericType]
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        // coalesce: sum over an EMPTY frame is null, and a null
+        // null_count/null_pct poisons downstream threshold checks (the
+        // same empty-extract fix validate() carries)
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
         (if (exactDistinct) lit(0L) else approx_count_distinct(c)).as(s"${f.name}__ndv"),
         (if (numeric) min(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__min"),
         (if (numeric) max(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__max"),
@@ -200,7 +209,11 @@ object Cleaning {
     }
     val wide = df.agg(n.as("__n"), aggs.toIndexedSeq: _*)
     val stackArgs = fields.map { f =>
-      s"'${f.name}', '${f.dataType.simpleString}', `${f.name}__nulls`, `${f.name}__ndv`, `${f.name}__min`, `${f.name}__max`, `${f.name}__mean`"
+      // escape quotes/backticks — profile points at arbitrary ingested
+      // headers, and one apostrophe would break the whole stack() parse
+      val nameLit = f.name.replace("\\", "\\\\").replace("'", "\\'")
+      val bq = f.name.replace("`", "``")
+      s"'$nameLit', '${f.dataType.simpleString}', `${bq}__nulls`, `${bq}__ndv`, `${bq}__min`, `${bq}__max`, `${bq}__mean`"
     }.mkString(", ")
     val long = wide.select(col("__n"), expr(
         s"stack(${fields.length}, $stackArgs) as (column, dtype, null_count, distinct_count, min, max, mean)"))

@@ -39,8 +39,10 @@ object Multimodal {
     * batching and schema stay identical.
     */
   private def stubDecode(docId: Long, payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val w = 1 + (math.abs(payload.length * 31 + docId) % 64).toInt
-    val h = 1 + (math.abs(payload.length * 17 + docId * 7) % 64).toInt
+    // length widened BEFORE the multiply: an Int `length * 31` wraps
+    // negative past ~69 MB and diverges from the BIGINT oracle mirror
+    val w = 1 + (math.abs(payload.length.toLong * 31 + docId) % 64).toInt
+    val h = 1 + (math.abs(payload.length.toLong * 17 + docId * 7) % 64).toInt
     // fake 8-dim "embedding": byte histogram moments, deterministic
     val feat = new Array[Float](8)
     var i = 0
@@ -66,7 +68,15 @@ object Multimodal {
     * (payload, frame_idx, frame_bytes). The explode-to-child-rows shape is
     * the real pipeline; the decoder is the fake.
     */
-  def frameSampleStub(media: DataFrame, frames: Int, frameBytes: Int): DataFrame =
+  def frameSampleStub(media: DataFrame, frames: Int, frameBytes: Int): DataFrame = {
+    // sequence(0, frames-1) with frames <= 0 would FABRICATE descending
+    // garbage frames ([0, -1] for zero) instead of emitting none
+    require(frames > 0 && frameBytes > 0,
+      s"frameSampleStub: frames and frameBytes must be positive, got $frames/$frameBytes")
+    frameSampleBody(media, frames, frameBytes)
+  }
+
+  private def frameSampleBody(media: DataFrame, frames: Int, frameBytes: Int): DataFrame =
     media
       .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
       .withColumn("frame_bytes", expr(
@@ -80,16 +90,21 @@ object Multimodal {
     */
   def featurize(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(FeatureSchema)
-    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, feat) = stubDecode(id, bytes)
-        val sha = digest.digest(bytes).map(b => f"$b%02x").mkString
-        digest.reset()
-        Row(id, bytes.length, sha, w, h, feat.toIndexedSeq)
-      }
-    }(enc)
+    // null id/payload rows (unparseable id cast, null text) are skipped,
+    // not decoded: one bad row must never NPE-abort a 100 TB job — the
+    // caller quarantines them upstream via `payload IS NULL`
+    media.select(col("doc_id"), col("payload"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, feat) = stubDecode(id, bytes)
+          val sha = digest.digest(bytes).map(b => f"$b%02x").mkString
+          digest.reset()
+          Row(id, bytes.length, sha, w, h, feat.toIndexedSeq)
+        }
+      }(enc)
   }
 }

@@ -69,7 +69,12 @@ object Validation {
       .select(col("e.rule").as("rule"), col("e.severity").as("severity"),
         col("row_count"), col("e.violations").as("violations"),
         round(col("e.violations") / greatest(col("row_count"), lit(1L)), 4).as("violation_pct"),
-        (col("e.violations") <= col("e.threshold") * col("row_count")).as("passed"))
+        // decimal, not double, for the pass boundary: 0.29 * 100 in double
+        // is 28.999…96, so exactly-at-threshold rules would spuriously
+        // FAIL (and gate-abort a pipeline); double→decimal cast goes via
+        // the shortest decimal rendering, making the product exact
+        (col("e.violations") <=
+          col("e.threshold").cast("decimal(18,10)") * col("row_count")).as("passed"))
   }
 
   /** Uniqueness check (validators.py:180 add_unique_check) — needs its own

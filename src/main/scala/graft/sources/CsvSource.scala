@@ -60,7 +60,13 @@ object CsvSource {
     val headerRegex = schema.fieldNames
       .map(n => "\\s*\"?" + java.util.regex.Pattern.quote(n) + "\"?\\s*")
       .mkString("(?i)^", ",", "$")
-    val body = if (header) lines.filter(!col("value").rlike(headerRegex)) else lines
+    // truly empty lines parse to clean all-null rows under from_csv
+    // (corrupt stays NULL — verified: only whitespace-only lines get
+    // flagged), so a blank separator line in a hand-edited or multi-part
+    // export would fabricate a phantom null-keyed row; drop them the way
+    // spark.read.csv does
+    val nonEmpty = lines.filter(length(col("value")) > 0)
+    val body = if (header) nonEmpty.filter(!col("value").rlike(headerRegex)) else nonEmpty
     body.select(from_csv(col("value"), withCorrupt, opts).as("_r"))
       .select(withCorrupt.fieldNames.map(n => col(s"_r.`$n`").as(n)): _*)
   }

@@ -22,10 +22,21 @@ object JsonSource {
     spark.read.option("multiLine", multiline.toString).schema(schema).json(path)
 
   /** Parse a string column of JSON payloads in place (the landed-in-a-
-    * column shape: Kafka value, events.props, …).
+    * column shape: Kafka value, events.props, …). `keepRawAs` preserves
+    * the ORIGINAL string under that name — a malformed payload parses to
+    * null, and overwriting in place would destroy the only evidence a
+    * quarantine/debug table could use (a 100 TB ingest WILL contain
+    * garbage payloads; `filter(parsed.isNull && raw.isNotNull)` is the
+    * quarantine).
     */
-  def parseColumn(df: DataFrame, jsonCol: String, schema: DataType): DataFrame =
-    df.withColumn(jsonCol, from_json(col(jsonCol), schema))
+  def parseColumn(df: DataFrame, jsonCol: String, schema: DataType,
+                  keepRawAs: Option[String] = None): DataFrame = {
+    val kept = keepRawAs match {
+      case Some(raw) => df.withColumn(raw, col(jsonCol))
+      case None      => df
+    }
+    kept.withColumn(jsonCol, from_json(col(jsonCol), schema))
+  }
 
   /** Claim a unique output name: `wanted` if free, else `wanted_2`,
     * `wanted_3`, … — a flatten/explode that emits two columns with one
