@@ -20,6 +20,20 @@ class MultimodalSpec extends SparkSpec {
     assert(w >= 1 && w <= 64 && h >= 1 && h <= 64)
   }
 
+  test("featurize skips null-payload/null-id rows instead of failing the job") {
+    val dirty = Multimodal.withBinaryPayload(
+      Seq((Some(1L), Some("good doc")), (Some(2L), Option.empty[String]),
+        (Option.empty[Long], Some("null id"))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.featurize(spark, dirty).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("frameSampleStub rejects non-positive frame counts") {
+    intercept[IllegalArgumentException] { Multimodal.frameSampleStub(media, 0, 4) }
+    intercept[IllegalArgumentException] { Multimodal.frameSampleStub(media, 3, 0) }
+  }
+
   test("resizeStub truncates payloads and tags the media type") {
     val out = Multimodal.resizeStub(media, maxBytes = 5)
       .select(length(col("payload")).as("len"), col("media_type"))

@@ -39,6 +39,18 @@ class ValidationSpec extends SparkSpec {
     assert(report("null_check_rule") == 0L)
   }
 
+  test("an exactly-at-threshold rule passes (decimal boundary, no float error)") {
+    // 29 violations of 100 rows at threshold 0.29: in double,
+    // 0.29 * 100 = 28.999…96 and the rule would spuriously FAIL
+    val df = (1 to 100).map(i => Some(if (i <= 29) -1.0 else 5.0)).toSeq.toDF("amount")
+    val row = Validation.validate(df, Seq(
+        Validation.rangeCheck("amount", Some(0.0), None, "error")),
+        thresholds = Map("range_check_amount" -> 0.29))
+      .head()
+    assert(row.getAs[Long]("violations") == 29L)
+    assert(row.getAs[Boolean]("passed"), "29/100 at threshold 0.29 must pass")
+  }
+
   test("uniqueCheck counts duplicate keys and rows") {
     val df = Seq(1, 1, 1, 2, 3, 3).toDF("k")
     val r = Validation.uniqueCheck(df, Seq("k")).head()

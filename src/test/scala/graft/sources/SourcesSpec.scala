@@ -29,6 +29,15 @@ class SourcesSpec extends SparkSpec {
     assert(good.columns.toSeq.contains("source_file") && !good.columns.contains("_corrupt_record"))
     assert(good.select("source_file").distinct().head().getString(0).endsWith("orders.csv"))
     assert(badRows(0).getAs[String](CsvSource.CorruptCol).startsWith("NOT A NUMBER"))
+
+    // a blank separator line must not fabricate a phantom all-null row
+    // (from_csv parses "" into clean nulls — only whitespace gets flagged)
+    val f2 = new java.io.File(dir, "blanky.csv")
+    Files.writeString(f2.toPath,
+      "order_id,status,total\n1,delivered,120.50\n\n2,shipped,80.00\n")
+    val (good2, bad2) = CsvSource.quarantine(
+      CsvSource.read(spark, f2.getAbsolutePath, schema))
+    assert(good2.count() == 2 && bad2.count() == 0)
   }
 
   test("CsvSource drops quoted/padded/case-variant header lines") {
