@@ -343,8 +343,11 @@ object SparkEntry {
           call_function("l2_normalize", col("embedding")).as("ne"),
           col("embedding"))
         .select(col("vec_id"),
-          round(sqrt(aggregate(col("embedding"),
-            lit(0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_before"),
+          // ne is null exactly when the embedding is invalid (null/NaN/Inf
+          // lane) — null l2_before too, or a NaN lane would emit NaN here
+          // while the oracle's invalid-branch emits NULL
+          when(col("ne").isNotNull, round(sqrt(aggregate(col("embedding"),
+            lit(0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6)).as("l2_before"),
           round(sqrt(aggregate(col("ne"),
             lit(0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_after"),
           round(element_at(col("ne"), 1).cast("double"), 6).as("lane0"))
@@ -968,29 +971,48 @@ object SparkEntry {
         |SELECT query_id, "rank", neighbor_id, sim FROM ranked
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // mirrors the native null contract: an invalid embedding (null/NaN/Inf
+    // lane, or a null vector) nulls every output; a zero vector passes
+    // through as zeros (x/0 would fabricate inf lanes)
     "q_embed_normalize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |         (embedding IS NULL
+        |          OR len(list_filter(embedding::DOUBLE[], x -> x IS NULL)) > 0
+        |          OR len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0) AS bad,
         |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
         |  FROM embeddings),
         |n AS (
-        |  SELECT vec_id, nrm,
-        |         list_transform(e, x -> CAST(x / nrm AS REAL)) AS ne
+        |  SELECT vec_id, CASE WHEN bad THEN NULL ELSE nrm END AS nrm,
+        |         CASE WHEN bad THEN NULL
+        |              WHEN nrm = 0 THEN list_transform(e, x -> CAST(0 AS REAL))
+        |              ELSE list_transform(e, x -> CAST(x / nrm AS REAL)) END AS ne
         |  FROM s)
         |SELECT vec_id, round(nrm, 6) AS l2_before,
         |  round(sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_after,
         |  round(CAST(ne[1] AS DOUBLE), 6) AS lane0
         |FROM n ORDER BY vec_id""".stripMargin,
 
+    // same invalid-embedding contract as q_embed_normalize; a zero vector
+    // quantizes to scale=0 with all-zero lanes (127/0 would be inf)
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
-        |         127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        |         (embedding IS NULL
+        |          OR len(list_filter(embedding::DOUBLE[], x -> x IS NULL)) > 0
+        |          OR len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0) AS bad,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
         |  FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, e, bad,
+        |         CASE WHEN bad THEN NULL WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+        |  FROM s),
         |q AS (
         |  SELECT vec_id, scale,
-        |         list_transform(e, x -> CAST(least(greatest(trunc(x * scale), -127), 127) AS INTEGER)) AS qv
-        |  FROM s)
+        |         CASE WHEN bad THEN NULL
+        |              WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |              ELSE list_transform(e, x -> CAST(least(greatest(trunc(x * scale), -127), 127) AS INTEGER)) END AS qv
+        |  FROM t)
         |SELECT vec_id, round(scale, 6) AS q_scale,
         |  CAST(list_min(qv) AS INTEGER) AS q_min,
         |  CAST(list_max(qv) AS INTEGER) AS q_max,

@@ -83,8 +83,11 @@ object Cleaning {
     }
     val med = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(med))
+    // backtick-quote the col() reads too: a dotted source name (and hence
+    // its dotted `_med_` twin) would otherwise parse as a nested-field path
+    def qcol(n: String) = col("`" + n.replace("`", "``") + "`")
     cols.foldLeft(joined) { (d, c) =>
-        val v = col(c)
+        val v = qcol(c)
         val isFloating = df.schema(c).dataType match {
           case org.apache.spark.sql.types.DoubleType |
                org.apache.spark.sql.types.FloatType => true
@@ -92,7 +95,7 @@ object Cleaning {
         }
         val missing = if (isFloating) v.isNull || v.isNaN else v.isNull
         d.withColumn(c,
-          when(missing, col(s"_med_$c").cast(df.schema(c).dataType)).otherwise(v))
+          when(missing, qcol(s"_med_$c").cast(df.schema(c).dataType)).otherwise(v))
       }
       .drop(cols.map(c => s"_med_$c"): _*)
   }

@@ -62,11 +62,13 @@ object Curation {
   /** Count of PII matches (for scrub-rate monitoring dashboards). Phones
     * are counted AFTER email redaction, mirroring [[redactPII]]'s order —
     * a digit run inside an email address must not count twice, so the
-    * count equals the placeholders actually emitted.
+    * count equals the placeholders actually emitted. Pass the SAME
+    * `emailToken` given to [[redactPII]]: a custom digit-bearing token
+    * would otherwise be phone-counted here but not in the redaction.
     */
-  def piiMatchCount(text: Column): Column =
+  def piiMatchCount(text: Column, emailToken: String = "<EMAIL>"): Column =
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, emailToken),
         lit(PhonePattern), lit(0)))
 
   /** Deterministic train/validation split on CONTENT hash: the last hex

@@ -61,7 +61,10 @@ object Temporal {
     val payClash = payloadCols.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
     require(payClash.isEmpty,
       s"asofJoin: payload columns ${payClash} collide with left column names — alias them on the right first")
-    val pay = struct(col(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(col): _*)
+    // every raw-name splice goes through backtick quoting so a dotted
+    // source column can't parse as a nested-field path
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val pay = struct(q(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(q): _*)
     val payType = right.select(pay).schema.head.dataType
     val leftNonKey = left.columns.filterNot(leftKeys.contains).toSeq
     // right rows with a null time or null key can never legitimately win
@@ -69,16 +72,16 @@ object Temporal {
     // first and leak its payload onto every earlier left row), so drop
     // them before the union
     val rightValid = right.filter(
-      (col(rightTime).isNotNull +: rightKeys.map(col(_).isNotNull)).reduce(_ && _))
+      (q(rightTime).isNotNull +: rightKeys.map(q(_).isNotNull)).reduce(_ && _))
     val rightU = rightValid.select(
-      rightKeys.zip(leftKeys).map { case (r, l) => col(r).as(l) } ++
-        Seq(col(rightTime).cast("timestamp").as("_t"), lit(0).as("_side"), pay.as("_pay")) ++
+      rightKeys.zip(leftKeys).map { case (r, l) => q(r).as(l) } ++
+        Seq(q(rightTime).cast("timestamp").as("_t"), lit(0).as("_side"), pay.as("_pay")) ++
         leftNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftU = left.select(
-      leftKeys.map(col) ++
-        Seq(col(leftTime).cast("timestamp").as("_t"), lit(1).as("_side"),
+      leftKeys.map(q) ++
+        Seq(q(leftTime).cast("timestamp").as("_t"), lit(1).as("_side"),
           lit(null).cast(payType).as("_pay")) ++
-        leftNonKey.map(col): _*)
+        leftNonKey.map(q): _*)
     // forward = the same running scan over time REVERSED: walking
     // latest-to-earliest, the last right row seen at-or-above a left row
     // is the earliest at-or-after it (right still sorts before left at
@@ -90,7 +93,7 @@ object Temporal {
     // desc defaults to NULLS LAST, which would put a null-time left row
     // at the END of the reversed scan where it sees every right payload
     // — nulls must lead in both directions so they match nothing
-    def scanWindow(asc: Boolean) = Window.partitionBy(leftKeys.map(col): _*)
+    def scanWindow(asc: Boolean) = Window.partitionBy(leftKeys.map(q): _*)
       .orderBy((if (asc) col("_t").asc_nulls_first else col("_t").desc_nulls_first)
         +: col("_side").asc +: payTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -114,12 +117,15 @@ object Temporal {
     }).filter(col("_side") === 1)
     val bounded = tolerance match {
       case Some(tol) => matched.withColumn("_m",
-        when(col("_m._rt") >= col("_t") - tol && col("_m._rt") <= col("_t") + tol,
+        when(col("_m").getField("_rt") >= col("_t") - tol &&
+          col("_m").getField("_rt") <= col("_t") + tol,
           col("_m")))
       case None => matched
     }
-    bounded.select(left.columns.map(col).toSeq ++
-      payloadCols.map(p => col(s"_m.$p").as(p)): _*)
+    // getField, not a "_m.name" string path: a payload (or left) column
+    // name containing a dot would otherwise parse as a nested-field path
+    bounded.select(left.columns.map(q).toSeq ++
+      payloadCols.map(p => col("_m").getField(p).as(p)): _*)
   }
 
   /** Range (interval) join: left POINT rows (`leftTime`) matched to right

@@ -82,8 +82,12 @@ object DataSink {
     if (!fs.exists(path) && fs.exists(old)) {
       require(fs.rename(old, path), s"compact: could not restore $old to $dir")
     }
+    // size from every non-hidden data file, exactly the set
+    // spark.read.parquet will read — a suffix test would compute bytes=0
+    // (and nOut=1 regardless of size) on files written without .parquet
     val dataFiles = fs.listStatus(path).filter { s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet")
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     val subdirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
@@ -91,6 +95,9 @@ object DataSink {
       s"compact: $dir holds a partitioned layout (${subdirs.take(3).mkString(", ")}…) — " +
         "compact each leaf partition directory instead, or the partition " +
         "columns would be flattened away")
+    require(dataFiles.nonEmpty,
+      s"compact: $dir contains no data files — nothing to compact (did a " +
+        "previous run crash before writing, or is this the wrong directory?)")
     val bytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
     fs.delete(tmp, true)

@@ -145,10 +145,18 @@ object RestSource {
   def landSaved(spark: SparkSession, rawDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(rawDir))
+    // strict name match, not a prefix test: a stray `page_001.json.bak` or
+    // digitless `page_tmp` would otherwise crash the numeric sort and kill
+    // the whole replay
+    val pageName = "^page_(\\d+)\\.json$".r
     val paths = // numeric sort (zero-padding alone breaks past its width)
       try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("page_")).toVector
-        .sortBy(p => p.getFileName.toString.filter(_.isDigit).toLong)
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case pageName(n) => Some((n.toLong, p))
+            case _           => None
+          }
+        }.toVector.sortBy(_._1).map(_._2)
       finally listing.close() // Files.list leaks an fd unless closed
     land(spark, paths.map(p => new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)))

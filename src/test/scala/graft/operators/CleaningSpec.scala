@@ -51,6 +51,15 @@ class CleaningSpec extends SparkSpec {
     assert(lazyOut.queryExecution.analyzed.toString.contains("approx_percentile"))
   }
 
+  test("fillMedian handles a column name containing dots") {
+    // col("a.b") parses as a nested-field path — the staging reads must
+    // backtick-quote or the fill dies on a perfectly legal column name
+    val df = Seq(Some(1.0), Some(3.0), None).toDF("price.usd")
+    val out = Cleaning.fillMedian(df, Seq("price.usd"), exact = true)
+      .collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("fillForward / fillBackward respect partition and order") {
     val df = Seq(
       ("u1", 1L, Some(10.0)), ("u1", 2L, None), ("u1", 3L, None), ("u1", 4L, Some(40.0)),

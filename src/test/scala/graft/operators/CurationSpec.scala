@@ -45,6 +45,22 @@ class CurationSpec extends SparkSpec {
     assert(out.getInt(1) == 1, "one redaction emitted -> count must be 1")
   }
 
+  test("piiMatchCount honors a custom digit-bearing email token") {
+    // counting must mask with the SAME token redactPII emits: a
+    // digit-bearing token is itself phone-matchable, so the phone pass
+    // sees (and replaces) it — the count tracks the replacements actually
+    // performed only if both functions share the token
+    val docs = Seq((1L, "reach 5550107788@carrier.com or 555-010-9999"))
+      .toDF("doc_id", "text")
+    val tok = "<pii:00000001>"
+    val out = docs.select(
+      Curation.redactPII(col("text"), emailToken = tok).as("clean"),
+      Curation.piiMatchCount(col("text"), emailToken = tok).as("n")).head()
+    // 3 replacements: 1 email, 1 real phone, 1 digit run inside the token
+    assert(out.getString(0) == "reach <pii:<PHONE>> or <PHONE>")
+    assert(out.getInt(1) == 3, "count must equal the replacements performed")
+  }
+
   test("hashSplit: deterministic, content-based, dups co-assigned, ratio sane") {
     val docs = spark.range(0, 2000)
       .select(col("id"), concat(lit("document number "), col("id")).as("text"))

@@ -41,6 +41,20 @@ class TemporalSpec extends SparkSpec {
       4L -> None, 5L -> None))
   }
 
+  test("asofJoin handles dotted column names in keys, times, and payload") {
+    // every raw-name splice must backtick-quote (or getField) — a name
+    // like "px.usd" would otherwise parse as a nested-field path
+    val q = quotes.toDF("sym.k", "quote.time", "px.usd")
+    val t = trades.toDF("sym.k", "trade.time", "trade.id")
+    val out = Temporal.asofJoin(t, q, Seq("sym.k"), Seq("sym.k"),
+        "trade.time", "quote.time", Seq("px.usd"))
+      .select(col("`trade.id`"), col("`px.usd`")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None))
+  }
+
   test("asofJoin: tolerance nulls out stale matches") {
     val out = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
         "tt", "qt", Seq("px"), tolerance = Some(expr("INTERVAL 10 MINUTE")))

@@ -142,6 +142,25 @@ class DataSinkSpec extends SparkSpec {
     val (b1, _) = DataSink.compact(spark, flat)
     assert(b1 == 1, "self-heal must restore the survivor before compacting")
     assert(spark.read.parquet(flat).count() == 100)
+
+    // suffixless data files (e.g. a foreign writer) still size correctly:
+    // bytes must come from every non-hidden file spark.read will read
+    val bare = s"$base/bare_t"
+    spark.range(100).toDF("id").repartition(2).write.parquet(bare)
+    new java.io.File(bare).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        assert(f.renameTo(new java.io.File(
+          f.getParent, f.getName.stripSuffix(".parquet"))))
+      }
+    val (b2, _) = DataSink.compact(spark, bare, targetFileMB = 64)
+    assert(b2 == 2, "suffixless files must be counted and sized")
+    assert(spark.read.parquet(bare).count() == 100)
+
+    // an empty directory fails loudly, not with a schema-inference error
+    val empty = s"$base/empty_t"
+    assert(new java.io.File(empty).mkdirs())
+    val e2 = intercept[IllegalArgumentException] { DataSink.compact(spark, empty) }
+    assert(e2.getMessage.contains("no data files"))
   }
 
   test("asofJoin over an SCD2 dimension equals the interval lookup (cross-operator)") {

@@ -113,6 +113,15 @@ class RestSourceSpec extends SparkSpec {
     val replayed = RestSource.landSaved(spark, dir)
     assert(replayed.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       df.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // stray non-page files (editor backup, partial temp) must not crash
+    // the numeric sort or join the replay
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "page_tmp"),
+      "junk".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "page_00001.json.bak"),
+      """[{"id": 99, "v": "stale"}]""".getBytes)
+    val again = RestSource.landSaved(spark, dir)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
   }
 
   test("extract composes paging + landing into one DataFrame") {
