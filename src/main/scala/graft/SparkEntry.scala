@@ -274,6 +274,27 @@ object SparkEntry {
         .select(col("doc_id"), Curation.hashSplit(col("text")).as("split_label"))
         .orderBy(col("doc_id"))),
 
+    // benchmark decontamination: every 10th doc doubles as the "benchmark"
+    // set (drawn from the corpus itself, so overlap is guaranteed for those
+    // docs and possible for shingle-sharing neighbors). k=3 matches the
+    // validated q_ngram_jaccard shingle mirror; production default is k=8.
+    "q_benchmark_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.benchmarkOverlap(docs, bench, "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the filter form: contaminated docs (≥1 shared shingle) dropped,
+    // upstream columns survive the semi-join untouched
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // band-bucket table (pair extraction is exercised in DedupSpec with
     // planted near-dups; this corpus is dup-free so pairs would be empty)
     "q_dedup_minhash" -> ((s, d) =>
@@ -919,6 +940,44 @@ object SparkEntry {
         |  CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 14
         |       THEN 'train' ELSE 'val' END AS split_label
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
+    // engine-validated); native xxhash64(shingle) equality is mirrored by
+    // string equality — identical semantics, collisions aside (2^-64)
+    "q_benchmark_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END)) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS c FROM sh JOIN bench USING (s) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ov.c, 0) AS BIGINT) AS overlap_ngrams
+        |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END)) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS c FROM sh JOIN bench USING (s) GROUP BY 1)
+        |SELECT d.doc_id, length(d.text) AS text_len
+        |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |WHERE coalesce(ov.c, 0) < 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exact shingle-jaccard is engine-independent: DuckDB mirrors the
     // inverted-index join (shared-shingle counts / set sizes). Valid while

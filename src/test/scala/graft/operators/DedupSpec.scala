@@ -161,6 +161,39 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("benchmarkOverlap counts shared shingles; decontaminate drops hits, keeps columns") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "an entirely different document about spark engines", "book"),
+      (3L, "sources say the quick brown fox was seen again", "news"),
+      (4L, "hi", "short")).toDF("doc_id", "text", "domain")
+    // bench shares "the quick brown" + "quick brown fox" with docs 1,3
+    // and the whole-text fallback shingle with short doc 4
+    val bench = Seq((100L, "watch the quick brown fox run"), (101L, "hi"))
+      .toDF("doc_id", "text")
+    val ov = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov(1L) == 2L, s"doc 1 shares exactly two shingles, got ${ov(1L)}")
+    assert(ov(2L) == 0L)
+    assert(ov(3L) == 2L)
+    assert(ov(4L) == 1L, "short doc collapses to a whole-text shingle matching bench 101")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "domain"),
+      "decontaminate must pass upstream columns through untouched")
+    assert(rows(kept.select("doc_id")) == Seq(Seq(2L)))
+    // minOverlap above the max observed count keeps everything
+    val lax = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3, minOverlap = 100L)
+    assert(lax.count() == 4)
+  }
+
+  test("benchmarkOverlap on an empty benchmark reports zero for every doc") {
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") < 0)
+    val ov = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("dedupClusters: 1,024-node chain converges in O(log n) rounds") {
     // worst-case diameter: one chain 0-1-2-…-1023. Min-label propagation
     // alone needs ~n rounds; pointer jumping must finish in ≈log2(n).
