@@ -274,6 +274,43 @@ object SparkEntry {
         .select(col("doc_id"), Curation.hashSplit(col("text")).as("split_label"))
         .orderBy(col("doc_id"))),
 
+    // line-level boilerplate removal: plant a license footer on EVERY doc
+    // (df=500 ≫ 100) plus a unique tail line (df=1) — the footer must
+    // vanish from all docs, the tail and original text must survive
+    "q_boilerplate_lines" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text2",
+        concat_ws("\n", col("text"),
+          lit("(c) example corp - all rights reserved"),
+          concat(lit("doc tail "), col("doc_id"))))
+      Curation.removeBoilerplateLines(docs, "doc_id", "text2", maxDocFreq = 100)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic language mixing: en kept whole, others downsampled by
+    // fixed rates — content-hash Bernoulli, mirrored bucket-exactly by the
+    // oracle (md5 nibbles are engine-independent)
+    "q_sample_weighted" -> ((s, d) =>
+      Curation.sampleByWeight(Tables.documents(s, d), "lang", "text",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25,
+            "es" -> 0.25, "zh" -> 0.125),
+          seed = "mix1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // concat-and-chunk packing plan: 4 hash shards, 512-token sequences;
+    // the whole layout (sequence index, offset, span) is window algebra
+    // both engines compute exactly
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Curation.packPlan(docs, "doc_id", "n_tokens", budget = 512L, shardCol = "shard")
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("seq_first"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: every 10th doc doubles as the "benchmark"
     // set (drawn from the corpus itself, so overlap is guaranteed for those
     // docs and possible for shingle-sharing neighbors). k=3 matches the
@@ -940,6 +977,61 @@ object SparkEntry {
         |  CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 14
         |       THEN 'train' ELSE 'val' END AS split_label
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // boilerplate mirror: identical planted footer; df counted per exact
+    // line (native side hashes lines — string equality is the same
+    // relation); reassembly = order-preserving string_agg
+    "q_boilerplate_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || '(c) example corp - all rights reserved'
+        |         || chr(10) || 'doc tail ' || doc_id AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM aug),
+        |ex AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |         unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM l),
+        |dfq AS (SELECT line, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY 1),
+        |boiler AS (SELECT line FROM dfq WHERE dfc > 100),
+        |kept AS (SELECT e.* FROM ex e ANTI JOIN boiler b ON e.line = b.line),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5('mix1' || text), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5('mix1' || text), 2, 1)) - 1)
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < round(CASE lang
+        |    WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
+        |    WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.125 ELSE 1.0 END * 256)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum_after - n_tokens) // 512 AS BIGINT) AS seq_first,
+        |  CAST((cum_after - n_tokens) % 512 AS BIGINT) AS seq_offset,
+        |  CAST(greatest((cum_after - 1) // 512,
+        |                (cum_after - n_tokens) // 512)
+        |       - (cum_after - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
     // engine-validated); native xxhash64(shingle) equality is mirrored by

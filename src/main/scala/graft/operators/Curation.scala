@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the filter/scrub/split trio every
@@ -84,5 +85,118 @@ object Curation {
       s"hashSplit: trainSixteenths must be in [1,15], got $trainSixteenths")
     val nibble = instr(lit("0123456789abcdef"), substring(md5(text), 32, 1)) - 1
     when(nibble < trainSixteenths, "train").otherwise("val")
+  }
+
+  // ---- line-level boilerplate removal (CCNet-style) ----
+
+  /** Per-line document frequency across the corpus: in how many DISTINCT
+    * documents does each exact line occur. Counting shuffles on
+    * `xxhash64(line)` (8-byte key), never on raw line text; a sample line
+    * rides along for reporting.
+    */
+  def lineDocFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_ldf_id"), explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("line_hash", xxhash64(col("line")))
+      .dropDuplicates("_ldf_id", "line_hash")
+      .groupBy("line_hash")
+      .agg(first(col("line")).as("line"), count(lit(1)).as("doc_freq"))
+
+  /** Strip lines that occur in more than `maxDocFreq` distinct documents —
+    * navigation bars, cookie banners, license footers: boilerplate that
+    * survives document-level dedup because every PAGE around it is unique.
+    * (The per-line analog of what CCNet does with paragraph hashes.)
+    *
+    * Line order inside each document is preserved; a document whose every
+    * line is boilerplate comes back as the empty string (callers typically
+    * length-filter next). Cost shape: the boilerplate set has at most
+    * totalLines / maxDocFreq entries — heavy hitters are few by
+    * definition — so it broadcasts and the corpus streams past it; the
+    * only corpus-wide shuffles are the df count (8-byte line hash) and
+    * the per-document reassembly (id key).
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxDocFreq: Long, outCol: String = "clean_text"): DataFrame = {
+    require(maxDocFreq >= 1, s"removeBoilerplateLines: maxDocFreq must be ≥1, got $maxDocFreq")
+    val boiler = lineDocFrequency(df, idCol, textCol)
+      .filter(col("doc_freq") > maxDocFreq)
+      .select(col("line_hash").as("_boiler_hash"))
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val kept = lines.join(broadcast(boiler),
+      lines("_lh") === boiler("_boiler_hash"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as(outCol))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
+  // ---- deterministic weighted sampling (domain / language mixing) ----
+
+  /** Uniform bucket in [0, 256) derived from md5(seed ‖ content) — two hex
+    * nibbles. Content-derived like [[hashSplit]], so the draw is stable
+    * across runs, partitionings, and engines, and exact duplicates draw
+    * the same bucket. Change `seed` to draw an independent sample.
+    */
+  def hashBucket256(content: Column, seed: String): Column = {
+    val h = md5(concat(lit(seed), content))
+    def nib(i: Int) = instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+    nib(1) * 16 + nib(2)
+  }
+
+  /** Deterministic stratified Bernoulli sampling — the data-MIXING step
+    * that up/down-weights domains or languages when assembling a training
+    * corpus. Each row is kept iff its content-hash bucket falls below its
+    * stratum's rate (quantized to 1/256 ≈ 0.4% granularity; rate 1.0
+    * keeps everything). Pure filter over one scan: no shuffle, no RNG
+    * state, reproducible row-by-row on any cluster layout.
+    *
+    * @param rates keep-probability per stratum value; strata absent from
+    *              the map use `defaultRate`.
+    */
+  def sampleByWeight(df: DataFrame, strataCol: String, keyCol: String,
+                     rates: Map[String, Double], defaultRate: Double = 1.0,
+                     seed: String = "graft"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0d && r <= 1d),
+      s"sampleByWeight: rates must be in [0,1], got ${rates.values.toSeq :+ defaultRate}")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket256(col(keyCol), seed) < round(rate * 256))
+  }
+
+  // ---- sequence packing (concat-and-chunk) ----
+
+  /** Packing plan for fixed-length training sequences: documents are laid
+    * head-to-tail per shard in `idCol` order and the token stream is cut
+    * every `budget` tokens — the concat-and-chunk layout LLM trainers
+    * feed on. For each document the plan reports which sequence its first
+    * token lands in (`seq_first`, numbered per shard from 0), the offset
+    * inside that sequence (`seq_offset`), and how many sequences it spans
+    * (`n_seqs` — long documents straddle cut points).
+    *
+    * Shards are the scale unit: each shard's cumulative sum is an
+    * independent window, so parallelism = number of shards and no global
+    * single-partition window ever forms. Pick shards ≫ executor count
+    * (each shard produces its own sequence stream `(shard, seq_first)`).
+    * Layout is deterministic given (ids, token counts, shard column) —
+    * re-running on different partitionings yields byte-identical plans.
+    */
+  def packPlan(df: DataFrame, idCol: String, nTokensCol: String, budget: Long,
+               shardCol: String): DataFrame = {
+    require(budget > 0, s"packPlan: budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val cumBefore = col("_cum_after") - col(nTokensCol)
+    df.withColumn("_cum_after", sum(col(nTokensCol)).over(w))
+      .withColumn("seq_first", floor(cumBefore / budget))
+      .withColumn("seq_offset", pmod(cumBefore, lit(budget)))
+      // an (impossible for real text) zero-token doc would make the
+      // end-index land before the start; clamp so n_seqs ≥ 1
+      .withColumn("seq_last",
+        greatest(floor((col("_cum_after") - 1) / budget), col("seq_first")))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("_cum_after", "seq_last")
   }
 }

@@ -81,4 +81,75 @@ class CurationSpec extends SparkSpec {
       Curation.hashSplit(col("text"), trainSixteenths = 0)
     }
   }
+
+  test("removeBoilerplateLines strips frequent lines, keeps order, empties all-boiler docs") {
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (2L, "SHARED FOOTER\nanother body line"),
+      (3L, "third doc text\nSHARED FOOTER"),
+      (4L, "SHARED FOOTER")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 3)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique alpha\nunique beta", "order must survive removal")
+    assert(out(2L) == "another body line")
+    assert(out(3L) == "third doc text")
+    assert(out(4L) == "", "all-boilerplate doc collapses to empty string")
+    // within-doc repetition of a RARE line is not boilerplate (df counts
+    // distinct docs, not occurrences)
+    val rep = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val repOut = Curation.removeBoilerplateLines(rep, "doc_id", "text", maxDocFreq = 1)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(repOut(1L) == "x\nx\nx")
+  }
+
+  test("lineDocFrequency counts distinct docs per exact line") {
+    val docs = Seq(
+      (1L, "a\nb"), (2L, "a\na\nc"), (3L, "a")).toDF("doc_id", "text")
+    val freq = Curation.lineDocFrequency(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("line") -> r.getAs[Long]("doc_freq")).toMap
+    assert(freq == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("sampleByWeight: rate 1 keeps all, 0 drops all, draws nest and are deterministic") {
+    val docs = spark.range(0, 1000)
+      .select(col("id"), concat(lit("doc "), col("id")).as("text"),
+        when(pmod(col("id"), lit(2)) === 0, "en").otherwise("zh").as("lang"))
+    def ids(rates: Map[String, Double]) =
+      Curation.sampleByWeight(docs, "lang", "text", rates, seed = "s1")
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map("en" -> 1.0, "zh" -> 1.0)).size == 1000)
+    val enOnly = ids(Map("en" -> 1.0, "zh" -> 0.0))
+    assert(enOnly.size == 500 && enOnly.forall(_ % 2 == 0))
+    // smaller rate draws a SUBSET of the larger (bucket thresholds nest)
+    val quarter = ids(Map("en" -> 0.25, "zh" -> 0.25))
+    val half = ids(Map("en" -> 0.5, "zh" -> 0.5))
+    assert(quarter.subsetOf(half))
+    assert(quarter.size > 150 && quarter.size < 350, s"got ${quarter.size}")
+    // deterministic: identical call, identical draw
+    assert(half == ids(Map("en" -> 0.5, "zh" -> 0.5)))
+    // defaultRate covers unmapped strata; bad rates rejected loudly
+    assert(ids(Map.empty) == (0L until 1000L).toSet)
+    intercept[IllegalArgumentException] {
+      Curation.sampleByWeight(docs, "lang", "text", Map("en" -> 1.5))
+    }
+  }
+
+  test("packPlan: hand-computed layout, boundary straddle, shard independence") {
+    val docs = Seq(
+      (1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 10L), // shard 0: cum 5, 8, 18
+      (4L, 1L, 7L)                                // shard 1 restarts at 0
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Curation.packPlan(docs, "doc_id", "n_tokens", budget = 6L, shardCol = "shard")
+      .select("doc_id", "seq_first", "seq_offset", "n_seqs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0L, 0L, 1L)), "fits inside sequence 0")
+    assert(out(2L) == ((0L, 5L, 2L)), "starts at offset 5, straddles into seq 1")
+    assert(out(3L) == ((1L, 2L, 2L)), "starts in seq 1, spans through seq 2")
+    assert(out(4L) == ((0L, 0L, 2L)), "each shard numbers its own sequences from 0")
+    intercept[IllegalArgumentException] {
+      Curation.packPlan(docs, "doc_id", "n_tokens", budget = 0L, shardCol = "shard")
+    }
+  }
 }
