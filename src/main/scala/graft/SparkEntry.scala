@@ -311,6 +311,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language token quota: biggest docs first (chars desc, id
+    // tie-break) until 3,000 tokens per language — the mixture-assembly
+    // cap; at sf0.01 each language holds ~5k tokens so the budget bites
+    "q_cap_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Curation.capTokensPerGroup(docs, "lang", "n_tokens", budget = 3000L,
+          col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: 32-token windows, 8-token overlap → docs
+    // of 10..99 tokens emit 1..4 chunks each; chunk text + counts are
+    // exact array algebra both engines mirror
+    "q_chunk_docs" -> ((s, d) =>
+      Curation.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // corpus heavy-hitter bigrams by document frequency
+    "q_top_ngrams" -> ((s, d) =>
+      TextAnalysis.ngramDocFreqTopK(Tables.documents(s, d), "text", k = 2, topK = 100)),
+
+    // unigram LM quality proxy: top-16 vocab (the corpus holds 31 distinct
+    // tokens, so the OOV floor branch is exercised), ln(p) averaged per doc
+    "q_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProbScore(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 16)
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination: every 10th doc doubles as the "benchmark"
     // set (drawn from the corpus itself, so overlap is guaranteed for those
     // docs and possible for shingle-sharing neighbors). k=3 matches the
@@ -1032,6 +1063,61 @@ object SparkEntry {
         |                (cum_after - n_tokens) // 512)
         |       - (cum_after - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_cap_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |    AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens FROM c
+        |WHERE cum_before < 3000
+        |ORDER BY doc_id""".stripMargin,
+
+    // step = 32 - 8 = 24; starts are 0,24,48,… up to len - overlap - 1
+    // (range stop is exclusive → +1); chunk_id = start/step
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS strt
+        |  FROM t)
+        |SELECT doc_id, CAST(strt // 24 AS INTEGER) AS chunk_id,
+        |  array_to_string(list_slice(toks, strt + 1,
+        |    least(strt + 32, len(toks))), ' ') AS chunk_text,
+        |  CAST(least(32, len(toks) - strt) AS INTEGER) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [array_to_string(t, ' ')] END)) AS s
+        |  FROM toks)
+        |SELECT s AS ngram, count(*) AS doc_freq FROM sh
+        |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM uni),
+        |vocab AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT 16)
+        |SELECT t.doc_id,
+        |  round(avg(ln(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / total)), 4)
+        |    AS avg_logprob
+        |FROM tok t LEFT JOIN vocab v USING (token), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
     // engine-validated); native xxhash64(shingle) equality is mirrored by

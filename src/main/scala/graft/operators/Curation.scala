@@ -167,6 +167,63 @@ object Curation {
     df.filter(hashBucket256(col(keyCol), seed) < round(rate * 256))
   }
 
+  // ---- token-budget quotas (corpus assembly) ----
+
+  /** Cap each group (source, domain, language…) at a token budget: rows
+    * are admitted in the caller's priority order until the group's
+    * cumulative token count reaches `budget` — the quota step that stops
+    * one giant domain from swamping a training mixture. A row is kept
+    * while the budget is not yet full when it STARTS (so every group
+    * admits at least its first row, and the overshoot is at most one
+    * row). One per-group window, no global sort.
+    *
+    * @param orderCols priority order — MUST be a total order (break ties,
+    *                  e.g. quality desc then id) or the kept set is
+    *                  partition-order dependent.
+    */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, nTokensCol: String,
+                        budget: Long, orderCols: Column*): DataFrame = {
+    require(budget > 0, s"capTokensPerGroup: budget must be positive, got $budget")
+    require(orderCols.nonEmpty,
+      "capTokensPerGroup: give a deterministic priority order (and break ties)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("_cum_before", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .filter(col("_cum_before") < budget)
+      .drop("_cum_before")
+  }
+
+  // ---- context-window chunking ----
+
+  /** Cut long documents into overlapping token windows (context-window
+    * chunking for embedding / retrieval pipelines): chunk i covers tokens
+    * [i·step, i·step + maxTokens) with step = maxTokens − overlap. The
+    * final window is the last start below `len − overlap`, so no chunk is
+    * a strict suffix of its predecessor and token coverage is complete.
+    * Pure row-local array algebra (sequence + posexplode + slice): chunks
+    * of a document never cross rows, so the operator parallelizes as a
+    * flat map with ~len/step output amplification.
+    *
+    * @return (idCol, chunk_id, chunk_text, n_chunk_tokens) — chunk_id is
+    *         0-based and dense per document.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"chunkByTokens: need 0 ≤ overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    df.withColumn("_ck_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_ck_starts",
+        sequence(lit(0),
+          greatest(size(col("_ck_toks")) - lit(overlap) - 1, lit(0)), lit(step)))
+      .select(col(idCol), col("_ck_toks"),
+        posexplode(col("_ck_starts")).as(Seq("chunk_id", "_start")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_ck_toks"), col("_start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), size(col("_ck_toks")) - col("_start"))
+          .as("n_chunk_tokens"))
+  }
+
   // ---- sequence packing (concat-and-chunk) ----
 
   /** Packing plan for fixed-length training sequences: documents are laid

@@ -120,4 +120,57 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     call_function("fingerprint64", tokens(text))
+
+  /** Corpus unigram counts: (token, cnt) over token OCCURRENCES (not doc
+    * frequency) — the base table for [[unigramLogProbScore]]. One explode
+    * + one hash aggregation with map-side partial combine.
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Unigram log-probability quality score — the stand-in for the KenLM
+    * perplexity filter CCNet-style pipelines run: documents whose tokens
+    * are corpus-typical score high (closer to 0); gibberish and
+    * vocabulary-foreign text scores low. Score = mean over token
+    * occurrences of ln(p(token)), with p = cnt/total for the top
+    * `vocabSize` tokens and a 0.5/total floor for everything else.
+    *
+    * Scale shape: the vocabulary is top-V by construction, so the
+    * per-token probability lookup is a BROADCAST join — the corpus is
+    * never shuffled on token strings (which would skew-collapse on "the").
+    * Two corpus scans (count, score) + one vocab-sized TakeOrdered.
+    */
+  def unigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
+                          vocabSize: Int = 1 << 16): DataFrame = {
+    require(vocabSize >= 1, s"unigramLogProbScore: vocabSize must be ≥1, got $vocabSize")
+    val uni = unigramCounts(df, textCol)
+    // deterministic top-V: count desc, token asc tie-break
+    val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    // total over ALL occurrences (OOV mass included), as one lazy scalar
+    val total = uni.agg(sum(col("cnt")).as("_total"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_lp",
+        log(coalesce(col("cnt").cast("double"), lit(0.5)) / col("_total")))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("_lp")), 4).as("avg_logprob"))
+  }
+
+  /** Corpus-level top-K n-grams by DOCUMENT frequency — the heavy-hitter
+    * report that surfaces boilerplate phrases and stopword candidates
+    * before tuning dedup/cleaning thresholds. Shingles are distinct per
+    * doc (native `shingles_of`), so the count is df, not occurrences.
+    * Partial-aggregated before the exchange; top-K is a TakeOrdered
+    * (per-partition heaps + driver merge of K rows), never a full sort.
+    */
+  def ngramDocFreqTopK(df: DataFrame, textCol: String, k: Int, topK: Int): DataFrame = {
+    require(k >= 1 && topK >= 1,
+      s"ngramDocFreqTopK: k and topK must be ≥1, got k=$k topK=$topK")
+    df.select(explode(Dedup.shingles(col(textCol), k)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(topK)
+  }
 }

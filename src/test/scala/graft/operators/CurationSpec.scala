@@ -136,6 +136,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("capTokensPerGroup admits priority order until budget, always first row") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 80L), (3L, "a", 50L),
+      (4L, "b", 500L), (5L, "b", 10L)).toDF("doc_id", "grp", "n_tokens")
+    val kept = Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 150L,
+        col("n_tokens").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group a: cum-before 0,100,180 → doc 3 over budget; group b: the
+    // oversized first row is admitted (budget not yet full when it starts)
+    assert(kept == Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 150L)
+    }
+  }
+
+  test("chunkByTokens: overlap windows, suffix-chunk suppression, short docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "s1 s2 s3")).toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, "doc_id", "text", maxTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    // step 4: starts 0,4 — start 8 would be a pure suffix of chunk@4, not emitted
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(out((1L, 0)) == (("t1 t2 t3 t4 t5 t6 t7 t8", 8)))
+    assert(out((1L, 1)) == (("t5 t6 t7 t8 t9 t10", 6)))
+    assert(out((2L, 0)) == (("s1 s2 s3", 3)))
+    // zero overlap tiles exactly
+    val tiled = Curation.chunkByTokens(docs, "doc_id", "text", maxTokens = 8)
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("chunk_id")).collect().map(_.getString(2))
+    assert(tiled.toSeq == Seq("t1 t2 t3 t4 t5 t6 t7 t8", "t9 t10"))
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(docs, "doc_id", "text", maxTokens = 4, overlap = 4)
+    }
+  }
+
   test("packPlan: hand-computed layout, boundary straddle, shard independence") {
     val docs = Seq(
       (1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 10L), // shard 0: cum 5, 8, 18

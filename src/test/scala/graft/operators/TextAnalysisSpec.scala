@@ -45,4 +45,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("unigramLogProbScore: hand-computed means, OOV floor, in-vocab passthrough") {
+    // counts: a=2, b=2, c=1; total=5; vocab(top-2, ties on token) = {a, b}
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == BigDecimal(math.log(0.4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val d2 = (math.log(2d / 5) + math.log(0.5 / 5)) / 2
+    assert(out(2L) == BigDecimal(d2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // with the whole vocab in range, no OOV floor applies anywhere
+    val full = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text", vocabSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d2full = (math.log(2d / 5) + math.log(1d / 5)) / 2
+    assert(full(2L) == BigDecimal(d2full).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ngramDocFreqTopK counts document frequency with deterministic tie order") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramDocFreqTopK(docs, "text", k = 2, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b" in two docs; ties at df=1 break on ngram asc → "b c" first
+    assert(out.toSeq == Seq(("a b", 2L), ("b c", 1L)))
+  }
 }
