@@ -24,6 +24,12 @@ object GraftSession {
     * `GRAFT_CONF` env var or a `graft.conf` in the working directory.
     * File entries win over the code defaults below; absent file = pure
     * defaults (same precedence the reference gives yaml-over-defaults).
+    *
+    * Values may reference environment variables as `${VAR}` (the
+    * reference's `_substitute_env_vars`, config.py:70 — how warehouse
+    * credentials reach a JDBC conf without living in the file). An UNSET
+    * variable fails loudly with the key and variable named — a silently
+    * empty password is a debugging session.
     */
   def overrides(confFile: Option[String] = None): Map[String, String] = {
     val path = confFile
@@ -36,9 +42,26 @@ object GraftSession {
       val in = new java.io.FileInputStream(f)
       try props.load(in) finally in.close()
       import scala.jdk.CollectionConverters._
-      props.asScala.toMap
+      props.asScala.toMap.map { case (k, v) => k -> substituteEnvVars(k, v) }
     }
   }
+
+  private val EnvVarPattern = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
+
+  /** Replace every `${VAR}` in `value` with the environment variable's
+    * value; throw (naming the conf key and the variable) when unset.
+    * `env` is injectable for tests — the JVM cannot set real env vars.
+    */
+  private[graft] def substituteEnvVars(
+      key: String, value: String,
+      env: String => Option[String] = sys.env.get): String =
+    EnvVarPattern.replaceAllIn(value, m => {
+      val name = m.group(1)
+      val resolved = env(name).getOrElse(throw new IllegalArgumentException(
+        s"GraftSession: conf '$key' references environment variable " +
+          s"$${$name}, which is not set"))
+      scala.util.matching.Regex.quoteReplacement(resolved)
+    })
 
   def builder(master: String, shufflePartitions: Int,
               confFile: Option[String] = None): SparkSession.Builder =

@@ -313,12 +313,15 @@ object SparkEntry {
 
     // per-language token quota: biggest docs first (chars desc, id
     // tie-break) until 3,000 tokens per language — the mixture-assembly
-    // cap; at sf0.01 each language holds ~5k tokens so the budget bites
+    // cap; at sf0.01 each language holds ~5k tokens so the budget bites.
+    // Runs the HIERARCHICAL form (running sum over (lang, priority
+    // bucket), never one task per stratum) — same kept set as the exact
+    // window, pinned by equivalence spec.
     "q_cap_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       Curation.capTokensPerGroup(docs, "lang", "n_tokens", budget = 3000L,
-          col("n_chars").desc, col("doc_id"))
+          priorityCol = "n_chars", idCol = "doc_id")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),

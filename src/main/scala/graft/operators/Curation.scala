@@ -32,7 +32,7 @@ object Curation {
     * convention (nothing repeats).
     */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = TextAnalysis.tokens(Cols.qcol(textCol))
     val nToks = size(col("_rep_toks"))
     df.withColumn("_rep_toks", toks)
       .withColumn("dup_word_ratio",
@@ -89,17 +89,34 @@ object Curation {
 
   // ---- line-level boilerplate removal (CCNet-style) ----
 
-  /** Per-line document frequency across the corpus: in how many DISTINCT
-    * documents does each exact line occur. Counting shuffles on
-    * `xxhash64(line)` (8-byte key), never on raw line text; a sample line
-    * rides along for reporting.
+  /** Per-line-HASH document frequency across the corpus: in how many
+    * DISTINCT documents does each exact line occur. Both shuffles carry
+    * only fixed-width keys — (id, 8-byte line hash) for the per-doc
+    * distinct, the bare hash for the count — never raw line text. This is
+    * the form [[removeBoilerplateLines]] consumes (it joins on hash alone).
     */
-  def lineDocFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("_ldf_id"), explode(split(col(textCol), "\n")).as("line"))
-      .withColumn("line_hash", xxhash64(col("line")))
+  def lineHashDocFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(Cols.qcol(idCol).as("_ldf_id"),
+        explode(split(Cols.qcol(textCol), "\n")).as("_ldf_line"))
+      .select(col("_ldf_id"), xxhash64(col("_ldf_line")).as("line_hash"))
       .dropDuplicates("_ldf_id", "line_hash")
       .groupBy("line_hash")
-      .agg(first(col("line")).as("line"), count(lit(1)).as("doc_freq"))
+      .agg(count(lit(1)).as("doc_freq"))
+
+  /** [[lineHashDocFrequency]] with a sample line attached — the REPORTING
+    * form (inspecting what the boilerplate actually says). The sample-line
+    * join shuffles distinct (hash, line) pairs, so reserve this for
+    * human-facing reports; the removal path never pays it.
+    */
+  def lineDocFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sample = df
+      .select(explode(split(Cols.qcol(textCol), "\n")).as("line"))
+      .groupBy(xxhash64(col("line")).as("line_hash"))
+      .agg(first(col("line")).as("line"))
+    lineHashDocFrequency(df, idCol, textCol)
+      .join(sample, Seq("line_hash"))
+      .select(col("line_hash"), col("line"), col("doc_freq"))
+  }
 
   /** Strip lines that occur in more than `maxDocFreq` distinct documents —
     * navigation bars, cookie banners, license footers: boilerplate that
@@ -110,27 +127,42 @@ object Curation {
     * line is boilerplate comes back as the empty string (callers typically
     * length-filter next). Cost shape: the boilerplate set has at most
     * totalLines / maxDocFreq entries — heavy hitters are few by
-    * definition — so it broadcasts and the corpus streams past it; the
-    * only corpus-wide shuffles are the df count (8-byte line hash) and
-    * the per-document reassembly (id key).
+    * definition — so it normally broadcasts and the corpus streams past
+    * it; the only corpus-wide shuffles are the df count (8-byte line
+    * hash) and the per-document reassembly (id key).
+    *
+    * The broadcast is BOUNDED: the boiler set is counted first (one extra
+    * hash-aggregation job — cheap next to the removal itself), and above
+    * `maxBroadcastEntries` the anti-join falls back to a plain shuffle
+    * join instead of shipping an arbitrarily large set to every task. The
+    * default cap (5×10⁷ hashes ≈ 400 MB in-memory hashed relation) marks
+    * where a broadcast stops being the cheap side; at 100 TB with a low
+    * maxDocFreq the bound totalLines/maxDocFreq can reach billions, which
+    * MUST shuffle.
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                             maxDocFreq: Long, outCol: String = "clean_text"): DataFrame = {
+                             maxDocFreq: Long, outCol: String = "clean_text",
+                             maxBroadcastEntries: Long = 50L * 1000 * 1000): DataFrame = {
     require(maxDocFreq >= 1, s"removeBoilerplateLines: maxDocFreq must be ≥1, got $maxDocFreq")
-    val boiler = lineDocFrequency(df, idCol, textCol)
+    require(maxBroadcastEntries >= 0,
+      s"removeBoilerplateLines: maxBroadcastEntries must be ≥0, got $maxBroadcastEntries")
+    val boiler = lineHashDocFrequency(df, idCol, textCol)
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("line_hash").as("_boiler_hash"))
+    val boilerRight =
+      if (boiler.count() <= maxBroadcastEntries) broadcast(boiler) else boiler
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .select(Cols.qcol(idCol),
+        posexplode(split(Cols.qcol(textCol), "\n")).as(Seq("_pos", "_line")))
       .withColumn("_lh", xxhash64(col("_line")))
-    val kept = lines.join(broadcast(boiler),
-      lines("_lh") === boiler("_boiler_hash"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
+    val kept = lines.join(boilerRight,
+      lines("_lh") === boilerRight("_boiler_hash"), "left_anti")
+    val rebuilt = kept.groupBy(Cols.qcol(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
           s => s.getField("_line")), "\n").as(outCol))
     df.join(rebuilt, Seq(idCol), "left")
-      .withColumn(outCol, coalesce(col(outCol), lit("")))
+      .withColumn(outCol, coalesce(Cols.qcol(outCol), lit("")))
   }
 
   // ---- deterministic weighted sampling (domain / language mixing) ----
@@ -153,6 +185,10 @@ object Curation {
     * keeps everything). Pure filter over one scan: no shuffle, no RNG
     * state, reproducible row-by-row on any cluster layout.
     *
+    * A NULL key draws the empty string's bucket (md5 of null is null,
+    * which would otherwise silently drop the row even at rate 1.0); a
+    * NULL stratum takes `defaultRate` (the `===` match is never true).
+    *
     * @param rates keep-probability per stratum value; strata absent from
     *              the map use `defaultRate`.
     */
@@ -162,32 +198,119 @@ object Curation {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0d && r <= 1d),
       s"sampleByWeight: rates must be in [0,1], got ${rates.values.toSeq :+ defaultRate}")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
-      when(col(strataCol) === k, lit(r)).otherwise(acc)
+      when(Cols.qcol(strataCol) === k, lit(r)).otherwise(acc)
     }
-    df.filter(hashBucket256(col(keyCol), seed) < round(rate * 256))
+    val key = coalesce(Cols.qcol(keyCol).cast("string"), lit(""))
+    df.filter(hashBucket256(key, seed) < round(rate * 256))
   }
 
   // ---- token-budget quotas (corpus assembly) ----
 
   /** Cap each group (source, domain, language…) at a token budget: rows
-    * are admitted in the caller's priority order until the group's
-    * cumulative token count reaches `budget` — the quota step that stops
+    * are admitted in priority order — `priorityCol` descending by default
+    * (best first), `idCol` ascending as the tie-break — until the group's
+    * cumulative token count reaches `budget`; the quota step that stops
     * one giant domain from swamping a training mixture. A row is kept
     * while the budget is not yet full when it STARTS (so every group
-    * admits at least its first row, and the overshoot is at most one
-    * row). One per-group window, no global sort.
+    * admits at least its first row, and the overshoot is at most one row).
+    *
+    * SCALE SHAPE — groups are LOW-cardinality strata (lang/domain/source)
+    * by premise, so a single per-group window would sort an entire
+    * stratum in one task (most of a 100 TB corpus for "en"). Instead the
+    * running sum is computed hierarchically over an order-aligned bucket
+    * of the priority value:
+    *
+    *  1. per-group min/max of `priorityCol` (one partial-agg scan,
+    *     broadcast back) quantize each row into one of `numBuckets`
+    *     buckets such that bucket order == priority order (ties share a
+    *     bucket by construction — the bucket is a pure function of the
+    *     priority value);
+    *  2. the heavy running sum windows over (group, bucket) — parallelism
+    *     is groups × buckets, no stratum ever sorts in one task (pinned
+    *     by plan spec);
+    *  3. per-(group, bucket) totals — at most groups × buckets rows —
+    *     take a running offset across buckets in a TINY per-group window,
+    *     and `cum_before = bucket_offset + within_bucket_cum_before` is
+    *     exact.
+    *
+    * Cost: two corpus scans (running sum + bucket totals) and one
+    * corpus-scale shuffle on (group, bucket). Results are byte-identical
+    * to [[capTokensPerGroupExact]] over the same total order (pinned by
+    * equivalence spec).
+    *
+    * `priorityCol` must be numeric (cast to double for bucketing; the
+    * admitted SET only depends on the order, not the values). NULL
+    * priorities sort LAST — admitted only if budget remains.
+    */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, nTokensCol: String,
+                        budget: Long, priorityCol: String, idCol: String,
+                        descending: Boolean = true, numBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"capTokensPerGroup: budget must be positive, got $budget")
+    require(numBuckets >= 1, s"capTokensPerGroup: numBuckets must be ≥1, got $numBuckets")
+    val g = Cols.qcol(groupCol)
+    val p = Cols.qcol(priorityCol).cast("double")
+    val n = Cols.qcol(nTokensCol)
+
+    // per-group priority range → order-aligned bucket in [0, numBuckets).
+    // Joins on the group key are NULL-SAFE (<=>): a null stratum (missing
+    // lang/domain) is a group like any other, not a dropped row.
+    val stats = df.groupBy(g.as("_cap_g"))
+      .agg(min(p).as("_cap_min"), max(p).as("_cap_max"))
+    val spread = greatest(col("_cap_max") - col("_cap_min"), lit(1e-9))
+    val raw = least(greatest(
+      floor((p - col("_cap_min")) / spread * numBuckets), lit(0)), lit(numBuckets - 1))
+    val aligned = if (descending) lit(numBuckets - 1) - raw else raw
+    val bucketed = df.join(broadcast(stats), g <=> col("_cap_g"))
+      // null priority → last bucket EXPLICITLY: greatest/least SKIP nulls
+      // (greatest(null, 0) is 0, not null), so the clamp would otherwise
+      // silently file null priorities under bucket 0 — first in line on
+      // the ascending path
+      .withColumn("_cap_bkt",
+        when(p.isNull, lit(numBuckets - 1)).otherwise(aligned).cast("int"))
+      .drop("_cap_g")
+
+    val inBucketOrder = Seq(
+      if (descending) p.desc_nulls_last else p.asc_nulls_last,
+      Cols.qcol(idCol).asc)
+    val wIn = Window.partitionBy(g, col("_cap_bkt")).orderBy(inBucketOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = bucketed.withColumn("_cap_in", sum(n).over(wIn))
+
+    val wAcross = Window.partitionBy(col("_cap_og")).orderBy(col("_cap_obkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(g.as("_cap_og"), col("_cap_bkt").as("_cap_obkt"))
+      .agg(sum(n).as("_cap_tot"))
+      .withColumn("_cap_off", sum(col("_cap_tot")).over(wAcross) - col("_cap_tot"))
+      .select(col("_cap_og"), col("_cap_obkt"), col("_cap_off"))
+
+    withIn.join(broadcast(offsets),
+        g <=> col("_cap_og") && col("_cap_bkt") === col("_cap_obkt"))
+      .filter(col("_cap_off") + col("_cap_in") - n < budget)
+      .drop("_cap_bkt", "_cap_in", "_cap_off", "_cap_og", "_cap_obkt",
+        "_cap_min", "_cap_max")
+  }
+
+  /** Exact-window variant of [[capTokensPerGroup]] for an ARBITRARY
+    * priority order (any Column expressions, any directions). One window
+    * per group — which means ONE TASK sorts each whole stratum, so this
+    * is only for numerous-or-small groups (per-user quotas, per-file
+    * caps), never low-cardinality strata of a large corpus; the
+    * hierarchical form is the scale path.
     *
     * @param orderCols priority order — MUST be a total order (break ties,
     *                  e.g. quality desc then id) or the kept set is
     *                  partition-order dependent.
     */
-  def capTokensPerGroup(df: DataFrame, groupCol: String, nTokensCol: String,
-                        budget: Long, orderCols: Column*): DataFrame = {
-    require(budget > 0, s"capTokensPerGroup: budget must be positive, got $budget")
+  def capTokensPerGroupExact(df: DataFrame, groupCol: String, nTokensCol: String,
+                             budget: Long, orderCols: Column*): DataFrame = {
+    require(budget > 0, s"capTokensPerGroupExact: budget must be positive, got $budget")
     require(orderCols.nonEmpty,
-      "capTokensPerGroup: give a deterministic priority order (and break ties)")
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
-    df.withColumn("_cum_before", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      "capTokensPerGroupExact: give a deterministic priority order (and break ties)")
+    // ROWS frame pinned: the default RANGE frame would admit/reject tied
+    // rows as a block if a caller violates the total-order requirement
+    val w = Window.partitionBy(Cols.qcol(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum_before", sum(Cols.qcol(nTokensCol)).over(w) - Cols.qcol(nTokensCol))
       .filter(col("_cum_before") < budget)
       .drop("_cum_before")
   }
@@ -211,13 +334,13 @@ object Curation {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"chunkByTokens: need 0 ≤ overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
     val step = maxTokens - overlap
-    df.withColumn("_ck_toks", TextAnalysis.tokens(col(textCol)))
+    df.withColumn("_ck_toks", TextAnalysis.tokens(Cols.qcol(textCol)))
       .withColumn("_ck_starts",
         sequence(lit(0),
           greatest(size(col("_ck_toks")) - lit(overlap) - 1, lit(0)), lit(step)))
-      .select(col(idCol), col("_ck_toks"),
+      .select(Cols.qcol(idCol), col("_ck_toks"),
         posexplode(col("_ck_starts")).as(Seq("chunk_id", "_start")))
-      .select(col(idCol), col("chunk_id"),
+      .select(Cols.qcol(idCol), col("chunk_id"),
         array_join(slice(col("_ck_toks"), col("_start") + 1, lit(maxTokens)), " ")
           .as("chunk_text"),
         least(lit(maxTokens), size(col("_ck_toks")) - col("_start"))
@@ -244,9 +367,13 @@ object Curation {
   def packPlan(df: DataFrame, idCol: String, nTokensCol: String, budget: Long,
                shardCol: String): DataFrame = {
     require(budget > 0, s"packPlan: budget must be positive, got $budget")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-    val cumBefore = col("_cum_after") - col(nTokensCol)
-    df.withColumn("_cum_after", sum(col(nTokensCol)).over(w))
+    // ROWS frame pinned: the default RANGE frame would collapse tied ids
+    // into one cumulative value (ids are unique by contract, but the
+    // degradation should be per-row, not per-block, if that is violated)
+    val w = Window.partitionBy(Cols.qcol(shardCol)).orderBy(Cols.qcol(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = col("_cum_after") - Cols.qcol(nTokensCol)
+    df.withColumn("_cum_after", sum(Cols.qcol(nTokensCol)).over(w))
       .withColumn("seq_first", floor(cumBefore / budget))
       .withColumn("seq_offset", pmod(cumBefore, lit(budget)))
       // an (impossible for real text) zero-token doc would make the

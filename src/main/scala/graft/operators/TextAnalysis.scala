@@ -55,7 +55,7 @@ object TextAnalysis {
     * single time regardless of how many signals reference it.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = Cols.qcol(textCol)
     df.withColumn("_q_toks", tokens(t))
       .withColumn("n_chars_q", length(t))
       .withColumn("n_words", size(col("_q_toks")))
@@ -91,7 +91,7 @@ object TextAnalysis {
     */
   def langIdFrame(df: DataFrame, textCol: String,
                   outCol: String = "pred_lang"): DataFrame = {
-    val counted = df.withColumn("_lang_toks", tokens(col(textCol)))
+    val counted = df.withColumn("_lang_toks", tokens(Cols.qcol(textCol)))
       .withColumn("_mc_en", markerCountTokens(col("_lang_toks"), EnStop))
       .withColumn("_mc_es", markerCountTokens(col("_lang_toks"), EsStop))
       .withColumn("_mc_fr", markerCountTokens(col("_lang_toks"), FrStop))
@@ -126,7 +126,7 @@ object TextAnalysis {
     * + one hash aggregation with map-side partial combine.
     */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("token"))
+    df.select(explode(tokens(Cols.qcol(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
   /** Unigram log-probability quality score — the stand-in for the KenLM
@@ -149,12 +149,12 @@ object TextAnalysis {
     val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
     // total over ALL occurrences (OOV mass included), as one lazy scalar
     val total = uni.agg(sum(col("cnt")).as("_total"))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    df.select(Cols.qcol(idCol), explode(tokens(Cols.qcol(textCol))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total))
       .withColumn("_lp",
         log(coalesce(col("cnt").cast("double"), lit(0.5)) / col("_total")))
-      .groupBy(col(idCol))
+      .groupBy(Cols.qcol(idCol))
       .agg(round(avg(col("_lp")), 4).as("avg_logprob"))
   }
 
@@ -168,7 +168,7 @@ object TextAnalysis {
   def ngramDocFreqTopK(df: DataFrame, textCol: String, k: Int, topK: Int): DataFrame = {
     require(k >= 1 && topK >= 1,
       s"ngramDocFreqTopK: k and topK must be ≥1, got k=$k topK=$topK")
-    df.select(explode(Dedup.shingles(col(textCol), k)).as("ngram"))
+    df.select(explode(Dedup.shingles(Cols.qcol(textCol), k)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(topK)

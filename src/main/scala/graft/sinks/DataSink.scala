@@ -95,9 +95,17 @@ object DataSink {
       s"compact: $dir holds a partitioned layout (${subdirs.take(3).mkString(", ")}…) — " +
         "compact each leaf partition directory instead, or the partition " +
         "columns would be flattened away")
+    // A LEGITIMATELY-empty dataset (zero-partition write) leaves only
+    // _SUCCESS: that's a no-op, not an error. A dir with no data files
+    // AND no _SUCCESS is a crashed write or the wrong directory — loud.
+    if (dataFiles.isEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      return (0, 0)
+    }
     require(dataFiles.nonEmpty,
-      s"compact: $dir contains no data files — nothing to compact (did a " +
-        "previous run crash before writing, or is this the wrong directory?)")
+      s"compact: $dir contains no data files and no _SUCCESS marker — " +
+        "nothing to compact (did a previous run crash before writing, or " +
+        "is this the wrong directory?)")
     val bytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
     fs.delete(tmp, true)

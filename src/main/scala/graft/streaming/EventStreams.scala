@@ -143,6 +143,36 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_content_hash", "_content_len")
       .drop("_content_hash", "_content_len")
 
+  /** Streaming benchmark decontamination — the firehose-ingest shape
+    * where the eval-set probe actually runs. `benchShingles` is the
+    * STATIC probe set (`Dedup.benchmarkShingles` output — compute it once
+    * and `.cache()` it; benchmarks are eval-set-sized, so it broadcasts);
+    * each micro-batch drops contaminated docs through the same broadcast
+    * anti-join as the batch operator, then lands in `outDir/batch=<id>`.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: a replayed
+    * batch OVERWRITES its own `batch=<id>` subdirectory, so readers
+    * (`spark.read.parquet(outDir)` — partition discovery exposes the
+    * batch id as a column) never see duplicated documents.
+    */
+  def decontaminateSink(docs: DataFrame, benchShingles: DataFrame,
+                        idCol: String, textCol: String,
+                        outDir: String, checkpointDir: String,
+                        k: Int = 8, minOverlap: Long = 1L,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .decontaminateAgainst(batch, benchShingles, idCol, textCol, k, minOverlap)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at

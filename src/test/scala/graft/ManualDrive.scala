@@ -11,7 +11,35 @@ import graft.streaming.EventStreams
   * DuckDB-oracle gate can't reach (file ingestion, sinks, streams).
   */
 object ManualDrive {
+
+  /** Write the ingest fixtures if absent — /tmp is wiped between
+    * sessions, and the driver must be runnable from a cold checkout.
+    */
+  private def ensureFixtures(): Unit = {
+    val dir = new java.io.File("/tmp/drive")
+    dir.mkdirs()
+    val csv = new java.io.File(dir, "orders.csv")
+    if (!csv.isFile) {
+      java.nio.file.Files.writeString(csv.toPath,
+        """order_id,status,ordered_at,total
+          |1,delivered,2026-08-01 10:00:00,99.50
+          |2,pending,2026-08-02 11:30:00,15.00
+          |not-a-number,delivered,2026-08-03 09:00:00,20.00
+          |4,canceled,also-not-a-timestamp,7.25
+          |5,delivered,2026-08-04 16:45:00,120.10
+          |""".stripMargin)
+    }
+    val json = new java.io.File(dir, "carts.json")
+    if (!json.isFile) {
+      java.nio.file.Files.writeString(json.toPath,
+        """{"cart_id":1,"user":{"id":10,"name":"ada"},"items":[{"product_id":100,"qty":2},{"product_id":101,"qty":1}]}
+          |{"cart_id":2,"user":{"id":11,"name":"lin"},"items":[{"product_id":102,"qty":5}]}
+          |""".stripMargin)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    ensureFixtures()
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

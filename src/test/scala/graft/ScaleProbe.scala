@@ -116,6 +116,21 @@ object ScaleProbe {
       Dedup.dedupAgainstCorpus(batch, Dedup.contentFingerprints(corpus, "text"),
         "doc_id", "text")
     }
+    // token quota: the hierarchical running sum must scale with rows even
+    // though there are only 5 language strata — the (group, bucket) window
+    // is the whole point (a per-stratum window would be single-task here)
+    time("cap_tokens", 0.35) {
+      val counted = docs.withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      Curation.capTokensPerGroup(counted, "lang", "n_tokens",
+        budget = 30000L, priorityCol = "n_chars", idCol = "doc_id")
+    }
+    // decontamination: broadcast shingle probe + broadcast anti join — the
+    // corpus side must stay exchange-free, so cost tracks the scan
+    time("decontaminate", 0.40) {
+      val bench = Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
+    }
     // SCD2: one keyed window pass over the change stream
     time("scd2_merge", 0.89) {
       val changes = ord.groupBy(col("o_custkey"), col("o_orderdate"))

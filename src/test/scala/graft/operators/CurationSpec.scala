@@ -104,6 +104,42 @@ class CurationSpec extends SparkSpec {
     assert(repOut(1L) == "x\nx\nx")
   }
 
+  test("removeBoilerplateLines: shuffle fallback above the broadcast cap is identical") {
+    // maxBroadcastEntries = 0 forces the plain shuffle anti-join branch;
+    // output must be byte-identical to the broadcast fast path
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (2L, "SHARED FOOTER\nanother body line"),
+      (3L, "third doc text\nSHARED FOOTER")).toDF("doc_id", "text")
+    def run(cap: Long) =
+      Curation.removeBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 2,
+          maxBroadcastEntries = cap)
+        .select("doc_id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fallback = run(0L)
+    assert(fallback == run(Long.MaxValue))
+    assert(fallback(1L) == "unique alpha\nunique beta")
+    // The fallback drops the broadcast HINT (the optimizer may still
+    // auto-broadcast a provably small set — fine). With auto-broadcast
+    // off, cap=0 must plan a shuffle anti-join where the hinted path
+    // would still force a broadcast — that's the branch distinction.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val fallbackPlan = Curation.removeBoilerplateLines(docs, "doc_id", "text",
+          maxDocFreq = 2, maxBroadcastEntries = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!fallbackPlan.contains("BroadcastHashJoin [_lh"),
+        s"cap=0 must not force a broadcast anti-join:\n$fallbackPlan")
+      val hintedPlan = Curation.removeBoilerplateLines(docs, "doc_id", "text",
+          maxDocFreq = 2, maxBroadcastEntries = Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin [_lh"),
+        s"under the cap the anti-join must be broadcast-hinted:\n$hintedPlan")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("lineDocFrequency counts distinct docs per exact line") {
     val docs = Seq(
       (1L, "a\nb"), (2L, "a\na\nc"), (3L, "a")).toDF("doc_id", "text")
@@ -141,14 +177,63 @@ class CurationSpec extends SparkSpec {
       (1L, "a", 100L), (2L, "a", 80L), (3L, "a", 50L),
       (4L, "b", 500L), (5L, "b", 10L)).toDF("doc_id", "grp", "n_tokens")
     val kept = Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 150L,
-        col("n_tokens").desc, col("doc_id"))
+        priorityCol = "n_tokens", idCol = "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // group a: cum-before 0,100,180 → doc 3 over budget; group b: the
     // oversized first row is admitted (budget not yet full when it starts)
     assert(kept == Set(1L, 2L, 4L))
+    val exact = Curation.capTokensPerGroupExact(docs, "grp", "n_tokens", budget = 150L,
+        col("n_tokens").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == kept, "exact-window variant must keep the identical set")
     intercept[IllegalArgumentException] {
-      Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 150L)
+      Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 0L,
+        priorityCol = "n_tokens", idCol = "doc_id")
     }
+    intercept[IllegalArgumentException] {
+      Curation.capTokensPerGroupExact(docs, "grp", "n_tokens", budget = 150L)
+    }
+  }
+
+  test("capTokensPerGroup ≡ exact window on adversarial data; nulls survive") {
+    // 400 rows, 3 strata (incl. a NULL stratum), heavy priority ties so
+    // bucket boundaries and in-bucket tie-breaks are both exercised; a few
+    // NULL priorities must sort last, not vanish
+    val docs = spark.range(0, 400).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(3)) === 0, "en")
+        .when(pmod(col("id"), lit(3)) === 1, "zh").as("grp"),
+      when(pmod(col("id"), lit(40)) === 7, lit(null).cast("long"))
+        .otherwise(pmod(col("id"), lit(11))).as("prio"),
+      (pmod(col("id"), lit(9)) + 1).as("n_tokens"))
+    def keptSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    for (buckets <- Seq(1, 7, 1024); budget <- Seq(1L, 57L, 200L, 100000L)) {
+      val scalable = Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget,
+        priorityCol = "prio", idCol = "doc_id", numBuckets = buckets)
+      val exact = Curation.capTokensPerGroupExact(docs, "grp", "n_tokens", budget,
+        col("prio").desc_nulls_last, col("doc_id"))
+      assert(keptSet(scalable) == keptSet(exact),
+        s"hierarchical/exact mismatch at buckets=$buckets budget=$budget")
+    }
+    // ascending direction too
+    val asc = Curation.capTokensPerGroup(docs, "grp", "n_tokens", 57L,
+      priorityCol = "prio", idCol = "doc_id", descending = false, numBuckets = 16)
+    val ascExact = Curation.capTokensPerGroupExact(docs, "grp", "n_tokens", 57L,
+      col("prio").asc_nulls_last, col("doc_id"))
+    assert(keptSet(asc) == keptSet(ascExact))
+  }
+
+  test("capTokensPerGroup plan: the heavy window partitions by (group, bucket)") {
+    // The scale promise: no single-task stratum sort. The corpus-scale
+    // running sum must window over (group, _cap_bkt) — parallelism is
+    // groups × buckets — and only the bucket-totals window (≤ groups ×
+    // buckets rows) may partition by group alone.
+    val docs = Seq((1L, "a", 10L, 5L), (2L, "a", 20L, 5L)).toDF("doc_id", "grp", "prio", "n_tokens")
+    val plan = Curation.capTokensPerGroup(docs, "grp", "n_tokens", 100L,
+      priorityCol = "prio", idCol = "doc_id").queryExecution.executedPlan.toString
+    assert("""windowspecdefinition\(grp#\d+, _cap_bkt#\d+""".r.findFirstIn(plan).isDefined,
+      s"big running sum must be partitioned by (grp, _cap_bkt):\n$plan")
   }
 
   test("chunkByTokens: overlap windows, suffix-chunk suppression, short docs") {

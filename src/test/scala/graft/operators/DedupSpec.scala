@@ -194,6 +194,41 @@ class DedupSpec extends SparkSpec {
     assert(ov == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("decontaminate/benchmarkOverlap plans: corpus side stays Exchange-free") {
+    // The decontamination filter must be a BROADCAST anti join against the
+    // tiny contaminated set — at 100 TB the corpus never shuffles for it.
+    // The only Exchanges allowed anywhere are benchmark-sized: the distinct
+    // over benchmark shingles (shh) and the per-doc pre-aggregation of
+    // MATCHED (id, count) rows inside overlapCounts; a semi-join against
+    // the clean (≈ whole-corpus) side would add corpus-scale exchanges
+    // (and plan as SortMergeJoin).
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about spark engines"),
+      (3L, "sources say the quick brown fox was seen again")).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+
+    val anti = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+    val antiPlan = anti.queryExecution.executedPlan.toString
+    assert(antiPlan.contains("BroadcastHashJoin") && antiPlan.contains("LeftAnti"),
+      s"decontaminate must plan a broadcast LEFT ANTI join:\n$antiPlan")
+    assert(!antiPlan.contains("SortMergeJoin"),
+      s"no sort-merge join anywhere in decontaminate:\n$antiPlan")
+    val antiEx = "Exchange hashpartitioning".r.findAllIn(antiPlan).length
+    assert(antiEx <= 2,
+      s"decontaminate may shuffle only benchmark shingles + matched (id,count) rows, saw $antiEx exchanges:\n$antiPlan")
+
+    val ov = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", k = 3)
+    val ovPlan = ov.queryExecution.executedPlan.toString
+    assert(ovPlan.contains("BroadcastHashJoin"),
+      s"benchmarkOverlap zero-fill must be a broadcast join:\n$ovPlan")
+    assert(!ovPlan.contains("SortMergeJoin"),
+      s"no sort-merge join anywhere in benchmarkOverlap:\n$ovPlan")
+    val ovEx = "Exchange hashpartitioning".r.findAllIn(ovPlan).length
+    assert(ovEx <= 2,
+      s"benchmarkOverlap may shuffle only benchmark shingles + matched (id,count) rows, saw $ovEx exchanges:\n$ovPlan")
+  }
+
   test("dedupClusters: 1,024-node chain converges in O(log n) rounds") {
     // worst-case diameter: one chain 0-1-2-…-1023. Min-label propagation
     // alone needs ~n rounds; pointer jumping must finish in ≈log2(n).

@@ -161,6 +161,17 @@ class DataSinkSpec extends SparkSpec {
     assert(new java.io.File(empty).mkdirs())
     val e2 = intercept[IllegalArgumentException] { DataSink.compact(spark, empty) }
     assert(e2.getMessage.contains("no data files"))
+
+    // but a LEGITIMATELY-written empty dataset (only _SUCCESS) is a no-op,
+    // not a pipeline failure
+    val legitEmpty = s"$base/legit_empty_t"
+    spark.range(0).filter(col("id") < 0).repartition(1).write.parquet(legitEmpty)
+    // zero-partition writes may leave a data file or not depending on the
+    // committer; force the only-_SUCCESS shape explicitly
+    new java.io.File(legitEmpty).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).foreach(_.delete())
+    assert(DataSink.compact(spark, legitEmpty) == ((0, 0)))
+    assert(new java.io.File(legitEmpty).exists(), "no-op must leave the dir in place")
   }
 
   test("asofJoin over an SCD2 dimension equals the interval lookup (cross-operator)") {

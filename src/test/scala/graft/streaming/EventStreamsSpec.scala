@@ -66,6 +66,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("decontaminateSink agrees with batch decontaminate; replayed batch is idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about spark engines"),
+      (3L, "sources say the quick brown fox was seen again"),
+      (4L, "clean text with no overlap at all here"))
+    val bench = Seq((100L, "watch the quick brown fox run"))
+      .toDF("doc_id", "text")
+    val benchShingles = Dedup.benchmarkShingles(bench, "text", k = 3).cache()
+    val base = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+
+    // two micro-batches through the sink
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(corpus.take(2): _*)
+    EventStreams.decontaminateSink(ms.toDF().toDF("doc_id", "text"), benchShingles,
+      "doc_id", "text", out, ckpt, k = 3)
+    ms.addData(corpus.drop(2): _*)
+    EventStreams.decontaminateSink(ms.toDF().toDF("doc_id", "text"), benchShingles,
+      "doc_id", "text", out, ckpt, k = 3)
+
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Dedup.decontaminate(corpus.toDF("doc_id", "text"), bench,
+        "doc_id", "text", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "stream ∪ micro-batches must equal batch decontamination")
+    assert(streamed == Set(2L, 4L))
+
+    // at-least-once replay: re-running a committed batch id overwrites its
+    // own partition instead of appending duplicates
+    val beforeReplay = spark.read.parquet(out).count()
+    val replay = corpus.take(2).toDF("doc_id", "text")
+    Dedup.decontaminateAgainst(replay, benchShingles, "doc_id", "text", k = 3)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    assert(spark.read.parquet(out).count() == beforeReplay,
+      "replaying batch 0 must not duplicate rows")
+  }
+
   test("ingestAvailableNow processes only files new since the last checkpoint") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("ingest").toFile.getAbsolutePath
