@@ -170,9 +170,14 @@ object SparkEntry {
     "q_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val stage = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+      // stage as MULTIPLE files: the source parquet is one row-group (one
+      // partition), which would otherwise serialize the whole write AND
+      // the read-back parse through a single task — a real CSV landing
+      // zone is many files, and the round-trip should measure that shape
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
+        .repartition(8)
         .write.mode("overwrite").option("header", "true").csv(stage)
       val schema = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
@@ -325,6 +330,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+
+    // materialized packed sequences: the actual 512-token training rows,
+    // pieces reassembled per (shard, seq) in doc order — every sequence
+    // except each shard's last must hold exactly 512 tokens
+    "q_pack_emit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      Curation.packSequences(docs, "doc_id", "text", budget = 512L,
+          shardCol = "shard")
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
+    // deterministic exact-N per stratum (bounded-heap top_k_any — at most
+    // N rows per language cross the exchange, no stratum sort); ranked by
+    // 52-bit md5 prefix both engines compute identically
+    "q_sample_exact" -> ((s, d) =>
+      Curation.sampleExactPerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", "text", n = 20, seed = "ev1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // context-window chunking: 32-token windows, 8-token overlap → docs
     // of 10..99 tokens emit 1..4 chunks each; chunk text + counts are
@@ -1066,6 +1092,53 @@ object SparkEntry {
         |                (cum_after - n_tokens) // 512)
         |       - (cum_after - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_emit" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT *, CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(sum(len(toks)) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks)
+        |      AS BIGINT) AS cb
+        |  FROM t WHERE len(toks) > 0),
+        |p AS (
+        |  SELECT shard, doc_id, toks, n, cb,
+        |    unnest(range(cb // 512, (cb + n - 1) // 512 + 1)) AS seq_id
+        |  FROM c),
+        |x AS (
+        |  SELECT shard, seq_id, doc_id, toks,
+        |    greatest(seq_id * 512 - cb, 0) AS ps,
+        |    least(n, (seq_id + 1) * 512 - cb) AS pe
+        |  FROM p)
+        |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  string_agg(array_to_string(list_slice(toks, ps + 1, pe), ' '), ' '
+        |    ORDER BY doc_id) AS seq_text,
+        |  CAST(sum(pe - ps) AS BIGINT) AS n_seq_tokens
+        |FROM x GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin,
+
+    "q_sample_exact" -> {
+      // 52-bit md5-prefix rank: 13 nibbles folded via strpos, exactly the
+      // engine-independent arithmetic hashRank52 computes
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      // ((…((n1)*16 + n2)*16 + n3)…)*16 + n13 — the hashRank52 fold
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    md5('ev1' || text) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, $folded AS rk,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $folded, doc_id)
+         |      AS rn
+         |  FROM b)
+         |SELECT doc_id, lang FROM r WHERE rn <= 20
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_cap_tokens" ->
       """WITH t AS (

@@ -204,6 +204,49 @@ object Curation {
     df.filter(hashBucket256(key, seed) < round(rate * 256))
   }
 
+  /** 52-bit uniform rank from the md5(seed ‖ content) prefix — 13 hex
+    * nibbles folded into a long. 52 bits so the value is EXACT in a
+    * double (top_k_any scores are doubles); content-derived like
+    * [[hashBucket256]], so ranks are stable across runs, partitionings,
+    * and engines. Prefix collisions are ~birthday(2^26) ≈ one in 67M
+    * docs per stratum — broken deterministically by the caller's
+    * tie-break, not silently.
+    */
+  def hashRank52(content: Column, seed: String): Column = {
+    val h = md5(concat(lit(seed), content))
+    (1 to 13).foldLeft(lit(0L)) { (acc, i) =>
+      acc * 16 + (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1)
+    }
+  }
+
+  /** Deterministic EXACT-N stratified sample: keep exactly min(n, |stratum|)
+    * rows per stratum — the "500 docs per language for eval" draw. Rows
+    * are ranked by content hash ([[hashRank52]]) inside each stratum and
+    * the n smallest win, so the draw is uniform, reproducible on any
+    * cluster layout, and engine-independent.
+    *
+    * SCALE SHAPE: ranking runs through the bounded-heap `top_k_any`
+    * aggregate — per-stratum heaps partial-merge map-side and at most n
+    * rows per stratum cross the exchange. No window, no per-stratum
+    * sort: low-cardinality strata (the [[capTokensPerGroup]] problem)
+    * are safe by construction.
+    *
+    * Hash-rank ties break by ascending payload order = the caller's
+    * column order (lead with the id column for a deterministic mirror).
+    */
+  def sampleExactPerGroup(df: DataFrame, strataCol: String, keyCol: String,
+                          n: Int, seed: String = "graft"): DataFrame = {
+    require(n >= 1, s"sampleExactPerGroup: n must be ≥1, got $n")
+    val rank = hashRank52(
+      coalesce(Cols.qcol(keyCol).cast("string"), lit("")), seed).cast("double")
+    val payload = struct(df.columns.map(Cols.qcol): _*)
+    df.groupBy(Cols.qcol(strataCol).as("_seg"))
+      // top_k_any keeps the k LARGEST scores: negate the rank
+      .agg(call_function("top_k_any", -rank, payload, lit(n)).as("tk"))
+      .select(explode(col("tk")).as("item"))
+      .select(col("item.payload.*"))
+  }
+
   // ---- token-budget quotas (corpus assembly) ----
 
   /** Cap each group (source, domain, language…) at a token budget: rows
@@ -382,5 +425,50 @@ object Curation {
         greatest(floor((col("_cum_after") - 1) / budget), col("seq_first")))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
       .drop("_cum_after", "seq_last")
+  }
+
+  /** MATERIALIZE the packed sequences [[packPlan]] lays out: each
+    * document's token stream is cut at the shard's `budget`-token
+    * boundaries and the pieces reassemble per (shard, sequence) in
+    * document order — the actual fixed-length training sequences, not
+    * just their coordinates. Every sequence except each shard's last
+    * holds exactly `budget` tokens.
+    *
+    * Scale shape: piece extraction is row-local array algebra (explode
+    * over the ≤ n_seqs spanned sequences + slice); reassembly shuffles
+    * on (shard, seq_id), whose cardinality is totalTokens / budget —
+    * high by construction, so no skewed or single-task groups. Output
+    * amplification is bounded: a doc emits one piece per spanned
+    * sequence (≈ len/budget + 1).
+    *
+    * @return (shardCol, seq_id, seq_text, n_seq_tokens)
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, shardCol: String): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    val w = Window.partitionBy(Cols.qcol(shardCol)).orderBy(Cols.qcol(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = df
+      .select(Cols.qcol(shardCol), Cols.qcol(idCol),
+        TextAnalysis.tokens(Cols.qcol(textCol)).as("_pk_toks"))
+      .withColumn("_pk_n", size(col("_pk_toks")).cast("long"))
+      .withColumn("_cb", sum(col("_pk_n")).over(w) - col("_pk_n"))
+      .filter(col("_pk_n") > 0) // a zero-token doc spans no sequence
+    val pieces = toks
+      .withColumn("seq_id", explode(sequence(
+        floor(col("_cb") / budget),
+        floor((col("_cb") + col("_pk_n") - 1) / budget))))
+      .withColumn("_ps", greatest(col("seq_id") * budget - col("_cb"), lit(0L)))
+      .withColumn("_pe", least(col("_pk_n"), (col("seq_id") + 1) * budget - col("_cb")))
+      .select(Cols.qcol(shardCol), col("seq_id"), Cols.qcol(idCol).as("_pk_id"),
+        array_join(slice(col("_pk_toks"), (col("_ps") + 1).cast("int"),
+          (col("_pe") - col("_ps")).cast("int")), " ").as("_piece"),
+        (col("_pe") - col("_ps")).as("_np"))
+    pieces.groupBy(Cols.qcol(shardCol), col("seq_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pk_id"), col("_piece")))),
+          s => s.getField("_piece")), " ").as("seq_text"),
+        sum(col("_np")).as("n_seq_tokens"))
   }
 }

@@ -258,6 +258,59 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: exact budget-token sequences, straddles split, doc order kept") {
+    // shard 0: docs (a b c)(d e)(f g h i), budget 4 →
+    //   seq0 = "a b c d", seq1 = "e f g h", seq2 = "i"
+    val docs = Seq(
+      (1L, 0L, "a b c"), (2L, 0L, "d e"), (3L, 0L, "f g h i"),
+      (4L, 1L, "x y")).toDF("doc_id", "shard", "text")
+    val out = Curation.packSequences(docs, "doc_id", "text", budget = 4L, "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((0L, 0L)) == (("a b c d", 4L)))
+    assert(out((0L, 1L)) == (("e f g h", 4L)))
+    assert(out((0L, 2L)) == (("i", 1L)))
+    assert(out((1L, 0L)) == (("x y", 2L)), "each shard packs independently")
+    // every sequence except each shard's last is exactly budget tokens
+    val lens = Curation.packSequences(docs, "doc_id", "text", 4L, "shard")
+      .groupBy(col("shard")).agg(
+        max(col("seq_id")).as("last"),
+        collect_list(struct(col("seq_id"), col("n_seq_tokens"))).as("seqs"))
+      .collect()
+    lens.foreach { r =>
+      val last = r.getLong(1)
+      r.getSeq[org.apache.spark.sql.Row](2).foreach { s =>
+        if (s.getLong(0) != last)
+          assert(s.getLong(1) == 4L, s"non-final sequence must hold budget tokens: $s")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "doc_id", "text", 0L, "shard")
+    }
+  }
+
+  test("sampleExactPerGroup: exactly n per stratum, deterministic, seed-sensitive, no window") {
+    val docs = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, "en").otherwise("zh").as("lang"),
+      concat(lit("document "), col("id")).as("text"))
+    def draw(seed: String) =
+      Curation.sampleExactPerGroup(docs, "lang", "text", n = 10, seed = seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d1 = draw("s1")
+    assert(d1.size == 20, "10 per stratum × 2 strata")
+    assert(d1 == draw("s1"), "content-derived rank must be run-stable")
+    assert(d1 != draw("s2"), "a different seed draws an independent sample")
+    // n ≥ stratum size keeps the whole stratum
+    val all = Curation.sampleExactPerGroup(docs, "lang", "text", n = 1000)
+    assert(all.count() == 300)
+    // scale shape: bounded heap, never a per-stratum window sort
+    val plan = Curation.sampleExactPerGroup(docs, "lang", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact-N sample must not plan a window:\n$plan")
+    assert(plan.contains("top_k_any"), s"must rank through the bounded heap:\n$plan")
+  }
+
   test("packPlan: hand-computed layout, boundary straddle, shard independence") {
     val docs = Seq(
       (1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 10L), // shard 0: cum 5, 8, 18
