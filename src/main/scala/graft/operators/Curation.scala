@@ -165,6 +165,48 @@ object Curation {
       .withColumn(outCol, coalesce(Cols.qcol(outCol), lit("")))
   }
 
+  /** Corpus mixture report: documents/tokens per stratum plus corpus
+    * shares — the dashboard that drives [[sampleByWeight]] rates and
+    * [[capTokensPerGroup]] budgets when assembling a training mixture.
+    * One partial-aggregated scan; the totals are a 1-row broadcast.
+    */
+  def mixtureReport(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val per = df.groupBy(Cols.qcol(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(Cols.qcol(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("_td"), sum(col("n_tokens")).as("_tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("pct_docs", round(col("n_docs") / col("_td") * 100, 4))
+      .withColumn("pct_tokens", round(col("n_tokens") / col("_tt") * 100, 4))
+      .drop("_td", "_tt")
+  }
+
+  /** Composite Gopher/C4-style quality KEEP decision: word-count bounds,
+    * mean-word-length band, punctuation ceiling, stopword floor, and the
+    * [[repetitionSignals]] duplicate-content ceilings, all evaluated over
+    * ONE scan (the quality and repetition frames each project their
+    * token array once). Returns the input plus the signal columns and a
+    * boolean `keep` — callers filter on it; monitoring dashboards keep
+    * the rejected side.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxPunctRatio: Double = 0.2, minStopwordRatio: Double = 0.02,
+                    maxDupWordRatio: Double = 0.3,
+                    maxDup2gramRatio: Double = 0.2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"qualityFilter: need 1 ≤ minWords ≤ maxWords, got $minWords..$maxWords")
+    val scored = repetitionSignals(TextAnalysis.qualityScore(df, textCol), textCol)
+    scored.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("dup_word_ratio") <= maxDupWordRatio &&
+        col("dup_2gram_ratio") <= maxDup2gramRatio)
+  }
+
   // ---- deterministic weighted sampling (domain / language mixing) ----
 
   /** Uniform bucket in [0, 256) derived from md5(seed ‖ content) — two hex
