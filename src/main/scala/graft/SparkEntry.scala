@@ -392,6 +392,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fasttext-style hashed-feature linear classifier inference: 256
+    // md5-bucket weights derived from a Knuth-multiplicative formula both
+    // engines compute exactly; score = sigmoid(bias + mean pooled weight).
+    // Pure row-local algebra — zero shuffles (plan-pinned in spec).
+    "q_clf_score" -> ((s, d) => {
+      val weights = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)
+      TextAnalysis.linearClassifierScore(Tables.documents(s, d), "text",
+          weights, bias = 0.1, seed = "qw1")
+        .select(col("doc_id"), round(col("clf_score"), 4).as("clf_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // near-dup RETENTION: same planted-triples pipeline as q_dedup_clusters,
+    // but the survivor is the best-QUALITY copy (doc_id % 7 differs across
+    // the three planted copies by construction), not the min id — one
+    // max_by aggregate, no window
+    "q_dedup_retain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .withColumn("quality", pmod(col("doc_id"), lit(7)))
+      val candidates = Dedup.minhashCandidates(planted, "doc_id", "text")
+      val verified = Dedup.ngramJaccardVerify(planted, "doc_id", "text",
+        candidates, k = 3, threshold = 0.999)
+      val clusters = Dedup.assignCanonical(planted, "doc_id",
+        verified.select(col("id_a"), col("id_b")))
+      Dedup.keepBestPerCluster(planted, clusters.select(col("doc_id"), col("canonical")),
+          "doc_id", "canonical", "quality")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic global training-order shuffle: 52-bit md5-prefix rank,
+    // range-partitioned into 8 shards, each sorted — global order ==
+    // pseudorandom order, reproducible on any input layout; the rank
+    // arithmetic is the engine-validated q_sample_exact fold
+    "q_shuffle_order" -> ((s, d) =>
+      Curation.shuffleForTraining(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", numShards = 8, seed = "ep0")
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy(col("shuffle_rank"))),
+
     // band-bucket table (pair extraction is exercised in DedupSpec with
     // planted near-dups; this corpus is dup-free so pairs would be empty)
     "q_dedup_minhash" -> ((s, d) =>
@@ -797,6 +841,54 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 20000, text FROM documents)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // same md5-nibble bucket as q_sample_weighted (engine-validated) and
+    // the same Knuth-multiplicative weight formula the Spark query builds
+    // its literal array from; mean pooling = avg over token rows
+    "q_clf_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5('qw1' || token), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5('qw1' || token), 2, 1)) - 1)
+        |      AS bkt
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id,
+        |    avg(CAST((bkt * 2654435761) % 1000 AS DOUBLE) / 1000 - 0.5) AS pooled
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-(0.1 + pooled))), 4) AS clf_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // retention mirror: exact-text clusters (≡ θ=0.999 minhash clusters on
+    // this corpus, same argument as q_dedup_clusters), survivor = best
+    // quality then min id
+    "q_dedup_retain" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+        |q AS (SELECT doc_id, text, doc_id % 7 AS quality FROM planted),
+        |c AS (SELECT doc_id, quality,
+        |        min(doc_id) OVER (PARTITION BY text) AS cl FROM q),
+        |r AS (SELECT doc_id, quality,
+        |        row_number() OVER (PARTITION BY cl ORDER BY quality DESC, doc_id)
+        |          AS rn
+        |      FROM c)
+        |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // 52-bit md5-prefix rank over 'ep0' ‖ text — the q_sample_exact fold
+    "q_shuffle_order" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH b AS (
+         |  SELECT doc_id, md5('ep0' || text) AS h FROM documents)
+         |SELECT doc_id, CAST($folded AS BIGINT) AS shuffle_rank
+         |FROM b ORDER BY shuffle_rank""".stripMargin
+    },
 
     "q_dedup_keepfirst" ->
       """SELECT user_id, event_type, min(event_id) AS event_id,

@@ -139,6 +139,13 @@ object Curation {
     * where a broadcast stops being the cheap side; at 100 TB with a low
     * maxDocFreq the bound totalLines/maxDocFreq can reach billions, which
     * MUST shuffle.
+    *
+    * NOTE this operator is eager: the sizing count runs a Spark job at
+    * CALL time, and the boiler set is persisted so the corpus-wide
+    * line-frequency aggregation is computed once — the count reads the
+    * cache the returned plan reuses, not a second corpus scan. The cache
+    * (hash+doc_freq rows only) is released by Spark's context cleaner
+    * once the plan is executed and dereferenced.
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              maxDocFreq: Long, outCol: String = "clean_text",
@@ -149,6 +156,7 @@ object Curation {
     val boiler = lineHashDocFrequency(df, idCol, textCol)
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("line_hash").as("_boiler_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boilerRight =
       if (boiler.count() <= maxBroadcastEntries) broadcast(boiler) else boiler
     val lines = df
@@ -289,6 +297,33 @@ object Curation {
       .select(col("item.payload.*"))
   }
 
+  /** Deterministic GLOBAL training-order shuffle: lay the corpus out in
+    * pseudorandom but fully reproducible order — the "shuffle your
+    * training data" step, done once at corpus-build time so readers
+    * stream sequentially instead of random-accessing 100 TB. Each row
+    * gets a content-derived rank ([[hashRank52]] of its key), the frame
+    * is range-partitioned on the rank into `numShards` output shards,
+    * and each shard is sorted — shard i holds the rank interval below
+    * shard i+1, so file order == global pseudorandom order, regardless
+    * of the input's partitioning or history.
+    *
+    * Scale shape: ONE range-exchange (plus the range partitioner's
+    * rank-sampling pass); shards are balanced by hash uniformity, no
+    * skew possible. Re-running on any layout yields the same order;
+    * changing `seed` draws an independent permutation (epoch reshuffle).
+    *
+    * @return input columns + `shuffle_rank` (the 52-bit rank, globally
+    *         unique up to md5-prefix collisions — dedupe upstream).
+    */
+  def shuffleForTraining(df: DataFrame, keyCol: String, numShards: Int,
+                         seed: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"shuffleForTraining: numShards must be ≥1, got $numShards")
+    df.withColumn("shuffle_rank",
+        hashRank52(coalesce(Cols.qcol(keyCol).cast("string"), lit("")), seed))
+      .repartitionByRange(numShards, col("shuffle_rank"))
+      .sortWithinPartitions(col("shuffle_rank"))
+  }
+
   // ---- token-budget quotas (corpus assembly) ----
 
   /** Cap each group (source, domain, language…) at a token budget: rows
@@ -325,7 +360,11 @@ object Curation {
     *
     * `priorityCol` must be numeric (cast to double for bucketing; the
     * admitted SET only depends on the order, not the values). NULL
-    * priorities sort LAST — admitted only if budget remains.
+    * priorities sort LAST — admitted only if budget remains. A NULL
+    * token count counts as 0 — the row is admitted whenever the budget
+    * is not yet full (a null would otherwise null the admission
+    * predicate and silently drop the row), consistent with how null
+    * priorities and null strata are kept, not dropped.
     */
   def capTokensPerGroup(df: DataFrame, groupCol: String, nTokensCol: String,
                         budget: Long, priorityCol: String, idCol: String,
@@ -334,7 +373,7 @@ object Curation {
     require(numBuckets >= 1, s"capTokensPerGroup: numBuckets must be ≥1, got $numBuckets")
     val g = Cols.qcol(groupCol)
     val p = Cols.qcol(priorityCol).cast("double")
-    val n = Cols.qcol(nTokensCol)
+    val n = coalesce(Cols.qcol(nTokensCol).cast("long"), lit(0L))
 
     // per-group priority range → order-aligned bucket in [0, numBuckets).
     // Joins on the group key are NULL-SAFE (<=>): a null stratum (missing
@@ -391,11 +430,15 @@ object Curation {
     require(budget > 0, s"capTokensPerGroupExact: budget must be positive, got $budget")
     require(orderCols.nonEmpty,
       "capTokensPerGroupExact: give a deterministic priority order (and break ties)")
+    // NULL token count = 0 (admitted while budget remains), matching
+    // capTokensPerGroup — unguarded, a null n would null the admission
+    // predicate and silently drop the row
+    val n = coalesce(Cols.qcol(nTokensCol).cast("long"), lit(0L))
     // ROWS frame pinned: the default RANGE frame would admit/reject tied
     // rows as a block if a caller violates the total-order requirement
     val w = Window.partitionBy(Cols.qcol(groupCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum_before", sum(Cols.qcol(nTokensCol)).over(w) - Cols.qcol(nTokensCol))
+    df.withColumn("_cum_before", sum(n).over(w) - n)
       .filter(col("_cum_before") < budget)
       .drop("_cum_before")
   }
@@ -494,8 +537,12 @@ object Curation {
       .select(Cols.qcol(shardCol), Cols.qcol(idCol),
         TextAnalysis.tokens(Cols.qcol(textCol)).as("_pk_toks"))
       .withColumn("_pk_n", size(col("_pk_toks")).cast("long"))
+      // filter BEFORE the running sum: a zero-token doc spans no sequence,
+      // and NULL text tokenizes to null whose size() is -1 (sizeOfNull
+      // default) — folded into the cumulative sum it would shift every
+      // later boundary in the shard. Dropping first keeps _cb exact.
+      .filter(col("_pk_n") > 0)
       .withColumn("_cb", sum(col("_pk_n")).over(w) - col("_pk_n"))
-      .filter(col("_pk_n") > 0) // a zero-token doc spans no sequence
     val pieces = toks
       .withColumn("seq_id", explode(sequence(
         floor(col("_cb") / budget),

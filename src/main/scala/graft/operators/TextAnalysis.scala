@@ -158,6 +158,48 @@ object TextAnalysis {
       .agg(round(avg(col("_lp")), 4).as("avg_logprob"))
   }
 
+  /** Linear text-classifier INFERENCE over hashed token features — the
+    * fasttext-style quality/domain classifier scoring step big corpus
+    * pipelines run (e.g. scoring web pages against a "looks like
+    * reference text" model before filtering). The model is a weight per
+    * hash bucket plus a bias; a document scores
+    * `sigmoid(bias + mean over tokens of w[bucket(token)])` — mean
+    * pooling over bag-of-hashed-words, the fasttext linear head.
+    *
+    * Feature hashing uses the md5 2-nibble bucket ([[Curation.hashBucket256]]),
+    * so buckets — and therefore scores — are engine-independent and
+    * reproducible anywhere, and `weights` must have exactly 256 entries.
+    * (Production models hash into 2^18+ buckets; 8 bits is the same
+    * plumbing with an engine-mirrorable hash. Swap the bucket fn + length
+    * for a bigger model.)
+    *
+    * Scale shape: pure row-local Column algebra — ZERO shuffles, no UDF;
+    * the model rides the plan as a 2 KB array literal evaluated inside
+    * whole-stage codegen. A model too large for a literal becomes a
+    * broadcast join on (feature id); the corpus side stays shuffle-free
+    * either way.
+    *
+    * NULL text scores NULL (no tokens to pool — the row is flagged, not
+    * silently given the bias-only score).
+    *
+    * @return df + (scoreCol = sigmoid probability, scoreCol_raw = margin)
+    */
+  def linearClassifierScore(df: DataFrame, textCol: String,
+                            weights: Array[Double], bias: Double,
+                            seed: String = "graft",
+                            scoreCol: String = "clf_score"): DataFrame = {
+    require(weights.length == 256,
+      s"linearClassifierScore: hashBucket256 features need exactly 256 weights, got ${weights.length}")
+    val wlit = array(weights.map(lit): _*)
+    val toks = tokens(Cols.qcol(textCol))
+    val pooled = aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(wlit, Curation.hashBucket256(t, seed) + 1)
+    ) / size(toks)
+    val margin = lit(bias) + pooled
+    df.withColumn(s"${scoreCol}_raw", margin)
+      .withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-margin)))
+  }
+
   /** Corpus-level top-K n-grams by DOCUMENT frequency — the heavy-hitter
     * report that surfaces boilerplate phrases and stopword candidates
     * before tuning dedup/cleaning thresholds. Shingles are distinct per

@@ -160,7 +160,8 @@ object EventStreams {
                         outDir: String, checkpointDir: String,
                         k: Int = 8, minOverlap: Long = 1L,
                         trigger: org.apache.spark.sql.streaming.Trigger =
-                          org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -170,7 +171,14 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
-    q.awaitTermination()
+    // A run-to-completion trigger (AvailableNow, the default) terminates
+    // on its own — await so callers get drained output, matching the
+    // batch operator. A continuous ProcessingTime trigger never
+    // terminates: return without blocking and let the caller
+    // monitor/stop the handle.
+    if (trigger == org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    q
   }
 
   /** Stream-static enrichment: join a stream against a dimension table

@@ -172,6 +172,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffleForTraining: reproducible global pseudorandom order on any layout") {
+    val docs = spark.range(0, 500).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    def order(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Curation.shuffleForTraining(d, "text", numShards = 4, seed = seed)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val base = order(docs, "e0")
+    assert(base != base.sorted, "shuffled order must not be the input order")
+    assert(base.toSet == (0L until 500L).toSet, "permutation: every row exactly once")
+    assert(order(docs.repartition(13), "e0") == base,
+      "order must be layout-independent (same on a 13-partition input)")
+    assert(order(docs, "e1") != base, "a new seed must draw a new permutation")
+    // shard i holds ranks strictly below shard i+1, each shard sorted —
+    // file order IS global order
+    val parts = Curation.shuffleForTraining(docs, "text", 4, "e0")
+      .select(spark_partition_id().as("p"), col("shuffle_rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    assert(parts.length == 4, s"range partitioner must produce 4 shards, got ${parts.length}")
+    parts.foreach(p => assert(p == p.sorted, "each shard must be sorted by rank"))
+    parts.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.last <= b.head, "shard boundaries must respect global rank order")
+    case _ => }
+    intercept[IllegalArgumentException] {
+      Curation.shuffleForTraining(docs, "text", 0, "e0")
+    }
+  }
+
   test("capTokensPerGroup admits priority order until budget, always first row") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 80L), (3L, "a", 50L),
@@ -287,6 +315,49 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.packSequences(docs, "doc_id", "text", 0L, "shard")
     }
+  }
+
+  test("packSequences: null text mid-shard does not shift later boundaries") {
+    // doc 2's null text tokenizes to null (size = -1); folded into the
+    // running sum it would shift every later doc's sequence assignment.
+    // The packing must be identical to the same corpus without the row.
+    // (An EMPTY string is NOT zero tokens: split("") = [""] — one empty
+    // token — by the whitespace-token contract tokenCount and the DuckDB
+    // oracle share, so only null is the vanishing case.)
+    val withNull = Seq(
+      (1L, 0L, Option("a b c")), (2L, 0L, Option.empty[String]),
+      (4L, 0L, Option("d e f g h")))
+      .toDF("doc_id", "shard", "text")
+    val without = Seq((1L, 0L, "a b c"), (4L, 0L, "d e f g h"))
+      .toDF("doc_id", "shard", "text")
+    def packed(d: org.apache.spark.sql.DataFrame) =
+      Curation.packSequences(d, "doc_id", "text", budget = 4L, "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(packed(withNull) == packed(without),
+      "null-text docs must be invisible to the packing layout")
+    assert(packed(withNull) == Set(
+      (0L, 0L, "a b c d", 4L), (0L, 1L, "e f g h", 4L)))
+  }
+
+  test("capTokensPerGroup: NULL token counts are admitted as 0, not dropped") {
+    // an unguarded null n nulls the admission predicate and silently
+    // drops the row — inconsistent with null priorities (bucketed last)
+    // and null strata (null-safe joins), which are both kept
+    val docs = Seq(
+      (1L, "a", Option(100L)), (2L, "a", Option.empty[Long]),
+      (3L, "a", Option(40L)), (4L, "a", Option(200L)))
+      .toDF("doc_id", "grp", "n_tokens")
+    // priority = doc_id ascending: 1(100), 2(null→0), 3(40), 4(200)
+    // cum-before: 0, 100, 100, 140 → all admitted under budget 150
+    val kept = Curation.capTokensPerGroup(docs, "grp", "n_tokens", budget = 150L,
+        priorityCol = "doc_id", idCol = "doc_id", descending = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      "null-count row must be admitted and contribute 0 to the running sum")
+    val exact = Curation.capTokensPerGroupExact(docs, "grp", "n_tokens", 150L,
+        col("doc_id").asc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == kept, "exact variant must treat null counts identically")
   }
 
   test("sampleExactPerGroup: exactly n per stratum, deterministic, seed-sensitive, no window") {

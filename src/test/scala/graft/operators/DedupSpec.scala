@@ -184,6 +184,31 @@ class DedupSpec extends SparkSpec {
     // minOverlap above the max observed count keeps everything
     val lax = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3, minOverlap = 100L)
     assert(lax.count() == 4)
+    // broadcastContaminated=false (the corpus-is-mostly-eval-text escape
+    // hatch) keeps the identical set without the broadcast hint
+    val shuffled = Dedup.decontaminateAgainst(corpus,
+      Dedup.benchmarkShingles(bench, "text", 3), "doc_id", "text", k = 3,
+      broadcastContaminated = false)
+    assert(rows(shuffled.select("doc_id")) == Seq(Seq(2L)),
+      "shuffle-anti fallback must keep the identical clean set")
+  }
+
+  test("keepBestPerCluster: best quality wins, min-id tie-break, singletons survive") {
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L), // cluster 1: q9 tie → id 2
+      (4L, "b", 1L),                               // cluster of one
+      (9L, "z", 0L))                               // absent from clusters → own singleton
+      .toDF("doc_id", "text", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val kept = Dedup.keepBestPerCluster(docs, clusters, "doc_id", "cluster", "quality")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "quality"),
+      "output schema must be the input row, not the cluster key")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L, 9L))
+    // scale promise: one max_by aggregate, never a per-cluster window sort
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"retention must aggregate, not window:\n$plan")
   }
 
   test("benchmarkOverlap on an empty benchmark reports zero for every doc") {

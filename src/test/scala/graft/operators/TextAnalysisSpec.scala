@@ -70,4 +70,36 @@ class TextAnalysisSpec extends SparkSpec {
     // "a b" in two docs; ties at df=1 break on ngram asc → "b c" first
     assert(out.toSeq == Seq(("a b", 2L), ("b c", 1L)))
   }
+
+  test("linearClassifierScore: hand-computed sigmoid, null text, shuffle-free plan") {
+    // weight of token t = w(hashBucket256(t, seed)); recompute the bucket
+    // on the driver through the same md5-nibble arithmetic
+    def bucket(tok: String, seed: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((seed + tok).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex(0)) * 16 + "0123456789abcdef".indexOf(hex(1))
+    }
+    val weights = Array.tabulate(256)(b => b / 256.0 - 0.5)
+    val docs = Seq(
+      (1L, Option("alpha beta beta")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearClassifierScore(docs, "text", weights,
+        bias = 0.25, seed = "s1")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("clf_score"))) None
+         else Some(r.getDouble(r.fieldIndex("clf_score"))))).toMap
+    val pooled = (weights(bucket("alpha", "s1")) + 2 * weights(bucket("beta", "s1"))) / 3
+    val expect = 1.0 / (1.0 + math.exp(-(0.25 + pooled)))
+    assert(math.abs(out(1L).get - expect) < 1e-12,
+      s"doc 1 must score the hand-computed sigmoid, got ${out(1L)}")
+    assert(out(2L).isEmpty, "null text must score null, not bias-only")
+    // scale promise: inference is row-local — no Exchange anywhere
+    val plan = TextAnalysis.linearClassifierScore(docs, "text", weights, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier inference must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.linearClassifierScore(docs, "text", Array(1.0), 0.0)
+    }
+  }
 }

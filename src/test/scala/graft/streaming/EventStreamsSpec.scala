@@ -107,6 +107,26 @@ class EventStreamsSpec extends SparkSpec {
       "replaying batch 0 must not duplicate rows")
   }
 
+  test("decontaminateSink with a continuous trigger returns the live handle, not blocks") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val benchShingles = Dedup.benchmarkShingles(bench, "text", k = 3).cache()
+    val base = java.nio.file.Files.createTempDirectory("decon_cont").toString
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "some clean document text here"))
+    // with awaitTermination this call would hang forever on a
+    // ProcessingTime trigger; it must hand back the running query
+    val q = EventStreams.decontaminateSink(ms.toDF().toDF("doc_id", "text"),
+      benchShingles, "doc_id", "text", s"$base/out", s"$base/ckpt", k = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+    try {
+      assert(q.isActive, "continuous query must still be running when the call returns")
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 1)
+    } finally q.stop()
+  }
+
   test("ingestAvailableNow processes only files new since the last checkpoint") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("ingest").toFile.getAbsolutePath
