@@ -425,6 +425,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: planted exact-dup triples must co-assign.
+    // Clusters here come from the cheap exact-content grouping (min id
+    // per xxhash64(text) — hash equality ≡ text equality modulo 2^-64,
+    // the q_dedup_exact argument); near-dup cluster maps plug in the
+    // same way (q_dedup_retain exercises that pipeline)
+    "q_split_leakproof" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val clusters = planted
+        .select(col("doc_id"), xxhash64(col("text")).as("_h"))
+        .withColumn("canonical", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))))
+        .select(col("doc_id"), col("canonical"))
+      Curation.splitByCluster(planted, clusters, "doc_id", "canonical")
+        .select(col("doc_id"), col("split_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic global training-order shuffle: 52-bit md5-prefix rank,
     // range-partitioned into 8 shards, each sorted — global order ==
     // pseudorandom order, reproducible on any input layout; the rank
@@ -878,6 +898,22 @@ object SparkEntry {
         |          AS rn
         |      FROM c)
         |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // split hashes the CANONICAL id string — same md5 last-nibble
+    // arithmetic as q_split_assign (engine-validated); exact-text
+    // clusters mirror the xxhash64 grouping (collisions aside, 2^-64)
+    "q_split_leakproof" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+        |c AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY text) AS cl FROM planted)
+        |SELECT doc_id,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5(CAST(cl AS VARCHAR)), 32, 1)) - 1) < 14
+        |    THEN 'train' ELSE 'val' END AS split_label
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // 52-bit md5-prefix rank over 'ep0' ‖ text — the q_sample_exact fold
     "q_shuffle_order" -> {

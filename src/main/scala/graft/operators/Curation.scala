@@ -87,6 +87,31 @@ object Curation {
     when(nibble < trainSixteenths, "train").otherwise("val")
   }
 
+  /** LEAKAGE-SAFE train/val split: the assignment hashes the CLUSTER
+    * key (near-dup group), not the document, so every member of a
+    * cluster lands on the same side. [[hashSplit]] alone co-assigns
+    * only EXACT duplicates; near-duplicates — the common case in web
+    * corpora — would otherwise put one copy in training and its
+    * sibling in validation, silently inflating eval scores.
+    *
+    * `clusters` is (idCol, clusterCol) — [[graft.operators.Dedup.assignCanonical]]
+    * output or any precomputed assignment; rows absent from it split by
+    * their own id (singletons never leak by definition).
+    *
+    * Scale shape: one join against the cluster map (broadcast it when
+    * the map is a small delta; full-corpus maps shuffle on the 8-byte
+    * id), then a pure hash filter — no other exchange.
+    */
+  def splitByCluster(df: DataFrame, clusters: DataFrame, idCol: String,
+                     clusterCol: String, trainSixteenths: Int = 14,
+                     outCol: String = "split_label"): DataFrame =
+    df.join(clusters.select(Cols.qcol(idCol),
+          Cols.qcol(clusterCol).as("_sb_cluster")), Seq(idCol), "left")
+      .withColumn(outCol, hashSplit(
+        coalesce(col("_sb_cluster"), Cols.qcol(idCol)).cast("string"),
+        trainSixteenths))
+      .drop("_sb_cluster")
+
   // ---- line-level boilerplate removal (CCNet-style) ----
 
   /** Per-line-HASH document frequency across the corpus: in how many

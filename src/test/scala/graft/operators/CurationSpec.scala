@@ -172,6 +172,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("splitByCluster: whole clusters co-assign; singletons fall back to id") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (7L, "other text"), (9L, "lonely")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "cluster")
+    val out = Curation.splitByCluster(docs, clusters, "doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1,
+      "every member of a cluster must land on the same side")
+    // unclustered row splits by its own id — same label as a cluster
+    // whose canonical IS that id
+    val single = Curation.splitByCluster(
+      docs.filter(col("doc_id") === 9L),
+      Seq((9L, 9L)).toDF("doc_id", "cluster"), "doc_id", "cluster")
+      .collect().head.getString(2)
+    assert(out(9L) == single, "singleton fallback must hash the id identically")
+    // a cluster key hashes like hashSplit over its string form
+    val expect = docs.sparkSession.range(1).select(
+      Curation.hashSplit(lit("1"), 14)).collect().head.getString(0)
+    assert(out(1L) == expect)
+  }
+
   test("shuffleForTraining: reproducible global pseudorandom order on any layout") {
     val docs = spark.range(0, 500).select(
       col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
