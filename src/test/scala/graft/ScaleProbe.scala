@@ -11,129 +11,208 @@ import graft.sources.Tables
   * headline operators. A plan that survives 100 TB should scale roughly
   * linearly here; anything super-linear is a design smell to fix NOW.
   *
+  * Methodology (round 7): amplified tables are STAGED TO PARQUET once
+  * and read back, so each probe times the operator over a real 16×
+  * multi-split source — not the amplification crossJoin, which used to
+  * ride inside every timed pass. The 1× baseline is self-measured in
+  * the same JVM right before its 16× twin (the old hardcoded constants
+  * came from other sessions' machines and skewed ratios up to ~2×).
+  *
   * Run: `sbt "Test/runMain graft.ScaleProbe"`.
   */
 object ScaleProbe {
   private val Mult = 16
+  private val StageDir = "/tmp/scaleprobe_stage"
 
-  private def amplify(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame = {
-    // cross with range(Mult), shifting each replica's keys into its own id
-    // space so joins/groups see Mult× distinct keys, not Mult× duplicates
+  private var spark: SparkSession = _
+
+  /** Cross with range(Mult), shifting each replica's keys into its own
+    * id space so joins/groups see Mult× distinct keys, not Mult×
+    * duplicates; staged to parquet so probes read it like any source.
+    */
+  private def amplify(name: String, df: DataFrame, keyCols: Seq[String],
+                      offset: Long): DataFrame = {
+    val path = s"$StageDir/$name"
     val withRep = df.crossJoin(spark.range(Mult).select(col("id").as("_rep")))
     keyCols.foldLeft(withRep)((d, k) =>
         d.withColumn(k, col(k) + col("_rep") * offset)).drop("_rep")
-      // the sf0.1 files are single-split; a 100 TB source arrives in
-      // thousands of splits — spread replicas or everything runs 1-core
+      // a 100 TB source arrives in thousands of splits — spread replicas
+      // or everything downstream runs 1-core
       .repartition(Runtime.getRuntime.availableProcessors())
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
-
-  private var spark: SparkSession = _
 
   def main(args: Array[String]): Unit = {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
 
-    def time(name: String, sf01Secs: Double)(df: => DataFrame): Unit = {
+    def timed(df: => DataFrame): Double = {
       df.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-22s ${Mult}x=${t}%6.2f s   1x=${sf01Secs}%5.2f s   ratio=${t / sf01Secs}%5.1f (linear=$Mult)")
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** Self-measuring probe: 1× and 16× timed back-to-back, same JVM. */
+    def probe(name: String)(base: => DataFrame)(big: => DataFrame): Unit = {
+      val oneX = timed(base)
+      val t = timed(big)
+      println(f"[scale] $name%-22s ${Mult}x=${t}%6.2f s   1x=${oneX}%5.2f s   ratio=${t / oneX}%5.1f (linear=$Mult)")
     }
 
-    val li = amplify(Tables.lineitem(spark, d), Seq("l_orderkey"), 10_000_000L)
-    val ord = amplify(Tables.orders(spark, d), Seq("o_orderkey", "o_custkey"), 10_000_000L)
-    val ev = amplify(Tables.events(spark, d), Seq("event_id", "user_id"), 10_000_000L)
-    val docs = amplify(Tables.documents(spark, d), Seq("doc_id"), 10_000_000L)
+    val li1 = Tables.lineitem(spark, d)
+    val ord1 = Tables.orders(spark, d)
+    val ev1 = Tables.events(spark, d)
+    val docs1 = Tables.documents(spark, d)
+    val li = amplify("lineitem", li1, Seq("l_orderkey"), 10_000_000L)
+    val ord = amplify("orders", ord1, Seq("o_orderkey", "o_custkey"), 10_000_000L)
+    val ev = amplify("events", ev1, Seq("event_id", "user_id"), 10_000_000L)
+    val docs = amplify("documents", docs1, Seq("doc_id"), 10_000_000L)
 
-    time("pricing_summary", 2.11) { Analytics.pricingSummary(li) }
-    time("star_join", 1.14) {
-      Analytics.starJoin(Tables.lineitem(spark, d).crossJoin(
-          spark.range(Mult).select((col("id") * 0).as("_z"))).drop("_z"),
-        Tables.part(spark, d), Tables.supplier(spark, d), Tables.nation(spark, d))
+    probe("pricing_summary") { Analytics.pricingSummary(li1) } {
+      Analytics.pricingSummary(li)
     }
-    time("sessionize", 1.0) { Analytics.sessionize(ev, 30) }
-    time("minhash_buckets", 0.38) { Dedup.minhashBandBuckets(docs, "doc_id", "text") }
-    time("dedup_keepfirst", 0.51) {
+    // fact side replicated WITHOUT key remap (dims are fixed): the join
+    // must scale with the fact scan, dims broadcast either way
+    probe("star_join") {
+      Analytics.starJoin(li1, Tables.part(spark, d),
+        Tables.supplier(spark, d), Tables.nation(spark, d))
+    } {
+      Analytics.starJoin(li, Tables.part(spark, d),
+        Tables.supplier(spark, d), Tables.nation(spark, d))
+    }
+    probe("sessionize") { Analytics.sessionize(ev1, 30) } {
+      Analytics.sessionize(ev, 30)
+    }
+    probe("minhash_buckets") { Dedup.minhashBandBuckets(docs1, "doc_id", "text") } {
+      Dedup.minhashBandBuckets(docs, "doc_id", "text")
+    }
+    probe("dedup_keepfirst") {
+      Cleaning.dedupKeepFirst(ev1, Seq("user_id", "event_type"), "event_id")
+    } {
       Cleaning.dedupKeepFirst(ev, Seq("user_id", "event_type"), "event_id")
     }
-    time("validate_rules", 0.22) {
-      Validation.validate(li, Seq(
-        Validation.rangeCheck("l_quantity", Some(1d), Some(50d), "error"),
-        Validation.rangeCheck("l_discount", Some(0d), Some(0.05), "warning"),
-        Validation.businessRule("tax_le_discount", col("l_tax") <= col("l_discount"))))
-    }
+    def rules(x: DataFrame) = Validation.validate(x, Seq(
+      Validation.rangeCheck("l_quantity", Some(1d), Some(50d), "error"),
+      Validation.rangeCheck("l_discount", Some(0d), Some(0.05), "warning"),
+      Validation.businessRule("tax_le_discount", col("l_tax") <= col("l_discount"))))
+    probe("validate_rules") { rules(li1) } { rules(li) }
+
     // LSH pair extraction must scale with Σ bucket², not (16n)²: replicas
     // get a SMALL per-component deterministic perturbation (sin of
     // component×replica) so directions stay as diverse as the originals —
     // a constant shift would make every high-replica vector near-parallel
     // and plant a genuinely quadratic answer
-    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      .crossJoin(spark.range(Mult).select(col("id").as("_rep")))
+    val emb1 = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val embPath = s"$StageDir/embeddings"
+    emb1.crossJoin(spark.range(Mult).select(col("id").as("_rep")))
       .select((col("vec_id") + col("_rep") * 10_000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + (sin((i + 1).cast("double") * (col("_rep") + 1) * 0.7) * 0.2).cast("float"))
           .as("embedding"))
       .repartition(Runtime.getRuntime.availableProcessors())
-    time("lsh_neardup_pairs", 0.39) {
+      .write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+    probe("lsh_neardup_pairs") {
+      Similarity.lshNearDupPairs(emb1, "vec_id", "embedding", dim = 64,
+        numPlanes = 12, threshold = 0.9, numTables = 4)
+    } {
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
         numPlanes = 12, threshold = 0.9, numTables = 4)
     }
     // text/curation scans: the per-row constant IS the cost model here —
-    // if these are linear, the 100 TB scan is too (1× figures: TimeOne
-    // on the registry query shapes, quiet JVM)
-    time("lang_id", 0.45) { TextAnalysis.langIdFrame(docs, "text") }
-    time("text_repetition", 0.40) { Curation.repetitionSignals(docs, "text") }
-    time("redact_pii", 0.65) {
+    // if these are linear, the 100 TB scan is too
+    probe("lang_id") { TextAnalysis.langIdFrame(docs1, "text") } {
+      TextAnalysis.langIdFrame(docs, "text")
+    }
+    probe("text_repetition") { Curation.repetitionSignals(docs1, "text") } {
+      Curation.repetitionSignals(docs, "text")
+    }
+    probe("redact_pii") {
+      docs1.select(col("doc_id"), Curation.redactPII(col("text")).as("t"))
+    } {
       docs.select(col("doc_id"), Curation.redactPII(col("text")).as("t"))
     }
-    time("embed_quantize", 0.25) {
+    probe("embed_quantize") {
+      emb1.select(col("vec_id"), call_function("quantize_i8", col("embedding")).as("qz"))
+    } {
       emb.select(col("vec_id"), call_function("quantize_i8", col("embedding")).as("qz"))
     }
     // temporal joins: one shuffle each — the as-of window and the
     // (key, bin) hash join must both scale with rows, not pairs
-    val ordDedup = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+    def ordDedup(o: DataFrame) = o.groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"),
         max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
-    time("asof_join", 0.80) {
-      Temporal.asofJoin(ev.select(col("event_id"), col("user_id"), col("ts")),
-        ordDedup, Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+    def asof(e: DataFrame, o: DataFrame) =
+      Temporal.asofJoin(e.select(col("event_id"), col("user_id"), col("ts")),
+        ordDedup(o), Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
         Seq("o_orderkey", "o_totalprice"))
-    }
-    time("range_join", 0.44) {
-      val wins = ev.filter(col("event_type") === "purchase")
+    probe("asof_join") { asof(ev1, ord1) } { asof(ev, ord) }
+    def rjoin(e: DataFrame) = {
+      val wins = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
           (col("ts") - expr("INTERVAL 1 HOUR")).as("win_lo"), col("ts").as("win_hi"))
-      Temporal.rangeJoin(ev.select(col("user_id"), col("event_id"), col("ts")), wins,
+      Temporal.rangeJoin(e.select(col("user_id"), col("event_id"), col("ts")), wins,
         Seq("user_id"), Seq("p_user"), "ts", "win_lo", "win_hi", binWidthSec = 3600L)
     }
+    probe("range_join") { rjoin(ev1) } { rjoin(ev) }
     // incremental dedup: per-batch cost must track the BATCH, with the
     // corpus entering only through the fingerprint/signature join
-    time("dedup_incremental", 0.54) {
-      val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
+    def incr(dd: DataFrame) = {
+      val corpus = dd.filter(col("doc_id") % 2 === 0)
+      val batch = dd.filter(col("doc_id") % 2 === 1)
       Dedup.dedupAgainstCorpus(batch, Dedup.contentFingerprints(corpus, "text"),
         "doc_id", "text")
     }
+    probe("dedup_incremental") { incr(docs1) } { incr(docs) }
     // token quota: the hierarchical running sum must scale with rows even
     // though there are only 5 language strata — the (group, bucket) window
     // is the whole point (a per-stratum window would be single-task here)
-    time("cap_tokens", 0.35) {
-      val counted = docs.withColumn("n_tokens",
+    def cap(dd: DataFrame) = {
+      val counted = dd.withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text")).cast("long"))
       Curation.capTokensPerGroup(counted, "lang", "n_tokens",
         budget = 30000L, priorityCol = "n_chars", idCol = "doc_id")
     }
+    probe("cap_tokens") { cap(docs1) } { cap(docs) }
     // decontamination: broadcast shingle probe + broadcast anti join — the
     // corpus side must stay exchange-free, so cost tracks the scan
-    time("decontaminate", 0.40) {
-      val bench = Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) === 0)
-      Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
+    def decon(dd: DataFrame) = {
+      val bench = docs1.filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.decontaminate(dd, bench, "doc_id", "text", k = 3)
     }
+    probe("decontaminate") { decon(docs1) } { decon(docs) }
+    // round-7 corpus-assembly ops
+    val clfW = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)
+    probe("clf_score") {
+      TextAnalysis.linearClassifierScore(docs1, "text", clfW, 0.1)
+    } {
+      TextAnalysis.linearClassifierScore(docs, "text", clfW, 0.1)
+    }
+    // retention probe isolates keepBestPerCluster (the pair pipeline has
+    // its own probes): clusters of ~4 via id-range collapse, quality = id%7
+    def retain(dd: DataFrame) = {
+      val q = dd.select(col("doc_id"), col("text"))
+        .withColumn("quality", pmod(col("doc_id"), lit(7)))
+      val cl = dd.select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("cluster"))
+      Dedup.keepBestPerCluster(q, cl, "doc_id", "cluster", "quality")
+    }
+    probe("keep_best_cluster") { retain(docs1) } { retain(docs) }
+    probe("shuffle_order") {
+      Curation.shuffleForTraining(docs1.select(col("doc_id"), col("text")), "text", 8)
+    } {
+      Curation.shuffleForTraining(docs.select(col("doc_id"), col("text")), "text", 8)
+    }
+    def leak(dd: DataFrame) = Curation.splitByCluster(
+      dd.select(col("doc_id"), col("text")),
+      dd.select(col("doc_id"), (col("doc_id") - pmod(col("doc_id"), lit(4))).as("cluster")),
+      "doc_id", "cluster")
+    probe("split_by_cluster") { leak(docs1) } { leak(docs) }
     // SCD2: one keyed window pass over the change stream
-    time("scd2_merge", 0.89) {
-      val changes = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+    def scd2(o: DataFrame) = {
+      val changes = o.groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
         .select(col("o_custkey").as("custkey"), col("priority"),
           col("o_orderdate").as("effective_from"))
@@ -141,6 +220,12 @@ object ScaleProbe {
         lit(null).cast(changes.schema("effective_from").dataType))
       graft.sinks.DataSink.scd2Merge(dim.filter(lit(false)), changes, Seq("custkey"))
     }
+    probe("scd2_merge") { scd2(ord1) } { scd2(ord) }
+
+    // stage cleanup — ~3 GB of amplified parquet has no business outliving
+    // the probe
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(StageDir)).deleteRecursively()
     spark.stop()
   }
 }
