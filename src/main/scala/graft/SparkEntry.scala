@@ -425,6 +425,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality gate: score with the hashed-feature classifier (margin
+    // rounded to 6 so both engines compare bit-identical doubles), keep
+    // the top 20% — one exact-percentile aggregate broadcast back as the
+    // threshold, then a pure filter (production path is the
+    // approx_percentile sketch, equivalence pinned in CurationSpec)
+    "q_quality_gate" -> ((s, d) => {
+      val weights = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)
+      val scored = TextAnalysis.linearClassifierScore(Tables.documents(s, d),
+          "text", weights, bias = 0.1, seed = "qw1")
+        .withColumn("score", round(col("clf_score_raw"), 6))
+      Curation.keepTopQuantile(scored, "score", keepFraction = 0.2, exact = true)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // leakage-safe split: planted exact-dup triples must co-assign.
     // Clusters here come from the cheap exact-content grouping (min id
     // per xxhash64(text) — hash equality ≡ text equality modulo 2^-64,
@@ -898,6 +913,28 @@ object SparkEntry {
         |          AS rn
         |      FROM c)
         |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same score CTE as q_clf_score (margin, not sigmoid — monotone, so
+    // the kept set is identical); threshold = continuous 80th percentile,
+    // the interpolation rule Spark's percentile shares with quantile_cont
+    "q_quality_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5('qw1' || token), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5('qw1' || token), 2, 1)) - 1)
+        |      AS bkt
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(0.1 + avg(CAST((bkt * 2654435761) % 1000 AS DOUBLE) / 1000 - 0.5), 6)
+        |      AS score
+        |  FROM b GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(score, 0.8) AS t FROM s)
+        |SELECT doc_id, score FROM s, thr WHERE score >= t
+        |ORDER BY doc_id""".stripMargin,
 
     // split hashes the CANONICAL id string — same md5 last-nibble
     // arithmetic as q_split_assign (engine-validated); exact-text

@@ -214,6 +214,69 @@ object Curation {
       .drop("_td", "_tt")
   }
 
+  /** Per-stratum [[sampleByWeight]] rates that hit a TARGET token
+    * mixture ("30% code, 60% en-web, 10% books") without upsampling:
+    * the achievable corpus is bounded by the stratum that runs out
+    * first (total* = min over strata of tokens_i / share_i), and every
+    * stratum downsamples to its share of that total —
+    * rate_i = share_i · total* / tokens_i ≤ 1 by construction. Strata
+    * absent from `target` get rate 0 (excluded from the mixture).
+    *
+    * EAGER by design: collects one row per stratum (strata are
+    * mixture-definition-sized — tens, not millions) and returns the
+    * plain rate map [[sampleByWeight]] consumes; the corpus itself is
+    * scanned once with partial aggregation and never collected.
+    *
+    * @param target stratum → desired token share; shares must be
+    *               positive and sum to ~1 (validated to 1e-6).
+    */
+  def ratesForTargetMixture(df: DataFrame, strataCol: String, textCol: String,
+                            target: Map[String, Double]): Map[String, Double] = {
+    require(target.nonEmpty, "ratesForTargetMixture: target mixture is empty")
+    require(target.values.forall(_ > 0),
+      s"ratesForTargetMixture: shares must be positive, got $target")
+    require(math.abs(target.values.sum - 1.0) < 1e-6,
+      s"ratesForTargetMixture: shares must sum to 1, got ${target.values.sum}")
+    val counts = df
+      .filter(Cols.qcol(strataCol).cast("string")
+        .isin(target.keys.toSeq.map(lit): _*))
+      .groupBy(Cols.qcol(strataCol).cast("string").as("_s"))
+      .agg(sum(TextAnalysis.tokenCount(Cols.qcol(textCol)).cast("long")).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"ratesForTargetMixture: strata absent from the corpus: $missing")
+    val totalStar = target.map { case (s, share) => counts(s) / share }.min
+    target.map { case (s, share) => s -> (share * totalStar / counts(s)) }
+  }
+
+  /** Quality GATE: keep the top `keepFraction` of rows by `scoreCol` —
+    * the "train only on the best-scoring X%" filter that follows
+    * classifier/perplexity scoring. The threshold is ONE aggregate
+    * reduced to a scalar and broadcast back; the gate itself is a pure
+    * filter, so the corpus pays one scan + zero data shuffles.
+    *
+    * `exact = false` (default, the 100 TB path) uses the mergeable
+    * approx_percentile sketch — one pass, bounded memory, rank error
+    * ≤ 1/accuracy. `exact = true` computes the true percentile (holds
+    * per-partition value buffers — for oracle checks and modest data).
+    *
+    * NULL scores never pass the gate (an unscored row is not "good").
+    */
+  def keepTopQuantile(df: DataFrame, scoreCol: String, keepFraction: Double,
+                      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepTopQuantile: keepFraction must be in (0,1], got $keepFraction")
+    val s = Cols.qcol(scoreCol)
+    val q = lit(1.0 - keepFraction)
+    val thr = df.agg(
+      (if (exact) percentile(s, q) else percentile_approx(s, q, lit(accuracy)))
+        .as("_qg_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(s >= col("_qg_thr"))
+      .drop("_qg_thr")
+  }
+
   /** Composite Gopher/C4-style quality KEEP decision: word-count bounds,
     * mean-word-length band, punctuation ceiling, stopword floor, and the
     * [[repetitionSignals]] duplicate-content ceilings, all evaluated over

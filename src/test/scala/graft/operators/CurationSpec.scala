@@ -172,6 +172,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ratesForTargetMixture: shares hit target, bounded by the scarcest stratum") {
+    // a = 100 tokens, b = 50; target 50/50 → total* = min(100/.5, 50/.5) = 100
+    // → rate_a = .5·100/100 = 0.5, rate_b = .5·100/50 = 1.0 (never upsamples)
+    val docs = Seq(
+      ("a", Seq.fill(60)("x").mkString(" ")), ("a", Seq.fill(40)("x").mkString(" ")),
+      ("b", Seq.fill(50)("y").mkString(" ")),
+      ("c", "ignored stratum")).toDF("lang", "text")
+    val rates = Curation.ratesForTargetMixture(docs, "lang", "text",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(math.abs(rates("a") - 0.5) < 1e-12 && math.abs(rates("b") - 1.0) < 1e-12)
+    assert(!rates.contains("c"), "strata outside the target get no rate")
+    intercept[IllegalArgumentException] { // shares must sum to 1
+      Curation.ratesForTargetMixture(docs, "lang", "text", Map("a" -> 0.5, "b" -> 0.6))
+    }
+    intercept[IllegalArgumentException] { // a target stratum must exist
+      Curation.ratesForTargetMixture(docs, "lang", "text", Map("a" -> 0.5, "zz" -> 0.5))
+    }
+  }
+
+  test("keepTopQuantile: exact gate, approx within rank error, nulls never pass") {
+    val df = spark.range(0, 100).select(
+      col("id"), col("id").cast("double").as("score"))
+    // exact: threshold = interpolated 80th pct of 0..99 = 79.2 → ids 80..99
+    val exact = Curation.keepTopQuantile(df, "score", 0.2, exact = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exact == (80L to 99L).toSet)
+    // approx threshold is a REAL sample value (no interpolation): the gate
+    // may admit at most the rank-error neighbors, never lose a top row
+    val approx = Curation.keepTopQuantile(df, "score", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(approx) && (approx -- exact).size <= 1,
+      s"approx gate must cover the exact top set within rank error, got ${approx -- exact}")
+    // null scores are dropped even at keepFraction = 1.0
+    val withNulls = df.withColumn("score",
+      when(col("id") < 10, lit(null).cast("double")).otherwise(col("score")))
+    val kept = Curation.keepTopQuantile(withNulls, "score", 1.0, exact = true)
+    assert(kept.count() == 90, "unscored rows must never pass the gate")
+    intercept[IllegalArgumentException] {
+      Curation.keepTopQuantile(df, "score", 0.0)
+    }
+  }
+
   test("splitByCluster: whole clusters co-assign; singletons fall back to id") {
     val docs = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "same text"),
