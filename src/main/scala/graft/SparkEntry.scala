@@ -460,6 +460,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // split-leakage audit: plant PERTURBED near-dup triples (distinct
+    // content hashes!) and split per-document — some clusters land on
+    // both sides, and the audit must surface exactly those; the same
+    // corpus split with splitByCluster audits clean (spec-pinned)
+    "q_split_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" v3")).as("text")))
+        .withColumn("split_label", Curation.hashSplit(col("text")))
+      val clusters = planted.select(col("doc_id"),
+        pmod(col("doc_id"), lit(10000)).as("cluster"))
+      Curation.auditSplitLeakage(planted, clusters, "doc_id", "cluster", "split_label")
+        .orderBy(col("cluster"))
+    }),
+
     // deterministic global training-order shuffle: 52-bit md5-prefix rank,
     // range-partitioned into 8 shards, each sorted — global order ==
     // pseudorandom order, reproducible on any input layout; the rank
@@ -952,6 +970,24 @@ object SparkEntry {
         |    THEN 'train' ELSE 'val' END AS split_label
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // per-document md5-nibble split over perturbed triples; clusters by
+    // id congruence — n_splits > 1 rows are the leaking clusters
+    "q_split_audit" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text || ' v2' FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text || ' v3' FROM documents),
+        |lab AS (SELECT doc_id, doc_id % 10000 AS cluster,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1) < 14
+        |      THEN 'train' ELSE 'val' END AS split_label
+        |  FROM planted),
+        |agg AS (SELECT cluster, count(DISTINCT split_label) AS n_splits,
+        |    count(*) AS n_rows
+        |  FROM lab GROUP BY cluster)
+        |SELECT cluster, CAST(n_splits AS BIGINT) AS n_splits,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM agg WHERE n_splits > 1 ORDER BY cluster""".stripMargin,
+
     // 52-bit md5-prefix rank over 'ep0' ‖ text — the q_sample_exact fold
     "q_shuffle_order" -> {
       val nib = (i: Int) =>
@@ -1281,7 +1317,9 @@ object SparkEntry {
         |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
         |  string_agg(array_to_string(list_slice(toks, ps + 1, pe), ' '), ' '
         |    ORDER BY doc_id) AS seq_text,
-        |  CAST(sum(pe - ps) AS BIGINT) AS n_seq_tokens
+        |  CAST(sum(pe - ps) AS BIGINT) AS n_seq_tokens,
+        |  string_agg(doc_id || ':' || ps || ':' || pe, ','
+        |    ORDER BY doc_id) AS doc_spans
         |FROM x GROUP BY shard, seq_id
         |ORDER BY shard, seq_id""".stripMargin,
 

@@ -112,6 +112,27 @@ object Curation {
         trainSixteenths))
       .drop("_sb_cluster")
 
+  /** Split-leakage AUDIT: which clusters straddle the train/val
+    * boundary — the check a pipeline runs before trusting its eval
+    * numbers (a per-document split assigns near-dup siblings
+    * independently, so some clusters WILL leak; [[splitByCluster]]
+    * provably can't). One aggregation on the cluster key with a
+    * distinct-count of split labels; only offending clusters survive,
+    * so the result is report-sized.
+    *
+    * @return (clusterCol, n_splits, n_rows) for clusters seen in >1
+    *         split.
+    */
+  def auditSplitLeakage(df: DataFrame, clusters: DataFrame, idCol: String,
+                        clusterCol: String, splitCol: String): DataFrame =
+    df.join(clusters.select(Cols.qcol(idCol),
+        Cols.qcol(clusterCol).as("_al_cluster")), Seq(idCol), "left")
+      .withColumn("_al_cluster", coalesce(col("_al_cluster"), Cols.qcol(idCol)))
+      .groupBy(col("_al_cluster").as(clusterCol))
+      .agg(count_distinct(Cols.qcol(splitCol)).as("n_splits"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_splits") > 1)
+
   // ---- line-level boilerplate removal (CCNet-style) ----
 
   /** Per-line-HASH document frequency across the corpus: in how many
@@ -614,7 +635,14 @@ object Curation {
     * amplification is bounded: a doc emits one piece per spanned
     * sequence (≈ len/budget + 1).
     *
-    * @return (shardCol, seq_id, seq_text, n_seq_tokens)
+    * PROVENANCE: `doc_spans` records, in sequence order, which document
+    * tokens each piece came from as `id:start:end` triples (0-based
+    * token offsets into the DOCUMENT, end exclusive) — the
+    * sample-to-source attribution training pipelines need for opt-out
+    * takedowns and contamination tracebacks. Encoded as one string so
+    * the column survives engines/sinks that can't order array<struct>.
+    *
+    * @return (shardCol, seq_id, seq_text, n_seq_tokens, doc_spans)
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Long, shardCol: String): DataFrame = {
@@ -640,12 +668,18 @@ object Curation {
       .select(Cols.qcol(shardCol), col("seq_id"), Cols.qcol(idCol).as("_pk_id"),
         array_join(slice(col("_pk_toks"), (col("_ps") + 1).cast("int"),
           (col("_pe") - col("_ps")).cast("int")), " ").as("_piece"),
-        (col("_pe") - col("_ps")).as("_np"))
+        (col("_pe") - col("_ps")).as("_np"),
+        col("_ps"), col("_pe"))
     pieces.groupBy(Cols.qcol(shardCol), col("seq_id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("_pk_id"), col("_piece")))),
+          array_sort(collect_list(struct(col("_pk_id"), col("_piece"),
+            col("_ps"), col("_pe")))),
           s => s.getField("_piece")), " ").as("seq_text"),
-        sum(col("_np")).as("n_seq_tokens"))
+        sum(col("_np")).as("n_seq_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pk_id"), col("_ps"), col("_pe")))),
+          s => concat_ws(":", s.getField("_pk_id"), s.getField("_ps"),
+            s.getField("_pe"))), ",").as("doc_spans"))
   }
 }

@@ -237,6 +237,39 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == expect)
   }
 
+  test("auditSplitLeakage flags straddling clusters; splitByCluster audits clean") {
+    val docs = Seq(
+      (1L, "near dup one"), (2L, "near dup one v2"), (3L, "near dup one v3"),
+      (7L, "standalone")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "cluster")
+    // force a leak: per-document labels disagree inside cluster 1
+    val leaky = docs.withColumn("split_label",
+      when(col("doc_id") === 2L, "val").otherwise("train"))
+    val found = Curation.auditSplitLeakage(leaky, clusters,
+      "doc_id", "cluster", "split_label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(found.toSeq == Seq((1L, 2L, 3L)),
+      s"exactly cluster 1 leaks with 2 labels over 3 rows, got ${found.toSeq}")
+    // a cluster-keyed split can never leak — the audit must come back empty
+    val safe = Curation.splitByCluster(docs, clusters, "doc_id", "cluster")
+    assert(Curation.auditSplitLeakage(safe, clusters,
+      "doc_id", "cluster", "split_label").isEmpty,
+      "splitByCluster output must audit clean")
+  }
+
+  test("packSequences doc_spans: attribution spans in sequence order") {
+    // budget 4: seq0 = "a b c" + "d" of doc 2 → spans 1:0:3,2:0:1
+    //           seq1 = "e" (doc 2 tail) + "f g h" → spans 2:1:2,3:0:3
+    val docs = Seq(
+      (1L, 0L, "a b c"), (2L, 0L, "d e"), (3L, 0L, "f g h"))
+      .toDF("doc_id", "shard", "text")
+    val spans = Curation.packSequences(docs, "doc_id", "text", budget = 4L, "shard")
+      .collect().map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(spans(0L) == "1:0:3,2:0:1", s"seq 0 spans, got ${spans(0L)}")
+    assert(spans(1L) == "2:1:2,3:0:3", s"seq 1 spans, got ${spans(1L)}")
+  }
+
   test("shuffleForTraining: reproducible global pseudorandom order on any layout") {
     val docs = spark.range(0, 500).select(
       col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
