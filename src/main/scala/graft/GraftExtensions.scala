@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BloomMightContainExpr, CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -33,13 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => {
-        require(args.length == 3, "minhash_sig(array<string>, k, numHashes)")
+        require(args.length == 3 || args.length == 4,
+          "minhash_sig(array<string>, k, numHashes[, 'xx'|'md5_52'])")
         def intLit(e: Expression, what: String): Int = e match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
             s"minhash_sig: $what must be an integer literal, got $other")
         }
-        MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
+        val mode = if (args.length == 4) args(3) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: mode must be a string literal, got $other")
+        } else "xx"
+        MinHashSigExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"), mode)
       }))
 
     ext.injectFunction((
@@ -123,8 +131,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64Expr].getName, "fingerprint64"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "fingerprint64(array<string>)")
-        Fingerprint64Expr(args.head)
+        require(args.length == 1 || args.length == 2,
+          "fingerprint64(array<string>[, 'xx'|'md5_52'])")
+        val mode = if (args.length == 2) args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"fingerprint64: mode must be a string literal, got $other")
+        } else "xx"
+        Fingerprint64Expr(args.head, mode)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("clf_score"),
+      new ExpressionInfo(classOf[ClfScoreExpr].getName, "clf_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "clf_score(tokens, 'w0,w1,…', bias, seed, 'md5'|'xxhash64')")
+        def strLit(e: Expression, what: String): String = e match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"clf_score: $what must be a string literal, got $other")
+        }
+        val weights = strLit(args(1), "weights").split(",").map(_.trim.toDouble)
+        val bias = args(2) match {
+          case Literal(d: Double, DoubleType) => d
+          case Literal(i: Int, IntegerType) => i.toDouble
+          // SQL text like `0.1` parses as a DecimalType literal
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"clf_score: bias must be a numeric literal, got $other")
+        }
+        ClfScoreExpr(args.head, weights, bias,
+          strLit(args(3), "seed"), strLit(args(4), "bucket mode"))
       }))
 
     ext.injectFunction((

@@ -244,9 +244,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"))
         .orderBy(col("doc_id"))),
 
+    // rolling Rabin-Karp fingerprint in the md5_52 token-hash mode: the
+    // 52-bit md5-prefix token hash + mod-2^64 fold are both DuckDB-
+    // expressible (list_reduce over HUGEINT), so this is hash-matched;
+    // the xx production mode is pinned by FunctionsSpec bit-equivalence
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text"), hashMode = "md5_52").as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // C4/Gopher-style repetition quality signals (boilerplate/spam score
@@ -495,19 +500,18 @@ object SparkEntry {
       Dedup.minhashBandBuckets(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc"), col("band"))),
 
-    // signature re-encoded to scalars (hash + min/max lanes): the driver's
-    // pandas comparer can't sort array columns; the full array is pinned in
-    // DedupSpec's differential test (rows-only here — xxhash64 lanes aren't
-    // SQL-reproducible in DuckDB by design)
+    // signature in the md5_52 base-hash mode, exploded to (doc, lane,
+    // value) rows (the driver's pandas comparer can't sort array columns):
+    // every lane of every signature is hash-matched against a DuckDB
+    // mirror of the affine mod-2^64 lane arithmetic; the xx production
+    // mode's full array is pinned in FunctionsSpec's differential test
     "q_dedup_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("signature"))
-        .select(col("doc_id"),
-          xxhash64(col("signature")).as("sig_hash"),
-          array_min(col("signature")).as("sig_min"),
-          array_max(col("signature")).as("sig_max"))
-        .orderBy(col("doc_id"))),
+          Dedup.minhashSignature(col("text"), k = 3, numHashes = 16,
+            hashMode = "md5_52").as("signature"))
+        .select(col("doc_id"), posexplode(col("signature")).as(Seq("lane", "sig")))
+        .orderBy(col("doc_id"), col("lane"))),
 
     // end-to-end dedup DECISION: plant two extra copies of every doc,
     // find pairs (minhash bands → exact-jaccard verify at 0.999 ≈ identical
@@ -997,6 +1001,68 @@ object SparkEntry {
          |  SELECT doc_id, md5('ep0' || text) AS h FROM documents)
          |SELECT doc_id, CAST($folded AS BIGINT) AS shuffle_rank
          |FROM b ORDER BY shuffle_rank""".stripMargin
+    },
+
+    // rolling Rabin-Karp fold mirrored exactly: per-token 52-bit md5
+    // prefix (the engine-validated q_sample_exact nibble fold), then
+    // list_reduce of h*B + th over HUGEINT mod 2^64, sign-converted to
+    // Spark's signed long at the end
+    "q_fingerprint" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(tk), $i, 1)) - 1)"
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(trim(text), ' '),
+         |      tk -> CAST($folded AS HUGEINT)) AS ths
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT), ths),
+         |      (acc, x) -> (acc * 1000003 + x)
+         |        % CAST('18446744073709551616' AS HUGEINT)) AS h
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END
+         |    AS BIGINT) AS fingerprint
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // minhash lanes mirrored exactly: 3-token shingles (short texts fall
+    // back to one full-width shingle like the native expression), 52-bit
+    // md5-prefix base hash, affine lane transforms over HUGEINT mod 2^64,
+    // SIGNED-long min per lane (Spark's Long compare)
+    "q_dedup_minhash_sig" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $i, 1)) - 1)"
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+         |  FROM t),
+         |sh AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      list_slice(toks, i, i + least(3, len(toks)) - 1), ' ') AS shingle
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, CAST($folded AS HUGEINT) AS h52 FROM sh),
+         |lanes AS (
+         |  SELECT doc_id, h52, unnest(range(0, 16)) AS lane FROM h),
+         |v AS (
+         |  SELECT doc_id, lane,
+         |    (h52 * (CAST('11400714819323198485' AS HUGEINT) + 2 * lane)
+         |      + CAST('14029467366897019727' AS HUGEINT) * (lane + 1))
+         |      % CAST('18446744073709551616' AS HUGEINT) AS vm
+         |  FROM lanes)
+         |SELECT doc_id, CAST(lane AS INT) AS lane,
+         |  min(CAST(CASE WHEN vm >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN vm - CAST('18446744073709551616' AS HUGEINT) ELSE vm END
+         |    AS BIGINT)) AS sig
+         |FROM v GROUP BY doc_id, lane ORDER BY doc_id, lane""".stripMargin
     },
 
     "q_dedup_keepfirst" ->

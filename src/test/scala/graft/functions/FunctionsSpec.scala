@@ -220,6 +220,90 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint64 md5_52 mode matches the hashRank52 Column fold, differs from xx") {
+    import graft.operators.Curation
+    val df = texts.union(Seq((4L, "one"), (5L, "")).toDF("id", "text"))
+    val toks = split(trim(col("text")), "\\s+")
+    // independent reference: the engine-validated 13-nibble md5 fold
+    // (hashRank52 with an empty seed IS Md5Hash.hash52) inside the same
+    // rolling-polynomial aggregate
+    val ref = aggregate(toks, lit(0L),
+      (acc, t) => acc * lit(1000003L) + Curation.hashRank52(t, ""))
+    val out = df.select(
+      graft.operators.TextAnalysis.fingerprint(col("text"), "md5_52").as("native"),
+      ref.as("column"),
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("xx")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native=${r.getLong(0)} column=${r.getLong(1)}")
+      assert(r.getLong(0) != r.getLong(2), "md5_52 and xx modes must be distinct hashes")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fingerprint64(split('a b', ' '), 'nope')").head()
+    }
+  }
+
+  test("minhash_sig md5_52 mode matches the hashRank52 Column formulation") {
+    import graft.operators.Curation
+    val df = texts.union(Seq((4L, "ab"), (5L, "one two")).toDF("id", "text"))
+    val refMd5 = {
+      val sh = refShingles(col("text"), 3)
+      array((0 until 16).map { j =>
+        array_min(transform(sh, s =>
+          Curation.hashRank52(s, "") * lit(MinHashSigExpr.laneA(j))
+            + lit(MinHashSigExpr.laneB(j))))
+      }: _*)
+    }
+    val out = df.select(
+      graft.operators.Dedup.minhashSignature(col("text"), 3, 16, "md5_52").as("native"),
+      refMd5.as("column")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("clf_score matches the aggregate-HOF formulation (md5 mode)") {
+    import graft.operators.Curation
+    val weights = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)
+    val wlit = array(weights.map(lit).toIndexedSeq: _*)
+    val df = texts.union(Seq((4L, ""), (5L, "one")).toDF("id", "text"))
+    val toks = split(trim(col("text")), "\\s+")
+    // the round-7 interpreted formulation, kept as the reference: fold
+    // w[md5-bucket(seed‖token)] over tokens, mean-pool, add bias
+    val ref = lit(0.1) + aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(wlit, Curation.hashBucket256(t, "qw1") + 1)
+    ) / size(toks)
+    val out = df.select(
+      call_function("clf_score", toks, lit(weights.mkString(",")),
+        lit(0.1), lit("qw1"), lit("md5")).as("native"),
+      ref.as("column")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native=${r.getDouble(0)} column=${r.getDouble(1)}"))
+    // null tokens array → null margin, matching the HOF's null fold
+    val n = spark.sql(
+      "SELECT clf_score(cast(null as array<string>), '" +
+        weights.mkString(",") + "', 0.1, 'qw1', 'md5')").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("clf_score xxhash64 mode: any model width, deterministic, seed-sensitive") {
+    val w17 = Array.tabulate(17)(i => i * 0.1 - 0.5)
+    def margins(seed: String): Seq[Double] = texts.select(
+      call_function("clf_score", split(trim(col("text")), "\\s+"),
+        lit(w17.mkString(",")), lit(0.0), lit(seed), lit("xxhash64")).as("m"))
+      .collect().toIndexedSeq.map(_.getDouble(0))
+    val a = margins("s1")
+    assert(a == margins("s1"), "same seed must reproduce identical scores")
+    assert(a != margins("s2"), "changing the seed must change bucket assignment")
+    // a mean of weights stays within the weight range
+    a.foreach(v => assert(v >= w17.min - 1e-12 && v <= w17.max + 1e-12))
+    // md5 mode is pinned to 256 buckets; unknown modes fail analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT clf_score(split('a', ' '), '1.0,2.0', 0.0, 's', 'md5')").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT clf_score(split('a', ' '), '1.0', 0.0, 's', 'nope')").head()
+    }
+  }
+
   test("langIdFrame agrees with the Column-form langId") {
     import graft.operators.TextAnalysis
     val df = texts.union(Seq(
@@ -331,14 +415,20 @@ class FunctionsSpec extends SparkSpec {
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
-    def eval(): Seq[(Long, Double, Int, Long)] = texts.select(
+    def eval(): Seq[(Long, Double, Int, Long, Long, Double, Double)] = texts.select(
         expr("simhash64(split(text, ' '))").as("h"),
         expr("cosine_sim(array(cast(1.0 as float), cast(2.0 as float)), " +
              "array(cast(3.0 as float), cast(4.0 as float)))").as("c"),
         expr("marker_count(split(text, ' '), 'the,of,my')").as("m"),
-        expr("fingerprint64(split(text, ' '))").as("f"))
+        expr("fingerprint64(split(text, ' '))").as("f"),
+        expr("fingerprint64(split(text, ' '), 'md5_52')").as("f5"),
+        expr("clf_score(split(text, ' '), '" +
+          Array.tabulate(256)(_ * 0.01 - 1.0).mkString(",") +
+          "', 0.5, 'cg', 'md5')").as("s"),
+        expr("clf_score(split(text, ' '), '0.1,0.2,0.3', 0.5, 'cg', 'xxhash64')").as("sx"))
       .collect().toIndexedSeq
-      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
     try {
       spark.conf.set(conf, "true");  val gen = eval()
       spark.conf.set(conf, "false"); val interp = eval()

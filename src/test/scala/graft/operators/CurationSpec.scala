@@ -214,6 +214,73 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keepTopQuantile evaluates the scored input ONCE; release drops the cache") {
+    // the round-7 verdict's item 2: the threshold aggregate and the gate
+    // filter both consume the scored subtree — without the internal
+    // cache, an expensive scoring pipeline would run twice. Count actual
+    // evaluations with an accumulator-bearing scorer.
+    val evals = spark.sparkContext.longAccumulator("qg_evals")
+    val costly = udf((x: Long) => { evals.add(1); x.toDouble })
+    val df = spark.range(0, 200).select(col("id"), costly(col("id")).as("score"))
+    val (gated, release) = Curation.keepTopQuantileReleasable(df, "score", 0.5, exact = true)
+    assert(gated.count() == 100)
+    assert(evals.value == 200,
+      s"scoring must run once per row (cache-backed), got ${evals.value} evaluations")
+    release()
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release() must unpersist the internal cache")
+    // a caller-cached input is respected: not re-persisted, not unpersisted
+    val pre = spark.range(0, 10).select(col("id"), col("id").cast("double").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val (g2, r2) = Curation.keepTopQuantileReleasable(pre, "score", 0.5, exact = true)
+      assert(g2.count() == 5)
+      r2()
+      assert(pre.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+        "release() must not drop a cache the caller owns")
+    } finally pre.unpersist()
+  }
+
+  test("topQuantileThreshold: scalar matches the gate; empty/null scores → None") {
+    val df = spark.range(0, 100).select(col("id"), col("id").cast("double").as("score"))
+    val thr = Curation.topQuantileThreshold(df, "score", 0.2, exact = true).get
+    val viaScalar = df.filter(col("score") >= thr).collect().map(_.getLong(0)).toSet
+    val viaGate = Curation.keepTopQuantile(df, "score", 0.2, exact = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaScalar == viaGate, "the eager scalar must reproduce the lazy gate's set")
+    val empty = df.filter(lit(false))
+    assert(Curation.topQuantileThreshold(empty, "score", 0.5).isEmpty)
+  }
+
+  test("ratesForTargetMixture: zero-token stratum fails loudly; null text counts 0") {
+    val zero = Seq(("a", "x y"), ("b", null: String)).toDF("lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.ratesForTargetMixture(zero, "lang", "text", Map("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(e.getMessage.contains("zero total tokens"))
+    // a null text next to real rows contributes 0 tokens (not -1, not a
+    // nulled sum): a = 2 tokens, b = 1 → rates as if the null were absent
+    val mixed = Seq(("a", "x y"), ("a", null: String), ("b", "z")).toDF("lang", "text")
+    val rates = Curation.ratesForTargetMixture(mixed, "lang", "text",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(math.abs(rates("a") - 0.5) < 1e-12 && math.abs(rates("b") - 1.0) < 1e-12)
+  }
+
+  test("duplicate ids in a caller-supplied cluster map never fan out rows") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val dupMap = Seq((1L, 100L), (1L, 50L), (2L, 200L)).toDF("doc_id", "cluster")
+    val split = Curation.splitByCluster(docs, dupMap, "doc_id", "cluster")
+    assert(split.count() == 2, "splitByCluster must emit one row per corpus row")
+    val audited = Curation.auditSplitLeakage(
+      docs.withColumn("split_label", lit("train")), dupMap,
+      "doc_id", "cluster", "split_label")
+    assert(audited.count() == 0, "a single-label corpus cannot leak")
+    val best = Dedup.keepBestPerCluster(
+      docs.withColumn("q", col("doc_id")), dupMap, "doc_id", "cluster", "q")
+    assert(best.count() == 2,
+      "keepBestPerCluster must not duplicate a doc across its duplicate map rows")
+  }
+
   test("splitByCluster: whole clusters co-assign; singletons fall back to id") {
     val docs = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "same text"),

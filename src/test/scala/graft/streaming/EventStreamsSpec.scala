@@ -76,7 +76,10 @@ class EventStreamsSpec extends SparkSpec {
       (4L, "clean text with no overlap at all here"))
     val bench = Seq((100L, "watch the quick brown fox run"))
       .toDF("doc_id", "text")
+    // unpersisted in the tail: a leaked cache makes a LATER suite's plan
+    // assertion see an InMemoryRelation substituted into its own subtree
     val benchShingles = Dedup.benchmarkShingles(bench, "text", k = 3).cache()
+    try {
     val base = java.nio.file.Files.createTempDirectory("decon_stream").toString
     val (out, ckpt) = (s"$base/out", s"$base/ckpt")
 
@@ -105,6 +108,46 @@ class EventStreamsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$out/batch=0")
     assert(spark.read.parquet(out).count() == beforeReplay,
       "replaying batch 0 must not duplicate rows")
+    } finally benchShingles.unpersist()
+  }
+
+  test("qualityGateSink agrees with batch keepTopQuantile given the same threshold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Curation, TextAnalysis}
+    val weights = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.linearClassifierScore(df, "text", weights, bias = 0.1, seed = "qg")
+    val corpus = (1L to 40L).map(i =>
+      (i, s"document number $i with deterministic token salad ${"w" * (i % 7).toInt}"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+
+    // threshold fit ONCE on (batch) history — the contract the sink documents
+    val thr = Curation.topQuantileThreshold(
+      score(corpusDf), "clf_score", keepFraction = 0.5, exact = true).get
+    val batchKept = score(corpusDf).filter(col("clf_score") >= thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sanity: the scalar-threshold set IS the keepTopQuantile set
+    // (releasable form so the shared test session keeps no gate cache)
+    val (gate, releaseGate) = Curation.keepTopQuantileReleasable(
+      score(corpusDf), "clf_score", 0.5, exact = true)
+    val gateKept = gate.select("doc_id").collect().map(_.getLong(0)).toSet
+    releaseGate()
+    assert(batchKept == gateKept)
+
+    val base = java.nio.file.Files.createTempDirectory("qgate_stream").toString
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(corpus.take(15): _*)
+    EventStreams.qualityGateSink(ms.toDF().toDF("doc_id", "text"),
+      score, "clf_score", thr, s"$base/out", s"$base/ckpt")
+    ms.addData(corpus.drop(15): _*)
+    EventStreams.qualityGateSink(ms.toDF().toDF("doc_id", "text"),
+      score, "clf_score", thr, s"$base/out", s"$base/ckpt")
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKept,
+      "stream ∪ micro-batches must equal the batch quality gate")
   }
 
   test("decontaminateSink with a continuous trigger returns the live handle, not blocks") {
@@ -124,7 +167,7 @@ class EventStreamsSpec extends SparkSpec {
       assert(q.isActive, "continuous query must still be running when the call returns")
       q.processAllAvailable()
       assert(spark.read.parquet(s"$base/out").count() == 1)
-    } finally q.stop()
+    } finally { q.stop(); benchShingles.unpersist() }
   }
 
   test("ingestAvailableNow processes only files new since the last checkpoint") {

@@ -1,43 +1,72 @@
-import duckdb, json, glob, os, sys
-sf = sys.argv[1] if len(sys.argv)>1 else '/root/testdata/sf0.001'
-out = sys.argv[2] if len(sys.argv)>2 else '/tmp/verify_sf0001'
-con = duckdb.connect()
-for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-oracle = json.load(open(f'{out}/oracle_sql.json'))
-results = {}
-for name in sorted(os.listdir(out)):
-    p = os.path.join(out, name)
-    if not os.path.isdir(p): continue
-    spark_df = con.execute(f"SELECT * FROM read_parquet('{p}/*.parquet')").fetchdf()
-    if name not in oracle:
-        results[name] = f"rows-only: {len(spark_df)} rows " + ("OK" if len(spark_df)>0 else "EMPTY!")
-        continue
-    try:
-        odf = con.execute(oracle[name]).fetchdf()
-    except Exception as e:
-        results[name] = f"ORACLE SQL ERROR: {e}"; continue
-    s = spark_df[sorted(spark_df.columns)]
-    o = odf[sorted(odf.columns)]
-    if sorted(s.columns) != sorted(o.columns):
-        results[name] = f"SCHEMA MISMATCH spark={sorted(s.columns)} oracle={sorted(o.columns)}"; continue
-    if len(s) != len(o):
-        results[name] = f"ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}"; continue
-    # normalize: sort rows by all cols, stringify
-    import pandas as pd
-    def norm(df):
-        df = df.copy()
-        for c in df.columns:
-            df[c] = df[c].map(lambda v: str(v.tolist()) if hasattr(v,'tolist') and not isinstance(v,(int,float)) else str(v))
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    sn, on_ = norm(s), norm(o)
-    if sn.equals(on_):
-        results[name] = "MATCH"
-    else:
-        diff = (sn != on_)
-        bad_cols = [c for c in sn.columns if diff[c].any()]
-        i = diff.any(axis=1).idxmax()
-        results[name] = f"VALUE MISMATCH cols={bad_cols} firstrow={i} spark={sn.loc[i,bad_cols].to_dict()} oracle={on_.loc[i,bad_cols].to_dict()}"
-ok = sum(1 for v in results.values() if v=="MATCH" or v.startswith("rows-only") and "OK" in v)
-for k,v in results.items(): print(f"{k}: {v[:300]}")
-print(f"\n{ok}/{len(results)} OK")
+#!/usr/bin/env python3
+"""Local approximation of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <dumpDir>
+
+Reads <dumpDir>/oracle_sql.json, registers the sf parquet tables in
+DuckDB, runs each oracle, and compares against the Spark parquet dump in
+<dumpDir>/<name>/ — rows, schema (column names), and a value hash over
+columns sorted by name (the driver's rule).
+
+DEV TOOL ONLY: runs on the container's driver-side python (duckdb,
+pandas, pyarrow) — never part of the shipped Scala library.
+"""
+import json, sys, hashlib
+import duckdb, pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object:
+            vals = s.astype(str)
+        elif s.dtype.kind == "f":
+            vals = s.round(6).astype(str)
+        else:
+            vals = s.astype(str)
+        h.update(("|".join(vals.tolist())).encode())
+    return h.hexdigest()
+
+def main():
+    sf, dump = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracles = json.load(open(f"{dump}/oracle_sql.json"))
+    ok = True
+    for name, sql in sorted(oracles.items()):
+        spark_df = pd.read_parquet(f"{dump}/{name}")
+        try:
+            oracle_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"[{name}] ORACLE SQL ERROR: {e}")
+            ok = False
+            continue
+        s, o = canon(spark_df), canon(oracle_df)
+        rows = len(s) == len(o)
+        schema = list(s.columns) == list(o.columns)
+        hmatch = rows and schema and value_hash(s) == value_hash(o)
+        print(f"[{name}] rows={rows} ({len(s)}/{len(o)}) schema={schema} hash={hmatch}")
+        if not hmatch:
+            ok = False
+            if rows and schema:
+                for col in s.columns:
+                    a, b = s[col].astype(str), o[col].astype(str)
+                    neq = (a != b)
+                    if neq.any():
+                        i = neq.idxmax()
+                        print(f"    first diff col={col} row={i}: spark={a[i]} oracle={b[i]}")
+            elif not schema:
+                print(f"    spark cols={list(s.columns)} oracle cols={list(o.columns)}")
+    sys.exit(0 if ok else 1)
+
+if __name__ == "__main__":
+    main()
