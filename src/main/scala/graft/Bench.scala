@@ -53,6 +53,47 @@ object Bench {
       .mkString("{", ",", "}")
     val total = sec(results.map(_._2._1).filter(_ >= 0).sum)
     val totalMed = sec(results.map(_._2._2).filter(_ >= 0).sum)
+    // CONTENTION SENTINEL: two driver rounds in a row archived medians
+    // poisoned by a shared 45-minute sbt session — flag it in the
+    // archive itself so future rounds adjudicate without re-running.
+    // A query is "contended" when its median is 3× its best AND the best
+    // is big enough (>0.05 s) that the ratio isn't timer noise; the run
+    // is contended when ≥5 queries are (one slow query is a regression,
+    // a broad pattern is the machine).
+    val contendedN = results.count { case (_, (b, m)) => b > 0.05 && m > 3 * b }
+    val contended = contendedN >= 5
+    // ANN RECALL: quantitative quality for the approximate paths, graded
+    // against bruteForceTopK ground truth on this round's embeddings
+    // (skipped under SPARK_GRAFT_BENCH_ONLY — that's the one-operator
+    // dev loop). Params are recorded in SURVEY §6: LSH needs few planes
+    // and many tables for mid-similarity top-k recall; IVF probes 12/16
+    // cells (these embeddings cluster weakly — the sweep is in SURVEY).
+    val recallJson = if (only.isEmpty) {
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Similarity
+        import graft.sources.Tables
+        val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") < 64)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+          .persist()
+        bf.count()
+        val ix = Similarity.lshSignatureIndex(emb, "vec_id", "embedding",
+          dim = 64, numPlanes = 4, numTables = 24)
+        val lsh = Similarity.lshSearch(ix, queries, "vec_id", "embedding",
+          dim = 64, numPlanes = 4, k = 10, numTables = 24)
+        val rLsh = Similarity.recallAtK(lsh, bf)
+        val ivfIx = Similarity.ivfBuild(emb, "vec_id", "embedding", numCentroids = 16)
+        val ivf = Similarity.ivfSearch(ivfIx, queries, "vec_id", "embedding",
+          k = 10, nProbe = 12)
+        val rIvf = Similarity.recallAtK(ivf, bf)
+        bf.unpersist()
+        s""","recall":{"lsh":${sec(rLsh)},"ivf":${sec(rIvf)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
+        ""","recall":null"""
+      }
+    } else ""
     // medians go to STDERR: the archiver keeps only a ~2000-char tail of
     // stdout, and a second 72-entry map would push the attributable
     // best-of-5 numbers out of the window. The one stdout JSON line puts
@@ -60,7 +101,9 @@ object Bench {
     // fields (recoverable from total_median/SURVEY §6), never the map.
     System.err.println(
       s"""{"metric":"total_median","value":$totalMed,"unit":"sec","queries_median":$med}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,""" +
+      s""""contended":$contended,"contended_n":$contendedN$recallJson,""" +
+      s""""sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

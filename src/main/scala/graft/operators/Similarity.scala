@@ -132,6 +132,56 @@ object Similarity {
     if (numTables > 1) pairs.distinct() else pairs
   }
 
+  /** LSH top-k SEARCH: rank only the corpus rows whose signature collides
+    * with the query's in at least one table — the approximate sibling of
+    * [[bruteForceTopK]] over a persisted [[lshSignatureIndex]]. Exact
+    * cosine re-scores every candidate, so precision is exact; RECALL is
+    * the knob: a neighbor at angle θ collides per table with probability
+    * (1 − θ/π)^numPlanes, amplified to 1 − (1 − p^planes)^tables. For
+    * top-k at MID similarities (θ near 70°) that means FEW planes and
+    * MANY tables — the opposite corner of the (planes, tables) space
+    * from near-dup detection at 0.9+. Measured recall@k vs brute force
+    * is recorded per bench round ([[recallAtK]]) and floored by spec.
+    *
+    * Scale shape: one shuffle on the fixed-width (t, sig) key; candidate
+    * work is Σ (bucket × queries-in-bucket) per table, never n × queries.
+    * Duplicate collisions across tables dedup BEFORE the bounded-heap
+    * top-k (a duplicate entry would occupy two heap slots and evict a
+    * genuine neighbor).
+    */
+  def lshSearch(corpusIndex: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, numPlanes: Int, k: Int,
+                numTables: Int = 1, seed: Long = 42L,
+                broadcastQueries: Boolean = true): DataFrame = {
+    val q = lshSignatureIndex(queries, idCol, vecCol, dim, numPlanes, numTables, seed)
+      .select(col("t"), col("sig"), col("id").as("query_id"), col("v").as("q_vec"))
+    val qq = if (broadcastQueries) broadcast(q) else q
+    val cand = corpusIndex.join(qq, Seq("t", "sig"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("q_vec"), col("v")), 4).as("sim"))
+      .distinct()
+    val grouped = cand.groupBy(col("query_id"))
+      .agg(call_function("top_k_by", col("sim"), col("neighbor_id"), lit(k)).as("tk"))
+    explodeTopK(grouped)
+  }
+
+  /** recall@k of an approximate neighbor set against the exact one —
+    * |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs. The
+    * quantitative check behind the ANN scale paths: `bruteForceTopK` is
+    * ground truth, [[lshSearch]]/[[ivfSearch]] are graded against it
+    * (bench records the number per round; specs pin a floor). Ties at
+    * the rank-k boundary make the theoretical max slightly below 1.0 —
+    * floors should sit at 0.9, not 0.99.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val total = e.count()
+    if (total == 0L) 1.0
+    else e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / total
+  }
+
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer partitions
     * the corpus into `numCentroids` cells; a query searches only the
     * `nProbe` cells whose centroids are nearest. Complements the

@@ -149,6 +149,14 @@ object ScaleProbe {
         ordDedup(o), Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
         Seq("o_orderkey", "o_totalprice"))
     probe("asof_join") { asof(ev1, ord1) } { asof(ev, ord) }
+    // skewed as-of (round-7 verdict watch item): ONE hot key carries 50%
+    // of left rows, so the per-key running window serializes the hot key
+    // into a single task — the probe checks wall-clock stays ~linear
+    // (the hot task is n·log n but 1/2 the data on 1 of 32 cores; a
+    // super-linear ratio here would demand time-segmented pre-splitting)
+    def skewed(e: DataFrame) = e.withColumn("user_id",
+      when(pmod(col("event_id"), lit(2)) === 0, lit(424242L)).otherwise(col("user_id")))
+    probe("asof_join_skew") { asof(skewed(ev1), ord1) } { asof(skewed(ev), ord) }
     def rjoin(e: DataFrame) = {
       val wins = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
