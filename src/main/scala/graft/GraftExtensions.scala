@@ -110,8 +110,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash64(array<string>)")
-        SimHash64Expr(args.head)
+        require(args.length == 1 || args.length == 2,
+          "simhash64(array<string>[, 'xx'|'md5_64'])")
+        val mode = if (args.length == 2) args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"simhash64: mode must be a string literal, got $other")
+        } else "xx"
+        SimHash64Expr(args.head, mode)
       }))
 
     ext.injectFunction((

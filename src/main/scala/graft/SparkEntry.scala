@@ -495,9 +495,13 @@ object SparkEntry {
         .orderBy(col("shuffle_rank"))),
 
     // band-bucket table (pair extraction is exercised in DedupSpec with
-    // planted near-dups; this corpus is dup-free so pairs would be empty)
+    // planted near-dups; this corpus is dup-free so pairs would be
+    // empty). md5_52 mode: lanes AND band buckets are md5-fold
+    // arithmetic both engines compute — full hash-match; the xx
+    // production bucketing is pinned by DedupSpec
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashBandBuckets(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minhashBandBuckets(Tables.documents(s, d), "doc_id", "text",
+          hashMode = "md5_52")
         .orderBy(col("doc"), col("band"))),
 
     // signature in the md5_52 base-hash mode, exploded to (doc, lane,
@@ -532,9 +536,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // md5_64 token-hash mode: the per-bit majority vote runs over the
+    // first 8 md5 digest bytes, which DuckDB recomputes from the hex
+    // string — full hash-match; xx production mode pinned by spec
     "q_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          Dedup.simhash64(col("text"), hashMode = "md5_64").as("simhash"))
         .orderBy(col("doc_id"))),
 
     "q_ngram_jaccard" -> ((s, d) =>
@@ -1063,6 +1071,107 @@ object SparkEntry {
          |    THEN vm - CAST('18446744073709551616' AS HUGEINT) ELSE vm END
          |    AS BIGINT)) AS sig
          |FROM v GROUP BY doc_id, lane ORDER BY doc_id, lane""".stripMargin
+    },
+
+    // band buckets over the md5_52 lanes: each band's 4 signed lanes
+    // join into the canonical "band:l,l,l,l" string, bucket = the same
+    // 13-nibble md5 fold — lane arithmetic identical to
+    // q_dedup_minhash_sig above
+    "q_dedup_minhash" -> {
+      val nibSh = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $i, 1)) - 1)"
+      val foldSh = (2 to 13).foldLeft(nibSh(1))((acc, i) => s"($acc * 16 + ${nibSh(i)})")
+      val nibK = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(kstr), $i, 1)) - 1)"
+      val foldK = (2 to 13).foldLeft(nibK(1))((acc, i) => s"($acc * 16 + ${nibK(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+         |  FROM t),
+         |sh AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      list_slice(toks, i, i + least(3, len(toks)) - 1), ' ') AS shingle
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, CAST($foldSh AS HUGEINT) AS h52 FROM sh),
+         |lanes AS (
+         |  SELECT doc_id, h52, unnest(range(0, 16)) AS lane FROM h),
+         |v AS (
+         |  SELECT doc_id, lane,
+         |    (h52 * (CAST('11400714819323198485' AS HUGEINT) + 2 * lane)
+         |      + CAST('14029467366897019727' AS HUGEINT) * (lane + 1))
+         |      % CAST('18446744073709551616' AS HUGEINT) AS vm
+         |  FROM lanes),
+         |sig AS (
+         |  SELECT doc_id, lane,
+         |    min(CAST(CASE WHEN vm >= CAST('9223372036854775808' AS HUGEINT)
+         |      THEN vm - CAST('18446744073709551616' AS HUGEINT) ELSE vm END
+         |      AS BIGINT)) AS sv
+         |  FROM v GROUP BY doc_id, lane),
+         |bands AS (
+         |  SELECT doc_id, CAST(lane // 4 AS INT) AS band,
+         |    string_agg(CAST(sv AS VARCHAR), ',' ORDER BY lane) AS lanes_str
+         |  FROM sig GROUP BY doc_id, lane // 4),
+         |keyed AS (
+         |  SELECT doc_id, band, band || ':' || lanes_str AS kstr FROM bands)
+         |SELECT doc_id AS doc, band, CAST($foldK AS BIGINT) AS bucket
+         |FROM keyed ORDER BY doc, band""".stripMargin
+    },
+
+    // per-bit majority vote over the first 8 md5 digest bytes (16-nibble
+    // HUGEINT fold); pow CTE gives exact 2^b, sign-converted at the end
+    "q_dedup_simhash" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(tk), $i, 1)) - 1)"
+      val folded = (2 to 16).foldLeft(s"CAST(${nib(1)} AS HUGEINT)")(
+        (acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH RECURSIVE pow(b, p) AS (
+         |  SELECT 0, CAST(1 AS HUGEINT)
+         |  UNION ALL SELECT b + 1, p * 2 FROM pow WHERE b < 63),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, $folded AS h64 FROM tok),
+         |votes AS (
+         |  SELECT doc_id, pow.p AS p,
+         |    sum(CASE WHEN (h64 // p) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+         |    count(*) AS n
+         |  FROM h CROSS JOIN pow
+         |  GROUP BY doc_id, pow.p),
+         |sh AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN ones * 2 > n THEN p ELSE CAST(0 AS HUGEINT) END) AS hv
+         |  FROM votes GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END
+         |    AS BIGINT) AS simhash
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    // the hyperplane planes are SEEDED constants (Random(42) Gaussian
+    // stream) — inlined here as double literals, so DuckDB computes the
+    // exact same sign bits: per plane one left-associated dot-product
+    // chain over embedding::DOUBLE[] (identical IEEE addition order to
+    // the native expression's loop), bucket = Σ 2^plane for dot ≥ 0
+    "q_ann_lsh" -> {
+      val planes = graft.functions.HyperplaneSigExpr.planesFor(64, 12, 42L)
+      val sigExpr = planes.zipWithIndex.map { case (p, b) =>
+        val dot = p.zipWithIndex
+          .map { case (w, i) => s"e[${i + 1}] * (${w})" }
+          .reduce((a, t) => s"($a + $t)")
+        s"(CASE WHEN $dot >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH ec AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, CAST($sigExpr AS BIGINT) AS bucket FROM ec)
+         |SELECT bucket, count(*) AS bucket_size FROM sig
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
     "q_dedup_keepfirst" ->

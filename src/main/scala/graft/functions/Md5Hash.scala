@@ -30,4 +30,19 @@ object Md5Hash {
       ((d(3) & 0xFFL) << 20) | ((d(4) & 0xFFL) << 12) | ((d(5) & 0xFFL) << 4) |
       ((d(6) & 0xF0L) >>> 4)
   }
+
+  /** First 8 md5 digest bytes big-endian as the raw 64-bit value (signed
+    * Long with identical bits) — the full-width sibling [[hash52]] can't
+    * provide (SimHash needs all 64 bit lanes). DuckDB mirrors it as the
+    * 16-nibble fold of `md5(s)` in HUGEINT, sign-converted.
+    */
+  def hash64(s: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
 }

@@ -260,6 +260,32 @@ class FunctionsSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("simhash64 md5_64 mode matches the md5-nibble Column fold, differs from xx") {
+    val df = texts.union(Seq((4L, "one"), (5L, "")).toDF("id", "text"))
+    val toks = split(trim(col("text")), "\\s+")
+    // 16-nibble md5 fold with Long wraparound == Md5Hash.hash64's bits
+    def h64(t: Column): Column = (1 to 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc * 16 + (instr(lit("0123456789abcdef"), substring(md5(t), i, 1)) - 1)
+    }
+    val n = size(toks)
+    val ref = (0 until 64).map { b =>
+      val ones = size(filter(toks, t => shiftright(h64(t), b).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val out = df.select(
+      graft.operators.Dedup.simhash64(col("text"), "md5_64").as("native"),
+      ref.as("column"),
+      graft.operators.Dedup.simhash64(col("text")).as("xx")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native=${r.getLong(0)} column=${r.getLong(1)}")
+      assert(r.getLong(0) != r.getLong(2), "md5_64 and xx modes must be distinct hashes")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(split('a b', ' '), 'nope')").head()
+    }
+  }
+
   test("clf_score matches the aggregate-HOF formulation (md5 mode)") {
     import graft.operators.Curation
     val weights = Array.tabulate(256)(b => (b * 2654435761L % 1000).toDouble / 1000 - 0.5)

@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashBandBuckets md5_52 mode: same banding semantics, portable buckets") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q w e r t y u i")).toDF("doc_id", "text")
+    def buckets(mode: String) =
+      Dedup.minhashBandBuckets(df, "doc_id", "text", hashMode = mode)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val md5 = buckets("md5_52")
+    // identical texts collide in EVERY band; the unrelated doc in none
+    (0 until 4).foreach { b =>
+      assert(md5((1L, b)) == md5((2L, b)), s"exact dup must share band $b")
+      assert(md5((1L, b)) != md5((3L, b)), s"unrelated doc must not share band $b")
+    }
+    // deterministic and a genuinely different hash family from xx
+    assert(md5 == buckets("md5_52"))
+    assert(md5 != buckets("xx"))
+  }
+
   test("minhash signature is deterministic and component-wise minimal") {
     val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))
