@@ -297,6 +297,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // substring-level dedup (Lee et al.-style span removal) on the
+    // natural corpus: 5-token windows shared by ≥2 docs are cut from
+    // every doc (width 5 touches ~14% of sf0.01 docs — nontrivial
+    // without the degenerate near-total removal shorter widths cause on
+    // this shared-vocab corpus); md5_52 window-hash mode — the whole
+    // pipeline (window hash, distinct-doc count, position coverage,
+    // re-join) is mirrored by the oracle
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          width = 5, hashMode = "md5_52")
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))),
+
     // deterministic language mixing: en kept whole, others downsampled by
     // fixed rates — content-hash Bernoulli, mirrored bucket-exactly by the
     // oracle (md5 nibbles are engine-independent)
@@ -653,6 +666,22 @@ object SparkEntry {
       Similarity.lshNearDupPairs(planted, "vec_id", "embedding", dim = 64,
           numPlanes = 12, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup semantic dedup over the same planted construction: every
+    // planted copy is direction-identical to its original (collides in
+    // every table, cosine 1.0) so all 10000+ ids drop; nothing natural
+    // clears 0.9 (max natural pairwise ~0.51) — LSH keep-set == exact
+    // greedy keep-first by construction, full oracle
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(emb.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Similarity.semanticDedup(planted, "vec_id", "embedding", dim = 64,
+          numPlanes = 12, threshold = 0.9)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // incremental LSH probe: a batch of x2-scaled copies (sign bits — and
@@ -1438,6 +1467,47 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // full mirror of the span-removal pipeline: md5_52 window hash
+    // (13-nibble fold), distinct-doc frequency, position coverage via
+    // zipped unnests, ordered re-join
+    "q_dedup_spans" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
+      val fold = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |  FROM t WHERE len(toks) >= 5),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM w),
+         |h AS (SELECT doc_id, i, CAST($fold AS BIGINT) AS wh FROM g),
+         |dup AS (
+         |  SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p
+         |  FROM h WHERE wh IN (SELECT wh FROM dup)),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS tk,
+         |         unnest(range(1, len(toks) + 1)) AS p
+         |  FROM t),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.p, tok.tk FROM tok
+         |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+         |  WHERE cov.doc_id IS NULL),
+         |cl AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(cl.clean, '') END
+         |    AS clean_text
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "q_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -1754,6 +1824,24 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact keep-first oracle: drop any row with an earlier row at cosine
+    // ≥ 0.9 — by the x2-scaling construction that is exactly the planted
+    // copies, and LSH finds every such pair (identical signatures)
+    "q_semantic_dedup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM embeddings)
+        |SELECT p.vec_id FROM planted p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM planted q
+        |  WHERE q.vec_id < p.vec_id
+        |    AND round(list_cosine_similarity(
+        |          p.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.9)
+        |ORDER BY vec_id""".stripMargin,
 
     // exact cross-pairs oracle: recall 1.0 by the x2-scaling construction,
     // and only the planted identity pairs clear the 0.9 threshold

@@ -278,6 +278,37 @@ object Similarity {
     * The count is one extra (cheap, columns-pruned) pass — the price of
     * making the quadratic plan unreachable rather than merely documented.
     */
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): drop documents whose embedding near-duplicates an
+    * earlier (lower-id) document — paraphrases, re-crawls and templated
+    * rewrites that exact-hash and shingle dedup cannot see. Candidate
+    * pairs come from [[lshNearDupPairs]] (hyperplane-bucketed — Σ bucket²
+    * work per table, never n²; `numTables` is the recall knob), so unlike
+    * the paper's k-means cells the blocking is data-oblivious and
+    * seed-deterministic.
+    *
+    * Keep rule: a row is dropped iff SOME lower-id row within cosine
+    * `threshold` shares a bucket — the one-pass dominance rule (a dropped
+    * row still shadows later rows). It is parallel and engine-portable,
+    * unlike the sequential greedy scan, and the two only differ on
+    * chains of borderline pairs (a~b, b~c, a!~c). For a quality-aware
+    * survivor (keep the best copy, not the first) run
+    * [[Dedup.assignCanonical]] over the same pairs and
+    * [[Dedup.keepBestPerCluster]] — the same decision pipeline the
+    * minhash family uses.
+    *
+    * Scale shape: bucketed candidate generation, one distinct on dropped
+    * ids, one hash anti-join on the id key. Nothing is O(n²).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    numPlanes: Int, threshold: Double,
+                    numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, vecCol, dim, numPlanes, threshold,
+      numTables, seed)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, maxExactRows: Long = 10000L): DataFrame = {
     val n = df.count()

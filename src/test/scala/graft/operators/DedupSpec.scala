@@ -59,6 +59,34 @@ class DedupSpec extends SparkSpec {
     assert(md5 != buckets("xx"))
   }
 
+  test("removeDuplicateSpans cuts cross-doc token runs, ignores within-doc repeats") {
+    val df = Seq[(Long, String)](
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "x y alpha beta gamma z"),        // shares "alpha beta gamma" with 1
+      (3L, "p q r s"),                       // unique
+      (4L, "rep rep rep rep rep"),           // self-repetition only — 1 doc
+      (5L, null),
+      (6L, ""),
+      (7L, "aa bb")                          // shorter than width
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", width = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 1, 3), (2L, 3, 5)), s"got $spans")
+    def cleaned(mode: String) =
+      Dedup.removeDuplicateSpans(df, "doc_id", "text", width = 3, hashMode = mode)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    val out = cleaned("xx")
+    assert(out(1L) == "delta epsilon")
+    assert(out(2L) == "x y z")
+    assert(out(3L) == "p q r s")
+    assert(out(4L) == "rep rep rep rep rep")
+    assert(out(5L) == null)
+    assert(out(6L) == "")
+    assert(out(7L) == "aa bb")
+    // hash family must not change semantics (md5_52 is the oracle form)
+    assert(cleaned("md5_52") == out)
+  }
+
   test("minhash signature is deterministic and component-wise minimal") {
     val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))

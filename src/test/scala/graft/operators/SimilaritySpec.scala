@@ -95,6 +95,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sixteen == exact, "16 tables of 8 planes reach full recall on this corpus")
   }
 
+  test("semanticDedup keeps first of near-dup group; dominance shadows chains") {
+    // 2-D directions 5° apart: cos(5°)≈0.996 ≥ 0.99 but cos(10°)≈0.985 < 0.99
+    // → a~b, b~c, a!~c, the chain where one-pass dominance (drop b AND c)
+    // differs from the sequential greedy (which would re-admit c)
+    def dir(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      (1L, dir(0)), (2L, dir(5)), (3L, dir(10)),
+      (4L, Array(0.0f, -1.0f))    // far from everything
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        dim = 2, numPlanes = 4, threshold = 0.99, numTables = 16)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+    // quality-aware survivor: same pairs through the decision pipeline —
+    // cluster {1,2,3} keeps its highest-quality member, not min id
+    val pairs = Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+      dim = 2, numPlanes = 4, threshold = 0.99, numTables = 16)
+    val scored = df.withColumn("quality",
+      when(col("vec_id") === 2L, 9.0).otherwise(lit(1.0)))
+    val clusters = Dedup.assignCanonical(scored, "vec_id",
+      pairs.select(col("id_a"), col("id_b")))
+    val best = Dedup.keepBestPerCluster(scored,
+        clusters.select(col("vec_id"), col("canonical")),
+        "vec_id", "canonical", "quality")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 4L), s"got $best")
+  }
+
   test("cosineNearDupPairs thresholds exact all-pairs") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
