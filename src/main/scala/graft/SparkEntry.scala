@@ -310,6 +310,16 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"))
         .orderBy(col("doc_id"))),
 
+    // maximal duplicated regions: the stride-1 covering windows collapsed
+    // to per-doc [start, end] intervals (the provenance view of the span
+    // table above) — segment merge via running-max window
+    "q_dup_span_merge" -> ((s, d) =>
+      Dedup.mergeSpans(
+          Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+            width = 5, hashMode = "md5_52"),
+          "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // deterministic language mixing: en kept whole, others downsampled by
     // fixed rates — content-hash Bernoulli, mirrored bucket-exactly by the
     // oracle (md5 nibbles are engine-independent)
@@ -683,6 +693,14 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
+
+    // prototype-based scoring (D4-style): per-label centroid, cosine of
+    // each embedding to its label's prototype — the ranking signal for
+    // prototype pruning; both engines average components in double
+    "q_prototypicality" -> ((s, d) =>
+      Similarity.prototypicality(Tables.embeddings(s, d), "vec_id", "label",
+          "embedding")
+        .orderBy(col("vec_id"))),
 
     // incremental LSH probe: a batch of x2-scaled copies (sign bits — and
     // thus signatures — preserved exactly, so recall is 1.0 by
@@ -1508,6 +1526,44 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // same window-hash/dup CTEs as q_dedup_spans, then the classic
+    // segment merge: running max end (ROWS ... 1 PRECEDING) decides
+    // openers, running sum of openers numbers the segments
+    "q_dup_span_merge" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
+      val fold = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |  FROM t WHERE len(toks) >= 5),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM w),
+         |h AS (SELECT doc_id, i, CAST($fold AS BIGINT) AS wh FROM g),
+         |dup AS (
+         |  SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+         |sp AS (
+         |  SELECT doc_id, i AS s, i + 4 AS e FROM h
+         |  WHERE wh IN (SELECT wh FROM dup)),
+         |m AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM sp),
+         |seg AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS sid
+         |  FROM m)
+         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+         |FROM seg GROUP BY doc_id, sid
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
+
     "q_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -1824,6 +1880,25 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // zipped unnests give (label, dim, component); double avg per
+    // (label, dim), list reassembled in dim order, cosine in double —
+    // identical arithmetic to the Spark plan
+    "q_prototypicality" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         unnest(range(1, len(embedding) + 1)) AS d
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, d, avg(CAST(x AS DOUBLE)) AS m
+        |  FROM ex GROUP BY label, d),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY d) AS centroid FROM c GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], cent.centroid), 4)
+        |    AS proto_score
+        |FROM embeddings e JOIN cent ON cent.label = e.label
+        |ORDER BY e.vec_id""".stripMargin,
 
     // exact keep-first oracle: drop any row with an earlier row at cosine
     // ≥ 0.9 — by the x2-scaling construction that is exactly the planted

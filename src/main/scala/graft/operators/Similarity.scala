@@ -309,6 +309,47 @@ object Similarity {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Per-group mean embedding — the class prototype. Fully relational:
+    * posexplode to (group, dim, component), partial-aggregated mean per
+    * (group, dim), reassembled in dim order. The exchange carries
+    * |groups| × dim running sums regardless of corpus size (partial agg
+    * compresses each map task to one row per (group, dim)) — the same
+    * shape as any grouped aggregate, no vector-sized shuffle.
+    *
+    * Components average in DOUBLE (summation-order noise stays ~1 ulp,
+    * engine-portable at the compare's rounding) and null vectors are
+    * skipped, not zero-filled.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("_gc_d", "_gc_x")))
+      .groupBy(col(groupCol), col("_gc_d"))
+      .agg(avg(col("_gc_x").cast("double")).as("_gc_m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("_gc_d"), col("_gc_m"))))
+        .as("_gc_s"))
+      .select(col(groupCol),
+        transform(col("_gc_s"), s => s.getField("_gc_m")).as("centroid"))
+
+  /** Prototypicality score (the ranking signal of prototype-based pruning
+    * — SemDeDup §5 / D4, Tirumala et al. 2023, arXiv:2308.12284): cosine
+    * of each row's embedding to its group's centroid. High scorers are
+    * prototypical (cluster-typical, often redundant); low scorers are
+    * outliers (often noise). Curation keeps the middle.
+    *
+    * One grouped aggregate builds the |groups|-row centroid table
+    * ([[groupCentroids]]); it broadcast-joins back and the score is one
+    * native fused `cosine_sim` per row — the corpus is scanned twice but
+    * never shuffled.
+    */
+  def prototypicality(df: DataFrame, idCol: String, groupCol: String,
+                      vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+    df.join(broadcast(cents), Seq(groupCol), "left")
+      .select(col(idCol), col(groupCol),
+        round(cosine(col(vecCol), col("centroid")), 4).as("proto_score"))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, maxExactRows: Long = 10000L): DataFrame = {
     val n = df.count()

@@ -229,6 +229,20 @@ object ScaleProbe {
       graft.sinks.DataSink.scd2Merge(dim.filter(lit(false)), changes, Seq("custkey"))
     }
     probe("scd2_merge") { scd2(ord1) } { scd2(ord) }
+    // span dedup: replicas carry IDENTICAL texts, so the duplicated-window
+    // set saturates (every window lands in ≥16 docs) and removal
+    // selectivity goes to ~100% — the probe times the heavy path (window
+    // explode + hash-keyed count + position anti-join) at worst-case
+    // selectivity, the honest stress for this operator
+    def spans(dd: DataFrame) = Dedup.removeDuplicateSpans(
+      dd.select(col("doc_id"), col("text")), "doc_id", "text", width = 5)
+    probe("dedup_spans") { spans(docs1) } { spans(docs) }
+    // semantic dedup rides the same perturbed embedding amplification as
+    // lsh_neardup_pairs (directions stay diverse): Σ bucket² candidate
+    // work plus one distinct and one id anti-join on top
+    def semdd(e: DataFrame) = Similarity.semanticDedup(e, "vec_id",
+      "embedding", dim = 64, numPlanes = 12, threshold = 0.9, numTables = 4)
+    probe("semantic_dedup") { semdd(emb1) } { semdd(emb) }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

@@ -87,6 +87,27 @@ class DedupSpec extends SparkSpec {
     assert(cleaned("md5_52") == out)
   }
 
+  test("mergeSpans collapses overlapping, adjacent and contained spans per doc") {
+    val spans = Seq(
+      (1L, 1, 3), (1L, 2, 4), (1L, 5, 7),    // overlap then adjacency → one [1,7]
+      (1L, 9, 12), (1L, 10, 11),             // contained interval can't split [9,12]
+      (1L, 20, 22),                          // isolated
+      (2L, 1, 3)                             // other doc untouched
+    ).toDF("doc_id", "start", "end")
+    val out = Dedup.mergeSpans(spans, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 1, 7), (1L, 9, 12), (1L, 20, 22), (2L, 1, 3)), s"got $out")
+    // end-to-end: the stride-1 covering windows of a shared run merge back
+    // to one maximal region
+    val df = Seq(
+      (1L, "a b c d e zz"), (2L, "p q a b c d e")   // shared 5-token run "a b c d e"
+    ).toDF("doc_id", "text")
+    val merged = Dedup.mergeSpans(
+        Dedup.duplicatedSpans(df, "doc_id", "text", width = 3), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(merged == Set((1L, 1, 5), (2L, 3, 7)), s"got $merged")
+  }
+
   test("minhash signature is deterministic and component-wise minimal") {
     val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))

@@ -124,6 +124,28 @@ class SimilaritySpec extends SparkSpec {
     assert(best == Set(2L, 4L), s"got $best")
   }
 
+  test("prototypicality scores cosine to the label centroid; null vec scores null") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f)),
+      (3L, 1, Array(3.0f, 4.0f)),
+      (4L, 0, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) == Seq(0.5, 0.5), "null vec must not drag the mean")
+    assert(cents(1) == Seq(3.0, 4.0))
+    val out = Similarity.prototypicality(df, "vec_id", "label", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // cos((1,0),(0.5,0.5)) = 0.5 / 0.70710678 → 0.7071 at round-4
+    assert(out(1L) == Some(0.7071))
+    assert(out(2L) == Some(0.7071))
+    assert(out(3L) == Some(1.0))
+    assert(out(4L) == None)
+  }
+
   test("cosineNearDupPairs thresholds exact all-pairs") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
