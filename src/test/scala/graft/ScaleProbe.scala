@@ -18,7 +18,8 @@ import graft.sources.Tables
   * the same JVM right before its 16× twin (the old hardcoded constants
   * came from other sessions' machines and skewed ratios up to ~2×).
   *
-  * Run: `sbt "Test/runMain graft.ScaleProbe"`.
+  * Run: `sbt "Test/runMain graft.ScaleProbe"`; pass probe names as args
+  * to run a subset (`... graft.ScaleProbe dedup_spans semantic_dedup`).
   */
 object ScaleProbe {
   private val Mult = 16
@@ -54,8 +55,10 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val only = args.toSet
     /** Self-measuring probe: 1× and 16× timed back-to-back, same JVM. */
     def probe(name: String)(base: => DataFrame)(big: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val oneX = timed(base)
       val t = timed(big)
       println(f"[scale] $name%-22s ${Mult}x=${t}%6.2f s   1x=${oneX}%5.2f s   ratio=${t / oneX}%5.1f (linear=$Mult)")
