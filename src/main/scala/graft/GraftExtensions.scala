@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -158,7 +158,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"clf_score: $what must be a string literal, got $other")
         }
-        val weights = strLit(args(1), "weights").split(",").map(_.trim.toDouble)
+        val weightsStr = strLit(args(1), "weights")
+        val weights =
+          try weightsStr.split(",").map(_.trim.toDouble).toIndexedSeq
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "clf_score: weights must be a comma-separated list of doubles, " +
+                s"got '${weightsStr.take(80)}'")
+          }
         val bias = args(2) match {
           case Literal(d: Double, DoubleType) => d
           case Literal(i: Int, IntegerType) => i.toDouble
@@ -169,6 +176,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ClfScoreExpr(args.head, weights, bias,
           strLit(args(3), "seed"), strLit(args(4), "bucket mode"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("fold_text"),
+      new ExpressionInfo(classOf[FoldTextExpr].getName, "fold_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "fold_text(string, 'nfc'|'strip'|'fold')")
+        val mode = args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"fold_text: mode must be a string literal, got $other")
+        }
+        FoldTextExpr(args.head, mode)
       }))
 
     ext.injectFunction((

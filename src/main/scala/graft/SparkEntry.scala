@@ -78,6 +78,38 @@ object SparkEntry {
         .select(col("keep_id"), col("dup_count"), col("text"))
         .orderBy(col("keep_id"))),
 
+    // unicode normalization (native fold_text): nfc composes NFD input,
+    // strip drops accents utf8proc-style, fold adds simple lowercase +
+    // whitespace collapse — every non-ASCII piece is built from chr()-
+    // equivalent codepoints on both engines, so all three modes get a
+    // full hash-match against nfc_normalize / strip_accents / lower
+    "q_text_fold" -> ((s, d) => {
+      val raw = concat_ws(" ", lit("Café"), lit("NAÏVE"),
+        lit("Café\tDu  MONDE"), col("text"),
+        lit("über STRAßE"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.foldText(raw, "nfc").as("t_nfc"),
+          TextAnalysis.foldText(raw, "strip").as("t_strip"),
+          TextAnalysis.foldText(raw, "fold").as("t_fold"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // normalization composed into the exact-dedup path: NFC originals and
+    // NFD + extra-whitespace copies hash to the SAME fold_text key (every
+    // pair collapses to one group, dup_count 2) — the duplicates byte-
+    // exact q_dedup_exact cannot see
+    "q_dedup_fold" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id"),
+        concat(lit("Résumé: "), col("text")).as("text"))
+      val b = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("RÉSUMÉ:   "), col("text")).as("text"))
+      Dedup.exactByNormalizedContent(a.unionByName(b), "doc_id", "text")
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy(col("keep_id"))
+    }),
+
     "q_dedup_keepfirst" -> ((s, d) =>
       Cleaning.dedupKeepFirst(Tables.events(s, d), Seq("user_id", "event_type"), "event_id")
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"), col("props"))
@@ -945,6 +977,44 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // every non-ASCII codepoint built with chr() so the SQL text stays
+    // pure ASCII (encoding-proof): 233=é 207=Ï 769=combining-acute 9=tab
+    // 252=ü 223=ß; fold = lower ∘ strip_accents + \s-run collapse
+    "q_text_fold" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ',
+        |      'Caf' || chr(233),
+        |      'NA' || chr(207) || 'VE',
+        |      'Cafe' || chr(769) || chr(9) || 'Du  MONDE',
+        |      text,
+        |      chr(252) || 'ber STRA' || chr(223) || 'E') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(raw) AS t_nfc,
+        |  strip_accents(raw) AS t_strip,
+        |  trim(regexp_replace(lower(strip_accents(raw)), '\s+', ' ', 'g')) AS t_fold
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // NFC 'Résumé: ' (233) and NFD 'RÉSUMÉ:   ' (69+769) fold to the
+    // same key — group by the folded text (Spark groups by its xxhash64;
+    // the hash never reaches the output so the grouping is identical)
+    "q_dedup_fold" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'R' || chr(233) || 'sum' || chr(233) || ': ' || text AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    'RE' || chr(769) || 'SUME' || chr(769) || ':   ' || text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')) AS k
+        |  FROM planted)
+        |SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM n GROUP BY k ORDER BY keep_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH planted AS (

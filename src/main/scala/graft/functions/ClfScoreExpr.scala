@@ -36,9 +36,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * null, which nulled the fold's accumulator); an empty token array
   * pools 0/0 = NaN.
   */
-case class ClfScoreExpr(child: Expression, weights: Array[Double], bias: Double,
+case class ClfScoreExpr(child: Expression, weights: IndexedSeq[Double], bias: Double,
                         seed: String, bucketMode: String)
     extends UnaryExpression {
+
+  // weights is a Seq, not an Array: case-class equality must compare
+  // CONTENTS or two structurally identical clf_score calls would never be
+  // equal/semanticEquals (arrays compare by reference), silently defeating
+  // Catalyst canonicalization and common-subexpression elimination — the
+  // score would be computed once per reference instead of once per row.
+  // The hot loop reads the one-time Array copy below.
+  @transient private lazy val wArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -65,11 +73,11 @@ case class ClfScoreExpr(child: Expression, weights: Array[Double], bias: Double,
   private def md5Mode: Boolean = bucketMode == "md5"
 
   override def nullSafeEval(input: Any): Any =
-    ClfScoreExpr.compute(input.asInstanceOf[ArrayData], weights, bias,
+    ClfScoreExpr.compute(input.asInstanceOf[ArrayData], wArr, bias,
       seedBytes, xxSeed, md5Mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("clfWeights", weights, "double[]")
+    val wRef = ctx.addReferenceObj("clfWeights", wArr, "double[]")
     val sRef = ctx.addReferenceObj("clfSeed", seedBytes, "byte[]")
     val boxed = ctx.freshName("clfBoxed")
     nullSafeCodeGen(ctx, ev, c => s"""

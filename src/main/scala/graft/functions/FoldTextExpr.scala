@@ -35,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *              reproduces it codepoint-for-codepoint. Whitespace is the
   *              RE2 `\s` set ([ \t\n\v\f\r]) for the same reason.
   *
-  * Engine-portable by construction — both modes' oracles hash-match
-  * planted non-ASCII rows (`q_text_fold`).
+  * Engine-portable by construction — all three modes hash-match the
+  * DuckDB oracle on planted non-ASCII rows (`q_text_fold`, against
+  * `nfc_normalize` / `strip_accents` / `lower` + `\s`-collapse), and
+  * the exact-dedup composition is oracle-matched by `q_dedup_fold`.
   */
 case class FoldTextExpr(child: Expression, mode: String)
     extends UnaryExpression {

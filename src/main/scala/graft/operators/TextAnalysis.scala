@@ -20,6 +20,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode text normalization (native `fold_text` expression,
+    * `functions/FoldTextExpr.scala`): `nfc` = canonical composition,
+    * `strip` = accent strip, `fold` = strip + simple lowercase +
+    * whitespace collapse — the byte-stable matching key that makes
+    * hash-based dedup see NFC and NFD spellings of the same text as
+    * equal. Compose under any hashing operator: `minhashSignature
+    * (foldText(col("text")))`, `shingles(foldText(...))`, or use
+    * [[Dedup.exactByNormalizedContent]] for the exact-dedup form.
+    */
+  def foldText(text: Column, mode: String = "fold"): Column =
+    call_function("fold_text", text, lit(mode))
+
   /** BPE-ish token count: word pieces + standalone punctuation runs. The
     * pattern is RE2/Java-portable so the DuckDB oracle can mirror it.
     */

@@ -438,10 +438,81 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("fold_text: nfc composes, strip drops marks, fold lowers + collapses ws") {
+    // golden values, escapes only — NFC vs NFD must be byte-exact
+    val rows = Seq(
+      (1L, "Café"),                            // NFD é
+      (2L, "Café"),                             // NFC é
+      (3L, "NAÏVE über STRAßE"),      // Ï ü ß (ß has no decomposition)
+      (4L, "  Café\t\tDu  MONDE  "),      // ws runs incl. vertical tab
+      (5L, "")
+    ).toDF("id", "s")
+    val out = rows.select(col("id"),
+        expr("fold_text(s, 'nfc')").as("nfc"),
+        expr("fold_text(s, 'strip')").as("strip"),
+        expr("fold_text(s, 'fold')").as("fold"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getString(1) == "Café")        // NFD composed
+    assert(out(0).getString(2) == "Cafe")
+    assert(out(0).getString(3) == "cafe")
+    assert(out(1).getString(2) == "Cafe")             // NFC stripped the same
+    assert(out(2).getString(2) == "NAIVE uber STRAßE")
+    assert(out(2).getString(3) == "naive uber straße") // lower(ß)=ß, no ss expansion
+    assert(out(3).getString(3) == "cafe du monde") // stripped, lowered, ws-collapsed, trimmed
+    assert(out(4).getString(3) == "")
+    // null in → null out
+    val n = rows.select(expr("fold_text(cast(null as string), 'fold')")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("fold_text strip mode matches an independent \\p{M}-regex formulation") {
+    val refStrip = udf((s: String) => if (s == null) null else
+      java.text.Normalizer.normalize(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}+", ""),
+        java.text.Normalizer.Form.NFC))
+    val df = texts.union(Seq(
+      (4L, "Café NAÏVE"), (5L, "ÉéÏüß"),
+      (6L, "plain ascii stays put")).toDF("id", "text"))
+    val out = df.select(
+      expr("fold_text(text, 'strip')").as("native"),
+      refStrip(col("text")).as("ref")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native=${r.getString(0)} ref=${r.getString(1)}"))
+  }
+
+  test("fold_text rejects bad modes and non-string inputs at analysis") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fold_text('x', 'nfkc')").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fold_text(array('x'), 'nfc')").head()
+    }
+  }
+
+  test("clf_score expressions with equal weights are semantically equal (CSE-able)") {
+    // weights ride a Seq, not an Array: two structurally identical calls
+    // must canonicalize equal or Catalyst CSE would score the corpus twice
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => CLit}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val child = BoundReference(0, ArrayType(StringType), nullable = true)
+    val a = ClfScoreExpr(child, IndexedSeq(0.1, 0.2), 0.5, "s", "xxhash64")
+    val b = ClfScoreExpr(child, IndexedSeq(0.1, 0.2), 0.5, "s", "xxhash64")
+    assert(a == b && a.semanticEquals(b) && a.hashCode == b.hashCode)
+    assert(a != ClfScoreExpr(child, IndexedSeq(0.1, 0.3), 0.5, "s", "xxhash64"))
+  }
+
+  test("clf_score malformed weight strings fail with a descriptive error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT clf_score(array('a'), '0.1,zap,0.3', 0.5, 's', 'xxhash64')").head()
+    }
+    assert(e.getMessage.contains("comma-separated list of doubles"))
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
-    def eval(): Seq[(Long, Double, Int, Long, Long, Double, Double)] = texts.select(
+    def eval(): Seq[(Long, Double, Int, Long, Long, Double, Double, String)] = texts.select(
         expr("simhash64(split(text, ' '))").as("h"),
         expr("cosine_sim(array(cast(1.0 as float), cast(2.0 as float)), " +
              "array(cast(3.0 as float), cast(4.0 as float)))").as("c"),
@@ -451,10 +522,11 @@ class FunctionsSpec extends SparkSpec {
         expr("clf_score(split(text, ' '), '" +
           Array.tabulate(256)(_ * 0.01 - 1.0).mkString(",") +
           "', 0.5, 'cg', 'md5')").as("s"),
-        expr("clf_score(split(text, ' '), '0.1,0.2,0.3', 0.5, 'cg', 'xxhash64')").as("sx"))
+        expr("clf_score(split(text, ' '), '0.1,0.2,0.3', 0.5, 'cg', 'xxhash64')").as("sx"),
+        expr("fold_text(upper(text) || ' Cafe' || chr(769), 'fold')").as("ft"))
       .collect().toIndexedSeq
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getString(7)))
     try {
       spark.conf.set(conf, "true");  val gen = eval()
       spark.conf.set(conf, "false"); val interp = eval()

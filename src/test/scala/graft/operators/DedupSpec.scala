@@ -25,6 +25,22 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exactByNormalizedContent catches NFC-vs-NFD and whitespace variants exact dedup misses") {
+    val variants = Seq(
+      (1L, "Café du Monde"),         // NFC é
+      (2L, "Café  du\tMonde"),  // NFD e+U+0301 + ws runs
+      (3L, "CAFE DU MONDE"),          // accentless uppercase
+      (4L, unrelated)
+    ).toDF("doc_id", "text")
+    // byte-exact dedup sees four distinct contents…
+    assert(Dedup.exactByContent(variants, "doc_id", "text").count() == 4)
+    // …normalized dedup folds the three spellings into one group
+    val out = Dedup.exactByNormalizedContent(variants, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val merged = out.find(_.getAs[Long]("dup_count") == 3L).get
+    assert(merged.getAs[Long]("keep_id") == 1L)
+  }
+
   test("minhashCandidates finds planted near-dup, not unrelated pair") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
