@@ -95,15 +95,21 @@ object Bench {
       }
     } else ""
     // medians go to STDERR: the archiver keeps only a ~2000-char tail of
-    // stdout, and a second 72-entry map would push the attributable
-    // best-of-5 numbers out of the window. The one stdout JSON line puts
-    // scalars first and "queries" LAST so front-truncation costs headline
-    // fields (recoverable from total_median/SURVEY §6), never the map.
+    // stdout, and a second 80-entry map would push the attributable
+    // best-of-5 numbers out of the window. The big line carries the
+    // per-query map; the SHORT scalars-only line prints LAST because the
+    // archive is a TAIL — at 80+ queries the map alone outgrew 2 KB and
+    // round 8 lost its total/recall/contended scalars, so the trailer
+    // (~160 chars, headroom past 120 queries) now guarantees the
+    // attributable figures survive truncation.
     System.err.println(
       s"""{"metric":"total_median","value":$totalMed,"unit":"sec","queries_median":$med}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,""" +
       s""""contended":$contended,"contended_n":$contendedN$recallJson,""" +
       s""""sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"scalars","total_best":$total,"total_median":$totalMed,""" +
+      s""""n_queries":${results.length},"contended":$contended,""" +
+      s""""contended_n":$contendedN$recallJson}""")
     spark.stop()
   }
 }

@@ -666,6 +666,18 @@ object SparkEntry {
         k = 5, nProbe = 4)
     }),
 
+    // IVF at nProbe == numCentroids probes every cell — candidate set is
+    // the whole corpus, so the result EQUALS brute force (IvfSpec proves
+    // the equivalence; this pins it against the DuckDB exact top-k oracle
+    // too, closing the ANN family's last rows-only entry — the probed
+    // path above keeps its measured-recall grading)
+    "q_ann_ivf_exhaustive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.ivfBuild(emb, "vec_id", "embedding", numCentroids = 16)
+      Similarity.ivfSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+    }),
+
     "q_binary_meta" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
       Multimodal.featurize(s, media)
@@ -727,6 +739,26 @@ object SparkEntry {
       Similarity.semanticDedup(planted, "vec_id", "embedding", dim = 64,
           numPlanes = 12, threshold = 0.9)
         .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // quality-aware semantic dedup: the same planted pairs, but the
+    // SURVIVOR follows quality (best copy per cluster), not the min-id
+    // keep-first rule — semanticDedup's doc points here; the composition
+    // is assignCanonical → keepBestPerCluster over the LSH pairs
+    "q_semantic_retain" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(emb.select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        .withColumn("quality", pmod(col("vec_id"), lit(7)))
+      val pairs = Similarity.lshNearDupPairs(planted, "vec_id", "embedding",
+        dim = 64, numPlanes = 12, threshold = 0.9).select(col("id_a"), col("id_b"))
+      val slim = planted.select(col("vec_id"), col("quality"))
+      val clusters = Dedup.assignCanonical(slim, "vec_id", pairs)
+      Dedup.keepBestPerCluster(slim, clusters.select(col("vec_id"), col("canonical")),
+          "vec_id", "canonical", "quality")
+        .select(col("vec_id"), col("quality"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1973,6 +2005,48 @@ object SparkEntry {
         |    AS proto_score
         |FROM embeddings e JOIN cent ON cent.label = e.label
         |ORDER BY e.vec_id""".stripMargin,
+
+    // exhaustive IVF == brute force (every cell probed): the exact top-k
+    // oracle is the SAME SQL as q_ann_topk — identical query set, k, sim
+    // rounding and tie-break
+    "q_ann_ivf_exhaustive" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", neighbor_id, sim FROM ranked
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // exact-cosine cluster mirror: canonical = min vec_id within cosine
+    // ≥ 0.9 (self included, so singletons label themselves — one-hop ==
+    // connected components because only the planted identity pairs
+    // qualify); survivor = best quality per cluster, min-id tie-break
+    "q_semantic_retain" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding, vec_id % 7 AS quality FROM planted),
+        |cl AS (
+        |  SELECT p.vec_id, p.quality,
+        |    (SELECT min(q2.vec_id) FROM q q2
+        |     WHERE round(list_cosine_similarity(
+        |             p.embedding::DOUBLE[], q2.embedding::DOUBLE[]), 4) >= 0.9)
+        |      AS canonical
+        |  FROM q p),
+        |r AS (
+        |  SELECT vec_id, quality,
+        |    row_number() OVER (PARTITION BY canonical
+        |      ORDER BY quality DESC, vec_id) AS rn
+        |  FROM cl)
+        |SELECT vec_id, quality FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // exact keep-first oracle: drop any row with an earlier row at cosine
     // ≥ 0.9 — by the x2-scaling construction that is exactly the planted

@@ -11,14 +11,20 @@ columns sorted by name (the driver's rule).
 DEV TOOL ONLY: runs on the container's driver-side python (duckdb,
 pandas, pyarrow) — never part of the shipped Scala library.
 """
-import json, sys, hashlib
+import json, os, sys, hashlib
 import duckdb, pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # round floats BEFORE sorting: value_hash compares round(6) values, so
+    # sorting on raw floats would let sub-1e-6 cross-engine noise on a
+    # float sort key reorder rows and report a false hash mismatch
+    for col in df.columns:
+        if df[col].dtype.kind == "f":
+            df[col] = df[col].round(6)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -41,6 +47,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(f"{dump}/oracle_sql.json"))
+    # a dump dir with no oracle entry is a rows-only query (or a missing
+    # oracle) — surface it instead of silently skipping
+    dumped = {d.name for d in os.scandir(dump) if d.is_dir()}
+    for name in sorted(dumped - set(oracles)):
+        n = len(pd.read_parquet(f"{dump}/{name}"))
+        print(f"[{name}] NO ORACLE (rows-only): spark_rows={n}")
     ok = True
     for name, sql in sorted(oracles.items()):
         spark_df = pd.read_parquet(f"{dump}/{name}")
