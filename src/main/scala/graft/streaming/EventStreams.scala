@@ -175,6 +175,41 @@ object EventStreams {
     q
   }
 
+  /** Streaming SPAN DEDUP — substring-level boilerplate cutting at
+    * ingest: each arriving micro-batch has the spans matching a
+    * PRECOMPUTED duplicated-window-hash set
+    * (`Dedup.duplicatedWindowHashes`, built once over landed history —
+    * ~8 bytes per duplicated window) cut out before landing in
+    * `outDir/batch=<id>`. The live-ingest sibling of
+    * `Dedup.removeDuplicateSpans`, same incremental split as
+    * [[decontaminateSink]]: a stream cannot count distinct-doc window
+    * frequencies over data it hasn't seen, and re-detecting per batch
+    * would both rescan history and make output depend on batch
+    * boundaries (replay-idempotence would break). Equivalence with the
+    * batch operator given the same hash set is pinned in
+    * EventStreamsSpec.
+    */
+  def removeSpansSink(docs: DataFrame, dupHashes: DataFrame,
+                      idCol: String, textCol: String,
+                      outDir: String, checkpointDir: String,
+                      width: Int = 3, hashMode: String = "xx",
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .removeKnownSpans(batch, dupHashes, idCol, textCol, width,
+            hashMode = hashMode)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** Await a stream exactly when its trigger is run-to-completion —
     * `Trigger.AvailableNow()` AND the legacy `Trigger.Once()` both
     * terminate on their own, so callers get drained output, matching the

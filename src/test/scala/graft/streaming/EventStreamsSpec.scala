@@ -111,6 +111,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally benchShingles.unpersist()
   }
 
+  test("removeSpansSink agrees with batch removeDuplicateSpans given the same hash set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "x y alpha beta gamma z"),          // shares "alpha beta gamma" with 1
+      (3L, "p q r s"),                         // unique
+      (4L, "m n alpha beta gamma o"))          // shares the run too
+    val corpusDf = corpus.toDF("doc_id", "text")
+    // the persistable corpus artifact: built ONCE over landed history;
+    // cached here to mirror the deployment shape, released in the tail
+    val dup = Dedup.duplicatedWindowHashes(corpusDf, "doc_id", "text", width = 3).cache()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("spans_stream").toString
+      val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(corpus.take(2): _*)
+      EventStreams.removeSpansSink(ms.toDF().toDF("doc_id", "text"), dup,
+        "doc_id", "text", out, ckpt, width = 3)
+      ms.addData(corpus.drop(2): _*)
+      EventStreams.removeSpansSink(ms.toDF().toDF("doc_id", "text"), dup,
+        "doc_id", "text", out, ckpt, width = 3)
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // per-doc output depends only on the doc's own windows + the hash
+      // set, so micro-batched output == the batch operator's
+      val (batchOut, rel) = Dedup.removeDuplicateSpansReleasable(
+        corpusDf, "doc_id", "text", width = 3)
+      val batch = try batchOut.select("doc_id", "clean_text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        finally rel()
+      assert(streamed == batch, "stream ∪ micro-batches must equal batch span dedup")
+      assert(streamed(1L) == "delta epsilon" && streamed(3L) == "p q r s")
+      // a NEW doc carrying known boilerplate is cut on arrival, even
+      // though it was never part of the detection corpus
+      val fresh = Seq((9L, "h i alpha beta gamma j")).toDF("doc_id", "text")
+      val freshOut = Dedup.removeKnownSpans(fresh, dup, "doc_id", "text", width = 3)
+        .select("clean_text").head().getString(0)
+      assert(freshOut == "h i j")
+    } finally dup.unpersist()
+  }
+
   test("qualityGateSink agrees with batch keepTopQuantile given the same threshold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
