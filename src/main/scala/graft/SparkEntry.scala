@@ -286,6 +286,32 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text"), hashMode = "md5_52").as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // DSIR importance scoring (round 9): weights fit on the en-subset
+    // target vs the whole corpus (2×256 bucket counts — the ONLY
+    // driver-side data), then one fused clf_score pass; the full
+    // fit→score pipeline is mirrored by the oracle (md5 buckets, add-one
+    // smoothing, ln ratios, mean pooling)
+    "q_dsir_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Curation.dsirWeights(docs, docs.filter(col("lang") === "en"), "text")
+      Curation.dsirScore(docs, "text", w)
+        .select(col("doc_id"), round(col("dsir_score"), 6).as("dsir_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher rule chain (round 9): flags + conjunction per doc;
+    // thresholds re-parameterized for this corpus's 10-99-word docs so
+    // the split is nontrivial (word-count and stopword rules both bite)
+    "q_gopher_filter" -> ((s, d) =>
+      Curation.gopherRules(Tables.documents(s, d), "text",
+          minWords = 25, maxWords = 100000, minMeanWordLen = 3.0,
+          maxMeanWordLen = 10.0, maxPunctRatio = 0.2, minStopwords = 2,
+          maxDup2gramRatio = 0.2)
+        .select(col("doc_id"), col("ok_words"), col("ok_word_len"),
+          col("ok_punct"), col("ok_stopwords"), col("ok_repetition"),
+          col("gopher_keep"))
+        .orderBy(col("doc_id"))),
+
     // C4/Gopher-style repetition quality signals (boilerplate/spam score
     // high while passing exact+near dedup, because each DOC is unique but
     // its content repeats internally)
@@ -1534,6 +1560,69 @@ object SparkEntry {
         |       WHEN de > 0 THEN 'de'
         |       ELSE 'und' END AS pred_lang
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // full DSIR mirror: same md5-byte buckets (strpos nibble fold), the
+    // same add-one-smoothed counts (source = every token's bucket is in
+    // src by construction — the scored corpus IS the source), ln ratios,
+    // avg pooling; round(6) absorbs ln/summation-order ulps
+    "q_dsir_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5('dsir' || t), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5('dsir' || t), 2, 1)) - 1)
+        |      AS bkt
+        |  FROM tok),
+        |src AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        |tgt AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        |tots AS (SELECT
+        |  (SELECT sum(c) FROM src) + 256.0 AS sc,
+        |  (SELECT sum(c) FROM tgt) + 256.0 AS tc),
+        |w AS (
+        |  SELECT s.bkt,
+        |    ln((coalesce(t.c, 0) + 1.0) / tots.tc) - ln((s.c + 1.0) / tots.sc)
+        |      AS wt
+        |  FROM src s LEFT JOIN tgt t ON t.bkt = s.bkt, tots),
+        |sc AS (
+        |  SELECT b.doc_id, avg(w.wt) AS m
+        |  FROM b JOIN w ON w.bkt = b.bkt
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, round(sc.m, 6) AS dsir_score
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the five Gopher signals re-derived with the q_text_quality /
+    // q_text_repetition formulas, thresholds inline
+    "q_gopher_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(trim(text), ' ')) AS nw,
+        |    round(CAST(length(text) - (len(string_split(trim(text),' ')) - 1) AS DOUBLE)
+        |          / len(string_split(trim(text),' ')), 4) AS mwl,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |          / greatest(length(text), 1), 4) AS pr,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        w -> w IN ('the','a','an','of','and','to','in','is'))) AS stop,
+        |    round(1 - CASE WHEN len(string_split(trim(text),' ')) >= 2
+        |        THEN len(list_distinct(list_transform(
+        |               range(1, len(string_split(trim(text),' '))),
+        |               i -> string_split(trim(text),' ')[i] || ' ' ||
+        |                    string_split(trim(text),' ')[i+1])))
+        |        ELSE 1 END
+        |      / CAST(greatest(len(string_split(trim(text),' ')) - 1, 1) AS DOUBLE), 4)
+        |      AS d2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nw BETWEEN 25 AND 100000 AS ok_words,
+        |  mwl BETWEEN 3.0 AND 10.0 AS ok_word_len,
+        |  pr <= 0.2 AS ok_punct,
+        |  stop >= 2 AS ok_stopwords,
+        |  d2 <= 0.2 AS ok_repetition,
+        |  (nw BETWEEN 25 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND pr <= 0.2 AND stop >= 2 AND d2 <= 0.2 AS gopher_keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)

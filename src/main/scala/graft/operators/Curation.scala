@@ -790,4 +790,89 @@ object Curation {
           s => concat_ws(":", s.getField("_pk_id"), s.getField("_ps"),
             s.getField("_pe"))), ",").as("doc_spans"))
   }
+
+  /** DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    * arXiv:2302.03169): the 256-entry log-likelihood-ratio vector
+    * `ln p_target(b) − ln p_source(b)` over add-one-smoothed hashed token
+    * distributions — the data-selection signal that upweights documents
+    * that look like a small high-quality TARGET sample relative to the
+    * raw SOURCE crawl. The bucket is the same md5 byte as
+    * [[hashBucket256]] and `clf_score`'s md5 mode, so the learned weights
+    * feed the native scorer directly ([[dsirScore]]) and the whole
+    * pipeline is DuckDB-mirrorable.
+    *
+    * Scale shape: two partial-aggregated bucket counts (the exchanges
+    * carry ≤256 rows each); the 2×256 counts collect to the driver by
+    * construction — corpus data never does. At 100 TB fit the weights on
+    * SAMPLES of both sides (the estimator converges long before that);
+    * the returned vector is a plan literal from then on.
+    */
+  def dsirWeights(source: DataFrame, target: DataFrame, textCol: String,
+                  seed: String = "dsir"): Array[Double] = {
+    def dist(df: DataFrame): Map[Int, Long] =
+      df.select(explode(TextAnalysis.tokens(Cols.qcol(textCol))).as("_t"))
+        .groupBy(hashBucket256(col("_t"), seed).cast("int").as("_b"))
+        .agg(count(lit(1)).as("_c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s = dist(source)
+    val t = dist(target)
+    val sTot = s.values.sum + 256.0
+    val tTot = t.values.sum + 256.0
+    Array.tabulate(256)(b =>
+      math.log((t.getOrElse(b, 0L) + 1.0) / tTot) -
+        math.log((s.getOrElse(b, 0L) + 1.0) / sTot))
+  }
+
+  /** Mean-pooled DSIR importance score per document — `avg over tokens of
+    * w[bucket(token)]`, one fused `clf_score` pass (zero shuffles; the
+    * mean, rather than the paper's sum, keeps the score length-neutral so
+    * long documents aren't automatically "more target-like"). Select by
+    * [[keepTopQuantile]] / [[topQuantileThreshold]] over the score, or
+    * feed it to [[sampleByWeight]] rates per stratum.
+    */
+  def dsirScore(df: DataFrame, textCol: String, weights: Array[Double],
+                seed: String = "dsir",
+                scoreCol: String = "dsir_score"): DataFrame = {
+    require(weights.length == 256,
+      s"dsirScore: need the 256-bucket weight vector, got ${weights.length}")
+    df.withColumn(scoreCol, call_function("clf_score",
+      TextAnalysis.tokens(Cols.qcol(textCol)), lit(weights.mkString(",")),
+      lit(0.0), lit(seed), lit("md5")))
+  }
+
+  /** Gopher-style quality rule chain (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1, re-parameterized): per-document boolean flags for word count,
+    * mean word length, symbol ratio, stopword presence and 2-gram
+    * repetition, plus the conjunction `gopher_keep`. Flags stay SEPARATE
+    * columns (not a pre-filtered frame) so corpus reports can attribute
+    * WHY documents fall — the curation-debugging view every published
+    * pipeline ends up needing.
+    *
+    * One scan, no shuffle: reuses [[TextAnalysis.qualityScore]]'s
+    * single-projection signals and [[repetitionSignals]]' native
+    * shingling; thresholds are arguments because the paper's absolutes
+    * (50–100k words) assume web pages, not arbitrary corpora.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxPunctRatio: Double = 0.2,
+                  minStopwords: Int = 2,
+                  maxDup2gramRatio: Double = 0.2): DataFrame = {
+    val t = Cols.qcol(textCol)
+    val signals = repetitionSignals(TextAnalysis.qualityScore(df, textCol), textCol)
+      .withColumn("_g_stop",
+        TextAnalysis.markerCount(t, TextAnalysis.EnStop))
+    signals
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("ok_punct", col("punct_ratio") <= maxPunctRatio)
+      .withColumn("ok_stopwords", col("_g_stop") >= minStopwords)
+      .withColumn("ok_repetition", col("dup_2gram_ratio") <= maxDup2gramRatio)
+      .withColumn("gopher_keep",
+        col("ok_words") && col("ok_word_len") && col("ok_punct") &&
+          col("ok_stopwords") && col("ok_repetition"))
+      .drop("_g_stop")
+  }
 }

@@ -563,4 +563,56 @@ class CurationSpec extends SparkSpec {
       Curation.packPlan(docs, "doc_id", "n_tokens", budget = 0L, shardCol = "shard")
     }
   }
+
+  test("dsirWeights/dsirScore: target-like documents score higher, deterministic") {
+    // two disjoint vocabularies; the target sample speaks only vocab A,
+    // so the LLR weights must rank pure-A docs above pure-B docs
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    val vocabB = "uno dos tres cuatro cinco seis"
+    val source = Seq(
+      (1L, vocabA), (2L, vocabA), (3L, vocabB), (4L, vocabB),
+      (5L, "alpha beta uno dos")  // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, vocabA), (101L, "alpha gamma epsilon")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(source, target, "text")
+    assert(w.length == 256)
+    val scores = Curation.dsirScore(source, "text", w)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(scores(1L) == scores(2L), "identical docs score identically")
+    assert(scores(1L) > scores(5L) && scores(5L) > scores(3L),
+      s"ranking must be pure-target > mixed > off-target, got $scores")
+    // refitting is deterministic (md5 buckets, exact counts, no RNG)
+    assert(Curation.dsirWeights(source, target, "text").toSeq == w.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.dsirScore(source, "text", Array(1.0, 2.0))
+    }
+  }
+
+  test("gopherRules: each rule flags its own violation; keep is the conjunction") {
+    val good = ("the quick brown fox jumps over a lazy dog and " * 5).trim // 50 words, stopwords, varied
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                                  // < minWords
+      (3L, ("ab " * 60).trim),                                    // mean word len 2 < 3
+      (4L, ("the !!! of ??? and ### to " * 10).trim),             // punct-heavy
+      (5L, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 7).trim), // no stopwords
+      (6L, ("the cat " * 30).trim)                                // one repeated 2-gram
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs, "text", minWords = 20, maxWords = 1000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0, maxPunctRatio = 0.2,
+        minStopwords = 2, maxDup2gramRatio = 0.8)
+      .select("doc_id", "ok_words", "ok_word_len", "ok_punct", "ok_stopwords",
+        "ok_repetition", "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), s"got ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._6, "short doc fails word count")
+    assert(!out(3L)._2, "2-char words fail mean word length")
+    assert(!out(4L)._3, "symbol-heavy doc fails punct ratio")
+    assert(!out(5L)._4, "stopword-free doc fails stopword presence")
+    assert(!out(6L)._5, s"repeated 2-gram doc fails repetition, got ${out(6L)}")
+    // every failing doc fails the conjunction
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id => assert(!out(id)._6))
+  }
 }
