@@ -461,6 +461,20 @@ object SparkEntry {
           vocabSize = 16)
         .orderBy(col("doc_id"))),
 
+    // CCNet perplexity buckets (round 9): per-language terciles of the
+    // unigram-LM score — thresholds via exact percentile broadcast back
+    // (same interpolation rule as quantile_cont), comparisons on the
+    // round(4) scores so both engines bucket identically
+    "q_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text",
+          vocabSize = 16)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Curation.perplexityBuckets(scored, "lang", "avg_logprob")
+        .select(col("doc_id"), col("lang"), col("avg_logprob"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: every 10th doc doubles as the "benchmark"
     // set (drawn from the corpus itself, so overlap is guaranteed for those
     // docs and possible for shingle-sharing neighbors). k=3 matches the
@@ -1893,6 +1907,37 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM tok t LEFT JOIN vocab v USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // same scored CTE as q_unigram_logprob; terciles via quantile_cont
+    // (Spark percentile's interpolation rule), strict > comparisons on
+    // the round(4) scores
+    "q_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM uni),
+        |vocab AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT 16),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    round(avg(ln(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / total)), 4)
+        |      AS avg_logprob
+        |  FROM tok t LEFT JOIN vocab v USING (token), tot
+        |  GROUP BY t.doc_id),
+        |sl AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logprob
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang,
+        |    quantile_cont(avg_logprob, 1.0/3) AS lo,
+        |    quantile_cont(avg_logprob, 2.0/3) AS hi
+        |  FROM sl GROUP BY lang)
+        |SELECT sl.doc_id, sl.lang, sl.avg_logprob,
+        |  CASE WHEN sl.avg_logprob > c.hi THEN 'head'
+        |       WHEN sl.avg_logprob > c.lo THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM sl JOIN cuts c USING (lang)
+        |ORDER BY sl.doc_id""".stripMargin,
 
     // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
     // engine-validated); native xxhash64(shingle) equality is mirrored by

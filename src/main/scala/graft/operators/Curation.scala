@@ -840,6 +840,36 @@ object Curation {
       lit(0.0), lit(seed), lit("md5")))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.3): per-language terciles of a language-model
+    * quality score — `head` (most corpus-typical), `middle`, `tail` —
+    * the partition CCNet pipelines keep/sample/drop respectively.
+    * `scoreCol` is a HIGHER-IS-BETTER score (e.g.
+    * [[TextAnalysis.unigramLogProbScore]]'s mean ln p; perplexity is its
+    * monotone inverse, so high logprob == low perplexity == head).
+    *
+    * Scale shape: one exact-percentile aggregate per group broadcast
+    * back as thresholds, then a pure filter assignment — NOT an
+    * `ntile` window, which would sort each language stratum in a single
+    * task. Null scores get a null bucket (an unscored row is not
+    * classifiable), mirroring the quality gate's null contract.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String, scoreCol: String,
+                        bucketCol: String = "ppl_bucket"): DataFrame = {
+    val s = Cols.qcol(scoreCol)
+    val cuts = scored.groupBy(Cols.qcol(groupCol))
+      .agg(expr(s"percentile($scoreCol, array(${1.0 / 3}, ${2.0 / 3}))").as("_ppb"))
+      .select(Cols.qcol(groupCol),
+        col("_ppb").getItem(0).as("_ppb_lo"), col("_ppb").getItem(1).as("_ppb_hi"))
+    scored.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn(bucketCol,
+        when(s.isNull, lit(null).cast("string"))
+          .when(s > col("_ppb_hi"), lit("head"))
+          .when(s > col("_ppb_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_ppb_lo", "_ppb_hi")
+  }
+
   /** Gopher-style quality rule chain (Rae et al. 2021, arXiv:2112.11446
     * §A1.1, re-parameterized): per-document boolean flags for word count,
     * mean word length, symbol ratio, stopword presence and 2-gram

@@ -588,6 +588,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: per-group terciles, head = best score, null score → null bucket") {
+    val df = Seq(
+      ("en", 1L, -1.0), ("en", 2L, -2.0), ("en", 3L, -3.0),
+      ("en", 4L, -4.0), ("en", 5L, -5.0), ("en", 6L, -6.0),
+      ("de", 7L, -1.5), ("de", 8L, -2.5), ("de", 9L, -3.5)
+    ).toDF("lang", "doc_id", "score")
+      .unionByName(Seq(("en", 10L)).toDF("lang", "doc_id")
+        .withColumn("score", lit(null).cast("double")))
+    val out = Curation.perplexityBuckets(df, "lang", "score")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    // en terciles over {-1..-6}: hi=-2.67, lo=-4.33 (null score excluded
+    // from percentile) → best scores land in head
+    assert(out(1L) == "head" && out(2L) == "head")
+    assert(out(3L) == "middle" && out(4L) == "middle")
+    assert(out(5L) == "tail" && out(6L) == "tail")
+    // groups bucket independently
+    assert(out(7L) == "head" && out(8L) == "middle" && out(9L) == "tail")
+    assert(out(10L) == null, "unscored rows are not classifiable")
+  }
+
   test("gopherRules: each rule flags its own violation; keep is the conjunction") {
     val good = ("the quick brown fox jumps over a lazy dog and " * 5).trim // 50 words, stopwords, varied
     val docs = Seq(
