@@ -87,8 +87,22 @@ object Bench {
         val ivf = Similarity.ivfSearch(ivfIx, queries, "vec_id", "embedding",
           k = 10, nProbe = 12)
         val rIvf = Similarity.recallAtK(ivf, bf)
+        // PQ + exact re-rank on the normalized twin (pq_score is an
+        // inner product — cosine only on unit vectors)
+        val nemb = emb.select(col("vec_id"),
+          org.apache.spark.sql.functions.call_function("l2_normalize",
+            col("embedding")).as("nv")).filter(col("nv").isNotNull)
+        val nq = nemb.filter(col("vec_id") < 64)
+        val nbf = Similarity.bruteForceTopK(nemb, nq, "vec_id", "nv", 10).persist()
+        nbf.count()
+        val model = Similarity.pqTrain(nemb, "nv", dim = 64, m = 16, k = 64)
+        val pq = Similarity.pqSearchRefined(
+          Similarity.pqEncode(nemb, "vec_id", "nv", model),
+          nemb, nq, "vec_id", "nv", model, k = 10, shortlist = 100)
+        val rPq = Similarity.recallAtK(pq, nbf)
+        nbf.unpersist()
         bf.unpersist()
-        s""","recall":{"lsh":${sec(rLsh)},"ivf":${sec(rIvf)}}"""
+        s""","recall":{"lsh":${sec(rLsh)},"ivf":${sec(rIvf)},"pq":${sec(rPq)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
         ""","recall":null"""

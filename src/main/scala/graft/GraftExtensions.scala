@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -176,6 +176,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ClfScoreExpr(args.head, weights, bias,
           strLit(args(3), "seed"), strLit(args(4), "bucket mode"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pq_encode(codebookBytes, vec)")
+        PqEncodeExpr(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("pq_score"),
+      new ExpressionInfo(classOf[PqScoreExpr].getName, "pq_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "pq_score(codebookBytes, codes, qvec)")
+        PqScoreExpr(args.head, args(1), args(2))
       }))
 
     ext.injectFunction((

@@ -782,6 +782,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ compressed-domain ANN (round 9): 16-byte codes (16× smaller
+    // corpus scan), ADC shortlist, exact re-rank — rows-only BY DESIGN
+    // like q_ann_ivf (k-means codebooks are not SQL-reproducible);
+    // measured recall is recorded per bench round ("pq" in the recall
+    // map, 1.0 at sf0.1 m=16/k=64/L=100) and floored ≥0.9 by
+    // SimilaritySpec, which also pins that re-ranked sims are EXACT
+    // cosines
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), call_function("l2_normalize", col("embedding")).as("nv"))
+        .filter(col("nv").isNotNull)
+      val model = Similarity.pqTrain(emb, "nv", dim = 64, m = 16, k = 64)
+      val enc = Similarity.pqEncode(emb, "vec_id", "nv", model)
+      Similarity.pqSearchRefined(enc, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "nv", model, k = 5, shortlist = 100)
+    }),
+
     // quality-aware semantic dedup: the same planted pairs, but the
     // SURVIVOR follows quality (best copy per cluster), not the min-id
     // keep-first rule — semanticDedup's doc points here; the composition

@@ -280,6 +280,22 @@ object ScaleProbe {
     def proto(e: DataFrame) = Similarity.prototypicality(
       e.withColumn("label", pmod(col("vec_id"), lit(64))), "vec_id", "label", "embedding")
     probe("prototypicality") { proto(emb1) } { proto(emb) }
+    // PQ refined search: ONE model (trained on the 1× corpus) serves both
+    // scales — the corpus-side cost is the m-byte code scan + shortlist
+    // re-rank join, which must track rows
+    val pqModel = Similarity.pqTrain(
+      emb1.select(col("vec_id"),
+        call_function("l2_normalize", col("embedding")).as("nv")), "nv",
+      dim = 64, m = 16, k = 64)
+    def pqs(e: DataFrame) = {
+      val nv = e.select(col("vec_id"),
+        call_function("l2_normalize", col("embedding")).as("nv"))
+      Similarity.pqSearchRefined(
+        Similarity.pqEncode(nv, "vec_id", "nv", pqModel),
+        nv, nv.filter(col("vec_id") < 64), "vec_id", "nv", pqModel,
+        k = 10, shortlist = 100)
+    }
+    probe("pq_search") { pqs(emb1) } { pqs(emb) }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

@@ -490,6 +490,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("pq_encode/pq_score: nearest-centroid codes, reconstruction dot, codegen parity") {
+    // hand codebook: m=2 subvectors of dim 2, k=2 centroids each
+    val cb = Array(
+      Array(Array(0f, 0f), Array(1f, 1f)),
+      Array(Array(0f, 1f), Array(2f, 2f)))
+    val bytes = PqCodec.serialize(cb)
+    assert(PqCodec.deserialize(bytes).map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val df = Seq(
+      (1L, Array(0.9f, 0.9f, 1.9f, 2.1f)),   // → codes [1, 1]
+      (2L, Array(0.1f, -0.1f, 0.2f, 0.9f)),  // → codes [0, 0]
+      (3L, Array(0.5f, 0.5f, 1.0f, 1.5f))    // sub0 equidistant → tie to index 0
+    ).toDF("id", "v")
+    def run(): Seq[(Long, Seq[Byte], Double)] = df.select(col("id"),
+        call_function("pq_encode", lit(bytes), col("v")).as("code"))
+      .select(col("id"), col("code"),
+        call_function("pq_score", lit(bytes), col("code"),
+          array(lit(1.0f), lit(1.0f), lit(1.0f), lit(1.0f))).as("s"))
+      .orderBy(col("id")).collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
+    val out = run()
+    assert(out(0)._2 == Seq[Byte](1, 1))
+    assert(out(0)._3 == (1.0 + 1.0) + (2.0 + 2.0))   // recon [1,1,2,2] · 1⃗
+    assert(out(1)._2 == Seq[Byte](0, 0))
+    assert(out(1)._3 == (0.0 + 0.0) + (0.0 + 1.0))
+    assert(out(2)._2.head == 0.toByte, "equidistant subvector ties to the smaller index")
+    // codegen and interpreted agree
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "true");  val gen = run()
+      spark.conf.set(conf, "false"); assert(run() == gen)
+    } finally spark.conf.set(conf, before)
+    // non-literal codebooks and wrong types fail ANALYSIS
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("pq_encode", col("v").cast("binary"), col("v"))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("pq_encode", lit(bytes), lit("nope"))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("pq_score", lit(bytes), col("v"), col("v"))).head()
+    }
+  }
+
   test("clf_score expressions with equal weights are semantically equal (CSE-able)") {
     // weights ride a Seq, not an Array: two structurally identical calls
     // must canonicalize equal or Catalyst CSE would score the corpus twice

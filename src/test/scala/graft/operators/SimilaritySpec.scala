@@ -284,4 +284,54 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(results(loaded) == results(built))
   }
+
+  test("PQ: deterministic training, exact-centroid encode, refined recall ≥0.9 (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), call_function("l2_normalize", col("embedding")).as("nv"))
+      .filter(col("nv").isNotNull)
+    val model = Similarity.pqTrain(emb, "nv", dim = 64, m = 16, k = 64)
+    assert(model.subDim == 4 && model.codebooks.length == 16)
+    // seeded k-means: refitting yields byte-identical codebooks
+    assert(Similarity.pqTrain(emb, "nv", dim = 64, m = 16, k = 64)
+      .bytes.toSeq == model.bytes.toSeq)
+    // a vector ASSEMBLED FROM centroids encodes to exactly those
+    // centroids and reconstructs to itself (quantization is idempotent
+    // on codebook points)
+    val assembled = Array.tabulate(64)(i => model.codebooks(i / 4)(7)(i % 4))
+    val code = emb.sparkSession.range(1)
+      .select(call_function("pq_encode", lit(model.bytes),
+        array(assembled.toIndexedSeq.map(lit): _*)).as("c"))
+      .head().getAs[Array[Byte]](0)
+    assert(code.toSeq == Seq.fill(16)(7.toByte), s"got ${code.toSeq}")
+    assert(model.reconstruct(code).toSeq == assembled.toSeq)
+    // ADC + exact re-rank: the published recall-at-compression recipe —
+    // 16-byte codes (16× smaller corpus scan), shortlist 100, exact
+    // re-score; graded vs brute force like the LSH/IVF paths
+    val queries = emb.filter(col("vec_id") < 32)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "nv", 10).persist()
+    try {
+      assert(bf.count() > 0)
+      val enc = Similarity.pqEncode(emb, "vec_id", "nv", model)
+      val refined = Similarity.pqSearchRefined(enc, emb, queries, "vec_id", "nv",
+        model, k = 10, shortlist = 100)
+      val r = Similarity.recallAtK(refined, bf)
+      assert(r >= 0.9, s"refined PQ recall@10 must be ≥0.9 at m=16/k=64/L=100, got $r")
+      // the refined output carries EXACT cosines: every reported sim for
+      // a query matches brute force's sim for the same neighbor
+      val bfSims = bf.collect().map(row => (row.getLong(0), row.getLong(2)) -> row.getDouble(3)).toMap
+      refined.collect().foreach { row =>
+        val key = (row.getLong(0), row.getLong(2))
+        bfSims.get(key).foreach(s => assert(s == row.getDouble(3),
+          s"re-ranked sim must be the exact cosine for $key"))
+      }
+    } finally bf.unpersist()
+    intercept[IllegalArgumentException] {
+      Similarity.pqSearchRefined(emb, emb, queries, "vec_id", "nv", model,
+        k = 10, shortlist = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "nv", dim = 64, m = 7)
+    }
+  }
 }
