@@ -41,6 +41,22 @@ class DedupSpec extends SparkSpec {
     assert(merged.getAs[Long]("keep_id") == 1L)
   }
 
+  test("minhash over foldText: NFC/NFD spellings produce identical signatures") {
+    // the shingle path composes the same way as exact dedup: normalize
+    // FIRST, then hash — byte-variant spellings collide in every lane
+    val variants = Seq(
+      (1L, "Café du Monde serves the best beignets in the quarter"),
+      (2L, "café  du\tMonde serves THE best beignets in the quarter"), // NFD e+U+0301
+      (3L, unrelated)
+    ).toDF("doc_id", "text")
+    val sigs = variants.select(col("doc_id"),
+        Dedup.minhashSignature(
+          graft.operators.TextAnalysis.foldText(col("text")), k = 3, numHashes = 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "normalized variants must share every minhash lane")
+    assert(sigs(1L) != sigs(3L))
+  }
+
   test("minhashCandidates finds planted near-dup, not unrelated pair") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
