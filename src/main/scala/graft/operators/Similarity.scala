@@ -419,6 +419,79 @@ object Similarity {
     explodeTopK(grouped)
   }
 
+  /** IVF-PQ index (the FAISS IVFADC composition, Jégou et al. §V): the
+    * coarse quantizer assigns cells ([[ivfBuild]]), and each row stores
+    * the PQ code of its RESIDUAL (vector − cell centroid) — residuals
+    * concentrate near zero, so the same codebook budget quantizes them
+    * much more accurately than raw vectors. `assignedCodes` is the
+    * durable on-disk form: `(id, cell, code, v)` partitioned by cell —
+    * a probe is a partition-pruned read of m-byte codes.
+    */
+  final case class IvfPqIndex(assignedCodes: DataFrame, centroids: DataFrame,
+                              model: PqModel)
+
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
+                 numCentroids: Int, m: Int, dim: Int, k: Int = 256,
+                 seed: Long = 42L): IvfPqIndex = {
+    val coarse = ivfBuild(df, idCol, vecCol, numCentroids, seed)
+    val withResidual = coarse.assigned
+      .join(broadcast(coarse.centroids), Seq("cell"))
+      .withColumn("_residual", zip_with(col("v"), col("centroid"),
+        (x, c) => x - c))
+    val model = pqTrain(withResidual, "_residual", dim, m, k, seed)
+    val assignedCodes = withResidual.select(col("id"), col("cell"), col("v"),
+      call_function("pq_encode", lit(model.bytes), col("_residual")).as("code"))
+    IvfPqIndex(assignedCodes, coarse.centroids, model)
+  }
+
+  /** IVF-ADC search with exact re-ranking: probe the `nProbe` nearest
+    * cells (partition-pruned at deployment), ADC-score only rows in
+    * probed cells — `⟨q, v⟩ ≈ ⟨q, c_cell⟩ + ⟨q, residual̂⟩`, the first
+    * term one dot per (query, cell), the second the native `pq_score`
+    * over m-byte codes — shortlist per query, then exact re-rank.
+    * Combines every pruning axis this family has: IVF cuts WHICH rows
+    * are scanned (nProbe/numCentroids of the corpus), PQ cuts the BYTES
+    * per scanned row (m vs dim×4), re-ranking restores exact scores.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqSearch: shortlist ($shortlist) must be ≥ k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wCell))
+      .filter(col("c_rank") <= nProbe)
+      // ⟨q, c_cell⟩ — the coarse term of the ADC decomposition, one
+      // scalar per (query, probed cell)
+      .withColumn("_qc", aggregate(zip_with(col("q_vec"), col("centroid"),
+        (x, c) => x.cast("double") * c.cast("double")), lit(0d), (a, x) => a + x))
+      .select(col("query_id"), col("q_vec"), col("cell"), col("_qc"))
+    val short = index.assignedCodes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"),
+        (col("_qc") + call_function("pq_score", lit(index.model.bytes),
+          col("code"), col("q_vec"))).as("adc"),
+        col("id").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by", col("adc"), col("neighbor_id"), lit(shortlist)).as("tk"))
+    val cand = explodeTopK(short).select(col("query_id"), col("neighbor_id"))
+    // exact re-rank against the true vectors carried in the index
+    val grouped = cand
+      .join(index.assignedCodes.select(col("id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        round(cosine(col("q_vec"), col("v")), 4).as("sim"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by", col("sim"), col("neighbor_id"), lit(k)).as("tk"))
+    explodeTopK(grouped)
+  }
+
   /** PQ search with exact RE-RANKING (the ADC+R pattern, Jégou et al.
     * §VI): the compressed scan produces a `shortlist`-sized candidate
     * set per query, then ONLY those candidates are re-scored against
