@@ -467,6 +467,15 @@ object SparkEntry {
           vocabSize = 16)
         .orderBy(col("doc_id"))),
 
+    // bigram LM with Stupid Backoff (round 9): top-64 bigram heavy
+    // hitters over the top-16 vocab — small enough that the unseen-
+    // bigram backoff branch (α·p_uni) fires constantly, so the oracle
+    // exercises every term of the formula
+    "q_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProbScore(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 16, bigramTopB = 64)
+        .orderBy(col("doc_id"))),
+
     // CCNet perplexity buckets (round 9): per-language terciles of the
     // unigram-LM score — thresholds via exact percentile broadcast back
     // (same interpolation rule as quantile_cont), comparisons on the
@@ -1966,6 +1975,42 @@ object SparkEntry {
         |       ELSE 'tail' END AS ppl_bucket
         |FROM sl JOIN cuts c USING (lang)
         |ORDER BY sl.doc_id""".stripMargin,
+
+    // bigram Stupid-Backoff mirror: zipped-unnest positions, lag via
+    // (doc, i-1) self-join, top-64 bigrams with deterministic ties,
+    // CASE per scoring branch (seen bigram / first token / backoff)
+    "q_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS w,
+        |         unnest(range(1, len(toks) + 1)) AS i
+        |  FROM t),
+        |uni AS (SELECT w AS token, count(*) AS cnt FROM pos GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM uni),
+        |vocab AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT 16),
+        |pr AS (
+        |  SELECT a.doc_id, a.i, a.w, b.w AS prev
+        |  FROM pos a LEFT JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i - 1),
+        |bc AS (
+        |  SELECT prev AS w1, w AS w2, count(*) AS bcnt FROM pr
+        |  WHERE prev IN (SELECT token FROM vocab)
+        |    AND w IN (SELECT token FROM vocab)
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT w1, w2, bcnt FROM bc ORDER BY bcnt DESC, w1, w2 LIMIT 64),
+        |sc AS (
+        |  SELECT pr.doc_id,
+        |    CASE WHEN bt.bcnt IS NOT NULL
+        |         THEN ln(CAST(bt.bcnt AS DOUBLE) / pv.cnt)
+        |         ELSE ln((CASE WHEN pr.prev IS NULL THEN 1.0 ELSE 0.4 END)
+        |                 * coalesce(CAST(vw.cnt AS DOUBLE), 0.5) / tot.total)
+        |    END AS lp
+        |  FROM pr
+        |  LEFT JOIN vocab vw ON vw.token = pr.w
+        |  LEFT JOIN vocab pv ON pv.token = pr.prev
+        |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
+        |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
     // engine-validated); native xxhash64(shingle) equality is mirrored by

@@ -173,6 +173,73 @@ object TextAnalysis {
       .agg(round(avg(col("_lp")), 4).as("avg_logprob"))
   }
 
+  /** Bigram LM quality score with STUPID BACKOFF (Brants et al. 2007,
+    * arXiv:cs/0702136 — the backoff designed for MapReduce-scale LMs:
+    * no discounting to normalize, just `α · p_unigram` when the bigram
+    * is unseen, because at web scale held-out smoothing costs more than
+    * it buys). Upgrades [[unigramLogProbScore]] to context-aware
+    * scoring — word salad with corpus-typical unigrams ("the of and
+    * the") now scores LOW because its bigrams are unseen.
+    *
+    * Per position i: `ln(cnt(w_{i-1}w_i) / cnt(w_{i-1}))` when the
+    * bigram is among the top-B heavy hitters (both words in the top-V
+    * vocab), else `ln(α · p_uni(w_i))`; position 1 is unigram-scored.
+    * Doc score = mean over positions, rounded to 4.
+    *
+    * Scale shape (the Stupid-Backoff deployment shape): the top-V
+    * unigram and top-B bigram tables are heavy-hitter TakeOrdereds that
+    * BROADCAST — the corpus is never shuffled on token strings; scoring
+    * is one explode + two broadcast joins. B bounds driver/executor
+    * memory, and every dropped bigram falls back to the (already
+    * bounded) unigram floor — graceful degradation by construction.
+    */
+  def bigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
+                         vocabSize: Int = 1 << 16, bigramTopB: Int = 1 << 20,
+                         alpha: Double = 0.4): DataFrame = {
+    require(vocabSize >= 1, s"bigramLogProbScore: vocabSize must be ≥1, got $vocabSize")
+    require(bigramTopB >= 1, s"bigramLogProbScore: bigramTopB must be ≥1, got $bigramTopB")
+    require(alpha > 0 && alpha <= 1, s"bigramLogProbScore: alpha must be in (0,1], got $alpha")
+    val uni = unigramCounts(df, textCol)
+    val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    val total = uni.agg(sum(col("cnt")).as("_total"))
+    // bigrams restricted to vocab×vocab (the denominator count is then
+    // always a vocab row), heavy-hitter top-B with deterministic ties
+    val t = tokens(Cols.qcol(textCol))
+    val pairs = df
+      .select(explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("_w1"), element_at(t, i + 1).as("_w2"))))
+        .otherwise(array().cast("array<struct<_w1:string,_w2:string>>"))).as("_pair"))
+      .select(col("_pair._w1").as("_w1"), col("_pair._w2").as("_w2"))
+    val bigrams = pairs
+      .join(broadcast(vocab.select(col("token").as("_w1"))), Seq("_w1"), "left_semi")
+      .join(broadcast(vocab.select(col("token").as("_w2"))), Seq("_w2"), "left_semi")
+      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("_w1"), col("_w2")).limit(bigramTopB)
+    val toks = df.select(Cols.qcol(idCol),
+      posexplode(tokens(Cols.qcol(textCol))).as(Seq("_pos", "_w")))
+    val prev = lag(col("_w"), 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(Cols.qcol(idCol)).orderBy(col("_pos")))
+    toks
+      .withColumn("_prev", prev)
+      .join(broadcast(vocab.select(col("token").as("_w"), col("cnt").as("_ucnt"))),
+        Seq("_w"), "left")
+      .join(broadcast(vocab.select(col("token").as("_prev"), col("cnt").as("_pcnt"))),
+        Seq("_prev"), "left")
+      .join(broadcast(bigrams.select(col("_w1").as("_prev"), col("_w2").as("_w"),
+        col("bcnt"))), Seq("_prev", "_w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_lp",
+        when(col("bcnt").isNotNull,
+          log(col("bcnt").cast("double") / col("_pcnt")))
+        .otherwise(log(
+          (when(col("_prev").isNull, lit(1.0)).otherwise(lit(alpha))) *
+            coalesce(col("_ucnt").cast("double"), lit(0.5)) / col("_total"))))
+      .groupBy(Cols.qcol(idCol))
+      .agg(round(avg(col("_lp")), 4).as("avg_bigram_logprob"))
+  }
+
   /** Linear text-classifier INFERENCE over hashed token features — the
     * fasttext-style quality/domain classifier scoring step big corpus
     * pipelines run (e.g. scoring web pages against a "looks like

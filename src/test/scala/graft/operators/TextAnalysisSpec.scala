@@ -102,4 +102,34 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.linearClassifierScore(docs, "text", Array(1.0), 0.0)
     }
   }
+
+  test("bigramLogProbScore: context-aware (scrambled word salad scores below fluent text)") {
+    // 20 copies of a fluent sentence dominate the bigram table; one doc
+    // reuses EXACTLY the same words in a novel order — identical unigram
+    // distribution, unseen bigrams. The unigram score cannot tell them
+    // apart; the bigram score must.
+    val fluent = "the cat sat on the mat"
+    val salad = "mat the on sat cat the"
+    val docs = (1L to 20L).map(i => (i, fluent)) :+ (21L, salad)
+    val df = docs.toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProbScore(df, "doc_id", "text",
+        vocabSize = 16, bigramTopB = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(1L) == bi(2L), "identical docs score identically")
+    assert(bi(1L) > bi(21L),
+      s"fluent ${bi(1L)} must beat scrambled ${bi(21L)} under bigram scoring")
+    val uni = TextAnalysis.unigramLogProbScore(df, "doc_id", "text", vocabSize = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1L) == uni(21L),
+      "unigram scoring is blind to order — the bigram upgrade is the point")
+    // single-token and null-text contracts follow the unigram operator
+    val edge = Seq((1L, "hello"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val e = TextAnalysis.bigramLogProbScore(edge, "doc_id", "text",
+        vocabSize = 4, bigramTopB = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e.contains(1L) && !e.contains(2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLogProbScore(df, "doc_id", "text", alpha = 0.0)
+    }
+  }
 }
