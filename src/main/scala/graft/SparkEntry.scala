@@ -490,6 +490,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // logistic-regression FIT (round 9): two exact full-batch GD steps
+    // from zero init over md5-bucketed token features, labels doc_id % 2
+    // — the whole gradient algebra (forward pass, error, per-bucket
+    // partial-agg, bias sentinel, 1/N scaling) is DuckDB-mirrored; the
+    // CONVERGED model (50 iters on planted separable text) is pinned by
+    // TextAnalysisSpec instead, where SQL can't follow the loop
+    "q_clf_train" -> ((s, d) => {
+      import s.implicits._
+      val labeled = Tables.documents(s, d)
+        .withColumn("label", (col("doc_id") % 2).cast("int"))
+      val (w, b, _) = TextAnalysis.trainTextClassifier(labeled, "text", "label",
+        iters = 2, lr = 1.0)
+      ((-1, b) +: w.toIndexedSeq.zipWithIndex.map { case (wt, i) => (i, wt) })
+        .toDF("b", "weight")
+        .select($"b".cast("long").as("b"), round($"weight", 6).as("weight"))
+        .orderBy($"b")
+    }),
+
+    // corpus-level overlap (round 9): exact-mode distinct-shingle
+    // Jaccard/containment between the corpus and its doc_id%3 subset —
+    // md5_52 shingle hashes so DuckDB recomputes the identical key space
+    // (hash collisions, if any, collide identically in both engines);
+    // the zero-shuffle HLL sketch mode is spec-bounded against this one
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.corpusOverlap(docs, docs.filter(col("doc_id") % 3 === 0), "text",
+        k = 3, mode = "exact", hashMode = "md5_52")
+    }),
+
     // benchmark decontamination: every 10th doc doubles as the "benchmark"
     // set (drawn from the corpus itself, so overlap is guaranteed for those
     // docs and possible for shingle-sharing neighbors). k=3 matches the
@@ -2011,6 +2040,83 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // two exact GD steps of the logistic fit, fully mirrored: md5-bucket
+    // features with counts/n, bias as the x=1 sentinel at bucket -1,
+    // step 1 closed-form from σ(0)=0.5, step 2 re-deriving margins from
+    // w1 — Spark's forward pass is the native clf_score but the algebra
+    // (bias + Σ x·w) is identical, round(6) absorbs float association
+    "q_clf_train" -> {
+      val bkt = (t: String) =>
+        s"(strpos('0123456789abcdef', substr(md5('graft' || $t), 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5('graft' || $t), 2, 1)) - 1)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+         |         unnest(string_split(trim(text), ' ')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, y, ${bkt("t")} AS bkt FROM tok),
+         |cnt AS (SELECT doc_id, y, bkt, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         |nt AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+         |feats AS (
+         |  SELECT cnt.doc_id, cnt.y, cnt.bkt, cnt.c / CAST(nt.n AS DOUBLE) AS x
+         |  FROM cnt JOIN nt ON nt.doc_id = cnt.doc_id
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, y, -1 AS bkt, 1.0 AS x FROM b),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM feats),
+         |w1 AS (
+         |  SELECT bkt, -(sum(x * (0.5 - y)) / (SELECT n FROM nd)) AS w
+         |  FROM feats GROUP BY bkt),
+         |e2 AS (
+         |  SELECT f.doc_id, f.y,
+         |         1.0 / (1.0 + exp(-sum(f.x * w1.w))) - f.y AS err
+         |  FROM feats f JOIN w1 ON w1.bkt = f.bkt
+         |  GROUP BY f.doc_id, f.y),
+         |w2 AS (
+         |  SELECT f.bkt,
+         |         any_value(w1.w) - sum(f.x * e2.err) / (SELECT n FROM nd) AS w
+         |  FROM feats f
+         |  JOIN w1 ON w1.bkt = f.bkt
+         |  JOIN e2 ON e2.doc_id = f.doc_id
+         |  GROUP BY f.bkt)
+         |SELECT r.range AS b, round(coalesce(w2.w, 0), 6) AS weight
+         |FROM range(-1, 256) r LEFT JOIN w2 ON w2.bkt = r.range
+         |ORDER BY b""".stripMargin
+    },
+
+    // corpus overlap mirror: the q_ngram_jaccard shingle CTE (k=3,
+    // whole-text fallback, per-doc distinct) hashed through the
+    // hashRank52 13-nibble fold, then exact distinct membership flags
+    "q_corpus_overlap" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 3 THEN
+         |      list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [array_to_string(t, ' ')] END)) AS s
+         |  FROM toks),
+         |hs AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |keys AS (SELECT doc_id, $folded AS hk FROM hs),
+         |flags AS (
+         |  SELECT hk, max(1) AS ia,
+         |         max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
+         |  FROM keys GROUP BY hk),
+         |agg AS (
+         |  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+         |         CAST(sum(ia * ib) AS BIGINT) AS n_intersect
+         |  FROM flags)
+         |SELECT n_a, n_b, n_intersect,
+         |  n_a + n_b - n_intersect AS n_union,
+         |  round(n_intersect / CAST(greatest(n_a + n_b - n_intersect, 1) AS DOUBLE), 6) AS jaccard,
+         |  round(n_intersect / CAST(greatest(n_a, 1) AS DOUBLE), 6) AS containment_a,
+         |  round(n_intersect / CAST(greatest(n_b, 1) AS DOUBLE), 6) AS containment_b
+         |FROM agg""".stripMargin
+    },
 
     // decontamination mirror: same shingle CTE as q_ngram_jaccard (already
     // engine-validated); native xxhash64(shingle) equality is mirrored by

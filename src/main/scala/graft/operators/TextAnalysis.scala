@@ -305,4 +305,92 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(topK)
   }
+
+  /** Distributed logistic-regression FIT for the hashed-token linear
+    * classifier — the missing half of [[linearClassifierScore]]: train the
+    * fasttext-style quality/domain model ON the cluster, serve it through
+    * the same native `clf_score` expression. Full-batch gradient descent
+    * on mean log-loss; featurization is IDENTICAL to serving by
+    * construction (the forward pass each iteration IS `clf_score` over
+    * the cached token arrays — margin `bias + meanₜ w[bucket(t)]`), so
+    * train/serve skew cannot exist.
+    *
+    * Per iteration: ONE aggregate pass — per-doc error
+    * `σ(margin) − y` from the native forward pass, gradient contributions
+    * exploded from the precomputed per-doc feature entries
+    * `(bucket, count/n)` (plus a bias sentinel at bucket −1), partial-
+    * aggregated onto ≤257 keys. The per-iteration `.collect()` is those
+    * ≤257 gradient rows — driver-side data is O(buckets), never O(docs),
+    * the [[Curation.dsirWeights]] convention. The feature table is
+    * persisted once (eagerly, the AQE sibling-stage rule) and released in
+    * `finally`.
+    *
+    * At 100 TB the labeled fit set is a SAMPLE by definition (labels are
+    * human or model annotations); the full corpus only ever sees the
+    * serving scan. Buckets are `md5` 256-way ([[Curation.hashBucket256]],
+    * = `clf_score` md5 mode) so learned weights are engine-portable and
+    * the gradient algebra is DuckDB-mirrorable (`q_clf_train` pins two
+    * exact GD steps from zero init, hash-matched).
+    *
+    * Null / token-less docs carry no signal (no features, margin would be
+    * bias-only) and are dropped from the fit — documented, mirrored by
+    * the oracle.
+    *
+    * @return (weights(256), bias, mean log-loss per iteration — computed
+    *         from the PRE-update margins, so `losses.head` is the
+    *         ln(2) ≈ 0.693 of the zero model and a decreasing tail is the
+    *         convergence certificate)
+    */
+  def trainTextClassifier(df: DataFrame, textCol: String, labelCol: String,
+                          iters: Int = 50, lr: Double = 1.0,
+                          seed: String = "graft")
+      : (Array[Double], Double, Seq[Double]) = {
+    require(iters >= 1, s"trainTextClassifier: iters must be ≥1, got $iters")
+    require(lr > 0, s"trainTextClassifier: lr must be >0, got $lr")
+    val toks = tokens(Cols.qcol(textCol))
+    val feats = df
+      .filter(Cols.qcol(textCol).isNotNull && size(toks) > 0 &&
+        Cols.qcol(labelCol).isNotNull)
+      .select(Cols.qcol(labelCol).cast("double").as("_y"), toks.as("_toks"))
+      .withColumn("_bs",
+        transform(col("_toks"), t => Curation.hashBucket256(t, seed).cast("int")))
+      .withColumn("_f", concat(
+        array(struct(lit(-1).as("b"), lit(1.0).as("x"))),
+        transform(array_distinct(col("_bs")), b => struct(b.as("b"),
+          (size(filter(col("_bs"), v => v === b)).cast("double") /
+            size(col("_bs"))).as("x")))))
+      .select(col("_y"), col("_toks"), col("_f"))
+      .persist()
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "trainTextClassifier: no labeled rows with tokens to fit on")
+      val w = Array.fill(256)(0.0)
+      var bias = 0.0
+      val losses = Seq.newBuilder[Double]
+      for (_ <- 1 to iters) {
+        val margin = call_function("clf_score", col("_toks"),
+          lit(w.mkString(",")), lit(bias), lit(seed), lit("md5"))
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        // log-loss rides the gradient pass: each exploded entry carries
+        // loss/|entries| so the driver-side sum over buckets is the total
+        val loss = -(col("_y") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col("_y")) * log(greatest(lit(1.0) - p, lit(1e-12))))
+        val rows = feats
+          .select((p - col("_y")).as("_err"),
+            (loss / size(col("_f"))).as("_lpart"),
+            explode(col("_f")).as("_e"))
+          .groupBy(col("_e.b").as("_b"))
+          .agg(sum(col("_e.x") * col("_err")).as("_g"),
+            sum(col("_lpart")).as("_l"))
+          .collect()
+        losses += rows.map(_.getDouble(2)).sum / n
+        rows.foreach { r =>
+          val step = lr * r.getDouble(1) / n
+          val b = r.getInt(0)
+          if (b == -1) bias -= step else w(b) -= step
+        }
+      }
+      (w, bias, losses.result())
+    } finally { feats.unpersist() }
+  }
 }

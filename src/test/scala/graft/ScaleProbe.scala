@@ -296,6 +296,25 @@ object ScaleProbe {
         k = 10, shortlist = 100)
     }
     probe("pq_search") { pqs(emb1) } { pqs(emb) }
+    // classifier fit: ONE GD iteration over the 16× labeled set — the
+    // gradient exchange carries ≤257 keys at any corpus size, so the
+    // per-iteration cost must track the feature-build scan, nothing more
+    def clfFit(dd: DataFrame): () => Unit = () => {
+      graft.operators.TextAnalysis.trainTextClassifier(
+        dd.select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("label")),
+        "text", "label", iters = 1)
+      ()
+    }
+    probeRun("clf_train")(clfFit(docs1))(clfFit(docs))
+    // corpus overlap, sketch mode: HLL partials only — no distinct-key
+    // shuffle, so 16× the shingles must cost ~the scan
+    def overlap(dd: DataFrame): () => Unit = () => {
+      Dedup.corpusOverlap(dd, dd.filter(col("doc_id") % 3 === 0), "text",
+          k = 5, mode = "sketch")
+        .write.format("noop").mode("overwrite").save()
+    }
+    probeRun("corpus_overlap")(overlap(docs1))(overlap(docs))
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

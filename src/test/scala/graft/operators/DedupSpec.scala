@@ -400,4 +400,58 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n)
     assert(out.forall(_.getLong(1) == 0L), "every chain node must label to min id 0")
   }
+
+  test("corpusOverlap: exact identities, symmetry, subset containment") {
+    val a = (1 to 60).map(i => (i.toLong, s"alpha bravo charlie delta $i echo foxtrot"))
+      .toDF("doc_id", "text")
+    val b = a.filter(col("doc_id") % 2 === 0)
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    // identical corpora: everything overlaps
+    val self = one(Dedup.corpusOverlap(a, a, "text", k = 3, mode = "exact"))
+    assert(self.getAs[Double]("jaccard") == 1.0 &&
+      self.getAs[Double]("containment_a") == 1.0 &&
+      self.getAs[Double]("containment_b") == 1.0)
+    // subset: B's shingles are all in A
+    val sub = one(Dedup.corpusOverlap(a, b, "text", k = 3, mode = "exact"))
+    assert(sub.getAs[Double]("containment_b") == 1.0)
+    assert(sub.getAs[Long]("n_intersect") == sub.getAs[Long]("n_b"))
+    // symmetry: swapping sides swaps the containments, jaccard invariant
+    val swapped = one(Dedup.corpusOverlap(b, a, "text", k = 3, mode = "exact"))
+    assert(swapped.getAs[Double]("jaccard") == sub.getAs[Double]("jaccard"))
+    assert(swapped.getAs[Double]("containment_a") == sub.getAs[Double]("containment_b"))
+    assert(swapped.getAs[Double]("containment_b") == sub.getAs[Double]("containment_a"))
+    // disjoint corpora: zero overlap
+    val c = (1 to 40).map(i => (i.toLong, s"zulu yankee xray whiskey $i victor uniform"))
+      .toDF("doc_id", "text")
+    val dis = one(Dedup.corpusOverlap(a, c, "text", k = 3, mode = "exact"))
+    assert(dis.getAs[Long]("n_intersect") == 0L && dis.getAs[Double]("jaccard") == 0.0)
+    intercept[IllegalArgumentException] {
+      Dedup.corpusOverlap(a, b, "text", mode = "bogus")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.corpusOverlap(a, b, "text", hashMode = "bogus")
+    }
+  }
+
+  test("corpusOverlap: sketch mode tracks exact within HLL error, zero exchanges") {
+    val a = (1 to 400).map(i => (i.toLong,
+      s"token$i word${i % 37} item${i % 11} common ground shared tail"))
+      .toDF("doc_id", "text")
+    val b = a.filter(col("doc_id") % 3 === 0)
+    val ex = Dedup.corpusOverlap(a, b, "text", k = 3, mode = "exact").collect().head
+    val sk = Dedup.corpusOverlap(a, b, "text", k = 3, mode = "sketch", rsd = 0.01)
+      .collect().head
+    // inclusion–exclusion compounds per-sketch error: bound the
+    // intersection estimate against the UNION size (the standard caveat)
+    val tol = 0.05 * ex.getAs[Long]("n_union")
+    assert(math.abs(sk.getAs[Long]("n_a") - ex.getAs[Long]("n_a")) <= tol)
+    assert(math.abs(sk.getAs[Long]("n_b") - ex.getAs[Long]("n_b")) <= tol)
+    assert(math.abs(sk.getAs[Long]("n_intersect") - ex.getAs[Long]("n_intersect")) <= tol)
+    // the sketch path never shuffles: HLL partials merge through the
+    // driver-side single-row aggregate, no hashpartitioning exchange
+    val plan = Dedup.corpusOverlap(a, b, "text", k = 3, mode = "sketch")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sketch overlap must not shuffle distinct keys:\n$plan")
+  }
 }

@@ -132,4 +132,51 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramLogProbScore(df, "doc_id", "text", alpha = 0.0)
     }
   }
+
+  test("trainTextClassifier: converges on separable text and serves via clf_score") {
+    val docs = (1 to 200).map { i =>
+      if (i % 2 == 0) (i.toLong, s"buy cheap pills now offer $i click win prize", 1)
+      else (i.toLong, s"the quiet study of rivers and mountains $i continues", 0)
+    }.toDF("doc_id", "text", "label")
+    val (w, b, losses) = TextAnalysis.trainTextClassifier(
+      docs, "text", "label", iters = 30, lr = 2.0)
+    assert(w.length == 256)
+    // first loss is the zero model's ln 2; a decreasing tail is the
+    // convergence certificate
+    assert(math.abs(losses.head - math.log(2)) < 1e-9)
+    assert(losses.sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      s"loss must not climb: $losses")
+    assert(losses.last < 0.4, s"should fit separable data, loss=${losses.last}")
+    // the learned model, served through the SAME native clf_score path,
+    // separates the classes with a clean margin
+    val scored = TextAnalysis.linearClassifierScore(docs, "text", w, b)
+      .select(col("label"), col("clf_score"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    val spamMin = scored.filter(_._1 == 1).map(_._2).min
+    val hamMax = scored.filter(_._1 == 0).map(_._2).max
+    assert(spamMin > hamMax,
+      s"classes must separate: min(spam)=$spamMin max(ham)=$hamMax")
+    assert(spamMin > 0.5 && hamMax < 0.5)
+  }
+
+  test("trainTextClassifier: drops null/token-less rows, validates args") {
+    val docs = Seq(
+      (1L, "alpha beta", 1), (2L, null.asInstanceOf[String], 0),
+      (3L, "gamma delta", 0)).toDF("doc_id", "text", "label")
+    // the null-text row carries no features; training still runs on the rest
+    val (w, b, losses) = TextAnalysis.trainTextClassifier(
+      docs, "text", "label", iters = 2)
+    assert(losses.size == 2 && w.length == 256)
+    assert(!b.isNaN && w.forall(!_.isNaN))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainTextClassifier(docs, "text", "label", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainTextClassifier(docs, "text", "label", lr = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainTextClassifier(
+        docs.filter(col("doc_id") < 0), "text", "label")
+    }
+  }
 }
