@@ -490,6 +490,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental TEXT near-dup (round 9): the corpus re-ingested against
+    // its own minhash index — every doc's OTHER near-dups surface via
+    // band collisions and are verified by signature lane agreement
+    // (never by re-reading corpus text); md5_52 makes signatures, band
+    // buckets AND the estimator DuckDB-reproducible
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text", hashMode = "md5_52")
+      Dedup.nearDupAgainstCorpus(docs, idx, "doc_id", "text",
+          hashMode = "md5_52", threshold = 0.5)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // logistic-regression FIT (round 9): two exact full-batch GD steps
     // from zero init over md5-bucketed token features, labels doc_id % 2
     // — the whole gradient algebra (forward pass, error, per-bucket
@@ -2040,6 +2053,70 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // incremental near-dup mirror: the q_dedup_minhash sig/banding CTEs
+    // verbatim (already engine-validated), then band-collision pairs
+    // verified by per-lane signature agreement / 16 — the MinHash
+    // Jaccard estimator recomputed exactly
+    "q_dedup_minhash_incr" -> {
+      val nibSh = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $i, 1)) - 1)"
+      val foldSh = (2 to 13).foldLeft(nibSh(1))((acc, i) => s"($acc * 16 + ${nibSh(i)})")
+      val nibK = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(kstr), $i, 1)) - 1)"
+      val foldK = (2 to 13).foldLeft(nibK(1))((acc, i) => s"($acc * 16 + ${nibK(i)})")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+         |  FROM t),
+         |sh AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      list_slice(toks, i, i + least(3, len(toks)) - 1), ' ') AS shingle
+         |  FROM s),
+         |h AS (
+         |  SELECT doc_id, CAST($foldSh AS HUGEINT) AS h52 FROM sh),
+         |lanes AS (
+         |  SELECT doc_id, h52, unnest(range(0, 16)) AS lane FROM h),
+         |v AS (
+         |  SELECT doc_id, lane,
+         |    (h52 * (CAST('11400714819323198485' AS HUGEINT) + 2 * lane)
+         |      + CAST('14029467366897019727' AS HUGEINT) * (lane + 1))
+         |      % CAST('18446744073709551616' AS HUGEINT) AS vm
+         |  FROM lanes),
+         |sig AS (
+         |  SELECT doc_id, lane,
+         |    min(CAST(CASE WHEN vm >= CAST('9223372036854775808' AS HUGEINT)
+         |      THEN vm - CAST('18446744073709551616' AS HUGEINT) ELSE vm END
+         |      AS BIGINT)) AS sv
+         |  FROM v GROUP BY doc_id, lane),
+         |bands AS (
+         |  SELECT doc_id, CAST(lane // 4 AS INT) AS band,
+         |    string_agg(CAST(sv AS VARCHAR), ',' ORDER BY lane) AS lanes_str
+         |  FROM sig GROUP BY doc_id, lane // 4),
+         |keyed AS (
+         |  SELECT doc_id, band, band || ':' || lanes_str AS kstr FROM bands),
+         |buckets AS (
+         |  SELECT doc_id, band, CAST($foldK AS BIGINT) AS bucket FROM keyed),
+         |pairs AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM buckets b JOIN buckets c
+         |    ON c.band = b.band AND c.bucket = b.bucket
+         |   AND c.doc_id <> b.doc_id),
+         |est AS (
+         |  SELECT p.batch_id, p.corpus_id,
+         |    round(sum(CASE WHEN sb.sv = sc.sv THEN 1 ELSE 0 END) / 16.0, 4)
+         |      AS est_jaccard
+         |  FROM pairs p
+         |  JOIN sig sb ON sb.doc_id = p.batch_id
+         |  JOIN sig sc ON sc.doc_id = p.corpus_id AND sc.lane = sb.lane
+         |  GROUP BY p.batch_id, p.corpus_id)
+         |SELECT batch_id, corpus_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    },
 
     // two exact GD steps of the logistic fit, fully mirrored: md5-bucket
     // features with counts/n, bias as the x=1 sentinel at bucket -1,

@@ -175,6 +175,39 @@ object EventStreams {
     q
   }
 
+  /** Streaming NEAR-DEDUP at ingest — each arriving micro-batch is
+    * MinHash-probed against a PRECOMPUTED corpus signature index
+    * (`Dedup.minhashIndex`, built once over landed history) and rows
+    * whose lane-agreement Jaccard estimate clears `threshold` are
+    * dropped before landing in `outDir/batch=<id>`. The live-ingest
+    * sibling of `Dedup.dedupNearAgainstCorpus`, same incremental split
+    * as [[decontaminateSink]]: the stream never re-signatures history —
+    * per-batch cost is the batch's own signatures plus the fixed-width
+    * banding join. Replay-idempotent (overwrite per batch dir);
+    * equivalence with the batch filter pinned in EventStreamsSpec.
+    */
+  def nearDedupSink(docs: DataFrame, index: DataFrame,
+                    idCol: String, textCol: String,
+                    outDir: String, checkpointDir: String,
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    hashMode: String = "xx", threshold: Double = 0.7,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dedupNearAgainstCorpus(batch, index, idCol, textCol,
+            k, numHashes, bands, hashMode, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** Streaming SPAN DEDUP — substring-level boilerplate cutting at
     * ingest: each arriving micro-batch has the spans matching a
     * PRECOMPUTED duplicated-window-hash set

@@ -296,6 +296,18 @@ object ScaleProbe {
         k = 10, shortlist = 100)
     }
     probe("pq_search") { pqs(emb1) } { pqs(emb) }
+    // incremental minhash probe: a FIXED batch (the 1× corpus) probed
+    // against a 1× vs 16× signature index — per-batch cost must track
+    // the index join, never re-signature the corpus
+    val probeBatch = docs1.select(col("doc_id"), col("text"))
+    def mhProbe(dd: DataFrame): () => Unit = () => {
+      val idx = Dedup.minhashIndex(dd.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      Dedup.nearDupAgainstCorpus(probeBatch, idx, "doc_id", "text",
+          threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    probeRun("minhash_incr")(mhProbe(docs1))(mhProbe(docs))
     // classifier fit: ONE GD iteration over the 16× labeled set — the
     // gradient exchange carries ≤257 keys at any corpus size, so the
     // per-iteration cost must track the feature-build scan, nothing more

@@ -401,6 +401,58 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 0L), "every chain node must label to min id 0")
   }
 
+  test("nearDupAgainstCorpus: flags near/exact dups via lane agreement, spares fresh") {
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus doc 1 under a new id → estimator must say 1.0
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      // near-dup of corpus doc 2: one word swapped at the tail
+      (11L, "one two three four five six seven eight nine eleven"),
+      (12L, "completely unrelated text about mountains and rivers flowing")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val pairs = Dedup.nearDupAgainstCorpus(batch, idx, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 10L && p._2 == 1L)
+    assert(exact.exists(_._3 == 1.0),
+      s"exact copy must estimate jaccard 1.0, got $exact in ${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 11L && p._2 == 2L && p._3 >= 0.5),
+      s"near-dup must collide and clear threshold: ${pairs.toSeq}")
+    assert(!pairs.exists(_._1 == 12L), s"fresh doc must not flag: ${pairs.toSeq}")
+    // the ingest filter drops flagged rows, keeps columns untouched
+    val kept = Dedup.dedupNearAgainstCorpus(batch, idx, "doc_id", "text",
+      threshold = 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(12L))
+    // a batch doc re-ingested under its OWN id reports only others
+    val self = Dedup.nearDupAgainstCorpus(corpus, idx, "doc_id", "text",
+      threshold = 0.1).collect()
+    assert(!self.exists(r => r.getLong(0) == r.getLong(1)))
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstCorpus(batch, idx, "doc_id", "text", threshold = 0.0)
+    }
+  }
+
+  test("minhashIndex: banding rows match minhashBandBuckets, sig matches signature") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text").collect()
+    assert(idx.length == 4, "one row per band")
+    val sig = docs.select(
+      Dedup.minhashSignature(col("text"), 3, 16).as("s")).collect().head.getSeq[Long](0)
+    idx.foreach { r =>
+      assert(r.getSeq[Long](1) == sig, "index carries the full signature per band row")
+    }
+    val bb = Dedup.minhashBandBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(idx.map(r => (r.getInt(2), r.getLong(3))).toSet == bb,
+      "banding buckets identical to the sig-less table")
+  }
+
   test("corpusOverlap: exact identities, symmetry, subset containment") {
     val a = (1 to 60).map(i => (i.toLong, s"alpha bravo charlie delta $i echo foxtrot"))
       .toDF("doc_id", "text")

@@ -193,6 +193,41 @@ class EventStreamsSpec extends SparkSpec {
       "stream ∪ micro-batches must equal the batch quality gate")
   }
 
+  test("nearDedupSink agrees with batch dedupNearAgainstCorpus given the same index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "one two three four five six seven eight nine ten"))
+    val arriving = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"), // exact
+      (11L, "one two three four five six seven eight nine eleven"),            // near
+      (12L, "completely unrelated text about mountains and rivers flowing"))
+    // the persistable corpus artifact, built once over landed history
+    val idx = Dedup.minhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .cache()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("neardedup_stream").toString
+      val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(arriving.take(2): _*)
+      EventStreams.nearDedupSink(ms.toDF().toDF("doc_id", "text"), idx,
+        "doc_id", "text", out, ckpt, threshold = 0.5)
+      ms.addData(arriving.drop(2): _*)
+      EventStreams.nearDedupSink(ms.toDF().toDF("doc_id", "text"), idx,
+        "doc_id", "text", out, ckpt, threshold = 0.5)
+      val streamed = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // per-row keep/drop depends only on the row and the fixed index, so
+      // micro-batched output == the batch filter regardless of batching
+      val batch = Dedup.dedupNearAgainstCorpus(
+        arriving.toDF("doc_id", "text"), idx, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stream ∪ micro-batches must equal the batch filter")
+      assert(streamed == Set(12L), "only the fresh doc survives near-dedup")
+    } finally idx.unpersist()
+  }
+
   test("decontaminateSink with a continuous trigger returns the live handle, not blocks") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.operators.Dedup
