@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -104,6 +104,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "top_k_any(score double, payload, k)")
         TopKAnyAgg(args(0), args(1), args(2))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "heavy_hitters(item string, budget)")
+        HeavyHittersAgg(args(0), args(1))
       }))
 
     ext.injectFunction((

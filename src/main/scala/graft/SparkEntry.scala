@@ -490,6 +490,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // heavy-hitter top-k WITHOUT an item-key shuffle (round 9): the
+    // Misra–Gries summary nominates candidates (one ≤budget summary per
+    // partition crosses the exchange), the exact recount restores
+    // layout-independent determinism — output EQUALS the exact top-k
+    // because the corpus's token Zipf head clears the n/budget guarantee
+    // (the spec pins the guarantee; the oracle pins the equality)
+    "q_top_tokens_approx" -> ((s, d) => {
+      val items = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+      TextAnalysis.approxTopK(items, topK = 20, budget = 4096)
+        .select(col("item").as("token"), col("cnt"))
+    }),
+
     // incremental TEXT near-dup (round 9): the corpus re-ingested against
     // its own minhash index — every doc's OTHER near-dups surface via
     // band collisions and are verified by signature lane agreement
@@ -2053,6 +2066,15 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the two-pass heavy hitter is EXACT under the guarantee, so the
+    // oracle is simply the exact top-20 (count desc, token asc)
+    "q_top_tokens_approx" ->
+      """SELECT t AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+        |GROUP BY t
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin,
 
     // incremental near-dup mirror: the q_dedup_minhash sig/banding CTEs
     // verbatim (already engine-validated), then band-collision pairs

@@ -306,6 +306,55 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Exact top-k heavy hitters WITHOUT shuffling item keys — the 100 TB
+    * upgrade for corpus vocabulary / n-gram reports. The direct
+    * `groupBy(item)` form ([[ngramDocFreqTopK]], [[unigramCounts]])
+    * shuffles every DISTINCT item — at web scale the token/shingle
+    * vocabulary is billions of keys and that exchange dwarfs the answer.
+    * Two passes instead:
+    *
+    *  1. `heavy_hitters(item, budget)` — a mergeable Misra–Gries summary
+    *     as ONE global aggregate: each partition reduces to a ≤budget
+    *     summary, the exchange carries one summary row per partition,
+    *     never an item key. Every item with true frequency > n/budget is
+    *     guaranteed in the summary.
+    *  2. Exact recount of ONLY the candidates: a broadcast semi-join
+    *     keeps candidate rows, so the count exchange carries ≤budget
+    *     distinct keys, then TakeOrdered top-k.
+    *
+    * Output EQUALS the exact top-k (layout-independent, oracle-checkable)
+    * whenever the k-th true frequency exceeds n/budget — size `budget`
+    * accordingly (≥ n/f_k, e.g. 2^16–2^20; the guarantee spec pins it).
+    * `items` must expose one string column `item`.
+    */
+  def approxTopK(items: DataFrame, topK: Int, budget: Int): DataFrame = {
+    require(topK >= 1, s"approxTopK: topK must be ≥1, got $topK")
+    require(budget >= topK,
+      s"approxTopK: budget ($budget) must be ≥ topK ($topK) — fewer counters " +
+        "than answers can never carry the guarantee")
+    val cands = items
+      .agg(call_function("heavy_hitters", col("item"), lit(budget)).as("_hh"))
+      .select(explode(col("_hh")).as("_e"))
+      .select(col("_e.item").as("item"))
+    items
+      .join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(topK)
+  }
+
+  /** [[ngramDocFreqTopK]] through the [[approxTopK]] two-pass — same
+    * output columns (`ngram`, `doc_freq`), no shingle-key shuffle.
+    */
+  def ngramDocFreqTopKApprox(df: DataFrame, textCol: String, k: Int,
+                             topK: Int, budget: Int = 1 << 16): DataFrame = {
+    require(k >= 1, s"ngramDocFreqTopKApprox: k must be ≥1, got $k")
+    approxTopK(
+      df.select(explode(Dedup.shingles(Cols.qcol(textCol), k)).as("item")),
+      topK, budget)
+      .select(col("item").as("ngram"), col("cnt").as("doc_freq"))
+  }
+
   /** Distributed logistic-regression FIT for the hashed-token linear
     * classifier — the missing half of [[linearClassifierScore]]: train the
     * fasttext-style quality/domain model ON the cluster, serve it through

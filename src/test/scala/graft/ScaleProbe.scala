@@ -296,6 +296,13 @@ object ScaleProbe {
         k = 10, shortlist = 100)
     }
     probe("pq_search") { pqs(emb1) } { pqs(emb) }
+    // MG heavy-hitter top-k: the candidate exchange carries ONE ≤budget
+    // summary per partition at any scale — 16× the tokens must cost ~the
+    // two scans, never a growing distinct-key shuffle
+    def hh(dd: DataFrame) = graft.operators.TextAnalysis.approxTopK(
+      dd.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("item")),
+      topK = 20, budget = 4096)
+    probe("top_tokens_approx") { hh(docs1) } { hh(docs) }
     // incremental minhash probe: a FIXED batch (the 1× corpus) probed
     // against a 1× vs 16× signature index — per-batch cost must track
     // the index join, never re-signature the corpus

@@ -554,6 +554,45 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("comma-separated list of doubles"))
   }
 
+  test("heavy_hitters: MG guarantee, undercount bound, layout independence of top-k") {
+    import spark.implicits._
+    // planted Zipf-ish stream: "hot" 400×, "warm" 120×, tail 1× each
+    val stream = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 600).map(i => s"tail$i")
+    val n = stream.size
+    val budget = 64
+    def summary(parts: Int): Map[String, Long] =
+      stream.toDF("item").repartition(parts)
+        .agg(org.apache.spark.sql.functions.call_function("heavy_hitters",
+          col("item"), org.apache.spark.sql.functions.lit(budget)).as("hh"))
+        .select(org.apache.spark.sql.functions.explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 7, 32).foreach { parts =>
+      val s = summary(parts)
+      assert(s.size <= budget)
+      // every item with true freq > n/budget is present, undercounted ≤ n/budget
+      assert(s.contains("hot") && s.contains("warm"),
+        s"guaranteed heavy hitters missing at $parts partitions: ${s.keySet.take(5)}")
+      assert(s("hot") <= 400 && s("hot") >= 400 - n / budget)
+      assert(s("warm") <= 120 && s("warm") >= 120 - n / budget)
+    }
+    // the two-pass operator output is layout-INDEPENDENT (exact recount)
+    def topk(parts: Int) = graft.operators.TextAnalysis.approxTopK(
+        stream.toDF("item").repartition(parts), topK = 2, budget = budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Seq(("hot", 400L), ("warm", 120L))
+    Seq(1, 7, 32).foreach(p => assert(topk(p) == expected, s"at $p partitions"))
+    // analysis-time checks: non-string item, bad budget
+    intercept[org.apache.spark.sql.AnalysisException] {
+      stream.toDF("item").select(org.apache.spark.sql.functions.call_function(
+        "heavy_hitters", org.apache.spark.sql.functions.lit(1), col("item"))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.approxTopK(stream.toDF("item"), 10, 5)
+    }
+  }
+
   test("expressions agree between codegen and interpreted modes") {
     val conf = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(conf)
