@@ -202,27 +202,34 @@ object TextAnalysis {
     val uni = unigramCounts(df, textCol)
     val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
     val total = uni.agg(sum(col("cnt")).as("_total"))
+    // (word, prev-word) comes row-LOCALLY out of the token array — a lag
+    // window here would shuffle AND per-doc-sort the whole exploded token
+    // table just to look one array slot left. The array is BOUND to a
+    // column first: element_at(tokens(text), i) inside the lambda would
+    // re-run the split per position (O(len²) splits/doc — the interpreted
+    // HOF evaluates the lambda body per element), while element_at on an
+    // attribute is a flat read; CollapseProject leaves the projection
+    // alone because the alias is referenced more than once.
+    val tokTable = df
+      .select(Cols.qcol(idCol), tokens(Cols.qcol(textCol)).as("_toks"))
+      .select(Cols.qcol(idCol), explode(when(col("_toks").isNotNull,
+        transform(sequence(lit(1), size(col("_toks"))), i => struct(
+          element_at(col("_toks"), i).as("_w"),
+          when(i > lit(1), element_at(col("_toks"), i - 1)).as("_prev"))))).as("_e"))
+      .select(Cols.qcol(idCol), col("_e._w").as("_w"), col("_e._prev").as("_prev"))
     // bigrams restricted to vocab×vocab (the denominator count is then
-    // always a vocab row), heavy-hitter top-B with deterministic ties
-    val t = tokens(Cols.qcol(textCol))
-    val pairs = df
-      .select(explode(when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("_w1"), element_at(t, i + 1).as("_w2"))))
-        .otherwise(array().cast("array<struct<_w1:string,_w2:string>>"))).as("_pair"))
-      .select(col("_pair._w1").as("_w1"), col("_pair._w2").as("_w2"))
-    val bigrams = pairs
+    // always a vocab row), heavy-hitter top-B with deterministic ties;
+    // the pair table is the same sliding window re-read (position 1 rows
+    // have a null _prev and drop out, so docs shorter than 2 contribute
+    // no pairs)
+    val bigrams = tokTable
+      .filter(col("_prev").isNotNull)
+      .select(col("_prev").as("_w1"), col("_w").as("_w2"))
       .join(broadcast(vocab.select(col("token").as("_w1"))), Seq("_w1"), "left_semi")
       .join(broadcast(vocab.select(col("token").as("_w2"))), Seq("_w2"), "left_semi")
       .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("bcnt"))
       .orderBy(col("bcnt").desc, col("_w1"), col("_w2")).limit(bigramTopB)
-    val toks = df.select(Cols.qcol(idCol),
-      posexplode(tokens(Cols.qcol(textCol))).as(Seq("_pos", "_w")))
-    val prev = lag(col("_w"), 1).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(Cols.qcol(idCol)).orderBy(col("_pos")))
-    toks
-      .withColumn("_prev", prev)
+    tokTable
       .join(broadcast(vocab.select(col("token").as("_w"), col("cnt").as("_ucnt"))),
         Seq("_w"), "left")
       .join(broadcast(vocab.select(col("token").as("_prev"), col("cnt").as("_pcnt"))),
