@@ -54,6 +54,11 @@ object ProdModeBench {
         noop(docs.select(col("doc_id"),
           TextAnalysis.fingerprint(col("text"), hashMode = mode).as("fingerprint")))
       }
+      timed(s"minhash_incr[$mode]") { () =>
+        val idx = Dedup.minhashIndex(docs, "doc_id", "text", hashMode = mode)
+        noop(Dedup.nearDupAgainstCorpus(docs, idx, "doc_id", "text",
+          hashMode = mode, threshold = 0.5))
+      }
     }
     for (mode <- Seq("xx", "md5_64")) {
       timed(s"simhash64[$mode]") { () =>
