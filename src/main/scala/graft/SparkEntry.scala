@@ -490,6 +490,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END curation chain (round 9): normalized dedup → Gopher
+    // gate → per-lang token quota → content-hash split, ONE lazy plan;
+    // every step is individually oracled, and the composed oracle reuses
+    // each step's mirror — a composition bug (wrong join, dropped
+    // filter, reordered steps) hash-mismatches even with all parts green.
+    // Gopher thresholds = q_gopher_filter's; budget/priority =
+    // q_cap_tokens' (3000 tokens/lang, n_chars desc)
+    "q_curation_e2e" -> ((s, d) =>
+      Curation.curateCorpus(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "lang", priorityCol = "n_chars",
+          tokenBudgetPerGroup = 3000L,
+          minWords = 25, maxWords = 100000)
+        .orderBy(col("doc_id"))),
+
     // heavy-hitter top-k WITHOUT an item-key shuffle (round 9): the
     // Misra–Gries summary nominates candidates (one ≤budget summary per
     // partition crosses the exchange), the exact recount restores
@@ -2066,6 +2080,52 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // composed mirror: fold-key keep-first (q_dedup_fold), the five
+    // gopher signals as a WHERE (q_gopher_filter), the per-lang cumsum
+    // quota (q_cap_tokens), the md5-nibble split (q_split_assign)
+    "q_curation_e2e" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY k),
+        |surv AS (SELECT n.* FROM norm n JOIN keep USING (doc_id)),
+        |sig AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    len(string_split(trim(text), ' ')) AS nw,
+        |    round(CAST(length(text) - (len(string_split(trim(text),' ')) - 1) AS DOUBLE)
+        |          / len(string_split(trim(text),' ')), 4) AS mwl,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |          / greatest(length(text), 1), 4) AS pr,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        w -> w IN ('the','a','an','of','and','to','in','is'))) AS stop,
+        |    round(1 - CASE WHEN len(string_split(trim(text),' ')) >= 2
+        |        THEN len(list_distinct(list_transform(
+        |               range(1, len(string_split(trim(text),' '))),
+        |               i -> string_split(trim(text),' ')[i] || ' ' ||
+        |                    string_split(trim(text),' ')[i+1])))
+        |        ELSE 1 END
+        |      / CAST(greatest(len(string_split(trim(text),' ')) - 1, 1) AS DOUBLE), 4)
+        |      AS d2
+        |  FROM surv),
+        |gated AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM sig
+        |  WHERE nw BETWEEN 25 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND pr <= 0.2 AND stop >= 2 AND d2 <= 0.2),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |    AS cum_before
+        |  FROM gated)
+        |SELECT doc_id, lang, n_tokens,
+        |  CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 14
+        |       THEN 'train' ELSE 'val' END AS split_label
+        |FROM c WHERE cum_before < 3000
+        |ORDER BY doc_id""".stripMargin,
 
     // the two-pass heavy hitter is EXACT under the guarantee, so the
     // oracle is simply the exact top-20 (count desc, token asc)

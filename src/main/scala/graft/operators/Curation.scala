@@ -905,4 +905,61 @@ object Curation {
           col("ok_stopwords") && col("ok_repetition"))
       .drop("_g_stop")
   }
+
+  /** END-TO-END curation composition — the chain a real pretraining
+    * corpus build runs, as ONE lazy plan over individually-oracled
+    * steps:
+    *
+    *  1. normalized exact dedup keep-first
+    *     ([[graft.operators.Dedup.exactByNormalizedContent]] — NFC/NFD,
+    *     accent and whitespace variants collapse; survivors keep their
+    *     ORIGINAL text),
+    *  2. Gopher rule gate ([[gopherRules]] `gopher_keep` conjunction),
+    *  3. per-stratum token-budget quota ([[capTokensPerGroup]] —
+    *     priority order, hierarchical window, no single-task stratum
+    *     sort),
+    *  4. deterministic content-hash train/val assignment
+    *     ([[hashSplit]]).
+    *
+    * Step order is the cost order: dedup needs only a hash per doc, so
+    * it runs on the raw corpus; quality signals are computed on
+    * survivors only; the quota sees only quality-passing rows; split
+    * assignment is a pure projection on what remains. Every exchange in
+    * the composed plan carries fixed-width keys (content hash, group
+    * key, (group, bucket)) — composition adds no new shuffle shape
+    * beyond its parts, which is the point of keeping each step a
+    * DataFrame→DataFrame operator.
+    *
+    * The WHOLE chain is pinned by one DuckDB oracle (`q_curation_e2e`)
+    * — each step's mirror is reused from its own query, so a
+    * composition bug (wrong join, dropped filter, reordered steps)
+    * hash-mismatches even though every part is individually green.
+    *
+    * @return survivors as (idCol, groupCol, n_tokens, split_label)
+    */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, priorityCol: String,
+                   tokenBudgetPerGroup: Long,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxPunctRatio: Double = 0.2, minStopwords: Int = 2,
+                   maxDup2gramRatio: Double = 0.2,
+                   trainSixteenths: Int = 14): DataFrame = {
+    val keepIds = graft.operators.Dedup
+      .exactByNormalizedContent(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val survivors = df.join(keepIds, Seq(idCol), "left_semi")
+    val gated = gopherRules(survivors, textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxPunctRatio, minStopwords,
+      maxDup2gramRatio)
+      .filter(col("gopher_keep"))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(Cols.qcol(textCol)).cast("long"))
+    val capped = capTokensPerGroup(gated, groupCol, "n_tokens",
+      tokenBudgetPerGroup, priorityCol, idCol)
+    capped
+      .withColumn("split_label", hashSplit(Cols.qcol(textCol), trainSixteenths))
+      .select(Cols.qcol(idCol), Cols.qcol(groupCol), col("n_tokens"),
+        col("split_label"))
+  }
 }

@@ -635,4 +635,39 @@ class CurationSpec extends SparkSpec {
     // every failing doc fails the conjunction
     Seq(2L, 3L, 4L, 5L, 6L).foreach(id => assert(!out(id)._6))
   }
+
+  test("curateCorpus: each stage bites — dedup, gopher gate, quota, split") {
+    // a long fluent base that passes every gopher rule
+    def fluent(i: Long) =
+      s"the quick brown fox $i jumps over the lazy dog and then runs to " +
+        "the river bank where it rests in the shade of an old tree while " +
+        "birds sing in the branches above and the water flows past stones"
+    val docs = Seq(
+      (1L, fluent(1), "en"),
+      // case + whitespace variant of doc 1 → normalized dedup drops it
+      (2L, fluent(1).toUpperCase.replace(" JUMPS", "   JUMPS") + "  ", "en"),
+      (3L, "short text only", "en"),                 // gopher: too few words
+      (4L, fluent(4), "en"),
+      (5L, fluent(5), "de")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val out = Curation.curateCorpus(docs, "doc_id", "text",
+        groupCol = "lang", priorityCol = "n_chars",
+        tokenBudgetPerGroup = 10000L, minWords = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    assert(!out.contains(2L), "whitespace variant must dedup away")
+    assert(!out.contains(3L), "short doc must fail the gopher gate")
+    assert(Set(1L, 4L, 5L).subsetOf(out.keySet), s"survivors wrong: ${out.keySet}")
+    assert(out(5L)._1 == "de" && out(1L)._2 > 0)
+    assert(out.values.forall(v => v._3 == "train" || v._3 == "val"))
+    // a tight budget caps the en stratum to its highest-priority doc
+    val capped = Curation.curateCorpus(docs, "doc_id", "text",
+        groupCol = "lang", priorityCol = "n_chars",
+        tokenBudgetPerGroup = 5L, minWords = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped.intersect(Set(1L, 4L)).size == 1,
+      s"budget 5 admits exactly one en doc (started before overflow): $capped")
+    assert(capped.contains(5L), "de stratum has its own budget")
+  }
 }
