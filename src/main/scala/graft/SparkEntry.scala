@@ -490,6 +490,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // IQR outlier flags (round 9): Tukey fences per order priority over
+    // one exact-percentile aggregate broadcast back; flags, not a
+    // pre-filtered frame, so reports attribute WHY
+    "q_outlier_flags" -> ((s, d) =>
+      Cleaning.flagOutliersIqr(Tables.orders(s, d), "o_orderpriority",
+          "o_totalprice")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_totalprice_lo"), col("o_totalprice_hi"),
+          col("o_totalprice_outlier"))
+        .orderBy(col("o_orderkey"))),
+
     // END-TO-END curation chain (round 9): normalized dedup → Gopher
     // gate → per-lang token quota → content-hash split, ONE lazy plan;
     // every step is individually oracled, and the composed oracle reuses
@@ -2080,6 +2091,25 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Tukey fences: quantile_cont mirrors Spark percentile's exact
+    // interpolation (q_ppl_buckets precedent); comparisons use the
+    // ROUNDED fences on both sides
+    "q_outlier_flags" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.25)
+        |      - 1.5 * (quantile_cont(o_totalprice, 0.75)
+        |               - quantile_cont(o_totalprice, 0.25)), 4) AS lo,
+        |    round(quantile_cont(o_totalprice, 0.75)
+        |      + 1.5 * (quantile_cont(o_totalprice, 0.75)
+        |               - quantile_cont(o_totalprice, 0.25)), 4) AS hi
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+        |  q.lo AS o_totalprice_lo, q.hi AS o_totalprice_hi,
+        |  (o_totalprice < q.lo OR o_totalprice > q.hi) AS o_totalprice_outlier
+        |FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
 
     // composed mirror: fold-key keep-first (q_dedup_fold), the five
     // gopher signals as a WHERE (q_gopher_filter), the per-lang cumsum

@@ -187,6 +187,41 @@ object Cleaning {
   def costRatio(cost: Column, price: Column): Column =
     round(cost / nullif(price, lit(0d)), 4)
 
+  /** Per-group IQR outlier FLAGS — the Tukey-fence check every numeric
+    * cleaning pass runs before deciding drop/cap/investigate. Rows keep
+    * all columns plus `<valueCol>_lo`/`_hi` (the fences) and
+    * `<valueCol>_outlier`; flags instead of a pre-filtered frame so
+    * reports can attribute WHY (the [[graft.operators.Curation]]
+    * gopherRules convention — and capping vs dropping is a policy the
+    * caller owns).
+    *
+    * Scale shape: ONE exact-percentile aggregate per group (q1, q3 in a
+    * single `percentile(…, array(…))` pass — mergeable partial per
+    * partition, never a per-group sort) broadcast back, then a pure
+    * filter projection. Null values flag null (an unmeasured row is not
+    * an outlier, mirroring the quality-gate null contract); groups
+    * absent from the stats join (all-null) keep null fences.
+    */
+  def flagOutliersIqr(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"flagOutliersIqr: k must be ≥0, got $k")
+    def qcol(n: String) = col("`" + n.replace("`", "``") + "`")
+    val v = qcol(valueCol)
+    val quart = df.groupBy(qcol(groupCol))
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("_oq"))
+      .select(qcol(groupCol),
+        col("_oq").getItem(0).as("_oq1"), col("_oq").getItem(1).as("_oq3"))
+    df.join(broadcast(quart), Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_lo",
+        round(col("_oq1") - lit(k) * (col("_oq3") - col("_oq1")), 4))
+      .withColumn(s"${valueCol}_hi",
+        round(col("_oq3") + lit(k) * (col("_oq3") - col("_oq1")), 4))
+      .withColumn(s"${valueCol}_outlier",
+        when(v.isNull, lit(null).cast("boolean"))
+          .otherwise(v < qcol(s"${valueCol}_lo") || v > qcol(s"${valueCol}_hi")))
+      .drop("_oq1", "_oq3")
+  }
+
   /** Per-column profile in long form — ONE aggregate pass over the table
     * (the reference profiles per column in a python loop,
     * `csv_loader.py:219`). Output: (column, dtype, null_count, null_pct,

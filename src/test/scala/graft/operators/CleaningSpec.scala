@@ -128,4 +128,28 @@ class CleaningSpec extends SparkSpec {
     assert(p("s").getAs[Long]("distinct_count") == 2L)
     assert(p("s").isNullAt(p("s").fieldIndex("min"))) // non-numeric → null stats
   }
+
+  test("flagOutliersIqr: hand-computed fences, null value, per-group isolation") {
+    // group a: values 1..9 plus a 100 spike → interpolated q1=3.25,
+    // q3=7.75, IQR=4.5, fences [-3.5, 14.5] at k=1.5: only the spike flags
+    val a = (1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 100.0)
+    // group b: tight cluster, no outliers — fences computed per group,
+    // so a's spike cannot widen b's fences (and vice versa)
+    val b = Seq(("b", 50.0), ("b", 51.0), ("b", 52.0), ("b", 53.0))
+    val df = (a ++ b).toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("g", "v"))
+    val out = Cleaning.flagOutliersIqr(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (r.getAs[Double]("v_lo"), r.getAs[Double]("v_hi"),
+          Option(r.get(r.fieldIndex("v_outlier"))))).toMap
+    assert(out(("a", Some(100.0)))._3.contains(true), "spike must flag")
+    assert(out(("a", Some(9.0))) == (-3.5, 14.5, Some(false)),
+      s"hand-computed fences wrong: ${out(("a", Some(9.0)))}")
+    assert(out(("b", Some(50.0)))._3.contains(false) &&
+      out(("b", Some(53.0)))._3.contains(false), "b's cluster is clean")
+    assert(out(("a", None))._3.isEmpty, "null value flags null, not false")
+    intercept[IllegalArgumentException] {
+      Cleaning.flagOutliersIqr(df, "g", "v", k = -1)
+    }
+  }
 }
