@@ -296,6 +296,14 @@ object ScaleProbe {
         k = 10, shortlist = 100)
     }
     probe("pq_search") { pqs(emb1) } { pqs(emb) }
+    // end-to-end curation: the composed chain must scale like its worst
+    // part (the fold-hash dedup groupBy), not like the product of stages
+    def e2e(dd: DataFrame) = graft.operators.Curation.curateCorpus(
+      dd.select(col("doc_id"), col("text"), col("lang"),
+        length(col("text")).as("n_chars")),
+      "doc_id", "text", groupCol = "lang", priorityCol = "n_chars",
+      tokenBudgetPerGroup = 3000L, minWords = 25)
+    probe("curation_e2e") { e2e(docs1) } { e2e(docs) }
     // MG heavy-hitter top-k: the candidate exchange carries ONE ≤budget
     // summary per partition at any scale — 16× the tokens must cost ~the
     // two scans, never a growing distinct-key shuffle
