@@ -156,14 +156,40 @@ object TextAnalysis {
     * never shuffled on token strings (which would skew-collapse on "the").
     * Two corpus scans (count, score) + one vocab-sized TakeOrdered.
     */
+  /** Deterministic top-V (token, cnt) vocabulary. `via = "exact"`: full
+    * `groupBy(token)` + TakeOrdered — shuffles every distinct token,
+    * exact always. `via = "mg"`: [[approxTopK]]'s Misra–Gries
+    * nominate-then-recount — the exchange carries one ≤mgBudget summary
+    * per partition instead of the token vocabulary, and the result
+    * EQUALS the exact top-V whenever the V-th frequency clears
+    * n/mgBudget (the Zipf head always does; equality spec-pinned). The
+    * scale path for LM vocab fits over web-size corpora.
+    */
+  def topVocab(df: DataFrame, textCol: String, vocabSize: Int,
+               via: String = "exact", mgBudget: Int = 1 << 16): DataFrame = {
+    require(via == "exact" || via == "mg",
+      s"topVocab: via must be exact or mg, got '$via'")
+    if (via == "mg")
+      approxTopK(df.select(explode(tokens(Cols.qcol(textCol))).as("item")),
+        vocabSize, math.max(mgBudget, vocabSize))
+        .select(col("item").as("token"), col("cnt"))
+    else
+      unigramCounts(df, textCol).orderBy(col("cnt").desc, col("token"))
+        .limit(vocabSize)
+  }
+
   def unigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
-                          vocabSize: Int = 1 << 16): DataFrame = {
+                          vocabSize: Int = 1 << 16,
+                          vocabVia: String = "exact"): DataFrame = {
     require(vocabSize >= 1, s"unigramLogProbScore: vocabSize must be ≥1, got $vocabSize")
-    val uni = unigramCounts(df, textCol)
     // deterministic top-V: count desc, token asc tie-break
-    val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
-    // total over ALL occurrences (OOV mass included), as one lazy scalar
-    val total = uni.agg(sum(col("cnt")).as("_total"))
+    val vocab = topVocab(df, textCol, vocabSize, vocabVia)
+    // total over ALL occurrences (OOV mass included) — a raw occurrence
+    // count, NOT an aggregate over per-token counts: summing the groupBy
+    // output would pay the full distinct-token shuffle a second time for
+    // a number a plain count(*) produces from partials
+    val total = df.select(explode(tokens(Cols.qcol(textCol))).as("token"))
+      .agg(count(lit(1)).as("_total"))
     df.select(Cols.qcol(idCol), explode(tokens(Cols.qcol(textCol))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total))
@@ -195,13 +221,14 @@ object TextAnalysis {
     */
   def bigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
                          vocabSize: Int = 1 << 16, bigramTopB: Int = 1 << 20,
-                         alpha: Double = 0.4): DataFrame = {
+                         alpha: Double = 0.4,
+                         vocabVia: String = "exact"): DataFrame = {
     require(vocabSize >= 1, s"bigramLogProbScore: vocabSize must be ≥1, got $vocabSize")
     require(bigramTopB >= 1, s"bigramLogProbScore: bigramTopB must be ≥1, got $bigramTopB")
     require(alpha > 0 && alpha <= 1, s"bigramLogProbScore: alpha must be in (0,1], got $alpha")
-    val uni = unigramCounts(df, textCol)
-    val vocab = uni.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
-    val total = uni.agg(sum(col("cnt")).as("_total"))
+    val vocab = topVocab(df, textCol, vocabSize, vocabVia)
+    val total = df.select(explode(tokens(Cols.qcol(textCol))).as("token"))
+      .agg(count(lit(1)).as("_total"))
     // (word, prev-word) comes row-LOCALLY out of the token array — a lag
     // window here would shuffle AND per-doc-sort the whole exploded token
     // table just to look one array slot left. The array is BOUND to a

@@ -133,6 +133,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topVocab mg path equals exact; LM scores identical under either vocab") {
+    // Zipf head: "alpha" everywhere, "beta" in half, tail singletons —
+    // the top-2 frequencies clear n/budget by orders of magnitude
+    val docs = (1 to 120).map { i =>
+      (i.toLong, s"alpha ${if (i % 2 == 0) "beta" else s"tail$i"} alpha word$i")
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.topVocab(docs, "text", 2, via = "exact")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val mg = TextAnalysis.topVocab(docs, "text", 2, via = "mg", mgBudget = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mg == exact, s"mg $mg vs exact $exact")
+    // the scorer is vocab-path-agnostic when the guarantee holds
+    def score(via: String) = TextAnalysis.unigramLogProbScore(
+        docs, "doc_id", "text", vocabSize = 2, vocabVia = via)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score("mg") == score("exact"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.topVocab(docs, "text", 2, via = "bogus")
+    }
+  }
+
   test("trainTextClassifier: converges on separable text and serves via clf_score") {
     val docs = (1 to 200).map { i =>
       if (i % 2 == 0) (i.toLong, s"buy cheap pills now offer $i click win prize", 1)
