@@ -437,6 +437,12 @@ object TextAnalysis {
       .select(Cols.qcol(labelCol).cast("double").as("_y"), toks.as("_toks"))
       .withColumn("_bs",
         transform(col("_toks"), t => Curation.hashBucket256(t, seed).cast("int")))
+      // entries per DISTINCT bucket, not per token instance: real text is
+      // Zipf-repetitive, so distinct buckets per doc ≪ token count and
+      // the per-iteration gradient explode shrinks accordingly (the
+      // per-instance (bucket, 1/n) formulation is algebraically the same
+      // but measured 2× slower at sf0.1 — the explode volume, paid every
+      // iteration, dominates the one-time O(distinct·len) entry build)
       .withColumn("_f", concat(
         array(struct(lit(-1).as("b"), lit(1.0).as("x"))),
         transform(array_distinct(col("_bs")), b => struct(b.as("b"),
