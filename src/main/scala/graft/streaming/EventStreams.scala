@@ -55,6 +55,32 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("event_count"), col("total_value"), col("approx_users"))
 
+  /** Windowed TRENDING heavy hitters over a stream — per event-time
+    * window, the top items by the native mergeable Misra–Gries
+    * `heavy_hitters` aggregate ("what's trending this hour" over a
+    * firehose whose item cardinality dwarfs memory). The MG buffer IS
+    * the streaming aggregation state: bounded at `budget` counters per
+    * open window regardless of distinct-item cardinality — an exact
+    * `groupBy(window, item)` would keep state per distinct item, which
+    * is exactly what doesn't fit on a firehose. Counts are MG lower
+    * bounds (every item with true in-window frequency > n/budget is
+    * guaranteed present; take the head of the array for top-k) — the
+    * streaming half of `TextAnalysis.approxTopK`, whose exact-recount
+    * second pass needs the closed window (run it batch over the landed
+    * data when exactness matters).
+    */
+  def trendingWindowed(events: DataFrame, itemCol: String,
+                       budget: Int = 1024,
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(call_function("heavy_hitters", col(itemCol).cast("string"),
+        lit(budget)).as("top_items"))
+      .select(col("w.start").as("window_start"), col("top_items"))
+
   /** Streaming gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Analytics.sessionize`. State per user is O(1)
     * (start/last/count/sum), closed either by a gap-exceeding event or by

@@ -330,6 +330,53 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("trendingWindowed: MG summary per window matches batch; heavy item guaranteed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit, window}
+    // hour 10: "hot" dominates; hour 11: "warm" does — plus singleton noise
+    val events = (0 until 40).map { i =>
+      val hour = if (i < 20) 10 else 11
+      val item = if (i < 20) { if (i % 4 != 3) "hot" else s"noise$i" }
+                 else { if (i % 4 != 3) "warm" else s"noise$i" }
+      EventStreams.Event(i.toLong, (i % 5).toLong, item,
+        ts(f"2026-01-01 $hour%02d:${(i * 2) % 60}%02d:00"), i.toDouble)
+    }
+    // budget big enough that the per-window summary is EXACT (no
+    // evictions) — streamed output must then equal the batch aggregate
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("heavy_hitters",
+        col("event_type").cast("string"), lit(64)).as("top_items"))
+      .select(col("window.start").cast("string"), col("top_items"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getString(0), e.getLong(1)))).toMap
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(events.take(25): _*)
+    val sq = EventStreams.trendingWindowed(ms.toDF(), "event_type", budget = 64)
+      .writeStream.format("memory").queryName("equiv_trend")
+      .outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      ms.addData(events.drop(25): _*)
+      sq.processAllAvailable()
+      ms.addData(EventStreams.Event(99, 0, "x", ts("2026-01-02 00:00:00"), 0.0))
+      sq.processAllAvailable() // flush watermark
+      val stream = spark.sql("SELECT * FROM equiv_trend")
+        .select(col("window_start").cast("string"), col("top_items"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            (e.getString(0), e.getLong(1)))).toMap
+      val closed = stream.view.filterKeys(_.startsWith("2026-01-01")).toMap
+      assert(closed == batch.view.filterKeys(closed.keySet).toMap,
+        s"stream=$closed\nbatch=$batch")
+      // the hour-10 summary leads with the guaranteed heavy hitter
+      val h10 = closed.find(_._1.contains("10:00")).get._2
+      assert(h10.head._1 == "hot" && h10.head._2 == 15L, s"got $h10")
+    } finally sq.stop()
+  }
+
   test("enrich joins a stream against a static dimension without shuffling the stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
