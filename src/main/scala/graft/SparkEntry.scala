@@ -490,6 +490,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // profile DRIFT (round 9): the monitoring report between two
+    // snapshots — the "current" snapshot is the cheap orders under
+    // 100k total price, so means shift down, max shrinks (range NOT
+    // widened) and NDVs drop; exact NDV for the oracle form
+    "q_profile_drift" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      // nullable BOOLEANs round-trip as None-vs-NaN between the two
+      // engines' pandas paths — cast the nullable flags to string
+      // (nullable strings compare cleanly, the q_ppl_buckets precedent)
+      Cleaning.profileDrift(base, base.filter(col("o_totalprice") < 100000.0),
+          exactDistinct = true)
+        .withColumn("ok_mean", col("ok_mean").cast("string"))
+        .withColumn("range_widened", col("range_widened").cast("string"))
+        .withColumn("dtype_changed", col("dtype_changed").cast("string"))
+        .orderBy(col("column"))
+    }),
+
     // IQR outlier flags (round 9): Tukey fences per order priority over
     // one exact-percentile aggregate broadcast back; flags, not a
     // pre-filtered frame, so reports attribute WHY
@@ -2091,6 +2108,42 @@ object SparkEntry {
         |  LEFT JOIN bt ON bt.w1 = pr.prev AND bt.w2 = pr.w, tot)
         |SELECT doc_id, round(avg(lp), 4) AS avg_bigram_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // drift mirror: the q_profile per-column branch generator over the
+    // two snapshots, joined; deltas/flags from the ROUNDED profile
+    // outputs exactly as the operator computes them
+    "q_profile_drift" -> {
+      val cols = Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+        ("o_totalprice", true), ("o_orderdate", false), ("o_orderpriority", false))
+      def prof(alias: String, from: String) = {
+        val branches = cols.map { case (c, num) =>
+          val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mean = if (num) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS "column",
+             | round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)/CAST(count(*) AS DOUBLE), 4) AS null_pct,
+             | count(DISTINCT $c) AS ndv, $mn AS mn, $mx AS mx, $mean AS mean
+             |FROM $from""".stripMargin
+        }
+        s"$alias AS (${branches.mkString("\nUNION ALL\n")})"
+      }
+      s"""WITH ${prof("b", "orders")},
+         |${prof("c", "(SELECT * FROM orders WHERE o_totalprice < 100000.0)")}
+         |SELECT b."column", TRUE AS present_both,
+         |  CAST(FALSE AS VARCHAR) AS dtype_changed,
+         |  b.null_pct AS base_null_pct, c.null_pct AS cur_null_pct,
+         |  round(c.null_pct - b.null_pct, 4) AS null_pct_delta,
+         |  round(c.null_pct - b.null_pct, 4) <= 0.05 AS ok_nulls,
+         |  b.ndv AS base_ndv, c.ndv AS cur_ndv,
+         |  b.mean AS base_mean, c.mean AS cur_mean,
+         |  round(abs(c.mean - b.mean) / greatest(abs(b.mean), 1e-9), 4) AS mean_shift,
+         |  CAST(round(abs(c.mean - b.mean) / greatest(abs(b.mean), 1e-9), 4) <= 0.10
+         |       AS VARCHAR) AS ok_mean,
+         |  CAST((c.mn < b.mn OR c.mx > b.mx) AS VARCHAR) AS range_widened
+         |FROM b JOIN c ON c."column" = b."column"
+         |ORDER BY b."column"""".stripMargin
+    },
 
     // Tukey fences: quantile_cont mirrors Spark percentile's exact
     // interpolation (q_ppl_buckets precedent); comparisons use the

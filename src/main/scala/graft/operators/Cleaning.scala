@@ -280,4 +280,51 @@ object Cleaning {
         col("distinct_count"), col("min"), col("max"),
         round(col("mean"), 4).as("mean"))
   }
+
+  /** Snapshot-to-snapshot DRIFT report — [[profile]] of two table
+    * versions joined per column with the deltas a data-quality monitor
+    * alerts on: dtype changes, null-rate increases beyond
+    * `maxNullPctIncrease`, relative mean shift beyond `maxMeanShift`,
+    * range widening (new values outside the base min/max — the "a new
+    * category/outlier appeared" signal), and column presence (full outer
+    * join, so added/removed columns surface as rows with one side null
+    * and `present_both = false`). Flags are nullable: a column without a
+    * base mean (non-numeric, or absent from one side) gets null checks,
+    * not a fabricated pass/fail — the [[flagOutliersIqr]] null contract.
+    *
+    * Scale shape: two one-pass profiles (each a single aggregate over
+    * its snapshot) joined on ≤|columns| rows — the comparison itself is
+    * driver-trivial; all heavy lifting is the two scans.
+    */
+  def profileDrift(base: DataFrame, current: DataFrame,
+                   maxNullPctIncrease: Double = 0.05,
+                   maxMeanShift: Double = 0.10,
+                   exactDistinct: Boolean = false): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      profile(df, exactDistinct).select(
+        col("column"),
+        col("dtype").as(s"${p}_dtype"), col("null_pct").as(s"${p}_null_pct"),
+        col("distinct_count").as(s"${p}_ndv"), col("min").as(s"${p}_min"),
+        col("max").as(s"${p}_max"), col("mean").as(s"${p}_mean"))
+    side(base, "base").join(side(current, "cur"), Seq("column"), "full_outer")
+      .withColumn("present_both",
+        col("base_dtype").isNotNull && col("cur_dtype").isNotNull)
+      .withColumn("dtype_changed",
+        when(!col("present_both"), lit(null).cast("boolean"))
+          .otherwise(col("base_dtype") =!= col("cur_dtype")))
+      .withColumn("null_pct_delta",
+        round(col("cur_null_pct") - col("base_null_pct"), 4))
+      .withColumn("ok_nulls", col("null_pct_delta") <= maxNullPctIncrease)
+      .withColumn("mean_shift",
+        round(abs(col("cur_mean") - col("base_mean")) /
+          greatest(abs(col("base_mean")), lit(1e-9)), 4))
+      .withColumn("ok_mean", col("mean_shift") <= maxMeanShift)
+      .withColumn("range_widened",
+        col("cur_min") < col("base_min") || col("cur_max") > col("base_max"))
+      .select(col("column"), col("present_both"), col("dtype_changed"),
+        col("base_null_pct"), col("cur_null_pct"), col("null_pct_delta"),
+        col("ok_nulls"), col("base_ndv"), col("cur_ndv"),
+        col("base_mean"), col("cur_mean"), col("mean_shift"), col("ok_mean"),
+        col("range_widened"))
+  }
 }

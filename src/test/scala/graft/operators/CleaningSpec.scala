@@ -152,4 +152,27 @@ class CleaningSpec extends SparkSpec {
       Cleaning.flagOutliersIqr(df, "g", "v", k = -1)
     }
   }
+
+  test("profileDrift: null surge, mean shift, range widening, schema change") {
+    val base = Seq((1L, 10.0, "a"), (2L, 11.0, "b"), (3L, 12.0, "c"), (4L, 13.0, "d"))
+      .toDF("id", "v", "s")
+    // current: nulls appeared in s, v's mean doubled and range widened,
+    // column s2 is NEW (and nothing was removed)
+    val cur = Seq(
+      (1L, 20.0, Option.empty[String], "x"), (2L, 22.0, Some("b"), "y"),
+      (3L, 24.0, Some("c"), "z"), (4L, 26.0, Some("d"), "w"))
+      .toDF("id", "v", "s", "s2")
+    val out = Cleaning.profileDrift(base, cur)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("v").getAs[Boolean]("ok_mean"), "doubled mean must fail ok_mean")
+    assert(out("v").getAs[Boolean]("range_widened"), "20..26 leaves 10..13")
+    assert(!out("s").getAs[Boolean]("ok_nulls"), "null surge must flag")
+    assert(out("id").getAs[Boolean]("ok_nulls") &&
+      !out("id").getAs[Boolean]("range_widened"), "id unchanged")
+    // added column: present only on the current side, checks null
+    assert(!out("s2").getAs[Boolean]("present_both"))
+    assert(out("s2").isNullAt(out("s2").fieldIndex("dtype_changed")))
+    // non-numeric column: no fabricated mean check
+    assert(out("s").isNullAt(out("s").fieldIndex("ok_mean")))
+  }
 }
