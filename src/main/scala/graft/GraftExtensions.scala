@@ -111,6 +111,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "heavy_hitters(item string, budget)")
+        args(1) match {
+          case Literal(b: Int, IntegerType) if b >= 1 =>
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters: budget must be a positive integer literal, got $other")
+        }
         HeavyHittersAgg(args(0), args(1))
       }))
 

@@ -583,10 +583,16 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val expected = Seq(("hot", 400L), ("warm", 120L))
     Seq(1, 7, 32).foreach(p => assert(topk(p) == expected, s"at $p partitions"))
-    // analysis-time checks: non-string item, bad budget
+    // analysis-time checks: non-string item (type check), non-literal
+    // budget (registration-time literal match), bad approxTopK budget
     intercept[org.apache.spark.sql.AnalysisException] {
-      stream.toDF("item").select(org.apache.spark.sql.functions.call_function(
-        "heavy_hitters", org.apache.spark.sql.functions.lit(1), col("item"))).collect()
+      stream.toDF("item").agg(org.apache.spark.sql.functions.call_function(
+        "heavy_hitters", org.apache.spark.sql.functions.lit(1),
+        org.apache.spark.sql.functions.lit(8))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      stream.toDF("item").agg(org.apache.spark.sql.functions.call_function(
+        "heavy_hitters", col("item"), col("item"))).collect()
     }
     intercept[IllegalArgumentException] {
       graft.operators.TextAnalysis.approxTopK(stream.toDF("item"), 10, 5)

@@ -437,6 +437,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropHotBuckets: degenerate bucket capped, normal near-dups survive") {
+    // 40 byte-identical boilerplate docs → ONE bucket with 40 members in
+    // every band (1560 self-join pairs from boilerplate alone); plus one
+    // genuine near-dup pair in its own small buckets
+    val boiler = (1L to 40L).map(i =>
+      (i, "identical boilerplate footer text repeated across the crawl"))
+    val pair = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (101L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val unguarded = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.count(p => p._1 <= 40L && p._2 <= 40L) == 40 * 39 / 2,
+      "unguarded: the hot bucket contributes all boilerplate pairs")
+    val guarded = Dedup.minhashCandidates(docs, "doc_id", "text",
+        maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!guarded.exists(p => p._1 <= 40L && p._2 <= 40L),
+      s"capped bucket must contribute no pairs: $guarded")
+    assert(guarded.contains((100L, 101L)),
+      "near-dup in a small bucket survives the guard")
+    // same guard on the incremental probe's index side
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text")
+    val probed = Dedup.nearDupAgainstCorpus(docs, idx, "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!probed.exists(p => p._1 <= 40L && p._2 <= 40L))
+    assert(probed.contains((100L, 101L)) && probed.contains((101L, 100L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dropHotBuckets(idx, 0)
+    }
+  }
+
   test("minhashIndex: banding rows match minhashBandBuckets, sig matches signature") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
