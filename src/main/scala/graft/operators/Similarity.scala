@@ -73,10 +73,27 @@ object Similarity {
     * for recall, raise planes for precision/bucket-size. Candidate work is
     * Σ bucket² per table, never n².
     */
+  /** Drop (t, sig) groups with more than `maxBucket` members — the
+    * hot-bucket guard for the LSH pair/probe joins (the embedding twin of
+    * `Dedup.dropHotBuckets`): mass-duplicated embeddings land in ONE
+    * bucket and turn the Σ bucket² join quadratic; capped members are
+    * near-identical en masse, which exact/content dedup catches cheaper.
+    */
+  def dropHotSigBuckets(index: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"dropHotSigBuckets: maxBucket must be ≥1, got $maxBucket")
+    val ok = index.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucket)
+      .select(col("t"), col("sig"))
+    index.join(ok, Seq("t", "sig"), "left_semi")
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       numPlanes: Int, threshold: Double,
-                      numTables: Int = 1, seed: Long = 42L): DataFrame = {
-    val e = lshSignatureIndex(df, idCol, vecCol, dim, numPlanes, numTables, seed)
+                      numTables: Int = 1, seed: Long = 42L,
+                      maxBucket: Option[Int] = None): DataFrame = {
+    val raw = lshSignatureIndex(df, idCol, vecCol, dim, numPlanes, numTables, seed)
+    val e = maxBucket.fold(raw)(dropHotSigBuckets(raw, _))
     val l = e.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val r = e.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("t", "sig"))
@@ -120,10 +137,12 @@ object Similarity {
   def lshNearDupAgainst(batch: DataFrame, corpusIndex: DataFrame,
                         idCol: String, vecCol: String, dim: Int,
                         numPlanes: Int, threshold: Double,
-                        numTables: Int = 1, seed: Long = 42L): DataFrame = {
+                        numTables: Int = 1, seed: Long = 42L,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val b = lshSignatureIndex(batch, idCol, vecCol, dim, numPlanes, numTables, seed)
       .select(col("t"), col("sig"), col("id").as("batch_id"), col("v").as("v_b"))
-    val c = corpusIndex
+    val guarded = maxBucket.fold(corpusIndex)(dropHotSigBuckets(corpusIndex, _))
+    val c = guarded
       .select(col("t"), col("sig"), col("id").as("corpus_id"), col("v").as("v_c"))
     val pairs = b.join(c, Seq("t", "sig"))
       .withColumn("sim", round(cosine(col("v_b"), col("v_c")), 4))

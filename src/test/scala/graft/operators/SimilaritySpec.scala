@@ -370,4 +370,35 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally bf.unpersist()
   }
+
+  test("dropHotSigBuckets: duplicated-embedding bucket capped, distinct pair survives") {
+    import spark.implicits._
+    // 30 byte-identical embeddings → one bucket per table with 30 members;
+    // plus a genuine near-dup pair pointing elsewhere
+    val hot = (1L to 30L).map(i => (i, Array.fill(8)(0.5f)))
+    val va = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val vb = Array(0.99f, 0.14f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val docs = (hot ++ Seq((100L, va), (101L, vb))).toDF("vec_id", "embedding")
+    val unguarded = Similarity.lshNearDupPairs(docs, "vec_id", "embedding",
+        dim = 8, numPlanes = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.count(p => p._1 <= 30L && p._2 <= 30L) == 30 * 29 / 2)
+    val guarded = Similarity.lshNearDupPairs(docs, "vec_id", "embedding",
+        dim = 8, numPlanes = 4, threshold = 0.9, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!guarded.exists(p => p._1 <= 30L && p._2 <= 30L),
+      s"capped bucket must contribute no pairs: $guarded")
+    assert(guarded.contains((100L, 101L)), "small-bucket near-dup survives")
+    // corpus-index side of the incremental probe takes the same guard
+    val idx = Similarity.lshSignatureIndex(docs, "vec_id", "embedding",
+      dim = 8, numPlanes = 4)
+    val probed = Similarity.lshNearDupAgainst(
+        docs.filter($"vec_id" === 100L), idx, "vec_id", "embedding",
+        dim = 8, numPlanes = 4, threshold = 0.9, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == Set((100L, 100L), (100L, 101L)), s"got $probed")
+    intercept[IllegalArgumentException] {
+      Similarity.dropHotSigBuckets(idx, 0)
+    }
+  }
 }
