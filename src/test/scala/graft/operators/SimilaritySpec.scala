@@ -374,10 +374,13 @@ class SimilaritySpec extends SparkSpec {
   test("dropHotSigBuckets: duplicated-embedding bucket capped, distinct pair survives") {
     import spark.implicits._
     // 30 byte-identical embeddings → one bucket per table with 30 members;
-    // plus a genuine near-dup pair pointing elsewhere
+    // plus a genuine near-dup pair pointing the EXACT OPPOSITE direction:
+    // every plane's dot flips sign, so the pair's signature is the bitwise
+    // complement of the hot bucket's for ANY plane draw (seed-robust), and
+    // the two (same direction, cosine 1.0) always share their own bucket
     val hot = (1L to 30L).map(i => (i, Array.fill(8)(0.5f)))
-    val va = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
-    val vb = Array(0.99f, 0.14f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val va = Array.fill(8)(-0.5f)
+    val vb = Array.fill(8)(-1.0f)
     val docs = (hot ++ Seq((100L, va), (101L, vb))).toDF("vec_id", "embedding")
     val unguarded = Similarity.lshNearDupPairs(docs, "vec_id", "embedding",
         dim = 8, numPlanes = 4, threshold = 0.9)
