@@ -226,6 +226,37 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Z-ordered layout scan: lineitem re-clustered on (l_partkey,
+    // l_suppkey) so min-max stats prune a predicate on EITHER column;
+    // the box filter must return exactly the raw table's rows (layout
+    // never changes results — the pruning evidence is in DataSinkSpec).
+    "q_zorder_scan" -> ((s, d) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_stage"
+      DataSink.writeZOrdered(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        stage, Seq("l_partkey", "l_suppkey"), bitsPerCol = 6, targetFiles = 8)
+      s.read.parquet(stage)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 20)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ORC ingest round-trip: the second columnar format the lake holds.
+    // ORC carries its own schema + type system (no parse step), so the
+    // round-trip proves type fidelity (longs/ints/doubles/strings land
+    // back identically) and that the ORC scan path is wired: column
+    // pruning + min-max predicate pushdown are pinned in DataSinkSpec.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_orc_stage"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartition(8)
+        .write.mode("overwrite").orc(stage)
+      s.read.orc(stage)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_profile" -> ((s, d) =>
       Cleaning.profile(Tables.lineitem(s, d), exactDistinct = true)
         .orderBy(col("column"))),
@@ -1018,6 +1049,26 @@ object SparkEntry {
           "ts", "win_lo", "win_hi", binWidthSec = 3600L)
         .select(col("purchase_id"), col("event_id"))
         .orderBy(col("purchase_id"), col("event_id"))
+    }),
+
+    // Event-time interval join, CLOSED bounds (click attribution): each
+    // purchase attributed to every click by the same user in the prior
+    // 30 minutes. Batch form of the stream-stream watermarked join
+    // (EventStreams.intervalJoinStream — equivalence in EventStreamsSpec);
+    // replication ≤2 bins/row regardless of lag via attributeWithin.
+    "q_click_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      Temporal.attributeWithin(clicks, purchases, Seq("user_id"), Seq("p_user"),
+          "click_ts", "purchase_ts", maxLagSec = 1800L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy(col("click_id"), col("purchase_id"))
     })
   )
 
@@ -1600,6 +1651,15 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {
       // one UNION ALL branch per lineitem column, all stats from one CTE scan
@@ -2684,6 +2744,14 @@ object SparkEntry {
         |FROM events p JOIN events e ON p.user_id = e.user_id
         |WHERE p.event_type = 'purchase'
         |  AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
-        |ORDER BY purchase_id, event_id""".stripMargin
+        |ORDER BY purchase_id, event_id""".stripMargin,
+
+    "q_click_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

@@ -185,4 +185,36 @@ object Temporal {
       .select(left.columns.map(lb(_)).toSeq ++
         right.columns.filterNot(rightKeys.contains).map(rb(_)): _*)
   }
+
+  /** Event-time interval join, batch form — attribute each right-side
+    * event to every left-side event it follows within `maxLagSec` on the
+    * same key: emits (left, right) pairs with
+    * `rightTs ∈ [leftTs, leftTs + maxLagSec]`, CLOSED on both ends (the
+    * click-attribution shape; the streaming twin is
+    * `EventStreams.intervalJoinStream`, equivalence pinned in
+    * EventStreamsSpec). Composes [[rangeJoin]]: the right side carries
+    * the derived interval `[rightTs − maxLagSec, rightTs + 1µs)`, which
+    * equals the closed interval exactly at Spark's/DuckDB's microsecond
+    * timestamp precision. `binWidthSec = maxLagSec`, so every interval
+    * spans at most 2 bins — replication factor ≤ 2 regardless of lag,
+    * and the only exchange is the bin+key hash shuffle.
+    */
+  def attributeWithin(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      maxLagSec: Long): DataFrame = {
+    require(maxLagSec > 0, s"attributeWithin: maxLagSec must be positive, got $maxLagSec")
+    val clashes = (left.columns ++ right.columns).filter(c =>
+      c == "_attr_lo" || c == "_attr_hi")
+    require(clashes.isEmpty,
+      s"attributeWithin: internal column names collide: ${clashes.toSeq} — rename first")
+    val r = right
+      .withColumn("_attr_lo",
+        col(rightTs).cast("timestamp") - expr(s"INTERVAL $maxLagSec SECONDS"))
+      .withColumn("_attr_hi",
+        col(rightTs).cast("timestamp") + expr("INTERVAL 1 MICROSECOND"))
+    rangeJoin(left, r, leftKeys, rightKeys, leftTs, "_attr_lo", "_attr_hi",
+        binWidthSec = maxLagSec)
+      .drop("_attr_lo", "_attr_hi")
+  }
 }

@@ -34,6 +34,19 @@ object DataSink {
   def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC export — the second columnar interchange format next to parquet
+    * (reference's warehouse is format-agnostic tables; a 100 TB lake often
+    * holds both). Spark's native ORC reader keeps the same scan-side
+    * machinery parquet gets: column pruning, predicate pushdown into file/
+    * stripe/row-group min-max (`spark.sql.orc.filterPushdown`, on by
+    * default), and vectorized decoding — pinned in DataSinkSpec.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Bucketed table write: rows are hash-partitioned into `numBuckets`
     * files per partition by `bucketCols` (and optionally sorted within
     * buckets). Joins and aggregations on the bucket key between tables
@@ -47,6 +60,56 @@ object DataSink {
     val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Z-ORDERED parquet write — multi-dimensional data clustering so that
+    * file/row-group min-max stats prune scans on ANY of the `zCols`, not
+    * just a single sort prefix (the layout technique behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`; Morton 1966). A lexicographic sort by (x, y)
+    * prunes x-predicates but leaves every file spanning the full y range;
+    * interleaving the bits of rank-quantized x and y makes each file a
+    * small HYPER-RECTANGLE in (x, y) space, so a predicate on either
+    * column overlaps few files — pinned in DataSinkSpec by counting
+    * footer-stat overlaps for a y-only box on both layouts.
+    *
+    * Scale shape: one `approxQuantile` pass (driver holds
+    * `2^bitsPerCol − 1` boundaries per column — KB-sized) computes
+    * equi-POPULATED bucket bounds, so skewed distributions still spread
+    * across the full z-range; then ONE range exchange on the interleaved
+    * key + in-partition sort, the same cost as any global sort-write.
+    * Bucketing/z-value arithmetic is all codegen'd integer math — no UDF.
+    * Numeric/date/timestamp columns only (rank quantization is through
+    * a double cast); nulls sort to bucket 0.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bitsPerCol: Int = 6, targetFiles: Int = 0,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(zCols.size >= 2,
+      s"writeZOrdered: need ≥2 columns to interleave (one column is a plain sort), got $zCols")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,
+      s"writeZOrdered: bitsPerCol=$bitsPerCol × ${zCols.size} cols must fit a long")
+    require(!df.columns.contains("_zval"),
+      "writeZOrdered: column name _zval collides with the internal z-value column")
+    val n = zCols.size
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val bucketExprs = zCols.zip(bounds.toSeq).map { case (c, bs) =>
+      // bucket = #(distinct boundaries ≤ value): a sum of codegen'd
+      // comparisons, monotone in the value, range [0, buckets-1]
+      bs.distinct.map(b => when(col(c).cast("double") >= lit(b), 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+    }
+    val z = (0 until bitsPerCol).flatMap { j =>
+      bucketExprs.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1)).cast("long"), j * n + i) }
+    }.reduce(_ + _) // disjoint bit positions — sum IS the interleave
+    val keyed = df.withColumn("_zval", z)
+    val ranged =
+      if (targetFiles > 0) keyed.repartitionByRange(targetFiles, col("_zval"))
+      else keyed.repartitionByRange(col("_zval"))
+    ranged.sortWithinPartitions("_zval").drop("_zval")
+      .write.mode(mode).parquet(path)
   }
 
   /** Compact a FLAT parquet directory to `targetFileMB`-sized files —

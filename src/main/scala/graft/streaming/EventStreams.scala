@@ -318,6 +318,44 @@ object EventStreams {
     q
   }
 
+  /** Stream-STREAM event-time interval join — click attribution live:
+    * every (left, right) pair sharing `keyCol` where the right event
+    * lands within `[leftTs, leftTs + maxLagSec]`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends,
+    * which is exactly what Spark's streaming symmetric hash join needs
+    * to expire state: a buffered left row is droppable once the right
+    * watermark passes `leftTs + maxLagSec`, a right row once the left
+    * watermark passes `rightTs` — without the bounds, both sides'
+    * state would grow forever. State is keyed by `keyCol`, so the only
+    * shuffle is the same hash exchange the batch twin pays.
+    *
+    * Batch twin (equivalence pinned in EventStreamsSpec): compose
+    * `Temporal.rangeJoin` with the right side carrying the derived
+    * interval `[rightTs - maxLagSec, rightTs]` — registered as
+    * `q_click_attribution`. Non-key column names must be disjoint
+    * (rename first), mirroring `rangeJoin`'s contract.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String, maxLagSec: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    require(maxLagSec > 0, s"intervalJoinStream: maxLagSec must be positive, got $maxLagSec")
+    val overlap = left.columns.filterNot(_ == keyCol)
+      .intersect(right.columns.filterNot(_ == keyCol))
+    require(overlap.isEmpty,
+      s"intervalJoinStream: non-key column names must be disjoint, both sides have ${overlap.toSeq}")
+    val l = left.withColumn(leftTs, col(leftTs).cast("timestamp"))
+      .withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(keyCol, s"_r_$keyCol")
+      .withColumn(rightTs, col(rightTs).cast("timestamp"))
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+        col(keyCol) === col(s"_r_$keyCol") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS"),
+        "inner")
+      .drop(s"_r_$keyCol")
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at

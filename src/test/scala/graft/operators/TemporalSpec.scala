@@ -151,6 +151,30 @@ class TemporalSpec extends SparkSpec {
     ("u2", ts("2024-01-01 10:30:00"), 5L)  // other key -> excluded
   ).toDF("user", "pt", "point_id")
 
+  test("attributeWithin: closed bounds, null times drop, internal-name collision refused") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2026-01-01 10:00:00")),
+        (1L, 11L, ts("2026-01-01 10:20:00")),
+        (2L, 12L, null.asInstanceOf[Timestamp]))
+      .toDF("k", "lid", "lt")
+    val right = Seq((1L, 20L, ts("2026-01-01 10:30:00")), // lid 10 at EXACTLY 30m + lid 11
+        (1L, 21L, ts("2026-01-01 10:00:00")), // lid 10 at lag 0 (closed lower bound)
+        (1L, 22L, ts("2026-01-01 10:30:01")), // lid 11 only — 1s past lid 10's bound
+        (2L, 23L, ts("2026-01-01 10:00:00"))) // null left time never matches
+      .toDF("k2", "rid", "rt")
+    val out = Temporal.attributeWithin(left, right, Seq("k"), Seq("k2"),
+        "lt", "rt", maxLagSec = 1800L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 20L), (11L, 20L), (10L, 21L), (11L, 22L)))
+    intercept[IllegalArgumentException] {
+      Temporal.attributeWithin(left.withColumnRenamed("lid", "_attr_lo"),
+        right, Seq("k"), Seq("k2"), "lt", "rt", 60L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.attributeWithin(left, right, Seq("k"), Seq("k2"), "lt", "rt", 0L)
+    }
+  }
+
   test("rangeJoin: half-open interval, key isolation, multi-bin intervals match once") {
     val wins = Seq(
       ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 100L)

@@ -55,6 +55,79 @@ class DataSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
 
+  test("ORC write round-trips typed data; scan gets pushdown + pruned read schema") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val df = (1L to 100L).map(i => (i, i.toInt % 7, s"s$i", i * 1.5))
+      .toDF("id", "grp", "name", "x")
+    DataSink.writeOrc(df, s"$dir/t")
+    val back = spark.read.orc(s"$dir/t")
+    // type + value fidelity (ORC carries its own schema — no parse step)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy(col("id")).collect().toSeq ==
+      df.orderBy(col("id")).collect().toSeq)
+    // the scan must push the predicate into the ORC reader and prune the
+    // read schema to the projected columns — same machinery parquet gets
+    val q = back.filter(col("id") === 42L).select(col("id"), col("x"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected pushed ORC filter in:\n$plan")
+    assert(!plan.contains("name"), s"read schema not pruned:\n$plan")
+    assert(q.collect().map(_.getDouble(1)).toSeq == Seq(63.0))
+    // partitioned ORC lays out directory keys for pruning, like parquet
+    DataSink.writeOrc(df, s"$dir/p", partitionBy = Seq("grp"))
+    assert(new java.io.File(s"$dir/p").list().count(_.startsWith("grp=")) == 7)
+    assert(spark.read.orc(s"$dir/p").count() == 100)
+  }
+
+  test("writeZOrdered: y-only predicate overlaps far fewer files than a lexicographic sort") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    // 64×64 grid — every (x, y) cell once, plus a null-y row (bucket 0)
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
+      .toDF("id", "x", "y")
+      .union(Seq((9999L, 1.0, Double.NaN)).toDF("id", "x", "y")
+        .withColumn("y", lit(null).cast("double")))
+    // lexicographic (x, y) sort: the single-sort-prefix layout
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y").write.parquet(s"$dir/lex")
+    DataSink.writeZOrdered(grid, s"$dir/z", Seq("x", "y"), bitsPerCol = 6,
+      targetFiles = 16)
+
+    // footer min-max stats are what row-group pruning consults — count
+    // files whose y-range overlaps a y-only box on each layout
+    def overlapping(path: String, lo: Double, hi: Double): (Int, Int) = {
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val hit = parts.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("y")), max(col("y"))).head()
+        !r.isNullAt(0) && r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }
+      (hit, parts.length)
+    }
+    val (lexHit, lexAll) = overlapping(s"$dir/lex", 8.0, 15.0)
+    val (zHit, zAll) = overlapping(s"$dir/z", 8.0, 15.0)
+    assert(lexAll == 16 && zAll == 16)
+    assert(lexHit == 16, s"lexicographic files all span full y, got $lexHit")
+    assert(zHit <= 6, s"z-order should confine the y-box to few files, got $zHit")
+    // data intact and filters still correct on the clustered layout
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == 4097)
+    assert(back.filter(col("y") >= 8.0 && col("y") <= 15.0 && col("x") === 3.0)
+      .count() == 8)
+    // guards: 1 column, colliding internal name, too many bits
+    intercept[IllegalArgumentException] {
+      DataSink.writeZOrdered(grid, s"$dir/bad", Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      DataSink.writeZOrdered(grid.withColumnRenamed("id", "_zval"),
+        s"$dir/bad", Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      DataSink.writeZOrdered(grid, s"$dir/bad", Seq("x", "y"), bitsPerCol = 32)
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val df1 = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val df2 = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")

@@ -330,6 +330,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("intervalJoinStream agrees with batch attributeWithin; closed bounds both ends") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // clicks/purchases per user; boundary cases: purchase AT click_ts
+    // (lag 0) and AT click_ts + exactly 30 min are both inside (closed)
+    val clicks = Seq(
+      (10L, 1L, ts("2026-01-01 10:00:00")),
+      (10L, 2L, ts("2026-01-01 10:20:00")),
+      (11L, 3L, ts("2026-01-01 09:00:00")))
+    val purchases = Seq(
+      (10L, 101L, ts("2026-01-01 10:15:00")), // ← click 1 only (before click 2)
+      (10L, 102L, ts("2026-01-01 10:45:00")), // ← click 2 only (45m after click 1)
+      (10L, 103L, ts("2026-01-01 10:20:00")), // ← clicks 1 and 2 (lag 20m and 0)
+      (10L, 104L, ts("2026-01-01 10:30:00")), // ← clicks 1 (exactly 30m) and 2
+      (11L, 105L, ts("2026-01-01 09:45:00")), // ← nothing (45m after click 3)
+      (12L, 106L, ts("2026-01-01 10:15:00"))) // ← nothing (no user-12 click)
+    val expectPairs = Set((1L, 101L), (2L, 102L), (1L, 103L), (2L, 103L),
+      (1L, 104L), (2L, 104L))
+
+    val batch = graft.operators.Temporal.attributeWithin(
+        clicks.toDF("user_id", "click_id", "click_ts"),
+        purchases.toDF("user_id", "purchase_id", "purchase_ts")
+          .withColumnRenamed("user_id", "p_user"),
+        Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts", 1800L)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == expectPairs, s"batch=$batch")
+
+    val mc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val mp = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    mc.addData(clicks: _*)
+    mp.addData(purchases: _*)
+    val joined = EventStreams.intervalJoinStream(
+      mc.toDF().toDF("user_id", "click_id", "click_ts"),
+      mp.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", maxLagSec = 1800L)
+    val sq = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("equiv_ij").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val stream = spark.sql("SELECT click_id, purchase_id FROM equiv_ij")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch, s"stream=$stream\nbatch=$batch")
+    } finally sq.stop()
+  }
+
+  test("intervalJoinStream rejects colliding non-key columns and bad lag") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = ms.toDF().toDF("user_id", "id", "t")
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoinStream(df, df, "user_id", "t", "t", 60L)
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoinStream(
+        df, ms.toDF().toDF("user_id", "id2", "t2"), "user_id", "t", "t2", 0L)
+    }
+  }
+
   test("trendingWindowed: MG summary per window matches batch; heavy item guaranteed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
