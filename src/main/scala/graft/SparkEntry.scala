@@ -491,6 +491,22 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.ngramDocFreqTopK(Tables.documents(s, d), "text", k = 2, topK = 100)),
 
+    // TF-IDF cosine pairs (inverted index, exact): the lexical ground
+    // truth the banded near-dup generators are audited against. Bounded
+    // 500-doc slice — Σ df² is quadratic by design; threshold cuts on
+    // the round(4) cosine so both engines cut identically.
+    "q_tfidf_pairs" -> ((s, d) =>
+      Retrieval.tfidfCosinePairs(
+          Tables.documents(s, d).filter(col("doc_id") < 500),
+          "doc_id", "text", minCosine = 0.85, maxDf = 1000L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Okapi BM25 top-k retrieval: postings filtered to the query terms
+    // before any exchange; df/corpus stats broadcast; TakeOrdered k.
+    "q_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "join", "slow"), k = 25)),
+
     // unigram LM quality proxy: top-16 vocab (the corpus holds 31 distinct
     // tokens, so the OOV floor branch is exercised), ln(p) averaged per doc
     "q_unigram_logprob" -> ((s, d) =>
@@ -2101,6 +2117,57 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM tok t LEFT JOIN vocab v USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // decimal(30,12) partial sums on both sides kill addition-order
+    // drift; cosine rounds to 4 BEFORE the threshold so the cut is
+    // engine-deterministic
+    "q_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM d),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM post
+        |          GROUP BY 1 HAVING count(*) <= 1000),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM post),
+        |w AS (SELECT p.doc_id, p.term,
+        |        p.tf * ln(CAST(nd AS DOUBLE) / doc_freq) AS w
+        |      FROM post p JOIN dfreq USING (term), n),
+        |nrm AS (SELECT doc_id,
+        |          CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) AS n2
+        |        FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(sum(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |         FROM w a JOIN w b USING (term)
+        |         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |cosd AS (SELECT id_a, id_b,
+        |           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+        |         FROM dots
+        |         JOIN nrm na ON id_a = na.doc_id
+        |         JOIN nrm nb ON id_b = nb.doc_id)
+        |SELECT id_a, id_b, cosine FROM cosd
+        |WHERE cosine >= 0.85 ORDER BY id_a, id_b""".stripMargin,
+
+    // constants spelled as the same double folds Spark performs
+    // ((1.2 + 1.0), 1 - 0.75) so both engines evaluate bit-identical
+    // expressions before the decimal partial sum and round(4)
+    "q_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |post AS (SELECT doc_id, term, count(*) AS tf
+        |         FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |         WHERE term IN ('vector', 'join', 'slow') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+        |      * p.tf * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) AS contrib
+        |  FROM post p JOIN lens l USING (doc_id)
+        |  JOIN dfreq USING (term), stats)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(contrib AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     // same scored CTE as q_unigram_logprob; terciles via quantile_cont
     // (Spark percentile's interpolation rule), strict > comparisons on

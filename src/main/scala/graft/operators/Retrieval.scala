@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse LEXICAL retrieval over the documents corpus — the classic
+  * inverted-index pair to the dense-embedding ANN in [[Similarity]]:
+  * TF-IDF document vectors (Spärck Jones 1972) and Okapi BM25 scoring
+  * (Robertson et al., TREC-3) re-expressed as Spark aggregates and
+  * broadcast joins. A training-data pipeline uses these for
+  * query-driven corpus audits ("which documents answer X") and as the
+  * lexical side of hybrid dedup/retrieval.
+  *
+  * Token convention matches the rest of the corpus layer (whitespace
+  * split of trimmed text — `TextAnalysis.tokens`), so every operator
+  * here is DuckDB-oracle-expressible with `string_split(trim(text))`.
+  *
+  * Float parity with the oracle: per-pair/per-doc partial sums go
+  * through DECIMAL(30,12) so partial-agg ORDER cannot move the result
+  * (double addition is not associative; decimal addition is), and final
+  * scores are `round(…, 4)` BEFORE any threshold/top-k cut — the
+  * cut is then deterministic on both engines.
+  */
+object Retrieval {
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Exact-sum of a double expression: decimal partials, double out. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,12)")).cast("double")
+
+  /** Per-(doc, term) TF-IDF weights over the `maxDf`-pruned vocabulary:
+    * `w = tf · ln(N / df)`. Terms with `df > maxDf` are DROPPED — they
+    * carry near-zero idf AND quadratic postings-join cost (Σ df² pairs),
+    * so the prune is both the relevance and the scale lever (same role
+    * as `ngramJaccardPairs`' maxDf guard). N is computed lazily in-plan
+    * (1-row aggregate, broadcast) — no driver-side count.
+    *
+    * Output: (term, doc_id, tf, doc_freq, w).
+    */
+  def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
+                   maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"tfidfWeights: maxDf must be ≥1, got $maxDf")
+    val postings = df
+      .select(Cols.qcol(idCol).as("doc_id"),
+        explode(toks(Cols.qcol(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDf)
+    val nDocs = df.agg(countDistinct(Cols.qcol(idCol)).as("n_docs"))
+    postings
+      .join(dfreq, Seq("term")) // inner: pruned terms vanish
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * log(col("n_docs").cast("double") / col("doc_freq")))
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_freq"), col("w"))
+  }
+
+  /** All document pairs with TF-IDF cosine ≥ `minCosine` (over the
+    * pruned vocabulary — norms use kept terms only, consistently with
+    * the dot product). EXACT baseline, quadratic in posting-list
+    * lengths: the inverted-index self-join meets each pair once per
+    * shared term (Σ df² candidate rows), so the input is BOUNDED —
+    * refuses corpora beyond `maxDocs` rather than melting an executor.
+    * The scale paths for near-dup discovery are the banded/bucketed
+    * generators (`minhashPairs`, `lshNearDupPairs`); this is the
+    * lexical ground truth to audit them against, and `maxDf` keeps the
+    * join off stop-term posting lists.
+    *
+    * Output: (id_a, id_b, cosine), cosine rounded to 4 before the
+    * threshold cut.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       minCosine: Double, maxDf: Long,
+                       maxDocs: Long = 10000L): DataFrame = {
+    require(minCosine >= 0 && minCosine <= 1,
+      s"tfidfCosinePairs: minCosine must be in [0,1], got $minCosine")
+    val n = df.count()
+    require(n <= maxDocs,
+      s"tfidfCosinePairs: $n docs exceeds maxDocs=$maxDocs — the inverted-index " +
+        "self-join is quadratic in posting lengths; use minhashPairs/lshNearDupPairs " +
+        "at corpus scale, or raise maxDocs deliberately")
+    val w = tfidfWeights(df, idCol, textCol, maxDf)
+    val norms = w.groupBy(col("doc_id")).agg(dsum(col("w") * col("w")).as("norm2"))
+    val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
+    val b = w.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(dsum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na")), Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Okapi BM25 top-k retrieval for one bag-of-terms query. The 100 TB
+    * shape: postings are FILTERED to the query's terms before any
+    * shuffle (the exchange carries ≤ Σ df(q_t) rows — never the
+    * corpus vocabulary), per-term df and the corpus (N, avgdl) stats
+    * are 1-row/tiny broadcast sides, and the final top-k is a
+    * TakeOrdered, not a global sort. Scores are `round(…, 4)` before
+    * ordering so the k cut is engine-deterministic (ties break on
+    * doc_id).
+    *
+    * `idf = ln(1 + (N − df + ½)/(df + ½))` (the non-negative BM25+
+    * form), `score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Output: (doc_id, score), top `k` by (score desc, doc_id).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(k >= 1, s"bm25TopK: k must be ≥1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25TopK: need k1>0 and b∈[0,1], got k1=$k1 b=$b")
+    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
+      toks(Cols.qcol(textCol)).as("_t"))
+    val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val post = docs
+      .select(col("doc_id"), size(col("_t")).as("dl"), explode(col("_t")).as("term"))
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    post
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(dsum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

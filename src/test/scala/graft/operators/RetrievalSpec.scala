@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs3 = Seq(
+    (1L, "a b b"),
+    (2L, "a c"),
+    (3L, "b d")).toDF("doc_id", "text")
+
+  test("tfidfWeights: tf·ln(N/df) by hand; maxDf prunes stop terms") {
+    val w = Retrieval.tfidfWeights(docs3, "doc_id", "text", maxDf = 10L)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("doc_freq"), r.getAs[Double]("w"))).toMap
+    // N=3; df: a=2, b=2, c=1, d=1
+    // Spark math exprs evaluate via StrictMath (JVM-reproducible)
+    assert(w(("a", 1L)) == ((1L, 2L, StrictMath.log(3.0 / 2))))
+    assert(w(("b", 1L)) == ((2L, 2L, 2 * StrictMath.log(3.0 / 2))))
+    assert(w(("c", 2L)) == ((1L, 1L, StrictMath.log(3.0))))
+    assert(w.size == 6)
+    // maxDf=1 drops both 2-doc terms, keeping only the singletons
+    val pruned = Retrieval.tfidfWeights(docs3, "doc_id", "text", maxDf = 1L)
+      .select("term").as[String].collect().toSet
+    assert(pruned == Set("c", "d"))
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfWeights(docs3, "doc_id", "text", maxDf = 0L)
+    }
+  }
+
+  test("tfidfCosinePairs: identical docs hit 1.0, disjoint docs absent, bound enforced") {
+    val df = Seq(
+      (1L, "x x y z"), (2L, "x x y z"),   // identical → cosine 1.0
+      (3L, "p q"), (4L, "r s"),           // disjoint from everything
+      (5L, "x y"))                        // shares terms with 1,2
+      .toDF("doc_id", "text")
+    val out = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+        minCosine = 0.0, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+    assert(out.contains((1L, 5L)) && out((1L, 5L)) > 0 && out((1L, 5L)) < 1.0)
+    assert(out.keySet.forall { case (a, b) => a < b })
+    // threshold cuts on the ROUNDED cosine
+    val hi = Retrieval.tfidfCosinePairs(df, "doc_id", "text", 0.9999, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfCosinePairs(df, "doc_id", "text", 0.5, 10L, maxDocs = 3L)
+    }
+  }
+
+  test("bm25TopK: exact hand score, tf saturation, length normalization, guards") {
+    // one query term "t"; doc 1 has tf=2 in 4 tokens, doc 2 tf=1 in 2
+    // tokens, doc 3 no hit; doc 4 pads avgdl
+    val df = Seq(
+      (1L, "t t u v"), (2L, "t w"), (3L, "u v"), (4L, "u v w x"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val n = 4.0; val dfq = 2.0; val avgdl = (4 + 2 + 2 + 4) / 4.0
+    val idf = StrictMath.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+    // mirror the operator's float path exactly: (k1+1) as the folded
+    // double sum, decimal(30,12) partial, then round(…,4)
+    val k1p1 = 1.2 + 1.0
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * k1p1 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: tf=2, dl=4 → 2·2.2/(2+1.2·(0.25+0.75·4/3)) = 4.4/3.5 ≈ 1.257·idf
+    // doc2: tf=1, dl=2 → 1·2.2/(1+1.2·(0.25+0.75·2/3)) = 2.2/1.9 ≈ 1.158·idf
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.toMap == Map(1L -> s(2, 4), 2L -> s(1, 2)))
+    // tf SATURATES: doubling tf (even in a doc only twice as long)
+    // gains well under 2× the score
+    assert(s(2, 4) < 2 * s(1, 2))
+    // k cuts deterministically
+    assert(Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 1)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // multi-term queries sum per-term contributions; unseen terms add 0
+    val multi = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t", "zzz"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(multi == Map(1L -> s(2, 4), 2L -> s(1, 2)))
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(df, "doc_id", "text", Nil, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 5, b = 1.5)
+    }
+  }
+
+  test("bm25TopK plan: postings filter before exchange, stats sides broadcast") {
+    val df = (1L to 200L).map(i => (i, s"w$i t common")).toDF("doc_id", "text")
+    val q = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // df/stats arrive via broadcast, and the top-k is TakeOrdered — no
+    // global sort node
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
