@@ -479,6 +479,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // temperature-flattened mixture draw (α=0.5): exactly 200 docs,
+    // per-lang quotas ∝ √n by largest remainder — the tail languages
+    // get seats the natural ∝n draw denies them
+    "q_temperature_sample" -> ((s, d) =>
+      Curation.sampleByTemperature(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", totalN = 200, alpha = 0.5)
+        .orderBy(col("doc_id"))),
+
     // context-window chunking: 32-token windows, 8-token overlap → docs
     // of 10..99 tokens emit 1..4 chunks each; chunk text + counts are
     // exact array algebra both engines mirror
@@ -490,6 +499,25 @@ object SparkEntry {
     // corpus heavy-hitter bigrams by document frequency
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.ngramDocFreqTopK(Tables.documents(s, d), "text", k = 2, topK = 100)),
+
+    // BPE vocabulary induction (Sennrich 2016): 6 merge rules learned
+    // from word frequencies — one corpus scan, then 6 iterations over
+    // the compact vocab table; the oracle replays the identical loop as
+    // 6 unrolled CTE stages (plain `replace` on the wrapped symbol
+    // string has the same greedy leftmost semantics in both engines)
+    "q_bpe_merges" -> ((s, d) =>
+      Tokenizer.learnBpeMerges(Tables.documents(s, d), "text", nMerges = 6)
+        .orderBy(col("step"))),
+
+    // segmentation with the learned merges: per-doc BPE token counts —
+    // the fit artifact applied back to the corpus in ONE projection
+    "q_bpe_tokens" -> ((s, d) => {
+      val m = Tokenizer.learnBpeMerges(Tables.documents(s, d), "text", nMerges = 6)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tokenizer.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text", m)
+        .orderBy(col("doc_id"))
+    }),
 
     // TF-IDF cosine pairs (inverted index, exact): the lexical ground
     // truth the banded near-dup generators are audited against. Bounded
@@ -1092,6 +1120,43 @@ object SparkEntry {
   // DuckDB oracles. Casts: duckdb sum(int)→HUGEINT needs ::BIGINT to match
   // Spark's long; len(list)→BIGINT needs ::INTEGER to match Spark's size().
   // ---------------------------------------------------------------------
+
+  /** The BPE training loop as k UNROLLED CTE stages: stage i computes
+    * pair frequencies over v(i-1), picks the argmax with the identical
+    * (freq desc, l, r) tie-break, and applies the merge with plain
+    * `replace` on the wrapped symbol string — byte-for-byte the
+    * arithmetic `Tokenizer.learnBpeMerges` performs. `finalSelect` may
+    * reference `__BESTS__` (the union of the k chosen merges) or any
+    * `v{i}` vocab stage.
+    */
+  private def bpeOracle(k: Int, finalSelect: String): String = {
+    val stages = (1 to k).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(p.cnt) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_transform(range(1, len(ss)),
+         |      j -> {'l': ss[j], 'r': ss[j+1], 'cnt': cnt})) AS p
+         |    FROM (SELECT cnt, list_filter(regexp_split_to_array(syms, chr(1) || '+'),
+         |            x -> x <> '') AS ss FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT $i AS step, l, r, freq FROM p$i
+         |        ORDER BY freq DESC, l, r LIMIT 1),
+         |v$i AS (SELECT word, cnt,
+         |  replace(syms, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+         |          chr(1)||l||r||chr(1)) AS syms
+         |  FROM $prev, b$i)""".stripMargin
+    }
+    val bests = (1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT word, count(*) AS cnt,
+       |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')
+       |      || chr(1) || '</w>' || chr(1) AS syms
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${stages.mkString(",\n")}
+       |${finalSelect.replace("__BESTS__", bests)}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2061,6 +2126,43 @@ object SparkEntry {
          |  FROM b)
          |SELECT doc_id, lang FROM r WHERE rn <= 20
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_bpe_merges" -> bpeOracle(6,
+      """SELECT step, l AS merge_left, r AS merge_right, freq
+        |FROM (__BESTS__) ORDER BY step""".stripMargin),
+
+    "q_bpe_tokens" -> bpeOracle(6,
+      """SELECT d.doc_id,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(v.syms, chr(1) || '+'),
+        |    x -> x <> ''))) AS BIGINT) AS bpe_tokens
+        |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |      FROM documents) d
+        |JOIN v6 v USING (word)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    "q_temperature_sample" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val folded = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      // sqrt (not pow) is correctly rounded on both engines; decimal sum
+      // of the weights kills addition-order drift at the floor boundary
+      s"""WITH sizes AS (SELECT lang AS seg, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT seg, sqrt(CAST(n AS DOUBLE)) AS wr FROM sizes),
+         |tot AS (SELECT CAST(sum(CAST(wr AS DECIMAL(30,12))) AS DOUBLE) AS t FROM w),
+         |ex AS (SELECT seg, 200 * wr / t AS e FROM w, tot),
+         |b AS (SELECT seg, CAST(floor(e) AS BIGINT) AS base, e - floor(e) AS rem FROM ex),
+         |lv AS (SELECT 200 - sum(base) AS leftover FROM b),
+         |q AS (SELECT seg, base + CASE WHEN
+         |        row_number() OVER (ORDER BY rem DESC, seg) <= leftover
+         |        THEN 1 ELSE 0 END AS quota FROM b, lv),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY $folded, doc_id) AS rn
+         |      FROM (SELECT doc_id, lang,
+         |              md5('graft' || CAST(doc_id AS VARCHAR)) AS h
+         |            FROM documents))
+         |SELECT doc_id, lang FROM r JOIN q ON r.lang = q.seg
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
     },
 
     "q_cap_tokens" ->

@@ -541,6 +541,74 @@ object Curation {
       .sortWithinPartitions(col("shuffle_rank"))
   }
 
+  /** TEMPERATURE-flattened mixture sampling (the multilingual data-mixing
+    * recipe: XLM-R §3.1 / GPT-3 data weighting — sample group g with
+    * probability ∝ n_g^α): draw EXACTLY `totalN` rows across groups with
+    * per-group quotas `totalN · n_g^α / Σ n_h^α`, α=1 keeping natural
+    * proportions, α→0 flattening toward uniform so head groups (English)
+    * stop drowning the tail. Quotas are integerized by LARGEST REMAINDER
+    * (floor, then +1 to the biggest fractional parts until Σ = totalN),
+    * so the output size is exact, and rows are drawn per group by the
+    * same deterministic content-hash rank as [[sampleExactPerGroup]] —
+    * reproducible on any layout, engine-mirrorable.
+    *
+    * SCALE SHAPE: group sizes are one partial-agg scan; the quota table
+    * is |groups| rows (driver never sees it — a broadcast); the draw is
+    * the bounded-heap `top_k_any` with the array sliced to each group's
+    * quota — ≤ totalN payloads per group per mapper cross the exchange,
+    * no window, no per-stratum sort. The heap is sized `totalN` (one
+    * group could win every slot), so this operator is for EVAL-scale
+    * draws and refuses `totalN > maxTotalN`; corpus-scale mixtures are
+    * rate-based ([[sampleByWeight]]) or budgeted ([[capTokensPerGroup]]).
+    *
+    * Float parity (for the oracle): α=0.5 uses `sqrt` — correctly
+    * rounded on every IEEE engine, unlike `pow` — and Σ n^α goes through
+    * decimal(30,12) so addition order can't move a quota across its
+    * floor boundary.
+    */
+  def sampleByTemperature(df: DataFrame, groupCol: String, keyCol: String,
+                          totalN: Int, alpha: Double = 0.5,
+                          seed: String = "graft",
+                          maxTotalN: Int = 1000000): DataFrame = {
+    require(totalN >= 1 && totalN <= maxTotalN,
+      s"sampleByTemperature: totalN must be in [1, $maxTotalN], got $totalN " +
+        "— the per-group heap is sized totalN; use sampleByWeight/capTokensPerGroup " +
+        "for corpus-scale mixtures")
+    require(alpha >= 0 && alpha <= 1,
+      s"sampleByTemperature: alpha must be in [0,1], got $alpha")
+    val g = Cols.qcol(groupCol)
+    val sizes = df.groupBy(g.as("_seg")).agg(count(lit(1)).as("_n"))
+      .withColumn("_wr",
+        if (alpha == 0.5) sqrt(col("_n").cast("double"))
+        else pow(col("_n").cast("double"), lit(alpha)))
+    val tot = sizes.agg(
+      sum(col("_wr").cast("decimal(30,12)")).cast("double").as("_tot"))
+    val exact = sizes.crossJoin(broadcast(tot))
+      .withColumn("_exact", lit(totalN) * col("_wr") / col("_tot"))
+      .withColumn("_base", floor(col("_exact")).cast("long"))
+      .withColumn("_rem", col("_exact") - floor(col("_exact")))
+    // the remainder ranking windows over the |groups|-row quota table —
+    // tiny by premise (strata, not keys)
+    val wAll = Window.orderBy(col("_rem").desc, col("_seg"))
+    val leftover = exact.agg((lit(totalN) - sum(col("_base"))).as("_left"))
+    val quotas = exact.crossJoin(broadcast(leftover))
+      .withColumn("_rn", row_number().over(wAll))
+      .withColumn("_quota",
+        (col("_base") + when(col("_rn") <= col("_left"), 1L).otherwise(0L))
+          .cast("int"))
+      .select(col("_seg"), col("_quota"))
+    val rank = hashRank52(
+      coalesce(Cols.qcol(keyCol).cast("string"), lit("")), seed).cast("double")
+    val payload = struct(df.columns.map(Cols.qcol): _*)
+    df.groupBy(g.as("_seg"))
+      .agg(call_function("top_k_any", -rank, payload, lit(totalN)).as("_tk"))
+      .join(broadcast(quotas), Seq("_seg"))
+      // top_k_any returns ascending hash-rank order, so the first
+      // `quota` entries ARE the group's winners
+      .select(explode(slice(col("_tk"), lit(1), col("_quota"))).as("_item"))
+      .select(col("_item.payload.*"))
+  }
+
   // ---- token-budget quotas (corpus assembly) ----
 
   /** Cap each group (source, domain, language…) at a token budget: rows

@@ -342,6 +342,35 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     probeRun("corpus_overlap")(overlap(docs1))(overlap(docs))
+    // interval join (click attribution): bin+key hash exchange with ≤2
+    // replicas per purchase — 16× events (16× users too, keys remapped)
+    // must track the exchange, never a per-user blowup
+    def attr(dd: DataFrame) = {
+      val c = dd.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = dd.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      Temporal.attributeWithin(c, p, Seq("user_id"), Seq("p_user"),
+        "click_ts", "purchase_ts", maxLagSec = 1800L)
+    }
+    probe("click_attribution") { attr(ev1) } { attr(ev) }
+    // BM25: postings filtered to 3 query terms before the exchange; the
+    // corpus-side cost is the token scan + doc-length pass — scan-bound
+    def bm25(dd: DataFrame) = Retrieval.bm25TopK(dd, "doc_id", "text",
+      Seq("vector", "join", "slow"), k = 25)
+    probe("bm25_topk") { bm25(docs1) } { bm25(docs) }
+    // z-order write: one approxQuantile pass + one range exchange + sized
+    // sort — the whole layout job must scale like a sort-write, with the
+    // quantile boundaries staying driver-KB at any scale
+    def zw(dd: DataFrame, files: Int): () => Unit = () => {
+      graft.sinks.DataSink.writeZOrdered(
+        dd.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        s"$StageDir/zorder_out", Seq("l_partkey", "l_suppkey"),
+        bitsPerCol = 6, targetFiles = files)
+    }
+    probeRun("zorder_write")(zw(li1, 8))(zw(li, 128))
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

@@ -547,6 +547,54 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("top_k_any"), s"must rank through the bounded heap:\n$plan")
   }
 
+  test("sampleByTemperature: largest-remainder quotas, exact total, flattening, guards") {
+    // sizes 90/9/1 — α=0.5 weights √90/3/1 ≈ 9.487/3/1
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 99).map(i => (i.toLong, "mid")) ++ Seq((100L, "tiny")))
+      .toDF("id", "seg")
+    // N=10: exact 7.03/2.22/0.74 → base 7/2/0, leftover 1 → tiny's 0.74
+    // is the largest remainder → quotas 7/2/1
+    val out = Curation.sampleByTemperature(df, "seg", "id", totalN = 10)
+    val bySeg = out.groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg == Map("big" -> 7L, "mid" -> 2L, "tiny" -> 1L))
+    assert(out.count() == 10)
+    // N=5: exact 3.52/1.11/0.37 → base 3/1/0, leftover 1 → big's 0.52
+    // wins the +1; tiny draws NOTHING (quota 0, slice length 0)
+    val small = Curation.sampleByTemperature(df, "seg", "id", totalN = 5)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(small == Map("big" -> 4L, "mid" -> 1L))
+    // α=1 keeps natural proportions exactly (10·90/100 = 9 on the floor
+    // boundary — integer weights make it exact in double)
+    val nat = Curation.sampleByTemperature(
+        df.filter(col("seg") =!= "tiny"), "seg", "id", totalN = 11, alpha = 1.0)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("big" -> 10L, "mid" -> 1L))
+    // α=0 flattens to uniform
+    val flat = Curation.sampleByTemperature(df, "seg", "id", totalN = 3, alpha = 0.0)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat == Map("big" -> 1L, "mid" -> 1L, "tiny" -> 1L))
+    // the per-group draw IS sampleExactPerGroup's deterministic pick
+    val mine = Curation.sampleByTemperature(df, "seg", "id", totalN = 10)
+      .filter(col("seg") === "mid").select("id").as[Long].collect().toSet
+    val ref = Curation.sampleExactPerGroup(
+        df.filter(col("seg") === "mid"), "seg", "id", n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(mine == ref)
+    intercept[IllegalArgumentException] {
+      Curation.sampleByTemperature(df, "seg", "id", totalN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.sampleByTemperature(df, "seg", "id", totalN = 10, alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.sampleByTemperature(df, "seg", "id", totalN = 100, maxTotalN = 50)
+    }
+  }
+
   test("packPlan: hand-computed layout, boundary straddle, shard independence") {
     val docs = Seq(
       (1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 10L), // shard 0: cum 5, 8, 18
