@@ -535,6 +535,24 @@ object SparkEntry {
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("vector", "join", "slow"), k = 25)),
 
+    // TF-IDF query-to-doc cosine: the vector-space ranker over the same
+    // query — full-vocab doc norms, idf-weighted query vector.
+    "q_tfidf_topk" -> ((s, d) =>
+      Retrieval.tfidfQueryTopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "join", "slow"), k = 25)),
+
+    // Hybrid fusion (RRF): BM25 and TF-IDF rankings fused by reciprocal
+    // rank — incomparable score scales never touch each other, only
+    // ranks do. Ranks derive from the two bounded top-25 results.
+    "q_hybrid_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = Seq("vector", "join", "slow")
+      Retrieval.rrfFuse(Seq(
+          ("bm" -> Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 25)),
+          ("tf" -> Retrieval.tfidfQueryTopK(docs, "doc_id", "text", q, k = 25))),
+        "doc_id", "score", topK = 20)
+    }),
+
     // unigram LM quality proxy: top-16 vocab (the corpus holds 31 distinct
     // tokens, so the OOV floor branch is exercised), ln(p) averaged per doc
     "q_unigram_logprob" -> ((s, d) =>
@@ -1156,6 +1174,52 @@ object SparkEntry {
        |${stages.mkString(",\n")}
        |${finalSelect.replace("__BESTS__", bests)}""".stripMargin
   }
+
+  /** BM25 ranking, shared by `q_bm25_topk` and the RRF fusion oracle. */
+  private val Bm25Sql =
+    """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |lens AS (SELECT doc_id, len(t) AS dl FROM tok),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+      |post AS (SELECT doc_id, term, count(*) AS tf
+      |         FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      |         WHERE term IN ('vector', 'join', 'slow') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY 1),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+      |      * p.tf * (1.2 + 1.0)
+      |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) AS contrib
+      |  FROM post p JOIN lens l USING (doc_id)
+      |  JOIN dfreq USING (term), stats)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(contrib AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** TF-IDF query-cosine ranking, shared by `q_tfidf_topk` and RRF. */
+  private val TfidfTopkSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |             FROM documents),
+      |post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS nd FROM post),
+      |w AS (SELECT p.doc_id, p.term,
+      |        ln(CAST(nd AS DOUBLE) / doc_freq) AS idf,
+      |        p.tf * ln(CAST(nd AS DOUBLE) / doc_freq) AS w
+      |      FROM post p JOIN dfreq USING (term), n),
+      |nrm AS (SELECT doc_id,
+      |          CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) AS n2
+      |        FROM w GROUP BY 1),
+      |qw AS (SELECT doc_id, term, idf, w FROM w
+      |       WHERE term IN ('vector', 'join', 'slow')),
+      |qn AS (SELECT CAST(sum(CAST(idf * idf AS DECIMAL(30,12))) AS DOUBLE) AS qn2
+      |       FROM (SELECT DISTINCT term, idf FROM qw)),
+      |sc AS (SELECT doc_id,
+      |         CAST(sum(CAST(w * idf AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      |       FROM qw GROUP BY 1)
+      |SELECT s.doc_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS score
+      |FROM sc s JOIN nrm USING (doc_id), qn
+      |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2251,25 +2315,25 @@ object SparkEntry {
     // constants spelled as the same double folds Spark performs
     // ((1.2 + 1.0), 1 - 0.75) so both engines evaluate bit-identical
     // expressions before the decimal partial sum and round(4)
-    "q_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-        |lens AS (SELECT doc_id, len(t) AS dl FROM tok),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-        |post AS (SELECT doc_id, term, count(*) AS tf
-        |         FROM (SELECT doc_id, unnest(t) AS term FROM tok)
-        |         WHERE term IN ('vector', 'join', 'slow') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY 1),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
-        |      * p.tf * (1.2 + 1.0)
-        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) AS contrib
-        |  FROM post p JOIN lens l USING (doc_id)
-        |  JOIN dfreq USING (term), stats)
-        |SELECT doc_id,
-        |  round(CAST(sum(CAST(contrib AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "q_bm25_topk" -> Bm25Sql,
+
+    "q_tfidf_topk" -> TfidfTopkSql,
+
+    // RRF: re-rank the two bounded rankings above, fuse by
+    // 1/(60+rank) through decimal partials, round(6) before the cut
+    "q_hybrid_rank" ->
+      s"""WITH u AS (
+         |  SELECT 'bm' AS src, doc_id, score FROM ($Bm25Sql)
+         |  UNION ALL
+         |  SELECT 'tf' AS src, doc_id, score FROM ($TfidfTopkSql)),
+         |r AS (SELECT src, doc_id,
+         |        row_number() OVER (PARTITION BY src
+         |                           ORDER BY score DESC, doc_id) AS rk
+         |      FROM u)
+         |SELECT doc_id,
+         |  round(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / (60 + rk)
+         |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS rrf
+         |FROM r GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // same scored CTE as q_unigram_logprob; terciles via quantile_cont
     // (Spark percentile's interpolation rule), strict > comparisons on

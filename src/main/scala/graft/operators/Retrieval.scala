@@ -53,9 +53,10 @@ object Retrieval {
     postings
       .join(dfreq, Seq("term")) // inner: pruned terms vanish
       .crossJoin(broadcast(nDocs))
-      .withColumn("w",
-        col("tf") * log(col("n_docs").cast("double") / col("doc_freq")))
-      .select(col("term"), col("doc_id"), col("tf"), col("doc_freq"), col("w"))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("doc_freq")))
+      .withColumn("w", col("tf") * col("idf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_freq"),
+        col("idf"), col("w"))
   }
 
   /** All document pairs with TF-IDF cosine ≥ `minCosine` (over the
@@ -96,6 +97,66 @@ object Retrieval {
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** TF-IDF query-to-document cosine top-k: the vector-space twin of
+    * [[bm25TopK]] (same postings/broadcast shape — the only corpus-wide
+    * passes are the posting aggregate and the norm aggregate; query-term
+    * filtering happens before the scoring exchange). The query vector
+    * weights each distinct term by its idf (tf=1), doc norms run over
+    * the FULL maxDf-pruned vocabulary, so the score is a true cosine.
+    * Scores round to 4 before the (score desc, id) top-k cut.
+    */
+  def tfidfQueryTopK(df: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
+    require(queryTerms.nonEmpty, "tfidfQueryTopK: queryTerms must be non-empty")
+    require(k >= 1, s"tfidfQueryTopK: k must be ≥1, got $k")
+    val w = tfidfWeights(df, idCol, textCol, maxDf)
+    val norms = w.groupBy(col("doc_id")).agg(dsum(col("w") * col("w")).as("norm2"))
+    val qw = w.filter(col("term").isin(queryTerms.distinct: _*))
+    val qnorm = qw.select(col("term"), col("idf")).distinct()
+      .agg(dsum(col("idf") * col("idf")).as("qnorm2"))
+    qw.groupBy(col("doc_id"))
+      .agg(dsum(col("w") * col("idf")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        round(col("dot") / (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * combine N rankings into one — `rrf(d) = Σ_i 1/(k0 + rank_i(d))`,
+    * summing only over rankings that contain d. Robust to incomparable
+    * score scales (BM25 vs cosine vs recency), which is why it is the
+    * standard hybrid lexical+dense fusion.
+    *
+    * Inputs are (tag, ranking) pairs each exposing (`idCol`, `scoreCol`);
+    * ranks derive from (score desc, id asc) — rankings are TOP-K RESULTS
+    * (bounded), so the per-ranking window is k rows, never corpus-scale.
+    * The fused score goes through decimal partials and rounds to 6
+    * before the final (rrf desc, id) top-k cut.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              scoreCol: String, topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least 2 rankings to fuse")
+    require(k0 >= 1 && topK >= 1,
+      s"rrfFuse: k0 and topK must be ≥1, got k0=$k0 topK=$topK")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(lit(tag).as("_src"), Cols.qcol(idCol).as("_id"),
+        Cols.qcol(scoreCol).cast("double").as("_score"))
+    }.reduce(_ unionByName _)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_src")).orderBy(col("_score").desc, col("_id"))
+    tagged
+      .withColumn("_rank", row_number().over(wnd))
+      .groupBy(col("_id").as(idCol))
+      .agg(round(dsum(lit(1.0) / (lit(k0) + col("_rank"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, Cols.qcol(idCol))
+      .limit(topK)
   }
 
   /** Okapi BM25 top-k retrieval for one bag-of-terms query. The 100 TB

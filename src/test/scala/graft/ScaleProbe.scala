@@ -372,6 +372,16 @@ object ScaleProbe {
     }
     probeRun("zorder_write")(zw(li1, 8))(zw(li, 128))
 
+    // BPE training: the corpus enters ONCE through the word-count scan;
+    // the 16× corpus has the SAME 31-word vocab (replicated text), so the
+    // merge loop's per-iteration cost is constant and the probe isolates
+    // the scan scaling
+    def bpe(dd: DataFrame): () => Unit = () => {
+      Tokenizer.learnBpeMerges(dd, "text", nMerges = 4)
+      ()
+    }
+    probeRun("bpe_train")(bpe(docs1))(bpe(docs))
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory

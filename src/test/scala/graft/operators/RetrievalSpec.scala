@@ -94,6 +94,49 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tfidfQueryTopK: hand cosine, full-vocab norms, query-absent docs dropped") {
+    val out = Retrieval.tfidfQueryTopK(docs3, "doc_id", "text", Seq("b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idfB = StrictMath.log(3.0 / 2); val idfD = StrictMath.log(3.0)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1 (a b b): dot = 2·idfB·idfB, norm² = idfB²+( 2idfB)² = 5idfB²
+    //   → cosine = 2/√5; doc3 (b d): idfB/√(idfB²+idfD²); doc2 has no b
+    val s1 = r4(2 * idfB * idfB /
+      (math.sqrt(idfB * idfB + 4 * idfB * idfB) * math.sqrt(idfB * idfB)))
+    val s3 = r4(idfB * idfB /
+      (math.sqrt(idfB * idfB + idfD * idfD) * math.sqrt(idfB * idfB)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out.toMap == Map(1L -> s1, 3L -> s3))
+    assert(s1 == 0.8944) // 2/√5
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfQueryTopK(docs3, "doc_id", "text", Nil, 5)
+    }
+  }
+
+  test("rrfFuse: hand fusion, rank ties by id, missing-from-one-ranking handled") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((2L, 0.95), (3L, 0.6)).toDF("doc_id", "score")
+    val out = Retrieval.rrfFuse(Seq(("a", a), ("b", b)), "doc_id", "score",
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def term(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ranks: a → 1:1, 2:2, 3:3; b → 2:1, 3:2
+    val exp = Map(
+      1L -> r6(term(1)),            // only ranking a
+      2L -> r6(term(2) + term(1)),
+      3L -> r6(term(3) + term(2)))
+    assert(out.toMap == exp)
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L)) // fused order
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(("a", a)), "doc_id", "score", 5)
+    }
+  }
+
   test("bm25TopK plan: postings filter before exchange, stats sides broadcast") {
     val df = (1L to 200L).map(i => (i, s"w$i t common")).toDF("doc_id", "text")
     val q = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 5)
