@@ -75,6 +75,17 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30)),
 
+    // ordered conversion funnel over the event stream — integer-exact
+    "q_funnel" -> ((s, d) => Analytics.funnel(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"))
+      .orderBy(col("stage"))),
+
+    // weekly cohort retention triangle — integer-exact
+    "q_cohort_retention" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     "q_event_window" -> ((s, d) => Analytics.eventWindowAgg(Tables.events(s, d))),
 
     // ---------- B. cleaning ----------
@@ -1372,6 +1383,32 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts >= s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS stage, 'click' AS event_type,
+        |       (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH acts AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |firsts AS (SELECT u, CAST(date_trunc('week', min(d)) AS DATE) AS cw
+        |           FROM acts GROUP BY 1)
+        |SELECT cw AS cohort_week,
+        |       CAST(floor(date_diff('day', cw, d) / 7) AS INTEGER) AS week_offset,
+        |       count(DISTINCT u) AS active_users
+        |FROM acts JOIN firsts USING (u)
+        |WHERE floor(date_diff('day', cw, d) / 7) <= 12
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -300,6 +300,71 @@ object Analytics {
   /** Tumbling-window event aggregation, batch form of the streaming job in
     * `graft.streaming.EventStreams`. date_trunc keeps it SQL-portable.
     */
+  /** Ordered FUNNEL analysis: how many users progress through the event
+    * stages IN ORDER (each stage's event at-or-after the user's previous
+    * stage's first completion — the e-commerce click→view→purchase
+    * conversion question). Stage k's completion time is the user's
+    * EARLIEST stage-k event at-or-after their stage-(k−1) completion;
+    * output is one row per stage with the surviving user count —
+    * integer-exact, so the oracle mirror is trivial.
+    *
+    * Scale shape: one aggregate per stage over that stage's events only
+    * (filter pushed to the scan), joined user-keyed to the previous
+    * stage's completions — k−1 hash exchanges on user_id for a k-stage
+    * funnel, each carrying ≤|users| rows, never raw events. No windows,
+    * no per-user sort.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"funnel: need ≥2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"funnel: stages must be distinct, got $stages")
+    val u = Cols.qcol(userCol); val t = Cols.qcol(typeCol); val ts = Cols.qcol(tsCol)
+    // stage 1: first occurrence per user
+    var done = events.filter(t === stages.head)
+      .groupBy(u.as("_user")).agg(min(ts).as("_t"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      (1, stages.head, done.count()))
+    stages.toSeq.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val cand = events.filter(t === st)
+        .select(u.as("_user"), ts.as("_ts"))
+      done = cand.join(done, Seq("_user"))
+        .filter(col("_ts") >= col("_t"))
+        .groupBy(col("_user")).agg(min(col("_ts")).as("_t"))
+      counts += ((i + 1, st, done.count()))
+    }
+    val spark = events.sparkSession
+    spark.createDataFrame(counts.toSeq).toDF("stage", "event_type", "users")
+  }
+
+  /** Weekly COHORT RETENTION: users grouped by the ISO week of their
+    * first event (the cohort), counted by how many are active k weeks
+    * later — the standard retention triangle. `week_offset` is exact
+    * integer day arithmetic (floor(days/7)); counts are distinct users,
+    * so the whole result is integer-exact.
+    *
+    * Scale shape: first-event per user is one user-keyed aggregate; the
+    * activity join is user-keyed; the final (cohort, offset) aggregate
+    * carries distinct-user state. Three exchanges total, none carrying
+    * raw event payloads beyond (user, day).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      maxWeeks: Int = 12): DataFrame = {
+    require(maxWeeks >= 1, s"cohortRetention: maxWeeks must be ≥1, got $maxWeeks")
+    val u = Cols.qcol(userCol); val ts = Cols.qcol(tsCol)
+    val acts = events.select(u.as("_user"),
+      to_date(ts.cast("timestamp")).as("_day"))
+    val first = acts.groupBy(col("_user"))
+      .agg(min(col("_day")).as("_first_day"))
+      .withColumn("cohort_week", date_trunc("week", col("_first_day")).cast("date"))
+    acts.join(first, Seq("_user"))
+      .withColumn("week_offset",
+        floor(datediff(col("_day"), col("cohort_week")) / 7).cast("int"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("_user")).as("active_users"))
+  }
+
   def eventWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

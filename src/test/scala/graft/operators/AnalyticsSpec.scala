@@ -84,6 +84,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(11L) == ((0L, 0L, 1L)))
   }
 
+  test("funnel: ordered progression only, at-or-after boundary, guards") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: click → view → purchase, strictly ordered → all 3 stages
+      (1L, "click", ts("2026-01-01 10:00:00")),
+      (1L, "view", ts("2026-01-01 10:05:00")),
+      (1L, "purchase", ts("2026-01-01 10:10:00")),
+      // user 2: purchase BEFORE its view → stops after stage 2
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (2L, "purchase", ts("2026-01-01 09:10:00")),
+      (2L, "view", ts("2026-01-01 09:20:00")),
+      // user 3: view+purchase at the SAME instant as click → at-or-after
+      // keeps the whole chain
+      (3L, "click", ts("2026-01-01 08:00:00")),
+      (3L, "view", ts("2026-01-01 08:00:00")),
+      (3L, "purchase", ts("2026-01-01 08:00:00")),
+      // user 4: no click → never enters the funnel
+      (4L, "view", ts("2026-01-01 07:00:00")),
+      (4L, "purchase", ts("2026-01-01 07:30:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"))
+      .orderBy(col("stage")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, "click", 3L), (2, "view", 3L), (3, "purchase", 2L)))
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, "user_id", "event_type", "ts", Seq("click"))
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("click", "click", "view"))
+    }
+  }
+
+  test("cohortRetention: ISO-week cohorts, integer week offsets, distinct users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2026-01-05 is a Monday
+    val ev = Seq(
+      (1L, ts("2026-01-06 10:00:00")), // cohort w/o 2026-01-05, offset 0
+      (1L, ts("2026-01-07 10:00:00")), // same week — still offset 0, distinct once
+      (1L, ts("2026-01-14 10:00:00")), // 9 days after cohort Monday → offset 1
+      (2L, ts("2026-01-05 00:00:00")), // cohort Monday itself
+      (2L, ts("2026-01-19 23:00:00")), // exactly 14 days → offset 2
+      (3L, ts("2026-01-13 12:00:00"))) // cohort w/o 2026-01-12, offset 0 only
+      .toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2026-01-05", 0) -> 2L, // users 1 and 2 in their first week
+      ("2026-01-05", 1) -> 1L, // user 1
+      ("2026-01-05", 2) -> 1L, // user 2
+      ("2026-01-12", 0) -> 1L)) // user 3
+    intercept[IllegalArgumentException] {
+      Analytics.cohortRetention(ev, "user_id", "ts", maxWeeks = 0)
+    }
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
