@@ -86,6 +86,13 @@ object SparkEntry {
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // market-basket affinity over order line items: exact counts, one
+    // fixed division association, round(4)
+    "q_basket_affinity" -> ((s, d) =>
+      Analytics.basketAffinity(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          minPairCount = 3)
+        .orderBy(col("item_a"), col("item_b"))),
+
     "q_event_window" -> ((s, d) => Analytics.eventWindowAgg(Tables.events(s, d))),
 
     // ---------- B. cleaning ----------
@@ -1383,6 +1390,23 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS nn FROM b),
+        |ic AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
+        |pairs AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_count
+        |          FROM b a JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, pair_count,
+        |  round(CAST(pair_count AS DOUBLE) / nn, 4) AS support,
+        |  round(CAST(pair_count AS DOUBLE) / ca.c, 4) AS confidence,
+        |  round((CAST(pair_count AS DOUBLE) / ca.c)
+        |        / (CAST(cb.c AS DOUBLE) / nn), 4) AS lift
+        |FROM pairs
+        |JOIN ic ca ON item_a = ca.i
+        |JOIN ic cb ON item_b = cb.i, n
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events

@@ -337,6 +337,61 @@ object Analytics {
     spark.createDataFrame(counts.toSeq).toDF("stage", "event_type", "users")
   }
 
+  /** MARKET-BASKET affinity: support / confidence / lift for every item
+    * pair co-occurring in ≥ `minPairCount` baskets (the cross-sell
+    * question over order line items). All counts are exact integers;
+    * the ratios divide in one fixed association
+    * (`lift = (pair/cA)/(cB/N)`) and round to 4, so the oracle mirror
+    * is bit-deterministic.
+    *
+    * Scale shape: the pair generator self-joins baskets on the order
+    * key — replication is Σ basket², so a pathological basket (one
+    * order with a million items) would melt an executor; any basket
+    * over `maxBasketSize` fails LOUDLY in-plan (raise_error, the
+    * rangeJoin guard pattern) rather than hanging. Item counts and the
+    * order total are broadcast sides; the only corpus-scale exchanges
+    * are the basket distinct and the pair aggregate, both on compact
+    * keys.
+    */
+  def basketAffinity(lineitem: DataFrame, orderCol: String, itemCol: String,
+                     minPairCount: Long = 3, maxBasketSize: Int = 10000): DataFrame = {
+    require(minPairCount >= 1,
+      s"basketAffinity: minPairCount must be ≥1, got $minPairCount")
+    require(maxBasketSize >= 2,
+      s"basketAffinity: maxBasketSize must be ≥2, got $maxBasketSize")
+    val baskets = lineitem
+      .select(Cols.qcol(orderCol).as("_o"), Cols.qcol(itemCol).as("_i"))
+      .distinct()
+    val sizes = baskets.groupBy(col("_o")).agg(count(lit(1)).as("_bn"))
+    val guarded = baskets.join(sizes, Seq("_o"))
+      .withColumn("_i", when(col("_bn") <= maxBasketSize, col("_i"))
+        .otherwise(raise_error(concat(
+          lit(s"basketAffinity: basket "), col("_o").cast("string"),
+          lit(s" has "), col("_bn").cast("string"),
+          lit(s" items (> $maxBasketSize) — quadratic replication; " +
+            "clean the basket or raise maxBasketSize deliberately")))))
+      .select(col("_o"), col("_i"))
+    val nOrders = baskets.agg(countDistinct(col("_o")).as("_n"))
+    val itemCounts = baskets.groupBy(col("_i")).agg(count(lit(1)).as("_ic"))
+    val a = guarded.select(col("_o"), col("_i").as("item_a"))
+    val b = guarded.select(col("_o"), col("_i").as("item_b"))
+    a.join(b, Seq("_o"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+      .join(broadcast(itemCounts.select(col("_i").as("item_a"), col("_ic").as("_ca"))),
+        Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("_i").as("item_b"), col("_ic").as("_cb"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        round(col("pair_count").cast("double") / col("_n"), 4).as("support"),
+        round(col("pair_count").cast("double") / col("_ca"), 4).as("confidence"),
+        round((col("pair_count").cast("double") / col("_ca")) /
+          (col("_cb").cast("double") / col("_n")), 4).as("lift"))
+  }
+
   /** Weekly COHORT RETENTION: users grouped by the ISO week of their
     * first event (the cohort), counted by how many are active k weeks
     * later — the standard retention triangle. `week_offset` is exact

@@ -372,6 +372,27 @@ object ScaleProbe {
     }
     probeRun("zorder_write")(zw(li1, 8))(zw(li, 128))
 
+    // funnel: k−1 user-keyed completion joins — 16× events AND 16× users
+    // (keys remapped) must track the stage aggregates
+    def fnl(dd: DataFrame): () => Unit = () => {
+      Analytics.funnel(dd, "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"))
+      ()
+    }
+    probeRun("funnel")(fnl(ev1))(fnl(ev))
+    // cohort retention: three exchanges on (user) and (cohort, offset)
+    probe("cohort_retention") {
+      Analytics.cohortRetention(ev1, "user_id", "ts")
+    } {
+      Analytics.cohortRetention(ev, "user_id", "ts")
+    }
+    // basket affinity: Σ basket² pair replication — 16× orders of the
+    // SAME basket size must scale with the basket count, never blow up
+    probe("basket_affinity") {
+      Analytics.basketAffinity(li1, "l_orderkey", "l_partkey", minPairCount = 3)
+    } {
+      Analytics.basketAffinity(li, "l_orderkey", "l_partkey", minPairCount = 3)
+    }
     // BPE training: the corpus enters ONCE through the word-count scan;
     // the 16× corpus has the SAME 31-word vocab (replicated text), so the
     // merge loop's per-iteration cost is constant and the probe isolates

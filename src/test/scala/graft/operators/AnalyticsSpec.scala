@@ -119,6 +119,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("basketAffinity: hand support/confidence/lift, dup lines collapse, oversize fails") {
+    // orders: 1:{A,B,C} 2:{A,B} 3:{A} 4:{B,D} — N=4
+    // pair (A,B): count 2; support 2/4; conf 2/cA=2/3; lift conf/(cB/4)
+    val li = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "A"), // dup line item collapses
+      (2L, "A"), (2L, "B"),
+      (3L, "A"),
+      (4L, "B"), (4L, "D"))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketAffinity(li, "l_orderkey", "l_partkey",
+        minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(("A", "B")))
+    val (c, s, cf, lf) = out(("A", "B"))
+    assert(c == 2L && s == 0.5 && cf == r4(2.0 / 3))
+    assert(lf == r4((2.0 / 3) / (3.0 / 4))) // cB=3 baskets contain B
+    // minPairCount=1 admits the singletons too
+    assert(Analytics.basketAffinity(li, "l_orderkey", "l_partkey",
+      minPairCount = 1).count() == 4) // AB, AC, BC, BD
+    // an oversized basket fails loudly in-plan
+    val big = (1 to 20).map(i => (9L, s"P$i")).toDF("l_orderkey", "l_partkey")
+    val e = intercept[Exception] {
+      Analytics.basketAffinity(li.union(big), "l_orderkey", "l_partkey",
+        maxBasketSize = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("basketAffinity: basket")), s"got: $e")
+  }
+
   test("cohortRetention: ISO-week cohorts, integer week offsets, distinct users") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // 2026-01-05 is a Monday
