@@ -93,6 +93,16 @@ object SparkEntry {
           minPairCount = 3)
         .orderBy(col("item_a"), col("item_b"))),
 
+    // RFM quintile segmentation (exact-percentile cuts, strict > sums)
+    "q_rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegments(Tables.orders(s, d))
+        .orderBy(col("o_custkey"))),
+
+    // ABC/Pareto revenue classes (decimal cumsum over the item catalog)
+    "q_abc_analysis" -> ((s, d) =>
+      Analytics.abcAnalysis(Tables.lineitem(s, d))
+        .orderBy(col("revenue").desc, col("l_partkey"))),
+
     "q_event_window" -> ((s, d) => Analytics.eventWindowAgg(Tables.events(s, d))),
 
     // ---------- B. cleaning ----------
@@ -1390,6 +1400,63 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // quantile_cont matches Spark's exact-percentile interpolation (the
+    // q_ppl_buckets precedent); monetary rounds to 2 BEFORE the cuts;
+    // scores are the same strict-> comparison sums on both engines
+    "q_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         count(*) AS frequency,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+        |           AS monetary
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+        |base AS (SELECT o_custkey,
+        |           CAST(date_diff('day', last_d, ref_d) AS INTEGER) AS recency_days,
+        |           frequency, monetary
+        |         FROM cust, ref),
+        |cuts AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |                quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |                quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |         FROM base),
+        |scored AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    5 - ((recency_days > rc[1])::INT + (recency_days > rc[2])::INT
+        |       + (recency_days > rc[3])::INT + (recency_days > rc[4])::INT) AS r_score,
+        |    1 + ((frequency > fc[1])::INT + (frequency > fc[2])::INT
+        |       + (frequency > fc[3])::INT + (frequency > fc[4])::INT) AS f_score,
+        |    1 + ((monetary > mc[1])::INT + (monetary > mc[2])::INT
+        |       + (monetary > mc[3])::INT + (monetary > mc[4])::INT) AS m_score
+        |  FROM base, cuts)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |            ELSE 'regular' END AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    "q_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE) AS t
+        |        FROM rev),
+        |cum AS (
+        |  SELECT l_partkey, revenue,
+        |    CAST(sum(CAST(revenue AS DECIMAL(30,6)))
+        |      OVER (ORDER BY revenue DESC, l_partkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / t AS cum_share
+        |  FROM rev, tot)
+        |SELECT l_partkey, revenue, round(cum_share, 6) AS cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM cum ORDER BY revenue DESC, l_partkey""".stripMargin,
 
     "q_basket_affinity" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -335,6 +335,88 @@ object Analytics {
     }
     val spark = events.sparkSession
     spark.createDataFrame(counts.toSeq).toDF("stage", "event_type", "users")
+  }
+
+  /** RFM customer segmentation: quintile scores for Recency (days since
+    * last order — lower is better), Frequency (order count) and Monetary
+    * (decimal-exact revenue), plus a coarse segment label. Quintile cuts
+    * come from the exact `percentile` aggregate (interpolation matches
+    * DuckDB's `quantile_cont` — the q_ppl_buckets precedent), broadcast
+    * back; scores are strict-`>` comparison sums, so the bucketing is
+    * engine-deterministic. Monetary rounds to 2 BEFORE the cuts so both
+    * engines rank identical values.
+    *
+    * Scale shape: one customer-keyed aggregate (partial → exchange on
+    * custkey), one 1-row reference-date aggregate and one 3-array cut
+    * aggregate (both broadcast) — the customer table crosses the wire
+    * once.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate").cast("timestamp"))).as("_last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
+          .cast("double").as("monetary"))
+    val ref = orders.agg(
+      max(to_date(col("o_orderdate").cast("timestamp"))).as("_ref"))
+    val base = cust.crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("_ref"), col("_last")))
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val cuts = base.agg(
+      expr(s"percentile(recency_days, $qs)").as("_rc"),
+      expr(s"percentile(frequency, $qs)").as("_fc"),
+      expr(s"percentile(monetary, $qs)").as("_mc"))
+    def above(v: Column, cs: Column): Column =
+      (0 to 3).map(i => when(v > cs.getItem(i), 1).otherwise(0)).reduce(_ + _)
+    base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(5) - above(col("recency_days"), col("_rc")))
+      .withColumn("f_score", lit(1) + above(col("frequency"), col("_fc")))
+      .withColumn("m_score", lit(1) + above(col("monetary"), col("_mc")))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /** ABC (Pareto) revenue classification: items ranked by discounted
+    * revenue; class A covers the leading `aShare` of total revenue, B up
+    * to `bShare`, C the tail. Revenue sums are decimal-exact and round
+    * to 2 BEFORE ranking; the cumulative share divides two decimals cast
+    * to double, so the class boundaries are engine-deterministic.
+    *
+    * The cumulative window runs over the ITEM CATALOG (one row per
+    * part — bounded by the catalog, not the fact table), the same
+    * documented tiny/bounded-table exception as the quota windows; the
+    * fact-scale work is the one part-keyed revenue aggregate.
+    */
+  def abcAnalysis(lineitem: DataFrame, aShare: Double = 0.8,
+                  bShare: Double = 0.95): DataFrame = {
+    require(aShare > 0 && aShare < bShare && bShare < 1,
+      s"abcAnalysis: need 0 < aShare < bShare < 1, got $aShare, $bShare")
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,6)")), 2).cast("double").as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("revenue").cast("decimal(30,6)")).as("_tot"))
+    rev.crossJoin(broadcast(tot))
+      // decimal sums (exact), then DOUBLE division: decimal-division
+      // scale rules differ across engines, double division does not —
+      // and the 2-dp sums are exactly representable in double
+      .withColumn("cum_share",
+        sum(col("revenue").cast("decimal(30,6)")).over(w).cast("double")
+          / col("_tot").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aShare, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("revenue"),
+        round(col("cum_share"), 6).as("cum_share"), col("abc_class"))
   }
 
   /** MARKET-BASKET affinity: support / confidence / lift for every item

@@ -393,6 +393,16 @@ object ScaleProbe {
     } {
       Analytics.basketAffinity(li, "l_orderkey", "l_partkey", minPairCount = 3)
     }
+    // RFM: one customer-keyed aggregate + two broadcast scalars — 16×
+    // orders AND 16× customers must track the aggregate scan
+    probe("rfm_segments") { Analytics.rfmSegments(ord1) } {
+      Analytics.rfmSegments(ord)
+    }
+    // ABC: fact-scale part aggregate + a catalog-bounded window (parts
+    // are NOT remapped — the window stays constant while the facts 16×)
+    probe("abc_analysis") { Analytics.abcAnalysis(li1) } {
+      Analytics.abcAnalysis(li)
+    }
     // BPE training: the corpus enters ONCE through the word-count scan;
     // the 16× corpus has the SAME 31-word vocab (replicated text), so the
     // merge loop's per-iteration cost is constant and the probe isolates

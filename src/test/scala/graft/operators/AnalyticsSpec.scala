@@ -119,6 +119,65 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments: quintile scores by hand, recency inverted, segment labels") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // five customers, clearly separated R/F/M profiles
+    val orders = Seq(
+      // cust 1: recent + frequent + big → champion
+      (1L, ts("2026-06-10"), 1000.0), (1L, ts("2026-06-09"), 1000.0),
+      (1L, ts("2026-06-08"), 1000.0), (1L, ts("2026-06-07"), 1000.0),
+      (1L, ts("2026-06-06"), 1000.0),
+      // cust 2: old + frequent → at_risk_loyal
+      (2L, ts("2026-01-01"), 500.0), (2L, ts("2026-01-02"), 500.0),
+      (2L, ts("2026-01-03"), 500.0), (2L, ts("2026-01-04"), 500.0),
+      // cust 3: recent + rare → recent
+      (3L, ts("2026-06-10"), 100.0),
+      // cust 4: old + rare → hibernating
+      (4L, ts("2026-02-01"), 50.0),
+      // cust 5: middling
+      (5L, ts("2026-04-01"), 300.0), (5L, ts("2026-04-02"), 300.0),
+      (5L, ts("2026-04-03"), 300.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.rfmSegments(orders)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    // recency_days from ref 2026-06-10: c1=0 c2=157 c3=0 c4=129 c5=68
+    assert(out(1L)._1 == 0 && out(2L)._1 == 157 && out(5L)._1 == 68)
+    assert(out(1L)._2 == 5L && out(1L)._3 == 5000.0)
+    // cuts over [0,0,68,129,157]: p20=0, p40=40.8, p60=92.4, p80=134.6
+    // scores r: c1,c3 → 0 > 0 false → 5; c5: 68>0, 68>40.8 → 5-2=3
+    assert(out(1L)._4 == 5 && out(3L)._4 == 5 && out(5L)._4 == 3)
+    assert(out(2L)._4 == 1 && out(4L)._4 == 2) // 129 > p20,p40,p60 → 2
+    assert(out(1L)._7 == "champion")
+    assert(out(2L)._7 == "at_risk_loyal")
+    assert(out(3L)._7 == "recent")
+    assert(out(4L)._7 == "hibernating")
+    assert(out(5L)._7 == "regular")
+  }
+
+  test("abcAnalysis: cumulative shares classify A/B/C deterministically") {
+    // revenues 50, 30, 15, 5 → cum shares .5, .8, .95, 1.0
+    val li = Seq(
+      (101L, 50.0, 0.0), (102L, 30.0, 0.0), (103L, 15.0, 0.0), (104L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Analytics.abcAnalysis(li)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out(101L) == ((50.0, 0.5, "A")))
+    assert(out(102L) == ((30.0, 0.8, "A")))  // boundary: <= 0.8 stays A
+    assert(out(103L) == ((15.0, 0.95, "B"))) // boundary: <= 0.95 stays B
+    assert(out(104L) == ((5.0, 1.0, "C")))
+    // discount reduces revenue before ranking
+    val disc = Analytics.abcAnalysis(
+        li.withColumn("l_discount", when(col("l_partkey") === 101L, 0.9).otherwise(0.0)))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(disc(102L) == "A") // 101's revenue collapses to 5 → 102 leads
+    intercept[IllegalArgumentException] {
+      Analytics.abcAnalysis(li, aShare = 0.9, bShare = 0.8)
+    }
+  }
+
   test("basketAffinity: hand support/confidence/lift, dup lines collapse, oversize fails") {
     // orders: 1:{A,B,C} 2:{A,B} 3:{A} 4:{B,D} — N=4
     // pair (A,B): count 2; support 2/4; conf 2/cA=2/3; lift conf/(cB/4)
