@@ -98,6 +98,16 @@ object SparkEntry {
       Analytics.rfmSegments(Tables.orders(s, d))
         .orderBy(col("o_custkey"))),
 
+    // rolling z-score anomalies on daily revenue (exact moments)
+    "q_revenue_anomalies" -> ((s, d) =>
+      Analytics.revenueAnomalies(Tables.orders(s, d))
+        .orderBy(col("day"))),
+
+    // per-user Markov transition matrix over event types
+    "q_event_transitions" -> ((s, d) =>
+      Analytics.eventTransitions(Tables.events(s, d))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // ABC/Pareto revenue classes (decimal cumsum over the item catalog)
     "q_abc_analysis" -> ((s, d) =>
       Analytics.abcAnalysis(Tables.lineitem(s, d))
@@ -1437,6 +1447,49 @@ object SparkEntry {
         |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
         |            ELSE 'regular' END AS segment
         |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    // z from UNROUNDED mean; base_mean rounds separately; a <2-sample
+    // or zero-variance baseline yields NULL z on both engines
+    "q_revenue_anomalies" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS "day",
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1),
+        |win AS (
+        |  SELECT "day", revenue,
+        |    count(revenue) OVER w AS n,
+        |    CAST(sum(CAST(revenue AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(revenue * revenue AS DECIMAL(30,6))) OVER w AS DOUBLE)
+        |      AS sxx
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY "day" ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT "day", revenue,
+        |    CASE WHEN n >= 2 THEN round(sx / n, 4) END AS base_mean,
+        |    CASE WHEN n >= 2 AND ((sxx - sx * sx / n) / (n - 1)) > 0
+        |         THEN round((revenue - sx / n)
+        |                    / sqrt((sxx - sx * sx / n) / (n - 1)), 4)
+        |    END AS z
+        |  FROM win)
+        |SELECT "day", revenue, base_mean, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 ELSE false END AS is_anomaly
+        |FROM scored ORDER BY "day"""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS transitions
+        |        FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS t
+        |        FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.transitions,
+        |       round(CAST(c.transitions AS DOUBLE) / t, 4) AS prob
+        |FROM cnt c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_abc_analysis" ->
       """WITH rev AS (

@@ -337,6 +337,74 @@ object Analytics {
     spark.createDataFrame(counts.toSeq).toDF("stage", "event_type", "users")
   }
 
+  /** Rolling z-score ANOMALY detection on daily revenue: each day is
+    * scored against the mean/stddev of the `windowDays` PRECEDING days
+    * (the day itself excluded — an anomaly must not dilute its own
+    * baseline). Moments derive from decimal-exact Σx and Σx² window
+    * sums with the textbook `(Σx² − (Σx)²/n)/(n−1)` sample variance in
+    * double — the identical arithmetic DuckDB runs, so z-scores match
+    * at round(4). Days with fewer than 2 predecessors get a null z
+    * (undefined baseline), never a fabricated 0.
+    *
+    * The window runs over the DAILY revenue table — calendar-bounded
+    * (one row per day), the same documented tiny-table exception as the
+    * quota windows; fact-scale work is the one day-keyed aggregate.
+    */
+  def revenueAnomalies(orders: DataFrame, windowDays: Int = 7,
+                       zThreshold: Double = 2.0): DataFrame = {
+    require(windowDays >= 2,
+      s"revenueAnomalies: windowDays must be ≥2, got $windowDays")
+    require(zThreshold > 0,
+      s"revenueAnomalies: zThreshold must be positive, got $zThreshold")
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate").cast("timestamp")).as("day"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
+        .cast("double").as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-windowDays, -1)
+    val n = count(col("revenue")).over(w)
+    val sx = sum(col("revenue").cast("decimal(30,6)")).over(w).cast("double")
+    val sxx = sum((col("revenue") * col("revenue")).cast("decimal(30,6)"))
+      .over(w).cast("double")
+    daily
+      .withColumn("_n", n).withColumn("_sx", sx).withColumn("_sxx", sxx)
+      .withColumn("base_mean",
+        when(col("_n") >= 2, round(col("_sx") / col("_n"), 4)))
+      .withColumn("_var",
+        (col("_sxx") - col("_sx") * col("_sx") / col("_n")) / (col("_n") - 1))
+      .withColumn("z",
+        when(col("_n") >= 2 && col("_var") > 0,
+          round((col("revenue") - col("_sx") / col("_n")) / sqrt(col("_var")), 4)))
+      // non-null boolean: a day without a defined baseline is NOT
+      // flagged (and null-vs-NaN boolean renderings differ across
+      // engines — a nullable flag column is a false-mismatch trap)
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, abs(col("z")) > zThreshold).otherwise(lit(false)))
+      .select(col("day"), col("revenue"), col("base_mean"), col("z"),
+        col("is_anomaly"))
+  }
+
+  /** Per-user event TRANSITION matrix: counts and row-normalized
+    * probabilities of consecutive (prev → next) event-type pairs — the
+    * Markov view of the clickstream. Consecutive means adjacent in the
+    * user's (ts, event_id) order; the lag window partitions by user, so
+    * parallelism is the user population, never a single task. Counts
+    * are exact; probabilities divide once and round to 4.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("transitions")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        round(col("transitions").cast("double") / col("_tot"), 4).as("prob"))
+  }
+
   /** RFM customer segmentation: quintile scores for Recency (days since
     * last order — lower is better), Frequency (order count) and Monetary
     * (decimal-exact revenue), plus a coarse segment label. Quintile cuts

@@ -119,6 +119,56 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("revenueAnomalies: exact rolling moments, self-exclusion, null baselines") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (ts("2026-01-01"), 10.0), (ts("2026-01-02"), 12.0), (ts("2026-01-03"), 11.0),
+      (ts("2026-01-04"), 10.0), (ts("2026-01-05"), 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Analytics.revenueAnomalies(orders, windowDays = 3, zThreshold = 2.0)
+      .collect().map(r => r.getDate(0).toString ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Boolean]))).toMap
+    // day1: no predecessors; day2: one → null z, unflagged (false)
+    assert(out("2026-01-01") == ((None, Some(false))))
+    assert(out("2026-01-02") == ((None, Some(false))))
+    // day3 baseline [10,12]: mean 11, var 2 → z = 0
+    assert(out("2026-01-03") == ((Some(0.0), Some(false))))
+    // day4 baseline [10,12,11]: mean 11, var 1 → z = -1
+    assert(out("2026-01-04") == ((Some(-1.0), Some(false))))
+    // day5 baseline [12,11,10]: mean 11, var 1 → z = 89 → anomaly
+    assert(out("2026-01-05") == ((Some(89.0), Some(true))))
+    // a zero-variance baseline yields null z, not a division blowup
+    val flat = Seq((ts("2026-02-01"), 5.0), (ts("2026-02-02"), 5.0),
+      (ts("2026-02-03"), 5.0), (ts("2026-02-04"), 50.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val f = Analytics.revenueAnomalies(flat, windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> Option(r.get(3))).toMap
+    assert(f("2026-02-04").isEmpty)
+    intercept[IllegalArgumentException] {
+      Analytics.revenueAnomalies(orders, windowDays = 1)
+    }
+  }
+
+  test("eventTransitions: per-user adjacency, exact counts, row-normalized probs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "A", ts("2026-01-01 10:00:00")),
+      (1L, 2L, "B", ts("2026-01-01 10:01:00")),
+      (1L, 3L, "A", ts("2026-01-01 10:02:00")),
+      (1L, 4L, "C", ts("2026-01-01 10:03:00")),
+      (2L, 5L, "B", ts("2026-01-01 09:00:00")),
+      (2L, 6L, "A", ts("2026-01-01 09:30:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Analytics.eventTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user1: A→B, B→A, A→C; user2: B→A. No cross-user C→B transition.
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((2L, 1.0))))
+  }
+
   test("rfmSegments: quintile scores by hand, recency inverted, segment labels") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     // five customers, clearly separated R/F/M profiles
