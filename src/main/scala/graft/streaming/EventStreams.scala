@@ -141,6 +141,57 @@ object EventStreams {
       }
   }
 
+  /** One completed funnel stage for one user. */
+  final case class FunnelHit(user_id: Long, stage: Int, event_type: String,
+                             completed_at: Timestamp)
+
+  /** Per-user funnel progress (public for the generated encoder). */
+  final case class FunnelState(stage: Int, lastUs: Long)
+
+  /** Streaming FUNNEL — the live twin of `Analytics.funnel`: per-user
+    * ordered stage progression in keyed state, one `FunnelHit` emitted
+    * the moment a user completes a stage. Stage k completes on the
+    * user's earliest stage-k event at-or-after their stage-(k−1)
+    * completion — processing each micro-batch in (ts, event_id) order
+    * makes the greedy first match exactly that earliest event, so the
+    * emitted completions equal the batch operator's when batches arrive
+    * in event-time order (the equivalence spec's shape). A cross-batch
+    * late stage-k event older than an already-recorded completion
+    * cannot retract it (append mode) — at-least-once ingest should
+    * dedup upstream.
+    *
+    * State is O(1) per user (stage counter + last completion µs) and
+    * lives for the user's funnel lifetime (NoTimeout — progression has
+    * no natural horizon; bound it by filtering the input stream if the
+    * campaign has one). Non-stage events are filtered BEFORE the state
+    * operator, so state traffic scales with funnel events only.
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String])
+      : Dataset[FunnelHit] = {
+    require(stages.size >= 2, s"funnelStream: need ≥2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"funnelStream: stages must be distinct, got $stages")
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .filter(col("event_type").isin(stages: _*))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (st.stage < stages.size && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || micros(e.ts) >= st.lastUs)) {
+              st = FunnelState(st.stage + 1, micros(e.ts))
+              hits += FunnelHit(userId, st.stage, e.event_type, e.ts)
+            }
+          }
+          if (hits.nonEmpty) state.update(st)
+          hits.iterator
+      }
+  }
+
   /** Streaming exact dedup on key columns, state bounded by the watermark
     * horizon (streaming twin of `Cleaning.dedupKeepFirst`).
     */

@@ -330,6 +330,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("funnelStream agrees with batch funnel; progression survives batch splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the AnalyticsSpec funnel fixture: u1 completes all, u2 stops at
+    // view (purchase precedes it), u3 same-instant chain, u4 no click
+    val batch1 = Seq(
+      EventStreams.Event(1, 1, "click", ts("2026-01-01 10:00:00"), 0),
+      EventStreams.Event(2, 1, "view", ts("2026-01-01 10:05:00"), 0),
+      EventStreams.Event(4, 2, "click", ts("2026-01-01 09:00:00"), 0),
+      EventStreams.Event(5, 2, "purchase", ts("2026-01-01 09:10:00"), 0),
+      EventStreams.Event(10, 4, "view", ts("2026-01-01 07:00:00"), 0),
+      EventStreams.Event(11, 4, "purchase", ts("2026-01-01 07:30:00"), 0))
+    val batch2 = Seq(
+      EventStreams.Event(3, 1, "purchase", ts("2026-01-01 10:10:00"), 0),
+      EventStreams.Event(6, 2, "view", ts("2026-01-01 09:20:00"), 0),
+      EventStreams.Event(7, 3, "click", ts("2026-01-01 08:00:00"), 0),
+      EventStreams.Event(8, 3, "view", ts("2026-01-01 08:00:00"), 0),
+      EventStreams.Event(9, 3, "purchase", ts("2026-01-01 08:00:00"), 0))
+    val stages = Seq("click", "view", "purchase")
+
+    val batchCounts = graft.operators.Analytics.funnel(
+        (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    val ms = MemoryStream[EventStreams.Event]
+    val sq = EventStreams.funnelStream(ms.toDS(), stages)
+      .writeStream.format("memory").queryName("equiv_funnel")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*); sq.processAllAvailable()
+      ms.addData(batch2: _*); sq.processAllAvailable()
+      val hits = spark.sql("SELECT user_id, stage, event_type FROM equiv_funnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // exact completions: u1 all three (purchase arrived in batch 2),
+      // u2 click+view only, u3 same-instant chain, u4 nothing
+      assert(hits == Set(
+        (1L, 1, "click"), (1L, 2, "view"), (1L, 3, "purchase"),
+        (2L, 1, "click"), (2L, 2, "view"),
+        (3L, 1, "click"), (3L, 2, "view"), (3L, 3, "purchase")))
+      // per-stage user counts equal the batch operator's
+      val streamCounts = hits.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+      assert(streamCounts == batchCounts, s"stream=$streamCounts batch=$batchCounts")
+    } finally sq.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.funnelStream(ms.toDS(), Seq("click"))
+    }
+  }
+
   test("intervalJoinStream agrees with batch attributeWithin; closed bounds both ends") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
