@@ -192,6 +192,42 @@ object EventStreams {
       }
   }
 
+  /** One observed (prev → next) transition for one user. */
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, at: Timestamp)
+
+  /** Per-user last-event state for [[transitionsStream]]. */
+  final case class TransState(lastType: String, lastUs: Long, lastId: Long)
+
+  /** Streaming event TRANSITIONS — the live twin of
+    * `Analytics.eventTransitions`: per-user last-event state emits one
+    * `Transition` per consecutive (ts, event_id)-ordered pair; the
+    * downstream `groupBy(from, to).count()` IS the batch transition
+    * matrix when batches arrive in event-time order (equivalence spec).
+    * Same adjacency caveat as [[funnelStream]]: a cross-batch late
+    * event cannot splice itself between two already-paired events.
+    * State is O(1) per user (type + µs + id), NoTimeout — the "last
+    * event" has no horizon; bound by filtering upstream if needed.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (st != null)
+              out += Transition(userId, st.lastType, e.event_type, e.ts)
+            st = TransState(e.event_type, micros(e.ts), e.event_id)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on key columns, state bounded by the watermark
     * horizon (streaming twin of `Cleaning.dedupKeepFirst`).
     */

@@ -378,6 +378,37 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transitionsStream counts equal the batch transition matrix across batch splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batch1 = Seq(
+      EventStreams.Event(1, 1, "A", ts("2026-01-01 10:00:00"), 0),
+      EventStreams.Event(2, 1, "B", ts("2026-01-01 10:01:00"), 0),
+      EventStreams.Event(5, 2, "B", ts("2026-01-01 09:00:00"), 0))
+    val batch2 = Seq(
+      EventStreams.Event(3, 1, "A", ts("2026-01-01 10:02:00"), 0),
+      EventStreams.Event(4, 1, "C", ts("2026-01-01 10:03:00"), 0),
+      EventStreams.Event(6, 2, "A", ts("2026-01-01 09:30:00"), 0))
+    val batchMatrix = graft.operators.Analytics.eventTransitions(
+        (batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val ms = MemoryStream[EventStreams.Event]
+    val sq = EventStreams.transitionsStream(ms.toDS())
+      .writeStream.format("memory").queryName("equiv_trans")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*); sq.processAllAvailable()
+      ms.addData(batch2: _*); sq.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT from_type, to_type, count(*) c FROM equiv_trans GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // cross-batch adjacency: user 1's B (batch 1) pairs with A (batch 2)
+      assert(stream == batchMatrix, s"stream=$stream batch=$batchMatrix")
+      assert(stream(("B", "A")) == 2L)
+    } finally sq.stop()
+  }
+
   test("intervalJoinStream agrees with batch attributeWithin; closed bounds both ends") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
