@@ -108,6 +108,18 @@ object SparkEntry {
       Analytics.eventTransitions(Tables.events(s, d))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // PSI distribution drift: planted 1.5× price shift on half the
+    // orders moves o_totalprice; o_custkey stays stable
+    "q_psi_drift" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val cur = base.withColumn("o_totalprice",
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 1.5)
+          .otherwise(col("o_totalprice")))
+      Validation.psiReport(base, cur, Seq("o_custkey", "o_totalprice"),
+          alertAt = 0.1)
+        .orderBy(col("column"))
+    }),
+
     // ABC/Pareto revenue classes (decimal cumsum over the item catalog)
     "q_abc_analysis" -> ((s, d) =>
       Analytics.abcAnalysis(Tables.lineitem(s, d))
@@ -1475,6 +1487,50 @@ object SparkEntry {
         |SELECT "day", revenue, base_mean, z,
         |  CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 ELSE false END AS is_anomaly
         |FROM scored ORDER BY "day"""".stripMargin,
+
+    "q_psi_drift" -> {
+      // one CTE block per column, mirroring psiReport's exact arithmetic:
+      // baseline quantile_cont cuts, strict-> bucket sums, Laplace
+      // (c+0.5)/(n+k/2) smoothing, decimal-summed (p-q)·ln(p/q)
+      val buckets = 10
+      val qs = (1 until buckets).map(i => i.toDouble / buckets)
+        .mkString("[", ", ", "]")
+      val half = buckets / 2.0
+      def colBlock(tag: String, c: String) = {
+        val bexpr = (1 until buckets)
+          .map(i => s"(CAST($c AS DOUBLE) > ct[$i])::INT")
+          .mkString(" + ")
+        s"""${tag}_cuts AS (SELECT quantile_cont(CAST($c AS DOUBLE), $qs) AS ct
+           |  FROM psi_base),
+           |${tag}_p AS (SELECT ($bexpr) AS b, count(*) AS c
+           |  FROM psi_base, ${tag}_cuts WHERE $c IS NOT NULL GROUP BY 1),
+           |${tag}_q AS (SELECT ($bexpr) AS b, count(*) AS c
+           |  FROM psi_cur, ${tag}_cuts WHERE $c IS NOT NULL GROUP BY 1),
+           |${tag}_j AS (SELECT r.range AS b, coalesce(p.c, 0) AS pc,
+           |    coalesce(q.c, 0) AS qc
+           |  FROM range(0, $buckets) r
+           |  LEFT JOIN ${tag}_p p ON r.range = p.b
+           |  LEFT JOIN ${tag}_q q ON r.range = q.b),
+           |${tag}_t AS (SELECT CAST(sum(pc) AS BIGINT) AS pn,
+           |    CAST(sum(qc) AS BIGINT) AS qn FROM ${tag}_j),
+           |$tag AS (SELECT '$c' AS "column",
+           |  round(CAST(sum(CAST(
+           |    ((pc + 0.5) / (pn + $half) - (qc + 0.5) / (qn + $half))
+           |    * ln(((pc + 0.5) / (pn + $half)) / ((qc + 0.5) / (qn + $half)))
+           |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS psi
+           |  FROM ${tag}_j, ${tag}_t)""".stripMargin
+      }
+      s"""WITH psi_base AS (SELECT * FROM orders),
+         |psi_cur AS (SELECT o_custkey,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.5
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders),
+         |${colBlock("c1", "o_custkey")},
+         |${colBlock("c2", "o_totalprice")}
+         |SELECT "column", psi, psi > 0.1 AS drift_alert
+         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |ORDER BY "column"""".stripMargin
+    },
 
     "q_event_transitions" ->
       """WITH pairs AS (

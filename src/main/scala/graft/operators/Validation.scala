@@ -95,6 +95,69 @@ object Validation {
   /** Schema check (validators.py:160) — schema is driver-side metadata in
     * Spark, no job needed. Returns mismatch descriptions, empty = pass.
     */
+  /** Population Stability Index drift report between a BASELINE and a
+    * CURRENT snapshot of the same table — the standard "has this
+    * column's distribution moved" monitor (banking model-risk practice;
+    * rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25 shifted),
+    * the numeric-distribution companion to `Cleaning.profileDrift`'s
+    * schema/null/range checks.
+    *
+    * Per column: bucket edges are the baseline's exact `percentile`
+    * cuts (interpolation == DuckDB `quantile_cont`), rows land in
+    * buckets via strict-`>` comparison sums (the RFM pattern — no
+    * binary search, all codegen'd), proportions are Laplace-smoothed
+    * `(count + ½) / (n + k/2)` so empty buckets never produce ±∞, and
+    * `PSI = Σ (p−q)·ln(p/q)` runs through decimal partials, rounded
+    * to 6. Everything derives from exact integer counts, so the oracle
+    * mirror is deterministic.
+    *
+    * Scale shape: per column, one baseline percentile aggregate
+    * (broadcast cuts) and one bucket-count aggregate per side —
+    * exchanges carry `buckets` rows per column. Columns are bounded by
+    * the schema; the final report is |cols| rows.
+    */
+  def psiReport(base: DataFrame, current: DataFrame, cols: Seq[String],
+                buckets: Int = 10, alertAt: Double = 0.25): DataFrame = {
+    require(cols.nonEmpty, "psiReport: cols must be non-empty")
+    require(buckets >= 2 && buckets <= 1000,
+      s"psiReport: buckets must be in [2, 1000], got $buckets")
+    require(alertAt > 0, s"psiReport: alertAt must be positive, got $alertAt")
+    val spark = base.sparkSession
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+      .mkString("array(", ", ", ")")
+    val perCol = cols.map { c =>
+      val qc = Cols.qcol(c)
+      val quoted = "`" + c.replace("`", "``") + "`"
+      val cuts = base.agg(expr(s"percentile($quoted, $qs)").as("_cuts"))
+      def bucketOf(v: Column, cutsCol: Column): Column =
+        (0 until buckets - 1)
+          .map(i => when(v > cutsCol.getItem(i), 1).otherwise(0))
+          .reduce(_ + _)
+      def sideCounts(df: DataFrame, name: String): DataFrame =
+        df.crossJoin(broadcast(cuts))
+          .filter(qc.isNotNull)
+          .groupBy(bucketOf(qc.cast("double"), col("_cuts")).as("_b"))
+          .agg(count(lit(1)).as(name))
+      val all = spark.range(buckets).select(col("id").cast("int").as("_b"))
+      val joined = all
+        .join(sideCounts(base, "_pc"), Seq("_b"), "left")
+        .join(sideCounts(current, "_qc"), Seq("_b"), "left")
+        .select(col("_b"), coalesce(col("_pc"), lit(0L)).as("_pc"),
+          coalesce(col("_qc"), lit(0L)).as("_qc"))
+      val tot = joined.agg(sum(col("_pc")).as("_pn"), sum(col("_qc")).as("_qn"))
+      joined.crossJoin(broadcast(tot))
+        .withColumn("_p",
+          (col("_pc") + lit(0.5)) / (col("_pn") + lit(buckets / 2.0)))
+        .withColumn("_q",
+          (col("_qc") + lit(0.5)) / (col("_qn") + lit(buckets / 2.0)))
+        .agg(round(sum(((col("_p") - col("_q")) * log(col("_p") / col("_q")))
+          .cast("decimal(30,12)")).cast("double"), 6).as("psi"))
+        .select(lit(c).as("column"), col("psi"))
+    }
+    perCol.reduce(_ unionByName _)
+      .withColumn("drift_alert", col("psi") > alertAt)
+  }
+
   def schemaCheck(df: DataFrame, expected: Map[String, String]): Seq[String] = {
     val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     expected.flatMap { case (name, dt) =>

@@ -85,6 +85,44 @@ class ValidationSpec extends SparkSpec {
     assert(overridden.getAs[Boolean]("passed"))
   }
 
+
+  test("psiReport: zero for identical snapshots, alerts on a planted shift, smoothing") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    // identical distributions → every (p - q) term is exactly 0
+    val same = Validation.psiReport(base, base, Seq("x"), buckets = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(same.toSeq == Seq(("x", 0.0, false)))
+    // hand case, buckets=2: base 1..10 → cut at 5.5 (5/5 split);
+    // current all 10s → (0, 10) split; Laplace (c+.5)/(n+1)
+    val b10 = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val cur = (1 to 10).map(i => (i.toLong, 10.0)).toDF("id", "x")
+    val p0 = 5.5 / 11; val q0 = 0.5 / 11; val p1 = 5.5 / 11; val q1 = 10.5 / 11
+    val expected = BigDecimal(
+      BigDecimal((p0 - q0) * StrictMath.log(p0 / q0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      + BigDecimal((p1 - q1) * StrictMath.log(p1 / q1))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Validation.psiReport(b10, cur, Seq("x"), buckets = 2)
+      .collect().head
+    assert(out.getDouble(1) == expected && out.getBoolean(2))
+    // a null-heavy column still reports (nulls excluded both sides)
+    val withNulls = base.withColumn("x",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 2 === 0,
+        org.apache.spark.sql.functions.col("x")))
+    val n = Validation.psiReport(withNulls, withNulls, Seq("x")).collect().head
+    assert(n.getDouble(1) == 0.0)
+    intercept[IllegalArgumentException] {
+      Validation.psiReport(base, base, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Validation.psiReport(base, base, Seq("x"), buckets = 1)
+    }
+  }
+
+
   test("schemaCheck reports missing and mistyped columns") {
     val df = Seq((1L, "a")).toDF("id", "name")
     assert(Validation.schemaCheck(df, Map("id" -> "bigint", "name" -> "string")).isEmpty)
