@@ -103,6 +103,11 @@ object SparkEntry {
       Analytics.revenueAnomalies(Tables.orders(s, d))
         .orderBy(col("day"))),
 
+    // reorder-latency histogram (per-customer consecutive order gaps)
+    "q_purchase_intervals" -> ((s, d) =>
+      Analytics.purchaseIntervals(Tables.orders(s, d))
+        .orderBy(col("bucket"))),
+
     // per-user Markov transition matrix over event types
     "q_event_transitions" -> ((s, d) =>
       Analytics.eventTransitions(Tables.events(s, d))
@@ -1487,6 +1492,22 @@ object SparkEntry {
         |SELECT "day", revenue, base_mean, z,
         |  CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 ELSE false END AS is_anomaly
         |FROM scored ORDER BY "day"""".stripMargin,
+
+    "q_purchase_intervals" ->
+      """WITH gaps AS (
+        |  SELECT date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS g
+        |  FROM orders),
+        |b AS (SELECT CASE WHEN g <= 7 THEN '0-7d' WHEN g <= 30 THEN '8-30d'
+        |             WHEN g <= 90 THEN '31-90d' WHEN g <= 365 THEN '91-365d'
+        |             ELSE '365d+' END AS bucket
+        |      FROM gaps WHERE g IS NOT NULL),
+        |cnt AS (SELECT bucket, count(*) AS gaps FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gaps) AS BIGINT) AS t FROM cnt)
+        |SELECT bucket, gaps, round(CAST(gaps AS DOUBLE) / t, 4) AS share
+        |FROM cnt, tot ORDER BY bucket""".stripMargin,
 
     "q_psi_drift" -> {
       // one CTE block per column, mirroring psiReport's exact arithmetic:

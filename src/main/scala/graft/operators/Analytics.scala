@@ -337,6 +337,34 @@ object Analytics {
     spark.createDataFrame(counts.toSeq).toDF("stage", "event_type", "users")
   }
 
+  /** REPEAT-PURCHASE interval distribution: per-customer gaps between
+    * consecutive orders (days), bucketed into a reorder-latency
+    * histogram — the "how fast do customers come back" view. The lag
+    * window partitions by customer (parallelism = customer population);
+    * gaps and counts are integer-exact; the share divides once and
+    * rounds to 4.
+    */
+  def purchaseIntervals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("_prev", lag(to_date(col("o_orderdate").cast("timestamp")), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_gap",
+        datediff(to_date(col("o_orderdate").cast("timestamp")), col("_prev")))
+    val bucketed = gaps.withColumn("bucket",
+      when(col("_gap") <= 7, "0-7d")
+        .when(col("_gap") <= 30, "8-30d")
+        .when(col("_gap") <= 90, "31-90d")
+        .when(col("_gap") <= 365, "91-365d")
+        .otherwise("365d+"))
+    val counts = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("gaps"))
+    val tot = counts.agg(sum(col("gaps")).as("_t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("gaps"),
+        round(col("gaps").cast("double") / col("_t"), 4).as("share"))
+  }
+
   /** Rolling z-score ANOMALY detection on daily revenue: each day is
     * scored against the mean/stddev of the `windowDays` PRECEDING days
     * (the day itself excluded — an anomaly must not dilute its own

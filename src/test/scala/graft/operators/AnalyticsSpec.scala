@@ -119,6 +119,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("purchaseIntervals: per-customer gaps, bucket boundaries, single-order exclusion") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 1L, ts("2026-01-01")), (2L, 1L, ts("2026-01-08")),  // gap 7 → 0-7d
+      (3L, 1L, ts("2026-02-08")),                               // gap 31 → 31-90d
+      (4L, 2L, ts("2026-01-01")), (5L, 2L, ts("2026-01-09")),  // gap 8 → 8-30d
+      (6L, 3L, ts("2026-01-01")))                               // single order: no gap
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Analytics.purchaseIntervals(orders)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "0-7d" -> ((1L, 0.3333)), "8-30d" -> ((1L, 0.3333)),
+      "31-90d" -> ((1L, 0.3333))))
+  }
+
   test("revenueAnomalies: exact rolling moments, self-exclusion, null baselines") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val orders = Seq(
