@@ -443,6 +443,40 @@ object EventStreams {
       .drop(s"_r_$keyCol")
   }
 
+  /** Streaming DRIFT MONITOR — `Validation.psiReport` per micro-batch
+    * against a FROZEN baseline snapshot: each batch's numeric columns
+    * score PSI vs the baseline's distribution and one (column, psi,
+    * drift_alert, batch_id) row per column lands in `outDir/batch=<id>`
+    * (replay-idempotent overwrite, the decontaminateSink layout). The
+    * baseline must be a STATIC frame — a stream cannot re-derive its
+    * own reference without the reference drifting with batch
+    * composition (the same precompute principle as
+    * [[qualityGateSink]]'s threshold); cache it (or point at a small
+    * landed aggregate) so the per-batch cost is the batch's bucket
+    * aggregate, not a baseline rescan. Per-batch output EQUALS the
+    * batch `psiReport` on the same pair by construction — pinned in
+    * EventStreamsSpec.
+    */
+  def driftMonitorSink(stream: DataFrame, baseline: DataFrame,
+                       cols: Seq[String], outDir: String, checkpointDir: String,
+                       buckets: Int = 10, alertAt: Double = 0.25,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Validation
+          .psiReport(baseline, batch, cols, buckets, alertAt)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at

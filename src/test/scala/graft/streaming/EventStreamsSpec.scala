@@ -330,6 +330,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("driftMonitorSink scores each batch like the batch psiReport; replay idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toFile.getAbsolutePath
+    val baseline = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x").cache()
+    // batch1 sits entirely above the baseline range → hard drift;
+    // batch2 (odd values 1..99) matches the baseline's uniform deciles
+    val batch1 = (1 to 50).map(i => (i.toLong, i.toDouble + 100))
+    val batch2 = (1 to 50).map(i => (i.toLong, i.toDouble * 2 - 1))
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData(batch1: _*)
+    EventStreams.driftMonitorSink(ms.toDF().toDF("id", "x"), baseline,
+      Seq("x"), s"$dir/out", s"$dir/ckpt", alertAt = 0.1)
+    ms.addData(batch2: _*)
+    EventStreams.driftMonitorSink(ms.toDF().toDF("id", "x"), baseline,
+      Seq("x"), s"$dir/out", s"$dir/ckpt", alertAt = 0.1)
+    def read(b: Int) = spark.read.parquet(s"$dir/out/batch=$b")
+      .select("column", "psi", "drift_alert")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val expect1 = graft.operators.Validation.psiReport(
+        baseline, batch1.toDF("id", "x"), Seq("x"), alertAt = 0.1)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val expect2 = graft.operators.Validation.psiReport(
+        baseline, batch2.toDF("id", "x"), Seq("x"), alertAt = 0.1)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(read(0) == expect1 && read(0).head._3, s"b0=${read(0)}")
+    assert(read(1) == expect2 && !read(1).head._3, s"b1=${read(1)}")
+    baseline.unpersist()
+  }
+
   test("funnelStream agrees with batch funnel; progression survives batch splits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
