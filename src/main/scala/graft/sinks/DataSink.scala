@@ -112,6 +112,58 @@ object DataSink {
       .write.mode(mode).parquet(path)
   }
 
+  /** IN-PLACE z-order re-cluster of a flat parquet directory — the
+    * `OPTIMIZE … ZORDER BY` maintenance job: streaming micro-batches and
+    * per-run appends land in arrival order, so min-max pruning decays
+    * until a layout rewrite restores it. Same crash-safe protocol as
+    * [[compact]] (sibling temp dir, two renames, self-healing `.old`
+    * survivor — distinct suffixes so a crashed compact and a crashed
+    * optimize can't confuse each other's markers), with the rewrite
+    * being [[writeZOrdered]] instead of a plain repartition. Refuses
+    * partitioned layouts for the same reason compact does.
+    *
+    * @return (files before, files after)
+    */
+  def optimizeZOrdered(spark: SparkSession, dir: String, zCols: Seq[String],
+                       bitsPerCol: Int = 6, targetFileMB: Int = 128): (Int, Int) = {
+    require(targetFileMB > 0,
+      s"optimizeZOrdered: targetFileMB must be positive, got $targetFileMB")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sibling(suffix: String) =
+      new org.apache.hadoop.fs.Path(path.getParent, path.getName + suffix)
+    val tmp = sibling(".zorder.tmp")
+    val old = sibling(".zorder.old")
+    if (!fs.exists(path) && fs.exists(old)) {
+      require(fs.rename(old, path), s"optimizeZOrdered: could not restore $old to $dir")
+    }
+    val dataFiles = fs.listStatus(path).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val subdirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subdirs.isEmpty,
+      s"optimizeZOrdered: $dir holds a partitioned layout " +
+        s"(${subdirs.take(3).mkString(", ")}…) — optimize each leaf instead")
+    if (dataFiles.isEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      return (0, 0)
+    }
+    require(dataFiles.nonEmpty,
+      s"optimizeZOrdered: $dir contains no data files and no _SUCCESS marker")
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    fs.delete(tmp, true)
+    writeZOrdered(spark.read.parquet(dir), tmp.toString, zCols,
+      bitsPerCol = bitsPerCol, targetFiles = nOut)
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"optimizeZOrdered: could not move $dir aside")
+    require(fs.rename(tmp, path), s"optimizeZOrdered: could not swap in $dir")
+    fs.delete(old, true)
+    (dataFiles.length, nOut)
+  }
+
   /** Compact a FLAT parquet directory to `targetFileMB`-sized files —
     * the small-files pass every long-running ingest needs: streaming
     * micro-batches and per-run appends accumulate thousands of KB-scale

@@ -128,6 +128,44 @@ class DataSinkSpec extends SparkSpec {
     }
   }
 
+  test("optimizeZOrdered: in-place re-cluster restores pruning, heals a crashed swap") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
+      .toDF("id", "x", "y")
+    // arrival-order layout: 16 files, each spanning the full y range
+    grid.repartition(16).write.parquet(s"$dir/t")
+    def yOverlaps(lo: Double, hi: Double): Int =
+      new java.io.File(s"$dir/t").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .count { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("y")), max(col("y"))).head()
+          !r.isNullAt(0) && r.getDouble(0) <= hi && r.getDouble(1) >= lo
+        }
+    assert(yOverlaps(8.0, 15.0) >= 14) // arrival order: ~every file hit
+    val (before, after) = DataSink.optimizeZOrdered(spark, s"$dir/t",
+      Seq("x", "y"), targetFileMB = 1)
+    assert(before == 16 && after >= 1)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 4096) // data intact after the swap
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    if (files >= 8) assert(yOverlaps(8.0, 15.0) <= files / 2)
+    // crash window self-heal: dir moved aside, replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t"),
+      new org.apache.hadoop.fs.Path(s"$dir/t.zorder.old")))
+    val (b2, _) = DataSink.optimizeZOrdered(spark, s"$dir/t", Seq("x", "y"),
+      targetFileMB = 1)
+    assert(b2 >= 1 && spark.read.parquet(s"$dir/t").count() == 4096)
+    // partitioned layouts are refused
+    grid.write.partitionBy("x").parquet(s"$dir/p")
+    intercept[IllegalArgumentException] {
+      DataSink.optimizeZOrdered(spark, s"$dir/p", Seq("x", "y"))
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val df1 = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val df2 = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
