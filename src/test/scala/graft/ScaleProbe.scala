@@ -403,6 +403,12 @@ object ScaleProbe {
     probe("abc_analysis") { Analytics.abcAnalysis(li1) } {
       Analytics.abcAnalysis(li)
     }
+    // PSI drift: per column one cuts aggregate + two bucket histograms —
+    // 16× facts on both sides must track the aggregate scans
+    def psi(b: DataFrame, c: DataFrame) = graft.operators.Validation
+      .psiReport(b, c.withColumn("o_totalprice", col("o_totalprice") * 1.5),
+        Seq("o_custkey", "o_totalprice"))
+    probe("psi_drift") { psi(ord1, ord1) } { psi(ord, ord) }
     // BPE training: the corpus enters ONCE through the word-count scan;
     // the 16× corpus has the SAME 31-word vocab (replicated text), so the
     // merge loop's per-iteration cost is constant and the probe isolates
