@@ -319,6 +319,10 @@ object Analytics {
     require(stages.size >= 2, s"funnel: need ≥2 stages, got $stages")
     require(stages.distinct.size == stages.size,
       s"funnel: stages must be distinct, got $stages")
+    val reserved = Set("_user", "_t", "_ts")
+    val clashes = Seq(userCol, typeCol, tsCol).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"funnel: column names $clashes collide with internal staging names $reserved — rename them first")
     val u = Cols.qcol(userCol); val t = Cols.qcol(typeCol); val ts = Cols.qcol(tsCol)
     // stage 1: first occurrence per user
     var done = events.filter(t === stages.head)

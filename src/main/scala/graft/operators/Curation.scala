@@ -552,6 +552,13 @@ object Curation {
     * same deterministic content-hash rank as [[sampleExactPerGroup]] —
     * reproducible on any layout, engine-mirrorable.
     *
+    * A group's quota can exceed its population (routine at low α, where
+    * tiny tail groups are upweighted): quotas are CAPPED at the group
+    * size and the freed seats CASCADE to groups with spare capacity in
+    * the same (remainder desc, group) order — a single-pass waterfall,
+    * so Σ quota = min(totalN, Σ n_g) and the draw is exactly `totalN`
+    * whenever the corpus has that many rows.
+    *
     * SCALE SHAPE: group sizes are one partial-agg scan; the quota table
     * is |groups| rows (driver never sees it — a broadcast); the draw is
     * the bounded-heap `top_k_any` with the array sliced to each group's
@@ -591,10 +598,22 @@ object Curation {
     // tiny by premise (strata, not keys)
     val wAll = Window.orderBy(col("_rem").desc, col("_seg"))
     val leftover = exact.agg((lit(totalN) - sum(col("_base"))).as("_left"))
-    val quotas = exact.crossJoin(broadcast(leftover))
+    // largest-remainder seats, CAPPED at the group population; freed
+    // seats cascade to groups with spare capacity in the same
+    // (remainder desc, group) order via a running-spare waterfall —
+    // integer arithmetic only, so no new float-parity surface
+    val capped = exact.crossJoin(broadcast(leftover))
       .withColumn("_rn", row_number().over(wAll))
+      .withColumn("_cap0",
+        least(col("_base") + when(col("_rn") <= col("_left"), 1L).otherwise(0L),
+          col("_n")))
+      .withColumn("_spare", col("_n") - col("_cap0"))
+    val surplus = capped.agg((lit(totalN) - sum(col("_cap0"))).as("_surplus"))
+    val wSpare = wAll.rowsBetween(Window.unboundedPreceding, -1)
+    val quotas = capped.crossJoin(broadcast(surplus))
       .withColumn("_quota",
-        (col("_base") + when(col("_rn") <= col("_left"), 1L).otherwise(0L))
+        (col("_cap0") + greatest(lit(0L), least(col("_spare"),
+          col("_surplus") - coalesce(sum(col("_spare")).over(wSpare), lit(0L)))))
           .cast("int"))
       .select(col("_seg"), col("_quota"))
     val rank = hashRank52(
@@ -998,6 +1017,17 @@ object Curation {
     * beyond its parts, which is the point of keeping each step a
     * DataFrame→DataFrame operator.
     *
+    * STAGED ONCE: the quota step scans its input three times (group
+    * stats, running sum, bucket totals) — uncached, each scan would
+    * re-run the dedup join and the regex-heavy quality gate over the
+    * full corpus (measured 8.1× at 16× data in ScaleProbe). So the
+    * gated survivor set is PROJECTED SKINNY (id, group, priority,
+    * n_tokens, split_label — the text column is dropped after the split
+    * hash, a pure row function) and cached with the same releasable
+    * pattern as [[keepTopQuantileReleasable]]: the raw corpus is read
+    * exactly twice (dedup hash + semi-join probe — pinned by an
+    * accumulator spec), every later stage reads the skinny cache.
+    *
     * The WHOLE chain is pinned by one DuckDB oracle (`q_curation_e2e`)
     * — each step's mirror is reused from its own query, so a
     * composition bug (wrong join, dropped filter, reordered steps)
@@ -1012,22 +1042,46 @@ object Curation {
                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                    maxPunctRatio: Double = 0.2, minStopwords: Int = 2,
                    maxDup2gramRatio: Double = 0.2,
-                   trainSixteenths: Int = 14): DataFrame = {
+                   trainSixteenths: Int = 14): DataFrame =
+    curateCorpusReleasable(df, idCol, textCol, groupCol, priorityCol,
+      tokenBudgetPerGroup, minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, maxPunctRatio, minStopwords, maxDup2gramRatio,
+      trainSixteenths)._1
+
+  /** [[curateCorpus]] plus the cache-release handle for the staged
+    * survivor set (the [[keepTopQuantileReleasable]] convention): call
+    * `release()` after the curated output has been consumed.
+    */
+  def curateCorpusReleasable(df: DataFrame, idCol: String, textCol: String,
+                             groupCol: String, priorityCol: String,
+                             tokenBudgetPerGroup: Long,
+                             minWords: Int = 50, maxWords: Int = 100000,
+                             minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                             maxPunctRatio: Double = 0.2, minStopwords: Int = 2,
+                             maxDup2gramRatio: Double = 0.2,
+                             trainSixteenths: Int = 14): (DataFrame, () => Unit) = {
     val keepIds = graft.operators.Dedup
       .exactByNormalizedContent(df, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val survivors = df.join(keepIds, Seq(idCol), "left_semi")
+    // everything row-local (quality gate, token count, split hash) is
+    // computed HERE, once, and only the skinny columns survive into the
+    // cache the three quota scans will read
     val gated = gopherRules(survivors, textCol, minWords, maxWords,
       minMeanWordLen, maxMeanWordLen, maxPunctRatio, minStopwords,
       maxDup2gramRatio)
       .filter(col("gopher_keep"))
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(Cols.qcol(textCol)).cast("long"))
-    val capped = capTokensPerGroup(gated, groupCol, "n_tokens",
-      tokenBudgetPerGroup, priorityCol, idCol)
-    capped
       .withColumn("split_label", hashSplit(Cols.qcol(textCol), trainSixteenths))
-      .select(Cols.qcol(idCol), Cols.qcol(groupCol), col("n_tokens"),
-        col("split_label"))
+      .select(Seq(idCol, groupCol, priorityCol).distinct
+        .filterNot(Set("n_tokens", "split_label")).map(Cols.qcol) ++
+        Seq(col("n_tokens"), col("split_label")): _*)
+    val staged = gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capTokensPerGroup(staged, groupCol, "n_tokens",
+      tokenBudgetPerGroup, priorityCol, idCol)
+    val out = capped.select(Cols.qcol(idCol), Cols.qcol(groupCol),
+      col("n_tokens"), col("split_label"))
+    (out, () => { staged.unpersist(); () })
   }
 }

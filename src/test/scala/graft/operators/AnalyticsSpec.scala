@@ -117,6 +117,11 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.funnel(ev, "user_id", "event_type", "ts",
         Seq("click", "click", "view"))
     }
+    // internal staging-name collision fails loudly, not silently wrong
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev.withColumnRenamed("ts", "_ts"),
+        "user_id", "event_type", "_ts", Seq("click", "view"))
+    }
   }
 
   test("purchaseIntervals: per-customer gaps, bucket boundaries, single-order exclusion") {

@@ -595,6 +595,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sampleByTemperature: quotas cap at group size, freed seats cascade") {
+    // sizes 1/50/50, α=0 → uniform weights, exact 10/10/10 for N=30;
+    // group a can only seat 1, so its 9 freed seats cascade in
+    // (remainder desc, seg) order — all remainders are 0, so 'b' (first
+    // alphabetically after a) absorbs all 9: quotas 1/19/10, Σ = 30
+    val df = (Seq((1L, "a")) ++ (2 to 51).map(i => (i.toLong, "b")) ++
+      (52 to 101).map(i => (i.toLong, "c"))).toDF("id", "seg")
+    val out = Curation.sampleByTemperature(df, "seg", "id", totalN = 30, alpha = 0.0)
+    val bySeg = out.groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg == Map("a" -> 1L, "b" -> 19L, "c" -> 10L))
+    assert(out.count() == 30)
+    // totalN beyond the corpus: the draw is everything — Σ min(quota, n)
+    // = Σ n, never silently short of the population
+    val everything = Curation.sampleByTemperature(df, "seg", "id",
+      totalN = 150, alpha = 0.0)
+    assert(everything.count() == 101)
+  }
+
   test("packPlan: hand-computed layout, boundary straddle, shard independence") {
     val docs = Seq(
       (1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 10L), // shard 0: cum 5, 8, 18
@@ -717,5 +736,29 @@ class CurationSpec extends SparkSpec {
     assert(capped.intersect(Set(1L, 4L)).size == 1,
       s"budget 5 admits exactly one en doc (started before overflow): $capped")
     assert(capped.contains(5L), "de stratum has its own budget")
+  }
+
+  test("curateCorpus stages survivors once: raw corpus read exactly twice") {
+    def fluent(i: Long) =
+      s"the quick brown fox $i jumps over the lazy dog and then runs to " +
+        "the river bank where it rests in the shade of an old tree"
+    val acc = spark.sparkContext.longAccumulator("raw_reads")
+    val n = 40
+    val rdd = spark.sparkContext
+      .parallelize((1 to n).map(i =>
+        (i.toLong, fluent(i), if (i % 2 == 0) "en" else "de")), 4)
+      .map { r => acc.add(1); r }
+    val docs = rdd.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val (out, release) = Curation.curateCorpusReleasable(docs, "doc_id", "text",
+      groupCol = "lang", priorityCol = "n_chars",
+      tokenBudgetPerGroup = 100000L, minWords = 10)
+    assert(out.count() == n)
+    // dedup hash + semi-join probe read the raw corpus; the quota's
+    // three scans (group stats, running sum, bucket totals) must hit
+    // the skinny cache, never re-run the quality gate over raw text
+    assert(acc.value == 2L * n,
+      s"raw corpus must be scanned exactly twice, got ${acc.value} row-reads for $n rows")
+    release()
   }
 }
