@@ -27,6 +27,45 @@ object SparkEntry {
   private[graft] val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, operators.Similarity.PqModel]
 
+  /** Memoized IVF coarse-quantizer centroids per sf-dir (same
+    * deployment-artifact argument as [[pqModels]]: seeded-deterministic
+    * k-means, trained once, reused by every search AND replayed as
+    * literals by the DuckDB oracle).
+    */
+  private[graft] val ivfCents =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  /** The sf-dir the ANN queries last ran against — `oracleSql` has no
+    * dir parameter, so the IVF/PQ oracle builders read the codebooks
+    * memoized for THIS dir. Verify runs every query before dumping
+    * oracle_sql.json, so the models are always present by then; if the
+    * ANN queries never ran, the builders emit nothing and the driver
+    * falls back to the rows-only grade (never a wrong oracle).
+    */
+  @volatile private[graft] var lastAnnDir: Option[String] = None
+
+  /** Per-JVM staging root for queries that materialize an intermediate
+    * layout (CSV / ORC / z-order). Unique per process AND keyed by the
+    * dataset dir, so two concurrent harness runs — or runs over
+    * different sf dirs — can never read each other's staged files the
+    * way a fixed java.io.tmpdir path could; removed on JVM exit.
+    */
+  private lazy val stageRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stage_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles
+        if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def stageDir(kind: String, datasetDir: String): String =
+    s"$stageRoot/${kind}_${java.lang.Integer.toHexString(datasetDir.hashCode)}"
+
   private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_orderpriority",
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
@@ -262,7 +301,7 @@ object SparkEntry {
     // (reference csv_loader.py parity) preserves data.
     "q_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+      val stage = stageDir("csv", d)
       // stage as MULTIPLE files: the source parquet is one row-group (one
       // partition), which would otherwise serialize the whole write AND
       // the read-back parse through a single task — a real CSV landing
@@ -286,7 +325,7 @@ object SparkEntry {
     // the box filter must return exactly the raw table's rows (layout
     // never changes results — the pruning evidence is in DataSinkSpec).
     "q_zorder_scan" -> ((s, d) => {
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_stage"
+      val stage = stageDir("zorder", d)
       DataSink.writeZOrdered(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("l_quantity")),
@@ -302,7 +341,7 @@ object SparkEntry {
     // back identically) and that the ORC scan path is wired: column
     // pruning + min-max predicate pushdown are pinned in DataSinkSpec.
     "q_orc_roundtrip" -> ((s, d) => {
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_orc_stage"
+      val stage = stageDir("orc", d)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
@@ -960,8 +999,11 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, d) => {
+      lastAnnDir = Some(d)
       val emb = Tables.embeddings(s, d)
-      val index = Similarity.ivfBuild(emb, "vec_id", "embedding", numCentroids = 16)
+      val cents = ivfCents.getOrElseUpdate(d,
+        Similarity.ivfFitCentroids(emb, "embedding", numCentroids = 16))
+      val index = Similarity.ivfBuildFromCentroids(emb, "vec_id", "embedding", cents)
       Similarity.ivfSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nProbe = 4)
     }),
@@ -973,7 +1015,9 @@ object SparkEntry {
     // path above keeps its measured-recall grading)
     "q_ann_ivf_exhaustive" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val index = Similarity.ivfBuild(emb, "vec_id", "embedding", numCentroids = 16)
+      val cents = ivfCents.getOrElseUpdate(d,
+        Similarity.ivfFitCentroids(emb, "embedding", numCentroids = 16))
+      val index = Similarity.ivfBuildFromCentroids(emb, "vec_id", "embedding", cents)
       Similarity.ivfSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
@@ -1007,6 +1051,24 @@ object SparkEntry {
       Multimodal.featurize(s, media)
         .select(col("doc_id"), col("byte_len"), col("content_sha"),
           col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL image decode: plant a PNG per doc whose dimensions are a pure
+    // function of doc_id, decode through the javax.imageio path, and
+    // check the recovered width/height against the arithmetic oracle.
+    // Only decoded fields are selected — the PNG bytes themselves are
+    // encoder-dependent, so byte_len/sha stay out of this query (they
+    // have their own oracle on text payloads in q_binary_meta).
+    "q_image_decode" -> ((s, d) => {
+      val pngGen = udf((id: Long) => Multimodal.syntheticPng(
+        1 + (id % 64).toInt, 1 + ((id * 7) % 64).toInt, id))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .select(col("doc_id"), pngGen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.featurize(s, media)
+        .select(col("doc_id"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1050,6 +1112,7 @@ object SparkEntry {
     // SimilaritySpec, which also pins that re-ranked sims are EXACT
     // cosines
     "q_ann_pq" -> ((s, d) => {
+      lastAnnDir = Some(d)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), call_function("l2_normalize", col("embedding")).as("nv"))
         .filter(col("nv").isNotNull)
@@ -1198,9 +1261,12 @@ object SparkEntry {
     * pair frequencies over v(i-1), picks the argmax with the identical
     * (freq desc, l, r) tie-break, and applies the merge with plain
     * `replace` on the wrapped symbol string — byte-for-byte the
-    * arithmetic `Tokenizer.learnBpeMerges` performs. `finalSelect` may
-    * reference `__BESTS__` (the union of the k chosen merges) or any
-    * `v{i}` vocab stage.
+    * arithmetic `Tokenizer.learnBpeMerges` performs. A stage whose pair
+    * table is exhausted (fewer than k merges possible) carries the vocab
+    * forward UNCHANGED — LEFT JOIN + coalesce, matching
+    * `learnBpeMerges`' early stop, so later `v{i}` stages never empty
+    * out. `finalSelect` may reference `__BESTS__` (the union of the k
+    * chosen merges) or any `v{i}` vocab stage.
     */
   private def bpeOracle(k: Int, finalSelect: String): String = {
     val stages = (1 to k).map { i =>
@@ -1215,9 +1281,9 @@ object SparkEntry {
          |b$i AS (SELECT $i AS step, l, r, freq FROM p$i
          |        ORDER BY freq DESC, l, r LIMIT 1),
          |v$i AS (SELECT word, cnt,
-         |  replace(syms, chr(1)||l||chr(1)||chr(1)||r||chr(1),
-         |          chr(1)||l||r||chr(1)) AS syms
-         |  FROM $prev, b$i)""".stripMargin
+         |  coalesce(replace(syms, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+         |          chr(1)||l||r||chr(1)), syms) AS syms
+         |  FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     val bests = (1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
     s"""WITH v0 AS (
@@ -2470,14 +2536,20 @@ object SparkEntry {
       // sqrt (not pow) is correctly rounded on both engines; decimal sum
       // of the weights kills addition-order drift at the floor boundary
       s"""WITH sizes AS (SELECT lang AS seg, count(*) AS n FROM documents GROUP BY 1),
-         |w AS (SELECT seg, sqrt(CAST(n AS DOUBLE)) AS wr FROM sizes),
+         |w AS (SELECT seg, n, sqrt(CAST(n AS DOUBLE)) AS wr FROM sizes),
          |tot AS (SELECT CAST(sum(CAST(wr AS DECIMAL(30,12))) AS DOUBLE) AS t FROM w),
-         |ex AS (SELECT seg, 200 * wr / t AS e FROM w, tot),
-         |b AS (SELECT seg, CAST(floor(e) AS BIGINT) AS base, e - floor(e) AS rem FROM ex),
+         |ex AS (SELECT seg, n, 200 * wr / t AS e FROM w, tot),
+         |b AS (SELECT seg, n, CAST(floor(e) AS BIGINT) AS base, e - floor(e) AS rem FROM ex),
          |lv AS (SELECT 200 - sum(base) AS leftover FROM b),
-         |q AS (SELECT seg, base + CASE WHEN
+         |c AS (SELECT seg, n, rem, least(base + CASE WHEN
          |        row_number() OVER (ORDER BY rem DESC, seg) <= leftover
-         |        THEN 1 ELSE 0 END AS quota FROM b, lv),
+         |        THEN 1 ELSE 0 END, n) AS cap0 FROM b, lv),
+         |su AS (SELECT 200 - sum(cap0) AS surplus FROM c),
+         |q AS (SELECT seg, cap0 + greatest(0, least(n - cap0,
+         |        surplus - coalesce(sum(n - cap0) OVER (
+         |          ORDER BY rem DESC, seg
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+         |        AS quota FROM c, su),
          |r AS (SELECT doc_id, lang,
          |        row_number() OVER (PARTITION BY lang ORDER BY $folded, doc_id) AS rn
          |      FROM (SELECT doc_id, lang,
@@ -3079,6 +3151,13 @@ object SparkEntry {
         |       CAST(1 + (octet_length(encode(text))*17 + doc_id*7) % 64 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // planted-PNG decode: dimensions are a pure function of doc_id by
+    // construction — the decode path must recover exactly these
+    "q_image_decode" ->
+      """SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS width,
+        |       CAST(1 + (doc_id * 7) % 64 AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
     "q_ann_lsh_pairs" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -3244,5 +3323,139 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin
-  )
+  ) ++ annIvfOracle ++ annPqOracle
+
+  // ---------------------------------------------------------------------
+  // ANN oracles from memoized codebooks. The k-means TRAINING step is not
+  // SQL-reproducible, but it is seeded-deterministic and memoized per
+  // sf-dir, so the trained floats are emitted as literals (the q_ann_lsh
+  // inlined-planes precedent) and DuckDB replays everything downstream:
+  // cell assignment, probe ranking, ADC scoring, exact re-rank. Every
+  // non-rounded comparison (argmin, probe rank, shortlist) runs over
+  // bit-identical doubles because both engines do the same left-
+  // associated double arithmetic over the same literals; output sims are
+  // round(…, 4) like the rest of the ANN family.
+  // ---------------------------------------------------------------------
+
+  /** Exact double literal of a trained float (shortest-roundtrip). */
+  private def flit(f: Float): String = java.lang.Double.toString(f.toDouble)
+
+  /** Left-fold dot product of two DOUBLE[] SQL expressions — mirrors the
+    * `aggregate(zip_with(...))` / native-loop summation order exactly.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  private def sqlSqDist(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+
+  /** `q_ann_ivf` (numCentroids=16, nProbe=4, k=5, queries vec_id<8):
+    * centroids as literals; DuckDB recomputes strict-< argmin assignment
+    * (ties → lowest cell, matching [[operators.Similarity.nearestCell]]),
+    * cosine probe ranking, and the rounded top-k.
+    */
+  private def annIvfOracle: Map[String, String] =
+    lastAnnDir.flatMap(ivfCents.get).map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(flit).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n")
+      "q_ann_ivf" ->
+        s"""WITH cents(cell, c) AS (VALUES
+           |$rows),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ad AS (
+           |  SELECT e.vec_id, cents.cell, ${sqlSqDist("e.v", "cents.c")} AS d
+           |  FROM e, cents),
+           |assign AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |    FROM ad) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |pr AS (
+           |  SELECT query_id, cell,
+           |    ${sqlDot("qv", "c")} / (${sqlNorm("qv")} * ${sqlNorm("c")}) AS c_sim
+           |  FROM q, cents),
+           |probes AS (
+           |  SELECT query_id, cell FROM (
+           |    SELECT query_id, cell,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS rn
+           |    FROM pr) WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ne.v), 4) AS sim
+           |  FROM probes p
+           |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           |  JOIN e qe ON qe.vec_id = p.query_id
+           |  JOIN e ne ON ne.vec_id = a.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS "rank"
+           |  FROM scored)
+           |SELECT query_id, "rank", neighbor_id, sim FROM ranked
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }.toMap
+
+  /** `q_ann_pq` (m=16, k=64, subDim=4, shortlist=100, k=5, queries
+    * vec_id<8): the trained sub-codebooks as a 1024-row literal table;
+    * DuckDB replays l2-normalize (float-rounded like the native
+    * expression), per-subvector strict-< encoding, reconstructed-vector
+    * ADC scoring, the 100-deep shortlist, and the exact re-rank.
+    */
+  private def annPqOracle: Map[String, String] =
+    lastAnnDir.flatMap(pqModels.get).map { model =>
+      val sub = model.subDim
+      val rows = (for {
+        j <- model.codebooks.indices
+        c <- model.codebooks(j).indices
+      } yield s"($j, $c, [${model.codebooks(j)(c).map(flit).mkString(", ")}]::DOUBLE[])")
+        .mkString(",\n")
+      "q_ann_pq" ->
+        s"""WITH cb(j, cc, w) AS (VALUES
+           |$rows),
+           |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+           |nn AS (SELECT vec_id, ev, ${sqlNorm("ev")} AS nrm FROM e0),
+           |nv AS (
+           |  SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(ev, x -> 0.0::DOUBLE)
+           |    ELSE list_transform(ev, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS v
+           |  FROM nn),
+           |dist AS (
+           |  SELECT n.vec_id, cb.j, cb.cc,
+           |    ${sqlSqDist(s"list_slice(n.v, cb.j * $sub + 1, cb.j * $sub + $sub)", "cb.w")} AS d
+           |  FROM nv n, cb),
+           |codes AS (
+           |  SELECT vec_id, j, cc FROM (
+           |    SELECT vec_id, j, cc,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cc) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |recon AS (
+           |  SELECT c.vec_id, flatten(list(cb.w ORDER BY c.j)) AS rv
+           |  FROM codes c JOIN cb ON cb.j = c.j AND cb.cc = c.cc
+           |  GROUP BY c.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 8),
+           |adc AS (
+           |  SELECT q.query_id, r.vec_id AS neighbor_id,
+           |    round(${sqlDot("qv", "r.rv")}, 4) AS sim
+           |  FROM q, recon r WHERE r.vec_id <> q.query_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+           |    FROM adc) WHERE rn <= 100),
+           |ex AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    round(list_cosine_similarity(qn.v, cn.v), 4) AS sim
+           |  FROM short s
+           |  JOIN nv qn ON qn.vec_id = s.query_id
+           |  JOIN nv cn ON cn.vec_id = s.neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS "rank"
+           |  FROM ex)
+           |SELECT query_id, "rank", neighbor_id, sim FROM ranked
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }.toMap
 }

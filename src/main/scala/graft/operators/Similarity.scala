@@ -213,23 +213,64 @@ object Similarity {
     */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Build: fit k-means (MLlib, seeded) and tag every row with its cell. */
-  def ivfBuild(df: DataFrame, idCol: String, vecCol: String,
-               numCentroids: Int, seed: Long = 42L): IvfIndex = {
+  /** Fit the coarse quantizer (MLlib k-means, seeded) and return the
+    * centroid matrix — the durable, broadcast-sized training artifact.
+    * Deterministic given (data, seed), so a deployment trains once and
+    * every index build / oracle replay reuses the same floats.
+    */
+  def ivfFitCentroids(df: DataFrame, vecCol: String, numCentroids: Int,
+                      seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val prepared = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(numCentroids).setSeed(seed).fit(prepared)
-    val assigned = model.transform(prepared)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(array_to_vector(col(vecCol)).as("features"))
+    new KMeans().setK(numCentroids).setSeed(seed).fit(prepared)
+      .clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Nearest-centroid cell for a vector, as a COLUMN: a left fold over
+    * the literal centroid array keeping the first strict squared-L2
+    * minimum — ties break to the LOWEST cell, and every addition is the
+    * left-associated double sum an oracle can replay bit-for-bit
+    * (unlike MLlib's `transform`, whose norm-shortcut distance isn't a
+    * contract). Zero-shuffle: pure per-row expression work.
+    */
+  def nearestCell(vec: Column, cents: Array[Array[Float]]): Column = {
+    require(cents.nonEmpty, "nearestCell: empty centroid matrix")
+    val lits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), typedLit(c).as("c"))
+    }: _*)
+    val best = aggregate(lits,
+      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d")),
+      (acc, s) => {
+        val d = aggregate(zip_with(vec, s.getField("c"), (a, b) =>
+          (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+          lit(0d), (x, y) => x + y)
+        when(d < acc.getField("d"),
+          struct(s.getField("cell").as("cell"), d.as("d"))).otherwise(acc)
+      })
+    best.getField("cell")
+  }
+
+  /** Tag every row with its cell given an already-trained centroid
+    * matrix — the per-session half of an index build (the fit is the
+    * once-per-deployment half).
+    */
+  def ivfBuildFromCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[Array[Float]]): IvfIndex = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCell(col(vecCol), cents).as("cell"))
     val spark = df.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cell", "centroid")
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     IvfIndex(assigned, centroids)
   }
+
+  /** Build: fit k-means (MLlib, seeded) and tag every row with its cell. */
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int, seed: Long = 42L): IvfIndex =
+    ivfBuildFromCentroids(df, idCol, vecCol,
+      ivfFitCentroids(df, vecCol, numCentroids, seed))
 
   /** Persist the IVF index as its durable on-disk form: the assigned
     * corpus PARTITIONED BY CELL (so a probe of `nProbe` cells is a

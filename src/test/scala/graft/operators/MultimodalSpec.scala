@@ -42,6 +42,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("media_type").endsWith(";resized")))
   }
 
+  test("real image decode: planted PNG dims recovered, histogram sums to 1") {
+    val png = Multimodal.syntheticPng(37, 23, seed = 5L)
+    val out = Multimodal.featurize(spark,
+        Seq((1L, png, "image/png")).toDF("doc_id", "payload", "media_type"))
+      .collect()(0)
+    assert(out.getAs[Int]("width") == 37)
+    assert(out.getAs[Int]("height") == 23)
+    val feat = out.getSeq[Float](out.fieldIndex("feature"))
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-4, s"histogram must sum to 1: $feat")
+    // decode is deterministic: same bytes → same features
+    val again = Multimodal.featurize(spark,
+      Seq((1L, png, "image/png")).toDF("doc_id", "payload", "media_type")).collect()(0)
+    assert(again.getSeq[Float](again.fieldIndex("feature")) == feat)
+  }
+
+  test("corrupt image bytes fall back to the deterministic stub, never fail") {
+    // PNG magic + garbage body: looksLikeImage passes, ImageIO fails
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42, 42)
+    val viaStub = Multimodal.featurize(spark,
+      Seq((7L, corrupt, "image/png")).toDF("doc_id", "payload", "media_type")).collect()(0)
+    // the stub's dims for these bytes (len=11): deterministic arithmetic
+    assert(viaStub.getAs[Int]("width") == 1 + ((11L * 31 + 7) % 64).toInt)
+    assert(viaStub.getAs[Int]("height") == 1 + ((11L * 17 + 49) % 64).toInt)
+    // text payloads (no image magic) keep the stub path byte-for-byte
+    val textOut = Multimodal.featurize(spark, media).orderBy("doc_id").collect()(0)
+    assert(textOut.getAs[Int]("width") == 1 + ((30L * 31 + 1) % 64).toInt)
+  }
+
   test("frameSampleStub emits evenly spaced frames as child rows") {
     val out = Multimodal.frameSampleStub(media, frames = 3, frameBytes = 4)
     assert(out.count() == 6) // 2 docs × 3 frames
