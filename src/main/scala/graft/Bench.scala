@@ -20,6 +20,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // CALIBRATION PROBE: a fixed, sf-independent compute kernel (2e8-row
+    // hash-agg, pure codegen'd CPU) timed before and after the suite.
+    // Its seconds measure the MACHINE, not the engine: two rounds whose
+    // calibration differs by 1.5× have an environment shift of 1.5×, and
+    // cross-round comparisons divide by it instead of being adjudicated
+    // by hand (the r8→r9 uniform-inflation problem, VERDICT r9).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(200000000L).select(xxhash64(col("id")).as("h"))
+        .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the kernel itself (JIT) before the measured pass
+    val calBefore = (1 to 3).map(_ => calibrate()).min
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val w0 = System.nanoTime()
@@ -116,6 +131,13 @@ object Bench {
     // round 8 lost its total/recall/contended scalars, so the trailer
     // (~160 chars, headroom past 120 queries) now guarantees the
     // attributable figures survive truncation.
+    val calAfter = (1 to 3).map(_ => calibrate()).min
+    val envJson =
+      s""""calibration_s":${sec(calBefore)},"calibration_after_s":${sec(calAfter)},""" +
+        s""""env":{"cores":${Runtime.getRuntime.availableProcessors},""" +
+        s""""max_heap_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
+        s""""java":"${System.getProperty("java.version")}",""" +
+        s""""spark":"${spark.version}"}"""
     System.err.println(
       s"""{"metric":"total_median","value":$totalMed,"unit":"sec","queries_median":$med}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,""" +
@@ -123,7 +145,28 @@ object Bench {
       s""""sf":"$sfDir","queries":$qs}""")
     println(s"""{"metric":"scalars","total_best":$total,"total_median":$totalMed,""" +
       s""""n_queries":${results.length},"contended":$contended,""" +
-      s""""contended_n":$contendedN$recallJson}""")
+      s""""contended_n":$contendedN,$envJson$recallJson}""")
+    // FULL self-adjudicating archive to a FILE: the driver's stdout
+    // archive keeps only a ~2 KB tail (the per-query map is truncated
+    // every round past ~80 queries, and "parsed":null in BENCH_r08/r09
+    // shows the scrape never worked) — a file has no tail problem. The
+    // driver can ingest it via SPARK_GRAFT_BENCH_OUT; the repo commits
+    // it per round as bench/BENCH_LOCAL_r{N}.json regardless.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/BENCH_LOCAL.json")
+    try {
+      val full =
+        s"""{"metric":"full","total_best":$total,"total_median":$totalMed,""" +
+          s""""n_queries":${results.length},"contended":$contended,""" +
+          s""""contended_n":$contendedN,$envJson$recallJson,"sf":"$sfDir",""" +
+          s""""queries_best":$qs,"queries_median":$med}"""
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, full + "\n")
+      System.err.println(s"[bench] full archive written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] archive write FAILED: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
