@@ -164,6 +164,19 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // categorical PSI drift: a planted segment remap (20% of customers
+    // forced into MACHINERY) must alert; the untouched nation code must
+    // not — counts are integer-exact, so the oracle replays them
+    "q_psi_drift_cat" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val cur = base.withColumn("c_mktsegment",
+        when(col("c_custkey") % 5 < 2, lit("MACHINERY"))
+          .otherwise(col("c_mktsegment")))
+      Validation.psiReportCategorical(base, cur,
+          Seq("c_mktsegment", "c_nationkey"), alertAt = 0.1)
+        .orderBy(col("column"))
+    }),
+
     // ABC/Pareto revenue classes (decimal cumsum over the item catalog)
     "q_abc_analysis" -> ((s, d) =>
       Analytics.abcAnalysis(Tables.lineitem(s, d))
@@ -1614,6 +1627,39 @@ object SparkEntry {
          |  FROM orders),
          |${colBlock("c1", "o_custkey")},
          |${colBlock("c2", "o_totalprice")}
+         |SELECT "column", psi, psi > 0.1 AS drift_alert
+         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |ORDER BY "column"""".stripMargin
+    },
+
+    "q_psi_drift_cat" -> {
+      // per-column CTE block mirroring psiReportCategorical: union
+      // category frame, k = |frame|, Laplace (c+0.5)/(n+k/2) smoothing,
+      // decimal-summed (p-q)·ln(p/q)
+      def catBlock(tag: String, c: String) =
+        s"""${tag}_p AS (SELECT CAST($c AS VARCHAR) AS cat, count(*) AS c
+           |  FROM cat_base WHERE $c IS NOT NULL GROUP BY 1),
+           |${tag}_q AS (SELECT CAST($c AS VARCHAR) AS cat, count(*) AS c
+           |  FROM cat_cur WHERE $c IS NOT NULL GROUP BY 1),
+           |${tag}_j AS (SELECT coalesce(p.cat, q.cat) AS cat,
+           |    coalesce(p.c, 0) AS pc, coalesce(q.c, 0) AS qc
+           |  FROM ${tag}_p p FULL JOIN ${tag}_q q ON p.cat = q.cat),
+           |${tag}_k AS (SELECT count(*) AS kk FROM ${tag}_j),
+           |${tag}_t AS (SELECT CAST(sum(pc) AS BIGINT) AS pn,
+           |    CAST(sum(qc) AS BIGINT) AS qn FROM ${tag}_j),
+           |$tag AS (SELECT '$c' AS "column",
+           |  round(CAST(sum(CAST(
+           |    ((pc + 0.5) / (pn + kk / 2.0) - (qc + 0.5) / (qn + kk / 2.0))
+           |    * ln(((pc + 0.5) / (pn + kk / 2.0)) / ((qc + 0.5) / (qn + kk / 2.0)))
+           |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS psi
+           |  FROM ${tag}_j, ${tag}_k, ${tag}_t)""".stripMargin
+      s"""WITH cat_base AS (SELECT * FROM customer),
+         |cat_cur AS (SELECT c_custkey, c_nationkey,
+         |    CASE WHEN c_custkey % 5 < 2 THEN 'MACHINERY'
+         |         ELSE c_mktsegment END AS c_mktsegment
+         |  FROM customer),
+         |${catBlock("c1", "c_mktsegment")},
+         |${catBlock("c2", "c_nationkey")}
          |SELECT "column", psi, psi > 0.1 AS drift_alert
          |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
          |ORDER BY "column"""".stripMargin

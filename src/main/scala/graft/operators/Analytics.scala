@@ -451,14 +451,23 @@ object Analytics {
     * aggregate (both broadcast) — the customer table crosses the wire
     * once.
     */
-  def rfmSegments(orders: DataFrame): DataFrame = {
-    val cust = orders.groupBy(col("o_custkey"))
+  def rfmSegments(orders: DataFrame): DataFrame =
+    rfmFromStats(orders.groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate").cast("timestamp"))).as("_last"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
-          .cast("double").as("monetary"))
-    val ref = orders.agg(
-      max(to_date(col("o_orderdate").cast("timestamp"))).as("_ref"))
+          .cast("double").as("monetary")))
+
+  /** RFM scoring over pre-aggregated per-customer stats
+    * `(o_custkey, _last date, frequency, monetary)` — split out so the
+    * streaming snapshot twin ([[graft.streaming.EventStreams
+    * .rfmSnapshotSink]]) can maintain the re-aggregatable stats
+    * incrementally (max / sum merges) and reuse the identical quintile
+    * scoring. The reference date is the max `_last` across customers —
+    * equal to the batch form's max order date by construction.
+    */
+  private[graft] def rfmFromStats(cust: DataFrame): DataFrame = {
+    val ref = cust.agg(max(col("_last")).as("_ref"))
     val base = cust.crossJoin(broadcast(ref))
       .withColumn("recency_days", datediff(col("_ref"), col("_last")))
     val qs = "array(0.2, 0.4, 0.6, 0.8)"
@@ -585,6 +594,23 @@ object Analytics {
     * carries distinct-user state. Three exchanges total, none carrying
     * raw event payloads beyond (user, day).
     */
+  /** Frozen cohort-assignment table `(user, cohort_week)` from landed
+    * history — the static reference the streaming retention twin
+    * ([[graft.streaming.EventStreams.cohortSnapshotSink]]) scores
+    * against (a stream must not re-derive its own cohorts: they would
+    * drift with batch composition). Identical arithmetic to the
+    * assignment [[cohortRetention]] computes inline.
+    */
+  def cohortAssignments(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame = {
+    val u = Cols.qcol(userCol); val ts = Cols.qcol(tsCol)
+    events.select(u.as("_user"), to_date(ts.cast("timestamp")).as("_day"))
+      .groupBy(col("_user"))
+      .agg(min(col("_day")).as("_first_day"))
+      .select(col("_user").as(userCol),
+        date_trunc("week", col("_first_day")).cast("date").as("cohort_week"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       maxWeeks: Int = 12): DataFrame = {
     require(maxWeeks >= 1, s"cohortRetention: maxWeeks must be ≥1, got $maxWeeks")

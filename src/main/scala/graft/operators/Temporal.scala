@@ -36,7 +36,7 @@ object Temporal {
     * `asof_join_skew` ScaleProbe (one key holding 50% of rows) measures
     * 5.4× wall-clock at 16× data, well below linear, so the serialized
     * hot-key sort is not the bottleneck at that shape; for hotter keys
-    * pre-split with [[Skew]] tooling.
+    * use [[asofJoinSliced]], the time-segmented pre-split variant.
     *
     * @param payloadCols right columns to carry onto the left rows
     * @param tolerance   optional interval ([[functions.expr]]
@@ -127,6 +127,107 @@ object Temporal {
     }
     // getField, not a "_m.name" string path: a payload (or left) column
     // name containing a dot would otherwise parse as a nested-field path
+    bounded.select(left.columns.map(q).toSeq ++
+      payloadCols.map(p => col("_m").getField(p).as(p)): _*)
+  }
+
+  /** Time-SLICED as-of join — the hot-key pre-split variant of
+    * [[asofJoin]] (backward direction). The base form windows per key,
+    * so ONE key holding half the rows serializes into one task's
+    * n·log n sort (5.9× at 16× data in the `asof_join_skew` probe).
+    * Here time is cut into `sliceWidthSec`-wide slices and the running
+    * scan windows over (key, slice) — the hot key's sort spreads across
+    * its slices. A left row whose slice has no at-or-before right row
+    * takes the CARRY-IN: per (key, slice) the scan-winning right row is
+    * elected by `max(struct(time, payload))` (identical tie-break to
+    * the scan's (time, payload) order), a running max over earlier
+    * slices per key — a tiny (key, slice)-sized window — yields the
+    * latest payload strictly before each slice, and a hash join on
+    * (key, slice) hands it to the unmatched rows. Results are
+    * row-identical to `asofJoin` (equivalence spec), including
+    * null-time semantics and the inclusive equal-instant rule (equal
+    * instants share a slice by construction).
+    *
+    * The payload must be ORDERABLE (maps can't carry) — the carry
+    * election needs the same deterministic duplicate-instant tie-break
+    * the scan applies. Size `sliceWidthSec` so a hot key spreads over
+    * tens of slices; cold keys pay one extra tiny shuffle.
+    */
+  def asofJoinSliced(left: DataFrame, right: DataFrame,
+                     leftKeys: Seq[String], rightKeys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     payloadCols: Seq[String],
+                     sliceWidthSec: Long,
+                     tolerance: Option[Column] = None): DataFrame = {
+    require(sliceWidthSec > 0,
+      s"asofJoinSliced: sliceWidthSec must be positive, got $sliceWidthSec")
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"asofJoinSliced: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    val reserved = Set("_t", "_side", "_pay", "_m", "_rt", "_slice", "_tp", "_cin")
+    val clashes = (left.columns ++ payloadCols).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoinSliced: column names ${clashes.toSeq} collide with internal staging names $reserved — rename them first")
+    val payClash = payloadCols.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
+    require(payClash.isEmpty,
+      s"asofJoinSliced: payload columns ${payClash} collide with left column names — alias them on the right first")
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val pay = struct(q(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(q): _*)
+    val payType = right.select(pay).schema.head.dataType
+    require(RowOrdering.isOrderable(payType),
+      s"asofJoinSliced: payload type ${payType.simpleString} is not orderable — " +
+        "the carry election needs a deterministic tie-break; use asofJoin")
+    val leftNonKey = left.columns.filterNot(leftKeys.contains).toSeq
+    val rightValid = right.filter(
+      (q(rightTime).isNotNull +: rightKeys.map(q(_).isNotNull)).reduce(_ && _))
+    // floor-division slice of the integer-micros timestamp (pmod keeps
+    // the floor exact for pre-epoch times, where Long / truncates up)
+    val w = sliceWidthSec * 1000000L
+    def sliceOf(t: Column) = {
+      val m = unix_micros(t)
+      (m - pmod(m, lit(w))) / lit(w)
+    }
+    val rightU = rightValid.select(
+      rightKeys.zip(leftKeys).map { case (r, l) => q(r).as(l) } ++
+        Seq(q(rightTime).cast("timestamp").as("_t"), lit(0).as("_side"), pay.as("_pay")) ++
+        leftNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("_slice", sliceOf(col("_t")))
+    val leftU = left.select(
+      leftKeys.map(q) ++
+        Seq(q(leftTime).cast("timestamp").as("_t"), lit(1).as("_side"),
+          lit(null).cast(payType).as("_pay")) ++
+        leftNonKey.map(q): _*)
+      .withColumn("_slice", sliceOf(col("_t")))
+    val unioned = rightU.unionByName(leftU)
+    val wScan = Window.partitionBy(leftKeys.map(q) :+ col("_slice"): _*)
+      .orderBy(col("_t").asc_nulls_first, col("_side").asc, col("_pay").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(wScan))
+      .filter(col("_side") === 1)
+    // carry-in: the elected winner per (key, slice) of the RIGHT side,
+    // then the latest winner among strictly-earlier slices per key —
+    // windows over the (key, slice)-cardinality frame, never the corpus
+    val winners = rightU
+      .groupBy(leftKeys.map(q) :+ col("_slice"): _*)
+      .agg(max(struct(col("_t"), col("_pay"))).as("_tp"))
+    val slices = unioned.select(leftKeys.map(q) :+ col("_slice"): _*).distinct()
+    val wCarry = Window.partitionBy(leftKeys.map(q): _*)
+      .orderBy(col("_slice").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = slices
+      .join(winners, leftKeys :+ "_slice", "left")
+      .withColumn("_cin", max(col("_tp")).over(wCarry))
+      .select(leftKeys.map(q) :+ col("_slice") :+ col("_cin"): _*)
+    val filled = matched
+      .join(carried, leftKeys :+ "_slice", "left")
+      .withColumn("_m", coalesce(col("_m"), col("_cin").getField("_pay")))
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn("_m",
+        when(col("_m").getField("_rt") >= col("_t") - tol &&
+          col("_m").getField("_rt") <= col("_t") + tol,
+          col("_m")))
+      case None => filled
+    }
     bounded.select(left.columns.map(q).toSeq ++
       payloadCols.map(p => col("_m").getField(p).as(p)): _*)
   }

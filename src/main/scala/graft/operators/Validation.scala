@@ -158,6 +158,63 @@ object Validation {
       .withColumn("drift_alert", col("psi") > alertAt)
   }
 
+  /** Categorical PSI drift — the frequency-bucket companion to
+    * [[psiReport]] for LOW-cardinality code columns (order status,
+    * state, market segment) where quantile cuts are meaningless. Each
+    * distinct value is its own bucket; the bucket frame is the UNION of
+    * both sides' categories, so a category that appears or disappears
+    * contributes its own (Laplace-smoothed) term instead of being
+    * silently pooled. Same smoothing `(count + ½)/(n + k/2)` with
+    * k = |union frame|, same decimal-summed `Σ (p−q)·ln(p/q)`, rounded
+    * to 6 — integer counts in, deterministic oracle mirror out. NULLs
+    * are excluded like the numeric path (null-share drift is
+    * `Cleaning.profileDrift`'s job).
+    *
+    * Scale shape: per column, one hash-agg per side on the category
+    * key (partial-aggregated map-side — the exchange carries ≤ NDV
+    * rows per mapper), then scalar work on the ≤`maxCategories`-row
+    * frame. The guard is an eager count — a high-NDV column (an id
+    * mistyped as a category) refuses loudly instead of shuffling a
+    * billion "categories".
+    */
+  def psiReportCategorical(base: DataFrame, current: DataFrame,
+                           cols: Seq[String], maxCategories: Int = 1000,
+                           alertAt: Double = 0.25): DataFrame = {
+    require(cols.nonEmpty, "psiReportCategorical: cols must be non-empty")
+    require(maxCategories >= 2,
+      s"psiReportCategorical: maxCategories must be ≥2, got $maxCategories")
+    require(alertAt > 0,
+      s"psiReportCategorical: alertAt must be positive, got $alertAt")
+    val perCol = cols.map { c =>
+      val qc = Cols.qcol(c)
+      def sideCounts(df: DataFrame, name: String): DataFrame =
+        df.filter(qc.isNotNull)
+          .groupBy(qc.cast("string").as("_cat"))
+          .agg(count(lit(1)).as(name))
+      val joined = sideCounts(base, "_pc")
+        .join(sideCounts(current, "_qc"), Seq("_cat"), "full_outer")
+        .select(col("_cat"), coalesce(col("_pc"), lit(0L)).as("_pc"),
+          coalesce(col("_qc"), lit(0L)).as("_qc"))
+      val k = joined.count()
+      require(k >= 1,
+        s"psiReportCategorical: column $c has no non-null values on either side")
+      require(k <= maxCategories,
+        s"psiReportCategorical: column $c has $k distinct categories > " +
+          s"maxCategories=$maxCategories — this operator is for low-cardinality " +
+          "codes (status, segment, country); bucket high-cardinality columns " +
+          "with psiReport instead")
+      val tot = joined.agg(sum(col("_pc")).as("_pn"), sum(col("_qc")).as("_qn"))
+      joined.crossJoin(broadcast(tot))
+        .withColumn("_p", (col("_pc") + lit(0.5)) / (col("_pn") + lit(k / 2.0)))
+        .withColumn("_q", (col("_qc") + lit(0.5)) / (col("_qn") + lit(k / 2.0)))
+        .agg(round(sum(((col("_p") - col("_q")) * log(col("_p") / col("_q")))
+          .cast("decimal(30,12)")).cast("double"), 6).as("psi"))
+        .select(lit(c).as("column"), col("psi"))
+    }
+    perCol.reduce(_ unionByName _)
+      .withColumn("drift_alert", col("psi") > alertAt)
+  }
+
   def schemaCheck(df: DataFrame, expected: Map[String, String]): Seq[String] = {
     val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     expected.flatMap { case (name, dt) =>

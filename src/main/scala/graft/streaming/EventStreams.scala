@@ -477,6 +477,108 @@ object EventStreams {
     q
   }
 
+  /** Streaming COHORT-RETENTION snapshots — the batch
+    * `Analytics.cohortRetention` triangle maintained continuously
+    * against a FROZEN cohort-assignment table
+    * (`Analytics.cohortAssignments` over landed history — the stream
+    * must not re-derive cohorts, or they drift with batch composition;
+    * the [[driftMonitorSink]] frozen-baseline principle). State is the
+    * distinct `(cohort_week, week_offset, user)` triple set — bounded
+    * by users × weeks, NOT by event volume — merged per micro-batch via
+    * the snapshot-pointer protocol ([[applyMergeBatch]], set union);
+    * each batch then writes the re-aggregated triangle to
+    * `outDir/batch=<id>` (replay-idempotent overwrite). After the
+    * backlog drains the latest triangle EQUALS the batch operator over
+    * the same events and assignments — pinned in EventStreamsSpec.
+    */
+  def cohortSnapshotSink(events: DataFrame, firstEvents: DataFrame,
+                         userCol: String, tsCol: String,
+                         stateDir: String, outDir: String, checkpointDir: String,
+                         maxWeeks: Int = 12,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    val assignments = broadcast(firstEvents.select(
+      graft.operators.Cols.qcol(userCol).as("_user"), col("cohort_week")))
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val triples = batch.select(
+            graft.operators.Cols.qcol(userCol).as("_user"),
+            to_date(graft.operators.Cols.qcol(tsCol).cast("timestamp")).as("_day"))
+          .join(assignments, Seq("_user"))
+          .withColumn("week_offset",
+            floor(datediff(col("_day"), col("cohort_week")) / 7).cast("int"))
+          .filter(col("week_offset").between(0, maxWeeks))
+          .select(col("cohort_week"), col("week_offset"), col("_user"))
+          .distinct()
+        applyMergeBatch(spark, triples, batchId, stateDir) { (cur, b) =>
+          cur.fold(b)(c => c.unionByName(b).distinct())
+        }
+        readUpserted(spark, stateDir).foreach(state =>
+          state.groupBy(col("cohort_week"), col("week_offset"))
+            .agg(count(lit(1)).as("active_users"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
+  /** Streaming RFM snapshots — `Analytics.rfmSegments` maintained
+    * continuously. The per-customer stats are RE-AGGREGATABLE (last
+    * order date = max, frequency = sum, monetary = decimal sum), so
+    * state is one row per customer merged additively per micro-batch
+    * ([[applyMergeBatch]]); the quintile scoring then reruns over the
+    * merged stats (`Analytics.rfmFromStats` — scores are global ranks,
+    * inherently snapshot-scoped) and lands in `outDir/batch=<id>`.
+    * After the backlog drains the latest snapshot EQUALS the batch
+    * operator over the same orders — pinned in EventStreamsSpec.
+    */
+  def rfmSnapshotSink(orders: DataFrame, stateDir: String, outDir: String,
+                      checkpointDir: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = orders.sparkSession
+    val zero = lit(0).cast("decimal(30,6)")
+    val q = orders.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate").cast("timestamp"))).as("_last"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).as("_msum"))
+        applyMergeBatch(spark, partial, batchId, stateDir) { (cur, b) =>
+          cur.fold(b)(c =>
+            c.select(col("o_custkey"), col("_last").as("_l0"),
+                col("frequency").as("_f0"), col("_msum").as("_m0"))
+              .join(b, Seq("o_custkey"), "full_outer")
+              // greatest/coalesce only see nulls for an ABSENT side here,
+              // so the null-skipping semantics are exactly the merge
+              .select(col("o_custkey"),
+                greatest(col("_l0"), col("_last")).as("_last"),
+                (coalesce(col("_f0"), lit(0L)) + coalesce(col("frequency"), lit(0L)))
+                  .as("frequency"),
+                (coalesce(col("_m0"), zero) + coalesce(col("_msum"), zero))
+                  .as("_msum")))
+        }
+        readUpserted(spark, stateDir).foreach(state =>
+          graft.operators.Analytics.rfmFromStats(
+              state.select(col("o_custkey"), col("_last"), col("frequency"),
+                round(col("_msum"), 2).cast("double").as("monetary")))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at
@@ -524,7 +626,26 @@ object EventStreams {
     * it (self-read failure / snapshot loss), so the replay is a no-op.
     */
   def applyUpsertBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-                       targetDir: String, keys: Seq[String], versionCol: String): Unit = {
+                       targetDir: String, keys: Seq[String], versionCol: String): Unit =
+    applyMergeBatch(spark, batch, batchId, targetDir) { (cur, b) =>
+      cur match {
+        case Some(c) => graft.sinks.DataSink.upsert(c, b, keys, versionCol)
+        case None    => b
+      }
+    }
+
+  /** The snapshot-pointer protocol with a PLUGGABLE merge — the shared
+    * machinery under [[applyUpsertBatch]] (last-wins by key),
+    * [[cohortSnapshotSink]] (set union) and [[rfmSnapshotSink]]
+    * (additive stat merge): read the current snapshot, merge the batch
+    * into it, write `v_<batchId>`, atomically repoint `_LATEST`, GC all
+    * but the last two versions. Same idempotent-replay guard: a pointer
+    * already naming this batch's snapshot proves it committed, so the
+    * replay is a no-op.
+    */
+  def applyMergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                      targetDir: String)
+                     (merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(conf)
@@ -535,10 +656,7 @@ object EventStreams {
     // complete one without the pointer swap never became visible — the
     // merge must re-run either way
     if (!pointerName(fs, target).contains(snapName)) {
-      val merged = currentSnapshot(spark, targetDir) match {
-        case Some(cur) => graft.sinks.DataSink.upsert(cur, batch, keys, versionCol)
-        case None      => batch
-      }
+      val merged = merge(currentSnapshot(spark, targetDir), batch)
       merged.write.mode("overwrite").parquet(s"$targetDir/$snapName")
       // atomic pointer swap: tmp file + rename-with-overwrite
       val tmp = new org.apache.hadoop.fs.Path(target, "_LATEST.tmp")

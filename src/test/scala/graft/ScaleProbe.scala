@@ -175,6 +175,14 @@ object ScaleProbe {
     def skewed(e: DataFrame) = e.withColumn("user_id",
       when(pmod(col("event_id"), lit(2)) === 0, lit(424242L)).otherwise(col("user_id")))
     probe("asof_join_skew") { asof(skewed(ev1), ord1) } { asof(skewed(ev), ord) }
+    // the time-sliced pre-split on the SAME hot-key shape: the hot key's
+    // window sort spreads over day-wide slices, so the ratio should sit
+    // near the unskewed as-of instead of the serialized-hot-task 5.9×
+    def asofSliced(e: DataFrame, o: DataFrame) =
+      Temporal.asofJoinSliced(e.select(col("event_id"), col("user_id"), col("ts")),
+        ordDedup(o), Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), sliceWidthSec = 86400L)
+    probe("asof_join_skew_sliced") { asofSliced(skewed(ev1), ord1) } { asofSliced(skewed(ev), ord) }
     def rjoin(e: DataFrame) = {
       val wins = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),

@@ -151,6 +151,60 @@ class TemporalSpec extends SparkSpec {
     ("u2", ts("2024-01-01 10:30:00"), 5L)  // other key -> excluded
   ).toDF("user", "pt", "point_id")
 
+  test("asofJoinSliced: hand cases match asofJoin, slice boundaries inclusive") {
+    // narrow slices (60 s) force cross-slice carry for most trades
+    val out = Temporal.asofJoinSliced(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), sliceWidthSec = 60L)
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None))
+    // tolerance composes identically
+    val tol = Temporal.asofJoinSliced(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), sliceWidthSec = 60L,
+        tolerance = Some(expr("INTERVAL 10 MINUTE")))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val base = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "tt", "qt", Seq("px"), tolerance = Some(expr("INTERVAL 10 MINUTE")))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(tol == base)
+  }
+
+  test("asofJoinSliced == asofJoin on a generated hot-key stream") {
+    // one hot key (half the rows) + 9 cold keys; right rows at varied
+    // instants incl. duplicate timestamps to exercise the tie-break
+    val lefts = (1 to 400).map { i =>
+      val k = if (i % 2 == 0) "HOT" else s"k${i % 10}"
+      (k, new Timestamp(1700000000000L + (i * 7919L % 100000L) * 1000L), i.toLong)
+    }.toDF("k", "lt", "lid")
+    val rights = (1 to 120).map { i =>
+      val k = if (i % 3 == 0) "HOT" else s"k${i % 10}"
+      // i/2 duplicates every other instant: deterministic tie-break path
+      (k, new Timestamp(1700000000000L + ((i / 2) * 13337L % 90000L) * 1000L),
+        i.toLong, i * 1.5)
+    }.toDF("k", "rt", "rid", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lid"), col("rid"), col("rv"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+    val base = canon(Temporal.asofJoin(lefts, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv")))
+    val sliced = canon(Temporal.asofJoinSliced(lefts, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv"), sliceWidthSec = 600L))
+    assert(sliced == base)
+    // a null left time matches nothing in both forms
+    val nullLeft = Seq(("HOT", null.asInstanceOf[Timestamp], 999L)).toDF("k", "lt", "lid")
+    val n = canon(Temporal.asofJoinSliced(nullLeft, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv"), sliceWidthSec = 600L))
+    assert(n == Seq((999L, -1L, -1.0)))
+  }
+
   test("attributeWithin: closed bounds, null times drop, internal-name collision refused") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2026-01-01 10:00:00")),

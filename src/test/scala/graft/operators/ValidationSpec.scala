@@ -123,6 +123,48 @@ class ValidationSpec extends SparkSpec {
   }
 
 
+  test("psiReportCategorical: zero when identical, alerts on remap, union frame, guards") {
+    import spark.implicits._
+    val base = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else if (i % 5 == 0) "B" else "C"))
+      .toDF("id", "seg")
+    // identical frames → every (p - q) term exactly 0
+    val same = Validation.psiReportCategorical(base, base, Seq("seg"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(same.toSeq == Seq(("seg", 0.0, false)))
+    // planted remap: half of C becomes A → must alert at 0.1
+    val cur = base.withColumn("seg",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 4 === 1,
+        org.apache.spark.sql.functions.lit("A"))
+        .otherwise(org.apache.spark.sql.functions.col("seg")))
+    val drift = Validation.psiReportCategorical(base, cur, Seq("seg"),
+      alertAt = 0.1).collect().head
+    assert(drift.getDouble(1) > 0.1 && drift.getBoolean(2),
+      s"remap must alert: $drift")
+    // hand case: base {A:2}, cur {B:2} — union frame k=2, Laplace
+    // p_A=2.5/3, q_A=0.5/3 and symmetric for B
+    val bA = Seq((1L, "A"), (2L, "A")).toDF("id", "seg")
+    val cB = Seq((1L, "B"), (2L, "B")).toDF("id", "seg")
+    val pa = 2.5 / 3; val qa = 0.5 / 3
+    val expected = BigDecimal(
+      BigDecimal((pa - qa) * StrictMath.log(pa / qa))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      + BigDecimal((qa - pa) * StrictMath.log(qa / pa))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val swap = Validation.psiReportCategorical(bA, cB, Seq("seg")).collect().head
+    assert(swap.getDouble(1) == expected, s"got ${swap.getDouble(1)}, want $expected")
+    // high-NDV refusal is loud
+    val ids = (1 to 50).map(i => (i.toLong, s"cat_$i")).toDF("id", "seg")
+    intercept[IllegalArgumentException] {
+      Validation.psiReportCategorical(ids, ids, Seq("seg"), maxCategories = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Validation.psiReportCategorical(base, base, Nil)
+    }
+  }
+
   test("schemaCheck reports missing and mistyped columns") {
     val df = Seq((1L, "a")).toDF("id", "name")
     assert(Validation.schemaCheck(df, Map("id" -> "bigint", "name" -> "string")).isEmpty)

@@ -360,6 +360,69 @@ class EventStreamsSpec extends SparkSpec {
     baseline.unpersist()
   }
 
+  test("cohortSnapshotSink: final triangle equals batch cohortRetention") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cohort").toFile.getAbsolutePath
+    // 5 users across 3 weeks; user activity deliberately spans batches
+    // (u1's week-2 return arrives in batch 2) and repeats within a week
+    // (the distinct-user rule must dedup across batches, not per batch)
+    val all = Seq(
+      (1L, ts("2026-01-05 10:00:00")), (2L, ts("2026-01-06 10:00:00")),
+      (3L, ts("2026-01-12 10:00:00")), (1L, ts("2026-01-07 09:00:00")),
+      (1L, ts("2026-01-13 10:00:00")), (2L, ts("2026-01-19 10:00:00")),
+      (4L, ts("2026-01-20 10:00:00")), (1L, ts("2026-01-14 11:00:00")),
+      (5L, ts("2026-01-26 10:00:00")), (3L, ts("2026-01-27 10:00:00")))
+    val (batch1, batch2) = all.splitAt(6)
+    val evDf = all.toDF("user_id", "ts")
+    val firsts = graft.operators.Analytics
+      .cohortAssignments(evDf, "user_id", "ts").cache()
+    firsts.count()
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def run(): Unit = EventStreams.cohortSnapshotSink(
+      ms.toDF().toDF("user_id", "ts"), firsts, "user_id", "ts",
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    ms.addData(batch1: _*); run()
+    ms.addData(batch2: _*); run()
+    def tri(df: org.apache.spark.sql.DataFrame) =
+      df.select("cohort_week", "week_offset", "active_users").collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    val streamed = tri(spark.read.parquet(s"$dir/out/batch=1"))
+    val batch = tri(graft.operators.Analytics.cohortRetention(evDf, "user_id", "ts"))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    firsts.unpersist()
+  }
+
+  test("rfmSnapshotSink: final snapshot equals batch rfmSegments") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toFile.getAbsolutePath
+    // 8 customers; c1's orders split across batches so frequency/monetary
+    // must merge additively and recency must take the max across batches
+    val all = (1 to 8).flatMap { c =>
+      (0 until c).map(k =>
+        (c.toLong, ts(f"2026-01-${k + 1}%02d 00:00:00"), 100.0 * c + k))
+    }
+    val (batch1, batch2) = all.partition { case (c, t, _) =>
+      (c + t.getTime) % 2 == 0 }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def run(): Unit = EventStreams.rfmSnapshotSink(
+      ms.toDF().toDF("o_custkey", "o_orderdate", "o_totalprice"),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    ms.addData(batch1: _*); run()
+    ms.addData(batch2: _*); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_custkey", "recency_days", "frequency", "monetary",
+          "r_score", "f_score", "m_score", "segment")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+        .sortBy(_._1).toSeq
+    val streamed = canon(spark.read.parquet(s"$dir/out/batch=1"))
+    val batch = canon(graft.operators.Analytics.rfmSegments(
+      all.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("funnelStream agrees with batch funnel; progression survives batch splits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
