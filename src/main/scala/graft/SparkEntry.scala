@@ -70,6 +70,20 @@ object SparkEntry {
     Tables.orders(s, dir).withColumn("o_orderpriority",
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
 
+  /** The CDC feed the q_cdc_* queries apply: orders rewritten as a
+    * Debezium-shaped changelog against the customer snapshot — status
+    * F→update, O→insert, P→delete, versioned by the (unique) orderkey.
+    */
+  private def cdcChanges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      col("o_totalprice").as("acctbal"),
+      col("o_orderpriority").as("mktsegment"),
+      when(col("o_orderstatus") === "F", "U")
+        .when(col("o_orderstatus") === "O", "I")
+        .otherwise("D").as("op"),
+      col("o_orderkey").as("version"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- E. analytics / views ----------
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -525,6 +539,23 @@ object SparkEntry {
             width = 5, hashMode = "md5_52"),
           "doc_id")
         .orderBy(col("doc_id"), col("span_start"))),
+
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03): the
+    // span family's window hashes subsampled to per-w-window minima
+    // (rightmost on ties) — ~2/(w+1) density with the ≥ w+k−1 shared-run
+    // detection guarantee; md5_52 window hashes, mirrored by the oracle
+    "q_winnow_fp" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 5, w = 4, hashMode = "md5_52")
+        .orderBy(col("doc_id"), col("fp"))),
+
+    // overlap candidates from the fingerprint index: docs sharing ≥2
+    // fingerprints (Σ df² inverted-index join, fingerprints hotter than
+    // 64 docs dropped)
+    "q_winnow_overlap" -> ((s, d) =>
+      Dedup.winnowOverlap(Tables.documents(s, d), "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 64, hashMode = "md5_52")
+        .orderBy(col("a_id"), col("b_id"))),
 
     // deterministic language mixing: en kept whole, others downsampled by
     // fixed rates — content-hash Bernoulli, mirrored bucket-exactly by the
@@ -1230,6 +1261,23 @@ object SparkEntry {
         .orderBy(col("custkey"), col("effective_from"))
     }),
 
+    // CDC changelog apply: a Debezium-shaped I/U/D feed (derived from
+    // orders: F→U, O→I, P→D, versioned by orderkey) applied onto the
+    // customer snapshot — per-key (version, op-rank) winner, winning D
+    // deletes, winning I/U replaces, untouched keys pass through
+    "q_cdc_apply" -> ((s, d) => {
+      val snap = Tables.customer(s, d).select(col("c_custkey").as("custkey"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+      DataSink.applyChangelog(snap, cdcChanges(s, d), Seq("custkey"))
+        .orderBy(col("custkey"))
+    }),
+
+    // the compaction step alone (Kafka log-compaction shape): per-key
+    // winning change INCLUDING delete tombstones
+    "q_cdc_compact" -> ((s, d) =>
+      DataSink.compactChangelog(cdcChanges(s, d), Seq("custkey"))
+        .orderBy(col("custkey"))),
+
     // range join: events attributed to the hour-long window BEFORE each
     // purchase by the same user (bin-bucketed, no cartesian)
     "q_range_join" -> ((s, d) => {
@@ -1269,6 +1317,57 @@ object SparkEntry {
   // DuckDB oracles. Casts: duckdb sum(int)→HUGEINT needs ::BIGINT to match
   // Spark's long; len(list)→BIGINT needs ::INTEGER to match Spark's size().
   // ---------------------------------------------------------------------
+
+  /** The CDC feed + per-key-winner CTEs shared by the q_cdc_* oracles —
+    * mirrors [[cdcChanges]] and the compactChangelog winner rank.
+    */
+  private val CdcLastCte: String =
+    """WITH ch AS (
+      |  SELECT o_custkey AS custkey, o_totalprice AS acctbal,
+      |         o_orderpriority AS mktsegment,
+      |         CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+      |           ELSE 'D' END AS op,
+      |         o_orderkey AS version
+      |  FROM orders),
+      |last AS (
+      |  SELECT custkey, acctbal, mktsegment, op, version FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY custkey
+      |      ORDER BY version DESC,
+      |        CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+      |    FROM ch) WHERE rn = 1)""".stripMargin
+
+  /** The winnowing CTE chain shared by the q_winnow_* oracles (k=5,
+    * w=4, matching the registry queries): the q_dedup_spans md5-fold
+    * window-hash table, a per-doc gram count, and per window start j
+    * the rightmost-min selection — `fp` ends as the DISTINCT
+    * (doc_id, fingerprint) table.
+    */
+  private def winnowFpCtes(): String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
+    val fold = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+       |  FROM t WHERE len(toks) >= 5),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+       |  FROM w),
+       |h AS (SELECT doc_id, i, CAST($fold AS BIGINT) AS wh FROM g),
+       |n AS (SELECT doc_id, max(i) AS np FROM h GROUP BY doc_id),
+       |sel AS (
+       |  SELECT j.doc_id AS doc_id, h2.wh AS wh,
+       |    row_number() OVER (PARTITION BY j.doc_id, j.i
+       |      ORDER BY h2.wh ASC, h2.i DESC) AS rn
+       |  FROM h j JOIN n ON n.doc_id = j.doc_id
+       |  JOIN h h2 ON h2.doc_id = j.doc_id
+       |    AND h2.i >= j.i AND h2.i <= j.i + 3
+       |  WHERE j.i <= greatest(1, n.np - 3)),
+       |fp AS (SELECT DISTINCT doc_id, wh AS fp FROM sel WHERE rn = 1)""".stripMargin
+  }
 
   /** The BPE training loop as k UNROLLED CTE stages: stage i computes
     * pair frequencies over v(i-1), picks the argmax with the identical
@@ -2482,6 +2581,24 @@ object SparkEntry {
          |ORDER BY doc_id, span_start""".stripMargin
     },
 
+    // winnowing: same md5-fold window-hash table as q_dedup_spans, then
+    // per window start j (full windows only, plus the single truncated
+    // window of a short doc) the min hash with rightmost tie (wh ASC,
+    // position DESC), distinct per doc
+    "q_winnow_fp" ->
+      s"""${winnowFpCtes()}
+         |SELECT doc_id, fp FROM fp ORDER BY doc_id, fp""".stripMargin,
+
+    "q_winnow_overlap" ->
+      s"""${winnowFpCtes()},
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64),
+         |kept AS (SELECT doc_id, fp FROM fp
+         |         WHERE fp IN (SELECT fp FROM rare))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -3343,6 +3460,23 @@ object SparkEntry {
         |       lead(effective_from) OVER (PARTITION BY custkey ORDER BY effective_from)
         |         AS effective_to
         |FROM kept ORDER BY custkey, effective_from""".stripMargin,
+
+    // the per-key winner ranks by (version DESC, op-rank DESC with
+    // D=2 > U=1 > I=0) — the compactChangelog max_by mirrored
+    "q_cdc_apply" ->
+      s"""$CdcLastCte
+         |SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+         |       c_mktsegment AS mktsegment
+         |FROM customer
+         |WHERE c_custkey NOT IN (SELECT custkey FROM last)
+         |UNION ALL
+         |SELECT custkey, acctbal, mktsegment FROM last WHERE op <> 'D'
+         |ORDER BY custkey""".stripMargin,
+
+    "q_cdc_compact" ->
+      s"""$CdcLastCte
+         |SELECT custkey, acctbal, mktsegment, op, version
+         |FROM last ORDER BY custkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (

@@ -273,6 +273,84 @@ object DataSink {
       .select(cols.map(col): _*) // restore current's column order
   }
 
+  /** Apply a keyed changelog — CDC ops `I`/`U`/`D` with a per-key
+    * monotonic version, the Debezium / compacted-topic shape — onto a
+    * snapshot. Per key the highest-`(version, op-rank)` change wins
+    * (rank `D` > `U` > `I`, so a delete at the same version as an update
+    * deletes); a winning `D` removes the key, a winning `I`/`U` replaces
+    * (or inserts) the key's row; untouched snapshot keys pass through.
+    * `I` and `U` apply identically (last-writer-wins) — the distinction
+    * is provenance from the source log, kept for the tie rank.
+    *
+    * All changes are assumed to postdate the snapshot — out-of-order and
+    * replay protection across batches is the streaming twin's job
+    * ([[graft.streaming.EventStreams.changelogSink]]), whose persisted
+    * state keeps `(op, version)` per key INCLUDING delete tombstones so
+    * a late older update cannot resurrect a deleted key.
+    *
+    * Cost: one shuffle on the key for the per-key winner (a `max_by`
+    * that partial-aggregates map-side — the changelog compacts BEFORE it
+    * meets the snapshot), one join against the snapshot. Same shape as
+    * [[upsert]]; at 100 TB the snapshot is the big side and only its
+    * changed keys move. Null-keyed or null-versioned changes never merge
+    * (dropped, mirroring join null semantics); an op outside I/U/D fails
+    * LOUDLY — a typo'd op silently ranking as an insert would corrupt
+    * the snapshot. Ties on `(version, op)` with differing payloads are
+    * the caller's bug (the winner among equals is plan-dependent).
+    */
+  def applyChangelog(current: DataFrame, changes: DataFrame, keys: Seq[String],
+                     opCol: String = "op",
+                     versionCol: String = "version"): DataFrame = {
+    val cols = current.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"applyChangelog: keys $keys must be snapshot columns $cols")
+    require(!cols.contains(opCol) && !cols.contains(versionCol),
+      s"applyChangelog: snapshot must not carry '$opCol'/'$versionCol'")
+    require(changes.columns.toSet == cols.toSet + opCol + versionCol,
+      s"applyChangelog: changes must carry snapshot columns + '$opCol' + " +
+        s"'$versionCol', got ${changes.columns.toSeq} vs $cols")
+    val last = compactChangelog(changes, keys, opCol, versionCol)
+    val upserts = last.filter(col(opCol) =!= "D")
+      .drop(opCol, versionCol).select(cols.map(col): _*)
+    current.join(last.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** Compact a changelog to its per-key winning change — the Kafka
+    * log-compaction step, standalone: out of several changes to one key,
+    * keep the one with the highest `(version, op-rank)` (rank `D` > `U`
+    * > `I`). `D` tombstones are KEPT — a compacted log must still say
+    * "this key was deleted" ([[applyChangelog]] filters them at apply
+    * time; [[graft.streaming.EventStreams.changelogSink]] persists them
+    * so late older updates cannot resurrect deleted keys). One shuffle
+    * on the key, partial-aggregated map-side. Null-keyed or
+    * null-versioned changes drop; an op outside I/U/D fails loudly.
+    */
+  def compactChangelog(changes: DataFrame, keys: Seq[String],
+                       opCol: String = "op",
+                       versionCol: String = "version"): DataFrame = {
+    val cols = changes.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"compactChangelog: keys $keys must be columns of ${cols}")
+    require(cols.contains(opCol) && cols.contains(versionCol),
+      s"compactChangelog: changes must carry '$opCol' and '$versionCol', got $cols")
+    require(!cols.contains("_cl_row"),
+      "compactChangelog: column name _cl_row collides with an internal staging name")
+    val others = cols.filterNot(keys.contains)
+    val rank = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1)
+      .when(col(opCol) === "I", 0)
+      .otherwise(raise_error(concat(lit("compactChangelog: unknown op '"),
+        col(opCol), lit("' — expected I, U or D"))).cast("int"))
+    changes
+      .filter((col(versionCol).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(versionCol), rank)).as("_cl_row"))
+      .select(keys.map(col) ++ others.map(c => col(s"_cl_row.$c").as(c)): _*)
+      .select(cols.map(col): _*)
+  }
+
   /** SCD Type-2 dimension merge — the history-preserving sibling of
     * [[upsert]]: instead of overwriting a key's row, each attribute
     * change CLOSES the previous version (its `effectiveTo` set to the

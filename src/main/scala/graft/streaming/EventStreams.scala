@@ -579,6 +579,87 @@ object EventStreams {
     q
   }
 
+  /** Continuous CDC apply — the streaming twin of
+    * [[graft.sinks.DataSink.applyChangelog]]. Persisted state is the
+    * COMPACTED changelog: one row per key carrying the winning change's
+    * attributes plus `(op, version)`, INCLUDING `D` tombstones. Each
+    * micro-batch unions the batch into state and re-compacts by the same
+    * `(version, op-rank)` max ([[graft.sinks.DataSink.compactChangelog]]
+    * through [[applyMergeBatch]]'s snapshot-pointer protocol), so the
+    * merge is associative and idempotent: arbitrary batch boundaries,
+    * at-least-once replays and LATE OLDER changes all converge to the
+    * batch answer — a `U@3` arriving after `D@7` cannot resurrect the
+    * key, because the tombstone outranks it in state (the reason
+    * tombstones persist rather than dropping at apply time). State size
+    * is O(live keys + tombstones), independent of change volume.
+    * Read the applied view with [[readChangelogApplied]].
+    */
+  def changelogSink(changes: DataFrame, stateDir: String, checkpointDir: String,
+                    keys: Seq[String], opCol: String = "op",
+                    versionCol: String = "version",
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val spark = changes.sparkSession
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(spark, batch, batchId, stateDir) { (cur, b) =>
+          graft.sinks.DataSink.compactChangelog(
+            cur.fold(b)(_.unionByName(b)), keys, opCol, versionCol)
+        }
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+  }
+
+  /** Overlay a [[changelogSink]] state onto the initial snapshot:
+    * tombstoned keys drop, winning I/U rows replace, untouched snapshot
+    * keys pass through. With no state yet, the snapshot passes through
+    * unchanged. Equals the batch operator over the full change history —
+    * pinned in EventStreamsSpec.
+    */
+  def readChangelogApplied(spark: SparkSession, snapshot: DataFrame,
+                           stateDir: String, keys: Seq[String],
+                           opCol: String = "op",
+                           versionCol: String = "version"): DataFrame =
+    readUpserted(spark, stateDir).fold(snapshot)(state =>
+      graft.sinks.DataSink.applyChangelog(snapshot, state, keys, opCol, versionCol))
+
+  /** Continuous SCD Type-2 dimension maintenance — the streaming twin of
+    * [[graft.sinks.DataSink.scd2Merge]]. State is the full dimension
+    * (open + closed versions), merged per micro-batch by the batch
+    * operator itself through the snapshot-pointer protocol; `dimInit`
+    * seeds the state on the first batch (pass the empty dimension frame
+    * for a from-scratch build). scd2Merge's incremental application is
+    * exact for IN-ORDER change feeds — each batch's updates chain onto
+    * the open versions and close them — and a batch whose update instant
+    * predates already-closed history fails LOUDLY (the batch operator's
+    * late-historical-rewrite guard), which in a stream means: feed it
+    * event-time-ordered, or replay the dimension build. Final state
+    * EQUALS the batch merge over the concatenated updates — pinned in
+    * EventStreamsSpec. Read the dimension with [[readUpserted]].
+    */
+  def scd2Sink(updates: DataFrame, dimInit: DataFrame, stateDir: String,
+               checkpointDir: String, keys: Seq[String],
+               effectiveFrom: String = "effective_from",
+               effectiveTo: String = "effective_to",
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(spark, batch, batchId, stateDir) { (cur, b) =>
+          graft.sinks.DataSink.scd2Merge(cur.getOrElse(dimInit), b, keys,
+            effectiveFrom, effectiveTo)
+        }
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table
     * (the reference's orders⋈customers view, continuously). The static
     * side is broadcast per micro-batch, so the stream never shuffles; at

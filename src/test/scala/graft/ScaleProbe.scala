@@ -426,6 +426,24 @@ object ScaleProbe {
       ()
     }
     probeRun("bpe_train")(bpe(docs1))(bpe(docs))
+    // winnowing over the same saturated-dup corpus as dedup_spans: the
+    // shared window-hash stage plus two same-partitioning window passes;
+    // emits ~2/(w+1) of the span table
+    def winnow(dd: DataFrame) = Dedup.winnowFingerprints(
+      dd.select(col("doc_id"), col("text")), "doc_id", "text", k = 5, w = 4)
+    probe("winnow_fp") { winnow(docs1) } { winnow(docs) }
+    // CDC apply at 16× keys and changes: one map-side-compacted shuffle
+    // + the snapshot anti-join — must track the change volume
+    def cdc(o: DataFrame) = {
+      val snap = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_totalprice")).as("acctbal"))
+      val ch = o.select(col("o_custkey").as("custkey"),
+        col("o_totalprice").as("acctbal"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        col("o_orderkey").as("version"))
+      graft.sinks.DataSink.applyChangelog(snap, ch, Seq("custkey"))
+    }
+    probe("cdc_apply") { cdc(ord1) } { cdc(ord) }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

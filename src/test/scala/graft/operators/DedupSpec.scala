@@ -539,4 +539,82 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"sketch overlap must not shuffle distinct keys:\n$plan")
   }
+
+  // ---- winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03) ----
+
+  /** Driver-side reference: tokenize like TextAnalysis.tokens, hash every
+    * stride-1 k-gram with Spark's own xxhash64, take per-w-window minima
+    * (the selected HASH is tie-invariant, so the set equals robust
+    * winnowing's), distinct. Returns empty for docs under k tokens —
+    * matching the span family's windowTable.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[Long] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.length < k) return Set.empty
+    val grams = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    val hashes = grams.toDF("g").select(xxhash64(col("g")))
+      .collect().map(_.getLong(0)).toSeq
+    val np = hashes.length
+    (1 to math.max(1, np - w + 1)).map { j =>
+      hashes.slice(j - 1, math.min(j - 1 + w, np)).min
+    }.toSet
+  }
+
+  test("winnowFingerprints equals the per-window-minima reference on varied docs") {
+    val rnd = new scala.util.Random(42)
+    // small vocab forces repeated grams and hash ties; lengths straddle
+    // the short-doc (np < w) and no-gram (< k tokens) edges
+    val texts = Seq(
+      base, nearDup, unrelated,
+      "a b c d e f",                 // 6 tokens, np=2 < w → one truncated window
+      "one two three four",          // 4 tokens < k=5 → no fingerprints
+      "x x x x x x x x x x"          // all-identical grams → single fingerprint
+    ) ++ (1 to 6).map(_ =>
+      (1 to (8 + rnd.nextInt(30))).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = winnowRef(t, 5, 4)
+      assert(got.getOrElse(i.toLong, Set.empty) == want,
+        s"doc $i ('${t.take(40)}…'): got ${got.get(i.toLong)}, want $want")
+    }
+    // the guarantee shape: selected density well under the full gram count
+    assert(got(5L).size == 1, "identical grams must collapse to one fingerprint")
+  }
+
+  test("winnowOverlap reports docs sharing a long run; hot fingerprints drop at maxDf") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens ≥ w+k−1
+    val d = Seq(
+      (1L, s"$shared and some unique tail for doc one"),
+      (2L, s"prefix text then $shared closing words here"),
+      (3L, unrelated)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(d, "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"the ≥ w+k−1 shared run must surface exactly the planted pair, got $pairs")
+
+    // a fingerprint present in EVERY doc is boilerplate: with maxDf below
+    // the doc count it must not generate candidates
+    val boiler = (1L to 5L).map(i => (i, s"$shared totally distinct rest $i " +
+      (1 to 6).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val guarded = Dedup.winnowOverlap(boiler, "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.isEmpty,
+      s"fingerprints hotter than maxDf must be excluded, got $guarded")
+  }
+
+  test("winnowFingerprints guards: bad modes and colliding id column fail loudly") {
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(d, "doc_id", "text", hashMode = "bogus")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(d.withColumnRenamed("doc_id", "wh"), "wh", "text")
+    }
+  }
 }

@@ -17,6 +17,57 @@ class DataSinkSpec extends SparkSpec {
     assert(out == Map(1L -> "a-tie", 2L -> "b2", 3L -> "c", 4L -> "d"))
   }
 
+  test("applyChangelog: winner per key, D deletes, I/U upsert, untouched keys pass") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", "I", 1L), (1L, "a2", "U", 3L),        // k1 → a2 (U@3 wins)
+      (2L, "zombie", "U", 2L), (2L, "x", "D", 5L),      // k2 → deleted (D@5 wins)
+      (4L, "d", "I", 1L),                               // k4 → inserted
+      (5L, "e", "U", 2L), (5L, "gone", "D", 2L)         // k5: tie → D outranks U
+    ).toDF("k", "v", "op", "version")
+    val out = DataSink.applyChangelog(snap, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChangelog drops null-keyed/null-versioned changes; rejects unknown ops and bad schemas") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val nulls = Seq(
+      (Option.empty[Long], Some("x"), "U", Some(9L)),
+      (Some(1L), Some("y"), "U", Option.empty[Long])
+    ).toDF("k", "v", "op", "version")
+    val out = DataSink.applyChangelog(snap, nulls, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a")) // both changes dropped, snapshot intact
+
+    val badOp = Seq((1L, "x", "Z", 1L)).toDF("k", "v", "op", "version")
+    val e = intercept[Exception] {
+      DataSink.applyChangelog(snap, badOp, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("unknown op"))
+
+    val badCols = Seq((1L, "x", 1L)).toDF("k", "v", "version") // missing op
+    intercept[IllegalArgumentException] {
+      DataSink.applyChangelog(snap, badCols, Seq("k"))
+    }
+  }
+
+  test("compactChangelog keeps D tombstones and is idempotent") {
+    val changes = Seq(
+      (1L, "a1", "U", 1L), (1L, "a2", "U", 7L),
+      (2L, "x", "D", 5L), (2L, "old", "U", 3L)
+    ).toDF("k", "v", "op", "version")
+    val once = DataSink.compactChangelog(changes, Seq("k"))
+    val got = once.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((1L, "a2", "U", 7L), (2L, "x", "D", 5L)))
+    // compacting a compacted log is a no-op (the streaming state merge
+    // relies on this: state ∪ batch re-compacts every micro-batch)
+    val twice = DataSink.compactChangelog(once, Seq("k")).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(twice == got)
+  }
+
   test("upsert rejects mismatched schemas") {
     val cur = Seq((1L, "a")).toDF("k", "v")
     val upd = Seq((1L, "a", 2L)).toDF("k", "v", "version")

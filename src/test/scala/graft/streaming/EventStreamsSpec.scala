@@ -423,6 +423,66 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("changelogSink: final view equals batch applyChangelog; tombstone blocks late older update") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toFile.getAbsolutePath
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // batch 2 is deliberately OUT OF ORDER: k2's U@3 arrives after its
+    // D@7 (must stay deleted — the tombstone outranks it in state) and
+    // k4's U@2 after its I@1
+    val b1 = Seq((1L, "a2", "U", 10L), (2L, "x", "D", 7L), (4L, "d", "I", 1L))
+    val b2 = Seq((2L, "zombie", "U", 3L), (4L, "d2", "U", 2L))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    def run(): Unit = EventStreams.changelogSink(
+      ms.toDF().toDF("k", "v", "op", "version"),
+      s"$dir/state", s"$dir/ckpt", Seq("k"))
+    ms.addData(b1: _*); run()
+    ms.addData(b2: _*); run()
+    val streamed = EventStreams.readChangelogApplied(spark, snap, s"$dir/state", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.sinks.DataSink.applyChangelog(
+        snap, (b1 ++ b2).toDF("k", "v", "op", "version"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed == Set((1L, "a2"), (3L, "c"), (4L, "d2")),
+      s"k2 must stay deleted, k4 must carry the later update, got $streamed")
+  }
+
+  test("scd2Sink: in-order batches equal one batch scd2Merge") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd2s").toFile.getAbsolutePath
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    // key 1 changes twice (second batch closes the first version), key 2
+    // repeats its value (no-op suppressed ACROSS the batch boundary)
+    val b1 = Seq((1L, "p1", d("2026-01-01")), (2L, "q1", d("2026-01-02")))
+    val b2 = Seq((1L, "p2", d("2026-02-01")), (2L, "q1", d("2026-02-02")))
+    val dimInit = Seq.empty[(Long, String, java.sql.Date)]
+      .toDF("k", "attr", "effective_from")
+      .withColumn("effective_to",
+        org.apache.spark.sql.functions.lit(null).cast("date"))
+    val ms = MemoryStream[(Long, String, java.sql.Date)]
+    def run(): Unit = EventStreams.scd2Sink(
+      ms.toDF().toDF("k", "attr", "effective_from"),
+      dimInit, s"$dir/state", s"$dir/ckpt", Seq("k"))
+    ms.addData(b1: _*); run()
+    ms.addData(b2: _*); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    val streamed = canon(EventStreams.readUpserted(spark, s"$dir/state").get
+      .select("k", "attr", "effective_from", "effective_to"))
+    val batch = canon(graft.sinks.DataSink.scd2Merge(
+        dimInit, (b1 ++ b2).toDF("k", "attr", "effective_from"), Seq("k"))
+      .select("k", "attr", "effective_from", "effective_to"))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed == Set(
+      (1L, "p1", "2026-01-01", Some("2026-02-01")),
+      (1L, "p2", "2026-02-01", None),
+      (2L, "q1", "2026-01-02", None)), s"got $streamed")
+  }
+
   test("funnelStream agrees with batch funnel; progression survives batch splits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
