@@ -139,6 +139,20 @@ object SparkEntry {
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // top event-type trigram journeys (document-frequency counting:
+    // each user's distinct n-grams count once — bot-loop-immune)
+    "q_event_journeys" -> ((s, d) =>
+      Analytics.commonJourneys(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id", n = 3, topK = 20)
+        .orderBy(col("n_users").desc, col("journey"))),
+
+    // 7-day sliding active users, exact mode (the oracle/audit path;
+    // sketch mode is the 100 TB twin, accuracy-pinned in spec)
+    "q_active_users" -> ((s, d) =>
+      Analytics.activeUsers(Tables.events(s, d), "user_id", "ts",
+          windowDays = 7, mode = "exact")
+        .orderBy(col("day"))),
+
     // market-basket affinity over order line items: exact counts, one
     // fixed division association, round(4)
     "q_basket_affinity" -> ((s, d) =>
@@ -1841,6 +1855,32 @@ object SparkEntry {
         |FROM acts JOIN firsts USING (u)
         |WHERE floor(date_diff('day', cw, d) / 7) <= 12
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // shingles_of convention mirrored: a path shorter than n collapses
+    // to ONE whole-path gram (the range end's greatest(len−1, 2) yields
+    // exactly i=1 for short paths); DISTINCT per user = doc frequency
+    "q_event_journeys" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, CASE WHEN len(seq) >= 3
+        |      THEN array_to_string(list_slice(seq, i, i + 2), ' ')
+        |      ELSE array_to_string(seq, ' ') END AS journey
+        |  FROM (SELECT user_id, seq,
+        |          unnest(range(1, greatest(len(seq) - 1, 2))) AS i
+        |        FROM s)),
+        |d AS (SELECT DISTINCT user_id, journey FROM g)
+        |SELECT journey, count(*) AS n_users FROM d GROUP BY journey
+        |ORDER BY n_users DESC, journey LIMIT 20""".stripMargin,
+
+    "q_active_users" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM p)
+        |SELECT d.day AS day, count(DISTINCT p.u) AS active_users
+        |FROM d JOIN p ON p.day >= d.day - 6 AND p.day <= d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin,
 
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

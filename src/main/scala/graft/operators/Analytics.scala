@@ -628,6 +628,101 @@ object Analytics {
       .agg(countDistinct(col("_user")).as("active_users"))
   }
 
+  /** Top common event JOURNEYS: the most frequent length-n event-type
+    * sequences across users. Per user, events sort into one ordered path
+    * (ties on the timestamp break by event id — deterministic); the
+    * path's DISTINCT n-grams (native `shingles_of`; paths shorter than n
+    * collapse to one whole-path gram, the shingle convention) count ONE
+    * per user, so the metric is "users whose journey contains this
+    * pattern" — document frequency, immune to a single bot looping a
+    * pattern thousands of times.
+    *
+    * Cost shape: one shuffle on the user for the path collect, one
+    * partial-aggregated count on the (short) journey string, and a
+    * bounded TakeOrdered for the top-k — no window over the full gram
+    * table. The per-user collect is the only state that grows with a
+    * user's activity, so it is bounded by `maxEventsPerUser` with a loud
+    * in-plan failure (the basketAffinity cap discipline): a user over
+    * the cap is a bot to filter upstream, not a row to silently truncate.
+    */
+  def commonJourneys(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, idCol: String, n: Int = 3, topK: Int = 20,
+                     maxEventsPerUser: Int = 10000): DataFrame = {
+    require(n >= 2, s"commonJourneys: n must be ≥2, got $n")
+    require(topK >= 1, s"commonJourneys: topK must be ≥1, got $topK")
+    require(maxEventsPerUser >= n,
+      s"commonJourneys: maxEventsPerUser must be ≥ n, got $maxEventsPerUser")
+    val u = Cols.qcol(userCol); val ts = Cols.qcol(tsCol)
+    val paths = events
+      .select(u.as("_user"), struct(ts.as("_ts"), Cols.qcol(idCol).as("_id"),
+        Cols.qcol(typeCol).as("_t")).as("_e"))
+      .groupBy(col("_user"))
+      .agg(sort_array(collect_list(col("_e"))).as("_es"))
+      .select(col("_user"),
+        when(size(col("_es")) > maxEventsPerUser,
+          raise_error(concat(lit("commonJourneys: user "),
+            col("_user").cast("string"),
+            lit(s" exceeds $maxEventsPerUser events — filter upstream")))
+            .cast("array<string>"))
+          .otherwise(transform(col("_es"), e => e.getField("_t")))
+          .as("_path"))
+    paths
+      .select(explode(call_function("shingles_of", col("_path"), lit(n)))
+        .as("journey"))
+      .groupBy(col("journey")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey")).limit(topK)
+  }
+
+  /** Sliding-window ACTIVE USERS (WAU/MAU-style): for each active day,
+    * the distinct users seen in the `windowDays` window ending that day.
+    *
+    * `mode = "exact"`: distinct (user, day) pairs explode to the ≤
+    * `windowDays` window-end days they contribute to (an equi-join
+    * shuffle on the window day — never a non-equi BNLJ), semi-joined to
+    * observed days, then count-distinct per window. Replication factor
+    * IS windowDays — exact mode is the audit path and the oracle form.
+    *
+    * `mode = "sketch"`: the 100 TB path — the pre-aggregated sketch
+    * table pattern (Druid/Trino convention): ONE fact-scale pass builds
+    * a per-day datasketches HLL sketch (`hll_sketch_agg`, mergeable,
+    * built once and REUSED by every window containing that day), then a
+    * calendar-RANGE window over the |days|-row sketch table UNION-merges
+    * and estimates. No windowDays× replication, no second fact-scale
+    * shuffle; gaps in the calendar are handled by the range frame (a
+    * rows frame would silently stretch windows across gaps). Estimate
+    * accuracy vs exact is bounded in AnalyticsSpec.
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windowDays: Int = 7, mode: String = "exact",
+                  lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"activeUsers: windowDays must be ≥1, got $windowDays")
+    require(mode == "exact" || mode == "sketch",
+      s"activeUsers: mode must be exact or sketch, got '$mode'")
+    val u = Cols.qcol(userCol); val ts = Cols.qcol(tsCol)
+    val pairs = events.select(u.as("_user"),
+      to_date(ts.cast("timestamp")).as("day")).distinct()
+    if (mode == "exact") {
+      val days = pairs.select(col("day")).distinct()
+      pairs
+        .select(col("_user"), explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("_user")).as("active_users"))
+    } else {
+      val perDay = pairs.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("_user"), lit(lgK)).as("_sk"))
+      // RANGE frame on days-since-epoch: calendar distance, not row count
+      val w = Window.orderBy(col("_dn"))
+        .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+      perDay
+        .withColumn("_dn", datediff(col("day"), to_date(lit("1970-01-01"))))
+        .withColumn("active_users",
+          hll_sketch_estimate(hll_union_agg(col("_sk"), lit(true)).over(w)))
+        .select(col("day"), col("active_users"))
+    }
+  }
+
   def eventWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

@@ -304,6 +304,77 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("commonJourneys: document-frequency trigram counts, short-path collapse, bot cap") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      // u1: a b c d → grams "a b c", "b c d"
+      (1L, 1L, "a", t(0)), (2L, 1L, "b", t(1)), (3L, 1L, "c", t(2)), (4L, 1L, "d", t(3)),
+      // u2: a b c → "a b c"
+      (5L, 2L, "a", t(0)), (6L, 2L, "b", t(1)), (7L, 2L, "c", t(2)),
+      // u3: one event → whole-path gram "x"
+      (8L, 3L, "x", t(0)),
+      // u4 loops a b c twice → DISTINCT grams {a b c, b c a, c a b}:
+      // "a b c" must count ONCE for this user
+      (9L, 4L, "a", t(0)), (10L, 4L, "b", t(1)), (11L, 4L, "c", t(2)),
+      (12L, 4L, "a", t(3)), (13L, 4L, "b", t(4)), (14L, 4L, "c", t(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.commonJourneys(ev, "user_id", "event_type", "ts",
+        "event_id", n = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a b c") == 3L, s"doc-frequency must count u4 once: $out")
+    assert(out("b c d") == 1L && out("x") == 1L)
+    assert(out("b c a") == 1L && out("c a b") == 1L)
+
+    val e = intercept[Exception] {
+      Analytics.commonJourneys(ev, "user_id", "event_type", "ts",
+        "event_id", n = 3, topK = 10, maxEventsPerUser = 5).collect()
+    }
+    assert(e.getMessage.contains("exceeds 5 events"))
+  }
+
+  test("activeUsers: exact window counts honor calendar gaps; sketch matches exact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    val ev = Seq(
+      (1L, t("2026-01-01")), (2L, t("2026-01-01")),
+      (2L, t("2026-01-02")),
+      (3L, t("2026-01-10"))  // after a gap: its 3-day window must NOT
+                             // reach back across the gap to day 1-2
+    ).toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = canon(Analytics.activeUsers(ev, "user_id", "ts", windowDays = 3))
+    assert(exact == Map("2026-01-01" -> 2L, "2026-01-02" -> 2L, "2026-01-10" -> 1L),
+      s"got $exact")
+    // datasketches HLL is exact at these cardinalities — the sketch path
+    // must agree bit-for-bit here, which also pins the RANGE (not rows)
+    // frame: a rows frame would stretch day 10's window across the gap
+    val sk = canon(Analytics.activeUsers(ev, "user_id", "ts", windowDays = 3,
+      mode = "sketch"))
+    assert(sk == exact, s"sketch=$sk exact=$exact")
+    intercept[IllegalArgumentException] {
+      Analytics.activeUsers(ev, "user_id", "ts", mode = "bogus")
+    }
+  }
+
+  test("activeUsers sketch tracks exact within HLL error at scale") {
+    val rnd = new scala.util.Random(7)
+    val ev = (1 to 20000).map { _ =>
+      (rnd.nextInt(3000).toLong,
+        java.sql.Timestamp.valueOf(f"2026-01-${1 + rnd.nextInt(28)}%02d 09:00:00"))
+    }.toDF("user_id", "ts")
+    val exact = Analytics.activeUsers(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val sk = Analytics.activeUsers(ev, "user_id", "ts", windowDays = 7,
+        mode = "sketch")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(sk.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(sk(d) - n) <= math.max(3.0, 0.05 * n),
+        s"day $d: sketch ${sk(d)} vs exact $n")
+    }
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
