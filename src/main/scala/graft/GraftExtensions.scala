@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TokenEntropyExpr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingles_of: k must be an integer literal, got $other")
         }
         ShinglesExpr(args.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[TokenEntropyExpr].getName, "token_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_entropy(array<string>)")
+        TokenEntropyExpr(args.head)
       }))
 
     ext.injectFunction((

@@ -571,6 +571,28 @@ object SparkEntry {
           k = 5, w = 4, minShared = 2, maxDf = 64, hashMode = "md5_52")
         .orderBy(col("a_id"), col("b_id"))),
 
+    // incremental winnow probe: a constructed batch (every 7th doc,
+    // tail-extended, re-keyed) probes the PERSISTED corpus fingerprint
+    // index — corpus text never touched at probe time
+    "q_winnow_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        k = 5, w = 4, hashMode = "md5_52")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" probe tail suffix")).as("text"))
+      Dedup.winnowAgainstCorpus(batch, idx, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 64, hashMode = "md5_52")
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // token-distribution Shannon entropy (native one-pass expression,
+    // zero shuffle) — the distribution-level repetition/gibberish signal
+    "q_token_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          round(TextAnalysis.tokenEntropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))),
+
     // deterministic language mixing: en kept whole, others downsampled by
     // fixed rates — content-hash Bernoulli, mirrored bucket-exactly by the
     // oracle (md5 nibbles are engine-independent)
@@ -1324,6 +1346,24 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           col("click_ts"), col("purchase_ts"))
         .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // LEFT-OUTER click attribution: clicks that never converted survive
+    // with a null purchase — the funnel-loss view; batch twin of the
+    // streaming leftOuter interval join (watermark-driven null emission)
+    "q_click_attribution_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      Temporal.attributeWithinOuter(clicks, purchases, Seq("user_id"), Seq("p_user"),
+          "click_ts", "purchase_ts", maxLagSec = 1800L,
+          leftIdCols = Seq("click_id"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
     })
   )
 
@@ -1356,13 +1396,13 @@ object SparkEntry {
     * the rightmost-min selection — `fp` ends as the DISTINCT
     * (doc_id, fingerprint) table.
     */
-  private def winnowFpCtes(): String = {
+  private def winnowFpCtes(from: String = "documents"): String = {
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
     val fold = (2 to 13).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
     s"""WITH t AS (
        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
-       |  FROM documents),
+       |  FROM $from),
        |w AS (
        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
        |  FROM t WHERE len(toks) >= 5),
@@ -2639,6 +2679,36 @@ object SparkEntry {
          |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // winnowing is per-doc independent, so fingerprinting the corpus ∪
+    // re-keyed batch union once equals fingerprinting each separately;
+    // the maxDf guard computes over CORPUS-side fps only (a.doc_id side)
+    "q_winnow_incr" ->
+      s"""${winnowFpCtes(
+             "(SELECT doc_id, text FROM documents UNION ALL " +
+             "SELECT doc_id + 1000000, text || ' probe tail suffix' " +
+             "FROM documents WHERE doc_id % 7 = 0)")},
+         |rare AS (SELECT fp FROM fp WHERE doc_id < 1000000
+         |         GROUP BY fp HAVING count(*) <= 64)
+         |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+         |       count(*) AS shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp
+         |  AND a.doc_id < 1000000 AND b.doc_id >= 1000000
+         |WHERE a.fp IN (SELECT fp FROM rare)
+         |GROUP BY b.doc_id, a.doc_id HAVING count(*) >= 2
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // factored form H = log2(n) − Σ c·log2(c)/n mirrored exactly
+    "q_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+        |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+        |SELECT c.doc_id AS doc_id,
+        |       round(log2(n.n) - sum(c.c * log2(c.c)) / n.n, 6) AS entropy
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY c.doc_id, n.n ORDER BY doc_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -3542,6 +3612,15 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_click_attribution_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id
+        |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin
   ) ++ annIvfOracle ++ annPqOracle
 

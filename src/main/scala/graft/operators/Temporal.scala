@@ -318,4 +318,31 @@ object Temporal {
         binWidthSec = maxLagSec)
       .drop("_attr_lo", "_attr_hi")
   }
+
+  /** LEFT-OUTER [[attributeWithin]]: left rows with no right match within
+    * the window survive with null right columns — "clicks that never
+    * converted", the shape a funnel-loss report needs. `leftIdCols` must
+    * uniquely identify left rows (event ids): the unmatched set is the
+    * left anti-join against the inner result's ids, which is exact under
+    * uniqueness and garbage under duplicates — checked only by contract,
+    * not a scan. Batch twin of `intervalJoinStream(joinType =
+    * "leftOuter")` (equivalence pinned in EventStreamsSpec); costs the
+    * inner join plus one id-keyed anti-join, nothing fact-scale beyond
+    * [[rangeJoin]]'s ≤2-bin replication.
+    */
+  def attributeWithinOuter(left: DataFrame, right: DataFrame,
+                           leftKeys: Seq[String], rightKeys: Seq[String],
+                           leftTs: String, rightTs: String,
+                           maxLagSec: Long, leftIdCols: Seq[String]): DataFrame = {
+    require(leftIdCols.nonEmpty && leftIdCols.forall(left.columns.contains),
+      s"attributeWithinOuter: leftIdCols $leftIdCols must be left columns")
+    val inner = attributeWithin(left, right, leftKeys, rightKeys,
+      leftTs, rightTs, maxLagSec)
+    val rightOnly = inner.columns.filterNot(left.columns.contains)
+    val unmatched = left.join(
+        inner.select(leftIdCols.map(col): _*).distinct(), leftIdCols, "left_anti")
+    val nullExtended = rightOnly.foldLeft(unmatched)((d, c) =>
+      d.withColumn(c, lit(null).cast(inner.schema(c).dataType)))
+    inner.unionByName(nullExtended.select(inner.columns.map(col).toSeq: _*))
+  }
 }

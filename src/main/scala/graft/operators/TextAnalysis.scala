@@ -32,6 +32,16 @@ object TextAnalysis {
   def foldText(text: Column, mode: String = "fold"): Column =
     call_function("fold_text", text, lit(mode))
 
+  /** Shannon entropy (bits) of the document's token distribution —
+    * native one-pass `token_entropy` expression
+    * (`functions/TokenEntropyExpr.scala`), zero shuffle. Low entropy =
+    * repetitive spam/boilerplate (distribution-level, complementing the
+    * ADJACENT-duplication `repetitionSignals`); high entropy at fixed
+    * length = gibberish.
+    */
+  def tokenEntropy(text: Column): Column =
+    call_function("token_entropy", tokens(text))
+
   /** BPE-ish token count: word pieces + standalone punctuation runs. The
     * pattern is RE2/Java-portable so the DuckDB oracle can mirror it.
     */

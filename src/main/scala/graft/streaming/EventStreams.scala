@@ -424,8 +424,16 @@ object EventStreams {
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          leftTs: String, rightTs: String, maxLagSec: Long,
-                         watermark: String = "1 hour"): DataFrame = {
+                         watermark: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
     require(maxLagSec > 0, s"intervalJoinStream: maxLagSec must be positive, got $maxLagSec")
+    // leftOuter: a buffered left row whose window closes unmatched (the
+    // right watermark passes leftTs + maxLagSec) EMITS with nulls instead
+    // of dropping — the "clicks that never converted" stream; legal
+    // because the watermark + two-sided bounds give the join a point at
+    // which absence is final (an unbounded outer join can never emit)
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"intervalJoinStream: joinType must be inner or leftOuter, got '$joinType'")
     val overlap = left.columns.filterNot(_ == keyCol)
       .intersect(right.columns.filterNot(_ == keyCol))
     require(overlap.isEmpty,
@@ -439,7 +447,7 @@ object EventStreams {
         col(keyCol) === col(s"_r_$keyCol") &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS"),
-        "inner")
+        joinType)
       .drop(s"_r_$keyCol")
   }
 

@@ -206,6 +206,49 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("token_entropy: golden values, explode-aggregate differential, codegen parity") {
+    import graft.operators.TextAnalysis
+    // golden: uniform 2-token split → 1 bit; constant → 0; empty → 0
+    val g = Seq((1L, "a a b b"), (2L, "a a a a"), (3L, ""), (4L, "a b c d"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(g(1L) - 1.0) < 1e-12)
+    assert(g(2L) == 0.0 && g(3L) == 0.0)
+    assert(math.abs(g(4L) - 2.0) < 1e-12)
+
+    // differential vs the explode→count→Σ formulation on varied docs
+    val df = texts.union(Seq((4L, "x x y z z z"), (5L, "solo")).toDF("id", "text"))
+    val ref = df.select(col("id"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .groupBy("id", "tk").count()
+      .groupBy("id").agg(
+        (log2(sum("count")) -
+          sum(col("count") * log2(col("count"))) / sum("count")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = df.select(col("id"),
+        graft.operators.TextAnalysis.tokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (id, h) =>
+      assert(math.abs(got(id) - h) < 1e-9, s"doc $id: native ${got(id)} vs ref $h")
+    }
+
+    // null → null; wrong type fails analysis; codegen == interpreted
+    assert(spark.sql("SELECT token_entropy(cast(null as array<string>))").head().isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_entropy(array(1, 2))").head()
+    }
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    def eval() = df.select(expr("token_entropy(split(text, ' '))"))
+      .collect().toIndexedSeq.map(_.getDouble(0))
+    try {
+      spark.conf.set(conf, "true");  val gen = eval()
+      spark.conf.set(conf, "false"); val interp = eval()
+      assert(gen == interp)
+    } finally spark.conf.set(conf, before)
+  }
+
   test("fingerprint64 matches the higher-order aggregate formulation") {
     val df = texts.union(Seq((4L, "one"), (5L, "")).toDF("id", "text"))
     val toks = split(trim(col("text")), "\\s+")

@@ -608,6 +608,28 @@ class DedupSpec extends SparkSpec {
       s"fingerprints hotter than maxDf must be excluded, got $guarded")
   }
 
+  test("winnowAgainstCorpus: batch probes the persisted index; fresh docs pass; corpus text untouched") {
+    val corpus = Seq(
+      (1L, base), (2L, unrelated),
+      (3L, "some third document with enough tokens to fingerprint nicely here")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 5, w = 4)
+    val batch = Seq(
+      (101L, base + " with a short appended tail"), // near-copy of corpus doc 1
+      (102L, "a completely fresh batch document about streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowAgainstCorpus(batch, idx, "doc_id", "text",
+        k = 5, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((101L, 1L)), s"the near-copy must hit its corpus source, got $out")
+    assert(!out.exists(_._1 == 102L), s"the fresh doc must not match, got $out")
+    // a malformed index fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.winnowAgainstCorpus(batch, idx.withColumnRenamed("fp", "hash"),
+        "doc_id", "text")
+    }
+  }
+
   test("winnowFingerprints guards: bad modes and colliding id column fail loudly") {
     val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -229,6 +229,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("attributeWithinOuter: unmatched left rows survive with nulls; matched rows equal the inner join") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2026-01-01 10:00:00")),
+        (1L, 11L, ts("2026-01-01 12:00:00")), // no purchase within 30m
+        (3L, 12L, ts("2026-01-01 10:00:00"))) // key with no right rows at all
+      .toDF("k", "lid", "lt")
+    val right = Seq((1L, 20L, ts("2026-01-01 10:10:00")))
+      .toDF("k2", "rid", "rt")
+    val out = Temporal.attributeWithinOuter(left, right, Seq("k"), Seq("k2"),
+        "lt", "rt", maxLagSec = 1800L, leftIdCols = Seq("lid"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out == Set((10L, Some(20L)), (11L, None), (12L, None)), s"got $out")
+    // matched subset == the inner operator
+    val inner = Temporal.attributeWithin(left, right, Seq("k"), Seq("k2"),
+        "lt", "rt", maxLagSec = 1800L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    assert(out.filter(_._2.isDefined) == inner)
+    intercept[IllegalArgumentException] {
+      Temporal.attributeWithinOuter(left, right, Seq("k"), Seq("k2"),
+        "lt", "rt", 1800L, leftIdCols = Seq("nope"))
+    }
+  }
+
   test("rangeJoin: half-open interval, key isolation, multi-bin intervals match once") {
     val wins = Seq(
       ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 100L)

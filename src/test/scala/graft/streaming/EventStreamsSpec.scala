@@ -608,6 +608,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("intervalJoinStream leftOuter: unmatched clicks emit with nulls once the watermark closes them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = Seq(
+      (10L, 1L, ts("2026-01-01 10:00:00")),  // converts (purchase 101)
+      (10L, 2L, ts("2026-01-01 11:00:00")),  // never converts
+      (13L, 4L, ts("2026-01-01 10:00:00"))) // no purchases for this user
+    val purchases = Seq(
+      (10L, 101L, ts("2026-01-01 10:15:00")))
+    val mc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val mp = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    mc.addData(clicks: _*)
+    mp.addData(purchases: _*)
+    val joined = EventStreams.intervalJoinStream(
+      mc.toDF().toDF("user_id", "click_id", "click_ts"),
+      mp.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", maxLagSec = 1800L,
+      watermark = "0 seconds", joinType = "leftOuter")
+    val sq = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("oij").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      // push BOTH watermarks past every click's window so unmatched
+      // clicks are provably final and must emit with nulls
+      mc.addData((99L, 999L, ts("2026-01-02 00:00:00")))
+      mp.addData((99L, 998L, ts("2026-01-02 00:00:00")))
+      sq.processAllAvailable()
+      mc.addData((99L, 997L, ts("2026-01-03 00:00:00")))
+      mp.addData((99L, 996L, ts("2026-01-03 00:00:00")))
+      sq.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id FROM oij WHERE click_id < 900")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == Set((1L, Some(101L)), (2L, None), (4L, None)), s"got $got")
+      // batch twin agrees
+      val batch = graft.operators.Temporal.attributeWithinOuter(
+          clicks.toDF("user_id", "click_id", "click_ts"),
+          purchases.toDF("user_id", "purchase_id", "purchase_ts")
+            .withColumnRenamed("user_id", "p_user"),
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts", 1800L,
+          leftIdCols = Seq("click_id"))
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally sq.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoinStream(
+        mc.toDF().toDF("user_id", "click_id", "click_ts"),
+        mp.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts", 1800L, joinType = "full")
+    }
+  }
+
   test("intervalJoinStream rejects colliding non-key columns and bad lag") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
