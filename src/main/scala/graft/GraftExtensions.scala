@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TokenEntropyExpr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, HilbertIndexExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TokenEntropyExpr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -88,6 +88,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingles_of: k must be an integer literal, got $other")
         }
         ShinglesExpr(args.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hilbert_index(array<int>, bitsPerCoord)")
+        val bits = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index: bitsPerCoord must be an integer literal, got $other")
+        }
+        require(bits >= 1 && bits <= 31,
+          s"hilbert_index: bitsPerCoord must be in [1, 31], got $bits")
+        HilbertIndexExpr(args.head, bits)
       }))
 
     ext.injectFunction((

@@ -376,6 +376,21 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // same box query over the HILBERT-clustered layout (adjacent-cell
+    // curve — tighter boxes per sort-key range than Morton); identical
+    // result set, layout-independent oracle
+    "q_zorder_scan_hilbert" -> ((s, d) => {
+      val stage = stageDir("zhilbert", d)
+      DataSink.writeZOrdered(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        stage, Seq("l_partkey", "l_suppkey"), bitsPerCol = 6, targetFiles = 8,
+        curve = "hilbert")
+      s.read.parquet(stage)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 20)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ORC ingest round-trip: the second columnar format the lake holds.
     // ORC carries its own schema + type system (no parse step), so the
     // round-trip proves type fidelity (longs/ints/doubles/strings land
@@ -2351,6 +2366,11 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder_scan_hilbert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Hilbert-curve index of a d-dimensional bucket coordinate —
+  * `hilbert_index(array<int>, bitsPerCoord)` → long. The alternative
+  * space-filling curve for multi-column clustering
+  * ([[graft.sinks.DataSink.writeZOrdered]] `curve = "hilbert"`): unlike
+  * Morton interleave, CONSECUTIVE Hilbert indices are always ADJACENT
+  * cells (Manhattan distance 1, no diagonal jumps across half the
+  * space), so a range of the sort key covers a tighter spatial region
+  * and min-max file pruning discards more files for box queries — the
+  * reason lakehouse OPTIMIZE implementations offer Hilbert alongside
+  * Z-order.
+  *
+  * Algorithm: John Skilling, "Programming the Hilbert curve", AIP Conf.
+  * Proc. 707 (2004) — the AxesToTranspose inverse-undo + Gray-code
+  * pass, implemented from the paper's algorithm statement; the index is
+  * the bit-interleave of the transposed coordinates, most-significant
+  * plane first. Null coordinates read as 0 (total function); inputs are
+  * bucket ids in `[0, 2^bits)` by construction of the caller's quantile
+  * bucketing. Pure bit arithmetic: eval and codegen share the static
+  * kernel.
+  */
+case class HilbertIndexExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<int> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HilbertIndexExpr.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HilbertIndexExpr.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HilbertIndexExpr {
+
+  /** Static kernel shared by eval and codegen. */
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val x = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (arr.isNullAt(i)) 0 else arr.getInt(i)
+      i += 1
+    }
+    // AxesToTranspose (Skilling 2004): inverse undo …
+    val m = 1 << (bits - 1)
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // … then Gray encode
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = m
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // index = interleave of the transpose, most-significant plane first
+    var h = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      i = 0
+      while (i < n) {
+        h = (h << 1) | ((x(i) >> j) & 1L)
+        i += 1
+      }
+      j -= 1
+    }
+    h
+  }
+}

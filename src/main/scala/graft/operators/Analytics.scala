@@ -712,15 +712,27 @@ object Analytics {
     } else {
       val perDay = pairs.groupBy(col("day"))
         .agg(hll_sketch_agg(col("_user"), lit(lgK)).as("_sk"))
-      // RANGE frame on days-since-epoch: calendar distance, not row count
-      val w = Window.orderBy(col("_dn"))
-        .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
-      perDay
-        .withColumn("_dn", datediff(col("day"), to_date(lit("1970-01-01"))))
-        .withColumn("active_users",
-          hll_sketch_estimate(hll_union_agg(col("_sk"), lit(true)).over(w)))
-        .select(col("day"), col("active_users"))
+      activeUsersFromSketches(perDay, windowDays)
     }
+  }
+
+  /** The windowed union+estimate step over a per-day sketch table
+    * `(day, _sk)` — shared by [[activeUsers]]' sketch mode and the
+    * streaming snapshot sink
+    * ([[graft.streaming.EventStreams.activeUsersSink]], which maintains
+    * the sketch table incrementally and re-estimates per batch).
+    */
+  def activeUsersFromSketches(perDay: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1,
+      s"activeUsersFromSketches: windowDays must be ≥1, got $windowDays")
+    // RANGE frame on days-since-epoch: calendar distance, not row count
+    val w = Window.orderBy(col("_dn"))
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    perDay
+      .withColumn("_dn", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("active_users",
+        hll_sketch_estimate(hll_union_agg(col("_sk"), lit(true)).over(w)))
+      .select(col("day"), col("active_users"))
   }
 
   def eventWindowAgg(events: DataFrame): DataFrame =

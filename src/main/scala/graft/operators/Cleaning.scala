@@ -281,6 +281,65 @@ object Cleaning {
         round(col("mean"), 4).as("mean"))
   }
 
+  /** Re-aggregatable per-column profile PARTIALS for one batch — the
+    * incremental form of [[profile]]. Counts, nulls, min, max and the
+    * decimal value sum merge additively across batches; NDV rides a
+    * MERGEABLE datasketches HLL sketch — count-distinct is the one
+    * profile stat that cannot be re-aggregated, and the sketch is what
+    * makes the profile streamable at all (the same argument as
+    * [[graft.streaming.EventStreams.activeUsersSink]]). One aggregate
+    * pass over the batch; output is |columns| rows of state.
+    */
+  def profilePartials(df: DataFrame, lgK: Int = 12): DataFrame = {
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
+        hll_sketch_agg(c.cast("string"), lit(lgK)).as(s"${f.name}__sk"),
+        (if (numeric) min(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (numeric) max(c).cast("double") else lit(null).cast("double")).as(s"${f.name}__max"),
+        (if (numeric) sum(c.cast("decimal(30,6)")).cast("decimal(38,6)")
+         else lit(null).cast("decimal(38,6)")).as(s"${f.name}__sum"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs.toIndexedSeq: _*)
+    val stackArgs = fields.map { f =>
+      val nameLit = f.name.replace("\\", "\\\\").replace("'", "\\'")
+      val bq = f.name.replace("`", "``")
+      s"'$nameLit', '${f.dataType.simpleString}', `${bq}__nulls`, `${bq}__sk`, " +
+        s"`${bq}__min`, `${bq}__max`, `${bq}__sum`"
+    }.mkString(", ")
+    wide.select(
+      expr(s"stack(${fields.length}, $stackArgs) as " +
+        "(column, dtype, nulls, ndv_sk, vmin, vmax, vsum)"),
+      col("__n").as("n"))
+  }
+
+  /** Merge two profile-partial frames (state ∪ batch) — additive stats,
+    * HLL union for NDV. Associative and commutative, so batch
+    * boundaries and replays don't matter.
+    */
+  def mergeProfilePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("column"), col("dtype"))
+      .agg(sum(col("n")).as("n"), sum(col("nulls")).as("nulls"),
+        hll_union_agg(col("ndv_sk"), lit(true)).as("ndv_sk"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+        sum(col("vsum")).cast("decimal(38,6)").as("vsum"))
+
+  /** Render merged partials in [[profile]]'s report schema. The mean is
+    * the decimal value sum over non-null count (== avg's null-skipping);
+    * NDV is the sketch estimate (exact at low cardinality, the usual
+    * HLL bound beyond).
+    */
+  def profileFromPartials(state: DataFrame): DataFrame =
+    state.select(col("column"), col("dtype"), col("n").as("row_count"),
+      col("nulls").as("null_count"),
+      round(col("nulls") / col("n"), 4).as("null_pct"),
+      hll_sketch_estimate(col("ndv_sk")).as("distinct_count"),
+      col("vmin").as("min"), col("vmax").as("max"),
+      round((col("vsum") / (col("n") - col("nulls"))).cast("double"), 4).as("mean"))
+
   /** Snapshot-to-snapshot DRIFT report — [[profile]] of two table
     * versions joined per column with the deltas a data-quality monitor
     * alerts on: dtype changes, null-rate increases beyond

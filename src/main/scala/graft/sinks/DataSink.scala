@@ -83,13 +83,20 @@ object DataSink {
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     bitsPerCol: Int = 6, targetFiles: Int = 0,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    mode: SaveMode = SaveMode.Overwrite,
+                    curve: String = "morton"): Unit = {
     require(zCols.size >= 2,
       s"writeZOrdered: need ≥2 columns to interleave (one column is a plain sort), got $zCols")
     require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,
       s"writeZOrdered: bitsPerCol=$bitsPerCol × ${zCols.size} cols must fit a long")
     require(!df.columns.contains("_zval"),
       "writeZOrdered: column name _zval collides with the internal z-value column")
+    // hilbert: consecutive sort-key values are always ADJACENT buckets
+    // (no Morton diagonal jumps across half the space), so range chunks
+    // of the key cover tighter boxes and min-max pruning discards more
+    // files — same quantile bucketing, different curve through the grid
+    require(curve == "morton" || curve == "hilbert",
+      s"writeZOrdered: curve must be morton or hilbert, got '$curve'")
     val n = zCols.size
     val buckets = 1 << bitsPerCol
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -100,10 +107,14 @@ object DataSink {
       bs.distinct.map(b => when(col(c).cast("double") >= lit(b), 1).otherwise(0))
         .reduceOption(_ + _).getOrElse(lit(0))
     }
-    val z = (0 until bitsPerCol).flatMap { j =>
-      bucketExprs.zipWithIndex.map { case (b, i) =>
-        shiftleft(shiftright(b, j).bitwiseAND(lit(1)).cast("long"), j * n + i) }
-    }.reduce(_ + _) // disjoint bit positions — sum IS the interleave
+    val z =
+      if (curve == "hilbert")
+        call_function("hilbert_index",
+          array(bucketExprs.map(_.cast("int")): _*), lit(bitsPerCol))
+      else (0 until bitsPerCol).flatMap { j =>
+        bucketExprs.zipWithIndex.map { case (b, i) =>
+          shiftleft(shiftright(b, j).bitwiseAND(lit(1)).cast("long"), j * n + i) }
+      }.reduce(_ + _) // disjoint bit positions — sum IS the interleave
     val keyed = df.withColumn("_zval", z)
     val ranged =
       if (targetFiles > 0) keyed.repartitionByRange(targetFiles, col("_zval"))
@@ -125,7 +136,8 @@ object DataSink {
     * @return (files before, files after)
     */
   def optimizeZOrdered(spark: SparkSession, dir: String, zCols: Seq[String],
-                       bitsPerCol: Int = 6, targetFileMB: Int = 128): (Int, Int) = {
+                       bitsPerCol: Int = 6, targetFileMB: Int = 128,
+                       curve: String = "morton"): (Int, Int) = {
     require(targetFileMB > 0,
       s"optimizeZOrdered: targetFileMB must be positive, got $targetFileMB")
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -156,7 +168,7 @@ object DataSink {
     val nOut = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
     fs.delete(tmp, true)
     writeZOrdered(spark.read.parquet(dir), tmp.toString, zCols,
-      bitsPerCol = bitsPerCol, targetFiles = nOut)
+      bitsPerCol = bitsPerCol, targetFiles = nOut, curve = curve)
     fs.delete(old, true)
     require(fs.rename(path, old), s"optimizeZOrdered: could not move $dir aside")
     require(fs.rename(tmp, path), s"optimizeZOrdered: could not swap in $dir")

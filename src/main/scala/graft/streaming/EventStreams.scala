@@ -587,6 +587,89 @@ object EventStreams {
     q
   }
 
+  /** Streaming PROFILE snapshots — `Cleaning.profile` maintained
+    * continuously over everything landed so far: each micro-batch's
+    * per-column partials (`Cleaning.profilePartials` — additive stats +
+    * mergeable HLL NDV sketch) merge into the |columns|-row state via
+    * the snapshot-pointer protocol, and the rendered report
+    * (`profileFromPartials`, the batch `profile` schema) lands in
+    * `outDir/batch=<id>`. The continuous companion to
+    * [[driftMonitorSink]]: drift monitoring scores each batch AGAINST a
+    * frozen baseline, this maintains the running profile OF the landed
+    * table itself. Final report equals the batch `profile` over the
+    * concatenated batches (exact-NDV mode at spec cardinalities) —
+    * pinned in EventStreamsSpec.
+    */
+  def profileSink(stream: DataFrame, stateDir: String, outDir: String,
+                  checkpointDir: String, lgK: Int = 12,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.operators.Cleaning.profilePartials(batch, lgK)
+        applyMergeBatch(spark, partial, batchId, stateDir) { (cur, b) =>
+          cur.fold(b)(c => graft.operators.Cleaning.mergeProfilePartials(c, b))
+        }
+        readUpserted(spark, stateDir).foreach(state =>
+          graft.operators.Cleaning.profileFromPartials(state)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
+  /** Streaming ACTIVE-USERS snapshots — `Analytics.activeUsers` sketch
+    * mode maintained continuously. The reason this streams at all is
+    * that HLL sketches are MERGEABLE where distinct counts are not: a
+    * day's count cannot be re-aggregated across micro-batches, but its
+    * sketch can — each batch builds per-day sketch partials from its own
+    * rows and union-merges them into the per-day sketch state (the
+    * snapshot-pointer protocol; state is one binary sketch per day,
+    * independent of event volume — the incrementally-maintained
+    * pre-aggregated sketch table). The windowed union+estimate
+    * (`Analytics.activeUsersFromSketches`) then reruns over the
+    * |days|-row state and lands in `outDir/batch=<id>`
+    * (replay-idempotent overwrite). Final snapshot EQUALS the batch
+    * sketch mode over the same events — pinned in EventStreamsSpec,
+    * including same-user-same-day rows split across batches (sketch
+    * union dedups them; an additive count would double-count).
+    */
+  def activeUsersSink(events: DataFrame, userCol: String, tsCol: String,
+                      stateDir: String, outDir: String, checkpointDir: String,
+                      windowDays: Int = 7, lgK: Int = 12,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.select(
+            graft.operators.Cols.qcol(userCol).as("_user"),
+            to_date(graft.operators.Cols.qcol(tsCol).cast("timestamp")).as("day"))
+          .groupBy(col("day"))
+          .agg(hll_sketch_agg(col("_user"), lit(lgK)).as("_sk"))
+        applyMergeBatch(spark, partial, batchId, stateDir) { (cur, b) =>
+          cur.fold(b)(c => c.unionByName(b).groupBy(col("day"))
+            .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk")))
+        }
+        readUpserted(spark, stateDir).foreach(state =>
+          graft.operators.Analytics.activeUsersFromSketches(state, windowDays)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** Continuous CDC apply — the streaming twin of
     * [[graft.sinks.DataSink.applyChangelog]]. Persisted state is the
     * COMPACTED changelog: one row per key carrying the winning change's

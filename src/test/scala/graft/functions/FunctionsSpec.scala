@@ -206,6 +206,52 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hilbert_index: bijective walk with unit-step adjacency (2D and 3D), codegen parity") {
+    // the DEFINING Hilbert property: sorting all cells by index yields a
+    // walk where consecutive cells differ by EXACTLY 1 in EXACTLY one
+    // coordinate — Morton fails this (diagonal jumps); passing it on the
+    // full enumeration essentially proves the Skilling transform
+    def walk(dims: Int, bits: Int): Unit = {
+      val side = 1 << bits
+      val cells = (0 until math.pow(side, dims).toInt).map { i =>
+        (0 until dims).map(d => (i / math.pow(side, d).toInt) % side)
+      }
+      val df = cells.map(c => (c.mkString(","), c)).toDF("label", "coords")
+        .select(col("label"),
+          expr(s"hilbert_index(transform(coords, x -> cast(x as int)), $bits)").as("h"))
+      val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      val n = cells.length
+      assert(rows.map(_._2).distinct.length == n, "index must be a bijection")
+      assert(rows.map(_._2).min == 0L && rows.map(_._2).max == n - 1L)
+      val byIndex = rows.sortBy(_._2).map(_._1.split(",").map(_.toInt))
+      byIndex.sliding(2).foreach { case Array(a, b) =>
+        val diffs = a.zip(b).map { case (p, q) => math.abs(p - q) }
+        assert(diffs.sum == 1,
+          s"consecutive cells ${a.toSeq} → ${b.toSeq} must be unit-adjacent")
+      }
+    }
+    walk(dims = 2, bits = 4) // 256-cell full enumeration
+    walk(dims = 3, bits = 2) // 64 cells in 3D
+    // codegen == interpreted
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    def eval() = (0 until 64).map(i => (i % 8, i / 8)).toDF("x", "y")
+      .select(expr("hilbert_index(array(x, y), 3)"))
+      .collect().toIndexedSeq.map(_.getLong(0))
+    try {
+      spark.conf.set(conf, "true");  val gen = eval()
+      spark.conf.set(conf, "false"); val interp = eval()
+      assert(gen == interp)
+    } finally spark.conf.set(conf, before)
+    // type + literal guards
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_index(array('a'), 3)").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT hilbert_index(array(1, 2), 0)").head()
+    }
+  }
+
   test("token_entropy: golden values, explode-aggregate differential, codegen parity") {
     import graft.operators.TextAnalysis
     // golden: uniform 2-token split → 1 bit; constant → 0; empty → 0

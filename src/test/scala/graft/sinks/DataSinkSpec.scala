@@ -179,6 +179,35 @@ class DataSinkSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered hilbert: same pruning discipline as morton on the box query; bad curve refused") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
+      .toDF("id", "x", "y")
+    DataSink.writeZOrdered(grid, s"$dir/h", Seq("x", "y"), bitsPerCol = 6,
+      targetFiles = 16, curve = "hilbert")
+    def overlapping(path: String, lo: Double, hi: Double): (Int, Int) = {
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val hit = parts.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("y")), max(col("y"))).head()
+        !r.isNullAt(0) && r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }
+      (hit, parts.length)
+    }
+    val (hHit, hAll) = overlapping(s"$dir/h", 8.0, 15.0)
+    assert(hAll == 16)
+    assert(hHit <= 6, s"hilbert must confine the y-box to few files, got $hHit")
+    // data intact, filters correct on the hilbert layout
+    val back = spark.read.parquet(s"$dir/h")
+    assert(back.count() == 4096)
+    assert(back.filter(col("y") >= 8.0 && col("y") <= 15.0 && col("x") === 3.0)
+      .count() == 8)
+    intercept[IllegalArgumentException] {
+      DataSink.writeZOrdered(grid, s"$dir/bad", Seq("x", "y"), curve = "peano")
+    }
+  }
+
   test("optimizeZOrdered: in-place re-cluster restores pruning, heals a crashed swap") {
     val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
     val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))

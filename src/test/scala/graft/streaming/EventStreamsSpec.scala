@@ -423,6 +423,66 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("profileSink: final report equals batch profile over concatenated batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prof").toFile.getAbsolutePath
+    // numeric + string columns, nulls in both, duplicate values across
+    // batches (the HLL union must not double-count them), exact decimals
+    // so the merged decimal-sum mean equals batch avg at round(4)
+    val b1 = Seq((1L, Some(10.5), Some("a")), (2L, None, Some("b")),
+      (3L, Some(20.0), None))
+    val b2 = Seq((4L, Some(10.5), Some("a")), (5L, Some(9.0), Some("c")),
+      (6L, None, Some("b")))
+    val ms = MemoryStream[(Long, Option[Double], Option[String])]
+    def run(): Unit = EventStreams.profileSink(
+      ms.toDF().toDF("id", "x", "s"),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    ms.addData(b1: _*); run()
+    ms.addData(b2: _*); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("column", "dtype", "row_count", "null_count", "null_pct",
+          "distinct_count", "min", "max", "mean")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val streamed = canon(spark.read.parquet(s"$dir/out/batch=1"))
+    val batch = canon(graft.operators.Cleaning.profile(
+      (b1 ++ b2).toDF("id", "x", "s"), exactDistinct = true))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // spot-pin the interesting cells: x has 2 nulls, 3 distinct non-null
+    // values (10.5 dedups across batches), mean (10.5+20+10.5+9)/4 = 12.5
+    val x = streamed("x")
+    assert(x(1) == 6L && x(2) == 2L && x(4) == 3L && x(7) == 12.5, s"x=$x")
+  }
+
+  test("activeUsersSink: final snapshot equals batch sketch mode; cross-batch same-day users dedup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("au").toFile.getAbsolutePath
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // u1 on Jan 1 appears in BOTH batches: the sketch union must count
+    // it once (an additive count-merge would read 3 users on Jan 1)
+    val b1 = Seq((1L, t("2026-01-01")), (2L, t("2026-01-01")))
+    val b2 = Seq((1L, t("2026-01-01")), (3L, t("2026-01-02")), (4L, t("2026-01-10")))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def run(): Unit = EventStreams.activeUsersSink(
+      ms.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      s"$dir/state", s"$dir/out", s"$dir/ckpt", windowDays = 3)
+    ms.addData(b1: _*); run()
+    ms.addData(b2: _*); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "active_users").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val streamed = canon(spark.read.parquet(s"$dir/out/batch=1"))
+    val batch = canon(graft.operators.Analytics.activeUsers(
+      (b1 ++ b2).toDF("user_id", "ts"), "user_id", "ts",
+      windowDays = 3, mode = "sketch"))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // HLL is exact at this cardinality — pin the absolute values too
+    // (incl. the gap: Jan 10's 3-day window must not see Jan 1-2)
+    assert(streamed == Map("2026-01-01" -> 2L, "2026-01-02" -> 3L,
+      "2026-01-10" -> 1L), s"got $streamed")
+  }
+
   test("changelogSink: final view equals batch applyChangelog; tombstone blocks late older update") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
