@@ -724,6 +724,13 @@ object SparkEntry {
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("vector", "join", "slow"), k = 25)),
 
+    // Dirichlet query-likelihood (Zhai & Lafferty 2001): the LM ranker
+    // over the same query — rank-equivalent decomposition, 'vector'
+    // weighted twice (c(t,q) = 2), unmatched docs rank by length term
+    "q_ql_topk" -> ((s, d) =>
+      Retrieval.dirichletQlTopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "join", "slow", "vector"), k = 25)),
+
     // TF-IDF query-to-doc cosine: the vector-space ranker over the same
     // query — full-vocab doc norms, idf-weighted query vector.
     "q_tfidf_topk" -> ((s, d) =>
@@ -739,6 +746,19 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(
           ("bm" -> Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 25)),
           ("tf" -> Retrieval.tfidfQueryTopK(docs, "doc_id", "text", q, k = 25))),
+        "doc_id", "score", topK = 20)
+    }),
+
+    // 3-way hybrid: probabilistic (BM25) ⊕ vector-space (TF-IDF) ⊕
+    // language-model (Dirichlet QL) rankings fused by reciprocal rank
+    "q_hybrid_rank3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = Seq("vector", "join", "slow")
+      Retrieval.rrfFuse(Seq(
+          ("bm" -> Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 25)),
+          ("tf" -> Retrieval.tfidfQueryTopK(docs, "doc_id", "text", q, k = 25)),
+          ("ql" -> Retrieval.dirichletQlTopK(docs, "doc_id", "text",
+            Seq("vector", "join", "slow", "vector"), k = 25))),
         "doc_id", "score", topK = 20)
     }),
 
@@ -1496,6 +1516,31 @@ object SparkEntry {
       |SELECT doc_id,
       |  round(CAST(sum(CAST(contrib AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
       |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** Dirichlet query-likelihood (Zhai & Lafferty rank-equivalent form):
+    * matched-term boost through decimal partials + the per-doc length
+    * term; |q| = 4 ('vector' ×2). Shared by `q_ql_topk` and the 3-way
+    * RRF fusion.
+    */
+  private val QlTopkSql =
+    """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |lens AS (SELECT doc_id, len(t) AS dl FROM tok),
+      |totc AS (SELECT sum(dl) AS c_len FROM lens),
+      |post AS (SELECT doc_id, term, count(*) AS tf
+      |         FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      |         WHERE term IN ('vector', 'join', 'slow') GROUP BY 1, 2),
+      |cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY 1),
+      |q AS (SELECT * FROM (VALUES ('vector', 2), ('join', 1), ('slow', 1))
+      |      AS q(term, qtf)),
+      |m AS (SELECT p.doc_id,
+      |        CAST(sum(CAST(q.qtf * ln(1.0 + (p.tf * c_len) / (2000.0 * cf.cf))
+      |          AS DECIMAL(30,12))) AS DOUBLE) AS m
+      |      FROM post p JOIN cf USING (term) JOIN q USING (term), totc
+      |      GROUP BY p.doc_id)
+      |SELECT l.doc_id AS doc_id,
+      |  round(coalesce(m.m, 0.0) + 4 * ln(2000.0 / (l.dl + 2000.0)), 6) AS score
+      |FROM lens l LEFT JOIN m ON m.doc_id = l.doc_id
       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
   /** TF-IDF query-cosine ranking, shared by `q_tfidf_topk` and RRF. */
@@ -2940,6 +2985,8 @@ object SparkEntry {
     // expressions before the decimal partial sum and round(4)
     "q_bm25_topk" -> Bm25Sql,
 
+    "q_ql_topk" -> QlTopkSql,
+
     "q_tfidf_topk" -> TfidfTopkSql,
 
     // RRF: re-rank the two bounded rankings above, fuse by
@@ -2949,6 +2996,22 @@ object SparkEntry {
          |  SELECT 'bm' AS src, doc_id, score FROM ($Bm25Sql)
          |  UNION ALL
          |  SELECT 'tf' AS src, doc_id, score FROM ($TfidfTopkSql)),
+         |r AS (SELECT src, doc_id,
+         |        row_number() OVER (PARTITION BY src
+         |                           ORDER BY score DESC, doc_id) AS rk
+         |      FROM u)
+         |SELECT doc_id,
+         |  round(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / (60 + rk)
+         |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS rrf
+         |FROM r GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_hybrid_rank3" ->
+      s"""WITH u AS (
+         |  SELECT 'bm' AS src, doc_id, score FROM ($Bm25Sql)
+         |  UNION ALL
+         |  SELECT 'tf' AS src, doc_id, score FROM ($TfidfTopkSql)
+         |  UNION ALL
+         |  SELECT 'ql' AS src, doc_id, score FROM ($QlTopkSql)),
          |r AS (SELECT src, doc_id,
          |        row_number() OVER (PARTITION BY src
          |                           ORDER BY score DESC, doc_id) AS rk

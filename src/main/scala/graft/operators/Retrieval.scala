@@ -173,6 +173,63 @@ object Retrieval {
     *
     * Output: (doc_id, score), top `k` by (score desc, doc_id).
     */
+  /** Query-likelihood ranking with DIRICHLET smoothing (Zhai & Lafferty,
+    * SIGIR 2001 — "A study of smoothing methods for language models
+    * applied to ad hoc information retrieval"): the language-model third
+    * member of the lexical family beside TF-IDF and BM25. Uses the
+    * paper's rank-equivalent decomposition (§2.2)
+    *
+    *   score(q, d) = Σ_{t ∈ q∩d} c(t,q)·ln(1 + tf(t,d)·|C| / (µ·cf(t)))
+    *               + |q|·ln(µ / (|d| + µ))
+    *
+    * so only MATCHED postings join (filtered to query terms before any
+    * exchange, the BM25 shape) while the per-doc length normalization is
+    * a scalar over the doc-length table — docs with no query term rank
+    * by the length term alone, exactly the model's smoothed tail.
+    * Collection stats (cf per query term, |C|) broadcast; per-doc sums
+    * go through decimal partials and scores round(6) before the cut, so
+    * the top-k boundary is engine-deterministic. Duplicate query terms
+    * weight by their query count c(t,q), per the model.
+    */
+  def dirichletQlTopK(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "dirichletQlTopK: queryTerms must be non-empty")
+    require(k >= 1, s"dirichletQlTopK: k must be ≥1, got $k")
+    require(mu > 0, s"dirichletQlTopK: mu must be positive, got $mu")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qtf = queryTerms.groupBy(identity).view.mapValues(_.size).toSeq
+      .toDF("term", "qtf")
+    val qLen = queryTerms.size
+    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
+      toks(Cols.qcol(textCol)).as("_t"))
+    val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
+    val totC = lens.agg(sum(col("dl")).as("c_len"))
+    val post = docs
+      .select(col("doc_id"), explode(col("_t")).as("term"))
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // cf(t) = Σ tf over the whole corpus — the postings are already
+    // corpus-wide (only query terms survive the scan filter)
+    val cf = post.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val matched = post
+      .join(broadcast(cf), Seq("term"))
+      .join(broadcast(qtf), Seq("term"))
+      .crossJoin(broadcast(totC))
+      .withColumn("_contrib", col("qtf") *
+        log(lit(1.0) + col("tf") * col("c_len") / (lit(mu) * col("cf"))))
+      .groupBy(col("doc_id"))
+      .agg(dsum(col("_contrib")).as("_m"))
+    lens.join(matched, Seq("doc_id"), "left")
+      .withColumn("score", round(coalesce(col("_m"), lit(0.0)) +
+        lit(qLen.toDouble) * log(lit(mu) / (col("dl") + lit(mu))), 6))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {

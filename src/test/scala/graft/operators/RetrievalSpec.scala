@@ -137,6 +137,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("dirichletQlTopK: hand-computed scores, duplicate query term weights, unmatched docs rank by length") {
+    // corpus: d1 has the term twice in 4 tokens, d2 once in 4, d3 none
+    // in 2, d4 none in 10. |C| = 20, cf(hit) = 3.
+    val df = Seq(
+      (1L, "hit hit x y"), (2L, "hit a b c"), (3L, "p q"),
+      (4L, "r s t u v w m n o z")
+    ).toDF("doc_id", "text")
+    val mu = 10.0
+    val out = Retrieval.dirichletQlTopK(df, "doc_id", "text",
+        Seq("hit", "hit"), k = 4, mu = mu)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def score(tf: Int, dl: Int): Double = {
+      val boost = if (tf > 0) 2.0 * math.log(1.0 + tf * 20.0 / (mu * 3.0)) else 0.0
+      BigDecimal(boost + 2.0 * math.log(mu / (dl + mu)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == Map(1L -> score(2, 4), 2L -> score(1, 4),
+      3L -> score(0, 2), 4L -> score(0, 10)), s"got $out")
+    // model shape: more matches rank higher at equal length; among
+    // unmatched docs the SHORTER ranks higher (less smoothing penalty)
+    assert(out(1L) > out(2L) && out(3L) > out(4L))
+    intercept[IllegalArgumentException] {
+      Retrieval.dirichletQlTopK(df, "doc_id", "text", Seq(), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.dirichletQlTopK(df, "doc_id", "text", Seq("hit"), 5, mu = 0.0)
+    }
+  }
+
   test("bm25TopK plan: postings filter before exchange, stats sides broadcast") {
     val df = (1L to 200L).map(i => (i, s"w$i t common")).toDF("doc_id", "text")
     val q = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 5)
