@@ -407,6 +407,17 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // value-histogram profiling drill-downs: equal-range grid with
+    // max-clamp, and exact-percentile equi-depth cells
+    "q_histogram" -> ((s, d) =>
+      Cleaning.histogram(Tables.orders(s, d), "o_totalprice", buckets = 10)
+        .orderBy(col("bucket"))),
+
+    "q_histogram_depth" -> ((s, d) =>
+      Cleaning.histogram(Tables.orders(s, d), "o_totalprice", buckets = 8,
+          mode = "equi_depth")
+        .orderBy(col("bucket"))),
+
     "q_profile" -> ((s, d) =>
       Cleaning.profile(Tables.lineitem(s, d), exactDistinct = true)
         .orderBy(col("column"))),
@@ -1383,6 +1394,27 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // multi-touch attribution, linear model: every purchase's value
+    // split equally across the clicks in its 30-minute lookback
+    "q_attribution_linear" -> ((s, d) => {
+      val (clicks, purchases) = attributionSides(s, d)
+      Analytics.multiTouchAttribution(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+          "click_id", "purchase_id", "p_value", maxLagSec = 1800L)
+        .orderBy(col("click_id"))
+    }),
+
+    // time-decay model: recency-weighted 0.5^(Δt/15min), normalized per
+    // purchase so each purchase distributes exactly its value
+    "q_attribution_decay" -> ((s, d) => {
+      val (clicks, purchases) = attributionSides(s, d)
+      Analytics.multiTouchAttribution(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+          "click_id", "purchase_id", "p_value", maxLagSec = 1800L,
+          model = "time_decay", halfLifeSec = 900L)
+        .orderBy(col("click_id"))
+    }),
+
     // LEFT-OUTER click attribution: clicks that never converted survive
     // with a null purchase — the funnel-loss view; batch twin of the
     // streaming leftOuter interval join (watermark-driven null emission)
@@ -1406,6 +1438,29 @@ object SparkEntry {
   // DuckDB oracles. Casts: duckdb sum(int)→HUGEINT needs ::BIGINT to match
   // Spark's long; len(list)→BIGINT needs ::INTEGER to match Spark's size().
   // ---------------------------------------------------------------------
+
+  /** Shared attribution pair CTE (the q_click_attribution join). */
+  private val AttributionPairsCte: String =
+    """WITH pr AS (
+      |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |         c.ts AS click_ts, p.ts AS purchase_ts, p.value AS value
+      |  FROM events c JOIN events p ON c.user_id = p.user_id
+      |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)""".stripMargin
+
+  /** The click/purchase frames the attribution queries share. */
+  private def attributionSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    (ev.filter(col("event_type") === "click")
+       .select(col("user_id"), col("event_id").as("click_id"),
+         col("ts").as("click_ts")),
+     ev.filter(col("event_type") === "purchase")
+       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+         // renamed: both sides derive from events, and an attribute
+         // keeping its original name across the self-join trips the
+         // ambiguous-self-join check
+         col("ts").as("purchase_ts"), col("value").as("p_value")))
+  }
 
   /** The CDC feed + per-key-winner CTEs shared by the q_cdc_* oracles —
     * mirrors [[cdcChanges]] and the compactChangelog winner rank.
@@ -3704,7 +3759,61 @@ object SparkEntry {
         |  AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click'
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_attribution_linear" ->
+      s"""$AttributionPairsCte,
+         |n AS (SELECT purchase_id,
+         |        CAST(sum(CAST(1.0 AS DECIMAL(30,12))) AS DOUBLE) AS wsum
+         |      FROM pr GROUP BY 1)
+         |SELECT click_id,
+         |  round(CAST(sum(CAST(value * 1.0 / wsum AS DECIMAL(30,12)))
+         |    AS DOUBLE), 4) AS credited,
+         |  count(*) AS touches
+         |FROM pr JOIN n USING (purchase_id)
+         |GROUP BY click_id ORDER BY click_id""".stripMargin,
+
+    "q_attribution_decay" ->
+      s"""$AttributionPairsCte,
+         |w AS (SELECT *, pow(0.5,
+         |        date_diff('microsecond', click_ts, purchase_ts)
+         |          / 900000000.0) AS w
+         |      FROM pr),
+         |n AS (SELECT purchase_id,
+         |        CAST(sum(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS wsum
+         |      FROM w GROUP BY 1)
+         |SELECT click_id,
+         |  round(CAST(sum(CAST(value * w / wsum AS DECIMAL(30,12)))
+         |    AS DOUBLE), 4) AS credited,
+         |  count(*) AS touches
+         |FROM w JOIN n USING (purchase_id)
+         |GROUP BY click_id ORDER BY click_id""".stripMargin,
+
+    // double arithmetic mirrored exactly: width = (hi−lo)/10 then
+    // floor((v−lo)/width), max clamps into the last cell
+    "q_histogram" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |           WHERE o_totalprice IS NOT NULL),
+        |mm AS (SELECT min(v) AS glo, max(v) AS ghi FROM v),
+        |b AS (SELECT v, CASE WHEN ghi = glo THEN 0
+        |        ELSE least(CAST(floor((v - glo) / ((ghi - glo) / 10)) AS INT), 9)
+        |        END AS bucket
+        |      FROM v, mm)
+        |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_histogram_depth" -> {
+      val cuts = (1 until 8).map(i =>
+        s"quantile_cont(v, ${i / 8.0})").mkString("[", ", ", "]")
+      val sums = (0 until 7).map(i =>
+        s"CASE WHEN v > c[${i + 1}] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         |           WHERE o_totalprice IS NOT NULL),
+         |cuts AS (SELECT $cuts AS c FROM v),
+         |b AS (SELECT v, CAST($sums AS INT) AS bucket FROM v, cuts)
+         |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   ) ++ annIvfOracle ++ annPqOracle
 
   // ---------------------------------------------------------------------

@@ -673,6 +673,58 @@ object Analytics {
       .orderBy(col("n_users").desc, col("journey")).limit(topK)
   }
 
+  /** MULTI-TOUCH attribution: each purchase's value split across the
+    * clicks that preceded it within the lookback window —
+    * `model = "linear"` (equal split across the n touching clicks) or
+    * `"time_decay"` (weight `0.5^(Δt/halfLifeSec)`, recency-favoring,
+    * normalized per purchase so every purchase distributes exactly its
+    * value). The marketing-analytics refinement of last/first-touch:
+    * the pair generation IS [[graft.operators.Temporal.attributeWithin]]
+    * (bin-bucketed, ≤2-bin replication), the per-purchase normalizer is
+    * one keyed aggregate over the pair table, and credits re-aggregate
+    * per click through decimal partials — nothing beyond the pair
+    * volume moves. Output: (click id, credited value, touches).
+    */
+  def multiTouchAttribution(clicks: DataFrame, purchases: DataFrame,
+                            leftKeys: Seq[String], rightKeys: Seq[String],
+                            clickTs: String, purchaseTs: String,
+                            clickIdCol: String, purchaseIdCol: String,
+                            valueCol: String,
+                            maxLagSec: Long, model: String = "linear",
+                            halfLifeSec: Long = 900L): DataFrame = {
+    require(model == "linear" || model == "time_decay",
+      s"multiTouchAttribution: model must be linear or time_decay, got '$model'")
+    require(halfLifeSec > 0,
+      s"multiTouchAttribution: halfLifeSec must be positive, got $halfLifeSec")
+    require(purchases.columns.contains(purchaseIdCol),
+      s"multiTouchAttribution: purchases must carry '$purchaseIdCol'")
+    val reserved = Set("_w", "_wsum", "_credit")
+    val clash = (clicks.columns ++ purchases.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"multiTouchAttribution: column names ${clash.toSeq} collide with internal staging names")
+    val pairs = Temporal.attributeWithin(clicks, purchases, leftKeys, rightKeys,
+      clickTs, purchaseTs, maxLagSec)
+    val w =
+      if (model == "linear") lit(1.0)
+      else pow(lit(0.5),
+        (unix_micros(Cols.qcol(purchaseTs).cast("timestamp")) -
+          unix_micros(Cols.qcol(clickTs).cast("timestamp"))).cast("double") /
+          lit(halfLifeSec * 1e6))
+    // per-purchase normalizer as a WINDOW over the pair table (decimal
+    // sum — order-free), not a self-join back onto it; partitions are
+    // one purchase's touching clicks, bounded by the lookback window
+    val byPurchase = Window.partitionBy(Cols.qcol(purchaseIdCol))
+    pairs.withColumn("_w", w)
+      .withColumn("_wsum",
+        sum(col("_w").cast("decimal(30,12)")).over(byPurchase).cast("double"))
+      .withColumn("_credit",
+        Cols.qcol(valueCol).cast("double") * col("_w") / col("_wsum"))
+      .groupBy(Cols.qcol(clickIdCol))
+      .agg(round(sum(col("_credit").cast("decimal(30,12)")).cast("double"), 4)
+        .as("credited"),
+        count(lit(1)).as("touches"))
+  }
+
   /** Sliding-window ACTIVE USERS (WAU/MAU-style): for each active day,
     * the distinct users seen in the `windowDays` window ending that day.
     *

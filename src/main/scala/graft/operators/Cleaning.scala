@@ -281,6 +281,48 @@ object Cleaning {
         round(col("mean"), 4).as("mean"))
   }
 
+  /** Value HISTOGRAM of a numeric column — the profiling drill-down
+    * under [[profile]]'s min/max/mean scalars. `mode = "equi_width"`:
+    * the [min, max] range cut into `buckets` equal cells (values at the
+    * max clamp into the last; a constant column collapses to one cell).
+    * `mode = "equi_depth"`: exact-percentile cuts (the PSI/RFM cut
+    * convention — matches DuckDB `quantile_cont`) with strict-`>`
+    * comparison sums, ~n/buckets rows per cell regardless of skew.
+    * Both modes report the ACTUAL value range inside each non-empty
+    * bucket (lo/hi), not the grid bounds — empty buckets don't emit.
+    * One stats aggregate broadcast back + one bucket-keyed count:
+    * nothing row-scale shuffles except the ≤buckets-row group state.
+    */
+  def histogram(df: DataFrame, colName: String, buckets: Int = 10,
+                mode: String = "equi_width"): DataFrame = {
+    require(buckets >= 1, s"histogram: buckets must be ≥1, got $buckets")
+    require(mode == "equi_width" || mode == "equi_depth",
+      s"histogram: mode must be equi_width or equi_depth, got '$mode'")
+    val c = Cols.qcol(colName).cast("double")
+    val rows = df.filter(c.isNotNull)
+    val bucket =
+      if (mode == "equi_width") {
+        val mm = rows.agg(min(c).as("_lo"), max(c).as("_hi"))
+        val width = (col("_hi") - col("_lo")) / buckets
+        rows.crossJoin(broadcast(mm))
+          .withColumn("_b",
+            when(col("_hi") === col("_lo"), lit(0))
+              .otherwise(least(floor((c - col("_lo")) / width).cast("int"),
+                lit(buckets - 1))))
+      } else {
+        val probs = (1 until buckets).map(_.toDouble / buckets)
+        val quoted = "`" + colName.replace("`", "``") + "`"
+        val cuts = rows.agg(expr(s"percentile(CAST($quoted AS DOUBLE), " +
+          probs.mkString("array(", ", ", ")") + ")").as("_cuts"))
+        rows.crossJoin(broadcast(cuts))
+          .withColumn("_b", probs.indices
+            .map(i => when(c > col("_cuts").getItem(i), 1).otherwise(0))
+            .reduceOption(_ + _).getOrElse(lit(0)))
+      }
+    bucket.groupBy(col("_b").as("bucket"))
+      .agg(min(c).as("lo"), max(c).as("hi"), count(lit(1)).as("n"))
+  }
+
   /** Re-aggregatable per-column profile PARTIALS for one batch — the
     * incremental form of [[profile]]. Counts, nulls, min, max and the
     * decimal value sum merge additively across batches; NDV rides a

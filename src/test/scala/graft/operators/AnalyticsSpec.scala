@@ -333,6 +333,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds 5 events"))
   }
 
+  test("multiTouchAttribution: linear splits equally, decay favors recency, value conserved") {
+    def t(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + m * 60000L)
+    // purchase 100 at 10:30 touched by clicks at 10:00 and 10:15 (30m
+    // and 15m before); purchase 101 at 12:00 touched by click 3 alone
+    val clicks = Seq((1L, 10L, t(0)), (1L, 11L, t(15)), (1L, 12L, t(110)))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq((1L, 100L, t(30), 30.0), (1L, 101L, t(120), 7.0))
+      .toDF("p_user", "purchase_id", "purchase_ts", "p_value")
+    def run(model: String) = Analytics.multiTouchAttribution(
+        clicks, purchases, Seq("user_id"), Seq("p_user"),
+        "click_ts", "purchase_ts", "click_id", "purchase_id", "p_value",
+        maxLagSec = 1800L, model = model, halfLifeSec = 900L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lin = run("linear")
+    assert(lin == Map(10L -> 15.0, 11L -> 15.0, 12L -> 7.0), s"got $lin")
+    val dec = run("time_decay")
+    // half-life 15m: click 11 (15m old, w=0.5) gets twice click 10's
+    // (30m old, w=0.25) share → 20 vs 10; solo click keeps full value
+    assert(math.abs(dec(11L) - 20.0) < 1e-6 && math.abs(dec(10L) - 10.0) < 1e-6
+      && dec(12L) == 7.0, s"got $dec")
+    // conservation: every attributed purchase distributes exactly its value
+    assert(math.abs(lin.values.sum - 37.0) < 1e-6)
+    assert(math.abs(dec.values.sum - 37.0) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Analytics.multiTouchAttribution(clicks, purchases, Seq("user_id"),
+        Seq("p_user"), "click_ts", "purchase_ts", "click_id", "purchase_id",
+        "p_value", 1800L, model = "u_shaped")
+    }
+  }
+
   test("activeUsers: exact window counts honor calendar gaps; sketch matches exact") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val ev = Seq(

@@ -175,4 +175,35 @@ class CleaningSpec extends SparkSpec {
     // non-numeric column: no fabricated mean check
     assert(out("s").isNullAt(out("s").fieldIndex("ok_mean")))
   }
+
+  test("histogram: equi-width grid with max clamp, equi-depth balance, constant column, guards") {
+    import spark.implicits._
+    // 0..99 plus nulls: equi-width 10 cells of exactly 10 values; the
+    // max value (99) clamps INTO the last cell, not a phantom 11th
+    val df = ((0 until 100).map(i => Some(i.toDouble)) ++ Seq(None, None))
+      .toDF("v")
+    val ew = Cleaning.histogram(df, "v", buckets = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ew.length == 10)
+    ew.zipWithIndex.foreach { case ((b, lo, hi, n), i) =>
+      assert(b == i && n == 10L && lo == i * 10.0 && hi == i * 10.0 + 9.0,
+        s"bucket $i: ($b, $lo, $hi, $n)")
+    }
+    // equi-depth over a SKEWED distribution still balances counts
+    val skew = ((1 to 96).map(_ => 1.0) ++ (1 to 32).map(i => 100.0 + i))
+      .toDF("v")
+    val ed = Cleaning.histogram(skew, "v", buckets = 4, mode = "equi_depth")
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toMap
+    assert(ed.values.sum == 128L)
+    assert(ed(0) == 96L, s"ties pool in the first cell: $ed") // all the 1.0s
+    // constant column: one cell, no 0/0 NaN bucket
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Cleaning.histogram(const, "v", buckets = 10).collect()
+    assert(c.length == 1 && c.head.getInt(0) == 0 && c.head.getLong(3) == 3L)
+    intercept[IllegalArgumentException] { Cleaning.histogram(df, "v", 0) }
+    intercept[IllegalArgumentException] {
+      Cleaning.histogram(df, "v", 4, mode = "log")
+    }
+  }
 }
