@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, HilbertIndexExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TokenEntropyExpr, TopKAnyAgg, TopKByAgg}
+import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerprint64Expr, FoldTextExpr, HeavyHittersAgg, HyperplaneSigExpr, L2NormalizeExpr, MarkerCountExpr, HilbertIndexExpr, MortonIndexExpr, MinHashSigExpr, PqEncodeExpr, PqScoreExpr, QuantileBucketsExpr, QuantizeI8Expr, ShinglesExpr, SimHash64Expr, TokenEntropyExpr, TopKAnyAgg, TopKByAgg}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `call_function` (SURVEY.md §2.H).
@@ -103,6 +103,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(bits >= 1 && bits <= 31,
           s"hilbert_index: bitsPerCoord must be in [1, 31], got $bits")
         HilbertIndexExpr(args.head, bits)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("morton_index"),
+      new ExpressionInfo(classOf[MortonIndexExpr].getName, "morton_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "morton_index(array<int>, bitsPerCoord)")
+        val bits = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"morton_index: bitsPerCoord must be an integer literal, got $other")
+        }
+        require(bits >= 1 && bits <= 31,
+          s"morton_index: bitsPerCoord must be in [1, 31], got $bits")
+        MortonIndexExpr(args.head, bits)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("quantile_buckets"),
+      new ExpressionInfo(classOf[QuantileBucketsExpr].getName, "quantile_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "quantile_buckets(array<double>, 'b1,b2|c1,c2,…')")
+        val spec = args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"quantile_buckets: bounds must be a string literal, got $other")
+        }
+        QuantileBucketsExpr(args.head, QuantileBucketsExpr.parseBounds(spec))
       }))
 
     ext.injectFunction((

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Per-dimension quantile-bucket ids of a d-dimensional value —
+  * `quantile_buckets(array<double>, 'b1,b2|c1,c2,…')` → `array<int>`,
+  * where the literal carries each dimension's SORTED distinct quantile
+  * bounds (`|`-separated dims, `,`-separated bounds). Bucket id =
+  * #(bounds ≤ value), via binary search — identical semantics to the
+  * Z-order writer's `Σ when(v >= bound, 1)` comparison chain, but one
+  * O(log buckets) loop in ONE small codegen'd method.
+  *
+  * Why it exists: the when-chain formulation is 2^bits−1 nested
+  * conditionals PER DIMENSION; after projection collapse they inline
+  * into whatever expression consumes the buckets, the generated consume
+  * method blows past the JIT's bytecode budget, and the whole projection
+  * drops to interpreted bytecode (measured 12.7 µs/row — a 10×
+  * regression on the hilbert write). Bounds ride as a plan-reference
+  * array deserialized once per task (the `marker_count` convention).
+  *
+  * Null elements bucket to 0 (the when-chain's null→otherwise(0)
+  * behavior); a null ARRAY returns null.
+  */
+case class QuantileBucketsExpr(child: Expression, bounds: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantile_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantileBucketsExpr.compute(input.asInstanceOf[ArrayData], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantileBucketsExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantileBucketsExpr {
+
+  def parseBounds(spec: String): Array[Array[Double]] =
+    spec.split("\\|", -1).map { dim =>
+      val bs = dim.split(",").filter(_.nonEmpty).map(_.toDouble)
+      require(bs.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        s"quantile_buckets: bounds must be sorted strictly ascending per dimension, got '$dim'")
+      bs
+    }
+
+  /** Static kernel shared by eval and codegen: per dim, the count of
+    * bounds ≤ value (upper-bound binary search).
+    */
+  def compute(values: ArrayData, bounds: Array[Array[Double]]): ArrayData = {
+    val n = math.min(values.numElements(), bounds.length)
+    val out = new Array[Any](bounds.length)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (values.isNullAt(i)) 0
+        else {
+          val v = values.getDouble(i)
+          val bs = bounds(i)
+          var lo = 0
+          var hi = bs.length // invariant: bs(lo-1) <= v < bs(hi)
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            // Double.compare, not primitive >=: SQL comparison semantics
+            // order NaN above everything (the when-chain put NaN in the
+            // top bucket; primitive NaN >= x is false and would flip it
+            // to bucket 0)
+            if (java.lang.Double.compare(v, bs(mid)) >= 0) lo = mid + 1
+            else hi = mid
+          }
+          lo
+        }
+      i += 1
+    }
+    while (i < bounds.length) { out(i) = 0; i += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -444,6 +444,22 @@ object ScaleProbe {
       graft.sinks.DataSink.applyChangelog(snap, ch, Seq("custkey"))
     }
     probe("cdc_apply") { cdc(ord1) } { cdc(ord) }
+    // multi-touch attribution at 16× events: pair volume tracks the
+    // rangeJoin replication; the normalizer window partitions by
+    // purchase (bounded), credits partial-aggregate per click
+    def mtAttr(e: DataFrame) = {
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value").as("p_value"))
+      Analytics.multiTouchAttribution(clicks, purchases,
+        Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+        "click_id", "purchase_id", "p_value", maxLagSec = 1800L,
+        model = "time_decay")
+    }
+    probe("attribution") { mtAttr(ev1) } { mtAttr(ev) }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe

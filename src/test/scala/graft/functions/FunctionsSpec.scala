@@ -252,6 +252,49 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("morton_index and quantile_buckets match the Column formulations; NaN and null handling") {
+    // morton_index == the shiftleft/shiftright interleave Column form
+    val df = (0 until 512).map(i => (i % 64, (i * 7) % 64)).toDF("a", "b")
+    val colForm = (0 until 6).flatMap { j => Seq(
+      shiftleft(shiftright(col("a"), j).bitwiseAND(lit(1)).cast("long"), j * 2),
+      shiftleft(shiftright(col("b"), j).bitwiseAND(lit(1)).cast("long"), j * 2 + 1))
+    }.reduce(_ + _)
+    df.select(expr("morton_index(array(a, b), 6)").as("native"),
+        colForm.as("column")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    // quantile_buckets == Σ when(v >= bound, 1), INCLUDING the SQL NaN
+    // ordering (NaN lands in the top bucket, not bucket 0)
+    val vals = Seq(0.0, 1.0, 2.0, 3.5, 5.0, 7.25, 100.0, Double.NaN).toDF("v")
+    val chain = Seq(1.0, 3.5, 7.25)
+      .map(b => when(col("v") >= lit(b), 1).otherwise(0)).reduce(_ + _)
+    vals.select(
+        element_at(expr("quantile_buckets(array(v), '1.0,3.5,7.25')"), 1)
+          .as("native"),
+        chain.as("column")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+
+    // null element buckets to 0; unsorted bounds refused
+    val n = spark.sql(
+      "SELECT quantile_buckets(array(cast(null as double)), '1.0,2.0')").head()
+    assert(n.getSeq[Int](0) == Seq(0))
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT quantile_buckets(array(1.0), '2.0,1.0')").head()
+    }
+    // codegen == interpreted through the composed zval expression
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    def eval() = df.select(expr(
+        "hilbert_index(quantile_buckets(array(cast(a as double), cast(b as double)), " +
+        "'8.0,16.0,24.0|10.0,20.0,30.0'), 2)"))
+      .collect().toIndexedSeq.map(_.getLong(0))
+    try {
+      spark.conf.set(conf, "true");  val gen = eval()
+      spark.conf.set(conf, "false"); val interp = eval()
+      assert(gen == interp)
+    } finally spark.conf.set(conf, before)
+  }
+
   test("token_entropy: golden values, explode-aggregate differential, codegen parity") {
     import graft.operators.TextAnalysis
     // golden: uniform 2-token split → 1 bit; constant → 0; empty → 0
