@@ -378,7 +378,10 @@ object Cleaning {
     state.select(col("column"), col("dtype"), col("n").as("row_count"),
       col("nulls").as("null_count"),
       round(col("nulls") / col("n"), 4).as("null_pct"),
-      hll_sketch_estimate(col("ndv_sk")).as("distinct_count"),
+      // coalesce: a column that was all-null in EVERY batch has a null
+      // sketch (hll_sketch_agg skips nulls, union skips null sketches) —
+      // the batch profile reports 0 distinct, not null
+      coalesce(hll_sketch_estimate(col("ndv_sk")), lit(0L)).as("distinct_count"),
       col("vmin").as("min"), col("vmax").as("max"),
       round((col("vsum") / (col("n") - col("nulls"))).cast("double"), 4).as("mean"))
 

@@ -429,14 +429,16 @@ class EventStreamsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("prof").toFile.getAbsolutePath
     // numeric + string columns, nulls in both, duplicate values across
     // batches (the HLL union must not double-count them), exact decimals
-    // so the merged decimal-sum mean equals batch avg at round(4)
-    val b1 = Seq((1L, Some(10.5), Some("a")), (2L, None, Some("b")),
-      (3L, Some(20.0), None))
-    val b2 = Seq((4L, Some(10.5), Some("a")), (5L, Some(9.0), Some("c")),
-      (6L, None, Some("b")))
-    val ms = MemoryStream[(Long, Option[Double], Option[String])]
+    // so the merged decimal-sum mean equals batch avg at round(4); z is
+    // ALL-null in every batch — its sketch never materializes and the
+    // report must still say 0 distinct, like the batch profile
+    val b1 = Seq((1L, Some(10.5), Some("a"), Option.empty[Double]),
+      (2L, None, Some("b"), None), (3L, Some(20.0), None, None))
+    val b2 = Seq((4L, Some(10.5), Some("a"), Option.empty[Double]),
+      (5L, Some(9.0), Some("c"), None), (6L, None, Some("b"), None))
+    val ms = MemoryStream[(Long, Option[Double], Option[String], Option[Double])]
     def run(): Unit = EventStreams.profileSink(
-      ms.toDF().toDF("id", "x", "s"),
+      ms.toDF().toDF("id", "x", "s", "z"),
       s"$dir/state", s"$dir/out", s"$dir/ckpt")
     ms.addData(b1: _*); run()
     ms.addData(b2: _*); run()
@@ -446,7 +448,7 @@ class EventStreamsSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     val streamed = canon(spark.read.parquet(s"$dir/out/batch=1"))
     val batch = canon(graft.operators.Cleaning.profile(
-      (b1 ++ b2).toDF("id", "x", "s"), exactDistinct = true))
+      (b1 ++ b2).toDF("id", "x", "s", "z"), exactDistinct = true))
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
     // spot-pin the interesting cells: x has 2 nulls, 3 distinct non-null
     // values (10.5 dedups across batches), mean (10.5+20+10.5+9)/4 = 12.5
