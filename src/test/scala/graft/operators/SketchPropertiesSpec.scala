@@ -79,4 +79,56 @@ class SketchPropertiesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-5)
     }
   }
+
+  test("property: changelog compaction is associative across arbitrary batch splits") {
+    // THE property the streaming CDC sink's convergence rests on:
+    // compact(compact(A) ∪ B) == compact(A ∪ B) for any split, any
+    // arrival order — state ∪ batch re-compaction per micro-batch then
+    // equals one global compaction. Versions are drawn from a SMALL
+    // range so cross-batch collisions on (key, version) happen; ops
+    // weighted to mix inserts/updates/deletes.
+    import graft.sinks.DataSink
+    val changeGen = for {
+      k <- Gen.chooseNum(1L, 5L)
+      v <- Gen.chooseNum(1L, 8L)
+      op <- Gen.frequency((2, Gen.const("I")), (3, Gen.const("U")),
+        (2, Gen.const("D")))
+      payload <- Gen.oneOf("p", "q", "r")
+    } yield (k, s"$payload$v$op", op, v) // payload keyed by (v, op) so
+                                         // equal-rank ties carry EQUAL
+                                         // payloads (the documented contract)
+    samples(Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, changeGen)), 10)
+      .zipWithIndex.foreach { case (changes, i) =>
+        val split = (i % (changes.size - 1)) + 1
+        val (a, b) = changes.splitAt(split)
+        def df(rows: Seq[(Long, String, String, Long)]) =
+          rows.toDF("k", "v", "op", "version")
+        def canon(x: org.apache.spark.sql.DataFrame) =
+          x.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSet
+        val incremental = canon(DataSink.compactChangelog(
+          DataSink.compactChangelog(df(a), Seq("k")).unionByName(df(b)), Seq("k")))
+        val global = canon(DataSink.compactChangelog(df(changes), Seq("k")))
+        assert(incremental == global,
+          s"case $i: split=$split\nincr=$incremental\nglobal=$global\nchanges=$changes")
+      }
+  }
+
+  test("property: winnow fingerprints are a subset of the gram hashes and every doc with a gram has one") {
+    samples(textGen, 8).foreach { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 2, w = 3)
+        .collect().map(_.getLong(1)).toSet
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < 2) assert(fps.isEmpty, s"sub-k doc must not fingerprint: '$t'")
+      else {
+        val grams = (0 to toks.length - 2).map(i => toks.slice(i, i + 2).mkString(" "))
+        val hashes = grams.toDF("g").select(xxhash64(col("g")))
+          .collect().map(_.getLong(0)).toSet
+        assert(fps.nonEmpty, s"doc with a gram must fingerprint: '$t'")
+        assert(fps.subsetOf(hashes),
+          s"fingerprints must come from the doc's own gram hashes: '$t'")
+      }
+    }
+  }
 }
