@@ -511,6 +511,35 @@ class EventStreamsSpec extends SparkSpec {
       s"k2 must stay deleted, k4 must carry the later update, got $streamed")
   }
 
+  test("changelogSink replay: a re-delivered committed batch is a no-op; an uncommitted one re-merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdcrp").toFile.getAbsolutePath
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val b0 = Seq((1L, "a1", "U", 5L), (2L, "b", "I", 1L)).toDF("k", "v", "op", "version")
+    def merge(cur: Option[org.apache.spark.sql.DataFrame],
+              b: org.apache.spark.sql.DataFrame) =
+      graft.sinks.DataSink.compactChangelog(
+        cur.fold(b)(_.unionByName(b)), Seq("k"))
+    // commit batch 0, then REPLAY it (foreachBatch redelivers after a
+    // crash between the pointer swap and the checkpoint commit): the
+    // pointer already names v_0, so the guard must skip the merge —
+    // otherwise the merge would read v_0 while overwriting it
+    EventStreams.applyMergeBatch(spark, b0, 0L, s"$dir/state")(merge)
+    val v1 = EventStreams.currentSnapshotName(spark, s"$dir/state")
+    EventStreams.applyMergeBatch(spark, b0, 0L, s"$dir/state")(merge)
+    assert(EventStreams.currentSnapshotName(spark, s"$dir/state") == v1,
+      "replaying a committed batch must not write a new snapshot")
+    val view = EventStreams.readChangelogApplied(spark, snap, s"$dir/state", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(view == Set((1L, "a1"), (2L, "b")), s"got $view")
+    // a LATER batch (new id) merges normally on top
+    val b1 = Seq((2L, "x", "D", 9L)).toDF("k", "v", "op", "version")
+    EventStreams.applyMergeBatch(spark, b1, 1L, s"$dir/state")(merge)
+    val after = EventStreams.readChangelogApplied(spark, snap, s"$dir/state", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == Set((1L, "a1")), s"got $after")
+  }
+
   test("scd2Sink: in-order batches equal one batch scd2Merge") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
