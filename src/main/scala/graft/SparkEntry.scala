@@ -750,6 +750,18 @@ object SparkEntry {
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("vector", "join", "slow"), k = 25)),
 
+    // BULK BM25: three queries ranked in ONE pass (the serving shape) —
+    // postings semi-join the broadcast term set, fan out per query,
+    // per-query top-k via rank window (WindowGroupLimit)
+    "q_bm25_bulk" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "vector join"), (2L, "slow"), (3L, "join slow vector"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25BulkTopK(Tables.documents(s, d), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Dirichlet query-likelihood (Zhai & Lafferty 2001): the LM ranker
     // over the same query — rank-equivalent decomposition, 'vector'
     // weighted twice (c(t,q) = 2), unmatched docs rank by length term
@@ -3056,6 +3068,35 @@ object SparkEntry {
     "q_bm25_topk" -> Bm25Sql,
 
     "q_ql_topk" -> QlTopkSql,
+
+    "q_bm25_bulk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'vector join'), (2, 'slow'), (3, 'join slow vector')),
+        |qt AS (SELECT DISTINCT query_id,
+        |         unnest(string_split(qtext, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |post AS (SELECT doc_id, term, count(*) AS tf
+        |         FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+        |        * p.tf * (1.2 + 1.0)
+        |        / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl))
+        |      AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+        |  FROM post p JOIN lens l USING (doc_id)
+        |  JOIN dfreq USING (term) JOIN qt USING (term), stats
+        |  GROUP BY qt.query_id, p.doc_id)
+        |SELECT query_id, doc_id, score, "rank" FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS "rank"
+        |  FROM scored)
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
     "q_tfidf_topk" -> TfidfTopkSql,
 

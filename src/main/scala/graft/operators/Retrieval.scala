@@ -173,6 +173,57 @@ object Retrieval {
     *
     * Output: (doc_id, score), top `k` by (score desc, doc_id).
     */
+  /** BULK BM25 — [[bm25TopK]] for a query TABLE, the serving shape: N
+    * queries rank in ONE pass instead of N jobs. The postings explode
+    * once and semi-join the distinct query-term set (broadcast — the
+    * scan filter is a term-set membership, same pruning as the literal
+    * `isin`), each surviving posting then joins the (query, term) pairs
+    * (broadcast) so a posting fans out only to the queries that contain
+    * its term; per-(query, doc) scores aggregate through decimal
+    * partials and the per-query top-k is a rank-≤-k window —
+    * `WindowGroupLimit` inserts partial+final group limits, so ≤k rows
+    * per query survive each side of the exchange (the q_top_n_per_group
+    * plan shape). Query terms are DISTINCT per query (set semantics,
+    * matching the single-query form). Output: (query_id, doc_id, score,
+    * rank).
+    */
+  def bm25BulkTopK(df: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25BulkTopK: k must be ≥1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25BulkTopK: need k1>0 and b∈[0,1], got k1=$k1 b=$b")
+    val qterms = queries.select(Cols.qcol(queryIdCol).as("query_id"),
+        explode(toks(Cols.qcol(queryTextCol))).as("term"))
+      .distinct()
+    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
+      toks(Cols.qcol(textCol)).as("_t"))
+    val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val post = docs
+      .select(col("doc_id"), size(col("_t")).as("dl"), explode(col("_t")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val scored = post
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(dsum(col("contrib")), 4).as("score"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(byQuery).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Query-likelihood ranking with DIRICHLET smoothing (Zhai & Lafferty,
     * SIGIR 2001 — "A study of smoothing methods for language models
     * applied to ad hoc information retrieval"): the language-model third

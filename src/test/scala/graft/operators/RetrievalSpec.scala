@@ -166,6 +166,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25BulkTopK: one-query bulk equals the single-query ranker; queries isolate; group-limited plan") {
+    val df = Seq(
+      (1L, "spark shuffle join big"), (2L, "join join vector tiny"),
+      (3L, "vector scan"), (4L, "unrelated words entirely here"),
+      (5L, "join")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "join vector"), (20L, "scan")).toDF("query_id", "qtext")
+    val bulk = Retrieval.bm25BulkTopK(df, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the single-query ranker on the same terms must agree doc-for-doc
+    val single = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("join", "vector"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val q10 = bulk.filter(_._1 == 10L).sortBy(_._4).map(t => (t._2, t._3))
+    assert(q10.toSeq == single.toSeq, s"bulk=$q10 single=${single.toSeq}")
+    // disjoint query sees ONLY its matching docs
+    val q20 = bulk.filter(_._1 == 20L).map(_._2).toSet
+    assert(q20 == Set(3L), s"query 'scan' must match doc 3 alone, got $q20")
+    // the per-query top-k is group-limited, not a full per-query sort
+    val plan = Retrieval.bm25BulkTopK(df, "doc_id", "text", qs,
+      "query_id", "qtext", k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("bm25TopK plan: postings filter before exchange, stats sides broadcast") {
     val df = (1L to 200L).map(i => (i, s"w$i t common")).toDF("doc_id", "text")
     val q = Retrieval.bm25TopK(df, "doc_id", "text", Seq("t"), 5)
