@@ -131,7 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"quantile_buckets: bounds must be a string literal, got $other")
         }
-        QuantileBucketsExpr(args.head, QuantileBucketsExpr.parseBounds(spec))
+        QuantileBucketsExpr.parseBounds(spec) // validate at registration, fail loudly
+        QuantileBucketsExpr(args.head, spec)
       }))
 
     ext.injectFunction((

@@ -53,6 +53,11 @@ object HilbertIndexExpr {
   /** Static kernel shared by eval and codegen. */
   def compute(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
+    if (n == 0) return 0L // match morton_index: empty coordinate = origin
+    // n is only known at runtime for SQL callers; past 63 total bits the
+    // interleave would silently wrap the long into colliding indices.
+    if (n.toLong * bits > 63) throw new IllegalArgumentException(
+      s"hilbert_index: $n coords x $bits bits = ${n * bits} total bits exceeds 63")
     val x = new Array[Int](n)
     var i = 0
     while (i < n) {

@@ -44,6 +44,10 @@ object MortonIndexExpr {
   /** Static kernel shared by eval and codegen. */
   def compute(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
+    // n is only known at runtime for SQL callers; past 63 total bits the
+    // shift amount j*n+i wraps mod 64 in Java and indices silently collide.
+    if (n.toLong * bits > 63) throw new IllegalArgumentException(
+      s"morton_index: $n coords x $bits bits = ${n * bits} total bits exceeds 63")
     var z = 0L
     var i = 0
     while (i < n) {

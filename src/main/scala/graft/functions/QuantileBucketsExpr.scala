@@ -25,8 +25,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Null elements bucket to 0 (the when-chain's null→otherwise(0)
   * behavior); a null ARRAY returns null.
   */
-case class QuantileBucketsExpr(child: Expression, bounds: Array[Array[Double]])
+case class QuantileBucketsExpr(child: Expression, spec: String)
     extends UnaryExpression {
+
+  // The case-class parameter is the spec STRING, not the parsed
+  // double[][]: array fields compare by reference, which would defeat
+  // semanticEquals/canonicalization (CSE, exchange reuse) whenever the
+  // expression appears twice in a plan. Parse lazily, once per instance.
+  @transient private lazy val bounds: Array[Array[Double]] =
+    QuantileBucketsExpr.parseBounds(spec)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "quantile_buckets"

@@ -295,6 +295,36 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set(conf, before)
   }
 
+  test("curve kernels: empty-array origin, >63-total-bit loud refusal, quantile_buckets canonicalization") {
+    // empty coordinate array = origin for BOTH curves (hilbert used to AIOOBE)
+    val empty = "cast(array() as array<int>)"
+    assert(spark.sql(s"SELECT hilbert_index($empty, 3)").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT morton_index($empty, 3)").head().getLong(0) == 0L)
+    // n*bits > 63 would silently wrap shift amounts mod 64 → colliding
+    // indices; both kernels must refuse loudly instead
+    val wide = (1 to 8).map(i => s"cast($i as int)").mkString("array(", ",", ")")
+    intercept[Exception] {
+      spark.sql(s"SELECT morton_index($wide, 8)").head() // 64 total bits
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT hilbert_index($wide, 8)").head()
+    }
+    // 63 total bits is still fine
+    spark.sql(s"SELECT morton_index($wide, 7), hilbert_index($wide, 7)").head()
+
+    // two semantically identical quantile_buckets instances must compare
+    // equal (spec-String field, not reference-compared double[][]) so
+    // CSE/exchange-reuse canonicalization can deduplicate them
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit0 = Literal.create(Seq(1.5), ArrayType(DoubleType))
+    val e1 = QuantileBucketsExpr(lit0, "1.0,2.0")
+    val e2 = QuantileBucketsExpr(lit0, "1.0,2.0")
+    assert(e1 == e2, "case-class equality must hold for identical specs")
+    assert(e1.semanticEquals(e2), "semanticEquals must hold for identical specs")
+    assert(!e1.semanticEquals(QuantileBucketsExpr(lit0, "1.0,3.0")))
+  }
+
   test("token_entropy: golden values, explode-aggregate differential, codegen parity") {
     import graft.operators.TextAnalysis
     // golden: uniform 2-token split → 1 bit; constant → 0; empty → 0
