@@ -1225,6 +1225,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL resize: plant constant-gray PNGs with dims f(doc_id), resize
+    // into a 40x30 box, then RE-DECODE the emitted payloads — width,
+    // height and dominant luminance bin are read back from the re-encoded
+    // bytes, closing the decode→rescale→encode→decode loop against pure
+    // arithmetic (constant color survives nearest-neighbor exactly)
+    "q_image_resize" -> ((s, d) => {
+      val pngGen = udf((id: Long) => Multimodal.constPng(
+        1 + (id % 97).toInt, 1 + ((id * 7) % 83).toInt, ((id * 37) % 256).toInt))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .select(col("doc_id"), pngGen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      val resized = Multimodal.resize(s, media, maxW = 40, maxH = 30)
+      Multimodal.featurize(s, resized)
+        .select(col("doc_id"), col("width"), col("height"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("int").as("lum_bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL GIF frame extraction: plant animated GIFs with frame count and
+    // per-frame constant gray f(doc_id), sample 4 evenly-spaced frames via
+    // ImageReader.read(i) — stored-frame count, anchor indices, dims and
+    // dominant luminance bins all check against arithmetic
+    "q_frame_extract" -> ((s, d) => {
+      val gifGen = udf((id: Long) => Multimodal.syntheticGif(
+        4 + (id % 13).toInt, 3 + (id % 11).toInt, 1 + (id % 6).toInt, id))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .select(col("doc_id"), gifGen(col("doc_id")).as("payload"),
+          lit("image/gif").as("media_type"))
+      Multimodal.frameSample(s, media, frames = 4)
+        .select(col("doc_id"), col("frame_idx"), col("src_frame"),
+          col("n_frames"), col("frame_w"), col("frame_h"), col("lum_bin"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // LSH near-dup SCALE path with a full oracle: plant direction-identical
     // copies (embedding × 2, shifted id) on BOTH engines — scaling by a
     // positive power of two preserves every hyperplane sign bit EXACTLY
@@ -3624,6 +3661,40 @@ object SparkEntry {
       """SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS width,
         |       CAST(1 + (doc_id * 7) % 64 AS INTEGER) AS height
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.fitDims (integer floor division) + the constant
+    // gray's luminance bin v*8/256 with v = (doc_id*37)%256
+    "q_image_resize" ->
+      """WITH src AS (
+        |  SELECT doc_id, 1 + (doc_id % 97) AS w, 1 + ((doc_id*7) % 83) AS h,
+        |         (doc_id*37) % 256 AS v
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN w <= 40 AND h <= 30 THEN w
+        |            WHEN w*30 >= h*40 THEN 40
+        |            ELSE greatest(1, (w*30) // h) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN w <= 40 AND h <= 30 THEN h
+        |            WHEN w*30 >= h*40 THEN greatest(1, (h*40) // w)
+        |            ELSE 30 END AS INTEGER) AS height,
+        |  CAST((v * 8) // 256 AS INTEGER) AS lum_bin
+        |FROM src ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.sampleIndex (all frames when n<=4, else floor
+    // i*(n-1)/3 anchors) + gifFrameGray(doc_id, f) = (doc_id*31+f*40)%256
+    "q_frame_extract" ->
+      """WITH src AS (
+        |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 11) AS h,
+        |         1 + (doc_id % 6) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (
+        |  SELECT doc_id, w, h, n, unnest(range(0, 4)) AS i FROM src)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(CASE WHEN n <= 4 THEN i ELSE (i * (n-1)) // 3 END AS INTEGER) AS src_frame,
+        |  CAST(n AS INTEGER) AS n_frames, CAST(w AS INTEGER) AS frame_w,
+        |  CAST(h AS INTEGER) AS frame_h,
+        |  CAST((((doc_id*31 + (CASE WHEN n <= 4 THEN i ELSE (i*(n-1))//3 END)*40) % 256) * 8) // 256 AS INTEGER) AS lum_bin
+        |FROM f WHERE i < least(4, n)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_ann_lsh_pairs" ->
       """WITH planted AS (

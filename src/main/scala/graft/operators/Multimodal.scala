@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in bounded batches.
   *
-  * IMAGE decode is REAL: payloads carrying an image magic number
-  * (PNG/BMP/GIF/JPEG) go through the pure-JVM `javax.imageio` readers —
-  * no native libs needed — and yield true width/height plus an 8-bin
-  * luminance histogram feature. Payloads that are not images (or fail to
-  * decode) fall back to `stubDecode`, the clearly-marked deterministic
-  * fake that keeps the pipeline hermetic for arbitrary bytes. Audio and
-  * video decoders are NOT in this container, so frame sampling / resize
-  * remain deterministic stubs. Everything around the decoders — schema,
+  * IMAGE decode, RESIZE and (GIF) FRAME EXTRACTION are REAL: payloads
+  * carrying an image magic number (PNG/BMP/GIF/JPEG) go through the
+  * pure-JVM `javax.imageio` readers — no native libs needed — yielding
+  * true width/height plus an 8-bin luminance histogram feature; [[resize]]
+  * rescales through Graphics2D nearest-neighbor and re-encodes PNG;
+  * [[frameSample]] walks an animated GIF's stored frames via
+  * `ImageReader.read(i)`. Payloads that are not images (or fail to
+  * decode) fall back to the clearly-marked deterministic stubs that keep
+  * the pipeline hermetic for arbitrary bytes — video/audio CODECS are not
+  * in this container, so non-GIF video stays on the stub path by design.
+  * Everything around the decoders — schema,
   * partition sizing, batch iteration, feature layout — is the real
   * 100 TB design: binary payloads stream through `mapPartitions` so one
   * task holds one batch, never the whole column.
@@ -70,6 +73,44 @@ object Multimodal {
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
       (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte))
 
+  /** Normalized 8-bin integer-luminance histogram of a decoded image —
+    * the shared feature kernel of [[decodeImage]] and [[frameSample]].
+    * Integer Rec.601 luma, engine-portable (no float rounding in the
+    * bin assignment).
+    */
+  private def lumFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val feat = new Array[Float](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        feat(lum * 8 / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < 8) { feat(i) /= n; i += 1 }
+    feat
+  }
+
+  /** First index of the histogram maximum — a scalar "dominant luminance
+    * bin" the oracle can predict arithmetically for planted constant-color
+    * frames (arrays break the driver's pandas comparer).
+    */
+  private def argmaxBin(feat: Array[Float]): Int = {
+    var best = 0
+    var i = 1
+    while (i < feat.length) { if (feat(i) > feat(best)) best = i; i += 1 }
+    best
+  }
+
   /** REAL image decode (pure JVM, `javax.imageio`): true width/height and
     * an 8-bin integer-luminance histogram (normalized by pixel count) as
     * the feature. Returns None for non-image or undecodable bytes — the
@@ -81,28 +122,7 @@ object Multimodal {
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val feat = new Array[Float](8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // integer Rec.601 luma — engine-portable, no float rounding
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            feat(lum * 8 / 256) += 1f
-            x += 1
-          }
-          y += 1
-        }
-        val n = (w.toLong * h).toFloat
-        var i = 0
-        while (i < 8) { feat(i) /= n; i += 1 }
-        Some((w, h, feat))
-      }
+      else Some((img.getWidth, img.getHeight, lumFeature(img)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic in-memory PNG (gradient fill keyed by `seed`) — the
@@ -127,6 +147,231 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Deterministic constant-color PNG (one gray level everywhere) — the
+    * planted payload for the RESIZE oracle: any aspect-preserving rescale
+    * of a constant image is the same constant, so post-resize dimensions
+    * AND the dominant luminance bin are pure arithmetic in doc_id.
+    */
+  def constPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && gray >= 0 && gray <= 255,
+      s"constPng: bad args ${width}x$height gray=$gray")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Gray level of frame `f` of [[syntheticGif]] — exposed so specs and
+    * the oracle share one formula.
+    */
+  def gifFrameGray(seed: Long, f: Int): Int = ((seed * 31 + f * 40) % 256).toInt
+
+  /** Deterministic multi-frame animated GIF: frame `f` is a constant fill
+    * at gray [[gifFrameGray]]`(seed, f)`. Frames are TYPE_BYTE_INDEXED over
+    * an explicit 256-entry gray palette — GIF stores 8-bit indexed color
+    * NATIVELY, so the planted gray levels survive encode→decode exactly
+    * (an RGB frame would go through the writer's palette quantization and
+    * break the arithmetic oracle).
+    */
+  def syntheticGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames >= 1,
+      s"syntheticGif: bad args ${width}x$height frames=$frames")
+    val grays = (0 until 256).map(_.toByte).toArray
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val v = gifFrameGray(seed, f)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Aspect-preserving fit of `w x h` into a `maxW x maxH` box, integer
+    * arithmetic only (SQL-mirrorable): images already inside the box keep
+    * their dims; otherwise the binding side pins to the box and the other
+    * scales by the same rational factor, floored, min 1. Exposed so the
+    * oracle and specs share the formula.
+    */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(maxW >= 1 && maxH >= 1, s"fitDims: box must be positive, got ${maxW}x$maxH")
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+  }
+
+  /** Output schema of [[resize]]. */
+  val ResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** REAL image resize (pure JVM): decode via `javax.imageio`, fit into
+    * the `maxW x maxH` box with [[fitDims]], rescale with Graphics2D
+    * NEAREST-NEIGHBOR (deterministic across JVMs; constant colors survive
+    * exactly), re-encode as PNG. Images already inside the box pass
+    * through byte-identical (no lossy re-encode of a no-op). Non-image /
+    * corrupt payloads fall back to the deterministic stub slice —
+    * media_type is tagged `;resized` vs `;resized-stub` so downstream can
+    * tell. Same `mapPartitions` bounded-batch shape as [[featurize]].
+    */
+  def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(ResizeSchema)
+    media.select(col("doc_id"), col("payload"), col("media_type"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val realOut: Option[Row] =
+            if (!looksLikeImage(bytes)) None
+            else try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) None
+              else {
+                val (tw, th) = fitDims(img.getWidth, img.getHeight, maxW, maxH)
+                if (tw == img.getWidth && th == img.getHeight)
+                  Some(Row(id, bytes, mt + ";resized", tw, th))
+                else {
+                  val dst = new java.awt.image.BufferedImage(tw, th,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = dst.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                    g.drawImage(img, 0, 0, tw, th, null)
+                  } finally g.dispose()
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(dst, "png", baos)
+                  Some(Row(id, baos.toByteArray, mt + ";resized", tw, th))
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          realOut.getOrElse {
+            // stub fallback: deterministic byte slice, stub dims fitted
+            // into the same box so downstream size invariants still hold
+            val (sw, sh, _) = stubDecode(id, bytes)
+            val (tw, th) = fitDims(sw, sh, maxW, maxH)
+            Row(id, bytes.take(maxW * maxH), mt + ";resized-stub", tw, th)
+          }
+        }
+      }(enc)
+  }
+
+  /** Output schema of [[frameSample]]. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("src_frame", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_w", IntegerType, nullable = false),
+    StructField("frame_h", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("lum_bin", IntegerType, nullable = false)))
+
+  /** Evenly-spaced source-frame index for output slot `i` of `k` sampled
+    * from `n` stored frames: all frames when `n <= k`, else the endpoints
+    * plus interior anchors `i*(n-1)/(k-1)` (integer floor). Exposed for
+    * the oracle mirror.
+    */
+  def sampleIndex(i: Int, k: Int, n: Int): Int =
+    if (n <= k || k == 1) i else (i.toLong * (n - 1) / (k - 1)).toInt
+
+  /** REAL frame extraction for animated GIFs (pure JVM): open an
+    * `ImageReader`, count stored frames (`getNumImages(true)`), decode
+    * `min(frames, n)` evenly-spaced frames and emit one child row each
+    * with true dims + the luminance-histogram feature and its dominant
+    * bin. Non-GIF / corrupt payloads fall back to the stub byte windows
+    * featurized through [[stubDecode]] — one bad file never aborts the
+    * job. The explode-to-child-rows shape matches [[frameSampleStub]].
+    */
+  def frameSample(spark: SparkSession, media: DataFrame, frames: Int): DataFrame = {
+    require(frames > 0, s"frameSample: frames must be positive, got $frames")
+    val enc = org.apache.spark.sql.Encoders.row(FrameSchema)
+    media.select(col("doc_id"), col("payload"), col("media_type"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val isGif = bytes.length >= 3 &&
+            bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte
+          val real: Option[Seq[Row]] =
+            if (!isGif) None
+            else try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) { iis.close(); None }
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  if (n < 1) None
+                  else {
+                    val k = math.min(frames, n)
+                    Some((0 until k).map { i =>
+                      val src = sampleIndex(i, frames, n)
+                      val img = reader.read(src)
+                      val feat = lumFeature(img)
+                      Row(id, mt, i, src, n, img.getWidth, img.getHeight,
+                        feat.toIndexedSeq, argmaxBin(feat))
+                    })
+                  }
+                } finally { reader.dispose(); iis.close() }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          real.getOrElse {
+            // stub fallback: evenly-spaced byte windows, stub-featurized
+            val step = math.max((bytes.length - 64) / math.max(frames - 1, 1), 0)
+            (0 until frames).map { i =>
+              val from = math.min(i * step, math.max(bytes.length - 1, 0))
+              val win = bytes.slice(from, math.min(from + 64, bytes.length))
+              val (w, h, feat) = stubDecode(id, win)
+              Row(id, mt, i, i, frames, w, h, feat.toIndexedSeq, argmaxBin(feat))
+            }
+          }
+        }
+      }(enc)
   }
 
   /** STUB resize — deterministic fake of an image resize: in a real

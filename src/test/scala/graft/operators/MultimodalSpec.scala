@@ -71,6 +71,68 @@ class MultimodalSpec extends SparkSpec {
     assert(textOut.getAs[Int]("width") == 1 + ((30L * 31 + 1) % 64).toInt)
   }
 
+  test("real resize: dims fit the box, constant color survives, inside-box passes through byte-identical") {
+    // 100x60 into 40x30: width binds (100*30 >= 60*40) → 40 x floor(60*40/100)=24
+    assert(Multimodal.fitDims(100, 60, 40, 30) == (40, 24))
+    // height binds: 20x90 into 40x30 → floor(20*30/90)=6 x 30
+    assert(Multimodal.fitDims(20, 90, 40, 30) == (6, 30))
+    // degenerate aspect floors at 1, never 0
+    assert(Multimodal.fitDims(1000, 1, 10, 10) == (10, 1))
+    assert(Multimodal.fitDims(1, 1000, 10, 10) == (1, 10))
+
+    val inside = Multimodal.constPng(30, 20, gray = 100) // already fits
+    val big = Multimodal.constPng(80, 20, gray = 100)    // width binds → 40x10
+    val media = Seq(
+      (1L, inside, "image/png"), (2L, big, "image/png"),
+      (3L, "not an image at all".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.resize(spark, media, maxW = 40, maxH = 30)
+      .orderBy("doc_id").collect()
+    // inside-box: byte-identical payload (no lossy re-encode of a no-op)
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq == inside.toSeq)
+    assert(out(0).getAs[String]("media_type") == "image/png;resized")
+    assert((out(0).getAs[Int]("width"), out(0).getAs[Int]("height")) == (30, 20))
+    // downscaled: claimed dims AND re-decoded dims are the fitted box;
+    // nearest-neighbor keeps the constant color → lum bin 100/32 = 3
+    assert((out(1).getAs[Int]("width"), out(1).getAs[Int]("height")) == (40, 10))
+    val redecoded = Multimodal.featurize(spark,
+      Seq((2L, out(1).getAs[Array[Byte]]("payload"), "x")).toDF("doc_id", "payload", "media_type"))
+      .collect()(0)
+    assert(redecoded.getAs[Int]("width") == 40 && redecoded.getAs[Int]("height") == 10)
+    assert(redecoded.getSeq[Float](redecoded.fieldIndex("feature"))(3) == 1.0f)
+    // non-image falls back to the stub slice, loudly tagged
+    assert(out(2).getAs[String]("media_type") == "text/plain;resized-stub")
+    assert(out(2).getAs[Array[Byte]]("payload").length <= 40 * 30)
+  }
+
+  test("real GIF frame extraction: stored frames counted, evenly sampled, planted grays recovered") {
+    val gif = Multimodal.syntheticGif(10, 8, frames = 6, seed = 3L)
+    val media = Seq((1L, gif, "image/gif")).toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.frameSample(spark, media, frames = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4)
+    // evenly spaced anchors over 6 stored frames: 0, 5/3=1, 10/3=3, 5
+    assert(out.map(_.getAs[Int]("src_frame")).toSeq == Seq(0, 1, 3, 5))
+    assert(out.forall(_.getAs[Int]("n_frames") == 6))
+    assert(out.forall(r => r.getAs[Int]("frame_w") == 10 && r.getAs[Int]("frame_h") == 8))
+    // constant-gray frames: dominant luminance bin == planted gray / 32
+    out.foreach { r =>
+      val v = Multimodal.gifFrameGray(3L, r.getAs[Int]("src_frame"))
+      assert(r.getAs[Int]("lum_bin") == v * 8 / 256, s"frame ${r.getAs[Int]("src_frame")}")
+      val feat = r.getSeq[Float](r.fieldIndex("feature"))
+      assert(feat(v * 8 / 256) == 1.0f, s"constant frame must land fully in its bin: $feat")
+    }
+    // fewer stored frames than requested → all of them, no fabrication
+    val short = Seq((2L, Multimodal.syntheticGif(5, 5, frames = 2, seed = 9L), "image/gif"))
+      .toDF("doc_id", "payload", "media_type")
+    val s = Multimodal.frameSample(spark, short, frames = 4).orderBy("frame_idx").collect()
+    assert(s.length == 2 && s.map(_.getAs[Int]("src_frame")).toSeq == Seq(0, 1))
+    // non-GIF bytes fall back to stub windows — still `frames` rows, never a throw
+    val stub = Multimodal.frameSample(spark, media
+      .withColumn("payload", encode(lit("plain text, not a gif"), "UTF-8")), frames = 4)
+    assert(stub.count() == 4)
+  }
+
   test("frameSampleStub emits evenly spaced frames as child rows") {
     val out = Multimodal.frameSampleStub(media, frames = 3, frameBytes = 4)
     assert(out.count() == 6) // 2 docs × 3 frames
