@@ -35,6 +35,12 @@ object SparkEntry {
   private[graft] val ivfCents =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
+  /** Memoized residual-PQ codebooks per sf-dir for the IVF-PQ composition
+    * (trained on residuals against [[ivfCents]], so both artifacts pair).
+    */
+  private[graft] val ivfPqModels =
+    scala.collection.concurrent.TrieMap.empty[String, operators.Similarity.PqModel]
+
   /** The sf-dir the ANN queries last ran against — `oracleSql` has no
     * dir parameter, so the IVF/PQ oracle builders read the codebooks
     * memoized for THIS dir. Verify runs every query before dumping
@@ -1173,6 +1179,26 @@ object SparkEntry {
       val index = Similarity.ivfBuildFromCentroids(emb, "vec_id", "embedding", cents)
       Similarity.ivfSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nProbe = 16)
+    }),
+
+    // IVF-PQ (the FAISS IVFADC composition): coarse cells + residual PQ
+    // codes + ⟨q,c⟩+⟨q,residual̂⟩ ADC shortlist + exact re-rank. Closes
+    // the last ANN entry without its own oracle, by the same recipe that
+    // closed its parents: BOTH trained artifacts (coarse centroids and
+    // residual sub-codebooks) are memoized seed-deterministic fits
+    // emitted as literals; DuckDB replays assignment, float residuals,
+    // encoding, ADC, the 100-deep shortlist and the exact re-rank
+    "q_ann_ivfpq" -> ((s, d) => {
+      lastAnnDir = Some(d)
+      val emb = Tables.embeddings(s, d)
+      val cents = ivfCents.getOrElseUpdate(d,
+        Similarity.ivfFitCentroids(emb, "embedding", numCentroids = 16))
+      val model = ivfPqModels.getOrElseUpdate(d,
+        Similarity.ivfPqTrainResiduals(emb, "vec_id", "embedding", cents,
+          dim = 64, m = 16, k = 64))
+      val index = Similarity.ivfPqFromArtifacts(emb, "vec_id", "embedding", cents, model)
+      Similarity.ivfPqSearch(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 4, shortlist = 100)
     }),
 
     "q_binary_meta" -> ((s, d) => {
@@ -3941,7 +3967,7 @@ object SparkEntry {
          |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     }
-  ) ++ annIvfOracle ++ annPqOracle
+  ) ++ annIvfOracle ++ annPqOracle ++ annIvfPqOracle
 
   // ---------------------------------------------------------------------
   // ANN oracles from memoized codebooks. The k-means TRAINING step is not
@@ -4016,6 +4042,101 @@ object SparkEntry {
            |SELECT query_id, "rank", neighbor_id, sim FROM ranked
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     }.toMap
+
+  /** `q_ann_ivfpq` (numCentroids=16, nProbe=4, m=16, k=64, subDim=4,
+    * shortlist=100, k=5, queries vec_id<8): BOTH trained artifacts as
+    * literals — coarse centroids AND residual sub-codebooks. DuckDB
+    * replays: strict-< argmin cell assignment; the FLOAT residual
+    * (round-to-REAL of the double difference == IEEE float subtraction);
+    * per-subvector strict-< residual encoding; the ADC score
+    * ⟨q,c_cell⟩ + ⟨q,residual̂⟩ with both dots left-folded over the same
+    * literals; the 100-deep shortlist per probed cell set; and the exact
+    * cosine re-rank.
+    */
+  private def annIvfPqOracle: Map[String, String] =
+    (for {
+      d <- lastAnnDir
+      cents <- ivfCents.get(d)
+      model <- ivfPqModels.get(d)
+    } yield {
+      val sub = model.subDim
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(flit).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n")
+      val cbRows = (for {
+        j <- model.codebooks.indices
+        c <- model.codebooks(j).indices
+      } yield s"($j, $c, [${model.codebooks(j)(c).map(flit).mkString(", ")}]::DOUBLE[])")
+        .mkString(",\n")
+      "q_ann_ivfpq" ->
+        s"""WITH cents(cell, c) AS (VALUES
+           |$centRows),
+           |cb(j, cc, w) AS (VALUES
+           |$cbRows),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ad AS (
+           |  SELECT e.vec_id, cents.cell, ${sqlSqDist("e.v", "cents.c")} AS d
+           |  FROM e, cents),
+           |assign AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |    FROM ad) WHERE rn = 1),
+           |res AS (
+           |  SELECT a.vec_id, a.cell,
+           |    list_transform(list_zip(e.v, cents.c),
+           |      p -> CAST(CAST(p[1] - p[2] AS REAL) AS DOUBLE)) AS r
+           |  FROM assign a
+           |  JOIN e ON e.vec_id = a.vec_id
+           |  JOIN cents ON cents.cell = a.cell),
+           |dist AS (
+           |  SELECT res.vec_id, cb.j, cb.cc,
+           |    ${sqlSqDist(s"list_slice(res.r, cb.j * $sub + 1, cb.j * $sub + $sub)", "cb.w")} AS d
+           |  FROM res, cb),
+           |codes AS (
+           |  SELECT vec_id, j, cc FROM (
+           |    SELECT vec_id, j, cc,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cc) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |recon AS (
+           |  SELECT c.vec_id, flatten(list(cb.w ORDER BY c.j)) AS rv
+           |  FROM codes c JOIN cb ON cb.j = c.j AND cb.cc = c.cc
+           |  GROUP BY c.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |pr AS (
+           |  SELECT query_id, qv, cell,
+           |    ${sqlDot("qv", "c")} / (${sqlNorm("qv")} * ${sqlNorm("c")}) AS c_sim,
+           |    ${sqlDot("qv", "c")} AS qc
+           |  FROM q, cents),
+           |probes AS (
+           |  SELECT query_id, qv, cell, qc FROM (
+           |    SELECT query_id, qv, cell, qc,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS rn
+           |    FROM pr) WHERE rn <= 4),
+           |adc AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    p.qc + ${sqlDot("p.qv", "r.rv")} AS adc
+           |  FROM probes p
+           |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           |  JOIN recon r ON r.vec_id = a.vec_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+           |    FROM adc) WHERE rn <= 100),
+           |ex AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ne.v), 4) AS sim
+           |  FROM short s
+           |  JOIN e qe ON qe.vec_id = s.query_id
+           |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS "rank"
+           |  FROM ex)
+           |SELECT query_id, "rank", neighbor_id, sim FROM ranked
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }).toMap
 
   /** `q_ann_pq` (m=16, k=64, subDim=4, shortlist=100, k=5, queries
     * vec_id<8): the trained sub-codebooks as a 1024-row literal table;

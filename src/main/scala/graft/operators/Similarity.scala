@@ -490,18 +490,48 @@ object Similarity {
   final case class IvfPqIndex(assignedCodes: DataFrame, centroids: DataFrame,
                               model: PqModel)
 
-  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
-                 numCentroids: Int, m: Int, dim: Int, k: Int = 256,
-                 seed: Long = 42L): IvfPqIndex = {
-    val coarse = ivfBuild(df, idCol, vecCol, numCentroids, seed)
+  /** The residual frame `(id, cell, v, _residual)` for trained coarse
+    * centroids: each row joined (broadcast) to its cell centroid, residual
+    * = elementwise FLOAT subtraction (the array is float-typed, so the
+    * oracle mirrors it as round-to-float of the double difference).
+    */
+  private def ivfPqResiduals(df: DataFrame, idCol: String, vecCol: String,
+                             cents: Array[Array[Float]]): (IvfIndex, DataFrame) = {
+    val coarse = ivfBuildFromCentroids(df, idCol, vecCol, cents)
     val withResidual = coarse.assigned
       .join(broadcast(coarse.centroids), Seq("cell"))
       .withColumn("_residual", zip_with(col("v"), col("centroid"),
         (x, c) => x - c))
-    val model = pqTrain(withResidual, "_residual", dim, m, k, seed)
+    (coarse, withResidual)
+  }
+
+  /** Train the residual PQ codebooks for given coarse centroids — the
+    * second trained artifact of an IVF-PQ deployment (both are persisted
+    * once and ride every search as plan literals).
+    */
+  def ivfPqTrainResiduals(df: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[Array[Float]], dim: Int, m: Int,
+                          k: Int = 256, seed: Long = 42L): PqModel =
+    pqTrain(ivfPqResiduals(df, idCol, vecCol, cents)._2, "_residual", dim, m, k, seed)
+
+  /** Assemble the IVF-PQ index from already-trained artifacts (coarse
+    * centroids + residual codebooks) — the per-session half of the build,
+    * pure plan work: assign cells, encode residuals, no fitting.
+    */
+  def ivfPqFromArtifacts(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[Array[Float]], model: PqModel): IvfPqIndex = {
+    val (coarse, withResidual) = ivfPqResiduals(df, idCol, vecCol, cents)
     val assignedCodes = withResidual.select(col("id"), col("cell"), col("v"),
       call_function("pq_encode", lit(model.bytes), col("_residual")).as("code"))
     IvfPqIndex(assignedCodes, coarse.centroids, model)
+  }
+
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
+                 numCentroids: Int, m: Int, dim: Int, k: Int = 256,
+                 seed: Long = 42L): IvfPqIndex = {
+    val cents = ivfFitCentroids(df, vecCol, numCentroids, seed)
+    val model = ivfPqTrainResiduals(df, idCol, vecCol, cents, dim, m, k, seed)
+    ivfPqFromArtifacts(df, idCol, vecCol, cents, model)
   }
 
   /** IVF-ADC search with exact re-ranking: probe the `nProbe` nearest
