@@ -1418,6 +1418,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // AUTO-routed as-of join on a PLANTED 50%-hot key (every even event
+    // remapped to custkey 1, which has real orders): the key histogram
+    // routes custkey 1 through the time-sliced path and everything else
+    // through the plain single-window form; per-key independence makes
+    // the split-and-union exact, and DuckDB's ASOF JOIN is the oracle
+    // for the whole composition
+    "q_asof_auto" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit(1L))
+          .otherwise(col("user_id")).as("user_id"), col("ts"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      Temporal.asofJoinAuto(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), sliceWidthSec = 86400L)
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // SCD2 history build: each customer's order priority "in force" over
     // time — consecutive same-priority orders suppressed, each version
     // closed by the next change, latest open ((custkey, orderdate) is
@@ -3887,6 +3907,21 @@ object SparkEntry {
         |SELECT e.event_id, o.o_orderkey AS last_orderkey,
         |       o.o_totalprice AS last_totalprice
         |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_auto" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS user_id, ts
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.o_orderkey AS last_orderkey,
+        |       o.o_totalprice AS last_totalprice
+        |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 

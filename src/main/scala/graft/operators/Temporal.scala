@@ -232,6 +232,69 @@ object Temporal {
       payloadCols.map(p => col("_m").getField(p).as(p)): _*)
   }
 
+  /** Auto-routed as-of join (backward direction): one cheap key-frequency
+    * pass ([[Skew.keyHistogram]] over BOTH sides' keys — the union is what
+    * the scan window sorts) splits the key space, then HOT keys (share ≥
+    * `hotKeyShare`) run through the time-sliced pre-split
+    * [[asofJoinSliced]] while everything else takes the plain single-
+    * window [[asofJoin]]; per-key independence of the as-of makes the
+    * split-and-union exactly equivalent to either form alone. With no hot
+    * key the histogram is the only extra work and the plan IS the plain
+    * form — unskewed callers don't pay the sliced path's carry-in joins.
+    *
+    * The histogram is two driver actions over a key-projected aggregate
+    * (a tiny columns-pruned scan even at 100 TB); the hot-key set is
+    * bounded by the top-32 histogram rows, so the routing predicate is a
+    * short literal disjunction, never a join. Non-orderable payloads
+    * (maps) fall back to the plain form for ALL keys — the sliced carry
+    * election needs the deterministic tie-break.
+    */
+  def asofJoinAuto(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   payloadCols: Seq[String],
+                   sliceWidthSec: Long,
+                   hotKeyShare: Double = 0.05,
+                   tolerance: Option[Column] = None): DataFrame = {
+    require(hotKeyShare > 0 && hotKeyShare <= 1,
+      s"asofJoinAuto: hotKeyShare must be in (0, 1], got $hotKeyShare")
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"asofJoinAuto: key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val payType = right.select(
+      struct(q(rightTime).cast("timestamp").as("_rt") +: payloadCols.map(q): _*)).schema.head.dataType
+    if (!RowOrdering.isOrderable(payType))
+      return asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
+        payloadCols, tolerance)
+    val both = left.select(leftKeys.map(q): _*).unionByName(
+      right.select(rightKeys.zip(leftKeys).map { case (r, l) => q(r).as(l) }: _*))
+    val hotRows = Skew.keyHistogram(both, leftKeys, topN = 32)
+      .filter(col("share") >= hotKeyShare)
+      .select(leftKeys.map(q): _*).collect()
+    if (hotRows.isEmpty)
+      asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
+        payloadCols, tolerance)
+    else {
+      def hotPred(keys: Seq[String]): Column = hotRows.map { r =>
+        keys.zipWithIndex.map { case (k, i) =>
+          val v = r.get(i)
+          if (v == null) q(k).isNull else q(k) === lit(v)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      // coalesce(…, false): a null key makes the equality predicate NULL,
+      // and bare negation would drop the row from BOTH paths
+      def isHot(keys: Seq[String]) = coalesce(hotPred(keys), lit(false))
+      val hot = asofJoinSliced(
+        left.filter(isHot(leftKeys)), right.filter(isHot(rightKeys)),
+        leftKeys, rightKeys, leftTime, rightTime, payloadCols,
+        sliceWidthSec, tolerance)
+      val cold = asofJoin(
+        left.filter(!isHot(leftKeys)), right.filter(!isHot(rightKeys)),
+        leftKeys, rightKeys, leftTime, rightTime, payloadCols, tolerance)
+      hot.unionByName(cold)
+    }
+  }
+
   /** Range (interval) join: left POINT rows (`leftTime`) matched to right
     * INTERVAL rows (`[rightLo, rightHi)`, half-open) sharing their key —
     * "events inside each campaign window". Both sides bucket into

@@ -183,6 +183,14 @@ object ScaleProbe {
         ordDedup(o), Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
         Seq("o_orderkey", "o_totalprice"), sliceWidthSec = 86400L)
     probe("asof_join_skew_sliced") { asofSliced(skewed(ev1), ord1) } { asofSliced(skewed(ev), ord) }
+    // auto-routing on the same shape: the histogram must send the hot key
+    // to the sliced path, so the ratio should track the sliced probe (plus
+    // the two cheap histogram actions), never the serialized plain form
+    def asofAuto(e: DataFrame, o: DataFrame) =
+      Temporal.asofJoinAuto(e.select(col("event_id"), col("user_id"), col("ts")),
+        ordDedup(o), Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), sliceWidthSec = 86400L)
+    probe("asof_join_skew_auto") { asofAuto(skewed(ev1), ord1) } { asofAuto(skewed(ev), ord) }
     def rjoin(e: DataFrame) = {
       val wins = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),

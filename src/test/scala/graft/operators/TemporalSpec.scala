@@ -205,6 +205,50 @@ class TemporalSpec extends SparkSpec {
     assert(n == Seq((999L, -1L, -1.0)))
   }
 
+  test("asofJoinAuto == asofJoin: hot keys routed sliced, cold plain, null keys survive") {
+    // same hot-key shape as the sliced equivalence test, plus a
+    // null-key left row (must NOT vanish in the split: bare !pred on a
+    // null key is null and would drop it from both paths)
+    val lefts = (1 to 400).map { i =>
+      val k = if (i % 2 == 0) "HOT" else s"k${i % 10}"
+      (k, new Timestamp(1700000000000L + (i * 7919L % 100000L) * 1000L), i.toLong)
+    }.toDF("k", "lt", "lid").unionByName(
+      Seq((null.asInstanceOf[String],
+        new Timestamp(1700000050000L), 998L)).toDF("k", "lt", "lid"))
+    val rights = (1 to 120).map { i =>
+      val k = if (i % 3 == 0) "HOT" else s"k${i % 10}"
+      (k, new Timestamp(1700000000000L + ((i / 2) * 13337L % 90000L) * 1000L),
+        i.toLong, i * 1.5)
+    }.toDF("k", "rt", "rid", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lid"), col("rid"), col("rv"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+    val base = canon(Temporal.asofJoin(lefts, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv")))
+    // HOT holds ~half the union → routed to the sliced path at 5% share
+    val auto = canon(Temporal.asofJoinAuto(lefts, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv"), sliceWidthSec = 600L))
+    assert(auto == base)
+    assert(auto.exists(_._1 == 998L), "null-key left row must survive the routing split")
+    // threshold above every share → pure plain path, same rows
+    val allCold = canon(Temporal.asofJoinAuto(lefts, rights, Seq("k"), Seq("k"),
+      "lt", "rt", Seq("rid", "rv"), sliceWidthSec = 600L, hotKeyShare = 1.0))
+    assert(allCold == base)
+    // non-orderable payload (map) falls back to the plain form whole
+    val mapRights = rights.withColumn("rm", map(lit("a"), col("rv")))
+    val viaAuto = Temporal.asofJoinAuto(lefts, mapRights, Seq("k"), Seq("k"),
+        "lt", "rt", Seq("rm"), sliceWidthSec = 600L)
+      .select(col("lid"), element_at(col("rm"), "a").as("rv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).sortBy(_._1).toSeq
+    val viaPlain = Temporal.asofJoin(lefts, mapRights, Seq("k"), Seq("k"),
+        "lt", "rt", Seq("rm"))
+      .select(col("lid"), element_at(col("rm"), "a").as("rv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).sortBy(_._1).toSeq
+    assert(viaAuto == viaPlain)
+  }
+
   test("attributeWithin: closed bounds, null times drop, internal-name collision refused") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2026-01-01 10:00:00")),
