@@ -490,22 +490,30 @@ object EventStreams {
     * against a FROZEN cohort-assignment table
     * (`Analytics.cohortAssignments` over landed history — the stream
     * must not re-derive cohorts, or they drift with batch composition;
-    * the [[driftMonitorSink]] frozen-baseline principle). State is the
-    * distinct `(cohort_week, week_offset, user)` triple set — bounded
-    * by users × weeks, NOT by event volume — merged per micro-batch via
-    * the snapshot-pointer protocol ([[applyMergeBatch]], set union);
-    * each batch then writes the re-aggregated triangle to
-    * `outDir/batch=<id>` (replay-idempotent overwrite). After the
-    * backlog drains the latest triangle EQUALS the batch operator over
-    * the same events and assignments — pinned in EventStreamsSpec.
+    * the [[driftMonitorSink]] frozen-baseline principle). In `mode =
+    * "exact"` state is the distinct `(cohort_week, week_offset, user)`
+    * triple set — bounded by users × weeks, NOT by event volume — merged
+    * per micro-batch via the snapshot-pointer protocol
+    * ([[applyMergeBatch]], set union). In `mode = "sketch"` state is ONE
+    * mergeable HLL sketch per (cohort, offset) cell — O(cells),
+    * independent of user count — union-merged per batch (the
+    * [[activeUsersSink]] treatment, for deployments where users × weeks
+    * itself is the scale problem). Each batch writes the re-aggregated
+    * triangle to `outDir/batch=<id>` (replay-idempotent overwrite).
+    * After the backlog drains the latest triangle EQUALS the batch
+    * operator (same mode) over the same events and assignments — pinned
+    * in EventStreamsSpec.
     */
   def cohortSnapshotSink(events: DataFrame, firstEvents: DataFrame,
                          userCol: String, tsCol: String,
                          stateDir: String, outDir: String, checkpointDir: String,
-                         maxWeeks: Int = 12,
+                         maxWeeks: Int = 12, mode: String = "exact",
+                         lgK: Int = 12,
                          trigger: org.apache.spark.sql.streaming.Trigger =
                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(mode == "exact" || mode == "sketch",
+      s"cohortSnapshotSink: mode must be exact or sketch, got '$mode'")
     val spark = events.sparkSession
     val assignments = broadcast(firstEvents.select(
       graft.operators.Cols.qcol(userCol).as("_user"), col("cohort_week")))
@@ -513,7 +521,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val triples = batch.select(
+        val assigned = batch.select(
             graft.operators.Cols.qcol(userCol).as("_user"),
             to_date(graft.operators.Cols.qcol(tsCol).cast("timestamp")).as("_day"))
           .join(assignments, Seq("_user"))
@@ -521,15 +529,33 @@ object EventStreams {
             floor(datediff(col("_day"), col("cohort_week")) / 7).cast("int"))
           .filter(col("week_offset").between(0, maxWeeks))
           .select(col("cohort_week"), col("week_offset"), col("_user"))
-          .distinct()
-        applyMergeBatch(spark, triples, batchId, stateDir) { (cur, b) =>
-          cur.fold(b)(c => c.unionByName(b).distinct())
+        if (mode == "exact") {
+          // state = the distinct triple set: exact, but O(cells × users)
+          val triples = assigned.distinct()
+          applyMergeBatch(spark, triples, batchId, stateDir) { (cur, b) =>
+            cur.fold(b)(c => c.unionByName(b).distinct())
+          }
+          readUpserted(spark, stateDir).foreach(state =>
+            state.groupBy(col("cohort_week"), col("week_offset"))
+              .agg(count(lit(1)).as("active_users"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+        } else {
+          // state = one mergeable HLL sketch per (cohort, offset) cell —
+          // O(cells), independent of user count; cross-batch repeat
+          // activity dedups inside the sketch union (an additive count
+          // would double-count, the activeUsersSink argument)
+          val partial = graft.operators.Analytics.cohortCellSketches(assigned, lgK)
+          applyMergeBatch(spark, partial, batchId, stateDir) { (cur, b) =>
+            cur.fold(b)(c => c.unionByName(b)
+              .groupBy(col("cohort_week"), col("week_offset"))
+              .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk")))
+          }
+          readUpserted(spark, stateDir).foreach(state =>
+            graft.operators.Analytics.cohortRetentionFromSketches(state)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
         }
-        readUpserted(spark, stateDir).foreach(state =>
-          state.groupBy(col("cohort_week"), col("week_offset"))
-            .agg(count(lit(1)).as("active_users"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
       }
       .start()
     awaitIfRunToCompletion(q, trigger)

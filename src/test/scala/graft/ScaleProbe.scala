@@ -397,6 +397,14 @@ object ScaleProbe {
     }
     probeRun("funnel")(fnl(ev1))(fnl(ev))
     // cohort retention: three exchanges on (user) and (cohort, offset)
+    // sketch mode: the per-cell distinct state becomes one HLL sketch —
+    // the distinct-state growth is the exact mode's only super-scaling
+    // term, so this ratio should sit well under the exact probe's
+    probe("cohort_retention_sketch") {
+      Analytics.cohortRetention(ev1, "user_id", "ts", mode = "sketch")
+    } {
+      Analytics.cohortRetention(ev, "user_id", "ts", mode = "sketch")
+    }
     probe("cohort_retention") {
       Analytics.cohortRetention(ev1, "user_id", "ts")
     } {

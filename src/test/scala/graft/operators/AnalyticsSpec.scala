@@ -406,6 +406,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention sketch mode tracks exact within HLL error; same cells") {
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 20000).map { _ =>
+      (rnd.nextInt(3000).toLong,
+        java.sql.Timestamp.valueOf(f"2026-01-${1 + rnd.nextInt(28)}%02d 09:00:00"))
+    }.toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = canon(Analytics.cohortRetention(ev, "user_id", "ts"))
+    val sk = canon(Analytics.cohortRetention(ev, "user_id", "ts", mode = "sketch"))
+    assert(sk.keySet == exact.keySet, "sketch mode must emit the same cells")
+    exact.foreach { case (cell, n) =>
+      assert(math.abs(sk(cell) - n) <= math.max(3.0, 0.05 * n),
+        s"cell $cell: sketch ${sk(cell)} vs exact $n")
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.cohortRetention(ev, "user_id", "ts", mode = "bogus")
+    }
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

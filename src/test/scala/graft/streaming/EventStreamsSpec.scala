@@ -393,6 +393,44 @@ class EventStreamsSpec extends SparkSpec {
     firsts.unpersist()
   }
 
+  test("cohortSnapshotSink sketch mode: O(cells) state, final triangle equals batch sketch mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cohortsk").toFile.getAbsolutePath
+    // same shape as the exact test, incl. cross-batch repeat activity:
+    // the sketch union must dedup u1's week-1 activity split over batches
+    val all = Seq(
+      (1L, ts("2026-01-05 10:00:00")), (2L, ts("2026-01-06 10:00:00")),
+      (3L, ts("2026-01-12 10:00:00")), (1L, ts("2026-01-07 09:00:00")),
+      (1L, ts("2026-01-13 10:00:00")), (2L, ts("2026-01-19 10:00:00")),
+      (4L, ts("2026-01-20 10:00:00")), (1L, ts("2026-01-14 11:00:00")),
+      (5L, ts("2026-01-26 10:00:00")), (3L, ts("2026-01-27 10:00:00")))
+    val (batch1, batch2) = all.splitAt(6)
+    val evDf = all.toDF("user_id", "ts")
+    val firsts = graft.operators.Analytics
+      .cohortAssignments(evDf, "user_id", "ts").cache()
+    firsts.count()
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def run(): Unit = EventStreams.cohortSnapshotSink(
+      ms.toDF().toDF("user_id", "ts"), firsts, "user_id", "ts",
+      s"$dir/state", s"$dir/out", s"$dir/ckpt", mode = "sketch")
+    ms.addData(batch1: _*); run()
+    ms.addData(batch2: _*); run()
+    def tri(df: org.apache.spark.sql.DataFrame) =
+      df.select("cohort_week", "week_offset", "active_users").collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    val streamed = tri(spark.read.parquet(s"$dir/out/batch=1"))
+    val batch = tri(graft.operators.Analytics.cohortRetention(
+      evDf, "user_id", "ts", mode = "sketch"))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // state really is one row per (cohort, offset) cell, not per user
+    val state = EventStreams.readUpserted(spark, s"$dir/state").get
+    assert(state.columns.toSet == Set("cohort_week", "week_offset", "_sk"))
+    val cells = state.count()
+    assert(cells == batch.size.toLong, s"state rows $cells != cells ${batch.size}")
+    firsts.unpersist()
+  }
+
   test("rfmSnapshotSink: final snapshot equals batch rfmSegments") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
