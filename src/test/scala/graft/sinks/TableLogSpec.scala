@@ -1,0 +1,158 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.TableLog.TableLogConflictException
+
+class TableLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("append/overwrite commits are versioned; readAt time-travels; latest follows") {
+    val dir = tmpDir("tlog")
+    val v1 = TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v2 = TableLog.append(spark, dir, Seq((3L, "c")).toDF("k", "s"))
+    val v3 = TableLog.overwrite(spark, dir, Seq((9L, "z")).toDF("k", "s"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(TableLog.currentVersion(spark, dir) == 3L)
+    def ks(v: Long) = TableLog.readAt(spark, dir, v).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(1) == Seq(1L, 2L))
+    assert(ks(2) == Seq(1L, 2L, 3L))         // append accumulates
+    assert(ks(3) == Seq(9L))                 // overwrite replaces
+    assert(TableLog.readAt(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))   // -1 = latest
+    // history is the audit trail
+    val h = TableLog.history(spark, dir)
+    assert(h.map(c => (c.version, c.op)) ==
+      Seq((1L, "append"), (2L, "append"), (3L, "overwrite")))
+    assert(h.last.remove.toSet == (h(0).add ++ h(1).add).map(_.path).toSet)
+    // nonexistent / out-of-range versions fail loudly
+    intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 7L) }
+  }
+
+  test("append refuses a schema change; overwrite is the schema channel") {
+    val dir = tmpDir("tlog_schema")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark, dir, Seq((1L, 2.0)).toDF("k", "d"))
+    }
+    TableLog.overwrite(spark, dir, Seq((1L, 2.0)).toDF("k", "d"))
+    assert(TableLog.readAt(spark, dir).columns.toSeq == Seq("k", "d"))
+  }
+
+  test("upsertInto: read@vN equals the driver-replayed upserts through N") {
+    val dir = tmpDir("tlog_upsert")
+    def batch(pairs: (Long, Long, String)*) = pairs.toSeq.toDF("k", "ver", "payload")
+    TableLog.upsertInto(spark, dir, batch((1L, 1L, "a1"), (2L, 1L, "b1")), Seq("k"), "ver")
+    TableLog.upsertInto(spark, dir, batch((2L, 2L, "b2"), (3L, 2L, "c2")), Seq("k"), "ver")
+    TableLog.upsertInto(spark, dir, batch((1L, 3L, "a3"), (4L, 3L, "d3")), Seq("k"), "ver")
+    def snap(v: Long) = TableLog.readAt(spark, dir, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(snap(1) == Seq((1L, 1L, "a1"), (2L, 1L, "b1")))
+    assert(snap(2) == Seq((1L, 1L, "a1"), (2L, 2L, "b2"), (3L, 2L, "c2")))
+    assert(snap(3) == Seq((1L, 3L, "a3"), (2L, 2L, "b2"), (3L, 2L, "c2"), (4L, 3L, "d3")))
+  }
+
+  test("two-writer race: exactly one commit wins, the loser fails loudly and leaves no garbage") {
+    val dir = tmpDir("tlog_race")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    // writer A reads base version 1 … then writer B commits version 2 first
+    val baseA = TableLog.currentVersion(spark, dir)
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s")) // writer B wins v2
+    val e = intercept[TableLogConflictException] {
+      TableLog.append(spark, dir, Seq((99L, "LOST")).toDF("k", "s"),
+        expectedParent = Some(baseA))
+    }
+    assert(e.getMessage.contains("version 2"))
+    // the winner's data is intact, the loser's rows are nowhere
+    val ks = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 2L))
+    assert(TableLog.currentVersion(spark, dir) == 2L)
+    // the loser's data files were deleted on the way out: every parquet
+    // under data/ is referenced by some committed manifest
+    val referenced = TableLog.history(spark, dir).flatMap(_.add.map(_.path)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "data"), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = s"data/${f.getParent.getName}/${f.getName}"
+        assert(referenced.contains(rel), s"orphan data file survived the lost race: $rel")
+      }
+    }
+  }
+
+  test("crash mid-commit self-heals: orphans invisible, next commit unaffected, vacuum sweeps them") {
+    val dir = tmpDir("tlog_crash")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    // simulate a crash AFTER data files + temp manifest, BEFORE the rename
+    Seq((666L, "ghost")).toDF("k", "s").write.parquet(s"$dir/data/crashed_attempt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_log/.tmp_crashed"), true)
+    try out.write("{\"version\":2,\"never\":\"renamed\"}".getBytes("UTF-8"))
+    finally out.close()
+    // readers: unaffected, the ghost rows are invisible
+    assert(TableLog.currentVersion(spark, dir) == 1L)
+    assert(TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the next writer takes version 2 as if the crash never happened
+    assert(TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s")) == 2L)
+    assert(TableLog.readAt(spark, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // vacuum sweeps the orphan attempt dir and the temp manifest
+    val rep = TableLog.vacuum(spark, dir, keepVersions = 10)
+    assert(rep.deletedDataFiles >= 1, "the ghost parquet must be deleted")
+    assert(rep.deletedTmp >= 1, "the crashed temp manifest must be deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "data/crashed_attempt")))
+    assert(TableLog.readAt(spark, dir, 1L).count() == 1L) // retained history intact
+  }
+
+  test("stats manifest prunes the FILE LIST: y-box reads ≤6 of 16 files, results identical") {
+    val dir = tmpDir("tlog_stats")
+    // 16 range-partitioned files over y ∈ [0, 16): each file covers ~1/16
+    val df = (0 until 1600).map(i => (i.toLong, i / 100.0, s"r$i")).toDF("k", "y", "s")
+      .repartitionByRange(16, col("y"))
+    TableLog.append(spark, dir, df, statsCols = Seq("y"))
+    val manifest = TableLog.history(spark, dir).last
+    assert(manifest.add.length == 16)
+    assert(manifest.add.forall(_.stats.contains("y")), "every file must carry y stats")
+    assert(manifest.add.map(_.rows).sum == 1600L)
+    val pr = TableLog.scanPruned(spark, dir, Seq(("y", 3.05, 4.95)))
+    assert(pr.filesTotal == 16)
+    assert(pr.filesRead <= 6, s"y-box must prune the listing, read ${pr.filesRead}/16")
+    // the pruned df really reads only that many files
+    val touched = pr.df.select(input_file_name()).distinct().count()
+    assert(touched == pr.filesRead.toLong)
+    // oracle-identical: pruned + exact predicate == full scan + exact predicate
+    def ys(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("y").between(3.05, 4.95)).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ys(pr.df) == ys(TableLog.readAt(spark, dir)))
+    // string stats prune too; files without stats for the column are kept
+    val pAll = TableLog.scanPruned(spark, dir, Seq(("nosuchcol", 0.0, 1.0)))
+    assert(pAll.filesRead == 16, "missing stats must never prune")
+  }
+
+  test("vacuum retires old versions: reclaimed files, loud watermark, retained reads intact") {
+    val dir = tmpDir("tlog_vac")
+    TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s"))
+    TableLog.overwrite(spark, dir, Seq((2L, "v2")).toDF("k", "s"))
+    TableLog.overwrite(spark, dir, Seq((3L, "v3")).toDF("k", "s"))
+    TableLog.overwrite(spark, dir, Seq((4L, "v4")).toDF("k", "s"))
+    val rep = TableLog.vacuum(spark, dir, keepVersions = 2)
+    assert(rep.retainedFrom == 3L)
+    assert(rep.deletedDataFiles >= 2, "v1/v2-only files must be reclaimed")
+    // retained versions still read
+    assert(TableLog.readAt(spark, dir, 3L).select("s").head().getString(0) == "v3")
+    assert(TableLog.readAt(spark, dir, 4L).select("s").head().getString(0) == "v4")
+    // vacuumed versions fail with the watermark message, not FileNotFound
+    val e = intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
+    assert(e.getMessage.contains("vacuumed"))
+    // history (the audit log) is still complete
+    assert(TableLog.history(spark, dir).map(_.version) == Seq(1L, 2L, 3L, 4L))
+  }
+}
