@@ -86,6 +86,12 @@ object SparkEntry {
   private val tableLogPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged TableLog lineitem layout (16 price-range files + footer
+    * stats in the manifest) for the q_table_log_prune scan.
+    */
+  private val tableLogPrunedPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_orderpriority",
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
@@ -1500,6 +1506,27 @@ object SparkEntry {
       TableLog.readAt(s, dir, version = 2L)
         .select(col("o_orderkey"), col("val"), col("ver"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // manifest-pruned scan over a staged TableLog layout: lineitem
+    // written once as 16 price-range files with footer min/max recorded
+    // in the commit manifest; the price-box read plans ONLY overlapping
+    // files (file-listing-level skipping) and must still produce exactly
+    // the full-table filter's rows — DuckDB scans everything, results
+    // must hash-match
+    "q_table_log_prune" -> ((s, d) => {
+      val dir = tableLogPrunedPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogprune", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartitionByRange(16, col("price"))
+        TableLog.append(s, p, li, statsCols = Seq("price"))
+        p
+      })
+      val pr = TableLog.scanPruned(s, dir, Seq(("price", 10000.0, 20000.0)))
+      pr.df.filter(col("price").between(10000.0, 20000.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // range join: events attributed to the hour-long window BEFORE each
@@ -3941,6 +3968,12 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_table_log_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // last-wins replay of upsert batches 1..2 (batch 3 exists in the log
     // but is AFTER the read version — time travel must not see it)

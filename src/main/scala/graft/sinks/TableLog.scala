@@ -34,11 +34,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    way out). `expectedParent` pins the base version a caller read, so
   *    read-merge-write cycles cannot silently clobber a concurrent
   *    commit.
-  *  - TIME TRAVEL: [[readAt]] replays manifests `1..N` into the file
-  *    list live at version N. [[vacuum]] deletes data files only
-  *    reachable from versions older than the retention window and
-  *    records a watermark, so a time-travel read below it fails with a
-  *    clear error instead of a missing-file stack trace.
+  *  - TIME TRAVEL: [[readAt]] resolves the file list live at version N
+  *    by folding the log — from the nearest CHECKPOINT at or below N
+  *    ([[checkpoint]] materializes a snapshot manifest, the Delta
+  *    `_last_checkpoint` pattern), so resolution cost is O(commits since
+  *    the last checkpoint), not O(table lifetime). [[vacuum]] deletes
+  *    data files only reachable from versions older than the retention
+  *    window and records a watermark, so a time-travel read below it
+  *    fails with a clear error instead of a missing-file stack trace.
+  *  - EXACTLY-ONCE STREAMING WRITES: a commit can carry a `txn`
+  *    idempotence marker `(appId, batchId)`; [[upsertIntoOnce]] checks
+  *    the log for the marker first and skips replayed micro-batches, so
+  *    a crash-replayed `foreachBatch` write commits exactly once.
   *  - FILE-SKIPPING STATS: each manifest records per-file row counts and
   *    min/max column stats harvested from the parquet FOOTERS of the
   *    files it adds (no extra data scan); [[scanPruned]] intersects
@@ -64,8 +71,15 @@ object TableLog {
   final case class StrStat(min: String, max: String) extends Stat
 
   final case class AddFile(path: String, rows: Long, stats: Map[String, Stat])
+
+  /** `txn` is the optional idempotence marker `(appId, batchId)` a
+    * streaming writer stamps on its commit — a replayed micro-batch is
+    * detected by scanning history for its marker and skipped, which is
+    * what makes foreachBatch → TableLog exactly-once under crash-replay.
+    */
   final case class Commit(version: Long, parent: Long, op: String,
-                          schemaJson: String, add: Seq[AddFile], remove: Seq[String])
+                          schemaJson: String, add: Seq[AddFile], remove: Seq[String],
+                          txn: Option[(String, Long)] = None)
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
   final case class VacuumReport(deletedDataFiles: Int, deletedTmp: Int,
@@ -79,8 +93,9 @@ object TableLog {
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             expectedParent: Option[Long] = None): Long =
-    commit(spark, dir, df, "append", statsCols, expectedParent)
+             expectedParent: Option[Long] = None,
+             txn: Option[(String, Long)] = None): Long =
+    commit(spark, dir, df, "append", statsCols, expectedParent, txn)
 
   /** Replace the table's contents as a new version: the manifest removes
     * every file live at the parent and adds the new ones — old versions
@@ -88,8 +103,9 @@ object TableLog {
     */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
                 statsCols: Seq[String] = Nil,
-                expectedParent: Option[Long] = None): Long =
-    commit(spark, dir, df, "overwrite", statsCols, expectedParent)
+                expectedParent: Option[Long] = None,
+                txn: Option[(String, Long)] = None): Long =
+    commit(spark, dir, df, "overwrite", statsCols, expectedParent, txn)
 
   /** Last-wins upsert as a transaction: read the latest snapshot, merge
     * the batch ([[DataSink.upsert]] semantics), publish as an overwrite
@@ -99,30 +115,82 @@ object TableLog {
     */
   def upsertInto(spark: SparkSession, dir: String, batch: DataFrame,
                  keys: Seq[String], versionCol: String,
-                 statsCols: Seq[String] = Nil): Long = {
+                 statsCols: Seq[String] = Nil,
+                 txn: Option[(String, Long)] = None): Long = {
     val base = currentVersion(spark, dir)
     val merged =
       if (base == 0L) batch
       else DataSink.upsert(readAt(spark, dir, base), batch, keys, versionCol)
-    overwrite(spark, dir, merged, statsCols, expectedParent = Some(base))
+    overwrite(spark, dir, merged, statsCols, expectedParent = Some(base), txn = txn)
+  }
+
+  /** Idempotent [[upsertInto]] for streaming `foreachBatch` replay: if
+    * the log already carries a commit stamped `(appId, batchId')` with
+    * `batchId' >= batchId`, the batch was committed before the crash —
+    * skip it and return None; otherwise commit with the marker and
+    * return the new version. Exactly-once without any state beside the
+    * log itself.
+    */
+  def upsertIntoOnce(spark: SparkSession, dir: String, batch: DataFrame,
+                     keys: Seq[String], versionCol: String,
+                     appId: String, batchId: Long,
+                     statsCols: Seq[String] = Nil): Option[Long] =
+    if (lastCommittedBatch(spark, dir, appId).exists(_ >= batchId)) None
+    else Some(upsertInto(spark, dir, batch, keys, versionCol, statsCols,
+      txn = Some(appId -> batchId)))
+
+  /** Highest `batchId` the log has committed for `appId`, if any. */
+  def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val txns = history(spark, dir).flatMap(_.txn)
+    val mine = txns.collect { case (a, b) if a == appId => b }
+    if (mine.isEmpty) None else Some(mine.max)
+  }
+
+  /** Materialize the live state at the LATEST version as a checkpoint
+    * manifest (`_log/<version>.checkpoint.json`, the Delta
+    * `_last_checkpoint` pattern): subsequent reads fold the log from
+    * here instead of from version 1, so snapshot resolution stays
+    * O(commits since last checkpoint) however old the table grows.
+    * Idempotent — a checkpoint that already exists is a no-op. Run it
+    * from the maintenance job on the compaction cadence.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val latest = currentVersion(spark, dir)
+    require(latest > 0L, s"TableLog.checkpoint: $dir has no committed versions")
+    val target = new Path(base, f"_log/$latest%020d.checkpoint.json")
+    if (fs.exists(target)) return latest
+    val (schemaJson, live) = snapshotAt(spark, fs, base, latest)
+    val body = renderCheckpoint(latest, schemaJson, live)
+    val tmp = new Path(base, s"_log/.tmp_ckpt_$latest")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = FileContext.getFileContext(base.toUri, conf)
+      fc.rename(tmp, target) // lost race with another checkpointer = same content
+    } catch { case _: Exception => fs.delete(tmp, false) }
+    latest
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame, op: String,
-                     statsCols: Seq[String], expectedParent: Option[Long]): Long = {
+                     statsCols: Seq[String], expectedParent: Option[Long],
+                     txn: Option[(String, Long)]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     fs.mkdirs(new Path(base, "_log"))
-    val entries = logEntries(fs, base)
-    val parent = expectedParent.getOrElse(entries.lastOption.map(_.version).getOrElse(0L))
-    entries.find(_.version == parent).foreach { p =>
-      if (op == "append")
-        require(df.schema.json == p.schemaJson,
-          s"TableLog.append: schema mismatch vs version $parent — " +
-            "append requires the exact current schema; use overwrite to change it")
+    val commitVers = commitVersions(fs, base)
+    val parent = expectedParent.getOrElse(commitVers.lastOption.getOrElse(0L))
+    require(parent == 0L || commitVers.contains(parent),
+      s"TableLog: expectedParent $parent does not exist")
+    if (op == "append" && parent > 0L) {
+      val (pSchema, _) = snapshotAt(spark, fs, base, parent)
+      require(df.schema.json == pSchema,
+        s"TableLog.append: schema mismatch vs version $parent — " +
+          "append requires the exact current schema; use overwrite to change it")
     }
-    require(expectedParent.isEmpty || entries.lastOption.forall(_.version >= parent),
-      s"TableLog: expectedParent $parent does not exist yet")
     // data files land under a per-attempt subdir: uncommitted attempts
     // never collide and vacuum can sweep whole orphan directories
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -135,13 +203,16 @@ object TableLog {
       AddFile(s"$dataSub/${f.getName}", rows, stats)
     }.toSeq
     val removes: Seq[String] =
-      if (op == "overwrite") liveFiles(entries, parent).map(_.path) else Nil
+      if (op == "overwrite" && parent > 0L)
+        snapshotAt(spark, fs, base, parent)._2.map(_.path)
+      else Nil
     val version = parent + 1
     val target = new Path(base, f"_log/$version%020d.json")
     val tmp = new Path(base, s"_log/.tmp_$attempt")
     val out = fs.create(tmp, true)
-    try out.write(renderCommit(Commit(version, parent, op, df.schema.json, adds, removes))
-      .getBytes("UTF-8"))
+    try out.write(
+      renderCommit(Commit(version, parent, op, df.schema.json, adds, removes, txn))
+        .getBytes("UTF-8"))
     finally out.close()
     // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
     // fails if a concurrent writer landed this version first
@@ -162,41 +233,35 @@ object TableLog {
 
   // ------------------------------------------------------------------- read
 
-  /** Latest committed version, 0 for an empty/new table. */
+  /** Latest committed version, 0 for an empty/new table — a names-only
+    * listing, no manifest is parsed.
+    */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(base, "_log"))) 0L
-    else logEntries(fs, base).lastOption.map(_.version).getOrElse(0L)
+    else commitVersions(fs, base).lastOption.getOrElse(0L)
   }
 
   /** The committed history, oldest first — driver-side (the log is tiny;
-    * manifests list files, they do not contain data).
+    * manifests list files, they do not contain data). Commit manifests
+    * are never deleted, so this is the complete audit trail even after
+    * [[vacuum]].
     */
   def history(spark: SparkSession, dir: String): Seq[Commit] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(base, "_log"))) Nil else logEntries(fs, base)
+    if (!fs.exists(new Path(base, "_log"))) Nil
+    else commitVersions(fs, base).map(v => parseCommit(readText(fs,
+      new Path(base, f"_log/$v%020d.json"))))
   }
 
   /** Snapshot read at `version` (`-1` = latest). Fails loudly for a
     * version that never existed or that [[vacuum]] has retired.
     */
   def readAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = new Path(dir)
-    val fs = base.getFileSystem(conf)
-    val entries = logEntries(fs, base)
-    require(entries.nonEmpty, s"TableLog.readAt: $dir has no committed versions")
-    val v = if (version == -1L) entries.last.version else version
-    val wm = vacuumWatermark(fs, base)
-    require(v >= wm,
-      s"TableLog.readAt: version $v of $dir was vacuumed (earliest readable: $wm)")
-    val entry = entries.find(_.version == v).getOrElse(
-      throw new IllegalArgumentException(
-        s"TableLog.readAt: version $v of $dir does not exist (latest: ${entries.last.version})"))
-    val files = liveFiles(entries, v)
-    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val (schemaJson, files) = resolve(spark, dir, version, "readAt")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
@@ -213,17 +278,7 @@ object TableLog {
   def scanPruned(spark: SparkSession, dir: String,
                  bounds: Seq[(String, Any, Any)],
                  version: Long = -1L): PrunedScan = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = new Path(dir)
-    val fs = base.getFileSystem(conf)
-    val entries = logEntries(fs, base)
-    require(entries.nonEmpty, s"TableLog.scanPruned: $dir has no committed versions")
-    val v = if (version == -1L) entries.last.version else version
-    require(v >= vacuumWatermark(fs, base),
-      s"TableLog.scanPruned: version $v of $dir was vacuumed")
-    val entry = entries.find(_.version == v).getOrElse(
-      throw new IllegalArgumentException(s"TableLog.scanPruned: version $v does not exist"))
-    val files = liveFiles(entries, v)
+    val (schemaJson, files) = resolve(spark, dir, version, "scanPruned")
     val kept = files.filter(f => bounds.forall { case (c, lo, hi) =>
       f.stats.get(c) match {
         case Some(NumStat(mn, mx)) => (lo, hi) match {
@@ -238,11 +293,26 @@ object TableLog {
         case None => true
       }
     })
-    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val df =
       if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
     PrunedScan(df, kept.length, files.length)
+  }
+
+  private def resolve(spark: SparkSession, dir: String, version: Long,
+                      who: String): (String, Seq[AddFile]) = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitVers = commitVersions(fs, base)
+    require(commitVers.nonEmpty, s"TableLog.$who: $dir has no committed versions")
+    val v = if (version == -1L) commitVers.last else version
+    val wm = vacuumWatermark(fs, base)
+    require(v >= wm,
+      s"TableLog.$who: version $v of $dir was vacuumed (earliest readable: $wm)")
+    require(commitVers.contains(v),
+      s"TableLog.$who: version $v of $dir does not exist (latest: ${commitVers.last})")
+    snapshotAt(spark, fs, base, v)
   }
 
   // ----------------------------------------------------------------- vacuum
@@ -260,13 +330,13 @@ object TableLog {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
-    val entries = logEntries(fs, base)
-    require(entries.nonEmpty, s"TableLog.vacuum: $dir has no committed versions")
-    val latest = entries.last.version
+    val commitVers = commitVersions(fs, base)
+    require(commitVers.nonEmpty, s"TableLog.vacuum: $dir has no committed versions")
+    val latest = commitVers.last
     val retainFrom = math.max(vacuumWatermark(fs, base),
       math.max(1L, latest - keepVersions + 1))
-    val referenced = (retainFrom to latest)
-      .flatMap(v => liveFiles(entries, v).map(_.path)).toSet
+    val referenced = commitVers.filter(_ >= retainFrom)
+      .flatMap(v => snapshotAt(spark, fs, base, v)._2.map(_.path)).toSet
     val dataRoot = new Path(base, "data")
     var deletedData = 0
     if (fs.exists(dataRoot)) {
@@ -304,41 +374,61 @@ object TableLog {
 
   private def vacuumWatermark(fs: FileSystem, base: Path): Long = {
     val wm = new Path(base, "_log/_VACUUM")
-    if (!fs.exists(wm)) 1L
-    else {
-      val in = fs.open(wm)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    if (!fs.exists(wm)) 1L else readText(fs, wm).trim.toLong
   }
 
-  /** Parse every committed manifest, sorted by version. Dot-prefixed temp
-    * files (in-flight or crashed commits) are invisible by construction.
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Committed versions, ascending — names only, nothing parsed.
+    * Dot-prefixed temp files (in-flight or crashed commits) are
+    * invisible by construction.
     */
-  private def logEntries(fs: FileSystem, base: Path): Seq[Commit] = {
+  private def commitVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val logRoot = new Path(base, "_log")
     if (!fs.exists(logRoot)) return Nil
-    fs.listStatus(logRoot).map(_.getPath)
-      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
-      .sortBy(_.getName)
-      .map { p =>
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        parseCommit(txt)
-      }.toSeq
+    fs.listStatus(logRoot).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
+        !n.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
-  /** Files live at `version`: replay adds minus removes through the log
-    * prefix. Remove-then-readd is well-defined (set semantics per step).
+  private def checkpointVersions(fs: FileSystem, base: Path): Seq[Long] = {
+    val logRoot = new Path(base, "_log")
+    if (!fs.exists(logRoot)) return Nil
+    fs.listStatus(logRoot).map(_.getPath.getName)
+      .filter(n => n.endsWith(".checkpoint.json") && !n.startsWith("."))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted.toSeq
+  }
+
+  /** `(schemaJson, live files)` at `version`: start from the nearest
+    * checkpoint at or below it, fold only the commits after — the log
+    * prefix before a checkpoint is never re-parsed (remove-then-readd is
+    * well-defined, set semantics per step).
     */
-  private def liveFiles(entries: Seq[Commit], version: Long): Seq[AddFile] = {
+  private def snapshotAt(spark: SparkSession, fs: FileSystem, base: Path,
+                         version: Long): (String, Seq[AddFile]) = {
+    val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    entries.takeWhile(_.version <= version).foreach { c =>
+    var schemaJson: String = null
+    ckpt.foreach { cv =>
+      val (s, files) = parseCheckpoint(readText(fs,
+        new Path(base, f"_log/$cv%020d.checkpoint.json")))
+      schemaJson = s
+      files.foreach(a => live(a.path) = a)
+    }
+    val from = ckpt.getOrElse(0L)
+    commitVersions(fs, base).filter(v => v > from && v <= version).foreach { v =>
+      val c = parseCommit(readText(fs, new Path(base, f"_log/$v%020d.json")))
       c.remove.foreach(live.remove)
       c.add.foreach(a => live(a.path) = a)
+      schemaJson = c.schemaJson
     }
-    live.values.toSeq
+    require(schemaJson != null,
+      s"TableLog: no manifest resolves version $version under $base")
+    (schemaJson, live.values.toSeq)
   }
 
   /** Row count + per-column min/max from the parquet FOOTER — no data
@@ -410,22 +500,29 @@ object TableLog {
     case StrStat(mn, mx) => s"""{"t":"s","min":"${esc(mn)}","max":"${esc(mx)}"}"""
   }
 
-  private[sinks] def renderCommit(c: Commit): String = {
-    val adds = c.add.map { a =>
-      val stats = a.stats.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
-      s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}}"""
-    }.mkString(",")
-    val removes = c.remove.map(r => s""""${esc(r)}"""").mkString(",")
-    s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]}"""
+  private def renderAdd(a: AddFile): String = {
+    val stats = a.stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}}"""
   }
 
-  private[sinks] def parseCommit(txt: String): Commit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = m.readTree(txt)
+  private[sinks] def renderCommit(c: Commit): String = {
+    val adds = c.add.map(renderAdd).mkString(",")
+    val removes = c.remove.map(r => s""""${esc(r)}"""").mkString(",")
+    val txn = c.txn.fold("")(t =>
+      s""","txn":{"app":"${esc(t._1)}","batch":${t._2}}""")
+    s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn}"""
+  }
+
+  private def renderCheckpoint(version: Long, schemaJson: String,
+                               live: Seq[AddFile]): String =
+    s"""{"version":$version,"schema":"${esc(schemaJson)}",""" +
+      s""""live":[${live.map(renderAdd).mkString(",")}]}"""
+
+  private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] = {
     import scala.jdk.CollectionConverters._
-    val adds = n.get("add").elements().asScala.map { a =>
+    n.elements().asScala.map { a =>
       val stats = Option(a.get("stats")).map { so =>
         so.properties().asScala.map { e =>
           val v = e.getValue
@@ -438,8 +535,21 @@ object TableLog {
       }.getOrElse(Map.empty[String, Stat])
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats)
     }.toSeq
+  }
+
+  private[sinks] def parseCommit(txt: String): Commit = {
+    import scala.jdk.CollectionConverters._
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     val removes = n.get("remove").elements().asScala.map(_.asText()).toSeq
+    val txn = Option(n.get("txn")).map(t =>
+      (t.get("app").asText(), t.get("batch").asLong()))
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
-      n.get("op").asText(), n.get("schema").asText(), adds, removes)
+      n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
+      removes, txn)
+  }
+
+  private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    (n.get("schema").asText(), parseAdds(n.get("live")))
   }
 }

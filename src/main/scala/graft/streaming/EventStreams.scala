@@ -815,6 +815,37 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[upsertSink]]'s TRANSACTIONAL twin: each micro-batch lands as a
+    * [[graft.sinks.TableLog]] commit stamped with the `(appId, batchId)`
+    * idempotence marker — a crash-replayed batch finds its marker in the
+    * log and skips, so the table commits exactly once per batch while
+    * keeping everything the pointer protocol cannot offer: first-class
+    * versions (one per micro-batch), time travel across batch history,
+    * stats manifests for pruned reads, and conflict detection against
+    * any OTHER writer sharing the table (the pointer sink assumes it
+    * owns its directory; this one doesn't have to). Read the live state
+    * with `TableLog.readAt(spark, tableDir)`.
+    */
+  def tableLogUpsertSink(updates: DataFrame, tableDir: String, checkpointDir: String,
+                         keys: Seq[String], versionCol: String, appId: String,
+                         statsCols: Seq[String] = Nil,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.TableLog.upsertIntoOnce(spark, tableDir, batch, keys,
+          versionCol, appId, batchId, statsCols)
+        ()
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** One micro-batch of the upsert protocol (factored out of the stream
     * closure so the at-least-once replay path is directly testable).
     * Idempotent per batchId: foreachBatch replays a batch when the job

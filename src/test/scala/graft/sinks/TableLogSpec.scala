@@ -137,6 +137,59 @@ class TableLogSpec extends SparkSpec {
     assert(pAll.filesRead == 16, "missing stats must never prune")
   }
 
+  test("checkpoint: reads resolve from the checkpoint, pre-checkpoint manifests unread, results identical") {
+    val dir = tmpDir("tlog_ckpt")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    TableLog.overwrite(spark, dir, Seq((3L, "c"), (4L, "d")).toDF("k", "s"))
+    val before = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(TableLog.checkpoint(spark, dir) == 3L)
+    assert(TableLog.checkpoint(spark, dir) == 3L) // idempotent no-op
+    // commits after the checkpoint fold on top of it
+    TableLog.append(spark, dir, Seq((5L, "e")).toDF("k", "s"))
+    assert(TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L))
+    assert(TableLog.readAt(spark, dir, 3L).collect().map(_.getLong(0)).sorted.toSeq == before)
+    // the checkpoint REALLY carries resolution: corrupt every
+    // pre-checkpoint manifest body; checkpointed reads must not notice
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 3L).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(dir, f"_log/$v%020d.json")
+      val out = fs.create(p, true)
+      try out.write("NOT JSON".getBytes("UTF-8")) finally out.close()
+    }
+    assert(TableLog.readAt(spark, dir, 4L).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L), "resolution at v4 must fold checkpoint@3 + commit 4 only")
+    // time travel BELOW the checkpoint still needs the old manifests
+    intercept[Exception] { TableLog.readAt(spark, dir, 2L).collect() }
+  }
+
+  test("upsertIntoOnce: replayed micro-batches commit exactly once") {
+    val dir = tmpDir("tlog_once")
+    def batch(pairs: (Long, Long, String)*) = pairs.toSeq.toDF("k", "ver", "payload")
+    val app = "stream-app-1"
+    assert(TableLog.upsertIntoOnce(spark, dir, batch((1L, 1L, "a")), Seq("k"), "ver",
+      app, batchId = 0L).contains(1L))
+    assert(TableLog.upsertIntoOnce(spark, dir, batch((2L, 2L, "b")), Seq("k"), "ver",
+      app, batchId = 1L).contains(2L))
+    // crash-replay of batch 1: skipped, no new version, state unchanged
+    assert(TableLog.upsertIntoOnce(spark, dir, batch((2L, 2L, "b")), Seq("k"), "ver",
+      app, batchId = 1L).isEmpty)
+    assert(TableLog.currentVersion(spark, dir) == 2L)
+    // a replay of an OLDER batch after newer ones committed is also a no-op
+    assert(TableLog.upsertIntoOnce(spark, dir, batch((1L, 1L, "a")), Seq("k"), "ver",
+      app, batchId = 0L).isEmpty)
+    // a DIFFERENT app's batch ids are an independent sequence
+    assert(TableLog.upsertIntoOnce(spark, dir, batch((3L, 3L, "c")), Seq("k"), "ver",
+      "other-app", batchId = 0L).contains(3L))
+    assert(TableLog.lastCommittedBatch(spark, dir, app).contains(1L))
+    assert(TableLog.lastCommittedBatch(spark, dir, "other-app").contains(0L))
+    assert(TableLog.lastCommittedBatch(spark, dir, "never-seen").isEmpty)
+    val ks = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == Seq(1L, 2L, 3L))
+  }
+
   test("vacuum retires old versions: reclaimed files, loud watermark, retained reads intact") {
     val dir = tmpDir("tlog_vac")
     TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s"))

@@ -896,6 +896,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(snaps.contains(EventStreams.currentSnapshotName(spark, s"$base/t").get))
   }
 
+  test("tableLogUpsertSink: one TableLog commit per micro-batch, replay skips, history time-travels") {
+    import java.nio.file.Files
+    import graft.sinks.TableLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("tlog_sink").toFile.getAbsolutePath
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 10, "view", ts("2026-01-01 10:01:00"), 2.0))
+    def run(): Unit = EventStreams.tableLogUpsertSink(ms.toDF(), s"$base/t", s"$base/ckpt",
+      keys = Seq("user_id", "event_type"), versionCol = "event_id", appId = "sinkA")
+    run()
+    ms.addData( // same key, higher version: must replace
+      EventStreams.Event(7, 10, "click", ts("2026-01-01 11:00:00"), 9.0))
+    run()
+    def live = TableLog.readAt(spark, s"$base/t")
+      .select("user_id", "event_type", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(live == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
+    // one commit per micro-batch, each stamped with its txn marker
+    assert(TableLog.currentVersion(spark, s"$base/t") == 2L)
+    assert(TableLog.history(spark, s"$base/t").flatMap(_.txn) ==
+      Seq(("sinkA", 0L), ("sinkA", 1L)))
+    // the table's history IS the batch history: v1 = before batch 1
+    assert(TableLog.readAt(spark, s"$base/t", 1L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a crash-replay of batch 1 (same data, same batchId) must not
+    // double-commit: replay through the raw idempotent entry point
+    val b1 = Seq((7L, 10L, "click", ts("2026-01-01 11:00:00"), 9.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(TableLog.upsertIntoOnce(spark, s"$base/t", b1,
+      Seq("user_id", "event_type"), "event_id", "sinkA", 1L).isEmpty)
+    assert(TableLog.currentVersion(spark, s"$base/t") == 2L)
+    assert(live == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
+  }
+
   test("applyUpsertBatch replay of a committed batch is a no-op (at-least-once safety)") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("upsert_replay").toFile.getAbsolutePath
