@@ -146,6 +146,43 @@ object TableLog {
     if (mine.isEmpty) None else Some(mine.max)
   }
 
+  /** OPTIMIZE as a transaction: rewrite the current live files into
+    * ~`targetFileMB`-sized files and publish as an overwrite commit
+    * PINNED to the version that was read — readers never see a partial
+    * layout (the old files stay readable until [[vacuum]]), and a writer
+    * landing between the read and the publish wins: the maintenance job
+    * loses the race LOUDLY instead of silently clobbering a data commit
+    * (the failure mode of every rewrite-in-place compactor).
+    * `sortCols` optionally range-clusters the rewrite (one range
+    * exchange, the `writeZOrdered` cost class) so the new files carry
+    * TIGHT manifest stats on those columns — compaction and
+    * data-skipping maintenance in one commit; without it the rewrite is
+    * a shuffle-free coalesce.
+    */
+  def compactTable(spark: SparkSession, dir: String, targetFileMB: Int = 128,
+                   sortCols: Seq[String] = Nil,
+                   statsCols: Seq[String] = Nil): Long = {
+    require(targetFileMB > 0,
+      s"TableLog.compactTable: targetFileMB must be positive, got $targetFileMB")
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.compactTable: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, files) = snapshotAt(spark, fs, basePath, base)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val cur = readAt(spark, dir, base)
+    import org.apache.spark.sql.functions.col
+    val laid =
+      if (sortCols.nonEmpty)
+        cur.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else cur.coalesce(nOut)
+    overwrite(spark, dir, laid, statsCols, expectedParent = Some(base))
+  }
+
   /** Materialize the live state at the LATEST version as a checkpoint
     * manifest (`_log/<version>.checkpoint.json`, the Delta
     * `_last_checkpoint` pattern): subsequent reads fold the log from

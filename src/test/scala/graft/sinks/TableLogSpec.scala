@@ -190,6 +190,36 @@ class TableLogSpec extends SparkSpec {
     assert(ks == Seq(1L, 2L, 3L))
   }
 
+  test("compactTable: fewer files, identical rows, old layout still readable, clustered stats tighten") {
+    val dir = tmpDir("tlog_compact")
+    // three appends, each fragmented into 4 files → 12 small files live
+    (0 until 3).foreach { i =>
+      TableLog.append(spark, dir,
+        ((i * 100) until (i * 100 + 100)).map(k => (k.toLong, k / 10.0)).toDF("k", "y")
+          .repartition(4),
+        statsCols = Seq("y"))
+    }
+    assert(TableLog.history(spark, dir).flatMap(_.add).length == 12)
+    val before = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    // compact + range-cluster on y in one transactional commit
+    val v = TableLog.compactTable(spark, dir, targetFileMB = 1024,
+      sortCols = Seq("y"), statsCols = Seq("y"))
+    assert(v == 4L)
+    val liveAdds = TableLog.history(spark, dir).last.add
+    assert(liveAdds.length < 12, s"compaction must reduce file count, got ${liveAdds.length}")
+    assert(TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == before)
+    // pre-compaction version still time-travels
+    assert(TableLog.readAt(spark, dir, 3L).count() == 300L)
+    // the clustered rewrite re-harvests stats: the manifest's y range is
+    // exactly the data's, so pruned scans keep working post-compaction
+    val pr = TableLog.scanPruned(spark, dir, Seq(("y", 0.0, 1.0)))
+    assert(pr.filesTotal == liveAdds.length)
+    assert(pr.df.filter(col("y") <= 1.0).count() ==
+      TableLog.readAt(spark, dir).filter(col("y") <= 1.0).count())
+    val ys = liveAdds.head.stats("y").asInstanceOf[TableLog.NumStat]
+    assert(ys.min == 0.0 && ys.max == 29.9, s"re-harvested stats: $ys")
+  }
+
   test("vacuum retires old versions: reclaimed files, loud watermark, retained reads intact") {
     val dir = tmpDir("tlog_vac")
     TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s"))
