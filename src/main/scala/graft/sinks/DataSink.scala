@@ -109,6 +109,29 @@ object DataSink {
     // bytecode (hilbert: 12.7 µs/row, a 10× write regression), and even
     // the CSE'd morton form paid the chain once per bit position
     // (3.2 s → 1.9 s on the sf0.1 write after the switch).
+    zOrderLayout(df, zCols, bitsPerCol, curve, targetFiles)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** The z-order layout transform alone (quantile bucketing → fused
+    * curve kernel → range partition → in-partition sort) — shared by
+    * [[writeZOrdered]] and [[graft.sinks.TableLog.optimizeZOrdered]],
+    * which publishes the same layout as a transactional commit.
+    */
+  private[sinks] def zOrderLayout(df: DataFrame, zCols: Seq[String],
+                                  bitsPerCol: Int, curve: String,
+                                  targetFiles: Int): DataFrame = {
+    require(zCols.size >= 2,
+      s"zOrderLayout: need ≥2 columns to interleave (one column is a plain sort), got $zCols")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,
+      s"zOrderLayout: bitsPerCol=$bitsPerCol × ${zCols.size} cols must fit a long")
+    require(!df.columns.contains("_zval"),
+      "zOrderLayout: column name _zval collides with the internal z-value column")
+    require(curve == "morton" || curve == "hilbert",
+      s"zOrderLayout: curve must be morton or hilbert, got '$curve'")
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
     val spec = bounds.map(_.distinct.mkString(",")).mkString("|")
     val bucketArr = call_function("quantile_buckets",
       array(zCols.map(c => col(c).cast("double")): _*), lit(spec))
@@ -119,7 +142,6 @@ object DataSink {
       if (targetFiles > 0) keyed.repartitionByRange(targetFiles, col("_zval"))
       else keyed.repartitionByRange(col("_zval"))
     ranged.sortWithinPartitions("_zval").drop("_zval")
-      .write.mode(mode).parquet(path)
   }
 
   /** IN-PLACE z-order re-cluster of a flat parquet directory — the

@@ -183,6 +183,39 @@ object TableLog {
     overwrite(spark, dir, laid, statsCols, expectedParent = Some(base))
   }
 
+  /** `OPTIMIZE … ZORDER BY` as a transaction: [[compactTable]]'s commit
+    * protocol with [[DataSink.writeZOrdered]]'s layout — quantile-bucket
+    * the `zCols`, interleave through the fused morton/hilbert kernel,
+    * range-partition on the curve value, and publish pinned to the
+    * version read. Stats default to the `zCols` (the clustering exists
+    * FOR pruning): each new file is a curve hyper-rectangle, so the
+    * manifest min/max are tight on EVERY clustered column and
+    * [[scanPruned]] boxes prune multiplicatively.
+    */
+  def optimizeZOrdered(spark: SparkSession, dir: String, zCols: Seq[String],
+                       bitsPerCol: Int = 6, curve: String = "morton",
+                       targetFileMB: Int = 128, targetFiles: Int = 0,
+                       statsCols: Seq[String] = Nil): Long = {
+    require(targetFileMB > 0,
+      s"TableLog.optimizeZOrdered: targetFileMB must be positive, got $targetFileMB")
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.optimizeZOrdered: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, files) = snapshotAt(spark, fs, basePath, base)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val nOut =
+      if (targetFiles > 0) targetFiles
+      else math.max(1,
+        math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val laid = DataSink.zOrderLayout(readAt(spark, dir, base), zCols,
+      bitsPerCol, curve, nOut)
+    overwrite(spark, dir, laid,
+      if (statsCols.isEmpty) zCols else statsCols,
+      expectedParent = Some(base))
+  }
+
   /** Materialize the live state at the LATEST version as a checkpoint
     * manifest (`_log/<version>.checkpoint.json`, the Delta
     * `_last_checkpoint` pattern): subsequent reads fold the log from

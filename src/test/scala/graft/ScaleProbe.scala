@@ -477,6 +477,45 @@ object ScaleProbe {
     }
     probe("attribution") { mtAttr(ev1) } { mtAttr(ev) }
 
+    // transactional table log: (1) a pruned scan must cost what it
+    // SELECTS, not what the table holds — the amplified replicas live in
+    // shifted event_id ranges, so a fixed box over the original range
+    // matches the same data at 16× and the manifest prunes the rest of
+    // the file list before any task launches; (2) an append commit must
+    // cost the BATCH (data write + one manifest) — the table behind it
+    // only enters through a names-only listing + one parent-manifest
+    // parse. Both ratios should sit near 1, not 16.
+    if (only.isEmpty || only("table_log_prune") || only("table_log_commit")) {
+      import graft.sinks.TableLog
+      def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
+        val p = s"$StageDir/tlog_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        TableLog.append(spark, p,
+          df.select(col("event_id"), col("user_id"), col("ts"))
+            .repartitionByRange(nFiles, col("event_id")),
+          statsCols = Seq("event_id"))
+        p
+      }
+      val tl1 = tlogStage("1x", ev1, 8)
+      val tl16 = tlogStage("16x", ev, 128)
+      def prunedScan(p: String): Unit = {
+        val pr = TableLog.scanPruned(spark, p, Seq(("event_id", 0.0, 5000.0)))
+        pr.df.filter(col("event_id") < 5000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("table_log_prune") { () => prunedScan(tl1) } { () => prunedScan(tl16) }
+      val batch = ev1.select(col("event_id"), col("user_id"), col("ts"))
+        .limit(1000).cache()
+      batch.count()
+      probeRun("table_log_commit") {
+        () => TableLog.append(spark, tl1, batch)
+      } {
+        () => TableLog.append(spark, tl16, batch)
+      }
+      batch.unpersist()
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory

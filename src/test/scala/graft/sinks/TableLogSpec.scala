@@ -220,6 +220,36 @@ class TableLogSpec extends SparkSpec {
     assert(ys.min == 0.0 && ys.max == 29.9, s"re-harvested stats: $ys")
   }
 
+  test("optimizeZOrdered: z-curve layout as a commit — both-column boxes prune, rows identical") {
+    val dir = tmpDir("tlog_zorder")
+    // arrival-ordered 40x40 grid: row-major order means a y-box touches
+    // EVERY arrival-ordered file; the z-ordered rewrite must fix that
+    val grid = (0 until 1600).map(i => (i.toLong, (i % 40).toDouble, (i / 40).toDouble))
+      .toDF("k", "x", "y")
+    TableLog.append(spark, dir, grid.repartition(16), statsCols = Seq("x", "y"))
+    val arrivalBox = TableLog.scanPruned(spark, dir, Seq(("y", 3.0, 7.0)))
+    assert(arrivalBox.filesRead == 16, "arrival order: y stats are loose, nothing prunes")
+    val before = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    val v = TableLog.optimizeZOrdered(spark, dir, Seq("x", "y"),
+      bitsPerCol = 4, targetFiles = 16)
+    assert(v == 2L)
+    assert(TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == before)
+    // z-curve files are hyper-rectangles: the same y-box now prunes the
+    // listing (≤6/16, the writeZOrdered spec bar), and an (x, y) box
+    // prunes multiplicatively
+    val yBox = TableLog.scanPruned(spark, dir, Seq(("y", 3.0, 7.0)))
+    assert(yBox.filesTotal == 16 && yBox.filesRead <= 6,
+      s"y-box must prune the z-ordered listing, read ${yBox.filesRead}/16")
+    val xyBox = TableLog.scanPruned(spark, dir,
+      Seq(("x", 3.0, 7.0), ("y", 3.0, 7.0)))
+    assert(xyBox.filesRead <= 4, s"xy-box read ${xyBox.filesRead}/16")
+    // pruned + exact predicate == full scan + exact predicate
+    def ks(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("y").between(3.0, 7.0)).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(yBox.df) == ks(TableLog.readAt(spark, dir)))
+  }
+
   test("vacuum retires old versions: reclaimed files, loud watermark, retained reads intact") {
     val dir = tmpDir("tlog_vac")
     TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s"))
