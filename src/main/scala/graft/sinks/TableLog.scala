@@ -135,9 +135,31 @@ object TableLog {
                      keys: Seq[String], versionCol: String,
                      appId: String, batchId: Long,
                      statsCols: Seq[String] = Nil): Option[Long] =
+    mergeOnce(spark, dir, batch, appId, batchId, statsCols) { (cur, b) =>
+      cur.fold(b)(c => DataSink.upsert(c, b, keys, versionCol))
+    }
+
+  /** The general idempotent transactional MERGE — the table-log form of
+    * [[graft.streaming.EventStreams.applyMergeBatch]]'s pluggable-merge
+    * protocol: read the latest snapshot (None for an empty table), merge
+    * the batch with caller logic, publish as an overwrite commit pinned
+    * to the version read and stamped `(appId, batchId)`. A replayed
+    * batch finds its marker and skips; a concurrent writer turns into a
+    * loud conflict instead of a lost update. [[upsertIntoOnce]] is this
+    * with last-wins merge; a CDC sink passes changelog compaction; a
+    * set-union or additive-stats state store passes its own merge — one
+    * commit protocol for every state shape.
+    */
+  def mergeOnce(spark: SparkSession, dir: String, batch: DataFrame,
+                appId: String, batchId: Long, statsCols: Seq[String] = Nil)
+               (merge: (Option[DataFrame], DataFrame) => DataFrame): Option[Long] =
     if (lastCommittedBatch(spark, dir, appId).exists(_ >= batchId)) None
-    else Some(upsertInto(spark, dir, batch, keys, versionCol, statsCols,
-      txn = Some(appId -> batchId)))
+    else {
+      val base = currentVersion(spark, dir)
+      val cur = if (base == 0L) None else Some(readAt(spark, dir, base))
+      Some(overwrite(spark, dir, merge(cur, batch), statsCols,
+        expectedParent = Some(base), txn = Some(appId -> batchId)))
+    }
 
   /** Highest `batchId` the log has committed for `appId`, if any. */
   def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] = {

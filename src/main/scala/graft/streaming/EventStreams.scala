@@ -743,6 +743,51 @@ object EventStreams {
     readUpserted(spark, stateDir).fold(snapshot)(state =>
       graft.sinks.DataSink.applyChangelog(snapshot, state, keys, opCol, versionCol))
 
+  /** [[changelogSink]]'s TRANSACTIONAL twin: the compacted changelog
+    * (incl. tombstones, same semantics) maintained as a
+    * [[graft.sinks.TableLog]] table through the general
+    * `TableLog.mergeOnce` merge — each micro-batch is a first-class
+    * txn-stamped version, so the CDC state gains time travel (audit any
+    * batch's view), exactly-once replay, and conflict detection against
+    * other writers. Overlay with [[readChangelogAppliedLog]]; time
+    * travel by passing a version to `TableLog.readAt` yourself.
+    */
+  def tableLogChangelogSink(changes: DataFrame, tableDir: String,
+                            checkpointDir: String, keys: Seq[String],
+                            appId: String, opCol: String = "op",
+                            versionCol: String = "version",
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.TableLog.mergeOnce(spark, tableDir, batch, appId, batchId) {
+          (cur, b) =>
+            graft.sinks.DataSink.compactChangelog(
+              cur.fold(b)(_.unionByName(b)), keys, opCol, versionCol)
+        }
+        ()
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
+  /** [[readChangelogApplied]] against a [[tableLogChangelogSink]] table:
+    * overlay the table-log state (at the latest version) onto the
+    * snapshot. An empty log passes the snapshot through.
+    */
+  def readChangelogAppliedLog(spark: SparkSession, snapshot: DataFrame,
+                              tableDir: String, keys: Seq[String],
+                              opCol: String = "op",
+                              versionCol: String = "version"): DataFrame =
+    if (graft.sinks.TableLog.currentVersion(spark, tableDir) == 0L) snapshot
+    else graft.sinks.DataSink.applyChangelog(snapshot,
+      graft.sinks.TableLog.readAt(spark, tableDir), keys, opCol, versionCol)
+
   /** Continuous SCD Type-2 dimension maintenance — the streaming twin of
     * [[graft.sinks.DataSink.scd2Merge]]. State is the full dimension
     * (open + closed versions), merged per micro-batch by the batch

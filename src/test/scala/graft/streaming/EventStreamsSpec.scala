@@ -578,6 +578,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(after == Set((1L, "a1")), s"got $after")
   }
 
+  test("tableLogChangelogSink: CDC state with time travel — final view == batch, per-batch versions audit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.sinks.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("cdctl").toFile.getAbsolutePath
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val b1 = Seq((1L, "a2", "U", 10L), (2L, "x", "D", 7L), (4L, "d", "I", 1L))
+    val b2 = Seq((2L, "zombie", "U", 3L), (4L, "d2", "U", 2L))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    def run(): Unit = EventStreams.tableLogChangelogSink(
+      ms.toDF().toDF("k", "v", "op", "version"),
+      s"$dir/t", s"$dir/ckpt", Seq("k"), appId = "cdcA")
+    ms.addData(b1: _*); run()
+    ms.addData(b2: _*); run()
+    def applied(state: org.apache.spark.sql.DataFrame) =
+      graft.sinks.DataSink.applyChangelog(snap, state, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = EventStreams.readChangelogAppliedLog(spark, snap, s"$dir/t", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == Set((1L, "a2"), (3L, "c"), (4L, "d2")),
+      s"k2 must stay deleted, k4 must carry the later update, got $streamed")
+    // every micro-batch is a first-class version: the view AS OF batch 1
+    // (before the out-of-order batch 2) is auditable forever
+    assert(TableLog.currentVersion(spark, s"$dir/t") == 2L)
+    assert(applied(TableLog.readAt(spark, s"$dir/t", 1L)) ==
+      Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    assert(TableLog.history(spark, s"$dir/t").flatMap(_.txn) ==
+      Seq(("cdcA", 0L), ("cdcA", 1L)))
+    // crash-replay of batch 1 through the raw entry point: no new version
+    assert(TableLog.mergeOnce(spark, s"$dir/t",
+      b2.toDF("k", "v", "op", "version"), "cdcA", 1L) { (cur, b) =>
+        graft.sinks.DataSink.compactChangelog(cur.fold(b)(_.unionByName(b)), Seq("k"))
+      }.isEmpty)
+    assert(TableLog.currentVersion(spark, s"$dir/t") == 2L)
+    // an empty log passes the snapshot through
+    val fresh = java.nio.file.Files.createTempDirectory("cdctl2").toFile.getAbsolutePath
+    assert(EventStreams.readChangelogAppliedLog(spark, snap, fresh, Seq("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("scd2Sink: in-order batches equal one batch scd2Merge") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
