@@ -92,6 +92,23 @@ object SparkEntry {
   private val tableLogPrunedPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The record-linkage fixture: customer addresses prefixed with 6 hex
+    * chars of md5(custkey) — a planted one-char-dropped variant per
+    * tenth customer is then the only possible levenshtein≤1 match
+    * (everything else differs in the hash prefix or the random address),
+    * so both engines see exactly the planted pair set.
+    */
+  private def fuzzyFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      concat(substring(md5(col("c_custkey").cast("string")), 1, 6),
+        lower(trim(col("c_name")))).as("name"))
+    base.unionByName(base.filter(pmod(col("id"), lit(10)) === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 7), substring(col("name"), 9, 100000))
+          .as("name")))
+  }
+
   private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_orderpriority",
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
@@ -1105,6 +1122,27 @@ object SparkEntry {
       Dedup.assignCanonical(planted, "doc_id", verified.select(col("id_a"), col("id_b")))
         .select(col("doc_id"), col("canonical"))
         .orderBy(col("doc_id"))
+    }),
+
+    // record linkage: blocked fuzzy pairs over customer addresses with a
+    // PLANTED one-char-dropped variant per tenth customer. Each name is
+    // prefixed with 6 hex chars of md5(custkey) so the planted pair is
+    // the only levenshtein≤1 match for its block BY CONSTRUCTION (any
+    // natural candidate differs in the hash prefix or the random
+    // address); DuckDB recomputes folding, blocking and edit distance
+    "q_fuzzy_pairs" -> ((s, d) => {
+      Linkage.blockedFuzzyPairs(fuzzyFixture(s, d), "id", "name",
+          blockLen = 4, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the full fuzzy-dedup decision: pairs → connected components →
+    // canonical per entity (variant ids collapse onto their original)
+    "q_fuzzy_dedup" -> ((s, d) => {
+      Linkage.fuzzyDedup(fuzzyFixture(s, d), "id", "name",
+          blockLen = 4, maxDist = 1)
+        .select(col("id"), col("canonical"))
+        .orderBy(col("id"))
     }),
 
     // md5_64 token-hash mode: the per-bit majority vote runs over the
@@ -2262,6 +2300,59 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 20000, text FROM documents)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // mirrors Linkage.blockedFuzzyPairs: fold → 4-char prefix block →
+    // in-block levenshtein ≤ 1, id_a < id_b
+    "q_fuzzy_pairs" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |         substr(md5(c_custkey::VARCHAR), 1, 6) || lower(trim(c_name)) AS name
+        |  FROM customer),
+        |planted AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, 7) || substr(name, 9) FROM base
+        |  WHERE id % 10 = 0),
+        |k AS (
+        |  SELECT id, lower(trim(name)) AS nm,
+        |         substr(lower(trim(name)), 1, 4) AS blk
+        |  FROM planted)
+        |SELECT a.id AS id_a, c.id AS id_b,
+        |       CAST(levenshtein(a.nm, c.nm) AS INTEGER) AS dist
+        |FROM k a JOIN k c ON a.blk = c.blk AND a.id < c.id
+        |WHERE levenshtein(a.nm, c.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // a FULL connected-components mirror (recursive min-label reach) —
+    // robust to any natural fuzzy pair the fixture might admit, exactly
+    // the propagation the engine's dedupClusters computes
+    "q_fuzzy_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id,
+        |         substr(md5(c_custkey::VARCHAR), 1, 6) || lower(trim(c_name)) AS name
+        |  FROM customer),
+        |planted AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, 7) || substr(name, 9) FROM base
+        |  WHERE id % 10 = 0),
+        |k AS (
+        |  SELECT id, lower(trim(name)) AS nm,
+        |         substr(lower(trim(name)), 1, 4) AS blk
+        |  FROM planted),
+        |pairs AS (
+        |  SELECT a.id AS id_a, c.id AS id_b
+        |  FROM k a JOIN k c ON a.blk = c.blk AND a.id < c.id
+        |  WHERE levenshtein(a.nm, c.nm) <= 1),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM planted
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id)
+        |SELECT id, min(label) AS canonical
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // same md5-nibble bucket as q_sample_weighted (engine-validated) and
     // the same Knuth-multiplicative weight formula the Spark query builds

@@ -476,6 +476,21 @@ object ScaleProbe {
         model = "time_decay")
     }
     probe("attribution") { mtAttr(ev1) } { mtAttr(ev) }
+    // fuzzy record linkage: cost is Σ block² — amplified ids hash to NEW
+    // md5 prefixes, so blocks multiply in COUNT, not size, and the
+    // blocked self-join scales with rows
+    def fuzzy(o: DataFrame) = {
+      val base = o.select(col("o_custkey").as("id"),
+        concat(substring(md5(col("o_custkey").cast("string")), 1, 6),
+          col("o_orderpriority")).as("name")).distinct()
+      Linkage.blockedFuzzyPairs(
+        base.unionByName(base.filter(pmod(col("id"), lit(10)) === 0)
+          .select((col("id") + 100000000L).as("id"),
+            concat(substring(col("name"), 1, 7), substring(col("name"), 9, 100000))
+              .as("name"))),
+        "id", "name", blockLen = 4, maxDist = 1)
+    }
+    probe("fuzzy_pairs") { fuzzy(ord1) } { fuzzy(ord) }
 
     // transactional table log: (1) a pruned scan must cost what it
     // SELECTS, not what the table holds — the amplified replicas live in
