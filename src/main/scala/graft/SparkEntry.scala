@@ -109,6 +109,21 @@ object SparkEntry {
           .as("name")))
   }
 
+  /** Synthetic coordinates for the geo queries — pure arithmetic in the
+    * keys so both engines derive identical points/sites (the schema has
+    * no real coordinates; a logistics deployment joins its warehouse
+    * table here).
+    */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("pid"),
+      (pmod(col("c_custkey") * 13, lit(120)) - 60 + 0.25).as("lat"),
+      (pmod(col("c_custkey") * 29, lit(300)) - 150 + 0.25).as("lon"))
+
+  private def geoSites(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(col("n_nationkey").as("sid"),
+      (pmod(col("n_nationkey") * 11, lit(120)) - 60 + 0.5).as("lat"),
+      (pmod(col("n_nationkey") * 37, lit(300)) - 150 + 0.5).as("lon"))
+
   private def ordersWithNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_orderpriority",
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
@@ -1123,6 +1138,26 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical"))
         .orderBy(col("doc_id"))
     }),
+
+    // nearest-warehouse assignment: broadcast site table, map-side
+    // partial argmin over struct(dist, site) — the exchange carries one
+    // candidate per point per partition, never the cross product
+    "q_geo_nearest" -> ((s, d) =>
+      Geo.nearestSite(geoPoints(s, d), geoSites(s, d), "pid", "sid")
+        .select(col("point_id"), col("site_id"),
+          round(col("dist_km"), 4).as("dist_km"))
+        .orderBy(col("point_id"))),
+
+    // 2-D bin-bucketed radius join (the rangeJoin pattern on a lat/lon
+    // grid): sites replicate to the cells their radius box overlaps,
+    // points map to ONE cell, exact haversine re-checks — DuckDB's
+    // brute-force cross join is the oracle
+    "q_geo_radius" -> ((s, d) =>
+      Geo.radiusJoin(geoPoints(s, d), geoSites(s, d), "pid", "sid",
+          radiusKm = 2000.0, cellDeg = 5.0)
+        .select(col("point_id"), col("site_id"),
+          round(col("dist_km"), 4).as("dist_km"))
+        .orderBy(col("point_id"), col("site_id"))),
 
     // record linkage: blocked fuzzy pairs over customer addresses with a
     // PLANTED one-char-dropped variant per tenth customer. Each name is
@@ -2300,6 +2335,55 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 20000, text FROM documents)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // haversine in the same operation order as Geo.haversineKm; argmin
+    // via (dist, sid) ranking == the engine's lexicographic struct min
+    "q_geo_nearest" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS pid,
+        |         (c_custkey*13) % 120 - 60 + 0.25 AS lat,
+        |         (c_custkey*29) % 300 - 150 + 0.25 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT n_nationkey AS sid,
+        |         (n_nationkey*11) % 120 - 60 + 0.5 AS lat,
+        |         (n_nationkey*37) % 300 - 150 + 0.5 AS lon
+        |  FROM nation),
+        |d AS (
+        |  SELECT p.pid, s.sid,
+        |    2*6371.0088*asin(sqrt(pow(sin(radians(s.lat - p.lat)/2), 2)
+        |      + cos(radians(p.lat))*cos(radians(s.lat))
+        |        *pow(sin(radians(s.lon - p.lon)/2), 2))) AS dist
+        |  FROM p, s),
+        |r AS (
+        |  SELECT pid, sid, dist,
+        |         row_number() OVER (PARTITION BY pid ORDER BY dist, sid) AS rn
+        |  FROM d)
+        |SELECT pid AS point_id, sid AS site_id, round(dist, 4) AS dist_km
+        |FROM r WHERE rn = 1 ORDER BY point_id""".stripMargin,
+
+    // brute-force cross join: the grid bucketing must recover exactly
+    // the pairs the full quadratic scan finds
+    "q_geo_radius" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS pid,
+        |         (c_custkey*13) % 120 - 60 + 0.25 AS lat,
+        |         (c_custkey*29) % 300 - 150 + 0.25 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT n_nationkey AS sid,
+        |         (n_nationkey*11) % 120 - 60 + 0.5 AS lat,
+        |         (n_nationkey*37) % 300 - 150 + 0.5 AS lon
+        |  FROM nation),
+        |d AS (
+        |  SELECT p.pid, s.sid,
+        |    2*6371.0088*asin(sqrt(pow(sin(radians(s.lat - p.lat)/2), 2)
+        |      + cos(radians(p.lat))*cos(radians(s.lat))
+        |        *pow(sin(radians(s.lon - p.lon)/2), 2))) AS dist
+        |  FROM p, s)
+        |SELECT pid AS point_id, sid AS site_id, round(dist, 4) AS dist_km
+        |FROM d WHERE dist <= 2000.0
+        |ORDER BY point_id, site_id""".stripMargin,
 
     // mirrors Linkage.blockedFuzzyPairs: fold → 4-char prefix block →
     // in-block levenshtein ≤ 1, id_a < id_b

@@ -491,6 +491,18 @@ object ScaleProbe {
         "id", "name", blockLen = 4, maxDist = 1)
     }
     probe("fuzzy_pairs") { fuzzy(ord1) } { fuzzy(ord) }
+    // geo radius join: sites fixed, points scale — the grid equi-join's
+    // cost (and output) tracks the point volume, never points × sites
+    def geoR(o: DataFrame) = {
+      val pts = o.select(col("o_custkey").as("pid"),
+        (pmod(col("o_custkey") * 13, lit(120)) - 60 + 0.25).as("lat"),
+        (pmod(col("o_custkey") * 29, lit(300)) - 150 + 0.25).as("lon")).distinct()
+      val sites = spark.range(25).select(col("id").as("sid"),
+        (pmod(col("id") * 11, lit(120)) - 60 + 0.5).as("lat"),
+        (pmod(col("id") * 37, lit(300)) - 150 + 0.5).as("lon"))
+      Geo.radiusJoin(pts, sites, "pid", "sid", radiusKm = 2000.0, cellDeg = 5.0)
+    }
+    probe("geo_radius") { geoR(ord1) } { geoR(ord) }
 
     // transactional table log: (1) a pruned scan must cost what it
     // SELECTS, not what the table holds — the amplified replicas live in
