@@ -279,9 +279,14 @@ object TableLog {
       s"TableLog: expectedParent $parent does not exist")
     if (op == "append" && parent > 0L) {
       val (pSchema, _) = snapshotAt(spark, fs, base, parent)
-      require(df.schema.json == pSchema,
-        s"TableLog.append: schema mismatch vs version $parent — " +
-          "append requires the exact current schema; use overwrite to change it")
+      // nullability-insensitive: a parquet round-trip (readAt → compact)
+      // widens nullable flags, and a maintenance rewrite must not lock
+      // appends out — names and types are the contract
+      val parsed = DataType.fromJson(pSchema).asInstanceOf[StructType]
+      require(nullableForm(df.schema) == nullableForm(parsed),
+        s"TableLog.append: schema mismatch vs version $parent " +
+          s"(${df.schema.simpleString} vs ${parsed.simpleString}) — " +
+          "append requires the current column names/types; use overwrite to change them")
     }
     // data files land under a per-attempt subdir: uncommitted attempts
     // never collide and vacuum can sweep whole orphan directories
@@ -463,6 +468,21 @@ object TableLog {
   }
 
   // -------------------------------------------------------------- internals
+
+  /** Schema with every nullability flag (and metadata) normalized —
+    * names and types are the append contract, nullable bits are not.
+    */
+  private def nullableForm(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f => f.copy(
+      dataType = nullableForm(f.dataType), nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableForm(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = nullableForm(m.keyType),
+        valueType = nullableForm(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   private def vacuumWatermark(fs: FileSystem, base: Path): Long = {
     val wm = new Path(base, "_log/_VACUUM")

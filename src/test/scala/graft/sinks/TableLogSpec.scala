@@ -250,6 +250,52 @@ class TableLogSpec extends SparkSpec {
     assert(ks(yBox.df) == ks(TableLog.readAt(spark, dir)))
   }
 
+  test("property: random append/overwrite/compact/checkpoint sequences — every version reads as the model predicts") {
+    // model-based check: replay a random op sequence against an
+    // in-memory model; EVERY committed version must read back exactly
+    // what the model says held at that point (deterministic seeded
+    // generator — the SketchPropertiesSpec convention)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val opGen = Gen.frequency(
+      5 -> Gen.chooseNum(1, 5).map(n => ("append", n)),
+      3 -> Gen.chooseNum(1, 5).map(n => ("overwrite", n)),
+      1 -> Gen.const(("compact", 0)),
+      1 -> Gen.const(("checkpoint", 0)))
+    (0 until 3).foreach { trial =>
+      val dir = tmpDir(s"tlog_prop$trial")
+      val ops = (0 until 12).flatMap(i =>
+        opGen.apply(Gen.Parameters.default, Seed(trial * 100L + i)))
+      var model = Vector.empty[Seq[Long]] // expected k-set per version
+      var next = 0L
+      ops.foreach {
+        case ("append", n) =>
+          val ks = (next until next + n)
+          next += n
+          TableLog.append(spark, dir, ks.map(k => (k, s"v$k")).toDF("k", "s"))
+          model :+= (model.lastOption.getOrElse(Seq.empty) ++ ks)
+        case ("overwrite", n) =>
+          val ks = (next until next + n)
+          next += n
+          TableLog.overwrite(spark, dir, ks.map(k => (k, s"v$k")).toDF("k", "s"))
+          model :+= ks.toSeq
+        case ("compact", _) if model.nonEmpty =>
+          TableLog.compactTable(spark, dir, targetFileMB = 1024)
+          model :+= model.last // contents unchanged, new version
+        case ("checkpoint", _) if model.nonEmpty =>
+          TableLog.checkpoint(spark, dir) // no new version, no content change
+        case _ => // compact/checkpoint on an empty table: skip
+      }
+      assert(TableLog.currentVersion(spark, dir) == model.length.toLong)
+      model.zipWithIndex.foreach { case (expect, i) =>
+        val got = TableLog.readAt(spark, dir, i + 1L)
+          .select("k").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == expect.sorted,
+          s"trial $trial version ${i + 1}: got $got expected ${expect.sorted}")
+      }
+    }
+  }
+
   test("vacuum retires old versions: reclaimed files, loud watermark, retained reads intact") {
     val dir = tmpDir("tlog_vac")
     TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s"))
