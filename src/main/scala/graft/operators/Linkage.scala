@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record linkage / fuzzy entity resolution — the typo-tolerant
@@ -52,24 +51,30 @@ object Linkage {
       .select(id.as("_id"), folded.as("_nm"), blk.as("_blk"))
       .filter(col("_nm").isNotNull && col("_blk").isNotNull &&
         length(col("_nm")) >= blockLen)
-    // loud hot-block guard: rides the same _blk exchange the join needs
-    val guarded = keyed
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_blk"))))
-      .select(col("_blk"),
-        when(col("_bn") > maxBlockSize, raise_error(concat(
-          lit(s"blockedFuzzyPairs: block '"), col("_blk"),
-          lit(s"' holds more than $maxBlockSize records — cost is block², " +
-            "lengthen the blocking prefix or switch blocking keys"))))
-          .otherwise(col("_id")).as("_id"),
-        col("_nm"))
-    val left = guarded.select(col("_blk").as("_blk_a"), col("_id").as("id_a"),
-      col("_nm").as("_nm_a"))
-    val right = guarded.select(col("_blk").as("_blk_b"), col("_id").as("id_b"),
-      col("_nm").as("_nm_b"))
-    left.join(right, col("_blk_a") === col("_blk_b") && col("id_a") < col("id_b"))
-      .filter(levenshtein(col("_nm_a"), col("_nm_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("_nm_a"), col("_nm_b")).as("dist"))
+    // ONE scan, ONE exchange: blocks aggregate to a bounded in-memory
+    // array (the loud cap makes "bounded" a guarantee, not a hope) and
+    // pairs explode INSIDE each block — a self-join formulation would
+    // plan the whole scan+guard subtree twice (audited; the broadcast
+    // hash join duplicated the corpus scan)
+    val agg = keyed.groupBy(col("_blk"))
+      .agg(collect_list(struct(col("_id"), col("_nm"))).as("_rows"))
+    val rowsType = agg.schema("_rows").dataType
+    val blocks = agg.select(
+      when(size(col("_rows")) > maxBlockSize, raise_error(concat(
+        lit(s"blockedFuzzyPairs: block '"), col("_blk"),
+        lit(s"' holds more than $maxBlockSize records — cost is block², " +
+          "lengthen the blocking prefix or switch blocking keys")))
+        .cast(rowsType))
+        .otherwise(col("_rows")).as("_rows"))
+    blocks
+      .select(col("_rows"), posexplode(col("_rows")).as(Seq("_i", "_a")))
+      .select(col("_a"), col("_i"), posexplode(col("_rows")).as(Seq("_j", "_b")))
+      .filter(col("_i") < col("_j") &&
+        levenshtein(col("_a._nm"), col("_b._nm")) <= maxDist)
+      .select(
+        least(col("_a._id"), col("_b._id")).as("id_a"),
+        greatest(col("_a._id"), col("_b._id")).as("id_b"),
+        levenshtein(col("_a._nm"), col("_b._nm")).as("dist"))
   }
 
   /** Fuzzy entity dedup: [[blockedFuzzyPairs]] edges through
