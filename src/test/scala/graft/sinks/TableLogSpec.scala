@@ -86,6 +86,40 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("two REAL concurrent writer threads: retry-on-conflict converges, no version lost or duplicated") {
+    val dir = tmpDir("tlog_threads")
+    // two writers upsert disjoint key ranges concurrently; every commit
+    // races for the next version, losers retry — the CAS must serialize
+    // them into exactly 10 versions containing every row
+    def writer(base: Long): Thread = new Thread(() => {
+      (0 until 5).foreach { i =>
+        val batch = Seq((base + i, s"w$base-$i")).toDF("k", "payload")
+          .withColumn("ver", lit(i.toLong))
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 50) {
+          attempts += 1
+          try {
+            TableLog.upsertInto(spark, dir, batch, Seq("k"), "ver")
+            done = true
+          } catch { case _: TableLogConflictException => () } // lost race: retry
+        }
+        assert(done, s"writer $base batch $i never committed")
+      }
+    })
+    val t1 = writer(100L); val t2 = writer(200L)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(TableLog.currentVersion(spark, dir) == 10L,
+      "10 successful commits must be exactly versions 1..10")
+    val h = TableLog.history(spark, dir)
+    assert(h.map(_.version) == (1L to 10L) && h.map(_.parent) == (0L to 9L),
+      "the version chain must be gapless and parent-linked")
+    val ks = TableLog.readAt(spark, dir).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == ((100L to 104L) ++ (200L to 204L)),
+      s"every writer's rows must survive the races, got $ks")
+  }
+
   test("crash mid-commit self-heals: orphans invisible, next commit unaffected, vacuum sweeps them") {
     val dir = tmpDir("tlog_crash")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
