@@ -75,8 +75,9 @@ object Geo {
   /** All (point, site) pairs within `radiusKm` — the 2-D bin-bucketed
     * join: each site explodes to every `cellDeg`-degree grid cell its
     * radius bounding box overlaps (lat span from the km/degree
-    * constant; lon span widened by the MINIMUM cos over the lat span,
-    * so the box always covers the circle), each point maps to exactly
+    * constant; lon span from the EXACT spherical bound
+    * `asin(sin(r/R)/cos φ)` at the minimum cos over the lat span, so
+    * the box always covers the circle), each point maps to exactly
     * ONE cell, the join runs on the cell id and the exact haversine
     * predicate re-checks after. Pairs meet exactly once (the point's
     * cell). Sites above |lat| `maxAbsLat` fail LOUDLY — near the poles
@@ -109,11 +110,22 @@ object Geo {
           lit(") — the planar grid degenerates near the poles"))))
         .otherwise(col("_slat")))
     // min cos over the site's lat span = cos at the largest |lat| the
-    // box reaches (clamped away from zero); widening lon by it keeps
-    // the box a SUPERSET of the circle
+    // box reaches (clamped away from zero); the lon half-span at
+    // latitude φ is the EXACT spherical bound asin(sin(r/R)/cos φ) —
+    // strictly wider than the planar r/(R·cos φ), which is NOT a
+    // superset of the circle and could miss a pair within a hair of the
+    // radius across a cell boundary; evaluating at cosMin (the smallest
+    // cos the circle reaches) keeps the box a SUPERSET at every
+    // latitude in the span. Ratio ≥ 1 means the circle wraps every
+    // longitude at some latitude in the span → full-ring span.
     val maxAbs = greatest(abs(col("_slat") - latSpan), abs(col("_slat") + latSpan))
     val cosMin = greatest(cos(radians(least(maxAbs, lit(89.9)))), lit(0.01))
-    val lonSpan = lit(radiusKm) / (lit(KmPerDegLat) * cosMin)
+    val sinR =
+      if (radiusKm / EarthRadiusKm >= math.Pi / 2) 1.0
+      else math.sin(radiusKm / EarthRadiusKm)
+    val sinRatio = lit(sinR) / cosMin
+    val lonSpan = when(sinRatio >= 1.0, lit(180.0))
+      .otherwise(degrees(asin(sinRatio)))
     val sReplicated = s0
       .withColumn("_lat_lo", floor((col("_slat") - latSpan) / cellDeg))
       .withColumn("_lat_hi", floor((col("_slat") + latSpan) / cellDeg))

@@ -161,11 +161,30 @@ object TableLog {
         expectedParent = Some(base), txn = Some(appId -> batchId)))
     }
 
-  /** Highest `batchId` the log has committed for `appId`, if any. */
+  /** Highest `batchId` the log has committed for `appId`, if any.
+    *
+    * Cost: O(commits since the last checkpoint), not O(table lifetime) —
+    * commits are scanned NEWEST first with early exit on the first
+    * marker for `appId` (correct because [[mergeOnce]] only ever commits
+    * strictly increasing batchIds per app — the newest marker IS the
+    * max), and below the newest checkpoint the checkpoint's folded
+    * `txns` map answers without parsing any older manifest. A legacy
+    * checkpoint without the `txns` field falls back to the full scan
+    * (still newest-first, still early-exit).
+    */
   def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] = {
-    val txns = history(spark, dir).flatMap(_.txn)
-    val mine = txns.collect { case (a, b) if a == appId => b }
-    if (mine.isEmpty) None else Some(mine.max)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = commitVersions(fs, base)
+    if (vers.isEmpty) return None
+    val ckpt = checkpointVersions(fs, base).lastOption
+      .map(cv => cv -> parseCheckpointTxns(readText(fs, checkpointPath(base, cv))))
+    // the checkpoint is an authoritative floor only when it carries txns
+    val floor = ckpt.collect { case (cv, Some(_)) => cv }.getOrElse(0L)
+    val above = vers.reverseIterator.takeWhile(_ > floor)
+      .map(v => parseCommit(readText(fs, commitPath(base, v))).txn)
+      .collectFirst { case Some((a, b)) if a == appId => b }
+    above.orElse(ckpt.flatMap { case (_, txns) => txns.flatMap(_.get(appId)) })
   }
 
   /** OPTIMIZE as a transaction: rewrite the current live files into
@@ -252,23 +271,57 @@ object TableLog {
     val fs = base.getFileSystem(conf)
     val latest = currentVersion(spark, dir)
     require(latest > 0L, s"TableLog.checkpoint: $dir has no committed versions")
-    val target = new Path(base, f"_log/$latest%020d.checkpoint.json")
+    val target = checkpointPath(base, latest)
     if (fs.exists(target)) return latest
     val (schemaJson, live) = snapshotAt(spark, fs, base, latest)
-    val body = renderCheckpoint(latest, schemaJson, live)
+    val body = renderCheckpoint(latest, schemaJson, live, txnsAt(fs, base, latest))
     val tmp = new Path(base, s"_log/.tmp_ckpt_$latest")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     try {
       val fc = FileContext.getFileContext(base.toUri, conf)
-      fc.rename(tmp, target) // lost race with another checkpointer = same content
-    } catch { case _: Exception => fs.delete(tmp, false) }
+      fc.rename(tmp, target)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        // benign only if ANOTHER checkpointer landed this version (same
+        // content by construction); a rename that failed with no target
+        // is a genuine IO failure — swallowing it would let maintenance
+        // believe a checkpoint exists that never materialized
+        val landed = try fs.exists(target) catch { case _: Exception => false }
+        if (!landed) throw e
+    }
     latest
+  }
+
+  /** Latest `(appId → batchId)` txn markers folded up to `version`:
+    * seeded from the nearest new-format checkpoint's `txns` map, then
+    * folded over only the commits after it (a legacy checkpoint without
+    * the field folds the whole log once — and the NEXT checkpoint
+    * written repairs the format).
+    */
+  private def txnsAt(fs: FileSystem, base: Path, version: Long): Map[String, Long] = {
+    val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
+      .map(cv => cv -> parseCheckpointTxns(readText(fs, checkpointPath(base, cv))))
+    val (from, init) = ckpt match {
+      case Some((cv, Some(m))) => (cv, m)
+      case _ => (0L, Map.empty[String, Long])
+    }
+    commitVersions(fs, base).filter(v => v > from && v <= version)
+      .foldLeft(init) { (m, v) =>
+        parseCommit(readText(fs, commitPath(base, v))).txn match {
+          case Some((a, b)) => m + (a -> math.max(b, m.getOrElse(a, Long.MinValue)))
+          case None => m
+        }
+      }
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame, op: String,
                      statsCols: Seq[String], expectedParent: Option[Long],
-                     txn: Option[(String, Long)]): Long = {
+                     txn: Option[(String, Long)],
+                     explicitRemoves: Option[Seq[String]] = None,
+                     schemaOverride: Option[String] = None,
+                     writeOptions: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -277,7 +330,7 @@ object TableLog {
     val parent = expectedParent.getOrElse(commitVers.lastOption.getOrElse(0L))
     require(parent == 0L || commitVers.contains(parent),
       s"TableLog: expectedParent $parent does not exist")
-    if (op == "append" && parent > 0L) {
+    if (op == "append" && schemaOverride.isEmpty && parent > 0L) {
       val (pSchema, _) = snapshotAt(spark, fs, base, parent)
       // nullability-insensitive: a parquet round-trip (readAt → compact)
       // widens nullable flags, and a maintenance rewrite must not lock
@@ -292,25 +345,25 @@ object TableLog {
     // never collide and vacuum can sweep whole orphan directories
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
     val dataSub = s"data/$attempt"
-    df.write.parquet(s"$dir/$dataSub")
+    df.write.options(writeOptions).parquet(s"$dir/$dataSub")
     val files = fs.listStatus(new Path(base, dataSub))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val adds = files.map { f =>
       val (rows, stats) = footerStats(conf, f, statsCols.toSet)
       AddFile(s"$dataSub/${f.getName}", rows, stats)
     }.toSeq
-    val removes: Seq[String] =
+    val removes: Seq[String] = explicitRemoves.getOrElse {
       if (op == "overwrite" && parent > 0L)
         snapshotAt(spark, fs, base, parent)._2.map(_.path)
       else Nil
+    }
     val version = parent + 1
-    val target = new Path(base, f"_log/$version%020d.json")
+    val target = commitPath(base, version)
     val tmp = new Path(base, s"_log/.tmp_$attempt")
+    val body = renderCommit(Commit(version, parent, op,
+      schemaOverride.getOrElse(df.schema.json), adds, removes, txn))
     val out = fs.create(tmp, true)
-    try out.write(
-      renderCommit(Commit(version, parent, op, df.schema.json, adds, removes, txn))
-        .getBytes("UTF-8"))
-    finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
     // fails if a concurrent writer landed this version first
     try {
@@ -318,15 +371,49 @@ object TableLog {
       fc.rename(tmp, target) // no Rename.OVERWRITE
     } catch {
       case e: Exception =>
+        // a rename exception is NOT proof of a lost race — classify by
+        // what is actually at the target before destroying anything
         fs.delete(tmp, false)
-        fs.delete(new Path(base, dataSub), true)
-        throw new TableLogConflictException(
-          s"TableLog: lost the commit race for version $version of $dir " +
-            s"(another writer committed on top of parent $parent) — " +
-            s"re-read, re-merge, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+        classifyFailedRename(fs, target, body) match {
+          case RenameLanded =>
+            // our own manifest IS at the target: the rename succeeded and
+            // only the acknowledgement was lost (realistic on HDFS/object
+            // stores) — the commit is durable, deleting the data dir here
+            // would have been silent data loss in the current snapshot
+          case RenameLostRace =>
+            fs.delete(new Path(base, dataSub), true)
+            throw new TableLogConflictException(
+              s"TableLog: lost the commit race for version $version of $dir " +
+                s"(another writer committed on top of parent $parent) — " +
+                s"re-read, re-merge, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+          case RenameIoFailure =>
+            // transient IO error with no manifest at the target: the
+            // commit did not land, but this is not a conflict — keep the
+            // data dir (vacuum sweeps orphans) and surface the real error
+            throw e
+        }
     }
     version
   }
+
+  private[sinks] sealed trait RenameOutcome
+  private[sinks] case object RenameLanded extends RenameOutcome
+  private[sinks] case object RenameLostRace extends RenameOutcome
+  private[sinks] case object RenameIoFailure extends RenameOutcome
+
+  /** After a failed commit rename: what is at the target decides. Our
+    * exact manifest body → the rename landed and the ack was lost;
+    * different content → a concurrent writer won the CAS; absent or
+    * unreadable → an IO failure, conservatively NOT a race (never
+    * delete data on an unconfirmed verdict).
+    */
+  private[sinks] def classifyFailedRename(fs: FileSystem, target: Path,
+                                          body: String): RenameOutcome =
+    try {
+      if (!fs.exists(target)) RenameIoFailure
+      else if (readText(fs, target) == body) RenameLanded
+      else RenameLostRace
+    } catch { case _: Exception => RenameIoFailure }
 
   // ------------------------------------------------------------------- read
 
@@ -376,20 +463,7 @@ object TableLog {
                  bounds: Seq[(String, Any, Any)],
                  version: Long = -1L): PrunedScan = {
     val (schemaJson, files) = resolve(spark, dir, version, "scanPruned")
-    val kept = files.filter(f => bounds.forall { case (c, lo, hi) =>
-      f.stats.get(c) match {
-        case Some(NumStat(mn, mx)) => (lo, hi) match {
-          case (l: Number, h: Number) =>
-            !(mx < l.doubleValue() || mn > h.doubleValue())
-          case _ => true
-        }
-        case Some(StrStat(mn, mx)) => (lo, hi) match {
-          case (l: String, h: String) => !(mx < l || mn > h)
-          case _ => true
-        }
-        case None => true
-      }
-    })
+    val kept = files.filter(f => mayOverlap(f, bounds))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val df =
       if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -484,6 +558,33 @@ object TableLog {
     case other => other
   }
 
+  /** File-vs-bounds intersection — the one pruning rule: a file is kept
+    * unless its recorded stats PROVE no row can satisfy every bound
+    * (missing stats, type-mismatched bounds → keep; pruning must never
+    * be able to drop a row).
+    */
+  private def mayOverlap(f: AddFile, bounds: Seq[(String, Any, Any)]): Boolean =
+    bounds.forall { case (c, lo, hi) =>
+      f.stats.get(c) match {
+        case Some(NumStat(mn, mx)) => (lo, hi) match {
+          case (l: Number, h: Number) =>
+            !(mx < l.doubleValue() || mn > h.doubleValue())
+          case _ => true
+        }
+        case Some(StrStat(mn, mx)) => (lo, hi) match {
+          case (l: String, h: String) => !(mx < l || mn > h)
+          case _ => true
+        }
+        case None => true
+      }
+    }
+
+  private def commitPath(base: Path, v: Long): Path =
+    new Path(base, f"_log/$v%020d.json")
+
+  private def checkpointPath(base: Path, v: Long): Path =
+    new Path(base, f"_log/$v%020d.checkpoint.json")
+
   private def vacuumWatermark(fs: FileSystem, base: Path): Long = {
     val wm = new Path(base, "_log/_VACUUM")
     if (!fs.exists(wm)) 1L else readText(fs, wm).trim.toLong
@@ -571,7 +672,13 @@ object TableLog {
               case INT32 | INT64 | FLOAT | DOUBLE =>
                 val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
                 val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
-                Some(NumStat(mn, mx))
+                // NaN/±Infinity are legal parquet float stats but render
+                // as unquoted tokens — invalid JSON that would poison
+                // every later manifest parse; such a column simply
+                // carries no stats for this file (scanPruned keeps it)
+                if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+                  Some(NumStat(mn, mx))
+                else None
               case BINARY
                 if prim.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
                 Some(StrStat(st.minAsString(), st.maxAsString()))
@@ -613,7 +720,15 @@ object TableLog {
   }
 
   private def renderAdd(a: AddFile): String = {
+    // defense in depth: a non-finite numeric stat must never reach the
+    // rendered JSON (footerStats already filters; this covers any other
+    // producer of AddFile, e.g. a checkpoint re-rendering legacy stats)
     val stats = a.stats.toSeq.sortBy(_._1)
+      .filter {
+        case (_, NumStat(mn, mx)) =>
+          java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)
+        case _ => true
+      }
       .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
     s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}}"""
   }
@@ -628,9 +743,14 @@ object TableLog {
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
-                               live: Seq[AddFile]): String =
+                               live: Seq[AddFile],
+                               txns: Map[String, Long]): String = {
+    val txnBody = txns.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""${esc(a)}":$b""" }.mkString(",")
     s"""{"version":$version,"schema":"${esc(schemaJson)}",""" +
+      s""""txns":{$txnBody},""" +
       s""""live":[${live.map(renderAdd).mkString(",")}]}"""
+  }
 
   private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] = {
     import scala.jdk.CollectionConverters._
@@ -663,5 +783,15 @@ object TableLog {
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     (n.get("schema").asText(), parseAdds(n.get("live")))
+  }
+
+  /** `None` for a legacy checkpoint without the `txns` field — the
+    * caller must then fold markers from the full log.
+    */
+  private def parseCheckpointTxns(txt: String): Option[Map[String, Long]] = {
+    import scala.jdk.CollectionConverters._
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    Option(n.get("txns")).map(t =>
+      t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
 }

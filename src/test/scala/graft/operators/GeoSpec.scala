@@ -72,4 +72,36 @@ class GeoSpec extends SparkSpec {
     }
     assert(messages(e2).exists(m => m != null && m.contains("cells")), s"got $e2")
   }
+
+  test("radiusJoin: hair-inside-radius ring at high latitude == brute force (exact lon bound)") {
+    // points placed by the direct spherical geodesic at 0.999r and
+    // 1.002r from a 70° site, across all bearings — the east/west
+    // extremes are exactly where the planar lon span r/(R·cosφ)
+    // undercovers the circle and a cell-boundary straddle could lose a
+    // pair; the exact asin(sin(r/R)/cosφ) bound must recover them all
+    val (slat, slon, r) = (70.0, 10.0, 500.0)
+    def dest(bearingDeg: Double, distKm: Double): (Double, Double) = {
+      val (f1, l1, th, d) = (math.toRadians(slat), math.toRadians(slon),
+        math.toRadians(bearingDeg), distKm / Geo.EarthRadiusKm)
+      val f2 = math.asin(math.sin(f1) * math.cos(d) +
+        math.cos(f1) * math.sin(d) * math.cos(th))
+      val l2 = l1 + math.atan2(math.sin(th) * math.sin(d) * math.cos(f1),
+        math.cos(d) - math.sin(f1) * math.sin(f2))
+      (math.toDegrees(f2), math.toDegrees(l2))
+    }
+    val points = (0 until 144).map { i =>
+      val (la, lo) = dest(i * 2.5, if (i % 2 == 0) r * 0.999 else r * 1.002)
+      (i.toLong, la, lo)
+    }.toDF("pid", "lat", "lon")
+    val sites = Seq((1L, slat, slon)).toDF("sid", "lat", "lon")
+    val grid = Geo.radiusJoin(points, sites, "pid", "sid",
+        radiusKm = r, cellDeg = 5.0)
+      .select("point_id").collect().map(_.getLong(0)).toSet
+    val brute = points
+      .withColumn("d", Geo.haversineKm(col("lat"), col("lon"), lit(slat), lit(slon)))
+      .filter(col("d") <= r)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(grid == brute, s"grid=${grid.size} brute=${brute.size}")
+    assert(brute.size >= 70, "the inside half of the ring must qualify")
+  }
 }

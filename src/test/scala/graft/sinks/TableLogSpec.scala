@@ -348,4 +348,86 @@ class TableLogSpec extends SparkSpec {
     // history (the audit log) is still complete
     assert(TableLog.history(spark, dir).map(_.version) == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("failed commit rename classifies by target content: landed / race / IO failure") {
+    val dir = tmpDir("tlog_classify")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(base, "_log/00000000000000000001.json")
+    val body = """{"version":1,"parent":0,"op":"append"}"""
+    // target absent → IO failure, NOT a race (data must survive)
+    assert(TableLog.classifyFailedRename(fs, target, body) == TableLog.RenameIoFailure)
+    // target holds OUR exact body → the rename landed, ack was lost
+    fs.mkdirs(target.getParent)
+    val out = fs.create(target, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    assert(TableLog.classifyFailedRename(fs, target, body) == TableLog.RenameLanded)
+    // target holds a DIFFERENT manifest → confirmed lost race
+    assert(TableLog.classifyFailedRename(fs, target, body + " ") ==
+      TableLog.RenameLostRace)
+  }
+
+  test("non-finite footer stats are dropped, the log stays parseable and prunes safely") {
+    val dir = tmpDir("tlog_nonfinite")
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 5.0)).toDF("k", "v")
+    TableLog.append(spark, dir, df.coalesce(1), statsCols = Seq("k", "v"))
+    // one NaN/Inf commit must not poison the log: history parses, readAt works
+    val h = TableLog.history(spark, dir)
+    assert(h.length == 1)
+    // the finite column kept its stats; the non-finite one carries none
+    val stats = h.head.add.head.stats
+    assert(stats.contains("k") && !stats.contains("v"))
+    assert(TableLog.readAt(spark, dir).count() == 4L)
+    // a bound on the stats-less column keeps the file (pruning can't drop rows)
+    val pruned = TableLog.scanPruned(spark, dir, Seq(("v", 100.0, 200.0)))
+    assert(pruned.filesRead == pruned.filesTotal)
+    // later commits and checkpoints still land and parse
+    TableLog.append(spark, dir, Seq((9L, 1.0)).toDF("k", "v"), statsCols = Seq("k", "v"))
+    TableLog.checkpoint(spark, dir)
+    assert(TableLog.readAt(spark, dir).count() == 5L)
+  }
+
+  test("lastCommittedBatch answers from the checkpoint txns map, newest-first above it") {
+    val dir = tmpDir("tlog_txnckpt")
+    def b(k: Long) = Seq((k, k, s"p$k")).toDF("k", "ver", "payload")
+    TableLog.upsertIntoOnce(spark, dir, b(1), Seq("k"), "ver", "appA", 7L)
+    TableLog.upsertIntoOnce(spark, dir, b(2), Seq("k"), "ver", "appB", 3L)
+    TableLog.checkpoint(spark, dir) // folds {appA→7, appB→3} into the manifest
+    // unmarked commits after the checkpoint — the scan above the floor
+    // finds no marker and the checkpoint map must answer
+    TableLog.append(spark, dir, b(3))
+    TableLog.append(spark, dir, b(4))
+    assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(7L))
+    assert(TableLog.lastCommittedBatch(spark, dir, "appB") == Some(3L))
+    assert(TableLog.lastCommittedBatch(spark, dir, "appC") == None)
+    // a newer marker above the checkpoint wins (newest-first early exit)
+    TableLog.upsertIntoOnce(spark, dir, b(5), Seq("k"), "ver", "appA", 9L)
+    assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(9L))
+    // and replay idempotence still holds through the checkpointed path
+    assert(TableLog.upsertIntoOnce(spark, dir, b(6), Seq("k"), "ver", "appA", 9L).isEmpty)
+    assert(TableLog.upsertIntoOnce(spark, dir, b(6), Seq("k"), "ver", "appB", 2L).isEmpty)
+  }
+
+  test("legacy checkpoint without txns falls back to the full-log marker scan") {
+    val dir = tmpDir("tlog_txnlegacy")
+    def b(k: Long) = Seq((k, k, s"p$k")).toDF("k", "ver", "payload")
+    TableLog.upsertIntoOnce(spark, dir, b(1), Seq("k"), "ver", "appA", 7L)
+    TableLog.append(spark, dir, b(2))
+    val v = TableLog.checkpoint(spark, dir)
+    // strip the txns field — simulate a checkpoint written before the format carried it
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptPath = new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.checkpoint.json")
+    val in = fs.open(ckptPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("txns")
+    val out = fs.create(ckptPath, true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+    // the marker below the legacy checkpoint is still found (full scan fallback)
+    assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(7L))
+    assert(TableLog.upsertIntoOnce(spark, dir, b(3), Seq("k"), "ver", "appA", 7L).isEmpty)
+  }
 }
