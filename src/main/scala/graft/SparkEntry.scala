@@ -92,6 +92,64 @@ object SparkEntry {
   private val tableLogPrunedPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged copy-on-write TableLog history (the q_table_log_delete /
+    * _update / q_merge_into / q_table_log_cdf fixture): v1 = lineitem
+    * as 16 price-range files, v2 = stats-pruned DELETE of a price band,
+    * v3 = stats-pruned UPDATE of the high-price tail, v4 = MERGE of a
+    * key-derived source (matched updates + synthetic inserts). Built
+    * once per JVM; each query reads its own immutable version.
+    */
+  private val tableLogCowPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cowBase(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast("double").as("price"))
+
+  private def cowMergeSource(s: SparkSession, d: String): DataFrame =
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // distinct per arm keeps the merge source unambiguous (a matched
+    // key replaces ALL its duplicate target rows with the one source row)
+    cowBase(s, d).filter(pmod(col("l_orderkey"), lit(97)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), lit(1.0).as("price"))
+      .distinct()
+      .unionByName(cowBase(s, d)
+        .filter(pmod(col("l_orderkey"), lit(101)) === 0 && col("l_linenumber") === 1)
+        .select((col("l_orderkey") + 100000000L).as("l_orderkey"),
+          col("l_linenumber"), lit(2.0).as("price"))
+        .distinct())
+
+  private def cowFixture(s: SparkSession, d: String): String =
+    tableLogCowPath.getOrElseUpdate(d, {
+      val p = stageDir("tlogcow", d)
+      TableLog.append(s, p, cowBase(s, d).repartitionByRange(16, col("price")),
+        statsCols = Seq("price"))
+      TableLog.deleteWhere(s, p, col("price").between(10000.0, 20000.0),
+        pruneBounds = Seq(("price", 10000.0, 20000.0)), statsCols = Seq("price"))
+      TableLog.updateWhere(s, p, col("price") > 50000.0,
+        set = Map("price" -> (col("price") + 1000.0)),
+        pruneBounds = Seq(("price", 50000.0, 1e18)), statsCols = Seq("price"))
+      TableLog.mergeInto(s, p, cowMergeSource(s, d),
+        Seq("l_orderkey", "l_linenumber"), statsCols = Seq("price"))
+      p
+    })
+
+  /** Staged evolving TableLog (q_table_log_evolve): v1 carries two
+    * columns, v2 appends with mergeSchema adding a third — v1's rows
+    * must read back with NULL in the new column.
+    */
+  private val tableLogEvolvePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged bloom-indexed TableLog (q_table_log_point): lineitem
+    * hash-distributed over 16 files (every file spans ~the full key
+    * range, so manifest min/max prune nothing) with a parquet bloom
+    * filter on l_orderkey — the point lookup must skip files via the
+    * bloom and still return exactly the matching rows.
+    */
+  private val tableLogBloomPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The record-linkage fixture: customer addresses prefixed with 6 hex
     * chars of md5(custkey) — a planted one-char-dropped variant per
     * tenth customer is then the only possible levenshtein≤1 match
@@ -1599,6 +1657,78 @@ object SparkEntry {
       val pr = TableLog.scanPruned(s, dir, Seq(("price", 10000.0, 20000.0)))
       pr.df.filter(col("price").between(10000.0, 20000.0))
         .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // copy-on-write DELETE: version 2 of the staged history removed one
+    // price band by rewriting ONLY the stats-overlapping files — the
+    // surviving snapshot must equal DuckDB's plain filter
+    "q_table_log_delete" -> ((s, d) => {
+      TableLog.readAt(s, cowFixture(s, d), version = 2L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // copy-on-write UPDATE: version 3 added 1000.0 to every price above
+    // 50k, touching only the files whose stats reach that band
+    "q_table_log_update" -> ((s, d) => {
+      TableLog.readAt(s, cowFixture(s, d), version = 3L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // MERGE INTO: version 4 last-wins-merged a key-derived source
+    // (matched rows take price 1.0; synthetic unmatched keys insert) —
+    // the at-scale upsert whose touch set is the stats-overlapping
+    // files, not the table
+    "q_merge_into" -> ((s, d) => {
+      TableLog.readAt(s, cowFixture(s, d), version = 4L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // change data feed across the delete + update commits: the delete
+    // emits exactly the removed rows, the update emits delete+insert
+    // pairs — bounded by each commit's touched files, never the table
+    "q_table_log_cdf" -> ((s, d) => {
+      TableLog.readChanges(s, cowFixture(s, d), fromVersion = 1L, toVersion = 3L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("_commit_version"), col("_change_type"))
+    }),
+
+    // schema evolution: v2 appended a column under mergeSchema; v1 rows
+    // null-fill it on read
+    "q_table_log_evolve" -> ((s, d) => {
+      val dir = tableLogEvolvePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogevolve", d)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"))
+        TableLog.append(s, p, o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        TableLog.append(s, p,
+          Tables.orders(s, d).filter(pmod(col("o_orderkey"), lit(3)) === 1)
+            .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"),
+              col("o_orderpriority").as("seg")),
+          mergeSchema = true)
+        p
+      })
+      TableLog.readAt(s, dir).orderBy(col("o_orderkey"))
+    }),
+
+    // bloom-filter point lookup: a hash-distributed layout where every
+    // file spans the key range (min/max prunes nothing) — the parquet
+    // bloom skips the non-matching files and the rows still match
+    // DuckDB's IN-filter exactly
+    "q_table_log_point" -> ((s, d) => {
+      val dir = tableLogBloomPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogbloom", d)
+        TableLog.append(s, p,
+          cowBase(s, d).repartition(16, col("l_orderkey")),
+          statsCols = Seq("l_orderkey"),
+          writeOptions = TableLog.bloomOptions(Seq("l_orderkey"), expectedNdv = 100000L))
+        p
+      })
+      val keys = cowBase(s, d).agg(min(col("l_orderkey")), max(col("l_orderkey")))
+        .head()
+      val probes = Seq(keys.getLong(0), keys.getLong(1))
+      val scan = TableLog.scanPointLookup(s, dir, "l_orderkey", probes)
+      scan.df.filter(col("l_orderkey").isin(probes: _*))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -4148,6 +4278,90 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // state after the CoW DELETE commit (rows where the predicate was
+    // not TRUE survive)
+    "q_table_log_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // state after the CoW UPDATE commit on top of the delete
+    "q_table_log_update" ->
+      """WITH s2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |  FROM lineitem
+        |  WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0))
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN price > 50000.0 THEN price + 1000.0 ELSE price END AS price
+        |FROM s2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // state after MERGE INTO: rows not matched by a source key survive
+    // as-is; every source row (matched replacement or fresh insert) is
+    // present verbatim
+    "q_merge_into" ->
+      """WITH s2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |  FROM lineitem
+        |  WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)),
+        |s3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN price > 50000.0 THEN price + 1000.0 ELSE price END AS price
+        |  FROM s2),
+        |src AS (
+        |  SELECT DISTINCT l_orderkey, l_linenumber, 1.0 AS price
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey + 100000000, l_linenumber, 2.0
+        |  FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1)
+        |SELECT s3.l_orderkey, s3.l_linenumber, s3.price FROM s3
+        |WHERE NOT EXISTS (SELECT 1 FROM src
+        |                  WHERE src.l_orderkey = s3.l_orderkey
+        |                    AND src.l_linenumber = s3.l_linenumber)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, price FROM src
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // change feed (1, 3]: the delete commit emits exactly its removed
+    // rows; the update commit emits delete+insert pairs for changed
+    // rows only (unchanged rows in touched files cancel in the diff)
+    "q_table_log_cdf" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |  FROM lineitem),
+        |s2 AS (SELECT * FROM b WHERE NOT (price BETWEEN 10000.0 AND 20000.0))
+        |SELECT l_orderkey, l_linenumber, price,
+        |       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM b WHERE price BETWEEN 10000.0 AND 20000.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, price, 'delete', CAST(3 AS BIGINT)
+        |FROM s2 WHERE price > 50000.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, price + 1000.0, 'insert', CAST(3 AS BIGINT)
+        |FROM s2 WHERE price > 50000.0
+        |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    // evolved table: v1 rows null-fill the column v2 added
+    "q_table_log_evolve" ->
+      """SELECT o_orderkey, o_totalprice::DOUBLE AS price,
+        |       CAST(NULL AS VARCHAR) AS seg
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice::DOUBLE, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // bloom point lookup == plain IN filter (the pruning is invisible
+    // to the result, which is the point)
+    "q_table_log_point" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT min(l_orderkey) FROM lineitem
+        |                     UNION ALL
+        |                     SELECT max(l_orderkey) FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // last-wins replay of upsert batches 1..2 (batch 3 exists in the log

@@ -89,13 +89,49 @@ object TableLog {
 
   /** Append `df` as a new version. Schema must equal the current schema
     * exactly (loud — silent widening is how lakehouse tables rot);
-    * `overwrite` is the schema-change channel.
+    * `overwrite` is the schema-change channel, and `mergeSchema = true`
+    * is the controlled evolution channel: NEW columns may be added
+    * (appended after the existing ones in the table schema; older
+    * files null-fill them on read), but every existing column must
+    * still be present with its declared type — renames and type
+    * changes stay refused.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              expectedParent: Option[Long] = None,
-             txn: Option[(String, Long)] = None): Long =
-    commit(spark, dir, df, "append", statsCols, expectedParent, txn)
+             txn: Option[(String, Long)] = None,
+             mergeSchema: Boolean = false,
+             writeOptions: Map[String, String] = Map.empty): Long = {
+    val base = expectedParent.getOrElse(currentVersion(spark, dir))
+    if (!mergeSchema || base == 0L)
+      commit(spark, dir, df, "append", statsCols, expectedParent, txn,
+        writeOptions = writeOptions)
+    else {
+      val basePath = new Path(dir)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (pSchemaJson, _) = snapshotAt(spark, fs, basePath, base)
+      val parsed = DataType.fromJson(pSchemaJson).asInstanceOf[StructType]
+      val dfFields = df.schema.fields.map(f => f.name -> f).toMap
+      val missing = parsed.fields.map(_.name).filterNot(dfFields.contains)
+      require(missing.isEmpty,
+        s"TableLog.append(mergeSchema): existing columns missing from the batch: " +
+          s"${missing.mkString(", ")} — carry them (as NULL literals if absent)")
+      parsed.fields.foreach { pf =>
+        require(nullableForm(dfFields(pf.name).dataType) == nullableForm(pf.dataType),
+          s"TableLog.append(mergeSchema): column ${pf.name} changed type " +
+            s"(${dfFields(pf.name).dataType.simpleString} vs ${pf.dataType.simpleString}) — " +
+            "evolution adds columns, it never retypes them; use overwrite")
+      }
+      val newFields = df.schema.fields.filterNot(f => parsed.fieldNames.contains(f.name))
+      val evolved = StructType(parsed.fields.map(_.copy(nullable = true)) ++
+        newFields.map(_.copy(nullable = true)))
+      val ordered = df.select(evolved.fieldNames.toSeq
+        .map(org.apache.spark.sql.functions.col): _*)
+      commit(spark, dir, ordered, "append", statsCols,
+        expectedParent = Some(base), txn = txn,
+        schemaOverride = Some(evolved.json), writeOptions = writeOptions)
+    }
+  }
 
   /** Replace the table's contents as a new version: the manifest removes
     * every file live at the parent and adds the new ones — old versions
@@ -104,8 +140,22 @@ object TableLog {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
                 statsCols: Seq[String] = Nil,
                 expectedParent: Option[Long] = None,
-                txn: Option[(String, Long)] = None): Long =
-    commit(spark, dir, df, "overwrite", statsCols, expectedParent, txn)
+                txn: Option[(String, Long)] = None,
+                writeOptions: Map[String, String] = Map.empty): Long =
+    commit(spark, dir, df, "overwrite", statsCols, expectedParent, txn,
+      writeOptions = writeOptions)
+
+  /** Parquet writer options that embed a BLOOM FILTER per file for each
+    * of `cols` — footer-adjacent metadata, read back by
+    * [[scanPointLookup]] without touching data pages. Min/max stats
+    * cannot prune a point lookup on a high-cardinality key whose range
+    * spans every file; blooms can. Pass to `append`/`overwrite` via
+    * `writeOptions`.
+    */
+  def bloomOptions(cols: Seq[String], expectedNdv: Long = 1000000L): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap
 
   /** Last-wins upsert as a transaction: read the latest snapshot, merge
     * the batch ([[DataSink.upsert]] semantics), publish as an overwrite
@@ -185,6 +235,141 @@ object TableLog {
       .map(v => parseCommit(readText(fs, commitPath(base, v))).txn)
       .collectFirst { case Some((a, b)) if a == appId => b }
     above.orElse(ckpt.flatMap { case (_, txns) => txns.flatMap(_.get(appId)) })
+  }
+
+  // --------------------------------------------------- row-level ops (CoW)
+
+  /** `DELETE WHERE` as a copy-on-write transaction: rewrite ONLY the
+    * files that might hold matching rows, leave every other file
+    * untouched (their manifest entries — paths, stats — carry over
+    * verbatim), and publish pinned to the version read. `pruneBounds`
+    * is the [[scanPruned]] hint that selects the touch set from
+    * manifest stats; it MUST be implied by the predicate (a bound that
+    * excludes a matching file would silently keep its rows — same
+    * contract as scanPruned, stated here because deletion makes it
+    * load-bearing). With no bounds every live file is rewritten.
+    * Rows where the predicate is NULL are KEPT (SQL DELETE semantics —
+    * only TRUE deletes). At 100 TB this is the difference between a
+    * full-table rewrite and touching the handful of files a
+    * well-clustered predicate lands on.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  pruneBounds: Seq[(String, Any, Any)] = Nil,
+                  statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
+    rewriteTouched(spark, dir, "delete", pruneBounds, statsCols) { touched =>
+      touched.filter(not(fnCoalesce(predicate, lit(false))))
+    }
+  }
+
+  /** `UPDATE … SET … WHERE` as a copy-on-write transaction: the
+    * [[deleteWhere]] touch-set discipline with per-row assignment —
+    * matched rows take `set`'s expressions (cast back to the column's
+    * declared type, so the table schema cannot drift), unmatched rows
+    * in touched files rewrite unchanged, untouched files carry over.
+    * A NULL predicate leaves the row unchanged.
+    */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  pruneBounds: Seq[(String, Any, Any)] = Nil,
+                  statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, when}
+    rewriteTouched(spark, dir, "update", pruneBounds, statsCols) { touched =>
+      val fields = touched.schema.fields
+      val unknown = set.keySet -- fields.map(_.name).toSet
+      require(unknown.isEmpty,
+        s"TableLog.updateWhere: SET columns not in the table: ${unknown.mkString(", ")}")
+      val cond = fnCoalesce(predicate, lit(false))
+      touched.select(fields.map { f =>
+        set.get(f.name)
+          .map(expr => when(cond, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+    }
+  }
+
+  /** `MERGE INTO` as a copy-on-write transaction — the at-scale form of
+    * [[upsertInto]] (which rewrites the WHOLE table every commit): the
+    * touch set is the files whose key stats overlap the source's key
+    * bounding box (one tiny aggregate on the source; files without key
+    * stats are always touched — pruning must never lose a match), only
+    * those files rewrite, and unmatched source rows land as new files.
+    * `whenMatched = "update"` replaces a matched row with its source row
+    * (last-wins); `"delete"` drops it. Source keys must be UNIQUE —
+    * two source rows matching one target row is refused loudly (the
+    * ambiguous-merge rule). Conflicts with concurrent writers surface
+    * through the usual commit CAS pinned to the version read.
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keys: Seq[String], whenMatched: String = "update",
+                insertUnmatched: Boolean = true,
+                statsCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "TableLog.mergeInto: keys must be non-empty")
+    require(whenMatched == "update" || whenMatched == "delete",
+      s"TableLog.mergeInto: whenMatched must be update|delete, got $whenMatched")
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, struct}
+    val uniq = source.agg(count(lit(1)).as("n"),
+      countDistinct(struct(keys.map(col): _*)).as("d")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"TableLog.mergeInto: source keys must be unique " +
+        s"(${uniq.getLong(0)} rows, ${uniq.getLong(1)} distinct keys) — " +
+        "two source rows matching one target row is an ambiguous merge")
+    // the source's key bounding box, typed to match the manifest stats
+    val boundsRow = source.select(keys.flatMap(k =>
+      Seq(org.apache.spark.sql.functions.min(col(k)).as(s"_min_$k"),
+        org.apache.spark.sql.functions.max(col(k)).as(s"_max_$k"))): _*).head()
+    val bounds = keys.zipWithIndex.map { case (k, i) =>
+      (k, boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
+    }
+    rewriteTouched(spark, dir, "merge", bounds, statsCols,
+        schemaCheck = whenMatched == "update" || insertUnmatched) { touched =>
+      val kept = touched.join(source.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      val incoming = (whenMatched, insertUnmatched) match {
+        case ("update", true) => source // matched replacements + inserts
+        case ("update", false) =>
+          source.join(touched.select(keys.map(col): _*), keys, "left_semi")
+        case ("delete", true) =>
+          source.join(touched.select(keys.map(col): _*), keys, "left_anti")
+        case ("delete", false) => null
+      }
+      if (incoming == null) kept
+      else kept.unionByName(incoming.select(touched.columns.map(col).toSeq: _*))
+    }
+  }
+
+  /** Shared CoW skeleton: resolve the touch set from manifest stats,
+    * hand the touched rows to `rewrite`, commit the rewrite as
+    * remove(touched) + add(new files) pinned to the version read.
+    * Untouched files' manifest entries (and physical files) carry over
+    * untouched — that invariant IS the operator (pinned in spec).
+    */
+  private def rewriteTouched(spark: SparkSession, dir: String, op: String,
+                             pruneBounds: Seq[(String, Any, Any)],
+                             statsCols: Seq[String],
+                             schemaCheck: Boolean = true)
+                            (rewrite: DataFrame => DataFrame): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.$op: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val touched = files.filter(f => mayOverlap(f, pruneBounds))
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(touched.map(f => s"$dir/${f.path}"): _*)
+    val out = rewrite(touchedDf)
+    if (schemaCheck)
+      require(nullableForm(out.schema) == nullableForm(schema),
+        s"TableLog.$op: rewrite changed the table schema " +
+          s"(${out.schema.simpleString} vs ${schema.simpleString})")
+    commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
+      txn = None, explicitRemoves = Some(touched.map(_.path)),
+      schemaOverride = Some(schemaJson))
   }
 
   /** OPTIMIZE as a transaction: rewrite the current live files into
@@ -469,6 +654,144 @@ object TableLog {
       if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
     PrunedScan(df, kept.length, files.length)
+  }
+
+  /** Point-lookup scan: plan a read over only the files that might hold
+    * ANY of `values` in `column`. Two pruning phases, both before any
+    * scan task launches: (1) manifest min/max — a file is kept if some
+    * value falls inside its recorded range; (2) the parquet BLOOM
+    * FILTER of each survivor (written via [[bloomOptions]]; a
+    * footer-adjacent read, no data pages) — a file whose every row
+    * group's bloom rules out every value is skipped. Min/max is
+    * useless for point lookups on a high-cardinality key whose range
+    * spans every file; the bloom phase is what makes a needle lookup
+    * on a 100 TB table cost O(footers) + O(matching files). Files
+    * without stats or blooms for the column are always kept, and the
+    * exact equality predicate still belongs to the caller.
+    */
+  def scanPointLookup(spark: SparkSession, dir: String, column: String,
+                      values: Seq[Any], version: Long = -1L): PrunedScan = {
+    require(values.nonEmpty, "TableLog.scanPointLookup: values must be non-empty")
+    val (schemaJson, files) = resolve(spark, dir, version, "scanPointLookup")
+    val statsKept = files.filter(f => f.stats.get(column) match {
+      case Some(NumStat(mn, mx)) => values.exists {
+        case n: Number => n.doubleValue() >= mn && n.doubleValue() <= mx
+        case _ => true
+      }
+      case Some(StrStat(mn, mx)) => values.exists {
+        case s: String => s >= mn && s <= mx
+        case _ => true
+      }
+      case None => true
+    })
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new Path(dir)
+    val kept = statsKept.filter(f =>
+      bloomMightContain(conf, new Path(basePath, f.path), column, values))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val df =
+      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+    PrunedScan(df, kept.length, files.length)
+  }
+
+  /** True unless every row group's bloom filter rules out every value —
+    * the only way this file gets skipped. Values hash by the COLUMN's
+    * physical type (a long key probed with an Int literal must hash as
+    * a long, or the bloom answers for the wrong bit pattern); a value
+    * whose type can't be coerced keeps the file.
+    */
+  private def bloomMightContain(conf: Configuration, file: Path,
+                                column: String, probes: Seq[Any]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, FLOAT, INT32, INT64}
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from this file: never prune on it
+          case Some(cc) =>
+            val bloom = reader.readBloomFilter(cc)
+            if (bloom == null) true
+            else {
+              val prim = cc.getPrimitiveType.getPrimitiveTypeName
+              probes.exists { v =>
+                val hash: Option[Long] = (prim, v) match {
+                  case (INT64, n: Number) => Some(bloom.hash(n.longValue()))
+                  case (INT32, n: Number) => Some(bloom.hash(n.intValue()))
+                  case (DOUBLE, n: Number) => Some(bloom.hash(n.doubleValue()))
+                  case (FLOAT, n: Number) => Some(bloom.hash(n.floatValue()))
+                  case (BINARY, s: String) => Some(bloom.hash(Binary.fromString(s)))
+                  case _ => None
+                }
+                hash.forall(bloom.findHash) // un-coercible value: keep the file
+              }
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Change data feed: the row-level changes that took the table from
+    * `fromVersion` to `toVersion` (-1 = latest), as data columns +
+    * `_change_type` (`insert`/`delete`) + `_commit_version`. An updated
+    * row appears as its delete plus its insert — appliers replay
+    * deletes-then-inserts per version, which reconstructs any snapshot
+    * from any older one. Cost model (what makes this a 100 TB feed):
+    * an `append` commit emits its added rows with NO diff read; every
+    * other commit diffs ONLY the files it touched (rows of added files
+    * `EXCEPT ALL` rows of removed files = inserts, the reverse =
+    * deletes) — so a stats-pruned [[deleteWhere]]/[[mergeInto]] commit
+    * costs its touch set, and a [[compactTable]]/[[optimizeZOrdered]]
+    * commit that rewrites bytes but not rows emits NOTHING (pinned in
+    * spec). Column evolution across the range null-fills via
+    * per-commit schemas; a type change inside the range fails loudly.
+    */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
+                  toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitVers = commitVersions(fs, base)
+    require(commitVers.nonEmpty, s"TableLog.readChanges: $dir has no committed versions")
+    val to = if (toVersion == -1L) commitVers.last else toVersion
+    require(commitVers.contains(to),
+      s"TableLog.readChanges: version $to of $dir does not exist")
+    require(fromVersion >= 0L && fromVersion <= to,
+      s"TableLog.readChanges: need 0 <= from <= to, got ($fromVersion, $to)")
+    val wm = vacuumWatermark(fs, base)
+    require(math.max(fromVersion, 1L) >= wm,
+      s"TableLog.readChanges: version $fromVersion was vacuumed (earliest readable: $wm)")
+    val range = commitVers.filter(v => v > fromVersion && v <= to)
+    val parts = range.map { v =>
+      val c = parseCommit(readText(fs, commitPath(base, v)))
+      val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      def read(paths: Seq[String]): DataFrame =
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
+      val added = read(c.add.map(_.path))
+      val changes =
+        if (c.op == "append" || c.remove.isEmpty)
+          added.withColumn("_change_type", lit("insert"))
+        else {
+          val removed = read(c.remove)
+          added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+            .unionByName(removed.exceptAll(added)
+              .withColumn("_change_type", lit("delete")))
+        }
+      changes.withColumn("_commit_version", lit(v))
+    }
+    if (parts.isEmpty) {
+      val (schemaJson, _) = snapshotAt(spark, fs, base, to)
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   private def resolve(spark: SparkSession, dir: String, version: Long,

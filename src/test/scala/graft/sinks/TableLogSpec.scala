@@ -349,6 +349,193 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.history(spark, dir).map(_.version) == Seq(1L, 2L, 3L, 4L))
   }
 
+  private def fileSet(dir: String, v: Long): Set[String] =
+    TableLog.history(spark, dir)
+      .foldLeft(Map.empty[String, String]) { (live, c) =>
+        if (c.version > v) live
+        else c.remove.foldLeft(live)(_ - _) ++ c.add.map(a => a.path -> a.path)
+      }.keySet
+
+  test("deleteWhere: CoW touch set — untouched files carry over verbatim, rows match") {
+    val dir = tmpDir("tlog_del")
+    val df = (1L to 400L).map(k => (k, s"p$k")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))
+    val before = fileSet(dir, 1L)
+    assert(before.size == 4)
+    TableLog.deleteWhere(spark, dir, col("k").between(150L, 250L),
+      pruneBounds = Seq(("k", 150L, 250L)), statsCols = Seq("k"))
+    val after = fileSet(dir, 2L)
+    // files whose range cannot hold 150..250 are the SAME physical files
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty && carried.size >= 2,
+      s"untouched files must carry over: before=$before after=$after")
+    val ks = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == (1L to 400L).filterNot(k => k >= 150L && k <= 250L).toSet)
+    // time travel still sees the pre-delete table
+    assert(TableLog.readAt(spark, dir, 1L).count() == 400L)
+    // a NULL predicate keeps the row (SQL DELETE semantics)
+    val dir2 = tmpDir("tlog_del_null")
+    TableLog.append(spark, dir2,
+      Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("x"))).toDF("k", "s"))
+    TableLog.deleteWhere(spark, dir2, col("s") === "x")
+    assert(TableLog.readAt(spark, dir2).select("k").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+  }
+
+  test("updateWhere: matched rows take assignments, schema is stable, unknown column is loud") {
+    val dir = tmpDir("tlog_upd")
+    val df = (1L to 100L).map(k => (k, k * 10.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))
+    val before = fileSet(dir, 1L)
+    TableLog.updateWhere(spark, dir, col("k") > 90L,
+      set = Map("v" -> (col("v") + 0.5)),
+      pruneBounds = Seq(("k", 91L, Long.MaxValue)), statsCols = Seq("k"))
+    val out = TableLog.readAt(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 100L).foreach { k =>
+      assert(out(k) == (if (k > 90L) k * 10.0 + 0.5 else k * 10.0), s"k=$k")
+    }
+    assert(before.intersect(fileSet(dir, 2L)).size >= 3,
+      "files that cannot hold k>90 must not be rewritten")
+    intercept[IllegalArgumentException] {
+      TableLog.updateWhere(spark, dir, col("k") > 0L, set = Map("nope" -> lit(1)))
+    }
+    // an assignment cannot drift the column type: cast back to declared
+    TableLog.updateWhere(spark, dir, col("k") === 1L, set = Map("v" -> lit(7)))
+    assert(TableLog.readAt(spark, dir).schema("v").dataType.typeName == "double")
+  }
+
+  test("mergeInto: stats-pruned upsert — matched update, unmatched insert, delete mode, dup-key guard") {
+    val dir = tmpDir("tlog_merge")
+    val df = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))
+    val before = fileSet(dir, 1L)
+    // source confined to the low key range + brand-new keys
+    val src = Seq((10L, "NEW10"), (20L, "NEW20"), (1000L, "INS")).toDF("k", "s")
+    TableLog.mergeInto(spark, dir, src, Seq("k"), statsCols = Seq("k"))
+    val out = TableLog.readAt(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 201)
+    assert(out(10L) == "NEW10" && out(20L) == "NEW20" && out(1000L) == "INS")
+    assert(out(11L) == "v11" && out(200L) == "v200")
+    // files whose key range cannot overlap [10, 1000]∩source-box stay put:
+    // the source box is [10,1000], so only files overlapping it rewrite —
+    // with ranges ~[1,50],[51,100],[101,150],[151,200] ALL overlap; use a
+    // tight source instead to pin pruning
+    val dir2 = tmpDir("tlog_merge2")
+    TableLog.append(spark, dir2, df, statsCols = Seq("k"))
+    val before2 = fileSet(dir2, 1L)
+    TableLog.mergeInto(spark, dir2, Seq((5L, "X5")).toDF("k", "s"), Seq("k"),
+      statsCols = Seq("k"))
+    assert(before2.intersect(fileSet(dir2, 2L)).size == 3,
+      "a single-key merge must rewrite exactly the one overlapping file")
+    // duplicate source keys are an ambiguous merge — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark, dir, Seq((1L, "a"), (1L, "b")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e.getMessage.contains("unique"))
+    // whenMatched = delete drops matched keys; insertUnmatched still inserts
+    TableLog.mergeInto(spark, dir, Seq((10L, "ignored"), (2000L, "INS2")).toDF("k", "s"),
+      Seq("k"), whenMatched = "delete", statsCols = Seq("k"))
+    val out2 = TableLog.readAt(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out2.contains(10L) && out2(2000L) == "INS2" && out2.size == 201)
+  }
+
+  test("readChanges: appends emit inserts, CoW commits emit exact diffs, compaction emits nothing") {
+    val dir = tmpDir("tlog_cdf")
+    val df = (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))                 // v1
+    TableLog.deleteWhere(spark, dir, col("k").between(10L, 19L),
+      pruneBounds = Seq(("k", 10L, 19L)), statsCols = Seq("k"))           // v2
+    TableLog.updateWhere(spark, dir, col("k") === 50L,
+      set = Map("v" -> lit(999.0)),
+      pruneBounds = Seq(("k", 50L, 50L)), statsCols = Seq("k"))           // v3
+    TableLog.compactTable(spark, dir, targetFileMB = 1024)                // v4: bytes, not rows
+    def changes(from: Long, to: Long) =
+      TableLog.readChanges(spark, dir, from, to).collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getString(r.fieldIndex("_change_type")),
+          r.getLong(r.fieldIndex("_commit_version"))))
+    val c1 = changes(0, 1)
+    assert(c1.length == 100 && c1.forall(c => c._3 == "insert" && c._4 == 1L))
+    val c2 = changes(1, 2)
+    assert(c2.map(c => (c._1, c._3)).sorted.toSeq ==
+      (10L to 19L).map(k => (k, "delete")).toSeq)
+    val c3 = changes(2, 3).toSet
+    assert(c3 == Set((50L, 50.0, "delete", 3L), (50L, 999.0, "insert", 3L)))
+    assert(changes(3, 4).isEmpty, "compaction rewrites bytes, not rows — no changes")
+    // the full feed replays to the final state: inserts minus deletes
+    val all = changes(0, 4)
+    val replayed = all.filter(_._3 == "insert").map(c => (c._1, c._2)).toSet --
+      all.filter(_._3 == "delete").map(c => (c._1, c._2)).toSet
+    val state = TableLog.readAt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(replayed == state)
+    intercept[IllegalArgumentException] { TableLog.readChanges(spark, dir, 2, 1) }
+    intercept[IllegalArgumentException] { TableLog.readChanges(spark, dir, 0, 99) }
+  }
+
+  test("append(mergeSchema): adds columns with null backfill; renames/retypes stay refused") {
+    val dir = tmpDir("tlog_evolve")
+    TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // plain append with a new column is still refused
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark, dir, Seq((3L, "c", 1.5)).toDF("k", "s", "score"))
+    }
+    TableLog.append(spark, dir, Seq((3L, "c", 1.5)).toDF("k", "s", "score"),
+      mergeSchema = true)
+    val rows = TableLog.readAt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", null), (2L, "b", null), (3L, "c", 1.5)))
+    // the evolved schema is now the contract: plain appends carry it
+    TableLog.append(spark, dir, Seq((4L, "d", 2.5)).toDF("k", "s", "score"))
+    assert(TableLog.readAt(spark, dir).count() == 4L)
+    // time travel below the evolution keeps the old schema
+    assert(TableLog.readAt(spark, dir, 1L).columns.toSeq == Seq("k", "s"))
+    // dropping an existing column is refused
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.append(spark, dir, Seq((5L, 9.9)).toDF("k", "score"), mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("missing"))
+    // retyping an existing column is refused
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.append(spark, dir,
+        Seq((5L, "e", "not-a-double")).toDF("k", "s", "score"), mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type"))
+  }
+
+  test("scanPointLookup: bloom filters skip files min/max cannot, rows stay exact") {
+    val dir = tmpDir("tlog_bloom")
+    // hash-distributed layout: every file's key range spans ~the whole
+    // domain, so min/max stats prune NOTHING — only the bloom can
+    val df = (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "s").repartition(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"),
+      writeOptions = TableLog.bloomOptions(Seq("k"), expectedNdv = 1000L))
+    val hit = TableLog.scanPointLookup(spark, dir, "k", Seq(37L, 1999L))
+    assert(hit.filesTotal == 8)
+    assert(hit.filesRead < hit.filesTotal,
+      s"bloom must skip files: read ${hit.filesRead}/${hit.filesTotal}")
+    val got = hit.df.filter(col("k").isin(37L, 1999L))
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((37L, "p37"), (1999L, "p1999")))
+    // a file written WITHOUT blooms is always kept — correctness first
+    TableLog.append(spark, dir, Seq((999999L, "nofilter")).toDF("k", "s"),
+      statsCols = Seq("k"))
+    val miss = TableLog.scanPointLookup(spark, dir, "k", Seq(999999L))
+    val got2 = miss.df.filter(col("k") === 999999L).count()
+    assert(got2 == 1L)
+    // an absent key prunes everything bloom-covered; stats prune the rest
+    val none = TableLog.scanPointLookup(spark, dir, "k", Seq(777777777L))
+    assert(none.filesRead <= 1, s"read ${none.filesRead} files for an absent key")
+  }
+
   test("failed commit rename classifies by target content: landed / race / IO failure") {
     val dir = tmpDir("tlog_classify")
     val base = new org.apache.hadoop.fs.Path(dir)
