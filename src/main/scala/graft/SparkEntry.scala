@@ -229,6 +229,22 @@ object SparkEntry {
 
     "q_daily_revenue" -> ((s, d) => Analytics.dailyRevenue(Tables.orders(s, d))),
 
+    // Holt linear-trend demand forecast over per-priority daily revenue:
+    // the smoothing fold runs in one codegen'd aggregate HOF per group;
+    // DuckDB replays the recurrence as a recursive CTE in the same
+    // operation order (1-alpha spelled as a subtraction BOTH sides so
+    // the literals agree to the ulp)
+    "q_forecast_holt" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("order_day"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
+          .cast("double").as("rev"))
+      Analytics.holtForecast(daily, Seq("o_orderpriority"), "order_day", "rev",
+          alpha = 0.3, beta = 0.1, horizon = 7)
+        .orderBy(col("o_orderpriority"), col("step"))
+    }),
+
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgRevenue(Tables.orders(s, d))),
 
     // co-located fact-fact join through bucketed staging tables — zero
@@ -2104,6 +2120,39 @@ object SparkEntry {
         |       round(sum(revenue) OVER (ORDER BY order_day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_revenue
         |FROM daily ORDER BY order_day""".stripMargin,
+
+    // Holt recurrence replayed as a recursive CTE: base case idx=1 is
+    // (level=y1, trend=0); each step computes level_t once per use in
+    // the SAME shape as the Spark fold; smoothing constants appear as
+    // the literal subtractions the Scala side computes
+    "q_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS order_day,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |base AS (
+        |  SELECT pri, row_number() OVER (PARTITION BY pri ORDER BY order_day) AS idx,
+        |         rev
+        |  FROM daily),
+        |nn AS (SELECT pri, max(idx) AS n FROM base GROUP BY 1),
+        |holt AS (
+        |  SELECT pri, idx, rev AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM base WHERE idx = 1
+        |  UNION ALL
+        |  SELECT b.pri, b.idx,
+        |         0.3::DOUBLE*b.rev
+        |           + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend) AS level,
+        |         0.1::DOUBLE*((0.3::DOUBLE*b.rev
+        |             + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend)) - h.level)
+        |           + (1.0::DOUBLE - 0.1::DOUBLE)*h.trend AS trend
+        |  FROM holt h JOIN base b ON b.pri = h.pri AND b.idx = h.idx + 1),
+        |fin AS (SELECT h.pri, h.level, h.trend
+        |        FROM holt h JOIN nn ON nn.pri = h.pri AND h.idx = nn.n)
+        |SELECT fin.pri AS o_orderpriority, s.step,
+        |       round(fin.level + s.step * fin.trend, 6) AS forecast
+        |FROM fin CROSS JOIN
+        |  (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS step) s
+        |ORDER BY o_orderpriority, step""".stripMargin,
 
     "q_moving_avg" ->
       """WITH daily AS (

@@ -824,6 +824,65 @@ object Analytics {
       .select(col("day"), col("active_users"))
   }
 
+  /** Holt linear-trend forecast (double exponential smoothing) per
+    * group over a pre-aggregated time series — the demand-forecast
+    * primitive for the logistics domain (reference: order/revenue
+    * trend reporting; Holt 1957 / Hyndman & Athanasopoulos FPP §8.2,
+    * implemented from the recurrence statement):
+    * `level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1})`,
+    * `trend_t = β(level_t − level_{t−1}) + (1−β)·trend_{t−1}`,
+    * initialized `level_1 = y_1, trend_1 = 0`; the h-step forecast is
+    * `level_n + h·trend_n`.
+    *
+    * Scale shape: the input is a DAILY-AGGREGATED series, so each
+    * group's state is O(|days|) — calendar-bounded like the cohort
+    * triangle, never event-volume-bounded. One groupBy collects the
+    * (date, value) points per group, a native `aggregate` HOF folds
+    * the recurrence IN ORDER inside codegen (the smoothing recursion
+    * is inherently sequential per group — a window over it would sort
+    * the same data and still fold row-at-a-time), and the horizon
+    * explodes to `horizon` rows per group. No self-joins, no
+    * iteration, one exchange carrying (group, day) rows.
+    * Null dates/values drop; the fixed operation order makes an
+    * engine mirror replay the fold bit-for-bit (consumers round).
+    */
+  def holtForecast(daily: DataFrame, groupCols: Seq[String], dateCol: String,
+                   valueCol: String, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holtForecast: alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"holtForecast: beta in [0,1], got $beta")
+    require(horizon >= 1, s"holtForecast: horizon must be ≥1, got $horizon")
+    require(groupCols.nonEmpty, "holtForecast: groupCols must be non-empty")
+    val g = groupCols.map(Cols.qcol)
+    val pts = daily
+      .select(g :+ Cols.qcol(dateCol).as("_d") :+
+        Cols.qcol(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_d").isNotNull && col("_v").isNotNull)
+    val series = pts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("_d"), col("_v")))).as("_s"))
+    val fitted = series.withColumn("_fit",
+      aggregate(col("_s"),
+        struct(lit(0.0).as("level"), lit(0.0).as("trend"), lit(0).as("n")),
+        (acc, x) => {
+          val y = x.getField("_v")
+          val lvl = acc.getField("level")
+          val tr = acc.getField("trend")
+          val n = acc.getField("n")
+          // the recurrence, with level_t spelled identically in both
+          // uses so a SQL mirror reproduces the exact operation order
+          val newLevel = when(n === 0, y)
+            .otherwise(lit(alpha) * y + lit(1 - alpha) * (lvl + tr))
+          val newTrend = when(n === 0, lit(0.0))
+            .otherwise(lit(beta) * (newLevel - lvl) + lit(1 - beta) * tr)
+          struct(newLevel.as("level"), newTrend.as("trend"), (n + 1).as("n"))
+        }))
+    fitted
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .select(g ++ Seq(col("step"),
+        round(col("_fit.level") + col("step") * col("_fit.trend"), 6)
+          .as("forecast")): _*)
+  }
+
   def eventWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

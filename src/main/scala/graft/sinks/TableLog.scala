@@ -305,7 +305,8 @@ object TableLog {
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keys: Seq[String], whenMatched: String = "update",
                 insertUnmatched: Boolean = true,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "TableLog.mergeInto: keys must be non-empty")
     require(whenMatched == "update" || whenMatched == "delete",
       s"TableLog.mergeInto: whenMatched must be update|delete, got $whenMatched")
@@ -324,7 +325,8 @@ object TableLog {
       (k, boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
     }
     rewriteTouched(spark, dir, "merge", bounds, statsCols,
-        schemaCheck = whenMatched == "update" || insertUnmatched) { touched =>
+        schemaCheck = whenMatched == "update" || insertUnmatched,
+        txn = txn) { touched =>
       val kept = touched.join(source.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
       val incoming = (whenMatched, insertUnmatched) match {
@@ -335,8 +337,12 @@ object TableLog {
           source.join(touched.select(keys.map(col): _*), keys, "left_anti")
         case ("delete", false) => null
       }
-      if (incoming == null) kept
-      else kept.unionByName(incoming.select(touched.columns.map(col).toSeq: _*))
+      // a using-columns join reorders keys to the front — restore the
+      // table's declared column order before the rewrite commits
+      val merged =
+        if (incoming == null) kept
+        else kept.unionByName(incoming.select(touched.columns.map(col).toSeq: _*))
+      merged.select(touched.columns.map(col).toSeq: _*)
     }
   }
 
@@ -349,7 +355,8 @@ object TableLog {
   private def rewriteTouched(spark: SparkSession, dir: String, op: String,
                              pruneBounds: Seq[(String, Any, Any)],
                              statsCols: Seq[String],
-                             schemaCheck: Boolean = true)
+                             schemaCheck: Boolean = true,
+                             txn: Option[(String, Long)] = None)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
@@ -368,9 +375,27 @@ object TableLog {
         s"TableLog.$op: rewrite changed the table schema " +
           s"(${out.schema.simpleString} vs ${schema.simpleString})")
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
-      txn = None, explicitRemoves = Some(touched.map(_.path)),
+      txn = txn, explicitRemoves = Some(touched.map(_.path)),
       schemaOverride = Some(schemaJson))
   }
+
+  /** Idempotent transactional MERGE for streaming `foreachBatch` — the
+    * CoW twin of [[upsertIntoOnce]]: marker-checked exactly-once, but
+    * the commit is a stats-pruned [[mergeInto]], so each micro-batch
+    * costs its TOUCH SET plus the batch, never the table
+    * (upsertIntoOnce rewrites the whole snapshot per batch). The first
+    * batch bootstraps the table as an append.
+    */
+  def mergeIntoOnce(spark: SparkSession, dir: String, batch: DataFrame,
+                    keys: Seq[String], appId: String, batchId: Long,
+                    statsCols: Seq[String] = Nil): Option[Long] =
+    if (lastCommittedBatch(spark, dir, appId).exists(_ >= batchId)) None
+    else if (currentVersion(spark, dir) == 0L)
+      Some(append(spark, dir, batch, statsCols,
+        expectedParent = Some(0L), txn = Some(appId -> batchId)))
+    else
+      Some(mergeInto(spark, dir, batch, keys, statsCols = statsCols,
+        txn = Some(appId -> batchId)))
 
   /** OPTIMIZE as a transaction: rewrite the current live files into
     * ~`targetFileMB`-sized files and publish as an overwrite commit

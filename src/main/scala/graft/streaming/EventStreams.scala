@@ -891,6 +891,37 @@ object EventStreams {
     q
   }
 
+  /** [[tableLogUpsertSink]]'s COPY-ON-WRITE twin: each micro-batch is a
+    * stats-pruned `MERGE INTO` commit ([[graft.sinks.TableLog.mergeIntoOnce]])
+    * instead of a full-snapshot overwrite — per batch the table pays
+    * the files its keys might touch plus the batch itself, never the
+    * whole state, which is the difference between a sink that scales
+    * with the BATCH and one that scales with the accumulated TABLE.
+    * Batch rows must carry unique keys (dedupe upstream — e.g. keep
+    * the max-version row per key inside the batch); duplicate keys in
+    * a batch fail loudly as an ambiguous merge. Exactly-once and
+    * time-travel semantics are identical to the upsert sink.
+    */
+  def tableLogMergeSink(updates: DataFrame, tableDir: String, checkpointDir: String,
+                        keys: Seq[String], appId: String,
+                        statsCols: Seq[String] = Nil,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.TableLog.mergeIntoOnce(spark, tableDir, batch, keys,
+          appId, batchId, statsCols)
+        ()
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** One micro-batch of the upsert protocol (factored out of the stream
     * closure so the at-least-once replay path is directly testable).
     * Idempotent per batchId: foreachBatch replays a batch when the job

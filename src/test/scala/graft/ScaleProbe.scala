@@ -512,7 +512,9 @@ object ScaleProbe {
     // cost the BATCH (data write + one manifest) — the table behind it
     // only enters through a names-only listing + one parent-manifest
     // parse. Both ratios should sit near 1, not 16.
-    if (only.isEmpty || only("table_log_prune") || only("table_log_commit")) {
+    val tlogProbes = Set("table_log_prune", "table_log_commit",
+      "table_log_merge", "table_log_point", "table_log_cdf")
+    if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
         val p = s"$StageDir/tlog_$name"
@@ -521,7 +523,8 @@ object ScaleProbe {
         TableLog.append(spark, p,
           df.select(col("event_id"), col("user_id"), col("ts"))
             .repartitionByRange(nFiles, col("event_id")),
-          statsCols = Seq("event_id"))
+          statsCols = Seq("event_id"),
+          writeOptions = TableLog.bloomOptions(Seq("event_id")))
         p
       }
       val tl1 = tlogStage("1x", ev1, 8)
@@ -541,6 +544,39 @@ object ScaleProbe {
         () => TableLog.append(spark, tl16, batch)
       }
       batch.unpersist()
+      // MERGE INTO a 16×-bigger table with the SAME source: the touch
+      // set is the files overlapping the source's key box — file width
+      // is constant under range layout, so the rewrite must cost the
+      // touch set, not the table (upsertInto would pay the full 16×)
+      val mergeSrc = ev1.select(col("event_id"), col("user_id"), col("ts"))
+        .filter(col("event_id") < 5000).dropDuplicates("event_id")
+        .withColumn("user_id", -col("user_id")).cache()
+      mergeSrc.count()
+      probeRun("table_log_merge") {
+        () => TableLog.mergeInto(spark, tl1, mergeSrc, Seq("event_id"),
+          statsCols = Seq("event_id"))
+      } {
+        () => TableLog.mergeInto(spark, tl16, mergeSrc, Seq("event_id"),
+          statsCols = Seq("event_id"))
+      }
+      mergeSrc.unpersist()
+      // change feed of the last (merge) commit: diffs ONLY its touched
+      // files — flat however big the table grew
+      def cdfRead(p: String): Unit = {
+        val v = TableLog.currentVersion(spark, p)
+        TableLog.readChanges(spark, p, v - 1, v)
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("table_log_cdf") { () => cdfRead(tl1) } { () => cdfRead(tl16) }
+      // bloom/stats point lookup: cost what it HITS (planning is a
+      // driver-side manifest pass + footer probes on survivors)
+      def pointScan(p: String): Unit = {
+        val pr = TableLog.scanPointLookup(spark, p, "event_id",
+          Seq(37L, 1037L, 4037L))
+        pr.df.filter(col("event_id").isin(37L, 1037L, 4037L))
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("table_log_point") { () => pointScan(tl1) } { () => pointScan(tl16) }
     }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving

@@ -426,6 +426,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holtForecast: hand-computed recurrence, per-group isolation, degenerate series") {
+    // α = β = 0.5 over [10, 20, 30]:
+    //   t1: level 10,    trend 0
+    //   t2: level 15,    trend 2.5
+    //   t3: level 23.75, trend 5.625  → h-step forecast 23.75 + 5.625h
+    val daily = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 20.0), ("A", "2024-01-03", 30.0),
+      ("B", "2024-01-01", 100.0)) // single point: flat forecast
+      .toDF("g", "day", "v").withColumn("day", to_date(col("day")))
+    val out = Analytics.holtForecast(daily, Seq("g"), "day", "v",
+        alpha = 0.5, beta = 0.5, horizon = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out(("A", 1)) == 29.375 && out(("A", 2)) == 35.0 && out(("A", 3)) == 40.625)
+    // a one-point series has zero trend: the forecast is the point
+    assert(out(("B", 1)) == 100.0 && out(("B", 3)) == 100.0)
+    assert(out.size == 6)
+    // rows with null date or value drop before the fold
+    val withNulls = daily.unionByName(Seq(("A", null.asInstanceOf[String], 999.0))
+      .toDF("g", "day", "v").withColumn("day", to_date(col("day"))))
+    val out2 = Analytics.holtForecast(withNulls, Seq("g"), "day", "v",
+        alpha = 0.5, beta = 0.5, horizon = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out2(("A", 1)) == 29.375)
+    intercept[IllegalArgumentException] {
+      Analytics.holtForecast(daily, Seq("g"), "day", "v", 0.0, 0.5, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.holtForecast(daily, Seq("g"), "day", "v", 0.5, 0.5, 0)
+    }
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

@@ -972,6 +972,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(live == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
   }
 
+  test("tableLogMergeSink: CoW merge per micro-batch — exactly-once, merge commits, dup keys loud") {
+    import java.nio.file.Files
+    import graft.sinks.TableLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("tlog_merge_sink").toFile.getAbsolutePath
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(
+      EventStreams.Event(1, 10, "click", ts("2026-01-01 10:00:00"), 1.0),
+      EventStreams.Event(2, 10, "view", ts("2026-01-01 10:01:00"), 2.0))
+    def run(): Unit = EventStreams.tableLogMergeSink(ms.toDF(), s"$base/t", s"$base/ckpt",
+      keys = Seq("user_id", "event_type"), appId = "mergeA")
+    run()
+    ms.addData( // same key: the merge replaces the row
+      EventStreams.Event(7, 10, "click", ts("2026-01-01 11:00:00"), 9.0))
+    run()
+    def live = TableLog.readAt(spark, s"$base/t")
+      .select("user_id", "event_type", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(live == Set((10L, "click", 7L, 9.0), (10L, "view", 2L, 2.0)))
+    // batch 1 bootstraps as append; batch 2 lands as a CoW merge commit
+    assert(TableLog.history(spark, s"$base/t").map(c => (c.op, c.txn)) ==
+      Seq(("append", Some(("mergeA", 0L))), ("merge", Some(("mergeA", 1L)))))
+    // crash-replay of batch 1 skips on the marker
+    val b1 = Seq((7L, 10L, "click", ts("2026-01-01 11:00:00"), 9.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(TableLog.mergeIntoOnce(spark, s"$base/t", b1,
+      Seq("user_id", "event_type"), "mergeA", 1L).isEmpty)
+    assert(TableLog.currentVersion(spark, s"$base/t") == 2L)
+    // duplicate keys within one batch are an ambiguous merge — loud
+    val dup = Seq(
+      (8L, 10L, "click", ts("2026-01-01 12:00:00"), 1.0),
+      (9L, 10L, "click", ts("2026-01-01 12:01:00"), 2.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeIntoOnce(spark, s"$base/t", dup,
+        Seq("user_id", "event_type"), "mergeA", 2L)
+    }
+    assert(e.getMessage.contains("unique"))
+    // and the time-travel audit still works batch-by-batch
+    assert(TableLog.readAt(spark, s"$base/t", 1L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("applyUpsertBatch replay of a committed batch is a no-op (at-least-once safety)") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("upsert_replay").toFile.getAbsolutePath
