@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.sinks.{DataSink, TableLog}
+import graft.sinks.{AggView, DataSink, TableLog}
 import graft.sources.Tables
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -133,6 +133,16 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"), statsCols = Seq("price"))
       p
     })
+
+  /** Staged incrementally-maintained aggregate view (q_agg_view): its
+    * OWN table-log history (append → CoW delete → CoW update) with an
+    * [[graft.sinks.AggView.refresh]] after every commit, so the final
+    * view is the product of three incremental delta folds — which must
+    * equal DuckDB's from-scratch GROUP BY over the final state exactly
+    * (decimal increments are order-independent).
+    */
+  private val aggViewPath =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** Staged evolving TableLog (q_table_log_evolve): v1 carries two
     * columns, v2 appends with mergeSchema adding a third — v1's rows
@@ -1707,6 +1717,32 @@ object SparkEntry {
       TableLog.readChanges(s, cowFixture(s, d), fromVersion = 1L, toVersion = 3L)
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("_commit_version"), col("_change_type"))
+    }),
+
+    // incrementally-maintained materialized view: three change-feed
+    // delta refreshes (after the append, the CoW delete and the CoW
+    // update) must land on DuckDB's from-scratch GROUP BY of the final
+    // state — decimal increments make the equality exact, not approximate
+    "q_agg_view" -> ((s, d) => {
+      val (_, viewDir) = aggViewPath.getOrElseUpdate(d, {
+        val t = stageDir("aggviewt", d)
+        val v = stageDir("aggviewv", d)
+        TableLog.append(s, t, cowBase(s, d).repartitionByRange(16, col("price")),
+          statsCols = Seq("price"))
+        AggView.refresh(s, v, t, Seq("l_linenumber"), "price")
+        TableLog.deleteWhere(s, t, col("price").between(10000.0, 20000.0),
+          pruneBounds = Seq(("price", 10000.0, 20000.0)), statsCols = Seq("price"))
+        AggView.refresh(s, v, t, Seq("l_linenumber"), "price")
+        TableLog.updateWhere(s, t, col("price") > 50000.0,
+          set = Map("price" -> (col("price") + 1000.0)),
+          pruneBounds = Seq(("price", 50000.0, 1e18)), statsCols = Seq("price"))
+        AggView.refresh(s, v, t, Seq("l_linenumber"), "price")
+        (t, v)
+      })
+      AggView.read(s, viewDir)
+        .select(col("l_linenumber"),
+          round(col("sum_val"), 2).cast("double").as("sum_price"), col("cnt"))
+        .orderBy(col("l_linenumber"))
     }),
 
     // schema evolution: v2 appended a column under mergeSchema; v1 rows
@@ -4392,6 +4428,23 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, price + 1000.0, 'insert', CAST(3 AS BIGINT)
         |FROM s2 WHERE price > 50000.0
         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    // the incrementally-refreshed view must equal a from-scratch GROUP
+    // BY over the final table state (s3 of the CoW history)
+    "q_agg_view" ->
+      """WITH s2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |  FROM lineitem
+        |  WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)),
+        |s3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN price > 50000.0 THEN price + 1000.0 ELSE price END AS price
+        |  FROM s2)
+        |SELECT l_linenumber,
+        |       CAST(round(sum(CAST(price AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price,
+        |       count(*) AS cnt
+        |FROM s3 GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin,
 
     // evolved table: v1 rows null-fill the column v2 added
     "q_table_log_evolve" ->

@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AggViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def viewMap(viewDir: String): Map[String, (java.math.BigDecimal, Long)] =
+    AggView.read(spark, viewDir).collect()
+      .map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+
+  test("refresh folds the change feed: incremental == from-scratch, exactly-once, tombstones") {
+    val t = tmpDir("aggv_t")
+    val v = tmpDir("aggv_v")
+    def row(g: String, x: Double, id: Long) = (id, g, x)
+    TableLog.append(spark, t,
+      Seq(row("a", 1.5, 1), row("a", 2.5, 2), row("b", 10.0, 3), row("c", 7.0, 4))
+        .toDF("id", "g", "x").repartitionByRange(2, col("id")),
+      statsCols = Seq("id"))
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").contains(1L))
+    assert(viewMap(v).map { case (g, (s, c)) => (g, s.doubleValue(), c) }.toSet ==
+      Set(("a", 4.0, 2L), ("b", 10.0, 1L), ("c", 7.0, 1L)))
+    // already current → no-op; replay of the same table version skips
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").isEmpty)
+    // a CoW delete wipes group c and thins group a
+    TableLog.deleteWhere(spark, t, col("x") === 7.0 || col("x") === 2.5)
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").isDefined)
+    val m = viewMap(v)
+    assert(m.keySet == Set("a", "b"), s"group c must tombstone away from read(): $m")
+    assert(m("a")._1.doubleValue() == 1.5 && m("a")._2 == 1L)
+    // the tombstone row exists underneath (atomic single-commit design)…
+    val raw = TableLog.readAt(spark, v).filter(col("cnt") === 0L).collect()
+    assert(raw.length == 1 && raw.head.getString(0) == "c")
+    // …and compact clears it
+    AggView.compact(spark, v)
+    assert(TableLog.readAt(spark, v).filter(col("cnt") === 0L).count() == 0L)
+    // an update shifts a sum without changing counts
+    TableLog.updateWhere(spark, t, col("g") === "b", Map("x" -> (col("x") + 0.25)))
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").isDefined)
+    assert(viewMap(v)("b")._1.doubleValue() == 10.25 && viewMap(v)("b")._2 == 1L)
+    // incremental result == a fresh view built from the current state in
+    // one refresh — EXACT decimal equality, not a tolerance check
+    val v2 = tmpDir("aggv_v2")
+    AggView.refresh(spark, v2, t, Seq("g"), "x")
+    assert(viewMap(v) == viewMap(v2))
+    // a refresh over a no-row-change range (compaction) lands a marker
+    TableLog.compactTable(spark, t, targetFileMB = 1024)
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").isDefined)
+    assert(AggView.refresh(spark, v, t, Seq("g"), "x").isEmpty)
+    assert(viewMap(v) == viewMap(v2))
+    // the view itself time-travels: its first version is the bootstrap
+    assert(AggView.read(spark, v, 1L).collect().length == 3)
+  }
+}
