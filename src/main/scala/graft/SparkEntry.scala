@@ -255,6 +255,20 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("step"))
     }),
 
+    // Holt one-step-ahead residual anomalies: expectation is the
+    // forecast made BEFORE each day; σ from decimal partials so the
+    // flag boundary is engine-deterministic
+    "q_forecast_anomaly" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("order_day"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
+          .cast("double").as("rev"))
+      Analytics.holtAnomalies(daily, Seq("o_orderpriority"), "order_day", "rev",
+          alpha = 0.3, beta = 0.1, zThreshold = 3.0)
+        .orderBy(col("o_orderpriority"), col("day"))
+    }),
+
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgRevenue(Tables.orders(s, d))),
 
     // co-located fact-fact join through bucketed staging tables — zero
@@ -2189,6 +2203,49 @@ object SparkEntry {
         |FROM fin CROSS JOIN
         |  (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS step) s
         |ORDER BY o_orderpriority, step""".stripMargin,
+
+    // the same recurrence, joined one step back for the expectations;
+    // σ assembled from decimal partial sums in the exact expression
+    // shape the Spark side computes
+    "q_forecast_anomaly" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS order_day,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |base AS (
+        |  SELECT pri, order_day,
+        |         row_number() OVER (PARTITION BY pri ORDER BY order_day) AS idx,
+        |         rev
+        |  FROM daily),
+        |holt AS (
+        |  SELECT pri, idx, rev AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM base WHERE idx = 1
+        |  UNION ALL
+        |  SELECT b.pri, b.idx,
+        |         0.3::DOUBLE*b.rev
+        |           + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend) AS level,
+        |         0.1::DOUBLE*((0.3::DOUBLE*b.rev
+        |             + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend)) - h.level)
+        |           + (1.0::DOUBLE - 0.1::DOUBLE)*h.trend AS trend
+        |  FROM holt h JOIN base b ON b.pri = h.pri AND b.idx = h.idx + 1),
+        |pts AS (
+        |  SELECT b.pri, b.order_day, b.rev,
+        |         h.level + h.trend AS expected,
+        |         b.rev - (h.level + h.trend) AS err
+        |  FROM base b JOIN holt h ON h.pri = b.pri AND h.idx = b.idx - 1),
+        |st AS (
+        |  SELECT pri,
+        |         CAST(sum(CAST(err AS DECIMAL(30,12))) AS DOUBLE) AS se,
+        |         CAST(sum(CAST(err*err AS DECIMAL(30,12))) AS DOUBLE) AS se2,
+        |         count(*) AS n
+        |  FROM pts GROUP BY pri)
+        |SELECT p.pri AS o_orderpriority, p.order_day AS day, p.rev AS value,
+        |       round(p.expected, 4) AS expected, round(p.err, 4) AS residual,
+        |       abs(p.err) > 3.0::DOUBLE *
+        |         sqrt(greatest(st.se2/st.n - (st.se/st.n)*(st.se/st.n),
+        |                       0.0::DOUBLE)) AS anomaly
+        |FROM pts p JOIN st ON st.pri = p.pri
+        |ORDER BY o_orderpriority, day""".stripMargin,
 
     "q_moving_avg" ->
       """WITH daily AS (

@@ -883,6 +883,74 @@ object Analytics {
           .as("forecast")): _*)
   }
 
+  /** Demand ANOMALY flags from [[holtForecast]]'s one-step-ahead
+    * residuals: each point's expectation is the model's forecast made
+    * BEFORE seeing it (`level_{t−1} + trend_{t−1}`), and a point is
+    * anomalous when its residual exceeds `zThreshold` standard
+    * deviations of the group's residuals — the self-calibrating
+    * "today broke the trend" monitor (the PSI/profile-drift siblings
+    * compare distributions; this scores individual days).
+    *
+    * Same scale shape as the forecast: one fold per group (the fold
+    * additionally carries the per-step prediction array, O(|days|)
+    * like the series itself), one explode back to rows, and a
+    * per-group σ from DECIMAL partial sums (order-independent, so the
+    * flag boundary cannot flap between runs or engines). The first
+    * point of a series has no expectation and is never flagged.
+    */
+  def holtAnomalies(daily: DataFrame, groupCols: Seq[String], dateCol: String,
+                    valueCol: String, alpha: Double, beta: Double,
+                    zThreshold: Double = 3.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holtAnomalies: alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"holtAnomalies: beta in [0,1], got $beta")
+    require(zThreshold > 0, s"holtAnomalies: zThreshold must be positive, got $zThreshold")
+    require(groupCols.nonEmpty, "holtAnomalies: groupCols must be non-empty")
+    val g = groupCols.map(Cols.qcol)
+    val pts = daily
+      .select(g :+ Cols.qcol(dateCol).as("_d") :+
+        Cols.qcol(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_d").isNotNull && col("_v").isNotNull)
+    val series = pts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("_d"), col("_v")))).as("_s"))
+    val folded = series.withColumn("_preds",
+      aggregate(col("_s"),
+        struct(lit(0.0).as("level"), lit(0.0).as("trend"), lit(0).as("n"),
+          array().cast("array<double>").as("preds")),
+        (acc, x) => {
+          val y = x.getField("_v")
+          val lvl = acc.getField("level")
+          val tr = acc.getField("trend")
+          val n = acc.getField("n")
+          val pred = when(n === 0, lit(null).cast("double")).otherwise(lvl + tr)
+          val newLevel = when(n === 0, y)
+            .otherwise(lit(alpha) * y + lit(1 - alpha) * (lvl + tr))
+          val newTrend = when(n === 0, lit(0.0))
+            .otherwise(lit(beta) * (newLevel - lvl) + lit(1 - beta) * tr)
+          struct(newLevel.as("level"), newTrend.as("trend"), (n + 1).as("n"),
+            concat(acc.getField("preds"), array(pred)).as("preds"))
+        }).getField("preds"))
+    val rows = folded
+      .select(g :+ posexplode(arrays_zip(col("_s"), col("_preds"))): _*)
+      .select(g ++ Seq(col("col._s._d").as("_d"), col("col._s._v").as("_v"),
+        col("col._preds").as("expected")): _*)
+      .withColumn("_err", col("_v") - col("expected"))
+      .filter(col("_err").isNotNull)
+    // order-independent σ: decimal partial sums of e and e², assembled
+    // in a fixed double expression both engines can replay
+    val stats = rows.groupBy(g: _*).agg(
+      sum(col("_err").cast("decimal(30,12)")).cast("double").as("_se"),
+      sum((col("_err") * col("_err")).cast("decimal(30,12)")).cast("double").as("_se2"),
+      count(lit(1)).as("_n"))
+    rows.join(broadcast(stats), groupCols)
+      .withColumn("_sigma",
+        sqrt(greatest(col("_se2") / col("_n") -
+          (col("_se") / col("_n")) * (col("_se") / col("_n")), lit(0.0))))
+      .select(g ++ Seq(col("_d").as("day"), col("_v").as("value"),
+        round(col("expected"), 4).as("expected"),
+        round(col("_err"), 4).as("residual"),
+        (abs(col("_err")) > lit(zThreshold) * col("_sigma")).as("anomaly")): _*)
+  }
+
   def eventWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

@@ -457,6 +457,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holtAnomalies: a planted spike flags, the smooth trend does not, first point excluded") {
+    // clean linear trend 10,20,…,100 with day 8 spiked to 500
+    val daily = (1 to 10).map { i =>
+      ("A", f"2024-01-$i%02d", if (i == 8) 500.0 else i * 10.0)
+    }.toDF("g", "day", "v").withColumn("day", to_date(col("day")))
+    val out = Analytics.holtAnomalies(daily, Seq("g"), "day", "v",
+        alpha = 0.5, beta = 0.5, zThreshold = 2.0)
+      .collect().map(r => (r.getDate(1).toString,
+        r.getDouble(4), r.getBoolean(5)))
+    // the first point has no one-step-ahead expectation → absent
+    assert(out.length == 9 && !out.exists(_._1 == "2024-01-01"))
+    val flagged = out.filter(_._3).map(_._1).toSet
+    assert(flagged == Set("2024-01-08"), s"only the spike flags: got $flagged")
+    assert(out.find(_._1 == "2024-01-08").get._2 > 300.0,
+      "the spike's residual must be the large positive surprise")
+    // a second group must calibrate independently (tight σ → tiny
+    // wiggles flag there even though they'd vanish inside A's spike σ)
+    val two = daily.unionByName(
+      (1 to 10).map(i => ("B", f"2024-01-$i%02d",
+        if (i == 9) 2.0 else 1.0)).toDF("g", "day", "v")
+        .withColumn("day", to_date(col("day"))))
+    val byG = Analytics.holtAnomalies(two, Seq("g"), "day", "v",
+        alpha = 0.5, beta = 0.5, zThreshold = 2.0)
+      .collect().groupBy(_.getString(0))
+    assert(byG("B").exists(r => r.getBoolean(5)),
+      "group B's own σ must expose its relative spike")
+    intercept[IllegalArgumentException] {
+      Analytics.holtAnomalies(daily, Seq("g"), "day", "v", 0.5, 0.5, 0.0)
+    }
+  }
+
   test("deliveryPerformance splits counts by order status") {
     val orders = Seq((1L, 100L, "F", 10.0), (2L, 100L, "O", 20.0), (3L, 100L, "F", 30.0))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
