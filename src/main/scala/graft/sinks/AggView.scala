@@ -53,8 +53,12 @@ object AggView {
     val g = groupCols.map(col)
     val changes = TableLog.readChanges(spark, tableDir, last, tableV)
     val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+    // null values contribute 0 to the sum but still count rows (a
+    // group of all-null values must not carry a NULL sum into the
+    // additive merge, where it would poison every later increment)
     val delta = changes.groupBy(g: _*).agg(
-        sum(sign.cast(SumType) * col(valueCol).cast(SumType)).as("d_sum"),
+        coalesce(sum(sign.cast(SumType) * col(valueCol).cast(SumType)),
+          lit(0).cast(SumType)).as("d_sum"),
         sum(sign.cast("long")).as("d_cnt"))
       .filter(col("d_cnt") =!= 0L || col("d_sum") =!= 0.0)
     val viewV = TableLog.currentVersion(spark, viewDir)

@@ -434,6 +434,47 @@ object TableLog {
     overwrite(spark, dir, laid, statsCols, expectedParent = Some(base))
   }
 
+  /** Partial OPTIMIZE: rewrite ONLY the live files smaller than
+    * `minFileMB` into ~`targetFileMB`-sized ones; files already big
+    * enough carry over verbatim (same CoW invariant as the row-level
+    * ops). This is the steady-state maintenance for a
+    * streaming-ingested table — micro-batch commits land small files
+    * continuously, and a full [[compactTable]] would re-copy the
+    * accumulated well-sized files on every run, O(table) per
+    * maintenance cycle instead of O(fragmented tail). Returns None
+    * when fewer than `minSmallFiles` qualify (a one-file rewrite is
+    * churn, not compaction). Rows are untouched, so the change feed
+    * of this commit is empty by construction.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String, minFileMB: Int = 32,
+                        targetFileMB: Int = 128, minSmallFiles: Int = 2,
+                        statsCols: Seq[String] = Nil): Option[Long] = {
+    require(minFileMB > 0 && targetFileMB >= minFileMB,
+      s"TableLog.compactSmallFiles: need 0 < minFileMB <= targetFileMB, " +
+        s"got ($minFileMB, $targetFileMB)")
+    require(minSmallFiles >= 2,
+      s"TableLog.compactSmallFiles: minSmallFiles must be ≥2, got $minSmallFiles")
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.compactSmallFiles: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val small = files.filter(f =>
+      fs.getFileStatus(new Path(basePath, f.path)).getLen < minFileMB * 1024L * 1024L)
+    if (small.length < minSmallFiles) return None
+    val totalBytes = small.map(f =>
+      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val rewritten = spark.read.schema(schema)
+      .parquet(small.map(f => s"$dir/${f.path}"): _*).coalesce(nOut)
+    Some(commit(spark, dir, rewritten, "compact", statsCols,
+      expectedParent = Some(base), txn = None,
+      explicitRemoves = Some(small.map(_.path)),
+      schemaOverride = Some(schemaJson)))
+  }
+
   /** `OPTIMIZE … ZORDER BY` as a transaction: [[compactTable]]'s commit
     * protocol with [[DataSink.writeZOrdered]]'s layout — quantile-bucket
     * the `zCols`, interleave through the fused morton/hilbert kernel,

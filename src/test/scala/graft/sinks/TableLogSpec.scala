@@ -536,6 +536,29 @@ class TableLogSpec extends SparkSpec {
     assert(none.filesRead <= 1, s"read ${none.filesRead} files for an absent key")
   }
 
+  test("compactSmallFiles: only the fragmented tail rewrites; big files and rows carry over") {
+    val dir = tmpDir("tlog_partial")
+    // one big (incompressible) file + a stream of small single-row appends
+    TableLog.append(spark, dir,
+      spark.range(300000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("s")).coalesce(1))
+    (1 to 4).foreach(i => TableLog.append(spark, dir,
+      Seq((100000L + i, s"small_$i")).toDF("k", "s").coalesce(1)))
+    val before = fileSet(dir, 5L)
+    assert(before.size == 5)
+    val v = TableLog.compactSmallFiles(spark, dir, minFileMB = 1, targetFileMB = 128)
+    assert(v.contains(6L))
+    val after = fileSet(dir, 6L)
+    // the big file survived untouched; the 4 small ones merged into 1
+    assert(before.intersect(after).size == 1, s"before=$before after=$after")
+    assert(after.size == 2)
+    assert(TableLog.readAt(spark, dir).count() == 300004L)
+    // rows unchanged → the change feed of the compaction is EMPTY
+    assert(TableLog.readChanges(spark, dir, 5L, 6L).isEmpty)
+    // nothing fragmented anymore → no commit
+    assert(TableLog.compactSmallFiles(spark, dir, minFileMB = 1).isEmpty)
+  }
+
   test("failed commit rename classifies by target content: landed / race / IO failure") {
     val dir = tmpDir("tlog_classify")
     val base = new org.apache.hadoop.fs.Path(dir)
