@@ -255,6 +255,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("step"))
     }),
 
+    // Holt-Winters additive seasonal forecast (m=7 weekly cycle): the
+    // fold carries a 7-slot seasonal ring; DuckDB carries the same
+    // ring through its recursive CTE as a LIST and must land on
+    // identical bits
+    "q_forecast_hw" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("order_day"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,6)")), 2)
+          .cast("double").as("rev"))
+      Analytics.holtWintersForecast(daily, Seq("o_orderpriority"), "order_day",
+          "rev", alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7, horizon = 14)
+        .orderBy(col("o_orderpriority"), col("step"))
+    }),
+
     // Holt one-step-ahead residual anomalies: expectation is the
     // forecast made BEFORE each day; σ from decimal partials so the
     // flag boundary is engine-deterministic
@@ -2202,6 +2217,46 @@ object SparkEntry {
         |       round(fin.level + s.step * fin.trend, 6) AS forecast
         |FROM fin CROSS JOIN
         |  (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS step) s
+        |ORDER BY o_orderpriority, step""".stripMargin,
+
+    // the triple-smoothing recurrence with the 7-slot seasonal ring
+    // carried as a LIST through the recursion: read slot (idx mod 7)+1,
+    // rewrite via slice||[new]||slice — the same ring arithmetic the
+    // Spark fold performs
+    "q_forecast_hw" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS order_day,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))),2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |base AS (
+        |  SELECT pri, row_number() OVER (PARTITION BY pri ORDER BY order_day) AS idx,
+        |         rev
+        |  FROM daily),
+        |nn AS (SELECT pri, max(idx) AS n FROM base GROUP BY 1),
+        |hw AS (
+        |  SELECT pri, idx, rev AS level, CAST(0.0 AS DOUBLE) AS trend,
+        |         [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |          0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS seas
+        |  FROM base WHERE idx = 1
+        |  UNION ALL
+        |  SELECT b.pri, b.idx,
+        |    0.3::DOUBLE*(b.rev - h.seas[(h.idx % 7) + 1])
+        |      + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend) AS level,
+        |    0.1::DOUBLE*((0.3::DOUBLE*(b.rev - h.seas[(h.idx % 7) + 1])
+        |        + (1.0::DOUBLE - 0.3::DOUBLE)*(h.level + h.trend)) - h.level)
+        |      + (1.0::DOUBLE - 0.1::DOUBLE)*h.trend AS trend,
+        |    h.seas[1:(h.idx % 7)]
+        |      || [0.2::DOUBLE*(b.rev - (h.level + h.trend))
+        |          + (1.0::DOUBLE - 0.2::DOUBLE)*h.seas[(h.idx % 7) + 1]]
+        |      || h.seas[((h.idx % 7) + 2):7] AS seas
+        |  FROM hw h JOIN base b ON b.pri = h.pri AND b.idx = h.idx + 1),
+        |fin AS (SELECT h.pri, h.level, h.trend, h.seas, nn.n
+        |        FROM hw h JOIN nn ON nn.pri = h.pri AND h.idx = nn.n)
+        |SELECT fin.pri AS o_orderpriority, s.step,
+        |       round(fin.level + s.step*fin.trend
+        |             + fin.seas[((fin.n + s.step - 1) % 7) + 1], 6) AS forecast
+        |FROM fin CROSS JOIN
+        |  (SELECT CAST(unnest(generate_series(1, 14)) AS INTEGER) AS step) s
         |ORDER BY o_orderpriority, step""".stripMargin,
 
     // the same recurrence, joined one step back for the expectations;

@@ -883,6 +883,74 @@ object Analytics {
           .as("forecast")): _*)
   }
 
+  /** Holt-Winters ADDITIVE seasonal forecast (triple exponential
+    * smoothing, period `period` — weekly demand cycles at m=7; FPP
+    * §8.3 recurrences implemented from the statement):
+    * `level_t = α(y_t − s_{t−m}) + (1−α)(level_{t−1} + trend_{t−1})`,
+    * `trend_t = β(level_t − level_{t−1}) + (1−β)trend_{t−1}`,
+    * `s_t = γ(y_t − (level_{t−1} + trend_{t−1})) + (1−γ)s_{t−m}`,
+    * zero-initialized seasonals (`s_1 = 0`, first season burns in) and
+    * `level_1 = y_1, trend_1 = 0`; the h-step forecast adds the ring
+    * slot t = n+h reads: `level_n + h·trend_n + s_{n+h−m·⌈…⌉}`.
+    *
+    * Same one-exchange shape as [[holtForecast]] — the fold's state
+    * gains an m-slot seasonal RING (read `(t−1) mod m`, rewritten by
+    * slice+concat), still O(m + 1) per group however long the series.
+    * Fixed operation order; an engine mirror carries the same ring
+    * through a recursive CTE and lands on identical bits.
+    */
+  def holtWintersForecast(daily: DataFrame, groupCols: Seq[String],
+                          dateCol: String, valueCol: String,
+                          alpha: Double, beta: Double, gamma: Double,
+                          period: Int, horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holtWintersForecast: alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"holtWintersForecast: beta in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"holtWintersForecast: gamma in [0,1], got $gamma")
+    require(period >= 2, s"holtWintersForecast: period must be ≥2, got $period")
+    require(horizon >= 1, s"holtWintersForecast: horizon must be ≥1, got $horizon")
+    require(groupCols.nonEmpty, "holtWintersForecast: groupCols must be non-empty")
+    val m = period
+    val g = groupCols.map(Cols.qcol)
+    val pts = daily
+      .select(g :+ Cols.qcol(dateCol).as("_d") :+
+        Cols.qcol(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_d").isNotNull && col("_v").isNotNull)
+    val series = pts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("_d"), col("_v")))).as("_s"))
+    val fitted = series.withColumn("_fit",
+      aggregate(col("_s"),
+        struct(lit(0.0).as("level"), lit(0.0).as("trend"),
+          array_repeat(lit(0.0), m).as("seas"), lit(0).as("n")),
+        (acc, x) => {
+          val y = x.getField("_v")
+          val lvl = acc.getField("level")
+          val tr = acc.getField("trend")
+          val seas = acc.getField("seas")
+          val n = acc.getField("n")
+          val pos0 = pmod(n, lit(m)) // 0-based ring slot for this point
+          val sPrev = element_at(seas, (pos0 + 1).cast("int"))
+          val newLevel = when(n === 0, y)
+            .otherwise(lit(alpha) * (y - sPrev) + lit(1 - alpha) * (lvl + tr))
+          val newTrend = when(n === 0, lit(0.0))
+            .otherwise(lit(beta) * (newLevel - lvl) + lit(1 - beta) * tr)
+          val sNew = when(n === 0, lit(0.0))
+            .otherwise(lit(gamma) * (y - (lvl + tr)) + lit(1 - gamma) * sPrev)
+          val newSeas = concat(
+            slice(seas, lit(1), pos0.cast("int")),
+            array(sNew),
+            slice(seas, (pos0 + 2).cast("int"), (lit(m) - pos0 - 1).cast("int")))
+          struct(newLevel.as("level"), newTrend.as("trend"),
+            newSeas.as("seas"), (n + 1).as("n"))
+        }))
+    fitted
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .select(g ++ Seq(col("step"),
+        round(col("_fit.level") + col("step") * col("_fit.trend") +
+          element_at(col("_fit.seas"),
+            (pmod(col("_fit.n") + col("step") - 1, lit(m)) + 1).cast("int")), 6)
+          .as("forecast")): _*)
+  }
+
   /** Demand ANOMALY flags from [[holtForecast]]'s one-step-ahead
     * residuals: each point's expectation is the model's forecast made
     * BEFORE seeing it (`level_{t−1} + trend_{t−1}`), and a point is

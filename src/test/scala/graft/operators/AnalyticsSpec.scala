@@ -457,6 +457,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersForecast: hand-traced seasonal ring, alternating pattern recovered") {
+    // α=0.5, β=0, γ=0.2, m=2 over [10, 20, 12, 22, 14] — hand trace:
+    //   t1: level 10,     seas [0, 0]
+    //   t2: level 15,     seas [0, 2]       (s = .2(20−10))
+    //   t3: level 13.5,   seas [−0.6, 2]    (s = .2(12−15))
+    //   t4: level 16.75,  seas [−0.6, 3.3]  (s = .2(22−13.5)+.8·2)
+    //   t5: level 15.675, seas [−1.03, 3.3] (s = .2(14−16.75)+.8(−0.6))
+    // h=1 reads slot 2 (3.3), h=2 slot 1 (−1.03): the alternation is
+    // back in the forecast, which plain Holt cannot produce
+    val daily = Seq(("A", "2024-01-01", 10.0), ("A", "2024-01-02", 20.0),
+      ("A", "2024-01-03", 12.0), ("A", "2024-01-04", 22.0), ("A", "2024-01-05", 14.0))
+      .toDF("g", "day", "v").withColumn("day", to_date(col("day")))
+    val out = Analytics.holtWintersForecast(daily, Seq("g"), "day", "v",
+        alpha = 0.5, beta = 0.0, gamma = 0.2, period = 2, horizon = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1) - (15.675 + 3.3)) < 1e-5, s"got ${out(1)}")
+    assert(math.abs(out(2) - (15.675 - 1.03)) < 1e-5, s"got ${out(2)}")
+    // the ring repeats with period 2
+    assert(out(3) == out(1) && out(4) == out(2))
+    intercept[IllegalArgumentException] {
+      Analytics.holtWintersForecast(daily, Seq("g"), "day", "v", 0.5, 0.0, 0.2, 1, 4)
+    }
+  }
+
   test("holtAnomalies: a planted spike flags, the smooth trend does not, first point excluded") {
     // clean linear trend 10,20,…,100 with day 8 spiked to 500
     val daily = (1 to 10).map { i =>
