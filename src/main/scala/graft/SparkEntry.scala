@@ -131,6 +131,7 @@ object SparkEntry {
         pruneBounds = Seq(("price", 50000.0, 1e18)), statsCols = Seq("price"))
       TableLog.mergeInto(s, p, cowMergeSource(s, d),
         Seq("l_orderkey", "l_linenumber"), statsCols = Seq("price"))
+      TableLog.restore(s, p, 1L) // v5: zero-copy rollback of the whole history
       p
     })
 
@@ -1736,6 +1737,14 @@ object SparkEntry {
     // files, not the table
     "q_merge_into" -> ((s, d) => {
       TableLog.readAt(s, cowFixture(s, d), version = 4L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // zero-copy RESTORE: version 5 rolled the whole CoW history back to
+    // version 1 by re-pointing at its immutable files — no data written,
+    // contents must equal the original projection exactly
+    "q_table_log_restore" -> ((s, d) => {
+      TableLog.readAt(s, cowFixture(s, d), version = 5L)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -4475,6 +4484,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the restored table IS the original projection
+    "q_table_log_restore" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // state after the CoW DELETE commit (rows where the predicate was

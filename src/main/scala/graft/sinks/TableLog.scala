@@ -434,6 +434,78 @@ object TableLog {
     overwrite(spark, dir, laid, statsCols, expectedParent = Some(base))
   }
 
+  /** `RESTORE TABLE … TO VERSION` as a ZERO-COPY commit: roll the table
+    * back to `version`'s contents by publishing a new commit whose adds
+    * are that version's file entries VERBATIM (stats included) and
+    * whose removes are the current live files — no data is read,
+    * copied, or written; data files are immutable, so pointing at them
+    * again is sufficient, and the bad history stays readable for the
+    * audit. Refuses a vacuumed target (its files are gone). The
+    * rollback story every accidental `deleteWhere` needs, at the cost
+    * of one manifest rename however big the table is.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.restore: $dir has no committed versions")
+    val wm = vacuumWatermark(fs, basePath)
+    require(version >= wm,
+      s"TableLog.restore: version $version of $dir was vacuumed " +
+        s"(earliest restorable: $wm)")
+    require(commitVersions(fs, basePath).contains(version),
+      s"TableLog.restore: version $version of $dir does not exist")
+    if (version == base) return base // already there: no empty commit
+    val (schemaJson, targetFiles) = snapshotAt(spark, fs, basePath, version)
+    val (_, liveFiles) = snapshotAt(spark, fs, basePath, base)
+    val targetPaths = targetFiles.map(_.path).toSet
+    val livePaths = liveFiles.map(_.path).toSet
+    // the manifest carries only the DELTA: files still live need no
+    // action (the snapshot fold keeps them), and listing them as adds
+    // would make the change feed misreport their rows as inserts
+    commitManifest(spark, dir, "restore", schemaJson,
+      adds = targetFiles.filterNot(f => livePaths.contains(f.path)),
+      removes = liveFiles.map(_.path).filterNot(targetPaths.contains),
+      expectedParent = base, txn = None)
+  }
+
+  /** Manifest-only commit (no data written) — the zero-copy primitive
+    * behind [[restore]]. Same CAS/classification discipline as the
+    * data-bearing path, minus any data-dir cleanup (there is none).
+    */
+  private def commitManifest(spark: SparkSession, dir: String, op: String,
+                             schemaJson: String, adds: Seq[AddFile],
+                             removes: Seq[String], expectedParent: Long,
+                             txn: Option[(String, Long)]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val version = expectedParent + 1
+    val target = commitPath(base, version)
+    val tmp = new Path(base, s"_log/.tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val body = renderCommit(Commit(version, expectedParent, op, schemaJson,
+      adds, removes, txn))
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = FileContext.getFileContext(base.toUri, conf)
+      fc.rename(tmp, target)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        classifyFailedRename(fs, target, body) match {
+          case RenameLanded => // durable despite the lost ack
+          case RenameLostRace =>
+            throw new TableLogConflictException(
+              s"TableLog: lost the commit race for version $version of $dir " +
+                s"(another writer committed on top of parent $expectedParent) — " +
+                s"re-read, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+          case RenameIoFailure => throw e
+        }
+    }
+    version
+  }
+
   /** Partial OPTIMIZE: rewrite ONLY the live files smaller than
     * `minFileMB` into ~`targetFileMB`-sized ones; files already big
     * enough carry over verbatim (same CoW invariant as the row-level

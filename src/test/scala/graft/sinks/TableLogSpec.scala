@@ -559,6 +559,47 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.compactSmallFiles(spark, dir, minFileMB = 1).isEmpty)
   }
 
+  test("restore: zero-copy rollback — no data written, exact contents, honest change feed") {
+    val dir = tmpDir("tlog_restore")
+    val df = (1L to 400L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))                 // v1
+    TableLog.deleteWhere(spark, dir, col("k").between(100L, 300L),
+      pruneBounds = Seq(("k", 100L, 300L)), statsCols = Seq("k"))         // v2: oops
+    assert(TableLog.readAt(spark, dir).count() == 199L)
+    val dataFilesBefore = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "data"), true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    val v3 = TableLog.restore(spark, dir, 1L)                             // undo
+    assert(v3 == 3L)
+    // exact rollback, and NOT ONE new data file was written
+    assert(TableLog.readAt(spark, dir).count() == 400L)
+    assert(fileSet(dir, 3L) == fileSet(dir, 1L))
+    val dataFilesAfter = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "data"), true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    assert(dataFilesAfter == dataFilesBefore, "restore must write no data")
+    // the bad version stays readable (audit), and the change feed of
+    // the restore is exactly the resurrected band — not the whole table
+    assert(TableLog.readAt(spark, dir, 2L).count() == 199L)
+    val cdf = TableLog.readChanges(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type"))))
+    assert(cdf.forall(_._2 == "insert"))
+    assert(cdf.map(_._1).sorted.toSeq == (100L to 300L).toSeq)
+    // restoring to the current version is a no-op; vacuumed targets refuse
+    assert(TableLog.restore(spark, dir, 3L) == 3L)
+    TableLog.overwrite(spark, dir, Seq((1L, 0.0)).toDF("k", "v"))         // v4
+    TableLog.vacuum(spark, dir, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] { TableLog.restore(spark, dir, 1L) }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("failed commit rename classifies by target content: landed / race / IO failure") {
     val dir = tmpDir("tlog_classify")
     val base = new org.apache.hadoop.fs.Path(dir)
