@@ -838,11 +838,13 @@ object Analytics {
     * group's state is O(|days|) — calendar-bounded like the cohort
     * triangle, never event-volume-bounded. One groupBy collects the
     * (date, value) points per group, a native `aggregate` HOF folds
-    * the recurrence IN ORDER inside codegen (the smoothing recursion
-    * is inherently sequential per group — a window over it would sort
-    * the same data and still fold row-at-a-time), and the horizon
-    * explodes to `horizon` rows per group. No self-joins, no
-    * iteration, one exchange carrying (group, day) rows.
+    * the recurrence IN ORDER (an interpreted expression, but over
+    * |groups| rows of |days|-element arrays — nothing row-scale; the
+    * smoothing recursion is inherently sequential per group, and a
+    * window over it would sort the same data and still fold
+    * row-at-a-time), and the horizon explodes to `horizon` rows per
+    * group. No self-joins, no iteration; the exchanges carry (group,
+    * day) aggregates, never raw events.
     * Null dates/values drop; the fixed operation order makes an
     * engine mirror replay the fold bit-for-bit (consumers round).
     */
