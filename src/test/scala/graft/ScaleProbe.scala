@@ -568,6 +568,31 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("table_log_cdf") { () => cdfRead(tl1) } { () => cdfRead(tl16) }
+      // incremental materialized-view refresh: bootstrap (O(table)) runs
+      // OUTSIDE the timing; each timed pass commits a fresh small merge
+      // and refreshes the view — change-feed read + delta fold + view
+      // merge, all bounded by the commit's touch set, flat at 16×
+      if (only.isEmpty || only("agg_view_refresh")) {
+        import graft.sinks.AggView
+        val av1 = s"$StageDir/aggview_1x"
+        val av16 = s"$StageDir/aggview_16x"
+        AggView.refresh(spark, av1, tl1, Seq("user_id"), "event_id")
+        AggView.refresh(spark, av16, tl16, Seq("user_id"), "event_id")
+        var tick = 0L
+        def mergeAndRefresh(tl: String, av: String): Unit = {
+          tick += 1
+          val src = ev1.select(col("event_id"), col("user_id"), col("ts"))
+            .filter(col("event_id") < 2000).dropDuplicates("event_id")
+            .withColumn("user_id", col("user_id") + lit(tick * 1000000L))
+          TableLog.mergeInto(spark, tl, src, Seq("event_id"),
+            statsCols = Seq("event_id"))
+          AggView.refresh(spark, av, tl, Seq("user_id"), "event_id")
+          ()
+        }
+        probeRun("agg_view_refresh") { () => mergeAndRefresh(tl1, av1) } {
+          () => mergeAndRefresh(tl16, av16)
+        }
+      }
       // bloom/stats point lookup: cost what it HITS (planning is a
       // driver-side manifest pass + footer probes on survivors)
       def pointScan(p: String): Unit = {
