@@ -124,11 +124,11 @@ object SparkEntry {
       val p = stageDir("tlogcow", d)
       TableLog.append(s, p, cowBase(s, d).repartitionByRange(16, col("price")),
         statsCols = Seq("price"))
+      // touch sets derive from the predicates themselves (boundsFromPredicate)
       TableLog.deleteWhere(s, p, col("price").between(10000.0, 20000.0),
-        pruneBounds = Seq(("price", 10000.0, 20000.0)), statsCols = Seq("price"))
+        statsCols = Seq("price"))
       TableLog.updateWhere(s, p, col("price") > 50000.0,
-        set = Map("price" -> (col("price") + 1000.0)),
-        pruneBounds = Seq(("price", 50000.0, 1e18)), statsCols = Seq("price"))
+        set = Map("price" -> (col("price") + 1000.0)), statsCols = Seq("price"))
       TableLog.mergeInto(s, p, cowMergeSource(s, d),
         Seq("l_orderkey", "l_linenumber"), statsCols = Seq("price"))
       TableLog.restore(s, p, 1L) // v5: zero-copy rollback of the whole history

@@ -243,11 +243,14 @@ object TableLog {
     * files that might hold matching rows, leave every other file
     * untouched (their manifest entries — paths, stats — carry over
     * verbatim), and publish pinned to the version read. `pruneBounds`
-    * is the [[scanPruned]] hint that selects the touch set from
-    * manifest stats; it MUST be implied by the predicate (a bound that
-    * excludes a matching file would silently keep its rows — same
-    * contract as scanPruned, stated here because deletion makes it
-    * load-bearing). With no bounds every live file is rewritten.
+    * overrides the touch-set selection; when omitted (the default),
+    * bounds are DERIVED from the predicate's own expression tree
+    * ([[boundsFromPredicate]] — conservative, so an unanalyzable
+    * predicate simply touches every file rather than risking a missed
+    * row). An explicit override MUST be implied by the predicate (a
+    * bound that excludes a matching file would silently keep its
+    * rows — same contract as scanPruned, stated here because deletion
+    * makes it load-bearing).
     * Rows where the predicate is NULL are KEPT (SQL DELETE semantics —
     * only TRUE deletes). At 100 TB this is the difference between a
     * full-table rewrite and touching the handful of files a
@@ -258,7 +261,8 @@ object TableLog {
                   pruneBounds: Seq[(String, Any, Any)] = Nil,
                   statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
-    rewriteTouched(spark, dir, "delete", pruneBounds, statsCols) { touched =>
+    rewriteTouched(spark, dir, "delete", pruneBounds, statsCols,
+        autoBoundsFrom = Some(predicate)) { touched =>
       touched.filter(not(fnCoalesce(predicate, lit(false))))
     }
   }
@@ -276,7 +280,8 @@ object TableLog {
                   pruneBounds: Seq[(String, Any, Any)] = Nil,
                   statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, when}
-    rewriteTouched(spark, dir, "update", pruneBounds, statsCols) { touched =>
+    rewriteTouched(spark, dir, "update", pruneBounds, statsCols,
+        autoBoundsFrom = Some(predicate)) { touched =>
       val fields = touched.schema.fields
       val unknown = set.keySet -- fields.map(_.name).toSet
       require(unknown.isEmpty,
@@ -346,6 +351,107 @@ object TableLog {
     }
   }
 
+  /** Derive [[scanPruned]]-style bounds from a predicate's expression
+    * tree, CONSERVATIVELY: only shapes that PROVE a bound contribute
+    * (`col op literal` comparisons, `IN` lists, `BETWEEN`/`AND`
+    * conjunctions, and `OR`s whose branches each bound the column
+    * once); anything unrecognized contributes nothing, which just
+    * means more files touch — correctness never depends on the
+    * analysis. Strict comparisons widen to inclusive bounds (a
+    * superset); numeric open sides use ±∞; string columns only bound
+    * on closed shapes (equality/IN) because there is no top string.
+    * This removes the manual-bounds footgun from the row-level ops:
+    * [[deleteWhere]]/[[updateWhere]] derive their touch set from the
+    * predicate itself unless the caller overrides.
+    */
+  private[sinks] def boundsFromPredicate(probe: DataFrame,
+                                         pred: org.apache.spark.sql.Column): Seq[(String, Any, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.NumericType
+    // resolve against the table schema so type-coercion casts are
+    // explicit in the tree (a literal cast folds; a numeric-widening
+    // cast around the column keeps its name — order-preserving, and
+    // the manifest stats compare in double space anyway)
+    val cond = probe.filter(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition }
+    def litVal(e: Expression): Option[Any] = e match {
+      case l if l.foldable => Option(l.eval(null)).map {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      }
+      case _ => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast
+        if c.dataType.isInstanceOf[NumericType] &&
+          c.child.dataType.isInstanceOf[NumericType] => attrName(c.child)
+      case _ => None
+    }
+    val negInf: Any = Double.NegativeInfinity
+    val posInf: Any = Double.PositiveInfinity
+    def numeric(v: Any): Boolean = v.isInstanceOf[Number]
+    def lo(v: Any): Seq[(Any, Any)] =
+      if (numeric(v)) Seq((v, posInf)) else Nil // no top string: cannot close
+    def hi(v: Any): Seq[(Any, Any)] =
+      if (numeric(v)) Seq((negInf, v)) else Nil
+    def walk(e: Expression): Seq[(String, Any, Any)] = e match {
+      case And(l, r) => walk(l) ++ walk(r) // conjunctive, like scanPruned
+      case GreaterThan(a, v) => cmp(a, v, lo) ++ cmp(v, a, hi)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, lo) ++ cmp(v, a, hi)
+      case LessThan(a, v) => cmp(a, v, hi) ++ cmp(v, a, lo)
+      case LessThanOrEqual(a, v) => cmp(a, v, hi) ++ cmp(v, a, lo)
+      case EqualTo(a, v) => eq(a, v) ++ eq(v, a)
+      case EqualNullSafe(a, v) => eq(a, v) ++ eq(v, a)
+      case In(a, vs) =>
+        (attrName(a), vs.map(litVal)) match {
+          case (Some(c), lits) if lits.forall(_.isDefined) =>
+            val vals = lits.flatten
+            if (vals.nonEmpty && vals.forall(numeric)) {
+              val ds = vals.map(_.asInstanceOf[Number].doubleValue())
+              Seq((c, ds.min, ds.max))
+            } else if (vals.nonEmpty && vals.forall(_.isInstanceOf[String])) {
+              val ss = vals.map(_.asInstanceOf[String])
+              Seq((c, ss.min, ss.max))
+            } else Nil
+          case _ => Nil
+        }
+      case Or(l, r) =>
+        // a column bounded EXACTLY ONCE in each branch unions to
+        // (min lo, max hi); anything else is unconstrained
+        val lb = walk(l).groupBy(_._1).collect { case (c, Seq(one)) => c -> one }
+        val rb = walk(r).groupBy(_._1).collect { case (c, Seq(one)) => c -> one }
+        lb.keySet.intersect(rb.keySet).toSeq.flatMap { c =>
+          val (_, llo, lhi) = lb(c)
+          val (_, rlo, rhi) = rb(c)
+          (llo, lhi, rlo, rhi) match {
+            case (a: Number, b: Number, x: Number, y: Number) =>
+              Seq((c, math.min(a.doubleValue(), x.doubleValue()): Any,
+                math.max(b.doubleValue(), y.doubleValue()): Any))
+            case (a: String, b: String, x: String, y: String) =>
+              Seq((c, (if (a <= x) a else x): Any, (if (b >= y) b else y): Any))
+            case _ => Nil
+          }
+        }
+      case _ => Nil
+    }
+    def cmp(maybeAttr: Expression, maybeLit: Expression,
+            side: Any => Seq[(Any, Any)]): Seq[(String, Any, Any)] =
+      (attrName(maybeAttr), litVal(maybeLit)) match {
+        case (Some(c), Some(v)) => side(v).map { case (l, h) => (c, l, h) }
+        case _ => Nil
+      }
+    def eq(maybeAttr: Expression, maybeLit: Expression): Seq[(String, Any, Any)] =
+      (attrName(maybeAttr), litVal(maybeLit)) match {
+        case (Some(c), Some(v)) if numeric(v) || v.isInstanceOf[String] =>
+          Seq((c, v, v))
+        case _ => Nil
+      }
+    cond.map(walk).getOrElse(Nil)
+  }
+
   /** Shared CoW skeleton: resolve the touch set from manifest stats,
     * hand the touched rows to `rewrite`, commit the rewrite as
     * remove(touched) + add(new files) pinned to the version read.
@@ -356,7 +462,8 @@ object TableLog {
                              pruneBounds: Seq[(String, Any, Any)],
                              statsCols: Seq[String],
                              schemaCheck: Boolean = true,
-                             txn: Option[(String, Long)] = None)
+                             txn: Option[(String, Long)] = None,
+                             autoBoundsFrom: Option[org.apache.spark.sql.Column] = None)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
@@ -364,7 +471,13 @@ object TableLog {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val touched = files.filter(f => mayOverlap(f, pruneBounds))
+    val bounds =
+      if (pruneBounds.nonEmpty) pruneBounds
+      else autoBoundsFrom.map { p =>
+        val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        boundsFromPredicate(probe, p)
+      }.getOrElse(Nil)
+    val touched = files.filter(f => mayOverlap(f, bounds))
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

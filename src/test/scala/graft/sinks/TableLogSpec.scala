@@ -363,8 +363,9 @@ class TableLogSpec extends SparkSpec {
     TableLog.append(spark, dir, df, statsCols = Seq("k"))
     val before = fileSet(dir, 1L)
     assert(before.size == 4)
+    // no explicit bounds: the touch set derives from the predicate itself
     TableLog.deleteWhere(spark, dir, col("k").between(150L, 250L),
-      pruneBounds = Seq(("k", 150L, 250L)), statsCols = Seq("k"))
+      statsCols = Seq("k"))
     val after = fileSet(dir, 2L)
     // files whose range cannot hold 150..250 are the SAME physical files
     val carried = before.intersect(after)
@@ -557,6 +558,35 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readChanges(spark, dir, 5L, 6L).isEmpty)
     // nothing fragmented anymore → no commit
     assert(TableLog.compactSmallFiles(spark, dir, minFileMB = 1).isEmpty)
+  }
+
+  test("boundsFromPredicate: provable shapes bound, everything else conservatively doesn't") {
+    val probe = Seq.empty[(Long, Long, String)].toDF("x", "y", "s")
+    def b(c: org.apache.spark.sql.Column) = TableLog.boundsFromPredicate(probe, c)
+    // closed range from between (two conjunctive bounds)
+    assert(b(col("x").between(1, 5)).toSet ==
+      Set(("x", 1L, Double.PositiveInfinity), ("x", Double.NegativeInfinity, 5L)))
+    // open sides widen with ±∞; literal-first comparisons normalize
+    assert(b(col("x") > 5) == Seq(("x", 5L, Double.PositiveInfinity)))
+    assert(b(lit(5) < col("x")) == Seq(("x", 5L, Double.PositiveInfinity)))
+    // a numeric-widening cast around the column still bounds it
+    assert(b(col("x") <= 7.5) == Seq(("x", Double.NegativeInfinity, 7.5)))
+    // IN lists close to [min, max]; equality closes to a point
+    assert(b(col("x").isin(9, 1, 5)) == Seq(("x", 1.0, 9.0)))
+    assert(b(col("s") === "m") == Seq(("s", "m", "m")))
+    assert(b(col("s").isin("b", "a", "c")) == Seq(("s", "a", "c")))
+    // OR unions branches that each bound the column once
+    assert(b(col("x") === 1 || col("x") === 9) == Seq(("x", 1.0, 9.0)))
+    // OR across different columns constrains neither
+    assert(b(col("x") === 1 || col("y") === 2).isEmpty)
+    // strings have no top element: open string comparisons don't bound
+    assert(b(col("s") > "m").isEmpty)
+    // unanalyzable shapes contribute nothing (full touch set, never a miss)
+    assert(b(abs(col("x")) > 3).isEmpty)
+    assert(b(col("x").isNotNull).isEmpty)
+    // conjunction keeps what IS provable alongside what isn't
+    assert(b(abs(col("x")) > 3 && col("y") < 2) ==
+      Seq(("y", Double.NegativeInfinity, 2L)))
   }
 
   test("restore: zero-copy rollback — no data written, exact contents, honest change feed") {
