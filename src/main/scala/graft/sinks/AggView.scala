@@ -61,6 +61,12 @@ object AggView {
           lit(0).cast(SumType)).as("d_sum"),
         sum(sign.cast("long")).as("d_cnt"))
       .filter(col("d_cnt") =!= 0L || col("d_sum") =!= 0.0)
+    // SQL null != null: a NULL group key would match neither the view
+    // lookup nor the merge's anti-join and duplicate its row on every
+    // refresh — refuse loudly instead of silently corrupting the view
+    require(delta.filter(g.map(_.isNull).reduce(_ || _)).isEmpty,
+      s"AggView.refresh: NULL values in group columns ${groupCols.mkString(", ")} " +
+        "are not mergeable (SQL null != null) — coalesce them upstream")
     val viewV = TableLog.currentVersion(spark, viewDir)
     if (viewV > 0L && delta.isEmpty) {
       // nothing changed any group (e.g. a compaction-only range): land a

@@ -55,4 +55,25 @@ class AggViewSpec extends SparkSpec {
     // the view itself time-travels: its first version is the bootstrap
     assert(AggView.read(spark, v, 1L).collect().length == 3)
   }
+
+  test("refresh refuses NULL group keys loudly (null != null would duplicate rows)") {
+    val t = tmpDir("aggv_nullg")
+    val v = tmpDir("aggv_nullg_v")
+    TableLog.append(spark, t,
+      Seq((1L, Some("a"), 1.0), (2L, Option.empty[String], 2.0))
+        .toDF("id", "g", "x"))
+    val e = intercept[IllegalArgumentException] {
+      AggView.refresh(spark, v, t, Seq("g"), "x")
+    }
+    assert(e.getMessage.contains("NULL"))
+    // null VALUES are fine — they count rows and add zero to the sum
+    val t2 = tmpDir("aggv_nullv")
+    val v2 = tmpDir("aggv_nullv_v")
+    TableLog.append(spark, t2,
+      Seq((1L, "a", Option.empty[Double]), (2L, "a", Some(3.0)))
+        .toDF("id", "g", "x"))
+    AggView.refresh(spark, v2, t2, Seq("g"), "x")
+    val row = AggView.read(spark, v2).collect().head
+    assert(row.getDecimal(1).doubleValue() == 3.0 && row.getLong(2) == 2L)
+  }
 }
