@@ -479,6 +479,17 @@ class TableLogSpec extends SparkSpec {
     assert(replayed == state)
     intercept[IllegalArgumentException] { TableLog.readChanges(spark, dir, 2, 1) }
     intercept[IllegalArgumentException] { TableLog.readChanges(spark, dir, 0, 99) }
+    // the feed spans a schema evolution: pre-evolution change rows
+    // null-fill the new column
+    TableLog.append(spark, dir,
+      Seq((999L, 9.0, "tagged")).toDF("k", "v", "tag"), mergeSchema = true) // v5
+    val evolved = TableLog.readChanges(spark, dir, 2L, 5L).collect()
+    val newRow = evolved.find(_.getLong(0) == 999L).get
+    assert(newRow.getString(newRow.fieldIndex("tag")) == "tagged")
+    val oldRow = evolved.find(r => r.getLong(0) == 50L &&
+      r.getString(r.fieldIndex("_change_type")) == "insert").get
+    assert(oldRow.isNullAt(oldRow.fieldIndex("tag")),
+      "pre-evolution feed rows must null-fill the evolved column")
   }
 
   test("append(mergeSchema): adds columns with null backfill; renames/retypes stay refused") {
