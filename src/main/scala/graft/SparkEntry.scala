@@ -256,6 +256,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("step"))
     }),
 
+    // per-brand price elasticity: OLS slope of ln(qty) on ln(unit
+    // price) from six decimal-partial sufficient statistics — one
+    // partial-aggregated pass, the exchange carries 6 numbers per brand
+    "q_price_elasticity" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          log(col("l_extendedprice").cast("double") /
+            col("l_quantity").cast("double")).as("ln_price"),
+          log(col("l_quantity").cast("double")).as("ln_qty"))
+      Analytics.groupOls(pts, Seq("p_brand"), "ln_price", "ln_qty")
+        .orderBy(col("p_brand"))
+    }),
+
     // Holt-Winters additive seasonal forecast (m=7 weekly cycle): the
     // fold carries a 7-slot seasonal ring; DuckDB carries the same
     // ring through its recursive CTE as a LIST and must land on
@@ -2227,6 +2242,33 @@ object SparkEntry {
         |FROM fin CROSS JOIN
         |  (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS step) s
         |ORDER BY o_orderpriority, step""".stripMargin,
+
+    // the same six sufficient statistics through decimal partials, the
+    // same fixed expression shape for slope/intercept/R²
+    "q_price_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p.p_brand,
+        |         ln(l.l_extendedprice::DOUBLE / l.l_quantity::DOUBLE) AS x,
+        |         ln(l.l_quantity::DOUBLE) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |s AS (
+        |  SELECT p_brand, count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x*x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(x*y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(y*y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY 1)
+        |SELECT p_brand, n,
+        |       round((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0.0), 6) AS slope,
+        |       round((sy - ((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0.0)) * sx) / n,
+        |             6) AS intercept,
+        |       round(CASE WHEN (n*sxx - sx*sx) = 0.0 OR (n*syy - sy*sy) = 0.0
+        |                  THEN NULL
+        |                  ELSE (n*sxy - sx*sy)*(n*sxy - sx*sy)
+        |                       / ((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 6) AS r2
+        |FROM s
+        |ORDER BY p_brand""".stripMargin,
 
     // the triple-smoothing recurrence with the 7-slot seasonal ring
     // carried as a LIST through the recursion: read slot (idx mod 7)+1,

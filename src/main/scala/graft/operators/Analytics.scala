@@ -885,6 +885,48 @@ object Analytics {
           .as("forecast")): _*)
   }
 
+  /** Per-group simple OLS `y = intercept + slope·x` via the closed-form
+    * normal equations — the price-elasticity / demand-curve regression
+    * (slope of ln(qty) on ln(price) IS the elasticity), computable in
+    * ONE partial-aggregated pass: six sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy, Σy²) accumulate through DECIMAL(30,12)
+    * partials (order-independent — a regression near a rounding
+    * boundary cannot flap between runs or engines), and the
+    * slope/intercept/R² assembly is a fixed double expression over
+    * them. No window, no second pass, no driver math: the exchange
+    * carries six numbers per group at any data scale. Degenerate
+    * groups (constant x, or constant y for R²) yield NULL rather than
+    * ±∞. Nulls and non-finite x/y drop.
+    */
+  def groupOls(df: DataFrame, groupCols: Seq[String],
+               xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupOls: groupCols must be non-empty")
+    val g = groupCols.map(Cols.qcol)
+    def dsum(c: Column): Column =
+      sum(c.cast("decimal(30,12)")).cast("double")
+    val pts = df
+      .select(g :+ Cols.qcol(xCol).cast("double").as("_x") :+
+        Cols.qcol(yCol).cast("double").as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull &&
+        !isnan(col("_x")) && !isnan(col("_y")))
+    val stats = pts.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      dsum(col("_x")).as("_sx"), dsum(col("_y")).as("_sy"),
+      dsum(col("_x") * col("_x")).as("_sxx"),
+      dsum(col("_x") * col("_y")).as("_sxy"),
+      dsum(col("_y") * col("_y")).as("_syy"))
+    val num = col("n") * col("_sxy") - col("_sx") * col("_sy")
+    val denX = col("n") * col("_sxx") - col("_sx") * col("_sx")
+    val denY = col("n") * col("_syy") - col("_sy") * col("_sy")
+    val slope = when(denX === 0.0, lit(null).cast("double"))
+      .otherwise(num / denX)
+    stats.select(g ++ Seq(col("n"),
+      round(slope, 6).as("slope"),
+      round((col("_sy") - slope * col("_sx")) / col("n"), 6).as("intercept"),
+      round(when(denX === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise(num * num / (denX * denY)), 6).as("r2")): _*)
+  }
+
   /** Holt-Winters ADDITIVE seasonal forecast (triple exponential
     * smoothing, period `period` — weekly demand cycles at m=7; FPP
     * §8.3 recurrences implemented from the statement):

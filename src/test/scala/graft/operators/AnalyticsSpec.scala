@@ -457,6 +457,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("groupOls: exact line recovered, degenerate groups null, groups isolated") {
+    val pts = Seq(
+      ("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0),   // y = 2x + 1 exactly
+      ("B", 4.0, 10.0), ("B", 4.0, 20.0),                   // constant x: no slope
+      ("C", 1.0, 9.0), ("C", 2.0, 9.0))                     // constant y: slope 0, r2 null
+      .toDF("g", "x", "y")
+    val out = Analytics.groupOls(pts, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out("A") == ((3L, 2.0, 1.0, 1.0)))
+    assert(out("B")._2 == null && out("B")._3 == null && out("B")._4 == null)
+    assert(out("C") == ((2L, 0.0, 9.0, null)))
+    // NaN and null points drop before the fit
+    val noisy = pts.unionByName(Seq(("A", Double.NaN, 1.0)).toDF("g", "x", "y"))
+    assert(Analytics.groupOls(noisy, Seq("g"), "x", "y")
+      .filter(col("g") === "A").head().getDouble(2) == 2.0)
+  }
+
   test("holtWintersForecast: hand-traced seasonal ring, alternating pattern recovered") {
     // α=0.5, β=0, γ=0.2, m=2 over [10, 20, 12, 22, 14] — hand trace:
     //   t1: level 10,     seas [0, 0]
