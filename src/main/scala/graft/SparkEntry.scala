@@ -145,6 +145,17 @@ object SparkEntry {
   private val aggViewPath =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Staged multi-measure MIN/MAX aggregate view (q_agg_view_minmax):
+    * its own table-log history — append, then a CoW delete of the top
+    * price band (which RETIRES every group's max → the affected-group
+    * recompute path), then a CoW update that lifts a mid band above
+    * the old maxes (new extremes via the insert fold) — refreshed
+    * incrementally after every commit; the final view must equal
+    * DuckDB's from-scratch GROUP BY of the final state.
+    */
+  private val aggViewMinMaxPath =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   /** Staged evolving TableLog (q_table_log_evolve): v1 carries two
     * columns, v2 appends with mergeSchema adding a third — v1's rows
     * must read back with NULL in the new column.
@@ -159,6 +170,15 @@ object SparkEntry {
     * bloom and still return exactly the matching rows.
     */
   private val tableLogBloomPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged merge-on-read TableLog (q_table_log_dv): lineitem
+    * hash-distributed over 16 files (stats prune nothing — the exact
+    * workload CoW is worst at), then two scattered point deletes in
+    * `mode = "dv"`: positions land in the manifest's deletion vectors,
+    * zero data files are written, and reads anti-apply the vectors.
+    */
+  private val tableLogDvPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The record-linkage fixture: customer addresses prefixed with 6 hex
@@ -1504,6 +1524,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL audio decode (javax.sound WAV): plant constant-amplitude
+    // PCM-16 WAVs keyed by doc_id — channels, duration, and exact
+    // per-channel RMS/peak are pure arithmetic in the id, so the
+    // decoded features mirror in SQL with no tolerance (a constant
+    // signal's sqrt-of-mean-of-squares is exactly the amplitude)
+    "q_audio_features" -> ((s, d) => {
+      val wavGen = udf((id: Long) => Multimodal.syntheticWav(id))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .select(col("doc_id"), wavGen(col("doc_id")).as("payload"))
+      Multimodal.audioFeatures(s, media)
+        .select(col("doc_id"), col("decoded"), col("channels"),
+          col("sample_rate"), col("duration_ms"),
+          col("rms0"), col("peak0"), col("rms1"), col("peak1"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH near-dup SCALE path with a full oracle: plant direction-identical
     // copies (embedding × 2, shifted id) on BOTH engines — scaling by a
     // positive power of two preserves every hyperplane sign bit EXACTLY
@@ -1795,6 +1832,56 @@ object SparkEntry {
       AggView.read(s, viewDir)
         .select(col("l_linenumber"),
           round(col("sum_val"), 2).cast("double").as("sum_price"), col("cnt"))
+        .orderBy(col("l_linenumber"))
+    }),
+
+    // merge-on-read DELETE: two scattered point deletes recorded as
+    // manifest deletion vectors (no data rewritten — the anti-applied
+    // positions ARE the delete); the final read must equal DuckDB's
+    // plain NOT-IN filter exactly
+    "q_table_log_dv" -> ((s, d) => {
+      val dir = tableLogDvPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogdv", d)
+        TableLog.append(s, p, cowBase(s, d).repartition(16, col("l_orderkey")),
+          statsCols = Seq("price"))
+        TableLog.deleteWhere(s, p, pmod(col("l_orderkey"), lit(501)) === 7,
+          mode = "dv")
+        TableLog.deleteWhere(s, p, pmod(col("l_orderkey"), lit(501)) === 8,
+          mode = "dv") // second vector merges into the same files
+        p
+      })
+      TableLog.readAt(s, dir)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"))
+    }),
+
+    // multi-measure incrementally-maintained view with MIN/MAX: the
+    // delete commit retires every group's max (delta folds cannot know
+    // the next extreme — the affected groups recompute from a stats-
+    // pruned base scan), the update commit sets new maxes through the
+    // insert fold; three incremental refreshes must land exactly on
+    // DuckDB's from-scratch GROUP BY of the final state
+    "q_agg_view_minmax" -> ((s, d) => {
+      val (_, viewDir) = aggViewMinMaxPath.getOrElseUpdate(d, {
+        val t = stageDir("aggviewmmt", d)
+        val v = stageDir("aggviewmmv", d)
+        val ms = Seq(AggView.Measure("price", "sum"),
+          AggView.Measure("price", "min"), AggView.Measure("price", "max"))
+        TableLog.append(s, t, cowBase(s, d).repartitionByRange(16, col("price")),
+          statsCols = Seq("price"))
+        AggView.refreshMulti(s, v, t, Seq("l_linenumber"), ms)
+        TableLog.deleteWhere(s, t, col("price") > 80000.0,
+          statsCols = Seq("price")) // retires every group max → recompute
+        AggView.refreshMulti(s, v, t, Seq("l_linenumber"), ms)
+        TableLog.updateWhere(s, t, col("price").between(40000.0, 50000.0),
+          set = Map("price" -> (col("price") + 100000.0)),
+          statsCols = Seq("price")) // new maxes via the insert fold
+        AggView.refreshMulti(s, v, t, Seq("l_linenumber"), ms)
+        (t, v)
+      })
+      AggView.read(s, viewDir)
+        .select(col("l_linenumber"),
+          round(col("sum_price"), 2).cast("double").as("sum_price"),
+          col("min_price"), col("max_price"), col("cnt"))
         .orderBy(col("l_linenumber"))
     }),
 
@@ -4368,6 +4455,24 @@ object SparkEntry {
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the planted WAVs' decoded features are pure arithmetic in doc_id:
+    // constant amplitude A per channel → rms = peak = A exactly; mono
+    // rows carry NULL channel-1 stats
+    "q_audio_features" ->
+      """SELECT doc_id,
+        |       TRUE AS decoded,
+        |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(50 + (doc_id % 7) * 10 AS BIGINT) AS duration_ms,
+        |       CAST(128 + 16 * ((doc_id * 31) % 900) AS DOUBLE) AS rms0,
+        |       CAST(128 + 16 * ((doc_id * 31) % 900) AS DOUBLE) AS peak0,
+        |       CASE WHEN doc_id % 2 = 1
+        |            THEN CAST(128 + 16 * ((doc_id * 31 + 1) % 900) AS DOUBLE) END AS rms1,
+        |       CASE WHEN doc_id % 2 = 1
+        |            THEN CAST(128 + 16 * ((doc_id * 31 + 1) % 900) AS DOUBLE) END AS peak1
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+
     // zipped unnests give (label, dim, component); double avg per
     // (label, dim), list reassembled in dim order, cosine in double —
     // identical arithmetic to the Spark plan
@@ -4579,23 +4684,33 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, price FROM src
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    // change feed (1, 3]: the delete commit emits exactly its removed
-    // rows; the update commit emits delete+insert pairs for changed
-    // rows only (unchanged rows in touched files cancel in the diff)
+    // change feed (1, 3]: the SAME multiset-diff formulation the feed
+    // itself uses (EXCEPT ALL of the after-state vs the before-state,
+    // per commit) — NOT a per-row delete+insert enumeration, which
+    // diverges whenever an updated row's new image equals another
+    // touched row's old image (the pair cancels in the multiset;
+    // untouched rows cancel identically on both sides, so diffing the
+    // whole states equals diffing the touched files)
     "q_table_log_cdf" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |  FROM lineitem),
-        |s2 AS (SELECT * FROM b WHERE NOT (price BETWEEN 10000.0 AND 20000.0))
-        |SELECT l_orderkey, l_linenumber, price,
-        |       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
-        |FROM b WHERE price BETWEEN 10000.0 AND 20000.0
+        |s2 AS (SELECT * FROM b WHERE NOT (price BETWEEN 10000.0 AND 20000.0)),
+        |s3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN price > 50000.0 THEN price + 1000.0 ELSE price END AS price
+        |  FROM s2)
+        |SELECT *, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM s2)
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, price, 'delete', CAST(3 AS BIGINT)
-        |FROM s2 WHERE price > 50000.0
+        |SELECT *, 'insert', CAST(2 AS BIGINT)
+        |FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM b)
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, price + 1000.0, 'insert', CAST(3 AS BIGINT)
-        |FROM s2 WHERE price > 50000.0
+        |SELECT *, 'delete', CAST(3 AS BIGINT)
+        |FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3)
+        |UNION ALL
+        |SELECT *, 'insert', CAST(3 AS BIGINT)
+        |FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)
         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
 
     // the incrementally-refreshed view must equal a from-scratch GROUP
@@ -4614,6 +4729,34 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM s3 GROUP BY l_linenumber
         |ORDER BY l_linenumber""".stripMargin,
+
+    // the multi-measure incrementally-refreshed view must equal a
+    // from-scratch GROUP BY (sum exact through decimal, min/max exact
+    // doubles) over the final state of its CoW history
+    "q_agg_view_minmax" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |  FROM lineitem),
+        |s2 AS (SELECT * FROM b WHERE NOT (price > 80000.0)),
+        |s3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN price BETWEEN 40000.0 AND 50000.0
+        |              THEN price + 100000.0 ELSE price END AS price
+        |  FROM s2)
+        |SELECT l_linenumber,
+        |       CAST(round(sum(CAST(price AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price,
+        |       min(price) AS min_price, max(price) AS max_price,
+        |       count(*) AS cnt
+        |FROM s3 GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin,
+
+    // merge-on-read deletes are invisible to the result: the dv'd rows
+    // are simply gone, everything else is verbatim
+    "q_table_log_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_orderkey % 501 NOT IN (7, 8)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // evolved table: v1 rows null-fill the column v2 added
     "q_table_log_evolve" ->

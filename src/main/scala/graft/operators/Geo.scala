@@ -126,11 +126,20 @@ object Geo {
     val sinRatio = lit(sinR) / cosMin
     val lonSpan = when(sinRatio >= 1.0, lit(180.0))
       .otherwise(degrees(asin(sinRatio)))
+    // full ring (ratio ≥ 1): the circle wraps EVERY longitude at some
+    // latitude in the span — a site-centered ±180° interval is the
+    // wrong cover, because points bucket their RAW lon in [-180, 180]
+    // while a site at lon 170 would replicate over [-10, 350] and miss
+    // every in-radius point below -10; explode over the whole raw
+    // longitude cell range instead
+    val fullRing = sinRatio >= 1.0
     val sReplicated = s0
       .withColumn("_lat_lo", floor((col("_slat") - latSpan) / cellDeg))
       .withColumn("_lat_hi", floor((col("_slat") + latSpan) / cellDeg))
-      .withColumn("_lon_lo", floor((col("_slon") - lonSpan) / cellDeg))
-      .withColumn("_lon_hi", floor((col("_slon") + lonSpan) / cellDeg))
+      .withColumn("_lon_lo", when(fullRing, floor(lit(-180.0) / cellDeg))
+        .otherwise(floor((col("_slon") - lonSpan) / cellDeg)))
+      .withColumn("_lon_hi", when(fullRing, floor(lit(180.0) / cellDeg))
+        .otherwise(floor((col("_slon") + lonSpan) / cellDeg)))
       .withColumn("_cells",
         (col("_lat_hi") - col("_lat_lo") + 1) * (col("_lon_hi") - col("_lon_lo") + 1))
       .withColumn("_lat_lo", when(col("_cells") <= maxCellsPerSite, col("_lat_lo"))

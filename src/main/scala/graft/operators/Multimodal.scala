@@ -404,6 +404,148 @@ object Multimodal {
         s"substring(payload, 1 + frame_idx * greatest((octet_length(payload) - $frameBytes) / greatest($frames - 1, 1), 0), $frameBytes)"))
       .select(col("doc_id"), col("media_type"), col("frame_idx"), col("frame_bytes"))
 
+  /** Output schema of [[audioFeatures]]. Per-channel stats are scalars
+    * for the first two channels (arrays break the driver's comparer;
+    * stereo covers the real corpus) — `channels` still reports the true
+    * count. `decoded = false` rows are the tagged fallback for corrupt
+    * or non-audio payloads, with NULL features.
+    */
+  val AudioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("rms0", DoubleType, nullable = true),
+    StructField("peak0", DoubleType, nullable = true),
+    StructField("rms1", DoubleType, nullable = true),
+    StructField("peak1", DoubleType, nullable = true)))
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+      b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** Deterministic in-memory PCM-16 WAV keyed by `seed` — the planted
+    * payload for audio specs and the `q_audio_features` oracle. Every
+    * parameter is pure arithmetic in the seed so an engine mirror can
+    * predict the decoded features exactly: channels `1 + seed % 2`,
+    * sample rate 8000, duration `50 + (seed % 7) * 10` ms, and channel
+    * `c` holds the CONSTANT amplitude `128 + 16 * ((seed * 31 + c) %
+    * 900)` — so RMS and peak are both exactly that amplitude (constant
+    * signals make sqrt(mean(x²)) exact in doubles).
+    */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"syntheticWav: seed must be non-negative, got $seed")
+    val channels = 1 + (seed % 2).toInt
+    val sampleRate = 8000
+    val durationMs = 50 + (seed % 7).toInt * 10
+    val frames = sampleRate * durationMs / 1000
+    val amp = Array.tabulate(channels)(c => (128 + 16 * ((seed * 31 + c) % 900)).toInt)
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) { bb.putShort(amp(c).toShort); c += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode (pure JVM, `javax.sound.sampled` — the one
+    * audio path the JDK reaches without native codecs): parse the WAV
+    * header through `AudioSystem`, stream the PCM frames once, and
+    * emit duration, channel count, sample rate, and per-channel
+    * RMS/peak (16-bit signed amplitude units). Non-WAV, compressed, or
+    * corrupt payloads fall back to a tagged `decoded = false` row —
+    * the same never-abort contract as the image kernel. Same
+    * `mapPartitions` shape as [[featurize]]: one task holds one
+    * bounded batch, the stream never materializes a whole column.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(AudioSchema)
+    media.select(col("doc_id"), col("payload"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeWav(bytes) match {
+            case Some((ch, rate, frames, rms, peak)) =>
+              def at(a: Array[Double], i: Int): Any =
+                if (i < a.length) a(i) else null
+              Row(id, true, ch, rate, frames * 1000L / rate,
+                at(rms, 0), at(peak, 0), at(rms, 1), at(peak, 1))
+            case None => Row(id, false, null, null, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** `(channels, sampleRate, frames, rmsPerChannel, peakPerChannel)` or
+    * None for anything `javax.sound` cannot parse as PCM-16 WAV.
+    */
+  private[operators] def decodeWav(payload: Array[Byte])
+      : Option[(Int, Int, Long, Array[Double], Array[Double])] =
+    if (!looksLikeWav(payload)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            bits != 16 || ch < 1) None
+        else {
+          val rate = math.round(fmt.getSampleRate)
+          val frameBytes = fmt.getFrameSize
+          val sumSq = new Array[Double](ch)
+          val peak = new Array[Double](ch)
+          var frames = 0L
+          val buf = new Array[Byte](frameBytes * 1024)
+          var n = in.read(buf)
+          while (n > 0) {
+            var off = 0
+            while (off + frameBytes <= n) {
+              var c = 0
+              while (c < ch) {
+                val lo = buf(off + 2 * c) & 0xFF
+                val hi = buf(off + 2 * c + 1).toInt
+                val s0 = (hi << 8) | lo
+                val s = if (fmt.isBigEndian) ((buf(off + 2 * c).toInt << 8) |
+                  (buf(off + 2 * c + 1) & 0xFF)) else s0
+                val v = s.toDouble
+                sumSq(c) += v * v
+                if (math.abs(v) > peak(c)) peak(c) = math.abs(v)
+                c += 1
+              }
+              frames += 1
+              off += frameBytes
+            }
+            n = in.read(buf)
+          }
+          if (frames == 0L) None
+          else {
+            val rms = sumSq.map(s => math.sqrt(s / frames))
+            Some((ch, rate, frames, rms, peak))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode + featurize binary payloads per partition. The only non-codegen
     * hop in the library, by design: decoding is imperative. Partition size
     * is governed by spark.sql.files.maxPartitionBytes at read time, so each

@@ -70,16 +70,44 @@ object TableLog {
   final case class NumStat(min: Double, max: Double) extends Stat
   final case class StrStat(min: String, max: String) extends Stat
 
-  final case class AddFile(path: String, rows: Long, stats: Map[String, Stat])
+  /** `rows` is the PHYSICAL row count of the file; `dv` is its deletion
+    * vector — the ascending row positions (parquet row_index) deleted
+    * by merge-on-read [[deleteWhere]] commits and anti-applied at scan
+    * time. Live rows = rows − dv.length. Stats stay the physical
+    * file's (conservative: a dv'd row may have carried the min/max —
+    * keeping the wider range can only keep extra files, never drop a
+    * matching one). [[compactSmallFiles]] materializes dvs away.
+    */
+  final case class AddFile(path: String, rows: Long, stats: Map[String, Stat],
+                           dv: Seq[Long] = Nil)
 
   /** `txn` is the optional idempotence marker `(appId, batchId)` a
     * streaming writer stamps on its commit — a replayed micro-batch is
     * detected by scanning history for its marker and skipped, which is
     * what makes foreachBatch → TableLog exactly-once under crash-replay.
+    *
+    * `ts` is the commit's wall-clock epoch millis, MONOTONIC-CLAMPED to
+    * `max(parent_ts + 1, now)` (the Delta in-commit-timestamp rule): a
+    * backwards clock step between writers cannot reorder history, so
+    * `TIMESTAMP AS OF` resolution ([[versionAtTimestamp]]) is a simple
+    * at-or-before scan. Legacy manifests without the field parse as 0
+    * — ordered before any real instant, still monotone.
+    */
+  /** `removeDv` carries the deletion vector each removed path had at
+    * removal time — what makes the change feed commit-local: a diff
+    * reads the removed side MINUS its old dv and the added side MINUS
+    * its new dv, so already-deleted rows never re-emit as deletes.
     */
   final case class Commit(version: Long, parent: Long, op: String,
                           schemaJson: String, add: Seq[AddFile], remove: Seq[String],
-                          txn: Option[(String, Long)] = None)
+                          txn: Option[(String, Long)] = None,
+                          ts: Long = 0L,
+                          removeDv: Map[String, Seq[Long]] = Map.empty)
+
+  /** Injectable clock — tests pin commit timestamps (and clock skew)
+    * deterministically; production leaves the default.
+    */
+  private[sinks] var clockMs: () => Long = () => System.currentTimeMillis()
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
   final case class VacuumReport(deletedDataFiles: Int, deletedTmp: Int,
@@ -214,13 +242,16 @@ object TableLog {
   /** Highest `batchId` the log has committed for `appId`, if any.
     *
     * Cost: O(commits since the last checkpoint), not O(table lifetime) —
-    * commits are scanned NEWEST first with early exit on the first
-    * marker for `appId` (correct because [[mergeOnce]] only ever commits
-    * strictly increasing batchIds per app — the newest marker IS the
-    * max), and below the newest checkpoint the checkpoint's folded
-    * `txns` map answers without parsing any older manifest. A legacy
-    * checkpoint without the `txns` field falls back to the full scan
-    * (still newest-first, still early-exit).
+    * below the newest checkpoint the checkpoint's folded `txns` map
+    * answers without parsing any older manifest, and only the suffix
+    * above it is scanned. The suffix scan takes the MAX over every
+    * marker for `appId` rather than early-exiting on the newest one:
+    * the public `append`/`overwrite`/`upsertInto` accept arbitrary txn
+    * markers, so batchIds per app are NOT guaranteed monotone (a reset
+    * streaming checkpoint restarts at 0) — under the newest-marker
+    * shortcut a reset app would silently re-apply batches the max-scan
+    * skips. A legacy checkpoint without the `txns` field falls back to
+    * scanning the full log (same max semantics).
     */
   def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] = {
     val base = new Path(dir)
@@ -231,10 +262,12 @@ object TableLog {
       .map(cv => cv -> parseCheckpointTxns(readText(fs, checkpointPath(base, cv))))
     // the checkpoint is an authoritative floor only when it carries txns
     val floor = ckpt.collect { case (cv, Some(_)) => cv }.getOrElse(0L)
-    val above = vers.reverseIterator.takeWhile(_ > floor)
-      .map(v => parseCommit(readText(fs, commitPath(base, v))).txn)
-      .collectFirst { case Some((a, b)) if a == appId => b }
-    above.orElse(ckpt.flatMap { case (_, txns) => txns.flatMap(_.get(appId)) })
+    val above: Seq[Long] = vers.reverseIterator.takeWhile(_ > floor)
+      .flatMap(v => parseCommit(readText(fs, commitPath(base, v))).txn)
+      .collect { case (a, b) if a == appId => b }.toSeq
+    val fromCkpt: Seq[Long] =
+      ckpt.flatMap { case (_, txns) => txns.flatMap(_.get(appId)) }.toSeq
+    (above ++ fromCkpt).maxOption
   }
 
   // --------------------------------------------------- row-level ops (CoW)
@@ -259,12 +292,85 @@ object TableLog {
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column,
                   pruneBounds: Seq[(String, Any, Any)] = Nil,
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  mode: String = "cow",
+                  maxDvRows: Int = 1000000): Long = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
-    rewriteTouched(spark, dir, "delete", pruneBounds, statsCols,
-        autoBoundsFrom = Some(predicate)) { touched =>
-      touched.filter(not(fnCoalesce(predicate, lit(false))))
-    }
+    require(mode == "cow" || mode == "dv",
+      s"TableLog.deleteWhere: mode must be cow|dv, got $mode")
+    if (mode == "dv")
+      deleteWhereDv(spark, dir, predicate, pruneBounds, maxDvRows)
+    else
+      rewriteTouched(spark, dir, "delete", pruneBounds, statsCols,
+          autoBoundsFrom = Some(predicate)) { touched =>
+        touched.filter(not(fnCoalesce(predicate, lit(false))))
+      }
+  }
+
+  /** Merge-on-read `DELETE WHERE` (`mode = "dv"`): instead of REWRITING
+    * every touched file (copy-on-write — O(touched bytes) however few
+    * rows match), record each matching row's parquet position in the
+    * file's DELETION VECTOR in the manifest and anti-apply it at scan
+    * time. A scattered point-delete workload (GDPR erasure keyed by a
+    * hash-distributed id, where stats prune nothing and CoW would
+    * rewrite the whole table for a thousand rows) costs ONE scan to
+    * find positions + a manifest rename — O(matches) state, zero data
+    * written. The trade: reads of dv'd files pay the anti-join until
+    * [[compactSmallFiles]] materializes the vectors away (dv files
+    * qualify for compaction regardless of size). Positions are
+    * collected to the driver (they ride in the manifest), capped
+    * LOUDLY at `maxDvRows` — a delete matching millions of rows is a
+    * bulk delete; use CoW for it. Rows where the predicate is NULL are
+    * KEPT (SQL DELETE semantics), rows already dv'd never re-enter the
+    * vector (the feed would double-emit their deletes).
+    */
+  private def deleteWhereDv(spark: SparkSession, dir: String,
+                            predicate: org.apache.spark.sql.Column,
+                            pruneBounds: Seq[(String, Any, Any)],
+                            maxDvRows: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce, col, concat, element_at, lit, split}
+    import scala.jdk.CollectionConverters._
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.deleteWhere(dv): $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val bounds =
+      if (pruneBounds.nonEmpty) pruneBounds
+      else {
+        val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        boundsFromPredicate(probe, predicate)
+      }
+    val touched = files.filter(f => mayOverlap(f, bounds))
+    if (touched.isEmpty)
+      return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, None)
+    val scan = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+      .withColumn("_dv_rel",
+        concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1)))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val existing = touched.flatMap(e => e.dv.map(p => Row(e.path, p)))
+    val live =
+      if (existing.isEmpty) scan
+      else scan.join(broadcast(spark.createDataFrame(existing.asJava,
+          new StructType()
+            .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
+            .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))),
+        Seq("_dv_rel", "_dv_pos"), "left_anti")
+    val hits = live.filter(fnCoalesce(predicate, lit(false)))
+      .select(col("_dv_rel"), col("_dv_pos"))
+      .limit(maxDvRows + 1).collect()
+    require(hits.length <= maxDvRows,
+      s"TableLog.deleteWhere(dv): the predicate matches more than $maxDvRows rows — " +
+        "a deletion vector that size belongs in the data, not the manifest; " +
+        "use mode=cow for bulk deletes (or raise maxDvRows deliberately)")
+    val newDv = hits.map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val changed = touched.filter(f => newDv.contains(f.path))
+    commitManifest(spark, dir, "delete", schemaJson,
+      adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(f.path)).sorted)),
+      removeEntries = changed, expectedParent = base, txn = None)
   }
 
   /** `UPDATE … SET … WHERE` as a copy-on-write transaction: the
@@ -478,17 +584,16 @@ object TableLog {
         boundsFromPredicate(probe, p)
       }.getOrElse(Nil)
     val touched = files.filter(f => mayOverlap(f, bounds))
-    val touchedDf =
-      if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(touched.map(f => s"$dir/${f.path}"): _*)
+    // dv-aware: a touched file's already-deleted positions must not
+    // resurrect through the rewrite
+    val touchedDf = readWithDv(spark, dir, schema, touched)
     val out = rewrite(touchedDf)
     if (schemaCheck)
       require(nullableForm(out.schema) == nullableForm(schema),
         s"TableLog.$op: rewrite changed the table schema " +
           s"(${out.schema.simpleString} vs ${schema.simpleString})")
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
-      txn = txn, explicitRemoves = Some(touched.map(_.path)),
+      txn = txn, explicitRemoves = Some(touched),
       schemaOverride = Some(schemaJson))
   }
 
@@ -571,14 +676,19 @@ object TableLog {
     if (version == base) return base // already there: no empty commit
     val (schemaJson, targetFiles) = snapshotAt(spark, fs, basePath, version)
     val (_, liveFiles) = snapshotAt(spark, fs, basePath, base)
-    val targetPaths = targetFiles.map(_.path).toSet
-    val livePaths = liveFiles.map(_.path).toSet
-    // the manifest carries only the DELTA: files still live need no
-    // action (the snapshot fold keeps them), and listing them as adds
-    // would make the change feed misreport their rows as inserts
+    val targetByPath = targetFiles.map(f => f.path -> f).toMap
+    val liveByPath = liveFiles.map(f => f.path -> f).toMap
+    // the manifest carries only the DELTA: files still live WITH THE
+    // SAME deletion vector need no action (the snapshot fold keeps
+    // them), and listing them as adds would make the change feed
+    // misreport their rows as inserts; a path whose dv changed between
+    // the versions re-points (remove live entry, re-add target entry)
+    // so the restored snapshot carries the target's dv exactly
     commitManifest(spark, dir, "restore", schemaJson,
-      adds = targetFiles.filterNot(f => livePaths.contains(f.path)),
-      removes = liveFiles.map(_.path).filterNot(targetPaths.contains),
+      adds = targetFiles.filter(f =>
+        !liveByPath.get(f.path).exists(_.dv == f.dv)),
+      removeEntries = liveFiles.filter(f =>
+        !targetByPath.get(f.path).exists(_.dv == f.dv)),
       expectedParent = base, txn = None)
   }
 
@@ -588,7 +698,7 @@ object TableLog {
     */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
                              schemaJson: String, adds: Seq[AddFile],
-                             removes: Seq[String], expectedParent: Long,
+                             removeEntries: Seq[AddFile], expectedParent: Long,
                              txn: Option[(String, Long)]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
@@ -596,8 +706,10 @@ object TableLog {
     val version = expectedParent + 1
     val target = commitPath(base, version)
     val tmp = new Path(base, s"_log/.tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val ts = math.max(commitTs(fs, base, expectedParent) + 1, clockMs())
     val body = renderCommit(Commit(version, expectedParent, op, schemaJson,
-      adds, removes, txn))
+      adds, removeEntries.map(_.path), txn, ts,
+      removeEntries.filter(_.dv.nonEmpty).map(e => e.path -> e.dv).toMap))
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     try {
@@ -644,19 +756,21 @@ object TableLog {
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
-    val small = files.filter(f =>
+    // a file carrying a deletion vector qualifies REGARDLESS of size:
+    // compaction is where merge-on-read deletes get materialized away
+    // (the rewrite drops the dv'd rows and the new entry is clean)
+    val small = files.filter(f => f.dv.nonEmpty ||
       fs.getFileStatus(new Path(basePath, f.path)).getLen < minFileMB * 1024L * 1024L)
-    if (small.length < minSmallFiles) return None
+    if (small.length < minSmallFiles && !small.exists(_.dv.nonEmpty)) return None
     val totalBytes = small.map(f =>
       fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val rewritten = spark.read.schema(schema)
-      .parquet(small.map(f => s"$dir/${f.path}"): _*).coalesce(nOut)
+    val rewritten = readWithDv(spark, dir, schema, small).coalesce(nOut)
     Some(commit(spark, dir, rewritten, "compact", statsCols,
       expectedParent = Some(base), txn = None,
-      explicitRemoves = Some(small.map(_.path)),
+      explicitRemoves = Some(small),
       schemaOverride = Some(schemaJson)))
   }
 
@@ -755,7 +869,7 @@ object TableLog {
   private def commit(spark: SparkSession, dir: String, df: DataFrame, op: String,
                      statsCols: Seq[String], expectedParent: Option[Long],
                      txn: Option[(String, Long)],
-                     explicitRemoves: Option[Seq[String]] = None,
+                     explicitRemoves: Option[Seq[AddFile]] = None,
                      schemaOverride: Option[String] = None,
                      writeOptions: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -784,53 +898,130 @@ object TableLog {
     df.write.options(writeOptions).parquet(s"$dir/$dataSub")
     val files = fs.listStatus(new Path(base, dataSub))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val adds = files.map { f =>
-      val (rows, stats) = footerStats(conf, f, statsCols.toSet)
-      AddFile(s"$dataSub/${f.getName}", rows, stats)
-    }.toSeq
-    val removes: Seq[String] = explicitRemoves.getOrElse {
+    // stats harvesting is footer work too: a 10k-file initial load must
+    // not pay a serial driver loop — same distribution rule as the
+    // bloom probe (driver under the threshold, executor tasks above)
+    val relFiles = files.map(f => s"$dataSub/${f.getName}").toSeq
+    val statsSet = statsCols.toSet
+    val harvested = mapOverFooters(spark, base, relFiles,
+      DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
+    val adds = relFiles.zip(harvested).map { case (rp, (rows, stats)) =>
+      AddFile(rp, rows, stats)
+    }
+    // removes carry their entries (not just paths) so the manifest can
+    // record each removed file's deletion vector — the change feed's
+    // removed side must read MINUS that old dv or it re-emits rows an
+    // earlier commit already deleted
+    val removeEntries: Seq[AddFile] = explicitRemoves.getOrElse {
       if (op == "overwrite" && parent > 0L)
-        snapshotAt(spark, fs, base, parent)._2.map(_.path)
+        snapshotAt(spark, fs, base, parent)._2
       else Nil
     }
-    val version = parent + 1
-    val target = commitPath(base, version)
-    val tmp = new Path(base, s"_log/.tmp_$attempt")
-    val body = renderCommit(Commit(version, parent, op,
-      schemaOverride.getOrElse(df.schema.json), adds, removes, txn))
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
-    // fails if a concurrent writer landed this version first
-    try {
-      val fc = FileContext.getFileContext(base.toUri, conf)
-      fc.rename(tmp, target) // no Rename.OVERWRITE
-    } catch {
-      case e: Exception =>
-        // a rename exception is NOT proof of a lost race — classify by
-        // what is actually at the target before destroying anything
-        fs.delete(tmp, false)
-        classifyFailedRename(fs, target, body) match {
-          case RenameLanded =>
-            // our own manifest IS at the target: the rename succeeded and
-            // only the acknowledgement was lost (realistic on HDFS/object
-            // stores) — the commit is durable, deleting the data dir here
-            // would have been silent data loss in the current snapshot
-          case RenameLostRace =>
-            fs.delete(new Path(base, dataSub), true)
-            throw new TableLogConflictException(
-              s"TableLog: lost the commit race for version $version of $dir " +
-                s"(another writer committed on top of parent $parent) — " +
-                s"re-read, re-merge, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
-          case RenameIoFailure =>
-            // transient IO error with no manifest at the target: the
-            // commit did not land, but this is not a conflict — keep the
-            // data dir (vacuum sweeps orphans) and surface the real error
-            throw e
-        }
+    val removes = removeEntries.map(_.path)
+    val removeDv = removeEntries.filter(_.dv.nonEmpty)
+      .map(e => e.path -> e.dv).toMap
+    // COMMUTATIVE AUTO-RETRY eligibility: a plain append (no removes, no
+    // schema change) logically conflicts with NOTHING another writer can
+    // commit except a schema change — its remove set is empty, so the
+    // Delta-style conflict rule (my removes ∩ winner's adds/removes = ∅)
+    // holds against every winner. Losing the CAS then just means the
+    // version number moved: re-point the manifest at the new head and
+    // rename again (bounded attempts), instead of making every caller
+    // hand-roll the retry loop. CoW/overwrite commits (non-empty
+    // removes) and evolution appends keep failing LOUDLY — their
+    // content depends on the base they read.
+    val autoRetryEligible =
+      op == "append" && schemaOverride.isEmpty && removes.isEmpty
+    val maxAttempts = 20
+    var parentNow = parent
+    var attemptNo = 0
+    var committed = -1L
+    while (committed < 0L) {
+      attemptNo += 1
+      val version = parentNow + 1
+      val target = commitPath(base, version)
+      val tmp = new Path(base, s"_log/.tmp_${attempt}_$attemptNo")
+      // monotonic-clamped commit instant: a wall clock stepping backwards
+      // between writers must not reorder TIMESTAMP AS OF history
+      val ts = math.max(commitTs(fs, base, parentNow) + 1, clockMs())
+      val body = renderCommit(Commit(version, parentNow, op,
+        schemaOverride.getOrElse(df.schema.json), adds, removes, txn, ts, removeDv))
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
+      // fails if a concurrent writer landed this version first
+      try {
+        val fc = FileContext.getFileContext(base.toUri, conf)
+        fc.rename(tmp, target) // no Rename.OVERWRITE
+        committed = version
+      } catch {
+        case e: Exception =>
+          // a rename exception is NOT proof of a lost race — classify by
+          // what is actually at the target before destroying anything
+          fs.delete(tmp, false)
+          classifyFailedRename(fs, target, body) match {
+            case RenameLanded =>
+              // our own manifest IS at the target: the rename succeeded and
+              // only the acknowledgement was lost (realistic on HDFS/object
+              // stores) — the commit is durable, deleting the data dir here
+              // would have been silent data loss in the current snapshot
+              committed = version
+            case RenameLostRace =>
+              val rebase = autoRetryEligible && attemptNo < maxAttempts &&
+                rebaseOk(spark, fs, base, parentNow, df, txn)
+              if (rebase) {
+                parentNow = commitVersions(fs, base).last
+              } else {
+                fs.delete(new Path(base, dataSub), true)
+                throw new TableLogConflictException(
+                  s"TableLog: lost the commit race for version $version of $dir " +
+                    s"(another writer committed on top of parent $parentNow) — " +
+                    s"re-read, re-merge, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+              }
+            case RenameIoFailure =>
+              // transient IO error with no manifest at the target: the
+              // commit did not land, but this is not a conflict — keep the
+              // data dir (vacuum sweeps orphans) and surface the real error
+              throw e
+          }
+      }
     }
-    version
+    committed
   }
+
+  /** The CAS loser's rebase check for a commutative append: the new
+    * head's schema must still match the batch (a winner that evolved or
+    * overwrote the schema is a REAL conflict), and a txn-marked append
+    * must find no intervening marker for its app at/above its batchId
+    * (that means a concurrent replica committed the SAME batch — a
+    * replay to skip, never a rebase; surfacing it as a conflict lets
+    * the Once-paths' marker check decide).
+    */
+  private def rebaseOk(spark: SparkSession, fs: FileSystem, base: Path,
+                       oldParent: Long, df: DataFrame,
+                       txn: Option[(String, Long)]): Boolean = {
+    val vers = commitVersions(fs, base)
+    val newBase = vers.lastOption.getOrElse(0L)
+    if (newBase <= oldParent) return false
+    val (headSchema, _) = snapshotAt(spark, fs, base, newBase)
+    if (nullableForm(df.schema) !=
+        nullableForm(DataType.fromJson(headSchema).asInstanceOf[StructType]))
+      return false
+    txn.forall { case (app, batch) =>
+      vers.filter(v => v > oldParent && v <= newBase).forall { v =>
+        parseCommit(readText(fs, commitPath(base, v))).txn match {
+          case Some((a, b)) if a == app && b >= batch => false
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** The commit instant recorded at `v` (0 for the pre-history parent
+    * and for legacy manifests without the field).
+    */
+  private def commitTs(fs: FileSystem, base: Path, v: Long): Long =
+    if (v <= 0L) 0L else parseCommit(readText(fs, commitPath(base, v))).ts
 
   private[sinks] sealed trait RenameOutcome
   private[sinks] case object RenameLanded extends RenameOutcome
@@ -876,16 +1067,79 @@ object TableLog {
       new Path(base, f"_log/$v%020d.json"))))
   }
 
+  /** `TIMESTAMP AS OF` resolution: the latest version whose commit
+    * instant is at or before `tsMillis`. Commit instants are
+    * monotonic-clamped at write time ([[Commit.ts]]), so the at-or-
+    * before scan is well-defined even under writer clock skew. An
+    * instant BEFORE the table's first commit is refused loudly — "what
+    * did the table say before it existed" is a caller bug, not an
+    * empty answer. Cost: one driver pass over the manifest names +
+    * parses (the log is tiny; data files are never touched).
+    */
+  def versionAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = commitVersions(fs, base)
+    require(vers.nonEmpty, s"TableLog.versionAtTimestamp: $dir has no committed versions")
+    val stamped = vers.map(v => v -> commitTs(fs, base, v))
+    require(stamped.head._2 <= tsMillis,
+      s"TableLog.versionAtTimestamp: $tsMillis is before the table's first " +
+        s"commit (${stamped.head._2}) — no version existed at that instant")
+    stamped.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Snapshot read at the wall-clock instant `tsMillis` — resolves via
+    * [[versionAtTimestamp]] and delegates to [[readAt]] (so vacuumed
+    * history still fails with the watermark message).
+    */
+  def readAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAt(spark, dir, versionAtTimestamp(spark, dir, tsMillis))
+
   /** Snapshot read at `version` (`-1` = latest). Fails loudly for a
     * version that never existed or that [[vacuum]] has retired.
     */
   def readAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val (schemaJson, files) = resolve(spark, dir, version, "readAt")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
+    readWithDv(spark, dir, schema, files)
+  }
+
+  /** Read a set of manifest entries with their deletion vectors
+    * ANTI-APPLIED: clean files read as one plain multi-path scan (zero
+    * overhead on a dv-free table), dv-carrying files read WITH the
+    * parquet row position (`_metadata.row_index`) and drop their dv'd
+    * positions through one broadcast anti-join on (file, position) —
+    * O(deleted rows) extra state however many files carry vectors, and
+    * ONE plan arm regardless of the dv file count (per-file plans
+    * would explode at a 100 TB table's maintenance cadence). The join
+    * key is the manifest-relative path recovered from the file URI's
+    * last `/data/` segment — attempt dirs are UUID hex and parquet
+    * part names never contain `/data/`, so the recovery is exact and
+    * scheme-independent.
+    */
+  private def readWithDv(spark: SparkSession, dir: String, schema: StructType,
+                         entries: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, lit, split}
+    import scala.jdk.CollectionConverters._
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val (dvFiles, clean) = entries.partition(_.dv.nonEmpty)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(clean.map(f => s"$dir/${f.path}"): _*))
+    if (dvFiles.isEmpty) return cleanDf.get
+    val doomed = spark.createDataFrame(
+      dvFiles.flatMap(e => e.dv.map(p => Row(e.path, p))).asJava,
+      new StructType()
+        .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val dvDf = spark.read.schema(schema).parquet(dvFiles.map(f => s"$dir/${f.path}"): _*)
+      .withColumn("_dv_rel",
+        concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1)))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
   }
 
   /** Manifest-pruned scan: keep only files whose recorded [min, max]
@@ -901,10 +1155,48 @@ object TableLog {
     val (schemaJson, files) = resolve(spark, dir, version, "scanPruned")
     val kept = files.filter(f => mayOverlap(f, bounds))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val df =
-      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
-    PrunedScan(df, kept.length, files.length)
+    PrunedScan(readWithDv(spark, dir, schema, kept), kept.length, files.length)
+  }
+
+  /** Below this many candidate files, per-file footer work (bloom
+    * probes, stats harvesting) runs as a plain driver loop — a Spark
+    * job's scheduling overhead dominates for a handful of local footer
+    * reads. At or above it, the file list ships to EXECUTORS and
+    * footers are probed in parallel tasks: at a 100 TB table's 10⁵–10⁶
+    * files, a serial driver loop over footers is minutes of planning
+    * before the first scan task launches, and the driver only ever
+    * needs the O(paths) verdict list back.
+    */
+  val DistributeFileOpsThreshold = 64
+
+  /** Map a footer-level function over files, preserving order — driver
+    * loop under `threshold` candidates, executor tasks at or above it.
+    * The hadoop conf ships as its entry list (Configuration itself is
+    * not serializable); Paths rebuild from the dir string on the
+    * executor.
+    */
+  private def mapOverFooters[T](spark: SparkSession, dirPath: Path,
+                                relPaths: Seq[String], threshold: Int)
+                               (f: (Configuration, Path) => T)
+                               (implicit ct: scala.reflect.ClassTag[T]): Seq[T] = {
+    if (relPaths.isEmpty) Nil
+    else if (relPaths.length < threshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      relPaths.map(rp => f(conf, new Path(dirPath, rp)))
+    } else {
+      import scala.jdk.CollectionConverters._
+      val sc = spark.sparkContext
+      val entries = sc.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+      val dirStr = dirPath.toString
+      val slices = math.max(1, math.min(relPaths.length,
+        sc.defaultParallelism * 2))
+      sc.parallelize(relPaths, slices).map { rp =>
+        val c = new Configuration()
+        entries.foreach { case (k, v) => c.set(k, v) }
+        f(c, new Path(new Path(dirStr), rp))
+      }.collect().toSeq
+    }
   }
 
   /** Point-lookup scan: plan a read over only the files that might hold
@@ -919,9 +1211,19 @@ object TableLog {
     * on a 100 TB table cost O(footers) + O(matching files). Files
     * without stats or blooms for the column are always kept, and the
     * exact equality predicate still belongs to the caller.
+    *
+    * The bloom phase is DISTRIBUTED once the stats survivors exceed
+    * [[DistributeFileOpsThreshold]]: survivors partition across
+    * executor tasks, each task probes its files' footers, and only the
+    * kept paths come back — the driver never opens a footer itself, so
+    * planning cost is O(files / cluster) wall-clock and O(paths)
+    * driver memory however large the table is. (`threshold` is a test
+    * seam as much as a knob: the equivalence spec pins driver-path ==
+    * executor-path on the same fixture.)
     */
   def scanPointLookup(spark: SparkSession, dir: String, column: String,
-                      values: Seq[Any], version: Long = -1L): PrunedScan = {
+                      values: Seq[Any], version: Long = -1L,
+                      threshold: Int = DistributeFileOpsThreshold): PrunedScan = {
     require(values.nonEmpty, "TableLog.scanPointLookup: values must be non-empty")
     val (schemaJson, files) = resolve(spark, dir, version, "scanPointLookup")
     val statsKept = files.filter(f => f.stats.get(column) match {
@@ -935,15 +1237,13 @@ object TableLog {
       }
       case None => true
     })
-    val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new Path(dir)
-    val kept = statsKept.filter(f =>
-      bloomMightContain(conf, new Path(basePath, f.path), column, values))
+    val probeValues = values.toList // List serializes cleanly into the task closure
+    val verdicts = mapOverFooters(spark, basePath, statsKept.map(_.path), threshold)(
+      (c, p) => bloomMightContain(c, p, column, probeValues))
+    val kept = statsKept.zip(verdicts).collect { case (f, true) => f }
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val df =
-      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
-    PrunedScan(df, kept.length, files.length)
+    PrunedScan(readWithDv(spark, dir, schema, kept), kept.length, files.length)
   }
 
   /** True unless every row group's bloom filter rules out every value —
@@ -1000,6 +1300,18 @@ object TableLog {
     * commit that rewrites bytes but not rows emits NOTHING (pinned in
     * spec). Column evolution across the range null-fills via
     * per-commit schemas; a type change inside the range fails loudly.
+    *
+    * ATTRIBUTION SEMANTICS: the per-commit diff is a MULTISET
+    * difference over whole rows (`EXCEPT ALL`), not a keyed
+    * row-identity diff — plain tables carry no key, so there is no
+    * identity to attribute by. When an updated row's NEW image equals
+    * another touched row's OLD image (two near-duplicate rows whose
+    * values differ by exactly the update delta), the pair cancels and
+    * the feed emits the NET change (one delete of the old extreme, one
+    * insert of the new), not per-physical-row delete+insert pairs.
+    * Snapshot replay is exact either way — multiset algebra holds —
+    * and any oracle/consumer must model the same `EXCEPT ALL`
+    * formulation rather than enumerating per-row pairs.
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
                   toVersion: Long = -1L): DataFrame = {
@@ -1020,16 +1332,19 @@ object TableLog {
     val parts = range.map { v =>
       val c = parseCommit(readText(fs, commitPath(base, v)))
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-      def read(paths: Seq[String]): DataFrame =
-        if (paths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
-      val added = read(c.add.map(_.path))
+      // both diff sides read MINUS their deletion vectors: the added
+      // side minus the entries' (cumulative) dv, the removed side minus
+      // the dv each path had at removal time — so a merge-on-read
+      // delete commit (same path, bigger dv) diffs to exactly the
+      // newly-deleted rows, and already-deleted rows never re-emit
+      val added = readWithDv(spark, dir, schema, c.add)
       val changes =
         if (c.op == "append" || c.remove.isEmpty)
           added.withColumn("_change_type", lit("insert"))
         else {
-          val removed = read(c.remove)
+          val removed = readWithDv(spark, dir, schema,
+            c.remove.map(p => AddFile(p, 0L, Map.empty,
+              c.removeDv.getOrElse(p, Nil))))
           added.exceptAll(removed).withColumn("_change_type", lit("insert"))
             .unionByName(removed.exceptAll(added)
               .withColumn("_change_type", lit("delete")))
@@ -1223,13 +1538,24 @@ object TableLog {
     * carry stats only when annotated as UTF-8 strings. Columns outside
     * `statsCols` are skipped (stat payload stays bounded no matter how
     * wide the table is).
+    *
+    * DECIMAL columns: parquet physical stats for a decimal are the
+    * UNSCALED integer (12.34 stored as 1234 under scale 2) while every
+    * probe — [[boundsFromPredicate]] literals, [[mergeInto]]'s key
+    * bounding box, caller-supplied [[scanPruned]] bounds — compares in
+    * SCALED value space. The stats are rescaled here at harvest time
+    * using the column's decimal logical-type annotation, so the two
+    * domains agree; without this, decimal pruning would silently drop
+    * files that DO hold matching rows (a correctness bug, not a perf
+    * one, once row-level CoW ops derive their touch sets from stats).
     */
-  private def footerStats(conf: Configuration, file: Path,
-                          statsCols: Set[String]): (Long, Map[String, Stat]) = {
+  private[sinks] def footerStats(conf: Configuration, file: Path,
+                                 statsCols: Set[String]): (Long, Map[String, Stat]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.io.api.Binary
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
@@ -1242,10 +1568,25 @@ object TableLog {
           val st = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val prim = c.getPrimitiveType
+            val decScale: Option[Int] = prim.getLogicalTypeAnnotation match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(d.getScale)
+              case _ => None
+            }
             val next: Option[Stat] = prim.getPrimitiveTypeName match {
               case INT32 | INT64 | FLOAT | DOUBLE =>
-                val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
-                val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                // INT32/INT64 may back a DecimalType (precision ≤ 18):
+                // rescale the unscaled physical stats into value space
+                val (mn, mx) = decScale match {
+                  case Some(sc) => (
+                    java.math.BigDecimal.valueOf(
+                      st.genericGetMin.asInstanceOf[Number].longValue(), sc).doubleValue(),
+                    java.math.BigDecimal.valueOf(
+                      st.genericGetMax.asInstanceOf[Number].longValue(), sc).doubleValue())
+                  case None => (
+                    st.genericGetMin.asInstanceOf[Number].doubleValue(),
+                    st.genericGetMax.asInstanceOf[Number].doubleValue())
+                }
                 // NaN/±Infinity are legal parquet float stats but render
                 // as unquoted tokens — invalid JSON that would poison
                 // every later manifest parse; such a column simply
@@ -1253,6 +1594,13 @@ object TableLog {
                 if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
                   Some(NumStat(mn, mx))
                 else None
+              case FIXED_LEN_BYTE_ARRAY | BINARY if decScale.isDefined =>
+                // wide decimals (precision > 18): big-endian two's-
+                // complement unscaled bytes, same rescale
+                def dec(v: Any): Double = new java.math.BigDecimal(
+                  new java.math.BigInteger(v.asInstanceOf[Binary].getBytes),
+                  decScale.get).doubleValue()
+                Some(NumStat(dec(st.genericGetMin), dec(st.genericGetMax)))
               case BINARY
                 if prim.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
                 Some(StrStat(st.minAsString(), st.maxAsString()))
@@ -1304,7 +1652,8 @@ object TableLog {
         case _ => true
       }
       .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
-    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}}"""
+    val dv = if (a.dv.isEmpty) "" else s""","dv":[${a.dv.mkString(",")}]"""
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv}"""
   }
 
   private[sinks] def renderCommit(c: Commit): String = {
@@ -1312,8 +1661,14 @@ object TableLog {
     val removes = c.remove.map(r => s""""${esc(r)}"""").mkString(",")
     val txn = c.txn.fold("")(t =>
       s""","txn":{"app":"${esc(t._1)}","batch":${t._2}}""")
+    val rdv =
+      if (c.removeDv.isEmpty) ""
+      else s""","removedv":{${c.removeDv.toSeq.sortBy(_._1)
+        .map { case (p, ps) => s""""${esc(p)}":[${ps.mkString(",")}]""" }
+        .mkString(",")}}"""
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn}"""
+      s""""ts":${c.ts},""" +
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
@@ -1339,9 +1694,23 @@ object TableLog {
           e.getKey -> stat
         }.toMap
       }.getOrElse(Map.empty[String, Stat])
-      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats)
+      val dv = Option(a.get("dv")).map(_.elements().asScala.map(_.asLong()).toSeq)
+        .getOrElse(Nil)
+      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats, dv)
     }.toSeq
   }
+
+  /** Parse a manifest body into its commit version, or None when the
+    * text is a checkpoint manifest (or unparseable) — the filter a
+    * streaming consumer of the raw `_log/` file feed needs, since the
+    * `*.json` glob also matches `*.checkpoint.json`.
+    */
+  def parseVersionIfCommit(txt: String): Option[Long] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      if (n == null || n.get("op") == null || n.get("version") == null) None
+      else Some(n.get("version").asLong())
+    } catch { case _: Exception => None }
 
   private[sinks] def parseCommit(txt: String): Commit = {
     import scala.jdk.CollectionConverters._
@@ -1349,9 +1718,15 @@ object TableLog {
     val removes = n.get("remove").elements().asScala.map(_.asText()).toSeq
     val txn = Option(n.get("txn")).map(t =>
       (t.get("app").asText(), t.get("batch").asLong()))
+    val removeDv = Option(n.get("removedv")).map { rd =>
+      rd.properties().asScala.map(e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSeq).toMap
+    }.getOrElse(Map.empty[String, Seq[Long]])
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
-      removes, txn)
+      removes, txn,
+      ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      removeDv = removeDv)
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {

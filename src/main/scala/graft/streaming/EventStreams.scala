@@ -922,6 +922,56 @@ object EventStreams {
     q
   }
 
+  /** STREAMING CHANGE-FEED SOURCE over a [[graft.sinks.TableLog]]
+    * table: the commit manifests themselves are the stream. A file
+    * source tails the `.json` manifests under `_log/` — each landed manifest is one
+    * immutable file, so Spark's own file tracking (checkpointed)
+    * delivers every commit exactly once, in landing order, with no
+    * polling loop to hand-roll. Each micro-batch collects its manifest
+    * texts (driver-side, log-sized — manifests list files, they hold
+    * no data), filters checkpoint manifests out, and hands each new
+    * version's [[graft.sinks.TableLog.readChanges]] slice to
+    * `onChanges(changes, version)` in version order.
+    *
+    * This is what turns downstream maintenance into CONTINUOUS
+    * consumers of any table-log table: an [[graft.sinks.AggView]]
+    * refresh per version (its txn markers make the replayed tail
+    * batch a no-op), a JDBC warehouse apply, a metrics emitter. The
+    * `onChanges` callback owns idempotence for at-least-once replay of
+    * the LAST batch after a crash — consumers with txn markers get
+    * exactly-once end-to-end; pure side-effect consumers should keep
+    * their own high-water mark.
+    *
+    * The changes DataFrame for version v is bounded by commit v's
+    * TOUCHED FILES (the readChanges cost model) — a continuous
+    * consumer of a 100 TB table pays per-commit touch sets, never
+    * table scans.
+    */
+  def changeFeedStream(spark: SparkSession, tableDir: String,
+                       checkpointDir: String,
+                       onChanges: (DataFrame, Long) => Unit,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val manifests = spark.readStream
+      .format("text")
+      .load(s"$tableDir/_log/*.json")
+    val q = manifests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = batch.select(col("value")).collect()
+          .flatMap(r => graft.sinks.TableLog.parseVersionIfCommit(r.getString(0)))
+          .sorted
+        versions.foreach { v =>
+          onChanges(graft.sinks.TableLog.readChanges(spark, tableDir, v - 1, v), v)
+        }
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** One micro-batch of the upsert protocol (factored out of the stream
     * closure so the at-least-once replay path is directly testable).
     * Idempotent per batchId: foreachBatch replays a batch when the job

@@ -104,4 +104,29 @@ class GeoSpec extends SparkSpec {
     assert(grid == brute, s"grid=${grid.size} brute=${brute.size}")
     assert(brute.size >= 70, "the inside half of the ring must qualify")
   }
+
+  test("radiusJoin: full-ring span covers the whole raw longitude range, not a site-centered half-span") {
+    // a 79° site with a 2500 km radius wraps every longitude at the top
+    // of its lat span (sinRatio ≥ 1). Points near the antimeridian on
+    // the OTHER side of the raw range (site lon 170, point lon -170)
+    // are genuinely in radius but land in cells a site-centered ±180°
+    // interval never replicates to — the full-ring branch must explode
+    // over the entire raw [-180, 180] cell range
+    val sites = Seq((1L, 79.0, 170.0)).toDF("sid", "lat", "lon")
+    val points = Seq(
+      (1L, 79.0, -170.0),  // 20° across the antimeridian: ~424 km, in radius
+      (2L, 70.0, -10.0),   // far side, lower lat: ~3449 km, out of radius
+      (3L, 79.0, 160.0))   // same side: in radius
+      .toDF("pid", "lat", "lon")
+    val got = Geo.radiusJoin(points, sites, "pid", "sid",
+        radiusKm = 2500.0, cellDeg = 5.0)
+      .select("point_id").collect().map(_.getLong(0)).toSet
+    val brute = points
+      .withColumn("d", Geo.haversineKm(col("lat"), col("lon"), lit(79.0), lit(170.0)))
+      .filter(col("d") <= 2500.0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(brute.contains(1L), "fixture: the antimeridian point must be in radius")
+    assert(got == brute, s"full-ring coverage must find cross-antimeridian pairs: " +
+      s"got $got expected $brute")
+  }
 }

@@ -142,4 +142,35 @@ class MultimodalSpec extends SparkSpec {
     assert(doc1(0) == "hell")       // frame 0 anchored at start
     assert(doc1.distinct.length == 3) // frames are distinct windows
   }
+
+  test("real WAV decode: planted constant-amplitude audio recovers exact duration/rms/peak") {
+    import spark.implicits._
+    // seed 4: mono, 8000 Hz, 90 ms, amp0 = 128 + 16*((4*31+0) % 900) = 2112
+    // seed 5: stereo, 8000 Hz, 100 ms, amp_c = 128 + 16*((5*31+c) % 900)
+    val wavs = Seq(4L, 5L).map(s => (s, Multimodal.syntheticWav(s)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioFeatures(spark, wavs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = out(4L)
+    assert(m.getBoolean(1) && m.getInt(2) == 1 && m.getInt(3) == 8000)
+    assert(m.getLong(4) == 90L)
+    assert(m.getDouble(5) == 2112.0 && m.getDouble(6) == 2112.0,
+      s"constant amplitude must round-trip exactly, got rms=${m.getDouble(5)}")
+    assert(m.isNullAt(7) && m.isNullAt(8), "mono carries no channel-1 stats")
+    val st = out(5L)
+    val a0 = 128 + 16 * ((5 * 31 + 0) % 900)
+    val a1 = 128 + 16 * ((5 * 31 + 1) % 900)
+    assert(st.getInt(2) == 2 && st.getLong(4) == 100L)
+    assert(st.getDouble(5) == a0.toDouble && st.getDouble(7) == a1.toDouble,
+      "interleaved stereo channels must decode independently")
+    assert(st.getDouble(6) == a0.toDouble && st.getDouble(8) == a1.toDouble)
+    // corrupt/non-audio payloads fall back to the tagged row, never throw
+    val junk = Seq((9L, "not audio at all".getBytes("UTF-8")),
+        (10L, Multimodal.syntheticPng(8, 8, 1L)),
+        (11L, Multimodal.syntheticWav(4L).take(30).toArray)) // truncated header
+      .toDF("doc_id", "payload")
+    val fb = Multimodal.audioFeatures(spark, junk).collect()
+    assert(fb.length == 3 && fb.forall(r => !r.getBoolean(1) && r.isNullAt(2)),
+      "non-audio must land on the decoded=false fallback")
+  }
 }

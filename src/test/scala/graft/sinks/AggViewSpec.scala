@@ -56,6 +56,66 @@ class AggViewSpec extends SparkSpec {
     assert(AggView.read(spark, v, 1L).collect().length == 3)
   }
 
+  private def mmMap(viewDir: String): Map[String, (Double, Any, Any, Long)] =
+    AggView.read(spark, viewDir).collect().map { r =>
+      r.getString(0) -> (r.getDecimal(1).doubleValue(),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getLong(4))
+    }.toMap
+
+  test("refreshMulti MIN/MAX: retired extremes recompute, insert folds tighten, tombstones hold") {
+    val t = tmpDir("aggmm_t")
+    val v = tmpDir("aggmm_v")
+    val ms = Seq(AggView.Measure("x", "sum"), AggView.Measure("x", "min"),
+      AggView.Measure("x", "max"))
+    TableLog.append(spark, t,
+      Seq((1L, "a", 1.0), (2L, "a", 5.0), (3L, "a", 9.0),
+        (4L, "b", 10.0), (5L, "b", 20.0), (6L, "c", 7.0))
+        .toDF("id", "g", "x").repartitionByRange(2, col("id")),
+      statsCols = Seq("id"))
+    assert(AggView.refreshMulti(spark, v, t, Seq("g"), ms).contains(1L))
+    assert(mmMap(v) == Map(
+      "a" -> (15.0, 1.0, 9.0, 3L),
+      "b" -> (30.0, 10.0, 20.0, 2L),
+      "c" -> (7.0, 7.0, 7.0, 1L)))
+    // replay skips
+    assert(AggView.refreshMulti(spark, v, t, Seq("g"), ms).isEmpty)
+    // DELETE RETIRES a's max (9) and ALL of c: a must recompute its
+    // extremes from the base table, c must tombstone
+    TableLog.deleteWhere(spark, t, col("x") === 9.0 || col("g") === "c")
+    assert(AggView.refreshMulti(spark, v, t, Seq("g"), ms).isDefined)
+    assert(mmMap(v) == Map(
+      "a" -> (6.0, 1.0, 5.0, 2L),
+      "b" -> (30.0, 10.0, 20.0, 2L)))
+    val tomb = TableLog.readAt(spark, v).filter(col("cnt") === 0L).collect()
+    assert(tomb.length == 1 && tomb.head.getString(0) == "c" &&
+      tomb.head.isNullAt(2) && tomb.head.isNullAt(3),
+      "a vanished group must tombstone with NULL extremes")
+    // a delete that does NOT touch the extremes folds without recompute,
+    // and an insert above the max tightens through the fold
+    TableLog.deleteWhere(spark, t, col("x") === 5.0)   // a: between min and max
+    TableLog.append(spark, t, Seq((7L, "b", 99.0), (8L, "a", 0.5))
+      .toDF("id", "g", "x"), statsCols = Seq("id"))
+    assert(AggView.refreshMulti(spark, v, t, Seq("g"), ms).isDefined)
+    assert(mmMap(v) == Map(
+      "a" -> (1.5, 0.5, 1.0, 2L),
+      "b" -> (129.0, 10.0, 99.0, 3L)))
+    // incremental == a fresh from-scratch view of the current state
+    val v2 = tmpDir("aggmm_v2")
+    AggView.refreshMulti(spark, v2, t, Seq("g"), ms)
+    assert(mmMap(v) == mmMap(v2))
+    // a resurrected group replaces its tombstone
+    TableLog.append(spark, t, Seq((9L, "c", 3.0)).toDF("id", "g", "x"),
+      statsCols = Seq("id"))
+    assert(AggView.refreshMulti(spark, v, t, Seq("g"), ms).isDefined)
+    assert(mmMap(v)("c") == (3.0, 3.0, 3.0, 1L))
+    // loud guards
+    intercept[IllegalArgumentException] {
+      AggView.refreshMulti(spark, v, t, Seq("g"), Seq(AggView.Measure("x", "median")))
+    }
+  }
+
   test("refresh refuses NULL group keys loudly (null != null would duplicate rows)") {
     val t = tmpDir("aggv_nullg")
     val v = tmpDir("aggv_nullg_v")

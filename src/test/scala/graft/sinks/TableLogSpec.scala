@@ -56,21 +56,30 @@ class TableLogSpec extends SparkSpec {
     assert(snap(3) == Seq((1L, 3L, "a3"), (2L, 2L, "b2"), (3L, 2L, "c2"), (4L, 3L, "d3")))
   }
 
-  test("two-writer race: exactly one commit wins, the loser fails loudly and leaves no garbage") {
+  test("two-writer race: appends auto-rebase, conflicting overwrites fail loudly with no garbage") {
     val dir = tmpDir("tlog_race")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
     // writer A reads base version 1 … then writer B commits version 2 first
     val baseA = TableLog.currentVersion(spark, dir)
     TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s")) // writer B wins v2
+    // an APPEND loser is commutative (its remove set is empty): the CAS
+    // loss rebases internally onto the winner — no caller retry loop
+    val v3 = TableLog.append(spark, dir, Seq((3L, "c")).toDF("k", "s"),
+      expectedParent = Some(baseA))
+    assert(v3 == 3L)
+    assert(TableLog.readAt(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // an OVERWRITE loser's content depends on the base it read —
+    // genuinely conflicting, still fails loudly
     val e = intercept[TableLogConflictException] {
-      TableLog.append(spark, dir, Seq((99L, "LOST")).toDF("k", "s"),
+      TableLog.overwrite(spark, dir, Seq((99L, "LOST")).toDF("k", "s"),
         expectedParent = Some(baseA))
     }
     assert(e.getMessage.contains("version 2"))
     // the winner's data is intact, the loser's rows are nowhere
     val ks = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
-    assert(ks == Set(1L, 2L))
-    assert(TableLog.currentVersion(spark, dir) == 2L)
+    assert(ks == Set(1L, 2L, 3L))
+    assert(TableLog.currentVersion(spark, dir) == 3L)
     // the loser's data files were deleted on the way out: every parquet
     // under data/ is referenced by some committed manifest
     val referenced = TableLog.history(spark, dir).flatMap(_.add.map(_.path)).toSet
@@ -84,6 +93,107 @@ class TableLogSpec extends SparkSpec {
         assert(referenced.contains(rel), s"orphan data file survived the lost race: $rel")
       }
     }
+  }
+
+  test("concurrent append threads need NO retry loop: auto-rebase serializes them gaplessly") {
+    val dir = tmpDir("tlog_appendrace")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(base: Long): Thread = new Thread(() => {
+      try (0 until 5).foreach { i =>
+        // no try/catch, no retry: the commit path owns the rebase
+        TableLog.append(spark, dir, Seq((base + i, s"w$base-$i")).toDF("k", "s"))
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val t1 = writer(100L); val t2 = writer(200L)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errors.isEmpty, s"appends must auto-rebase, got ${errors.peek()}")
+    assert(TableLog.currentVersion(spark, dir) == 10L,
+      "10 appends must land exactly versions 1..10")
+    val h = TableLog.history(spark, dir)
+    assert(h.map(_.version) == (1L to 10L) && h.map(_.parent) == (0L to 9L),
+      "the version chain must be gapless and parent-linked")
+    assert(h.map(_.ts) == h.map(_.ts).sorted && h.map(_.ts).distinct == h.map(_.ts),
+      "commit instants must be strictly increasing along the chain")
+    val ks = TableLog.readAt(spark, dir).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == ((100L to 104L) ++ (200L to 204L)),
+      s"every writer's rows must survive the races, got $ks")
+  }
+
+  test("auto-rebase refuses real conflicts: schema changed under the append; same-batch txn races") {
+    val dir = tmpDir("tlog_rebase_refuse")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    val stale = TableLog.currentVersion(spark, dir)
+    // the winner CHANGED THE SCHEMA: the stale append must not rebase
+    TableLog.overwrite(spark, dir, Seq((1L, 2.0)).toDF("k", "d"))
+    intercept[TableLogConflictException] {
+      TableLog.append(spark, dir, Seq((9L, "x")).toDF("k", "s"),
+        expectedParent = Some(stale))
+    }
+    // same-app same-batch txn race: the winner already committed OUR
+    // batch — a rebase would double-apply it; must surface as conflict
+    val dir2 = tmpDir("tlog_rebase_txn")
+    TableLog.append(spark, dir2, Seq((1L, "a")).toDF("k", "s"))
+    val stale2 = TableLog.currentVersion(spark, dir2)
+    TableLog.append(spark, dir2, Seq((2L, "b")).toDF("k", "s"),
+      txn = Some("appX" -> 5L)) // the concurrent replica wins with batch 5
+    intercept[TableLogConflictException] {
+      TableLog.append(spark, dir2, Seq((2L, "b")).toDF("k", "s"),
+        expectedParent = Some(stale2), txn = Some("appX" -> 5L))
+    }
+    // a DIFFERENT app's marker does not block the rebase
+    assert(TableLog.append(spark, dir2, Seq((3L, "c")).toDF("k", "s"),
+      expectedParent = Some(stale2), txn = Some("appY" -> 5L)) == 3L)
+  }
+
+  test("TIMESTAMP AS OF: injected clock pins resolution; backwards clock clamps; pre-history refuses") {
+    val dir = tmpDir("tlog_ts")
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => 1000L
+      TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))      // ts 1000
+      TableLog.clockMs = () => 5000L
+      TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s"))      // ts 5000
+      TableLog.clockMs = () => 2000L // the wall clock stepped BACKWARDS
+      TableLog.overwrite(spark, dir, Seq((3L, "c")).toDF("k", "s"))   // clamp → 5001
+      assert(TableLog.history(spark, dir).map(_.ts) == Seq(1000L, 5000L, 5001L),
+        "commit instants must be monotonic under clock skew")
+      assert(TableLog.versionAtTimestamp(spark, dir, 1000L) == 1L)
+      assert(TableLog.versionAtTimestamp(spark, dir, 4999L) == 1L)
+      assert(TableLog.versionAtTimestamp(spark, dir, 5000L) == 2L)
+      assert(TableLog.versionAtTimestamp(spark, dir, System.currentTimeMillis()) == 3L)
+      assert(TableLog.readAtTimestamp(spark, dir, 5000L).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(TableLog.readAtTimestamp(spark, dir, 9999L).select("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+      val e = intercept[IllegalArgumentException] {
+        TableLog.versionAtTimestamp(spark, dir, 999L)
+      }
+      assert(e.getMessage.contains("before the table's first commit"))
+    } finally TableLog.clockMs = saved
+  }
+
+  test("scanPointLookup distributes the bloom probe: executor path == driver path, rows exact") {
+    val dir = tmpDir("tlog_bloom_dist")
+    val df = (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "s").repartition(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"),
+      writeOptions = TableLog.bloomOptions(Seq("k"), expectedNdv = 1000L))
+    val probes = Seq(37L, 1999L)
+    // driver loop (default threshold: 8 files < 64) vs executor tasks
+    // (threshold 1 forces distribution) — identical kept sets and rows
+    val driverPath = TableLog.scanPointLookup(spark, dir, "k", probes)
+    val execPath = TableLog.scanPointLookup(spark, dir, "k", probes, threshold = 1)
+    assert(execPath.filesTotal == driverPath.filesTotal)
+    assert(execPath.filesRead == driverPath.filesRead,
+      s"executor-path kept ${execPath.filesRead}, driver-path ${driverPath.filesRead}")
+    assert(execPath.filesRead < execPath.filesTotal, "bloom must still skip files")
+    def rows(p: TableLog.PrunedScan) = p.df.filter(col("k").isin(probes: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(execPath) == rows(driverPath) &&
+      rows(execPath) == Set((37L, "p37"), (1999L, "p1999")))
+    // string-typed probes distribute too (serializable closure over Any)
+    val sHit = TableLog.scanPointLookup(spark, dir, "s", Seq("p37"), threshold = 1)
+    assert(sHit.df.filter(col("s") === "p37").count() == 1L)
   }
 
   test("two REAL concurrent writer threads: retry-on-conflict converges, no version lost or duplicated") {
@@ -699,6 +809,178 @@ class TableLogSpec extends SparkSpec {
     // and replay idempotence still holds through the checkpointed path
     assert(TableLog.upsertIntoOnce(spark, dir, b(6), Seq("k"), "ver", "appA", 9L).isEmpty)
     assert(TableLog.upsertIntoOnce(spark, dir, b(6), Seq("k"), "ver", "appB", 2L).isEmpty)
+  }
+
+  test("decimal footer stats rescale to value space: decimal CoW touch sets are sound") {
+    val dir = tmpDir("tlog_decimal")
+    // DECIMAL(12,2): parquet stores the UNSCALED int64 (3.00 → 300) —
+    // the harvested stats must come back in VALUE space or every
+    // decimal-predicate touch set silently prunes files that match
+    val df = (1 to 400).map(i => (i.toLong, BigDecimal(i) / 100)).toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(12,2)").as("amt"))
+      .repartitionByRange(4, col("amt"))
+    TableLog.append(spark, dir, df, statsCols = Seq("amt"))
+    val stats = TableLog.history(spark, dir).head.add
+      .flatMap(_.stats.get("amt")).collect { case s: TableLog.NumStat => s }
+    assert(stats.nonEmpty)
+    assert(stats.map(_.min).min == 0.01 && stats.map(_.max).max == 4.0,
+      s"decimal stats must be scaled values (0.01..4.00), got $stats")
+    // the ADVICE corruption scenario: unscaled stats (1..400) sit ABOVE
+    // a scaled probe (< 0.50), so the broken domain mismatch prunes
+    // EVERY file and the delete silently keeps all its rows
+    TableLog.deleteWhere(spark, dir, col("amt") < 0.50, statsCols = Seq("amt"))
+    assert(TableLog.readAt(spark, dir).count() == 351L,
+      "decimal-predicate CoW delete silently skipped rows (unscaled stats)")
+    // and a decimal-keyed MERGE whose key box misses every unscaled
+    // range must still replace instead of inserting a duplicate
+    val src = Seq((999L, new java.math.BigDecimal("0.55")))
+      .toDF("k", "amt").select(col("k"), col("amt").cast("decimal(12,2)").as("amt"))
+    TableLog.mergeInto(spark, dir, src, Seq("amt"), statsCols = Seq("amt"))
+    val hits = TableLog.readAt(spark, dir)
+      .filter(col("amt") === new java.math.BigDecimal("0.55")).collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 999L,
+      s"decimal-keyed merge must replace the matched row once, got ${hits.toSeq}")
+    // wide decimal (precision > 18 → FIXED_LEN_BYTE_ARRAY) rescales too
+    val dir2 = tmpDir("tlog_decimal_wide")
+    val wide = (1 to 100).map(i => (i.toLong, BigDecimal(i * 11111) / 10000))
+      .toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(25,4)").as("amt")).coalesce(1)
+    TableLog.append(spark, dir2, wide, statsCols = Seq("amt"))
+    val ws = TableLog.history(spark, dir2).head.add.head.stats("amt")
+      .asInstanceOf[TableLog.NumStat]
+    assert(ws.min == 1.1111 && ws.max == 111.11, s"wide decimal stats: $ws")
+  }
+
+  test("lastCommittedBatch survives a batchId reset: max over the suffix, not newest-first") {
+    val dir = tmpDir("tlog_txnreset")
+    def b(k: Long) = Seq((k, s"p$k")).toDF("k", "s")
+    TableLog.append(spark, dir, b(1), txn = Some("appA" -> 7L))
+    // the app's streaming checkpoint was reset: batchIds restart low —
+    // the newest marker is now SMALLER than the max ever committed
+    TableLog.append(spark, dir, b(2), txn = Some("appA" -> 0L))
+    TableLog.append(spark, dir, b(3), txn = Some("appA" -> 1L))
+    assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(7L),
+      "a reset app's old high-water marker must still gate replay")
+    // so a replay of batch 5 (committed-before under the old sequence)
+    // is correctly skipped by the Once paths
+    assert(TableLog.upsertIntoOnce(spark, dir, Seq((9L, 9L, "x")).toDF("k", "ver", "payload"),
+      Seq("k"), "ver", "appA", 5L).isEmpty)
+    // the checkpoint txns fold keeps the max as well
+    TableLog.checkpoint(spark, dir)
+    TableLog.append(spark, dir, b(4))
+    assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(7L))
+  }
+
+  test("readChanges attribution is the multiset diff: cancelling images emit the net change") {
+    val dir = tmpDir("tlog_cdf_multiset")
+    // two rows in ONE file whose values differ by exactly the update
+    // delta: after +1.0 on both, the first row's new image equals the
+    // second row's old image — the pair cancels and the feed emits the
+    // NET change (delete the old min, insert the new max), not two pairs
+    TableLog.append(spark, dir, Seq((1L, 10.0), (1L, 11.0)).toDF("k", "v").coalesce(1))
+    TableLog.updateWhere(spark, dir, col("v") >= 10.0,
+      set = Map("v" -> (col("v") + 1.0)))
+    val feed = TableLog.readChanges(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getDouble(1), r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(feed == Set((10.0, "delete"), (12.0, "insert")),
+      s"multiset diff must cancel equal images, got ${feed.toSeq.sorted}")
+    // replay still lands exactly on the final state
+    val state = TableLog.readAt(spark, dir).collect().map(_.getDouble(1)).sorted.toSeq
+    assert(state == Seq(11.0, 12.0))
+  }
+
+  test("deleteWhere(dv): merge-on-read point delete — zero data written, exact reads, honest feed") {
+    val dir = tmpDir("tlog_dv")
+    // hash-distributed keys: every file spans the key range, stats prune
+    // nothing — the workload CoW is worst at and dv exists for
+    val df = (1L to 400L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(4, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))
+    def dataFileCount: Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "data"), true)
+      var n = 0; while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }; n
+    }
+    val filesBefore = dataFileCount
+    // scattered point delete: k % 97 == 0 → 4 rows across the 4 files
+    TableLog.deleteWhere(spark, dir, pmod(col("k"), lit(97L)) === 0L, mode = "dv")
+    assert(dataFileCount == filesBefore, "a dv delete must write NO data files")
+    val live = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(live == (1L to 400L).filterNot(_ % 97 == 0).toSet)
+    // physical files carried over verbatim; manifest entries carry the dv
+    assert(fileSet(dir, 2L) == fileSet(dir, 1L))
+    val dvEntries = TableLog.history(spark, dir).last.add
+    assert(dvEntries.nonEmpty && dvEntries.forall(_.dv.nonEmpty))
+    assert(dvEntries.map(_.dv.length).sum == 4, "exactly the 4 matched positions")
+    // time travel pre-delete intact
+    assert(TableLog.readAt(spark, dir, 1L).count() == 400L)
+    // the change feed emits exactly the deleted rows, as deletes
+    val feed = TableLog.readChanges(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type"))))
+    assert(feed.forall(_._2 == "delete"))
+    assert(feed.map(_._1).sorted.toSeq == Seq(97L, 194L, 291L, 388L))
+    // a second dv delete MERGES vectors; rows already dv'd never re-enter
+    TableLog.deleteWhere(spark, dir, pmod(col("k"), lit(97L)) <= 1L, mode = "dv")
+    val live3 = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(live3 == (1L to 400L).filterNot(k => k % 97 <= 1).toSet)
+    val feed3 = TableLog.readChanges(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type"))))
+    assert(feed3.forall(_._2 == "delete"))
+    assert(feed3.map(_._1).toSet == (1L to 400L).filter(_ % 97 == 1).toSet &&
+      !feed3.map(_._1).toSet.exists(_ % 97 == 0),
+      "already-deleted rows must not re-emit in the feed")
+    // scans through the pruned paths apply the dv too
+    val pr = TableLog.scanPruned(spark, dir, Seq(("k", 1.0, 400.0)))
+    assert(pr.df.select("k").collect().map(_.getLong(0)).toSet == live3)
+    // the loud cap: a bulk delete refuses dv mode
+    val e = intercept[IllegalArgumentException] {
+      TableLog.deleteWhere(spark, dir, col("k") > 0L, mode = "dv", maxDvRows = 10)
+    }
+    assert(e.getMessage.contains("cow"))
+  }
+
+  test("dv files materialize away on compaction; CoW ops and restore respect vectors") {
+    val dir = tmpDir("tlog_dv_compact")
+    val df = (1L to 300L).map(k => (k, s"p$k")).toDF("k", "s")
+      .repartitionByRange(3, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))                 // v1
+    TableLog.deleteWhere(spark, dir, pmod(col("k"), lit(50L)) === 0L,
+      mode = "dv")                                                        // v2: 6 dv'd rows
+    // a CoW update over files carrying dvs must not resurrect them
+    TableLog.updateWhere(spark, dir, col("k") <= 100L,
+      set = Map("s" -> lit("LOW")),
+      pruneBounds = Seq(("k", 1L, 100L)), statsCols = Seq("k"))           // v3
+    val after = TableLog.readAt(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!after.contains(50L) && !after.contains(100L) && !after.contains(250L))
+    assert(after(1L) == "LOW" && after(101L) == "p101")
+    assert(after.size == 294)
+    // the update's feed: deletes of old images + inserts of new, but
+    // NEVER the dv'd rows of the touched file
+    val updFeed = TableLog.readChanges(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(r.fieldIndex("_change_type"))))
+    assert(!updFeed.exists(c => c._1 == 50L || c._1 == 100L),
+      s"dv'd rows must not appear in a CoW commit's feed")
+    // compaction qualifies dv files regardless of size and clears vectors
+    val v4 = TableLog.compactSmallFiles(spark, dir, minFileMB = 1024, targetFileMB = 1024)
+    assert(v4.nonEmpty)
+    val liveEntries = {
+      val h = TableLog.history(spark, dir)
+      h.foldLeft(Map.empty[String, TableLog.AddFile]) { (m, c) =>
+        c.remove.foldLeft(m)(_ - _) ++ c.add.map(a => a.path -> a)
+      }
+    }
+    assert(liveEntries.values.forall(_.dv.isEmpty),
+      "compaction must materialize deletion vectors away")
+    assert(TableLog.readAt(spark, dir).count() == 294L)
+    assert(TableLog.readChanges(spark, dir, 3L, v4.get).isEmpty,
+      "materializing dvs rewrites bytes, not rows — empty feed")
+    // restore back across the dv boundary: v1's full contents return
+    TableLog.restore(spark, dir, 1L)
+    assert(TableLog.readAt(spark, dir).count() == 300L)
+    val resFeed = TableLog.readChanges(spark, dir, v4.get, v4.get + 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(r.fieldIndex("_change_type"))))
+    assert(resFeed.count(_._3 == "insert") > 0, "restore resurrects rows as inserts")
   }
 
   test("legacy checkpoint without txns falls back to the full-log marker scan") {

@@ -1104,6 +1104,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(recovered.count() == 1)
   }
 
+  test("changeFeedStream: manifests are the stream — per-version slices, exactly-once across restarts, continuous AggView") {
+    import java.nio.file.Files
+    import graft.sinks.{AggView, TableLog}
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("cfs").toFile.getAbsolutePath
+    val t = s"$base/t"; val ckpt = s"$base/ckpt"; val view = s"$base/view"
+    // a real mixed history: append, merge-on-read delete, CoW update
+    TableLog.append(spark, t,
+      (1L to 100L).map(k => (k, s"g${k % 3}", k * 1.0)).toDF("k", "g", "x")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, t, col("k") === 42L, mode = "dv")
+    TableLog.updateWhere(spark, t, col("k") === 7L,
+      set = Map("x" -> org.apache.spark.sql.functions.lit(999.0)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Double, String)])]
+    def consume(changes: org.apache.spark.sql.DataFrame, v: Long): Unit = {
+      seen += v -> changes.collect().map(r => (r.getLong(0), r.getDouble(2),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+      AggView.refresh(spark, view, t, Seq("g"), "x") // idempotent via txn markers
+      ()
+    }
+    EventStreams.changeFeedStream(spark, t, ckpt, consume)
+    assert(seen.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"every commit must arrive once, in order: ${seen.map(_._1)}")
+    // each streamed slice equals the one-shot readChanges of that version
+    (1L to 3L).foreach { v =>
+      val oneShot = TableLog.readChanges(spark, t, v - 1, v).collect()
+        .map(r => (r.getLong(0), r.getDouble(2),
+          r.getString(r.fieldIndex("_change_type")))).toSet
+      assert(seen.find(_._1 == v).get._2 == oneShot, s"version $v slice diverged")
+    }
+    // restart with the SAME checkpoint after new commits: only the new
+    // versions are delivered (the file source's tracking, not ours)
+    TableLog.append(spark, t, Seq((200L, "g0", 5.0)).toDF("k", "g", "x"),
+      statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, t, col("k") === 200L, mode = "dv")
+    EventStreams.changeFeedStream(spark, t, ckpt, consume)
+    assert(seen.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      s"restart must deliver only the new commits: ${seen.map(_._1)}")
+    // the continuously-maintained view == a one-shot refresh over the
+    // same commit range (exact decimal equality)
+    val viewOnce = s"$base/view_once"
+    AggView.refresh(spark, viewOnce, t, Seq("g"), "x")
+    def m(dir: String) = AggView.read(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    assert(m(view) == m(viewOnce),
+      "streamed per-version refreshes must equal the one-shot refresh")
+  }
+
   test("windowedCounts aggregates into hourly tumbling windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
