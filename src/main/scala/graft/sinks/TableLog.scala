@@ -1081,11 +1081,15 @@ object TableLog {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vers = commitVersions(fs, base)
     require(vers.nonEmpty, s"TableLog.versionAtTimestamp: $dir has no committed versions")
-    val stamped = vers.map(v => v -> commitTs(fs, base, v))
-    require(stamped.head._2 <= tsMillis,
+    val firstTs = commitTs(fs, base, vers.head)
+    require(firstTs <= tsMillis,
       s"TableLog.versionAtTimestamp: $tsMillis is before the table's first " +
-        s"commit (${stamped.head._2}) — no version existed at that instant")
-    stamped.takeWhile(_._2 <= tsMillis).last._1
+        s"commit ($firstTs) — no version existed at that instant")
+    // instants are monotone along the chain: stop parsing at the first
+    // commit past the target instead of stamping the whole log
+    vers.iterator.map(v => v -> commitTs(fs, base, v))
+      .takeWhile(_._2 <= tsMillis)
+      .foldLeft(vers.head)((_, p) => p._1)
   }
 
   /** Snapshot read at the wall-clock instant `tsMillis` — resolves via
@@ -1384,17 +1388,35 @@ object TableLog {
     * — they are the audit trail). Assumes no writer is mid-commit
     * (run it from the maintenance job that owns the table, the same
     * discipline as compaction).
+    *
+    * `retainMs` widens retention BY AGE (the Delta `RETAIN n HOURS`
+    * shape, riding the monotone commit instants): every version
+    * committed within the window ALSO stays readable, however many
+    * there are — so `TIMESTAMP AS OF` keeps resolving across the whole
+    * window and a fast-committing streaming table cannot vacuum away
+    * this morning's history just because keepVersions rolled over.
+    * Age can only ADD retention, never shrink the version-count floor.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): VacuumReport = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+             retainMs: Option[Long] = None): VacuumReport = {
     require(keepVersions >= 1, s"TableLog.vacuum: keepVersions must be ≥1, got $keepVersions")
+    require(retainMs.forall(_ >= 0L),
+      s"TableLog.vacuum: retainMs must be non-negative, got $retainMs")
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     val commitVers = commitVersions(fs, base)
     require(commitVers.nonEmpty, s"TableLog.vacuum: $dir has no committed versions")
     val latest = commitVers.last
+    val byCount = math.max(1L, latest - keepVersions + 1)
+    val byAge = retainMs.map { ms =>
+      val cutoff = clockMs() - ms
+      // instants are monotone: the first version at-or-after the cutoff
+      // starts the age-protected suffix
+      commitVers.find(v => commitTs(fs, base, v) >= cutoff).getOrElse(latest)
+    }
     val retainFrom = math.max(vacuumWatermark(fs, base),
-      math.max(1L, latest - keepVersions + 1))
+      byAge.fold(byCount)(math.min(byCount, _)))
     val referenced = commitVers.filter(_ >= retainFrom)
       .flatMap(v => snapshotAt(spark, fs, base, v)._2.map(_.path)).toSet
     val dataRoot = new Path(base, "data")

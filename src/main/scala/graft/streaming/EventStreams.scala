@@ -972,6 +972,30 @@ object EventStreams {
     q
   }
 
+  /** CONTINUOUS WAREHOUSE MAINTENANCE off the change feed: the
+    * [[changeFeedStream]] source driving
+    * [[graft.sinks.JdbcWarehouse.applyChanges]] per commit — each
+    * table-log version lands in the JDBC table as one keyed
+    * delete+insert transaction costing O(that commit's changes), so a
+    * downstream warehouse copy of a 100 TB table stays current for the
+    * price of the deltas (the reference's cron full-reload
+    * `db_loader.py` shape inverted). Idempotent per slice, so the file
+    * source's at-least-once tail replay converges; requires unique
+    * keys in the table-log table.
+    */
+  def changeFeedWarehouseSink(spark: SparkSession, tableDir: String,
+                              checkpointDir: String, url: String,
+                              table: String, keys: Seq[String],
+                              batchSize: Int = 1000,
+                              props: java.util.Properties = new java.util.Properties,
+                              trigger: org.apache.spark.sql.streaming.Trigger =
+                                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeFeedStream(spark, tableDir, checkpointDir,
+      (changes, _) => graft.sinks.JdbcWarehouse.applyChanges(
+        spark, url, table, changes, keys, batchSize, props),
+      trigger)
+
   /** One micro-batch of the upsert protocol (factored out of the stream
     * closure so the at-least-once replay path is directly testable).
     * Idempotent per batchId: foreachBatch replays a batch when the job

@@ -513,7 +513,8 @@ object ScaleProbe {
     // only enters through a names-only listing + one parent-manifest
     // parse. Both ratios should sit near 1, not 16.
     val tlogProbes = Set("table_log_prune", "table_log_commit",
-      "table_log_merge", "table_log_point", "table_log_cdf")
+      "table_log_merge", "table_log_point", "table_log_cdf",
+      "table_log_dv", "point_lookup_plan", "agg_view_minmax")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -602,6 +603,59 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("table_log_point") { () => pointScan(tl1) } { () => pointScan(tl16) }
+      // point-lookup PLANNING alone (no read): manifest pass + bloom
+      // probes — at 128 files the probe runs on executors (threshold
+      // 64), so planning scales with the cluster, not the file count
+      def pointPlan(p: String): Unit = {
+        TableLog.scanPointLookup(spark, p, "event_id", Seq(37L))
+        ()
+      }
+      probeRun("point_lookup_plan") { () => pointPlan(tl1) } { () => pointPlan(tl16) }
+      // merge-on-read delete: the predicate's range conjunct bounds the
+      // position-finding scan (stats touch set), the commit is a
+      // manifest rename with ZERO data written — flat at 16×; the timed
+      // unit also re-reads a pruned box through the dv-aware path
+      var dvTick = 0L
+      def dvDelete(p: String): Unit = {
+        dvTick += 1
+        TableLog.deleteWhere(spark, p,
+          col("event_id").between(0L, 5000L) &&
+            pmod(col("event_id"), lit(997L)) === (dvTick % 900L),
+          mode = "dv")
+        val pr = TableLog.scanPruned(spark, p, Seq(("event_id", 0.0, 5000.0)))
+        pr.df.filter(col("event_id") < 5000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("table_log_dv") { () => dvDelete(tl1) } { () => dvDelete(tl16) }
+      // multi-measure MIN/MAX view, steady-state fold path: insert-only
+      // batches never touch the base table (the recompute path only
+      // fires on retired extremes, and its base scan is stats-pruned to
+      // the affected keys' box — bounded when the base is clustered on
+      // the group column) — flat at 16×
+      if (only.isEmpty || only("agg_view_minmax")) {
+        import graft.sinks.AggView
+        val ms = Seq(AggView.Measure("event_id", "sum"),
+          AggView.Measure("event_id", "min"), AggView.Measure("event_id", "max"))
+        val avm1 = s"$StageDir/aggviewmm_1x"
+        val avm16 = s"$StageDir/aggviewmm_16x"
+        AggView.refreshMulti(spark, avm1, tl1, Seq("user_id"), ms)
+        AggView.refreshMulti(spark, avm16, tl16, Seq("user_id"), ms)
+        var mmTick = 0L
+        def mmRefresh(tl: String, av: String): Unit = {
+          mmTick += 1
+          val src = ev1.select(col("event_id"), col("user_id"), col("ts"))
+            .filter(col("event_id") < 2000).dropDuplicates("event_id")
+            .withColumn("event_id", col("event_id") + 900000000L + mmTick * 1000000L)
+            .withColumn("user_id", col("user_id") + mmTick * 1000000L)
+          TableLog.mergeInto(spark, tl, src, Seq("event_id"),
+            statsCols = Seq("event_id"))
+          AggView.refreshMulti(spark, av, tl, Seq("user_id"), ms)
+          ()
+        }
+        probeRun("agg_view_minmax") { () => mmRefresh(tl1, avm1) } {
+          () => mmRefresh(tl16, avm16)
+        }
+      }
     }
 
     // stage cleanup — ~3 GB of amplified parquet has no business outliving

@@ -159,6 +159,41 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(!JdbcWarehouse.tableExists(freshUrl, "accounts_staging", props))
   }
 
+  test("applyChanges: change-feed slices apply incrementally by key, idempotent under replay") {
+    import graft.streaming.EventStreams
+    val base = Files.createTempDirectory("cdcwh").toFile.getAbsolutePath
+    val t = s"$base/t"
+    // history: append → dv point delete → CoW update → plain append
+    TableLog.append(spark, t,
+      (1L to 50L).map(k => (k, s"n$k", k * 1.0)).toDF("id", "name", "bal")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    TableLog.deleteWhere(spark, t, col("id") === 17L, mode = "dv")
+    TableLog.updateWhere(spark, t, col("id") === 3L,
+      set = Map("bal" -> lit(999.0)))
+    TableLog.append(spark, t, Seq((100L, "new", 7.0)).toDF("id", "name", "bal"))
+    // stream the feed into Derby: one keyed transaction per commit
+    EventStreams.changeFeedWarehouseSink(spark, t, s"$base/ckpt", url,
+      "wh_mirror", Seq("id"), props = props)
+    def mirror: Map[Long, (String, Double)] =
+      JdbcWarehouse.read(spark, url, "wh_mirror", props).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    def tableNow: Map[Long, (String, Double)] =
+      TableLog.readAt(spark, t).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(mirror == tableNow, "the warehouse mirror must equal the table-log state")
+    assert(!mirror.contains(17L) && mirror(3L)._2 == 999.0 && mirror(100L)._1 == "new")
+    // replaying a slice (the streaming at-least-once tail) converges
+    val v = TableLog.currentVersion(spark, t)
+    JdbcWarehouse.applyChanges(spark, url, "wh_mirror",
+      TableLog.readChanges(spark, t, v - 1, v), Seq("id"), props = props)
+    assert(mirror == tableNow, "re-applying the last slice must be a no-op")
+    // new commits stream incrementally on restart with the same checkpoint
+    TableLog.deleteWhere(spark, t, col("id") === 100L, mode = "dv")
+    EventStreams.changeFeedWarehouseSink(spark, t, s"$base/ckpt", url,
+      "wh_mirror", Seq("id"), props = props)
+    assert(mirror == tableNow && !mirror.contains(100L))
+  }
+
   test("logEtlRun appends run records to the warehouse") {
     val ts = new Timestamp(1700000000000L)
     JdbcWarehouse.logEtlRun(spark, url, "etl_runs", "run-1", "load", "success", 42L, ts, props)

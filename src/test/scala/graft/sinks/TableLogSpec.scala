@@ -173,6 +173,32 @@ class TableLogSpec extends SparkSpec {
     } finally TableLog.clockMs = saved
   }
 
+  test("vacuum retainMs: age widens retention beyond keepVersions, never shrinks it") {
+    val dir = tmpDir("tlog_vac_age")
+    val saved = TableLog.clockMs
+    try {
+      Seq(1000L, 2000L, 3000L, 4000L).zipWithIndex.foreach { case (t, i) =>
+        TableLog.clockMs = () => t
+        TableLog.overwrite(spark, dir, Seq((i.toLong, s"v$t")).toDF("k", "s"))
+      }
+      TableLog.clockMs = () => 4500L
+      // keepVersions=1 alone would retain only v4; a 3000 ms window
+      // reaches back to instant 1500 → v2..v4 stay readable
+      val rep = TableLog.vacuum(spark, dir, keepVersions = 1,
+        retainMs = Some(3000L))
+      assert(rep.retainedFrom == 2L, s"age must widen retention: $rep")
+      assert(TableLog.readAt(spark, dir, 2L).select("s").head().getString(0) == "v2000")
+      assert(TableLog.readAtTimestamp(spark, dir, 2500L)
+        .select("s").head().getString(0) == "v2000",
+        "TIMESTAMP AS OF must keep resolving inside the retained window")
+      intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
+      // an expired window never shrinks the keepVersions floor
+      val rep2 = TableLog.vacuum(spark, dir, keepVersions = 2,
+        retainMs = Some(1L))
+      assert(rep2.retainedFrom == 3L, s"count floor must hold: $rep2")
+    } finally TableLog.clockMs = saved
+  }
+
   test("scanPointLookup distributes the bloom probe: executor path == driver path, rows exact") {
     val dir = tmpDir("tlog_bloom_dist")
     val df = (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "s").repartition(8, col("k"))
@@ -932,6 +958,11 @@ class TableLogSpec extends SparkSpec {
     // scans through the pruned paths apply the dv too
     val pr = TableLog.scanPruned(spark, dir, Seq(("k", 1.0, 400.0)))
     assert(pr.df.select("k").collect().map(_.getLong(0)).toSet == live3)
+    // the dv anti-apply is ONE broadcast anti-join arm — never a
+    // shuffle or per-file plan explosion
+    val plan = TableLog.readAt(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"dv read must anti-apply via broadcast:\n$plan")
     // the loud cap: a bulk delete refuses dv mode
     val e = intercept[IllegalArgumentException] {
       TableLog.deleteWhere(spark, dir, col("k") > 0L, mode = "dv", maxDvRows = 10)
