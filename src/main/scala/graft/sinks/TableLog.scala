@@ -294,15 +294,16 @@ object TableLog {
                   pruneBounds: Seq[(String, Any, Any)] = Nil,
                   statsCols: Seq[String] = Nil,
                   mode: String = "cow",
-                  maxDvRows: Int = 1000000): Long = {
+                  maxDvRows: Int = 1000000,
+                  txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
     require(mode == "cow" || mode == "dv",
       s"TableLog.deleteWhere: mode must be cow|dv, got $mode")
     if (mode == "dv")
-      deleteWhereDv(spark, dir, predicate, pruneBounds, maxDvRows)
+      deleteWhereDv(spark, dir, predicate, pruneBounds, maxDvRows, txn)
     else
       rewriteTouched(spark, dir, "delete", pruneBounds, statsCols,
-          autoBoundsFrom = Some(predicate)) { touched =>
+          txn = txn, autoBoundsFrom = Some(predicate)) { touched =>
         touched.filter(not(fnCoalesce(predicate, lit(false))))
       }
   }
@@ -327,7 +328,8 @@ object TableLog {
   private def deleteWhereDv(spark: SparkSession, dir: String,
                             predicate: org.apache.spark.sql.Column,
                             pruneBounds: Seq[(String, Any, Any)],
-                            maxDvRows: Int): Long = {
+                            maxDvRows: Int,
+                            txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce, col, concat, element_at, lit, split}
     import scala.jdk.CollectionConverters._
     val base = currentVersion(spark, dir)
@@ -344,7 +346,7 @@ object TableLog {
       }
     val touched = files.filter(f => mayOverlap(f, bounds))
     if (touched.isEmpty)
-      return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, None)
+      return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, txn)
     val scan = spark.read.schema(schema)
       .parquet(touched.map(f => s"$dir/${f.path}"): _*)
       .withColumn("_dv_rel",
@@ -370,7 +372,7 @@ object TableLog {
     val changed = touched.filter(f => newDv.contains(f.path))
     commitManifest(spark, dir, "delete", schemaJson,
       adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(f.path)).sorted)),
-      removeEntries = changed, expectedParent = base, txn = None)
+      removeEntries = changed, expectedParent = base, txn = txn)
   }
 
   /** `UPDATE … SET … WHERE` as a copy-on-write transaction: the
@@ -693,43 +695,21 @@ object TableLog {
   }
 
   /** Manifest-only commit (no data written) — the zero-copy primitive
-    * behind [[restore]]. Same CAS/classification discipline as the
-    * data-bearing path, minus any data-dir cleanup (there is none).
+    * behind [[restore]] and the dv [[deleteWhere]]. Same
+    * CAS/classification/auto-rebase discipline as the data-bearing path
+    * ([[publishCommit]]): a dv delete or a restore whose removed
+    * entries are untouched by the winner rebases over it (their adds
+    * re-point immutable files — nothing to recompute), genuinely
+    * conflicting ones stay loud.
     */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
                              schemaJson: String, adds: Seq[AddFile],
                              removeEntries: Seq[AddFile], expectedParent: Long,
-                             txn: Option[(String, Long)]): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = new Path(dir)
-    val fs = base.getFileSystem(conf)
-    val version = expectedParent + 1
-    val target = commitPath(base, version)
-    val tmp = new Path(base, s"_log/.tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val ts = math.max(commitTs(fs, base, expectedParent) + 1, clockMs())
-    val body = renderCommit(Commit(version, expectedParent, op, schemaJson,
-      adds, removeEntries.map(_.path), txn, ts,
-      removeEntries.filter(_.dv.nonEmpty).map(e => e.path -> e.dv).toMap))
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = FileContext.getFileContext(base.toUri, conf)
-      fc.rename(tmp, target)
-    } catch {
-      case e: Exception =>
-        fs.delete(tmp, false)
-        classifyFailedRename(fs, target, body) match {
-          case RenameLanded => // durable despite the lost ack
-          case RenameLostRace =>
-            throw new TableLogConflictException(
-              s"TableLog: lost the commit race for version $version of $dir " +
-                s"(another writer committed on top of parent $expectedParent) — " +
-                s"re-read, retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
-          case RenameIoFailure => throw e
-        }
-    }
-    version
-  }
+                             txn: Option[(String, Long)]): Long =
+    publishCommit(spark, dir, op, schemaJson, adds, removeEntries,
+      expectedParent, txn,
+      rebaseEligible = op == "delete" || op == "restore",
+      conflictCleanup = None)
 
   /** Partial OPTIMIZE: rewrite ONLY the live files smaller than
     * `minFileMB` into ~`targetFileMB`-sized ones; files already big
@@ -917,35 +897,63 @@ object TableLog {
         snapshotAt(spark, fs, base, parent)._2
       else Nil
     }
+    // COMMUTATIVE AUTO-RETRY eligibility — the Delta conflict rule: a
+    // commit commutes with a winner when its REMOVE SET is untouched by
+    // the winner (my removes ∩ winner's adds/removes = ∅, checked as
+    // "every file I remove is still live at the new head, same dv") and
+    // the schema I committed under still holds. A plain append (empty
+    // removes) commutes with everything but a schema change; CoW
+    // delete/update/merge and compaction commute with appends and with
+    // CoW commits on DISJOINT touch sets — concurrent maintenance must
+    // not lose its race to an append. OVERWRITE is never rebased (its
+    // remove set IS "everything the parent held" — rebasing would
+    // silently drop the winner's rows: the lost-update this CAS
+    // exists to prevent), and evolution appends stay loud (their
+    // schema was derived from the base they read).
+    val autoRetryEligible =
+      Set("append", "delete", "update", "merge", "compact")(op) &&
+        (op != "append" || schemaOverride.isEmpty)
+    publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
+      adds, removeEntries, parent, txn, autoRetryEligible,
+      conflictCleanup = Some(new Path(base, dataSub)))
+  }
+
+  /** The shared COMMIT POINT for data-bearing and manifest-only commits:
+    * write the manifest to a dot-temp, rename WITHOUT overwrite (atomic
+    * on HDFS/posix — the target name is the CAS), classify failures by
+    * target content, and — when `rebaseEligible` and [[rebaseOk]] —
+    * re-point at the new head and retry (bounded), reusing the already-
+    * written data files verbatim. A terminal lost race deletes
+    * `conflictCleanup` (the attempt's data dir, when there is one) and
+    * throws the loud conflict.
+    */
+  private def publishCommit(spark: SparkSession, dir: String, op: String,
+                            schemaJson: String, adds: Seq[AddFile],
+                            removeEntries: Seq[AddFile], expectedParent: Long,
+                            txn: Option[(String, Long)],
+                            rebaseEligible: Boolean,
+                            conflictCleanup: Option[Path]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
     val removes = removeEntries.map(_.path)
     val removeDv = removeEntries.filter(_.dv.nonEmpty)
       .map(e => e.path -> e.dv).toMap
-    // COMMUTATIVE AUTO-RETRY eligibility: a plain append (no removes, no
-    // schema change) logically conflicts with NOTHING another writer can
-    // commit except a schema change — its remove set is empty, so the
-    // Delta-style conflict rule (my removes ∩ winner's adds/removes = ∅)
-    // holds against every winner. Losing the CAS then just means the
-    // version number moved: re-point the manifest at the new head and
-    // rename again (bounded attempts), instead of making every caller
-    // hand-roll the retry loop. CoW/overwrite commits (non-empty
-    // removes) and evolution appends keep failing LOUDLY — their
-    // content depends on the base they read.
-    val autoRetryEligible =
-      op == "append" && schemaOverride.isEmpty && removes.isEmpty
+    val attemptId = java.util.UUID.randomUUID().toString.replace("-", "")
     val maxAttempts = 20
-    var parentNow = parent
+    var parentNow = expectedParent
     var attemptNo = 0
     var committed = -1L
     while (committed < 0L) {
       attemptNo += 1
       val version = parentNow + 1
       val target = commitPath(base, version)
-      val tmp = new Path(base, s"_log/.tmp_${attempt}_$attemptNo")
+      val tmp = new Path(base, s"_log/.tmp_${attemptId}_$attemptNo")
       // monotonic-clamped commit instant: a wall clock stepping backwards
       // between writers must not reorder TIMESTAMP AS OF history
       val ts = math.max(commitTs(fs, base, parentNow) + 1, clockMs())
       val body = renderCommit(Commit(version, parentNow, op,
-        schemaOverride.getOrElse(df.schema.json), adds, removes, txn, ts, removeDv))
+        schemaJson, adds, removes, txn, ts, removeDv))
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
@@ -967,12 +975,13 @@ object TableLog {
               // would have been silent data loss in the current snapshot
               committed = version
             case RenameLostRace =>
-              val rebase = autoRetryEligible && attemptNo < maxAttempts &&
-                rebaseOk(spark, fs, base, parentNow, df, txn)
+              val rebase = rebaseEligible && attemptNo < maxAttempts &&
+                rebaseOk(spark, fs, base, parentNow, schemaJson,
+                  removeEntries, txn)
               if (rebase) {
                 parentNow = commitVersions(fs, base).last
               } else {
-                fs.delete(new Path(base, dataSub), true)
+                conflictCleanup.foreach(p => fs.delete(p, true))
                 throw new TableLogConflictException(
                   s"TableLog: lost the commit race for version $version of $dir " +
                     s"(another writer committed on top of parent $parentNow) — " +
@@ -989,23 +998,30 @@ object TableLog {
     committed
   }
 
-  /** The CAS loser's rebase check for a commutative append: the new
-    * head's schema must still match the batch (a winner that evolved or
-    * overwrote the schema is a REAL conflict), and a txn-marked append
-    * must find no intervening marker for its app at/above its batchId
-    * (that means a concurrent replica committed the SAME batch — a
-    * replay to skip, never a rebase; surfacing it as a conflict lets
-    * the Once-paths' marker check decide).
+  /** The CAS loser's rebase check — the Delta conflict rule made
+    * concrete: (1) the schema this commit was built under must still be
+    * the head schema (a winner that evolved or overwrote it is a REAL
+    * conflict); (2) every file this commit REMOVES must still be live
+    * at the head with the SAME deletion vector (a winner that rewrote,
+    * removed, or dv'd one of them invalidates the rewrite that was
+    * computed from it); (3) a txn-marked commit must find no
+    * intervening marker for its app at/above its batchId (a concurrent
+    * replica committed the SAME batch — a replay for the Once-paths'
+    * marker check to skip, never a rebase to apply twice).
     */
-  private def rebaseOk(spark: SparkSession, fs: FileSystem, base: Path,
-                       oldParent: Long, df: DataFrame,
-                       txn: Option[(String, Long)]): Boolean = {
+  private[sinks] def rebaseOk(spark: SparkSession, fs: FileSystem, base: Path,
+                              oldParent: Long, schemaJson: String,
+                              removeEntries: Seq[AddFile],
+                              txn: Option[(String, Long)]): Boolean = {
     val vers = commitVersions(fs, base)
     val newBase = vers.lastOption.getOrElse(0L)
     if (newBase <= oldParent) return false
-    val (headSchema, _) = snapshotAt(spark, fs, base, newBase)
-    if (nullableForm(df.schema) !=
+    val (headSchema, headFiles) = snapshotAt(spark, fs, base, newBase)
+    if (nullableForm(DataType.fromJson(schemaJson).asInstanceOf[StructType]) !=
         nullableForm(DataType.fromJson(headSchema).asInstanceOf[StructType]))
+      return false
+    val headByPath = headFiles.map(f => f.path -> f).toMap
+    if (!removeEntries.forall(r => headByPath.get(r.path).exists(_.dv == r.dv)))
       return false
     txn.forall { case (app, batch) =>
       vers.filter(v => v > oldParent && v <= newBase).forall { v =>
@@ -1144,6 +1160,60 @@ object TableLog {
       .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
     cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
+  }
+
+  /** The history as a DATAFRAME — `DESCRIBE HISTORY` for the audit
+    * trail the reference keeps in `etl_runs` (db_loader.py:443):
+    * version, commit instant, operation, file add/remove counts, the
+    * LIVE rows the commit's added entries carry (physical rows minus
+    * their deletion vectors), the NET dv positions the commit recorded
+    * (added entries' vectors minus what the same paths carried when
+    * removed — a merge-on-read delete's row count, 0 for every other
+    * op), and the txn marker. Driver-built from the manifests — the
+    * log is tiny; no data files are touched.
+    */
+  def describeHistory(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = history(spark, dir).map { c =>
+      val removedDv = c.removeDv.values.map(_.length.toLong).sum
+      val addedDv = c.add.map(_.dv.length.toLong).sum
+      Row(c.version, new java.sql.Timestamp(c.ts), c.op,
+        c.add.length, c.remove.length,
+        c.add.map(_.rows).sum - addedDv,
+        addedDv - removedDv,
+        c.txn.map(_._1).orNull,
+        c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("rows_added_live", LongType, nullable = false),
+      StructField("dv_rows_deleted", LongType, nullable = false),
+      StructField("txn_app", StringType, nullable = true),
+      StructField("txn_batch", LongType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Predicate-pruned scan — [[scanPruned]] with the bounds DERIVED
+    * from the predicate's own analyzed expression tree (the same
+    * conservative [[boundsFromPredicate]] the row-level CoW ops use)
+    * AND the exact predicate applied on the result: one call plans the
+    * file-listing prune and returns rows that actually satisfy the
+    * filter. An unanalyzable predicate simply reads everything —
+    * correctness never depends on the analysis.
+    */
+  def scanWhere(spark: SparkSession, dir: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Long = -1L): PrunedScan = {
+    val (schemaJson, _) = resolve(spark, dir, version, "scanWhere")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val pruned = scanPruned(spark, dir, boundsFromPredicate(probe, predicate), version)
+    pruned.copy(df = pruned.df.filter(predicate))
   }
 
   /** Manifest-pruned scan: keep only files whose recorded [min, max]

@@ -972,6 +972,50 @@ object EventStreams {
     q
   }
 
+  /** STREAMING ERASURE SINK — the GDPR right-to-be-forgotten pipeline
+    * the deletion-vector machinery exists for: a stream of erasure
+    * requests (rows carrying `keyCol`) lands each micro-batch as ONE
+    * merge-on-read `deleteWhere(mode = "dv")` commit on the table-log
+    * table — positions recorded in the manifest, ZERO data rewritten
+    * per request batch, the physical bytes reclaimed later by
+    * compaction + vacuum on the maintenance cadence. Exactly-once via
+    * the `(appId, batchId)` txn marker (a replayed batch finds its
+    * marker and skips — even a batch that matched nothing commits a
+    * marker-only manifest so the skip works); batch key counts cap
+    * LOUDLY (`maxKeysPerBatch` — the keys travel into an IN-list
+    * predicate, which is also what lets the stats touch set prune by
+    * the keys' bounding box). Keys must be non-null.
+    */
+  def erasureSink(requests: DataFrame, tableDir: String, checkpointDir: String,
+                  keyCol: String, appId: String,
+                  maxKeysPerBatch: Int = 10000,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = requests.sparkSession
+    val q = requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sinks.TableLog
+        if (!TableLog.lastCommittedBatch(spark, tableDir, appId).exists(_ >= batchId)) {
+          val keys = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
+            .distinct().limit(maxKeysPerBatch + 1).collect().map(_.get(0))
+          require(keys.length <= maxKeysPerBatch,
+            s"erasureSink: batch $batchId carries more than $maxKeysPerBatch " +
+              "distinct keys — split the request stream or raise the cap")
+          if (keys.nonEmpty)
+            TableLog.deleteWhere(spark, tableDir,
+              col(keyCol).isin(keys.toIndexedSeq: _*), mode = "dv",
+              txn = Some(appId -> batchId))
+        }
+        ()
+      }
+      .start()
+    awaitIfRunToCompletion(q, trigger)
+    q
+  }
+
   /** CONTINUOUS WAREHOUSE MAINTENANCE off the change feed: the
     * [[changeFeedStream]] source driving
     * [[graft.sinks.JdbcWarehouse.applyChanges]] per commit — each

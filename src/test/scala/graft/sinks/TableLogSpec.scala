@@ -120,6 +120,81 @@ class TableLogSpec extends SparkSpec {
       s"every writer's rows must survive the races, got $ks")
   }
 
+  test("rebaseOk: the Delta conflict rule — removes intact (same dv) + schema stable + no txn replay") {
+    val dir = tmpDir("tlog_rebaseok")
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableLog.append(spark, dir, (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(2, col("k")), statsCols = Seq("k"))          // v1
+    val v1Files = TableLog.history(spark, dir).head.add
+    val schemaJson = TableLog.readAt(spark, dir).schema.json
+    def ok(oldParent: Long, removes: Seq[TableLog.AddFile],
+           txn: Option[(String, Long)] = None) =
+      TableLog.rebaseOk(spark, fs, basePath, oldParent, schemaJson, removes, txn)
+    // nothing landed since the parent → nothing to rebase onto
+    assert(!ok(1L, Nil))
+    TableLog.append(spark, dir, Seq((200L, 9.0)).toDF("k", "v"),
+      statsCols = Seq("k"))                                            // v2 (winner: append)
+    // an append leaves every v1 file live: CoW/compaction removes commute
+    assert(ok(1L, v1Files))
+    // a winner that REWROTE one of our removes invalidates the rewrite
+    TableLog.deleteWhere(spark, dir, col("k") <= 10L, statsCols = Seq("k")) // v3: rewrites file 1
+    assert(!ok(2L, v1Files))
+    // … but removes confined to files the winner left alone still commute
+    val live3 = TableLog.history(spark, dir)
+      .foldLeft(Map.empty[String, TableLog.AddFile]) { (m, c) =>
+        c.remove.foldLeft(m)(_ - _) ++ c.add.map(a => a.path -> a) }
+    val untouched = v1Files.filter(f => live3.contains(f.path))
+    assert(untouched.nonEmpty && ok(2L, untouched))
+    // a winner that CHANGED A FILE'S DV invalidates removes recorded
+    // against the old vector
+    TableLog.deleteWhere(spark, dir, col("k") === 60L, mode = "dv")    // v4: dv on file 2
+    val dvOld = untouched.filter(f => live3(f.path).dv == f.dv)
+    assert(!ok(3L, dvOld.filter(f =>
+      TableLog.history(spark, dir).last.add.exists(_.path == f.path))))
+    // a same-app at-or-above batch marker is a replay, never a rebase
+    TableLog.append(spark, dir, Seq((300L, 1.0)).toDF("k", "v"),
+      statsCols = Seq("k"), txn = Some("appZ" -> 9L))                  // v5
+    assert(!ok(4L, Nil, Some("appZ" -> 9L)))
+    assert(!ok(4L, Nil, Some("appZ" -> 3L)), "an older batch is still a replay to skip")
+    assert(ok(4L, Nil, Some("appZ" -> 10L)))
+    assert(ok(4L, Nil, Some("appY" -> 9L)), "other apps' markers do not block")
+    // a schema change under the commit is a real conflict
+    TableLog.overwrite(spark, dir, Seq((1L, "s")).toDF("k", "s"))      // v6
+    assert(!ok(5L, Nil))
+  }
+
+  test("maintenance never loses to appends: concurrent CoW deletes + appends need no retry loops") {
+    val dir = tmpDir("tlog_maint_race")
+    TableLog.append(spark, dir,
+      (1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to 6).foreach { i =>
+        TableLog.append(spark, dir, Seq((10000L + i, 1.0)).toDF("k", "v"),
+          statsCols = Seq("k"))
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val maintainer = new Thread(() => {
+      try (1 to 6).foreach { i =>
+        // disjoint low-key CoW deletes: touch sets never include the
+        // appender's files, so every lost CAS must rebase internally
+        TableLog.deleteWhere(spark, dir,
+          col("k").between(i * 100L - 99L, i * 100L - 90L), statsCols = Seq("k"))
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    appender.start(); maintainer.start(); appender.join(); maintainer.join()
+    assert(errors.isEmpty,
+      s"maintenance/append races must auto-rebase, got ${errors.peek()}")
+    assert(TableLog.currentVersion(spark, dir) == 13L,
+      "all 12 concurrent commits must land (1 base + 6 appends + 6 deletes)")
+    val ks = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    val deleted = (1 to 6).flatMap(i => (i * 100L - 99L) to (i * 100L - 90L)).toSet
+    assert(ks == ((1L to 1000L).toSet -- deleted) ++ (1 to 6).map(10000L + _),
+      "every append survived and every delete landed")
+  }
+
   test("auto-rebase refuses real conflicts: schema changed under the append; same-batch txn races") {
     val dir = tmpDir("tlog_rebase_refuse")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
@@ -170,6 +245,44 @@ class TableLogSpec extends SparkSpec {
         TableLog.versionAtTimestamp(spark, dir, 999L)
       }
       assert(e.getMessage.contains("before the table's first commit"))
+    } finally TableLog.clockMs = saved
+  }
+
+  test("describeHistory + scanWhere: the audit frame is dv-aware, predicate scans prune themselves") {
+    val dir = tmpDir("tlog_descr")
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => 7000L
+      TableLog.append(spark, dir,
+        (1L to 400L).map(k => (k, k * 2.0)).toDF("k", "v")
+          .repartitionByRange(4, col("k")), statsCols = Seq("k"))       // v1
+      TableLog.deleteWhere(spark, dir,
+        pmod(col("k"), lit(100L)) === 0L && col("k") > 250L,
+        mode = "dv")                                                    // v2: 2 dv rows (300, 400)
+      TableLog.deleteWhere(spark, dir, col("k").between(1L, 50L),
+        statsCols = Seq("k"))                                           // v3: CoW, low band
+      val h = TableLog.describeHistory(spark, dir).orderBy(col("version"))
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+          r.getInt(4), r.getLong(5), r.getLong(6)))
+      assert(h(0) == (1L, "append", 4, 0, 400L, 0L))
+      // the dv commit re-points files in place, records 2 dv rows, and
+      // its re-added entries carry live rows = physical minus vector
+      assert(h(1)._2 == "delete" && h(1)._3 == h(1)._4 && h(1)._6 == 2L,
+        s"dv commit row: ${h(1)}")
+      assert(h(1)._5 > 0L && h(1)._5 < 400L)
+      // the CoW commit rewrites only the low-band file — no dv involvement
+      assert(h(2)._2 == "delete" && h(2)._6 == 0L)
+      assert(TableLog.describeHistory(spark, dir)
+        .select("committed_at").head().getTimestamp(0).getTime == 7000L)
+      // scanWhere: one call derives the prune AND applies the filter
+      val sw = TableLog.scanWhere(spark, dir, col("k").between(350L, 380L))
+      assert(sw.filesRead < sw.filesTotal, s"read ${sw.filesRead}/${sw.filesTotal}")
+      assert(sw.df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+        (350L to 380L).filterNot(_ % 100 == 0))
+      // an unanalyzable predicate reads everything but stays exact
+      val all = TableLog.scanWhere(spark, dir, abs(col("k")) === 399L)
+      assert(all.filesRead == all.filesTotal)
+      assert(all.df.count() == 1L)
     } finally TableLog.clockMs = saved
   }
 

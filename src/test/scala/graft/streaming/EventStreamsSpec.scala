@@ -1152,6 +1152,66 @@ class EventStreamsSpec extends SparkSpec {
       "streamed per-version refreshes must equal the one-shot refresh")
   }
 
+  test("erasureSink: streamed delete requests land as exactly-once dv commits, zero data rewritten") {
+    import java.nio.file.Files
+    import graft.sinks.TableLog
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("erasure").toFile.getAbsolutePath
+    val t = s"$base/t"
+    TableLog.append(spark, t,
+      (1L to 500L).map(k => (k, s"user$k")).toDF("user_id", "payload")
+        .repartition(4, col("user_id")), statsCols = Seq("user_id"))
+    def dataFiles: Int = {
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(t, "data"), true)
+      var n = 0; while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }; n
+    }
+    val before = dataFiles
+    val ms = MemoryStream[Long]
+    ms.addData(7L, 99L, 7L) // duplicate requests collapse
+    def run(): Unit = EventStreams.erasureSink(ms.toDF().toDF("user_id"),
+      t, s"$base/ckpt", "user_id", appId = "gdpr")
+    run()
+    ms.addData(250L, 9999L) // 9999 matches nothing — still marker-committed
+    run()
+    assert(dataFiles == before, "erasure must write no data files")
+    val live = TableLog.readAt(spark, t).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == (1L to 500L).toSet -- Set(7L, 99L, 250L))
+    // one txn-stamped commit per batch; replaying a batch is a no-op
+    assert(TableLog.history(spark, t).flatMap(_.txn) ==
+      Seq(("gdpr", 0L), ("gdpr", 1L)))
+    val vBefore = TableLog.currentVersion(spark, t)
+    TableLog.deleteWhere(spark, t, col("user_id").isin(7L, 99L), mode = "dv",
+      txn = Some("gdpr" -> 1L)) // direct replay through the same marker path…
+    assert(TableLog.currentVersion(spark, t) == vBefore + 1,
+      "a raw deleteWhere has no marker check — the sink's guard is the gate")
+    // …but the SINK's guard skips it: re-running the stream with a fresh
+    // checkpoint over the same data must not add commits for batch ≤ 1
+    val ms2 = MemoryStream[Long]
+    ms2.addData(7L)
+    EventStreams.erasureSink(ms2.toDF().toDF("user_id"), t, s"$base/ckpt2",
+      "user_id", appId = "gdpr") // batchId 0 ≤ committed 1 → skipped
+    assert(TableLog.currentVersion(spark, t) == vBefore + 1)
+    // compaction later materializes the vectors away
+    assert(TableLog.compactSmallFiles(spark, t, minFileMB = 1024,
+      targetFileMB = 1024).nonEmpty)
+    assert(TableLog.readAt(spark, t).count() == 497L)
+    // the key cap is loud
+    val ms3 = MemoryStream[Long]
+    ms3.addData((1L to 20L): _*)
+    val e = intercept[Exception] {
+      EventStreams.erasureSink(ms3.toDF().toDF("user_id"), t, s"$base/ckpt3",
+        "user_id", appId = "gdpr2", maxKeysPerBatch = 10)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("maxKeysPerBatch")) ||
+      msgs(e).exists(_.contains("distinct keys")), s"got $e")
+  }
+
   test("windowedCounts aggregates into hourly tumbling windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
