@@ -347,6 +347,9 @@ object TableLog {
     val touched = files.filter(f => mayOverlap(f, bounds))
     if (touched.isEmpty)
       return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, txn)
+    require(!schema.fieldNames.exists(n => n == "_dv_rel" || n == "_dv_pos"),
+      "TableLog.deleteWhere(dv): columns named _dv_rel/_dv_pos collide with " +
+        "the position scan's working columns — rename them")
     val scan = spark.read.schema(schema)
       .parquet(touched.map(f => s"$dir/${f.path}"): _*)
       .withColumn("_dv_rel",
@@ -1144,6 +1147,14 @@ object TableLog {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val (dvFiles, clean) = entries.partition(_.dv.nonEmpty)
+    // the anti-join's working columns must not shadow user data — a
+    // table column with one of these names would come back REPLACED by
+    // the join key after the final re-select (silent corruption); the
+    // guard only fires when a vector actually needs applying
+    require(dvFiles.isEmpty ||
+        !schema.fieldNames.exists(n => n == "_dv_rel" || n == "_dv_pos"),
+      "TableLog: columns named _dv_rel/_dv_pos collide with the deletion-" +
+        "vector scan's working columns — rename them")
     val cleanDf =
       if (clean.isEmpty) None
       else Some(spark.read.schema(schema).parquet(clean.map(f => s"$dir/${f.path}"): _*))
