@@ -314,9 +314,14 @@ object TableLog {
     * file's DELETION VECTOR in the manifest and anti-apply it at scan
     * time. A scattered point-delete workload (GDPR erasure keyed by a
     * hash-distributed id, where stats prune nothing and CoW would
-    * rewrite the whole table for a thousand rows) costs ONE scan to
-    * find positions + a manifest rename — O(matches) state, zero data
-    * written. The trade: reads of dv'd files pay the anti-join until
+    * rewrite the whole table for a thousand rows) costs ONE
+    * position-finding scan + a manifest rename — O(matches) state,
+    * zero data written. And because stats prune NOTHING on exactly
+    * that workload, a single-column equality/IN predicate
+    * ([[inListShape]]) probes the survivors' parquet BLOOM filters
+    * first (the distributed [[scanPointLookup]] phase), so the
+    * position scan reads only the files that might hold the keys —
+    * O(matching files) per erasure batch, not O(table). The trade: reads of dv'd files pay the anti-join until
     * [[compactSmallFiles]] materializes the vectors away (dv files
     * qualify for compaction regardless of size). Positions are
     * collected to the driver (they ride in the manifest), capped
@@ -330,7 +335,7 @@ object TableLog {
                             pruneBounds: Seq[(String, Any, Any)],
                             maxDvRows: Int,
                             txn: Option[(String, Long)] = None): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce, col, concat, element_at, lit, split}
+    import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce, col, lit}
     import scala.jdk.CollectionConverters._
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.deleteWhere(dv): $dir has no committed versions")
@@ -338,13 +343,7 @@ object TableLog {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val bounds =
-      if (pruneBounds.nonEmpty) pruneBounds
-      else {
-        val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        boundsFromPredicate(probe, predicate)
-      }
-    val touched = files.filter(f => mayOverlap(f, bounds))
+    val touched = dvTouchSet(spark, basePath, files, schema, predicate, pruneBounds)
     if (touched.isEmpty)
       return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, txn)
     require(!schema.fieldNames.exists(n => n == "_dv_rel" || n == "_dv_pos"),
@@ -352,8 +351,7 @@ object TableLog {
         "the position scan's working columns — rename them")
     val scan = spark.read.schema(schema)
       .parquet(touched.map(f => s"$dir/${f.path}"): _*)
-      .withColumn("_dv_rel",
-        concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1)))
+      .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
     val existing = touched.flatMap(e => e.dv.map(p => Row(e.path, p)))
     val live =
@@ -442,7 +440,7 @@ object TableLog {
     }
     rewriteTouched(spark, dir, "merge", bounds, statsCols,
         schemaCheck = whenMatched == "update" || insertUnmatched,
-        txn = txn) { touched =>
+        txn = txn, readBounds = bounds) { touched =>
       val kept = touched.join(source.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
       val incoming = (whenMatched, insertUnmatched) match {
@@ -563,6 +561,93 @@ object TableLog {
     cond.map(walk).getOrElse(Nil)
   }
 
+  /** The dv delete's position-scan touch set: manifest min/max stats
+    * first, then — because the advertised workload (GDPR point-deletes
+    * on a hash-distributed key) is exactly where min/max prune NOTHING
+    * (every file's range spans the key space) — a parquet BLOOM probe
+    * over the survivors when the predicate is a single-column
+    * equality/IN ([[inListShape]], the erasure sink's shape). The bloom
+    * phase is the distributed [[scanPointLookup]] one, so the position
+    * scan reads O(files that might hold the keys), not O(table).
+    * Bloom-less files keep themselves (bloomMightContain → true): a
+    * table written without [[bloomOptions]] falls back to the full
+    * stats-survivor scan unchanged, and a kept file still gets the
+    * exact predicate — the probe can only prune, never lose a match.
+    */
+  private[sinks] def dvTouchSet(spark: SparkSession, basePath: Path,
+                                files: Seq[AddFile], schema: StructType,
+                                predicate: org.apache.spark.sql.Column,
+                                pruneBounds: Seq[(String, Any, Any)] = Nil): Seq[AddFile] = {
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val bounds =
+      if (pruneBounds.nonEmpty) pruneBounds
+      else boundsFromPredicate(probe, predicate)
+    val statsKept = files.filter(f => mayOverlap(f, bounds))
+    inListShape(probe, predicate) match {
+      case Some((column, values)) if statsKept.nonEmpty =>
+        val verdicts = mapOverFooters(spark, basePath, statsKept.map(_.path),
+          DistributeFileOpsThreshold)((c, p) =>
+          bloomMightContain(c, p, column, values))
+        statsKept.zip(verdicts).collect { case (f, true) => f }
+      case _ => statsKept
+    }
+  }
+
+  /** Recognize a single-column point-lookup predicate — `col = lit`,
+    * `col IN (lits…)`, or an OR-chain of equalities on ONE column —
+    * and return the (column, values) a parquet-bloom probe can answer
+    * for. Anything else is None: the caller falls back to the stats
+    * touch set, so the analysis can only PRUNE, never lose a match
+    * (bloom probes are one-sided — a kept file still gets the exact
+    * predicate).
+    */
+  private[sinks] def inListShape(probe: DataFrame,
+                                 pred: org.apache.spark.sql.Column): Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val cond = probe.filter(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition }
+    def litVal(e: Expression): Option[Any] = e match {
+      case l if l.foldable => Option(l.eval(null)).map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => other
+      }
+      case _ => None
+    }
+    def walk(e: Expression): Option[(String, Seq[Any])] = e match {
+      case EqualTo(a: AttributeReference, v) => litVal(v).map(x => a.name -> Seq(x))
+      case EqualTo(v, a: AttributeReference) => litVal(v).map(x => a.name -> Seq(x))
+      case In(a: AttributeReference, vs) =>
+        val vals = vs.map(litVal)
+        if (vals.nonEmpty && vals.forall(_.isDefined)) Some(a.name -> vals.flatten)
+        else None
+      case Or(l, r) =>
+        (walk(l), walk(r)) match {
+          case (Some((c1, v1)), Some((c2, v2))) if c1 == c2 => Some(c1 -> (v1 ++ v2))
+          case _ => None
+        }
+      case _ => None
+    }
+    cond.flatMap(walk)
+  }
+
+  /** The manifest-relative path of a scanned row's file, rebuilt from
+    * `_metadata.file_path`'s LAST THREE segments — committed data files
+    * always live at exactly `data/(attempt)/(part).parquet`, so the
+    * reconstruction is positional. (A split on the `/data/` separator
+    * would be ambiguous for a table directory that itself ends in a
+    * `data` segment: the overlapping separators make a left-to-right
+    * regex split pick the wrong occurrence, the recovered key matches
+    * no manifest path, and the dv anti-join silently keeps deleted
+    * rows.)
+    */
+  private def dvRelPath: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
+    val parts = split(col("_metadata.file_path"), "/")
+    concat_ws("/", element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+  }
+
   /** Shared CoW skeleton: resolve the touch set from manifest stats,
     * hand the touched rows to `rewrite`, commit the rewrite as
     * remove(touched) + add(new files) pinned to the version read.
@@ -574,7 +659,8 @@ object TableLog {
                              statsCols: Seq[String],
                              schemaCheck: Boolean = true,
                              txn: Option[(String, Long)] = None,
-                             autoBoundsFrom: Option[org.apache.spark.sql.Column] = None)
+                             autoBoundsFrom: Option[org.apache.spark.sql.Column] = None,
+                             readBounds: Seq[(String, Any, Any)] = Nil)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
@@ -599,7 +685,7 @@ object TableLog {
           s"(${out.schema.simpleString} vs ${schema.simpleString})")
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
       txn = txn, explicitRemoves = Some(touched),
-      schemaOverride = Some(schemaJson))
+      schemaOverride = Some(schemaJson), readBounds = readBounds)
   }
 
   /** Idempotent transactional MERGE for streaming `foreachBatch` — the
@@ -711,8 +797,29 @@ object TableLog {
                              txn: Option[(String, Long)]): Long =
     publishCommit(spark, dir, op, schemaJson, adds, removeEntries,
       expectedParent, txn,
-      rebaseEligible = op == "delete" || op == "restore",
+      rebaseEligible = op == "delete" || op == "restore" || op == "txn",
       conflictCleanup = None)
+
+  /** Marker-only commit: record an `(appId, batchId)` txn marker with
+    * NO data change — the exactly-once primitive for a streaming sink
+    * whose micro-batch produced nothing to commit (e.g. an erasure
+    * batch whose keys collapsed to empty): the marker is what lets a
+    * replay of that batchId skip, so the skip contract holds for EVERY
+    * batch, not just non-empty ones. Rebases over any concurrent
+    * writer (it moves no files); a same-app marker at/above this
+    * batchId stays a loud conflict (rebaseOk's txn rule — the batch
+    * already committed elsewhere).
+    */
+  def commitTxnMarker(spark: SparkSession, dir: String, appId: String,
+                      batchId: Long): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.commitTxnMarker: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    commitManifest(spark, dir, "txn", schemaJson, Nil, Nil, base,
+      Some(appId -> batchId))
+  }
 
   /** Partial OPTIMIZE: rewrite ONLY the live files smaller than
     * `minFileMB` into ~`targetFileMB`-sized ones; files already big
@@ -854,7 +961,8 @@ object TableLog {
                      txn: Option[(String, Long)],
                      explicitRemoves: Option[Seq[AddFile]] = None,
                      schemaOverride: Option[String] = None,
-                     writeOptions: Map[String, String] = Map.empty): Long = {
+                     writeOptions: Map[String, String] = Map.empty,
+                     readBounds: Seq[(String, Any, Any)] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -918,7 +1026,7 @@ object TableLog {
         (op != "append" || schemaOverride.isEmpty)
     publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
       adds, removeEntries, parent, txn, autoRetryEligible,
-      conflictCleanup = Some(new Path(base, dataSub)))
+      conflictCleanup = Some(new Path(base, dataSub)), readBounds = readBounds)
   }
 
   /** The shared COMMIT POINT for data-bearing and manifest-only commits:
@@ -935,7 +1043,8 @@ object TableLog {
                             removeEntries: Seq[AddFile], expectedParent: Long,
                             txn: Option[(String, Long)],
                             rebaseEligible: Boolean,
-                            conflictCleanup: Option[Path]): Long = {
+                            conflictCleanup: Option[Path],
+                            readBounds: Seq[(String, Any, Any)] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -980,7 +1089,7 @@ object TableLog {
             case RenameLostRace =>
               val rebase = rebaseEligible && attemptNo < maxAttempts &&
                 rebaseOk(spark, fs, base, parentNow, schemaJson,
-                  removeEntries, txn)
+                  removeEntries, txn, readBounds)
               if (rebase) {
                 parentNow = commitVersions(fs, base).last
               } else {
@@ -1010,12 +1119,24 @@ object TableLog {
     * computed from it); (3) a txn-marked commit must find no
     * intervening marker for its app at/above its batchId (a concurrent
     * replica committed the SAME batch — a replay for the Once-paths'
-    * marker check to skip, never a rebase to apply twice).
+    * marker check to skip, never a rebase to apply twice); (4) a commit
+    * whose OUTPUT depends on what it READ — `mergeInto`, whose insert
+    * arm is "source keys NOT in the table" — must also find no winner
+    * ADD that could hold a matching row (`readBounds`, the merge's key
+    * bounding box, checked against each intervening commit's added
+    * files' stats — Delta's added-files-vs-read-predicates rule).
+    * Without (4), two concurrent merges inserting the same NEW key both
+    * have empty remove sets, both pass (2), and both auto-commit: the
+    * table ends with duplicate rows for the key — a non-serializable
+    * lost update (serial execution would have updated, not inserted).
+    * Files without stats on a bounded column conservatively overlap,
+    * so a stats-less winner forces the loud conflict path.
     */
   private[sinks] def rebaseOk(spark: SparkSession, fs: FileSystem, base: Path,
                               oldParent: Long, schemaJson: String,
                               removeEntries: Seq[AddFile],
-                              txn: Option[(String, Long)]): Boolean = {
+                              txn: Option[(String, Long)],
+                              readBounds: Seq[(String, Any, Any)] = Nil): Boolean = {
     val vers = commitVersions(fs, base)
     val newBase = vers.lastOption.getOrElse(0L)
     if (newBase <= oldParent) return false
@@ -1026,13 +1147,16 @@ object TableLog {
     val headByPath = headFiles.map(f => f.path -> f).toMap
     if (!removeEntries.forall(r => headByPath.get(r.path).exists(_.dv == r.dv)))
       return false
+    val intervening = vers.filter(v => v > oldParent && v <= newBase)
+      .map(v => parseCommit(readText(fs, commitPath(base, v))))
+    if (readBounds.nonEmpty &&
+        intervening.exists(_.add.exists(f => mayOverlap(f, readBounds))))
+      return false
     txn.forall { case (app, batch) =>
-      vers.filter(v => v > oldParent && v <= newBase).forall { v =>
-        parseCommit(readText(fs, commitPath(base, v))).txn match {
-          case Some((a, b)) if a == app && b >= batch => false
-          case _ => true
-        }
-      }
+      intervening.forall(_.txn match {
+        case Some((a, b)) if a == app && b >= batch => false
+        case _ => true
+      })
     }
   }
 
@@ -1135,14 +1259,14 @@ object TableLog {
     * O(deleted rows) extra state however many files carry vectors, and
     * ONE plan arm regardless of the dv file count (per-file plans
     * would explode at a 100 TB table's maintenance cadence). The join
-    * key is the manifest-relative path recovered from the file URI's
-    * last `/data/` segment — attempt dirs are UUID hex and parquet
-    * part names never contain `/data/`, so the recovery is exact and
-    * scheme-independent.
+    * key is the manifest-relative path recovered POSITIONALLY from the
+    * file URI's last three segments ([[dvRelPath]]) — exact and
+    * scheme-independent, and immune to a table directory whose own
+    * path contains a `data` segment.
     */
   private def readWithDv(spark: SparkSession, dir: String, schema: StructType,
                          entries: Seq[AddFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, lit, split}
+    import org.apache.spark.sql.functions.{broadcast, col}
     import scala.jdk.CollectionConverters._
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -1165,8 +1289,7 @@ object TableLog {
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
     val dvDf = spark.read.schema(schema).parquet(dvFiles.map(f => s"$dir/${f.path}"): _*)
-      .withColumn("_dv_rel",
-        concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1)))
+      .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
@@ -1178,20 +1301,24 @@ object TableLog {
     * version, commit instant, operation, file add/remove counts, the
     * LIVE rows the commit's added entries carry (physical rows minus
     * their deletion vectors), the NET dv positions the commit recorded
-    * (added entries' vectors minus what the same paths carried when
-    * removed — a merge-on-read delete's row count, 0 for every other
-    * op), and the txn marker. Driver-built from the manifests — the
-    * log is tiny; no data files are touched.
+    * (computed PER PATH — each added entry's vector minus what the SAME
+    * path carried when removed, floored at 0 — a merge-on-read delete's
+    * row count, and 0 for every other op including a compaction or CoW
+    * rewrite that retires dv-carrying files into clean ones), and the
+    * txn marker. Driver-built from the manifests — the log is tiny; no
+    * data files are touched.
     */
   def describeHistory(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val rows = history(spark, dir).map { c =>
-      val removedDv = c.removeDv.values.map(_.length.toLong).sum
       val addedDv = c.add.map(_.dv.length.toLong).sum
+      val dvNet = c.add.map(e =>
+        math.max(0L, e.dv.length.toLong -
+          c.removeDv.getOrElse(e.path, Nil).length)).sum
       Row(c.version, new java.sql.Timestamp(c.ts), c.op,
         c.add.length, c.remove.length,
         c.add.map(_.rows).sum - addedDv,
-        addedDv - removedDv,
+        dvNet,
         c.txn.map(_._1).orNull,
         c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
     }
@@ -1445,6 +1572,13 @@ object TableLog {
     } else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** The table schema at `version` (-1 = latest) — manifest-only, no
+    * data files touched (what a SQL connector needs before planning).
+    */
+  def schemaAt(spark: SparkSession, dir: String, version: Long = -1L): StructType =
+    DataType.fromJson(resolve(spark, dir, version, "schemaAt")._1)
+      .asInstanceOf[StructType]
+
   private def resolve(spark: SparkSession, dir: String, version: Long,
                       who: String): (String, Seq[AddFile]) = {
     val base = new Path(dir)
@@ -1493,8 +1627,18 @@ object TableLog {
     val byAge = retainMs.map { ms =>
       val cutoff = clockMs() - ms
       // instants are monotone: the first version at-or-after the cutoff
-      // starts the age-protected suffix
-      commitVers.find(v => commitTs(fs, base, v) >= cutoff).getOrElse(latest)
+      // starts the age-protected suffix — EXTENDED one version left when
+      // that first instant is strictly after the cutoff, because
+      // TIMESTAMP AS OF an instant inside the window resolves
+      // at-or-BEFORE, i.e. to that version's PREDECESSOR (the snapshot
+      // live AT the cutoff), whose data files must stay readable too
+      commitVers.find(v => commitTs(fs, base, v) >= cutoff) match {
+        case None => latest
+        case Some(first) =>
+          val i = commitVers.indexOf(first)
+          if (i > 0 && commitTs(fs, base, first) > cutoff) commitVers(i - 1)
+          else first
+      }
     }
     val retainFrom = math.max(vacuumWatermark(fs, base),
       byAge.fold(byCount)(math.min(byCount, _)))

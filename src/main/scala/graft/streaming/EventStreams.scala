@@ -1008,6 +1008,12 @@ object EventStreams {
             TableLog.deleteWhere(spark, tableDir,
               col(keyCol).isin(keys.toIndexedSeq: _*), mode = "dv",
               txn = Some(appId -> batchId))
+          else
+            // a batch whose keys collapse to empty (all-null or an empty
+            // replay window) still records its marker, so the
+            // exactly-once skip holds for EVERY batchId, not just
+            // non-empty ones
+            TableLog.commitTxnMarker(spark, tableDir, appId, batchId)
         }
         ()
       }

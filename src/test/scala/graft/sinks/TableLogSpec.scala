@@ -296,14 +296,25 @@ class TableLogSpec extends SparkSpec {
       }
       TableLog.clockMs = () => 4500L
       // keepVersions=1 alone would retain only v4; a 3000 ms window
-      // reaches back to instant 1500 → v2..v4 stay readable
+      // reaches back to instant 1500 — v2 (ts 2000) is the first commit
+      // inside it, but TIMESTAMP AS OF 1500 resolves at-or-BEFORE to v1
+      // (ts 1000), so v1 — the snapshot live AT the cutoff — must stay
+      // readable too: the window's LEFT EDGE protects its predecessor
       val rep = TableLog.vacuum(spark, dir, keepVersions = 1,
         retainMs = Some(3000L))
-      assert(rep.retainedFrom == 2L, s"age must widen retention: $rep")
+      assert(rep.retainedFrom == 1L, s"age must protect the snapshot live at the cutoff: $rep")
       assert(TableLog.readAt(spark, dir, 2L).select("s").head().getString(0) == "v2000")
       assert(TableLog.readAtTimestamp(spark, dir, 2500L)
         .select("s").head().getString(0) == "v2000",
         "TIMESTAMP AS OF must keep resolving inside the retained window")
+      assert(TableLog.readAtTimestamp(spark, dir, 1500L)
+        .select("s").head().getString(0) == "v1000",
+        "TIMESTAMP AS OF the window's left edge must keep resolving")
+      // a cutoff landing EXACTLY on a commit instant needs no predecessor
+      val repExact = TableLog.vacuum(spark, dir, keepVersions = 1,
+        retainMs = Some(2500L)) // cutoff 2000 == v2's instant
+      assert(repExact.retainedFrom == 2L,
+        s"an exact-instant cutoff starts at that version: $repExact")
       intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
       // an expired window never shrinks the keepVersions floor
       val rep2 = TableLog.vacuum(spark, dir, keepVersions = 2,
@@ -1147,5 +1158,110 @@ class TableLogSpec extends SparkSpec {
     // the marker below the legacy checkpoint is still found (full scan fallback)
     assert(TableLog.lastCommittedBatch(spark, dir, "appA") == Some(7L))
     assert(TableLog.upsertIntoOnce(spark, dir, b(3), Seq("k"), "ver", "appA", 7L).isEmpty)
+  }
+
+  test("rebaseOk readBounds: winner adds inside the merge's key box are a real conflict") {
+    val dir = tmpDir("tlog_rebase_bounds")
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableLog.append(spark, dir, (1L to 100L).map(k => (k, 1.0)).toDF("k", "v"),
+      statsCols = Seq("k"))                                            // v1
+    val schemaJson = TableLog.readAt(spark, dir).schema.json
+    TableLog.append(spark, dir, Seq((200L, 9.0)).toDF("k", "v"),
+      statsCols = Seq("k"))                                            // v2: winner
+    def ok(bounds: Seq[(String, Any, Any)]) =
+      TableLog.rebaseOk(spark, fs, basePath, 1L, schemaJson, Nil, None, bounds)
+    // the lost-update shape: a merge whose insert arm is "k not in the
+    // table" must NOT rebase over a winner that added a file possibly
+    // holding k — two concurrent inserts of the same new key would both
+    // auto-commit (both have empty remove sets) and duplicate the row
+    assert(!ok(Seq(("k", 150L, 250L))), "winner add inside the box is a conflict")
+    assert(ok(Seq(("k", 500L, 600L))), "a disjoint box still commutes")
+    assert(ok(Nil), "no read predicate (append shape) is unconstrained")
+    // an add WITHOUT stats on the bounded column conservatively conflicts
+    TableLog.append(spark, dir, Seq((300L, 1.0)).toDF("k", "v"))       // v3: stats-less
+    assert(!ok(Seq(("k", 500L, 600L))), "a stats-less winner forces the loud path")
+  }
+
+  test("concurrent merges inserting the same NEW key never both land (no rebase lost update)") {
+    val dir = tmpDir("tlog_merge_race")
+    TableLog.append(spark, dir, (1L to 50L).map(k => (k, 0.0)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def racer(tag: Double): Thread = new Thread(() => {
+      try {
+        TableLog.mergeInto(spark, dir, Seq((500L, tag)).toDF("k", "v"),
+          Seq("k"), statsCols = Seq("k"))
+        ()
+      } catch { case _: TableLogConflictException => conflicts.incrementAndGet(); () }
+    })
+    val ts = Seq(racer(1.0), racer(2.0))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val rows = TableLog.readAt(spark, dir).filter(col("k") === 500L).collect()
+    // serial execution: insert then update → one row; a race: the loser
+    // must surface the conflict, never silently insert a duplicate
+    assert(rows.length == 1 || (rows.isEmpty && conflicts.get() == 2),
+      s"the key must land at most once: ${rows.length} rows, ${conflicts.get()} conflicts")
+  }
+
+  test("dv delete probes blooms: the position scan touches only files that might hold the keys") {
+    val dir = tmpDir("tlog_dv_bloom")
+    // hash-distributed key: every file's k range spans the space, so
+    // min/max stats prune NOTHING — the erasure workload
+    val df = (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "s").repartition(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"),
+      writeOptions = TableLog.bloomOptions(Seq("k"), expectedNdv = 1000L))
+    val files = TableLog.history(spark, dir).head.add
+    val schema = TableLog.readAt(spark, dir).schema
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val touched = TableLog.dvTouchSet(spark, basePath, files, schema,
+      col("k").isin(37L, 1999L))
+    assert(touched.length < files.length,
+      s"blooms must cut the touch set: ${touched.length}/${files.length}")
+    // a non-point predicate falls back to the full stats touch set
+    val fb = TableLog.dvTouchSet(spark, basePath, files, schema, col("k") % 2 === 0)
+    assert(fb.length == files.length)
+    // and the delete itself stays exact through the pruned scan
+    TableLog.deleteWhere(spark, dir, col("k").isin(37L, 1999L), mode = "dv")
+    val after = TableLog.readAt(spark, dir)
+    assert(after.filter(col("k").isin(37L, 1999L)).count() == 0L)
+    assert(after.count() == 3998L)
+    val dvd = TableLog.history(spark, dir).last.add
+    assert(dvd.nonEmpty && dvd.forall(f => touched.exists(_.path == f.path)),
+      "vectors may land only on bloom-kept files")
+  }
+
+  test("dv path recovery survives a table directory that itself ends in /data") {
+    val dir = s"${tmpDir("tlog_dvdata")}/data"
+    TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"p$k")).toDF("k", "s"))
+    TableLog.deleteWhere(spark, dir, col("k") === 7L, mode = "dv")
+    assert(TableLog.history(spark, dir).last.add.exists(_.dv.nonEmpty),
+      "the erasure must commit a vector, not silently no-op")
+    val ks = TableLog.readAt(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == (1L to 20L).toSet - 7L, "dv'd rows must not resurrect on read")
+  }
+
+  test("describeHistory dv_rows_deleted: per-path net, 0 (not negative) for a dv-retiring compaction") {
+    val dir = tmpDir("tlog_hist_dvnet")
+    TableLog.append(spark, dir, (1L to 100L).map(k => (k, s"p$k")).toDF("k", "s"))
+    TableLog.deleteWhere(spark, dir, col("k").isin(3L, 5L), mode = "dv") // v2: 2 dv rows
+    TableLog.compactTable(spark, dir)                                    // v3: dvs materialize away
+    val h = TableLog.describeHistory(spark, dir).orderBy("version")
+      .select("version", "dv_rows_deleted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(h == Seq((1L, 0L), (2L, 2L), (3L, 0L)), s"got $h")
+    assert(TableLog.readAt(spark, dir).count() == 98L)
+  }
+
+  test("commitTxnMarker: marker-only commit records the batch, changes nothing") {
+    val dir = tmpDir("tlog_marker")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    val before = TableLog.readAt(spark, dir).collect().toSet
+    val v = TableLog.commitTxnMarker(spark, dir, "appE", 3L)
+    assert(v == 2L)
+    assert(TableLog.lastCommittedBatch(spark, dir, "appE") == Some(3L))
+    assert(TableLog.readAt(spark, dir).collect().toSet == before)
+    assert(TableLog.readChanges(spark, dir, 1L, 2L).count() == 0L,
+      "a marker emits no changes")
   }
 }

@@ -1212,6 +1212,25 @@ class EventStreamsSpec extends SparkSpec {
       msgs(e).exists(_.contains("distinct keys")), s"got $e")
   }
 
+  test("erasureSink: a batch whose keys collapse to empty still commits its marker") {
+    import java.nio.file.Files
+    import graft.sinks.TableLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("erasure_empty").toFile.getAbsolutePath
+    val t = s"$base/t"
+    TableLog.append(spark, t,
+      (1L to 10L).map(k => (k, s"u$k")).toDF("user_id", "payload"))
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L)
+    EventStreams.erasureSink(
+      ms.toDF().selectExpr("CAST(NULL AS BIGINT) AS user_id"),
+      t, s"$base/ckpt", "user_id", appId = "gdpr")
+    assert(TableLog.lastCommittedBatch(spark, t, "gdpr") == Some(0L),
+      "an all-null batch must record its marker so a replay skips")
+    assert(TableLog.readAt(spark, t).count() == 10L, "a marker changes no rows")
+    assert(TableLog.history(spark, t).last.op == "txn")
+  }
+
   test("windowedCounts aggregates into hourly tumbling windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]
