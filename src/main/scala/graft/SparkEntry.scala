@@ -1768,6 +1768,27 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // SQL-surface read of the same staged layout through the graft
+    // DataSource (spark.read.format("graft")): the pushed-down price
+    // filter routes through boundsFromPredicate → scanPruned, so the
+    // MANIFEST prunes files before any scan task plans, and the result
+    // must hash-match the full-scan oracle exactly — the method API's
+    // q_table_log_prune twin, via the connector
+    "q_sql_connector" -> ((s, d) => {
+      val dir = tableLogPrunedPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogprune", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartitionByRange(16, col("price"))
+        TableLog.append(s, p, li, statsCols = Seq("price"))
+        p
+      })
+      s.read.format("graft").load(dir)
+        .filter(col("price").between(10000.0, 20000.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // copy-on-write DELETE: version 2 of the staged history removed one
     // price band by rewriting ONLY the stats-overlapping files — the
     // surviving snapshot must equal DuckDB's plain filter
@@ -4628,6 +4649,14 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q_table_log_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the connector twin reads the same staged layout through
+    // spark.read.format("graft") — same rows, same oracle
+    "q_sql_connector" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0

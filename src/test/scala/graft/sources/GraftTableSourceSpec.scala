@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.TableLog
+
+/** The SQL surface over the table log: format("graft") must read the
+  * same snapshot as readAt, time-travel through both options, route
+  * filter pushdown into the MANIFEST file prune (not just parquet
+  * row groups), anti-apply deletion vectors, and work from plain SQL
+  * via CREATE TEMPORARY VIEW … USING graft.
+  */
+class GraftTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def fixture(): String = {
+    val dir = tmpDir("gts")
+    val df = (1L to 1000L).map(k => (k, k * 1.0, s"p$k")).toDF("k", "price", "s")
+      .repartitionByRange(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"))             // v1
+    TableLog.deleteWhere(spark, dir, col("k") === 500L, mode = "dv")  // v2
+    TableLog.append(spark, dir,
+      Seq((2000L, 2.0, "late")).toDF("k", "price", "s"), statsCols = Seq("k")) // v3
+    dir
+  }
+
+  test("format(graft): latest snapshot == readAt, dv rows anti-applied") {
+    val dir = fixture()
+    val viaSql = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    val viaApi = TableLog.readAt(spark, dir)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(!viaSql.contains(500L), "the dv'd row must not resurrect through SQL")
+    assert(viaSql.contains(2000L))
+  }
+
+  test("format(graft): versionAsOf and timestampAsOf time-travel") {
+    val dir = fixture()
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 1000L, "v1 predates the dv delete and the late append")
+    // the instant just after v2's commit resolves to v2
+    val t2 = TableLog.history(spark, dir).apply(1).ts
+    val atT2 = spark.read.format("graft")
+      .option("timestampAsOf", t2.toString).load(dir)
+    assert(atT2.count() == 999L)
+    assert(atT2.filter(col("k") === 2000L).isEmpty)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", t2.toString).load(dir).collect()
+    }
+  }
+
+  test("format(graft): pushed filters prune MANIFEST files, results exact") {
+    val dir = fixture()
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("k").between(10L, 20L)).select("k", "s")
+    val rows = q.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == (10L to 20L).map(k => (k, s"p$k")))
+    val (read, total) = GraftTableSource.lastPrune.get
+    assert(read < total, s"the k-range filter must prune files: $read/$total")
+    // the connector's prune must equal the method API's on the same predicate
+    val direct = TableLog.scanWhere(spark, dir, col("k").between(10L, 20L))
+    assert((read, total) == ((direct.filesRead, direct.filesTotal)))
+  }
+
+  test("format(graft): column pruning reaches the parquet scan; count(*) works") {
+    val dir = fixture()
+    val one = spark.read.format("graft").load(dir).select("s")
+    assert(one.columns.toSeq == Seq("s"))
+    assert(one.count() == 1000L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("price"),
+      s"only the requested column may reach the scan:\n$plan")
+    assert(spark.read.format("graft").load(dir).count() == 1000L,
+      "an empty required-column set (count star) must plan")
+  }
+
+  test("CREATE TEMPORARY VIEW … USING graft: plain SQL over the table log") {
+    val dir = fixture()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tlog_sql USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '2')")
+    val viaView = spark.sql(
+      "SELECT k, s FROM tlog_sql WHERE k BETWEEN 490 AND 510 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaApi = TableLog.readAt(spark, dir, 2L)
+      .filter(col("k").between(490L, 510L)).select("k", "s").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaView == viaApi)
+    assert(!viaView.exists(_._1 == 500L), "SQL must see the dv applied at v2")
+    spark.sql("DROP VIEW tlog_sql")
+  }
+}
