@@ -1830,6 +1830,29 @@ object SparkEntry {
           col("_commit_version"), col("_change_type"))
     }),
 
+    // KEYED change feed over the upsert history (unique o_orderkey):
+    // each key's delete+insert within a commit pairs into
+    // update_preimage/update_postimage, unpaired rows stay inserts —
+    // DuckDB reconstructs the same attribution with per-version
+    // last-wins states joined FULL on the key
+    "q_table_log_cdf_keyed" -> ((s, d) => {
+      val dir = tableLogPath.getOrElseUpdate(d, {
+        val p = stageDir("tablelog", d)
+        def batch(i: Int, m: Int) = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(m)) === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("double") + i).as("val"),
+            lit(i.toLong).as("ver"))
+        TableLog.upsertInto(s, p, batch(1, 2), Seq("o_orderkey"), "ver")
+        TableLog.upsertInto(s, p, batch(2, 3), Seq("o_orderkey"), "ver")
+        TableLog.upsertInto(s, p, batch(3, 5), Seq("o_orderkey"), "ver")
+        p
+      })
+      TableLog.readChanges(s, dir, fromVersion = 1L, toVersion = 3L,
+          keys = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("_commit_version"), col("_change_type"))
+    }),
+
     // incrementally-maintained materialized view: three change-feed
     // delta refreshes (after the append, the CoW delete and the CoW
     // update) must land on DuckDB's from-scratch GROUP BY of the final
@@ -4741,6 +4764,46 @@ object SparkEntry {
         |SELECT *, 'insert', CAST(3 AS BIGINT)
         |FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)
         |ORDER BY l_orderkey, l_linenumber, _commit_version, _change_type""".stripMargin,
+
+    // keyed feed: per-version last-wins states, FULL-joined on the key —
+    // changed keys emit pre+post images, new keys emit inserts
+    "q_table_log_cdf_keyed" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_totalprice::DOUBLE + 1 AS val,
+        |         CAST(1 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b2 AS (
+        |  SELECT o_orderkey, o_totalprice::DOUBLE + 2 AS val,
+        |         CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b3 AS (
+        |  SELECT o_orderkey, o_totalprice::DOUBLE + 3 AS val,
+        |         CAST(3 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |s1 AS (SELECT * FROM b1),
+        |s2 AS (SELECT * FROM b2 UNION ALL
+        |       SELECT * FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)),
+        |s3 AS (SELECT * FROM b3 UNION ALL
+        |       SELECT * FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b3))
+        |SELECT p.o_orderkey, p.val, p.ver,
+        |       'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM s1 p JOIN s2 c USING (o_orderkey) WHERE p.val <> c.val OR p.ver <> c.ver
+        |UNION ALL
+        |SELECT c.o_orderkey, c.val, c.ver, 'update_postimage', CAST(2 AS BIGINT)
+        |FROM s1 p JOIN s2 c USING (o_orderkey) WHERE p.val <> c.val OR p.ver <> c.ver
+        |UNION ALL
+        |SELECT c.o_orderkey, c.val, c.ver, 'insert', CAST(2 AS BIGINT)
+        |FROM s2 c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+        |UNION ALL
+        |SELECT p.o_orderkey, p.val, p.ver, 'update_preimage', CAST(3 AS BIGINT)
+        |FROM s2 p JOIN s3 c USING (o_orderkey) WHERE p.val <> c.val OR p.ver <> c.ver
+        |UNION ALL
+        |SELECT c.o_orderkey, c.val, c.ver, 'update_postimage', CAST(3 AS BIGINT)
+        |FROM s2 p JOIN s3 c USING (o_orderkey) WHERE p.val <> c.val OR p.ver <> c.ver
+        |UNION ALL
+        |SELECT c.o_orderkey, c.val, c.ver, 'insert', CAST(3 AS BIGINT)
+        |FROM s3 c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+        |ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin,
 
     // the incrementally-refreshed view must equal a from-scratch GROUP
     // BY over the final table state (s3 of the CoW history)

@@ -160,16 +160,21 @@ object JdbcWarehouse {
   }
 
   /** Apply one CHANGE-FEED slice ([[TableLog.readChanges]] output: the
-    * data columns + `_change_type`, optionally `_commit_version`)
-    * INCREMENTALLY by key — the warehouse-side consumer of the table
-    * log's feed, and the reason a continuously-maintained warehouse
-    * table costs O(changes) per commit instead of [[upsert]]'s
-    * O(table) full read-merge-publish. The slice stages once, then ONE
-    * transaction deletes every touched key (both arms — an update's
-    * delete+insert pair must replace) and inserts the insert-arm rows,
-    * cast back to the main table's declared types; readers see the old
-    * or the new state of the touched keys, never half. Re-applying the
-    * same slice is IDEMPOTENT (delete-touched-then-insert converges),
+    * data columns + `_change_type`, optionally `_commit_version` —
+    * BOTH the un-keyed insert/delete feed and the keyed feed's
+    * `update_preimage`/`update_postimage` pairs) INCREMENTALLY by
+    * key — the warehouse-side consumer of the table log's feed, and
+    * the reason a continuously-maintained warehouse table costs
+    * O(changes) per commit instead of [[upsert]]'s O(table) full
+    * read-merge-publish. The slice stages once, then ONE transaction
+    * deletes every touched key (all arms) and inserts the new-image
+    * rows (`insert` + `update_postimage`), cast back to the main
+    * table's declared types; readers see the old or the new state of
+    * the touched keys, never half. A keyed UPDATE thus applies as a
+    * key-transactional replace — the idempotent form (a literal
+    * multi-column correlated `UPDATE … SET` is not portable across
+    * engines; Derby would need one subquery per column, and replace
+    * converges identically). Re-applying the same slice is IDEMPOTENT,
     * which absorbs a streaming consumer's at-least-once tail replay.
     * Requires the table-log table's `keys` to be unique per row (the
     * warehouse table is keyed); apply slices in version order.
@@ -181,7 +186,8 @@ object JdbcWarehouse {
     require(keys.nonEmpty, "JdbcWarehouse.applyChanges: keys must be non-empty")
     val dataCols = changes.columns
       .filterNot(c => c == "_change_type" || c == "_commit_version").toSeq
-    val inserts = changes.filter(col("_change_type") === "insert")
+    val inserts = changes.filter(
+        col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)
     if (!tableExists(url, table, props)) {
       load(inserts, url, table, SaveMode.ErrorIfExists, batchSize, props)
@@ -214,7 +220,8 @@ object JdbcWarehouse {
         // cast the discriminator to VARCHAR explicitly
         st.execute(s"INSERT INTO $table (${names.mkString(", ")}) " +
           s"""SELECT $sel FROM $staging """ +
-          s"""WHERE CAST("_change_type" AS VARCHAR(16)) = 'insert'""")
+          s"""WHERE CAST("_change_type" AS VARCHAR(16)) """ +
+          "IN ('insert', 'update_postimage')")
         conn.commit()
       } catch { case e: Throwable => conn.rollback(); throw e }
       conn.setAutoCommit(true)

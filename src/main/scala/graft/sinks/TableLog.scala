@@ -1228,11 +1228,19 @@ object TableLog {
     require(firstTs <= tsMillis,
       s"TableLog.versionAtTimestamp: $tsMillis is before the table's first " +
         s"commit ($firstTs) — no version existed at that instant")
-    // instants are monotone along the chain: stop parsing at the first
-    // commit past the target instead of stamping the whole log
-    vers.iterator.map(v => v -> commitTs(fs, base, v))
-      .takeWhile(_._2 <= tsMillis)
-      .foldLeft(vers.head)((_, p) => p._1)
+    // instants are monotone along the chain: BINARY-SEARCH the last
+    // version with ts <= target — O(log history) manifest parses. A
+    // streaming table accumulates 10^5+ commits; the previous serial
+    // scan from version 1 paid O(history) parses per resolution.
+    // Manifests are never deleted (vacuum retires data files only), so
+    // every probe in the range is readable.
+    var lo = 0
+    var hi = vers.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (commitTs(fs, base, vers(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    vers(lo)
   }
 
   /** Snapshot read at the wall-clock instant `tsMillis` — resolves via
@@ -1524,10 +1532,18 @@ object TableLog {
     * Snapshot replay is exact either way — multiset algebra holds —
     * and any oracle/consumer must model the same `EXCEPT ALL`
     * formulation rather than enumerating per-row pairs.
+    *
+    * KEYED FEED: pass `keys` to declare row identity — each key's
+    * delete+insert within a commit pairs into `update_preimage` /
+    * `update_postimage` rows (unpaired rows stay insert/delete; NULL
+    * keys never pair). Requires unique keys per side per commit
+    * (refused loudly otherwise). This is what gives
+    * [[JdbcWarehouse.applyChanges]] true UPDATE statements and
+    * [[AggView]] per-key retired-extreme detection.
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
-                  toVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+                  toVersion: Long = -1L, keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, count, countDistinct, lit, struct}
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitVers = commitVersions(fs, base)
@@ -1557,9 +1573,57 @@ object TableLog {
           val removed = readWithDv(spark, dir, schema,
             c.remove.map(p => AddFile(p, 0L, Map.empty,
               c.removeDv.getOrElse(p, Nil))))
-          added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-            .unionByName(removed.exceptAll(added)
-              .withColumn("_change_type", lit("delete")))
+          val ins = added.exceptAll(removed)
+          val del = removed.exceptAll(added)
+          if (keys.isEmpty)
+            ins.withColumn("_change_type", lit("insert"))
+              .unionByName(del.withColumn("_change_type", lit("delete")))
+          else {
+            // KEYED attribution: with declared keys there IS a row
+            // identity, so a key's delete+insert within one commit pairs
+            // into update_preimage/update_postimage (Delta CDF's shape) —
+            // what lets a warehouse applier issue true UPDATEs and an
+            // aggregate view detect retired extremes per key. Unpaired
+            // rows stay insert/delete; NULL keys never pair (SQL join
+            // semantics). Requires unique keys per side per commit —
+            // duplicate keys would cross-multiply through the join, so
+            // they refuse loudly.
+            val missing = keys.filterNot(schema.fieldNames.contains)
+            require(missing.isEmpty,
+              s"TableLog.readChanges(keys): commit $v's schema lacks ${missing.mkString(", ")}")
+            val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
+            def uniqGuard(df: DataFrame, side: String): DataFrame = {
+              val r = df.agg(count(lit(1)).as("n"),
+                countDistinct(struct(keys.map(col): _*)).as("d")).head()
+              require(r.getLong(0) == r.getLong(1),
+                s"TableLog.readChanges(keys): commit $v's $side side carries " +
+                  s"duplicate keys (${r.getLong(0)} rows, ${r.getLong(1)} distinct) — " +
+                  "keyed attribution needs unique keys; use the un-keyed feed")
+              df
+            }
+            val dRen = uniqGuard(del, "removed").select(
+              (keys.map(col) :+ lit(true).as("_d_present")) ++
+                dataCols.map(c2 => col(c2).as(s"_d_$c2")): _*)
+            val iRen = uniqGuard(ins, "added").select(
+              (keys.map(col) :+ lit(true).as("_i_present")) ++
+                dataCols.map(c2 => col(c2).as(s"_i_$c2")): _*)
+            val j = dRen.join(iRen, keys, "full_outer")
+            val paired = j.filter(col("_d_present") && col("_i_present"))
+            def img(prefix: String, tag: String) =
+              paired.select(schema.fieldNames.toSeq.map(c2 =>
+                  (if (keys.contains(c2)) col(c2) else col(s"$prefix$c2")).as(c2)): _*)
+                .withColumn("_change_type", lit(tag))
+            val insOnly = j.filter(!fnCoalesce(col("_d_present"), lit(false)))
+              .select(schema.fieldNames.toSeq.map(c2 =>
+                (if (keys.contains(c2)) col(c2) else col(s"_i_$c2")).as(c2)): _*)
+              .withColumn("_change_type", lit("insert"))
+            val delOnly = j.filter(!fnCoalesce(col("_i_present"), lit(false)))
+              .select(schema.fieldNames.toSeq.map(c2 =>
+                (if (keys.contains(c2)) col(c2) else col(s"_d_$c2")).as(c2)): _*)
+              .withColumn("_change_type", lit("delete"))
+            img("_d_", "update_preimage").unionByName(img("_i_", "update_postimage"))
+              .unionByName(insOnly).unionByName(delOnly)
+          }
         }
       changes.withColumn("_commit_version", lit(v))
     }
@@ -1592,6 +1656,38 @@ object TableLog {
     require(commitVers.contains(v),
       s"TableLog.$who: version $v of $dir does not exist (latest: ${commitVers.last})")
     snapshotAt(spark, fs, base, v)
+  }
+
+  final case class MaintenanceReport(compactedCommit: Option[Long],
+                                     checkpointedAt: Long,
+                                     deletedDataFiles: Int, deletedTmp: Int,
+                                     retainedFrom: Long)
+
+  /** One-call table upkeep — the scheduled cron shape the reference
+    * runs nightly (dags/etl_pipeline_dag.py:252's maintenance arm),
+    * and what the streaming erasure pipeline needs behind it: chains
+    * (1) [[compactSmallFiles]] — coalesce the fragmented tail AND
+    * materialize accumulated deletion vectors away (dv files qualify
+    * regardless of size, so erased bytes actually leave disk at the
+    * next vacuum), (2) [[checkpoint]] — fold the manifest chain so
+    * reads stay O(1) parses however long the history grows, (3)
+    * [[vacuum]] — retire data files unreachable from the retention
+    * window. Each step is itself a transaction (or watermark-guarded),
+    * so a crash between steps leaves the table consistent and the next
+    * maintain() run converges; auto-rebase keeps the whole chain from
+    * losing its race to concurrent ingest. Returns one report row in
+    * the [[describeHistory]] spirit.
+    */
+  def maintain(spark: SparkSession, dir: String, minFileMB: Int = 32,
+               targetFileMB: Int = 128, minSmallFiles: Int = 2,
+               keepVersions: Int = 2, retainMs: Option[Long] = None,
+               statsCols: Seq[String] = Nil): MaintenanceReport = {
+    val compacted = compactSmallFiles(spark, dir, minFileMB, targetFileMB,
+      minSmallFiles, statsCols)
+    val ck = checkpoint(spark, dir)
+    val vr = vacuum(spark, dir, keepVersions, retainMs)
+    MaintenanceReport(compacted, ck, vr.deletedDataFiles, vr.deletedTmp,
+      vr.retainedFrom)
   }
 
   // ----------------------------------------------------------------- vacuum

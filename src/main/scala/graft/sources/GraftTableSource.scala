@@ -35,8 +35,56 @@ import graft.sinks.TableLog
   * `spark.read.…load(…)` resolves "latest" once), so a single query
   * never straddles a concurrent commit.
   */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Write path — `df.write.format("graft").mode(…).save(dir)` lands as
+    * a TRANSACTIONAL table-log commit (CAS + manifest + footer stats),
+    * not a bare parquet dump: Append → [[TableLog.append]] (schema
+    * checked against the head), Overwrite → [[TableLog.overwrite]]
+    * (remove-all + add, still one atomic commit the old readers never
+    * half-see), ErrorIfExists / Ignore honor their SaveMode contracts
+    * against `currentVersion`. Options: `statsCols` (comma-separated —
+    * harvest manifest min/max for file skipping), `bloomCols` +
+    * `bloomNdv` (parquet bloom filters for point-lookup pruning, the
+    * [[TableLog.bloomOptions]] shape).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft: the 'path' option is required (df.write.format(\"graft\").save(dir))"))
+    val spark = sqlContext.sparkSession
+    def csv(k: String): Seq[String] =
+      parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val statsCols = csv("statsCols")
+    val writeOpts = {
+      val bc = csv("bloomCols")
+      if (bc.isEmpty) Map.empty[String, String]
+      else TableLog.bloomOptions(bc,
+        parameters.get("bloomNdv").map(_.toLong).getOrElse(1000000L))
+    }
+    val exists = TableLog.currentVersion(spark, dir) > 0L
+    mode match {
+      case SaveMode.Append =>
+        TableLog.append(spark, dir, data, statsCols, writeOptions = writeOpts)
+      case SaveMode.Overwrite =>
+        TableLog.overwrite(spark, dir, data, statsCols, writeOptions = writeOpts)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft: $dir already has committed versions (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        TableLog.append(spark, dir, data, statsCols, writeOptions = writeOpts)
+      case SaveMode.Ignore =>
+        if (!exists)
+          TableLog.append(spark, dir, data, statsCols, writeOptions = writeOpts)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -74,11 +122,25 @@ object GraftTableSource {
 
 private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
                                           dir: String, version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
 
   override val schema: StructType = TableLog.schemaAt(spark, dir, version)
+
+  /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE` against a
+    * `USING graft` view — lands as a transactional table-log commit
+    * (append schema-checks against the head; overwrite replaces in one
+    * atomic commit). Spark resolves the inserted columns positionally
+    * against [[schema]] before calling this, so the frame arrives
+    * aligned.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    if (overwrite) TableLog.overwrite(spark, dir, data)
+    else TableLog.append(spark, dir, data)
+    ()
+  }
 
   // rows come back as the inner plan's InternalRows — no Row conversion
   override def needConversion: Boolean = false

@@ -951,10 +951,21 @@ object EventStreams {
                        checkpointDir: String,
                        onChanges: (DataFrame, Long) => Unit,
                        trigger: org.apache.spark.sql.streaming.Trigger =
-                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                       maxFilesPerTrigger: Option[Int] = None,
+                       startingVersion: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val manifests = spark.readStream
-      .format("text")
+    // BACKPRESSURE: a consumer attaching to a long-lived table must not
+    // replay its whole history in one giant first micro-batch —
+    // maxFilesPerTrigger bounds manifests (= commits) per batch via the
+    // file source's own admission control, and startingVersion lets a
+    // NEW consumer skip below its bootstrap point entirely (e.g. a
+    // warehouse seeded from a snapshot only needs commits after it;
+    // versions below a vacuum watermark are unreadable anyway). Both
+    // default to the old drink-everything behavior.
+    val reader = spark.readStream.format("text")
+    val manifests = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .load(s"$tableDir/_log/*.json")
     val q = manifests.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -962,6 +973,7 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val versions = batch.select(col("value")).collect()
           .flatMap(r => graft.sinks.TableLog.parseVersionIfCommit(r.getString(0)))
+          .filter(_ >= math.max(startingVersion, 1L))
           .sorted
         versions.foreach { v =>
           onChanges(graft.sinks.TableLog.readChanges(spark, tableDir, v - 1, v), v)

@@ -514,7 +514,7 @@ object ScaleProbe {
     // parse. Both ratios should sit near 1, not 16.
     val tlogProbes = Set("table_log_prune", "table_log_commit",
       "table_log_merge", "table_log_point", "table_log_cdf",
-      "table_log_dv", "point_lookup_plan", "agg_view_minmax")
+      "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -627,6 +627,33 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("table_log_dv") { () => dvDelete(tl1) } { () => dvDelete(tl16) }
+      // the GDPR erasure shape: HASH layout (the key spans every file →
+      // stats prune ZERO), erasure keys arrive as an IN-list — the bloom
+      // phase cuts the position-finding scan to the files actually
+      // holding the keys, so erasure cost tracks MATCHING FILES, not
+      // table size (the r13 weak, fixed)
+      def tlogHash(name: String, df: DataFrame, nFiles: Int): String = {
+        val p = s"$StageDir/tloghash_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        TableLog.append(spark, p,
+          df.select(col("event_id"), col("user_id"), col("ts"))
+            .repartition(nFiles, col("user_id")),
+          statsCols = Seq("event_id"),
+          writeOptions = TableLog.bloomOptions(Seq("event_id")))
+        p
+      }
+      val th1 = tlogHash("1x", ev1, 8)
+      val th16 = tlogHash("16x", ev, 128)
+      var erTick = 0L
+      def erase(p: String): Unit = {
+        erTick += 1
+        TableLog.deleteWhere(spark, p,
+          col("event_id").isin(erTick * 7L, erTick * 7L + 1L, erTick * 7L + 2L),
+          mode = "dv")
+        ()
+      }
+      probeRun("erasure_bloom") { () => erase(th1) } { () => erase(th16) }
       // multi-measure MIN/MAX view, steady-state fold path: insert-only
       // batches never touch the base table (the recompute path only
       // fires on retired extremes, and its base scan is stats-pruned to

@@ -136,4 +136,39 @@ class AggViewSpec extends SparkSpec {
     val row = AggView.read(spark, v2).collect().head
     assert(row.getDecimal(1).doubleValue() == 3.0 && row.getLong(2) == 2L)
   }
+
+  test("two CONCURRENT refreshers: the delta applies exactly once (marker skip or loud loss, never double)") {
+    val t = tmpDir("aggrace_t")
+    val v = tmpDir("aggrace_v")
+    val ms = Seq(AggView.Measure("x", "sum"), AggView.Measure("x", "min"),
+      AggView.Measure("x", "max"))
+    TableLog.append(spark, t,
+      (1L to 40L).map(k => (k, s"g${k % 4}", k * 1.0)).toDF("id", "g", "x")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    AggView.refreshMulti(spark, v, t, Seq("g"), ms)
+    // one table delta, two racers trying to fold it in simultaneously
+    TableLog.append(spark, t, Seq((100L, "g0", 50.0)).toDF("id", "g", "x"),
+      statsCols = Seq("id"))
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def racer(): Thread = new Thread(() => {
+      try { AggView.refreshMulti(spark, v, t, Seq("g"), ms); () }
+      catch {
+        case _: TableLog.TableLogConflictException => conflicts.incrementAndGet(); ()
+      }
+    })
+    val ts = Seq(racer(), racer())
+    ts.foreach(_.start()); ts.foreach(_.join())
+    // whatever the interleaving (serial no-op skip, marker-based rebase
+    // refusal, or CAS conflict), the delta lands EXACTLY once
+    val tableV = TableLog.currentVersion(spark, t)
+    val markers = TableLog.history(spark, v)
+      .flatMap(_.txn).count(_ == ("aggview", tableV))
+    assert(markers == 1,
+      s"exactly one view commit may carry the marker for table version $tableV " +
+        s"(got $markers, ${conflicts.get()} loud conflicts)")
+    val fresh = tmpDir("aggrace_fresh")
+    AggView.refreshMulti(spark, fresh, t, Seq("g"), ms)
+    assert(mmMap(v) == mmMap(fresh),
+      "the raced view must equal a from-scratch view — no double-applied delta")
+  }
 }

@@ -192,6 +192,18 @@ class JdbcWarehouseSpec extends SparkSpec {
     EventStreams.changeFeedWarehouseSink(spark, t, s"$base/ckpt", url,
       "wh_mirror", Seq("id"), props = props)
     assert(mirror == tableNow && !mirror.contains(100L))
+    // the KEYED feed (update_preimage/update_postimage pairs) applies as
+    // a key-transactional replace — same converged state, still idempotent
+    TableLog.updateWhere(spark, t, col("id") === 5L, set = Map("bal" -> lit(555.0)))
+    val v2 = TableLog.currentVersion(spark, t)
+    val keyedSlice = TableLog.readChanges(spark, t, v2 - 1, v2, keys = Seq("id"))
+    assert(keyedSlice.filter(col("_change_type").startsWith("update_")).count() == 2L,
+      "the CoW update must attribute as one pre+post pair")
+    JdbcWarehouse.applyChanges(spark, url, "wh_mirror", keyedSlice, Seq("id"), props = props)
+    assert(mirror == tableNow && mirror(5L)._2 == 555.0,
+      "a keyed update slice must land the postimage")
+    JdbcWarehouse.applyChanges(spark, url, "wh_mirror", keyedSlice, Seq("id"), props = props)
+    assert(mirror == tableNow, "re-applying the keyed slice must converge")
   }
 
   test("logEtlRun appends run records to the warehouse") {

@@ -1253,6 +1253,101 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).count() == 98L)
   }
 
+  test("versionAtTimestamp: binary search exact at every boundary of a longer history") {
+    val dir = tmpDir("tlog_vat_bin")
+    val saved = TableLog.clockMs
+    try {
+      (1 to 12).foreach { i =>
+        TableLog.clockMs = () => i * 1000L
+        TableLog.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "s"))
+      }
+      (1 to 12).foreach { i =>
+        assert(TableLog.versionAtTimestamp(spark, dir, i * 1000L) == i.toLong)
+        assert(TableLog.versionAtTimestamp(spark, dir, i * 1000L + 500L) == i.toLong)
+      }
+      intercept[IllegalArgumentException] {
+        TableLog.versionAtTimestamp(spark, dir, 999L)
+      }
+    } finally TableLog.clockMs = saved
+  }
+
+  test("maintain: compacts dv debris, checkpoints, vacuums within retention, still time-travels") {
+    val dir = tmpDir("tlog_maintain")
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => 1000L
+      (1 to 5).foreach { i =>                                  // v1..v5: fragmented tail
+        TableLog.append(spark, dir,
+          Seq((i.toLong * 10, s"p$i"), (i.toLong * 10 + 1, s"q$i")).toDF("k", "s"))
+      }
+      TableLog.clockMs = () => 2000L
+      TableLog.deleteWhere(spark, dir, col("k") === 20L, mode = "dv")  // v6
+      TableLog.deleteWhere(spark, dir, col("k") === 41L, mode = "dv")  // v7
+      TableLog.clockMs = () => 10000L
+      val rep = TableLog.maintain(spark, dir, minFileMB = 1024,
+        targetFileMB = 1024, keepVersions = 1, retainMs = Some(8500L))
+      assert(rep.compactedCommit == Some(8L) && rep.checkpointedAt == 8L,
+        s"got $rep")
+      // retention: cutoff 1500 is inside the append run — v5 (the
+      // snapshot live at the cutoff) and everything after stay readable
+      assert(rep.retainedFrom == 5L, s"got $rep")
+      val head = TableLog.history(spark, dir).last
+      assert(head.add.forall(_.dv.isEmpty), "compaction must materialize dvs away")
+      assert(TableLog.readAt(spark, dir).count() == 8L)
+      assert(TableLog.readAt(spark, dir, 5L).count() == 10L, "time travel inside the window")
+      assert(TableLog.readAtTimestamp(spark, dir, 1500L).count() == 10L)
+      intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 4L) }
+      // a later maintain, window expired: the pre-compaction files leave disk
+      TableLog.clockMs = () => 50000L
+      val rep2 = TableLog.maintain(spark, dir, minFileMB = 1024,
+        targetFileMB = 1024, keepVersions = 1, retainMs = Some(1000L))
+      assert(rep2.retainedFrom >= 8L && rep2.deletedDataFiles > 0,
+        s"erased bytes must leave disk once retention passes: $rep2")
+      assert(TableLog.readAt(spark, dir).count() == 8L)
+      intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 5L) }
+    } finally TableLog.clockMs = saved
+  }
+
+  test("readChanges(keys): delete+insert pairs attribute as update pre/post images") {
+    val dir = tmpDir("tlog_cdf_keyed")
+    TableLog.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))                       // v1
+    TableLog.updateWhere(spark, dir, col("k") === 2L, set = Map("s" -> lit("B"))) // v2
+    TableLog.deleteWhere(spark, dir, col("k") === 3L, mode = "dv")                // v3
+    TableLog.append(spark, dir, Seq((9L, "z")).toDF("k", "s"))                    // v4
+    val ch = TableLog.readChanges(spark, dir, 1L, keys = Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(ch == Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 3L),
+      (9L, "z", "insert", 4L)), s"got $ch")
+    // the un-keyed feed over the same range still emits raw pairs
+    val raw = TableLog.readChanges(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(raw == Set((2L, "b", "delete"), (2L, "B", "insert")))
+  }
+
+  test("readChanges(keys): NULL keys never pair; duplicate keys refuse loudly") {
+    val dir = tmpDir("tlog_cdf_keyed_null")
+    val rows = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "x")).toDF("k", "s")
+    TableLog.append(spark, dir, rows)                                             // v1
+    TableLog.updateWhere(spark, dir, col("s") === "x", set = Map("s" -> lit("y"))) // v2
+    val ch = TableLog.readChanges(spark, dir, 1L, 2L, keys = Seq("k")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((None, "x", "delete"), (None, "y", "insert")),
+      s"a NULL key is delete+insert, never an update pair: $ch")
+    // duplicate keys cross-multiply through the pairing join — loud
+    val dup = tmpDir("tlog_cdf_keyed_dup")
+    TableLog.append(spark, dup, Seq((1L, "a"), (1L, "b")).toDF("k", "s"))
+    TableLog.updateWhere(spark, dup, lit(true), set = Map("s" -> lit("z")))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.readChanges(spark, dup, 1L, 2L, keys = Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
   test("commitTxnMarker: marker-only commit records the batch, changes nothing") {
     val dir = tmpDir("tlog_marker")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))

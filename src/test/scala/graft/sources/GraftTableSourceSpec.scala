@@ -79,6 +79,39 @@ class GraftTableSourceSpec extends SparkSpec {
       "an empty required-column set (count star) must plan")
   }
 
+  test("write path: df.write.format(graft) lands transactional commits, SaveModes honored") {
+    val dir = tmpDir("gts_write")
+    val df1 = (1L to 100L).map(k => (k, s"p$k")).toDF("k", "s")
+    df1.write.format("graft").option("statsCols", "k").save(dir)  // ErrorIfExists default
+    assert(TableLog.currentVersion(spark, dir) == 1L)
+    intercept[IllegalStateException] {
+      df1.write.format("graft").save(dir)                          // exists → loud
+    }
+    df1.write.format("graft").mode("ignore").save(dir)             // exists → no-op
+    assert(TableLog.currentVersion(spark, dir) == 1L)
+    Seq((200L, "late")).toDF("k", "s").write.format("graft")
+      .mode("append").option("statsCols", "k").save(dir)           // v2
+    assert(TableLog.currentVersion(spark, dir) == 2L)
+    assert(spark.read.format("graft").load(dir).count() == 101L)
+    Seq((1L, "only")).toDF("k", "s").write.format("graft")
+      .mode("overwrite").save(dir)                                 // v3
+    assert(TableLog.readAt(spark, dir).count() == 1L)
+    assert(TableLog.readAt(spark, dir, 2L).count() == 101L,
+      "overwrite is a commit — old versions stay readable")
+    // schema mismatch on append surfaces the table log's loud check
+    intercept[IllegalArgumentException] {
+      Seq((1, 2.0)).toDF("a", "b").write.format("graft").mode("append").save(dir)
+    }
+    // bloomCols ride into the parquet writer: point lookups can prune
+    val dir2 = tmpDir("gts_write_bloom")
+    (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "s")
+      .repartition(8, col("k")).write.format("graft")
+      .mode("append").option("statsCols", "k")
+      .option("bloomCols", "k").option("bloomNdv", "1000").save(dir2)
+    val pl = TableLog.scanPointLookup(spark, dir2, "k", Seq(37L))
+    assert(pl.filesRead < pl.filesTotal, s"blooms must prune: $pl")
+  }
+
   test("CREATE TEMPORARY VIEW … USING graft: plain SQL over the table log") {
     val dir = fixture()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tlog_sql USING graft " +
@@ -92,5 +125,22 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(viaView == viaApi)
     assert(!viaView.exists(_._1 == 500L), "SQL must see the dv applied at v2")
     spark.sql("DROP VIEW tlog_sql")
+  }
+
+  test("INSERT INTO … USING graft view lands transactional commits") {
+    val dir = tmpDir("gts_insert")
+    Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)   // v1
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tins USING graft OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO tins VALUES (2, 'b'), (3, 'c')")          // v2
+    assert(TableLog.currentVersion(spark, dir) == 2L)
+    assert(TableLog.readAt(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("INSERT OVERWRITE tins VALUES (9, 'z')")               // v3
+    assert(TableLog.readAt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    assert(TableLog.readAt(spark, dir, 2L).count() == 3L,
+      "INSERT OVERWRITE is a commit — history stays readable")
+    spark.sql("DROP VIEW tins")
   }
 }

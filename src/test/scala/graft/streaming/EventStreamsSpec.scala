@@ -1152,6 +1152,35 @@ class EventStreamsSpec extends SparkSpec {
       "streamed per-version refreshes must equal the one-shot refresh")
   }
 
+  test("changeFeedStream backpressure: maxFilesPerTrigger bounds batches, startingVersion skips history") {
+    import java.nio.file.Files
+    import graft.sinks.TableLog
+    val base = Files.createTempDirectory("cfs_bp").toFile.getAbsolutePath
+    val t = s"$base/t"
+    (1 to 5).foreach { i =>
+      TableLog.append(spark, t, Seq((i.toLong, s"v$i")).toDF("k", "s"))
+    }
+    // maxFilesPerTrigger=1: five commits arrive as five bounded
+    // micro-batches (one manifest each), not one giant history replay
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStreams.changeFeedStream(spark, t, s"$base/ckpt1",
+      (_, v) => { seen += v; () }, maxFilesPerTrigger = Some(1))
+    assert(seen.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got $seen")
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0L)
+    assert(batches.length == 5 && batches.forall(_ == 1L),
+      s"each micro-batch must admit at most one manifest: ${batches.toSeq}")
+    // a NEW consumer with startingVersion skips everything below it
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    EventStreams.changeFeedStream(spark, t, s"$base/ckpt2",
+      (_, v) => { seen2 += v; () }, startingVersion = 4L)
+    assert(seen2.toSeq == Seq(4L, 5L), s"got $seen2")
+    // restart with the same checkpoint resumes past the skipped history
+    TableLog.append(spark, t, Seq((6L, "v6")).toDF("k", "s"))
+    EventStreams.changeFeedStream(spark, t, s"$base/ckpt2",
+      (_, v) => { seen2 += v; () }, startingVersion = 4L)
+    assert(seen2.toSeq == Seq(4L, 5L, 6L), s"got $seen2")
+  }
+
   test("erasureSink: streamed delete requests land as exactly-once dv commits, zero data rewritten") {
     import java.nio.file.Files
     import graft.sinks.TableLog
