@@ -31,13 +31,66 @@ import graft.sinks.TableLog
   * itself). At 100 TB the interesting work — which files to read at
   * all — happens in the manifest layer this delegates to.
   *
-  * The snapshot version is pinned at RELATION CREATION (each
-  * `spark.read.…load(…)` resolves "latest" once), so a single query
-  * never straddles a concurrent commit.
+  * Version semantics: `versionAsOf`/`timestampAsOf` pin the snapshot at
+  * relation creation; WITHOUT a pin the relation reads LATEST AT QUERY
+  * TIME (a long-lived `USING graft` view keeps seeing new commits,
+  * Delta's behavior) — buildScan resolves once per query, so a single
+  * query still reads one consistent snapshot.
   */
 class GraftTableSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Streaming write — `df.writeStream.format("graft")
+    * .option("checkpointLocation", …).start(dir)`: exactly-once
+    * per-batch table-log commits. Options: `keys` (comma-separated →
+    * each batch merges as a stats-pruned upsert instead of appending),
+    * `appId` (txn-marker app, default "graft-sink"), `statsCols`. See
+    * [[GraftStreamSink]].
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — layout belongs to " +
+        "compaction/Z-order maintenance, not the ingest path")
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft: the 'path' option is required (writeStream.format(\"graft\").start(dir))"))
+    def csv(k: String): Seq[String] =
+      parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftStreamSink(sqlContext, dir, csv("keys"),
+      parameters.getOrElse("appId", "graft-sink"), csv("statsCols"))
+  }
+
+  /** Streaming read — `spark.readStream.format("graft").load(dir)`:
+    * commit versions are the offsets, each micro-batch is a
+    * [[TableLog.readChanges]] slice (touch-set-sized). Options:
+    * `readChangeFeed` (full CDC columns), `ignoreChanges`,
+    * `startingVersion`, `maxVersionsPerTrigger`. See
+    * [[GraftStreamSource]].
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftTableSource.streamSchema(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft: the 'path' option is required (spark.readStream.format(\"graft\").load(dir))"))
+    new GraftStreamSource(sqlContext, dir,
+      cdf = parameters.get("readChangeFeed").exists(_.toBoolean),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      schema = GraftTableSource.streamSchema(sqlContext, parameters))
+  }
 
   /** Write path — `df.write.format("graft").mode(…).save(dir)` lands as
     * a TRANSACTIONAL table-log commit (CAS + manifest + footer stats),
@@ -48,7 +101,8 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     * against `currentVersion`. Options: `statsCols` (comma-separated —
     * harvest manifest min/max for file skipping), `bloomCols` +
     * `bloomNdv` (parquet bloom filters for point-lookup pruning, the
-    * [[TableLog.bloomOptions]] shape).
+    * [[TableLog.bloomOptions]] shape), `mergeSchema` (append may add
+    * new nullable columns, the [[TableLog.append]] evolution arm).
     */
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
@@ -68,10 +122,12 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       else TableLog.bloomOptions(bc,
         parameters.get("bloomNdv").map(_.toLong).getOrElse(1000000L))
     }
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     val exists = TableLog.currentVersion(spark, dir) > 0L
     mode match {
       case SaveMode.Append =>
-        TableLog.append(spark, dir, data, statsCols, writeOptions = writeOpts)
+        TableLog.append(spark, dir, data, statsCols,
+          mergeSchema = mergeSchema, writeOptions = writeOpts)
       case SaveMode.Overwrite =>
         TableLog.overwrite(spark, dir, data, statsCols, writeOptions = writeOpts)
       case SaveMode.ErrorIfExists if exists =>
@@ -99,13 +155,31 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       case (Some(v), None) => v.toLong
       case (None, Some(ts)) =>
         TableLog.versionAtTimestamp(spark, dir, GraftTableSource.parseTsMillis(ts))
-      case (None, None) => TableLog.currentVersion(spark, dir)
+      // no explicit pin → LATEST AT QUERY TIME (-1 resolves per scan):
+      // a long-lived `USING graft` temp view keeps seeing new commits
+      // (Delta's behavior); within one query buildScan runs once, so a
+      // single query still reads one consistent snapshot
+      case (None, None) => -1L
     }
     new GraftTableRelation(sqlContext, dir, version)
   }
 }
 
 object GraftTableSource {
+  /** The streaming source's schema: the table schema at latest, plus
+    * the CDC columns when `readChangeFeed` is set.
+    */
+  private[sources] def streamSchema(sqlContext: SQLContext,
+                                    parameters: Map[String, String]): StructType = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: the 'path' option is required"))
+    val base = TableLog.schemaAt(sqlContext.sparkSession, dir, -1L)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      base.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    else base
+  }
+
   /** `timestampAsOf` accepts epoch millis or `yyyy-MM-dd HH:mm:ss[.f…]`
     * (the Delta option's shape).
     */
@@ -126,6 +200,9 @@ private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
 
   private def spark = sqlContext.sparkSession
 
+  // the schema is fixed at relation creation (the V1 contract); an
+  // unpinned relation reading latest surfaces a later column RENAME as
+  // a loud resolution error rather than silently stale data
   override val schema: StructType = TableLog.schemaAt(spark, dir, version)
 
   /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE` against a

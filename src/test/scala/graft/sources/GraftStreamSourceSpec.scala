@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.TableLog
+
+/** `spark.readStream.format("graft")` — commit versions as offsets:
+  * bounded micro-batches, exactly-once across restarts via the
+  * checkpointed offset, loud refusal of row-changing commits in
+  * append-only mode, full CDC via readChangeFeed, startingVersion
+  * bootstrap.
+  */
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("streaming source: appends arrive as per-version micro-batches, restart resumes exactly-once") {
+    val base = tmpDir("gss")
+    val dir = s"$base/t"
+    (1 to 3).foreach { i =>
+      TableLog.append(spark, dir,
+        ((i * 10L) until (i * 10L + 10L)).map(k => (k, s"b$i")).toDF("k", "tag"))
+    }
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          seen(id) = b.collect().map(_.getLong(0)).toSeq.sorted
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(seen.size == 3, s"one version per micro-batch (rate limit): ${seen.keys}")
+    assert(seen.values.flatten.toSeq.sorted == (10L until 40L),
+      "every appended row exactly once")
+    // restart with the same checkpoint: only the new commit arrives
+    TableLog.append(spark, dir, Seq((99L, "late")).toDF("k", "tag"))
+    val before = seen.values.flatten.size
+    run()
+    assert(seen.values.flatten.toSeq.sorted == ((10L until 40L) :+ 99L).sorted,
+      "restart must deliver only the new commit")
+    assert(seen.values.flatten.size == before + 1)
+  }
+
+  test("streaming source: append-only mode refuses row-changing commits; CDF mode streams them") {
+    val base = tmpDir("gss_cdf")
+    val dir = s"$base/t"
+    TableLog.append(spark, dir, (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    TableLog.deleteWhere(spark, dir, col("k") === 5L, mode = "dv")   // v2: row-changing
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.option("checkpointLocation", s"$base/ckpt_ap")
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("append-only")), s"got $e")
+    // CDF mode represents the delete honestly
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q2 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt_cdf")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows ++= b.collect().map(r => (r.getLong(0),
+          r.getString(r.fieldIndex("_change_type")),
+          r.getLong(r.fieldIndex("_commit_version"))))
+        ()
+      }
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(rows.count(_._2 == "insert") == 20 && rows.toSeq.contains((5L, "delete", 2L)),
+      s"CDF must carry the delete: $rows")
+    // ignoreChanges: the caller accepts insert-arm-only semantics
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q3 = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt_ic")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        kept ++= b.collect().map(_.getLong(0)); ()
+      }
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    assert(kept.sorted == (1L to 20L), s"ignoreChanges keeps the insert arms: $kept")
+  }
+
+  test("streaming source: startingVersion bootstrap; compaction passes the append-only check") {
+    val base = tmpDir("gss_sv")
+    val dir = s"$base/t"
+    TableLog.append(spark, dir, (1L to 50L).map(k => (k, s"p$k")).toDF("k", "s")) // v1
+    TableLog.append(spark, dir, Seq((100L, "x")).toDF("k", "s"))                  // v2
+    TableLog.compactSmallFiles(spark, dir, minFileMB = 1024, targetFileMB = 1024) // v3: rows-preserving
+    TableLog.append(spark, dir, Seq((200L, "y")).toDF("k", "s"))                  // v4
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.collect().map(_.getLong(0)); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.sorted == Seq(100L, 200L),
+      s"startingVersion=1 skips v1's snapshot; compaction emits nothing: $got")
+  }
+
+  test("streaming sink: micro-batches land as exactly-once commits; keys upsert; source→sink composes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmpDir("gsk")
+    val dir = s"$base/t"
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L)
+    val q = ms.toDF().toDF("k")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("statsCols", "k")
+      .start(dir)
+    q.processAllAvailable()
+    ms.addData(4L, 5L)
+    q.processAllAvailable(); q.stop()
+    assert(TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L), "both micro-batches must land")
+    assert(TableLog.history(spark, dir).flatMap(_.txn).map(_._2).sorted == Seq(0L, 1L),
+      "each batch carries its marker")
+    // replaying an already-committed batchId is a no-op (the Once contract)
+    val vBefore = TableLog.currentVersion(spark, dir)
+    new GraftStreamSink(spark.sqlContext, dir, Nil, "graft-sink", Seq("k"))
+      .addBatch(1L, Seq(99L).toDF("k"))
+    assert(TableLog.currentVersion(spark, dir) == vBefore,
+      "a replayed batch must find its marker and skip")
+    // keyed mode: overlapping batches upsert last-wins via mergeIntoOnce
+    val dir2 = s"$base/t2"
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((1L, "a"), (2L, "b"))
+    val q2 = ms2.toDF().toDF("k", "s")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .option("keys", "k").option("statsCols", "k")
+      .start(dir2)
+    q2.processAllAvailable()
+    ms2.addData((2L, "B"), (3L, "c"))
+    q2.processAllAvailable(); q2.stop()
+    assert(TableLog.readAt(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")), "keyed batches must merge last-wins")
+    // the full loop: graft source → graft sink mirrors a table continuously
+    val mirror = s"$base/mirror"
+    val q3 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt3")
+      .option("statsCols", "k")
+      .start(mirror)
+    q3.processAllAvailable(); q3.stop()
+    assert(TableLog.readAt(spark, mirror).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L), "source→sink must mirror the table exactly")
+  }
+}

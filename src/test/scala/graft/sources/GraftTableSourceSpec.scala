@@ -127,6 +127,27 @@ class GraftTableSourceSpec extends SparkSpec {
     spark.sql("DROP VIEW tlog_sql")
   }
 
+  test("unpinned view reads LATEST at query time; pinned stays pinned; mergeSchema evolves") {
+    val dir = tmpDir("gts_latest")
+    Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tlive USING graft OPTIONS (path '$dir')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tpin USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    assert(spark.table("tlive").count() == 1L)
+    Seq((2L, "b")).toDF("k", "s").write.format("graft").mode("append").save(dir)
+    assert(spark.table("tlive").count() == 2L,
+      "an unpinned view must see new commits (Delta behavior)")
+    assert(spark.table("tpin").count() == 1L, "a pinned view stays pinned")
+    // mergeSchema: the write path reaches the append evolution arm
+    Seq((3L, "c", 9.9)).toDF("k", "s", "score").write.format("graft")
+      .mode("append").option("mergeSchema", "true").save(dir)
+    val cols = spark.read.format("graft").load(dir).columns.toSeq
+    assert(cols == Seq("k", "s", "score"))
+    assert(spark.table("tlive").columns.toSeq == Seq("k", "s"),
+      "a view created before the evolution keeps its declared schema")
+    spark.sql("DROP VIEW tlive"); spark.sql("DROP VIEW tpin")
+  }
+
   test("INSERT INTO … USING graft view lands transactional commits") {
     val dir = tmpDir("gts_insert")
     Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)   // v1
