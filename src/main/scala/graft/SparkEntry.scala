@@ -102,6 +102,17 @@ object SparkEntry {
   private val tableLogCowPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged shallow clone (q_table_log_clone): fork the CoW fixture at
+    * version 2 (post-delete) as a ZERO-COPY clone — the clone commit
+    * references the source's files absolutely, no data moves — then
+    * merge-on-read-delete a second price band ON THE CLONE, recording
+    * deletion vectors against the INHERITED files. The read must equal
+    * DuckDB's double-filtered lineitem; the source fixture is untouched
+    * (its own queries keep oracle-matching in the same run).
+    */
+  private val tableLogClonePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def cowBase(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast("double").as("price"))
@@ -1818,6 +1829,35 @@ object SparkEntry {
     // contents must equal the original projection exactly
     "q_table_log_restore" -> ((s, d) => {
       TableLog.readAt(s, cowFixture(s, d), version = 5L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // COPY INTO: idempotent file ingest — the same glob runs TWICE and
+    // the second pass loads zero files (the ledger in the commit
+    // manifests skips them), so the table holds nation exactly once
+    "q_copy_into" -> ((s, d) => {
+      val p = stageDir("tlogcopy", d)
+      TableLog.copyInto(s, p, s"$d/nation.parquet")
+      val again = TableLog.copyInto(s, p, s"$d/nation.parquet")
+      require(again.loadedFiles == 0,
+        "copyInto re-run must load nothing (idempotence)")
+      TableLog.readAt(s, p).orderBy(col("n_nationkey"))
+    }),
+
+    // SHALLOW CLONE: fork the CoW fixture's version 2 (post-delete)
+    // zero-copy — the clone commit points at the source's immutable
+    // files — then dv-delete a SECOND price band on the clone, keyed
+    // against the inherited files. Read = both bands gone; the source
+    // fixture stays untouched for its own queries in the same run.
+    "q_table_log_clone" -> ((s, d) => {
+      val dir = tableLogClonePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogclone", d)
+        TableLog.cloneShallow(s, cowFixture(s, d), p, version = 2L)
+        TableLog.deleteWhere(s, p, col("price").between(30000.0, 40000.0),
+          mode = "dv")
+        p
+      })
+      TableLog.readAt(s, dir)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -4689,6 +4729,19 @@ object SparkEntry {
     "q_table_log_restore" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // ingested exactly once despite the double run
+    "q_copy_into" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+
+    // the clone forked v2 (first band already deleted), then dv-deleted
+    // a second band against the inherited files
+    "q_table_log_clone" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)
+        |  AND NOT (l_extendedprice::DOUBLE BETWEEN 30000.0 AND 40000.0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // state after the CoW DELETE commit (rows where the predicate was

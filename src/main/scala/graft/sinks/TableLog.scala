@@ -98,11 +98,28 @@ object TableLog {
     * reads the removed side MINUS its old dv and the added side MINUS
     * its new dv, so already-deleted rows never re-emit as deletes.
     */
+  /** `constraints` is the table's full CHECK-constraint set (name →
+    * SQL expression), carried IN FULL on every commit like the schema:
+    * resolving the active set at any version is ONE manifest parse,
+    * never a fold. Rows failing a constraint refuse at write time
+    * (NULL passes — SQL CHECK semantics); [[addCheckConstraint]]
+    * validates existing data before the set grows.
+    */
+  /** `copyFiles` is the fully-qualified SOURCE files a [[copyInto]]
+    * commit ingested — the idempotence ledger: a re-listed source file
+    * whose path is already recorded anywhere in history is skipped, so
+    * re-running the same COPY INTO converges instead of duplicating.
+    * Checkpoints carry the cumulative set ([[ingestedFilesAt]] folds
+    * from the nearest one), keeping resolution O(commits since
+    * checkpoint) however long the ingest history grows.
+    */
   final case class Commit(version: Long, parent: Long, op: String,
                           schemaJson: String, add: Seq[AddFile], remove: Seq[String],
                           txn: Option[(String, Long)] = None,
                           ts: Long = 0L,
-                          removeDv: Map[String, Seq[Long]] = Map.empty)
+                          removeDv: Map[String, Seq[Long]] = Map.empty,
+                          constraints: Map[String, String] = Map.empty,
+                          copyFiles: Seq[String] = Nil)
 
   /** Injectable clock — tests pin commit timestamps (and clock skew)
     * deterministically; production leaves the default.
@@ -350,10 +367,10 @@ object TableLog {
       "TableLog.deleteWhere(dv): columns named _dv_rel/_dv_pos collide with " +
         "the position scan's working columns — rename them")
     val scan = spark.read.schema(schema)
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+      .parquet(touched.map(f => dataFilePath(dir, f.path)): _*)
       .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
-    val existing = touched.flatMap(e => e.dv.map(p => Row(e.path, p)))
+    val existing = touched.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p)))
     val live =
       if (existing.isEmpty) scan
       else scan.join(broadcast(spark.createDataFrame(existing.asJava,
@@ -370,9 +387,9 @@ object TableLog {
         "use mode=cow for bulk deletes (or raise maxDvRows deliberately)")
     val newDv = hits.map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
-    val changed = touched.filter(f => newDv.contains(f.path))
+    val changed = touched.filter(f => newDv.contains(dvKey(f.path)))
     commitManifest(spark, dir, "delete", schemaJson,
-      adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(f.path)).sorted)),
+      adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(dvKey(f.path))).sorted)),
       removeEntries = changed, expectedParent = base, txn = txn)
   }
 
@@ -648,6 +665,33 @@ object TableLog {
     concat_ws("/", element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
   }
 
+  /** A manifest entry referencing a file OUTSIDE the table directory —
+    * what a [[cloneShallow]] commit records: an absolute path (or full
+    * URI) into the SOURCE table's data directory. Everything else in
+    * the log stays table-relative.
+    */
+  private[sinks] def isAbsEntry(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+
+  /** Resolve a manifest entry to a readable path string: relative
+    * entries join under the table dir, absolute clone entries stand
+    * alone. (The Hadoop-`Path` sites need no equivalent — `new
+    * Path(base, child)` already resolves an absolute child by itself.)
+    */
+  private def dataFilePath(dir: String, p: String): String =
+    if (isAbsEntry(p)) p else s"$dir/$p"
+
+  /** The deletion-vector JOIN KEY of a manifest path — its last three
+    * segments, the same positional form [[dvRelPath]] recovers from a
+    * scanned file's URI. For a table-relative entry this IS the entry
+    * (`data/(attempt)/(part)`); for a clone's absolute entry it strips
+    * the source-dir prefix, so vectors on inherited files key
+    * consistently with the scan side. Unambiguous within a snapshot:
+    * part file names carry a per-write UUID.
+    */
+  private[sinks] def dvKey(p: String): String =
+    p.split('/').filter(_.nonEmpty).takeRight(3).mkString("/")
+
   /** Shared CoW skeleton: resolve the touch set from manifest stats,
     * hand the touched rows to `rewrite`, commit the rewrite as
     * remove(touched) + add(new files) pinned to the version read.
@@ -783,6 +827,214 @@ object TableLog {
       expectedParent = base, txn = None)
   }
 
+  /** `CREATE TABLE … SHALLOW CLONE src [VERSION AS OF v]` — a ZERO-COPY
+    * fork: `dstDir` gets a single `clone` commit whose adds are the
+    * source snapshot's entries (stats and deletion vectors VERBATIM)
+    * with each path rewritten to a fully-qualified reference into the
+    * SOURCE's data directory — no data is read, copied or written,
+    * however large the table. From then on the two tables are
+    * independent: new commits on either side write under their own
+    * directory (a CoW rewrite or compaction on the clone replaces
+    * inherited references with clone-local files — the clone
+    * self-contains over its maintenance cadence), dv point-deletes on
+    * inherited files key by [[dvKey]] so erasure works on day one, and
+    * `vacuum` on the clone only ever deletes under the clone's own
+    * data root, so it can never reclaim source bytes. The one shared
+    * fate is Delta's own caveat, stated loudly here: `vacuum` on the
+    * SOURCE does not know about clone references — run the clone's
+    * `compactTable` (self-containing) before vacuuming a source whose
+    * clones must outlive it. The instant-environment branch every
+    * test/dev workflow needs on a 100 TB table, for the price of one
+    * manifest rename.
+    */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Long = -1L): Long = {
+    require(currentVersion(spark, dstDir) == 0L,
+      s"TableLog.cloneShallow: $dstDir already has committed versions — " +
+        "clone targets a fresh table directory")
+    val (schemaJson, files) = resolve(spark, srcDir, version, "cloneShallow")
+    val srcPath = new Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcQualified = fs.makeQualified(srcPath).toString
+    val adds = files.map(f => f.copy(path =
+      if (isAbsEntry(f.path)) f.path else s"$srcQualified/${f.path}"))
+    // the fork inherits the source's CHECK constraints: data valid
+    // there is valid here, and a clone used as a dev branch should
+    // refuse the same garbage production refuses
+    val resolvedSrc =
+      if (version == -1L) currentVersion(spark, srcDir) else version
+    commitManifest(spark, dstDir, "clone", schemaJson, adds,
+      removeEntries = Nil, expectedParent = 0L, txn = None,
+      constraintsOverride = Some(constraintsAt(spark, srcDir, resolvedSrc)))
+  }
+
+  // ----------------------------------------------------- CHECK constraints
+
+  /** The active CHECK-constraint set at `version` (-1 = latest): name →
+    * SQL expression. One manifest parse — the full set rides every
+    * commit, like the schema.
+    */
+  def constraintsAt(spark: SparkSession, dir: String,
+                    version: Long = -1L): Map[String, String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version == -1L) currentVersion(spark, dir) else version
+    if (v <= 0L) Map.empty
+    else {
+      require(commitVersions(fs, base).contains(v),
+        s"TableLog.constraintsAt: version $v of $dir does not exist")
+      parseCommit(readText(fs, commitPath(base, v))).constraints
+    }
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: validates the
+    * EXISTING table first (Delta's rule — a constraint that the current
+    * data violates must not land; the check is one stats-prunable scan
+    * with an early-exit limit), then commits the grown set as a
+    * manifest-only `constraint` commit. From that version on, every
+    * data-bearing commit evaluates the expression INLINE in its write
+    * pass ([[enforceConstraints]] — a codegen'd filter, no second scan)
+    * and refuses the whole commit on the first violating row. NULL
+    * passes (SQL CHECK semantics). Constraint commits never auto-rebase
+    * and block others' rebases across them — an append racing an ADD
+    * CONSTRAINT cannot land unvalidated rows behind it.
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+                         exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr, lit, not}
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"TableLog.addCheckConstraint: invalid constraint name '$name'")
+    val base = currentVersion(spark, dir)
+    require(base > 0L,
+      s"TableLog.addCheckConstraint: $dir has no committed versions")
+    val existing = constraintsAt(spark, dir, base)
+    require(!existing.contains(name),
+      s"TableLog.addCheckConstraint: constraint '$name' already exists " +
+        s"(${existing(name)}) — drop it first")
+    val (schemaJson, _) = {
+      val basePath = new Path(dir)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotAt(spark, fs, basePath, base)
+    }
+    // existing data must satisfy the constraint (NULL passes) — refuse
+    // loudly with a witness row, pinned to the version that was checked
+    val violations = readAt(spark, dir, base)
+      .filter(not(fnCoalesce(expr(exprSql), lit(true))))
+      .limit(1).collect()
+    require(violations.isEmpty,
+      s"TableLog.addCheckConstraint: existing data violates '$name' " +
+        s"($exprSql) — e.g. ${violations.headOption.getOrElse("")}")
+    commitManifest(spark, dir, "constraint", schemaJson, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      constraintsOverride = Some(existing + (name -> exprSql)))
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT` — manifest-only; historical
+    * versions keep the set they were committed under.
+    */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+                          name: String): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L,
+      s"TableLog.dropCheckConstraint: $dir has no committed versions")
+    val existing = constraintsAt(spark, dir, base)
+    require(existing.contains(name),
+      s"TableLog.dropCheckConstraint: no constraint named '$name' " +
+        s"(have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+    val (schemaJson, _) = {
+      val basePath = new Path(dir)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotAt(spark, fs, basePath, base)
+    }
+    commitManifest(spark, dir, "constraint", schemaJson, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      constraintsOverride = Some(existing - name))
+  }
+
+  final case class CopyIntoReport(version: Option[Long], loadedFiles: Int,
+                                  skippedFiles: Int, loadedRows: Long)
+
+  /** `COPY INTO table FROM 'glob'` — IDEMPOTENT file ingest: list the
+    * source glob, skip every file already recorded in the table's
+    * ingest ledger (each `copyinto` commit carries the fully-qualified
+    * source paths it loaded; checkpoints fold the cumulative set, so
+    * the skip check is O(commits since checkpoint) + one listing), read
+    * ONLY the new files through the given format/options, and land
+    * them as one transactional commit. Re-running after a crash, a
+    * partial upstream drop, or on a cron converges: files load exactly
+    * once however often the command runs — the reference's
+    * raw-landing-with-replay ingest loop (api_connector.py:145,
+    * csv_loader.py) as one table-log primitive. A first run on an
+    * empty table bootstraps its schema from the files; later runs must
+    * match the table schema (same rule as append). CHECK constraints
+    * apply inline like any other write. Concurrent copyInto commits
+    * stay LOUD on conflict — the caller re-runs and the ledger makes
+    * the retry exact, which is the safe default for ingest.
+    */
+  def copyInto(spark: SparkSession, dir: String, sourceGlob: String,
+               format: String = "parquet",
+               options: Map[String, String] = Map.empty,
+               statsCols: Seq[String] = Nil): CopyIntoReport = {
+    val srcPath = new Path(sourceGlob)
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Option(srcFs.globStatus(srcPath)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(s => srcFs.makeQualified(s.getPath).toString).sorted
+    require(listed.nonEmpty,
+      s"TableLog.copyInto: no files match '$sourceGlob' — an empty ingest " +
+        "is almost always a wrong glob; point at the files explicitly")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = currentVersion(spark, dir)
+    val already =
+      if (parent <= 0L) Set.empty[String] else ingestedFilesAt(fs, base, parent)
+    val fresh = listed.filterNot(already)
+    if (fresh.isEmpty)
+      return CopyIntoReport(None, 0, listed.length, 0L)
+    var reader = spark.read.format(format).options(options)
+    if (parent > 0L) reader = reader.schema(schemaAt(spark, dir, parent))
+    val batch = reader.load(fresh: _*)
+    val v = commit(spark, dir, batch, "copyinto", statsCols,
+      expectedParent = Some(parent), txn = None, copyFiles = fresh)
+    // the row count comes from the committed manifest's footer-harvested
+    // entries — never a second scan of the source
+    val rows = parseCommit(readText(fs, commitPath(base, v))).add.map(_.rows).sum
+    CopyIntoReport(Some(v), fresh.length, listed.length - fresh.length, rows)
+  }
+
+  /** Wrap a batch in the table's CHECK constraints as INLINE filters:
+    * each row evaluates every constraint inside the same write pass
+    * (whole-stage codegen — no second scan of the batch), a violating
+    * row raises with the constraint name and the row's JSON, and a
+    * passing batch flows through bit-identical (the filter keeps every
+    * row: `when(violated, raise) otherwise true`). NULL constraint
+    * results PASS — SQL CHECK semantics, the same rule the
+    * existing-data validation in [[addCheckConstraint]] applies.
+    */
+  private def enforceConstraints(df: DataFrame,
+                                 cks: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, concat, expr, lit, not, raise_error, struct, to_json, when}
+    if (cks.isEmpty) df
+    else cks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      // Dataset ops analyze eagerly — an overwrite whose new schema
+      // dropped a constrained column must fail HERE with the
+      // constraint named, not with a bare unresolved-column error
+      try d.filter(
+        when(not(fnCoalesce(expr(sql), lit(true))),
+          raise_error(concat(
+            lit(s"TableLog: CHECK constraint '$name' ($sql) violated by row "),
+            to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean"))
+          .otherwise(lit(true)))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"TableLog: CHECK constraint '$name' ($sql) cannot be evaluated " +
+              s"against this commit's schema (${d.schema.simpleString}) — " +
+              "drop or redefine the constraint before changing the schema", e)
+      }
+    }
+  }
+
   /** Manifest-only commit (no data written) — the zero-copy primitive
     * behind [[restore]] and the dv [[deleteWhere]]. Same
     * CAS/classification/auto-rebase discipline as the data-bearing path
@@ -794,11 +1046,12 @@ object TableLog {
   private def commitManifest(spark: SparkSession, dir: String, op: String,
                              schemaJson: String, adds: Seq[AddFile],
                              removeEntries: Seq[AddFile], expectedParent: Long,
-                             txn: Option[(String, Long)]): Long =
+                             txn: Option[(String, Long)],
+                             constraintsOverride: Option[Map[String, String]] = None): Long =
     publishCommit(spark, dir, op, schemaJson, adds, removeEntries,
       expectedParent, txn,
       rebaseEligible = op == "delete" || op == "restore" || op == "txn",
-      conflictCleanup = None)
+      conflictCleanup = None, constraintsOverride = constraintsOverride)
 
   /** Marker-only commit: record an `(appId, batchId)` txn marker with
     * NO data change — the exactly-once primitive for a streaming sink
@@ -914,7 +1167,8 @@ object TableLog {
     val target = checkpointPath(base, latest)
     if (fs.exists(target)) return latest
     val (schemaJson, live) = snapshotAt(spark, fs, base, latest)
-    val body = renderCheckpoint(latest, schemaJson, live, txnsAt(fs, base, latest))
+    val body = renderCheckpoint(latest, schemaJson, live, txnsAt(fs, base, latest),
+      ingestedFilesAt(fs, base, latest))
     val tmp = new Path(base, s"_log/.tmp_ckpt_$latest")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -956,13 +1210,33 @@ object TableLog {
       }
   }
 
+  /** The cumulative [[copyInto]] ingest ledger folded up to `version`:
+    * seeded from the nearest checkpoint's `copyfiles` set, then only
+    * the commits after it — the [[txnsAt]] discipline, so resolution
+    * stays O(commits since checkpoint) across years of ingest.
+    */
+  private def ingestedFilesAt(fs: FileSystem, base: Path,
+                              version: Long): Set[String] = {
+    val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
+      .map(cv => cv -> parseCheckpointCopyFiles(readText(fs, checkpointPath(base, cv))))
+    val (from, init) = ckpt match {
+      case Some((cv, Some(s))) => (cv, s)
+      case _ => (0L, Set.empty[String])
+    }
+    commitVersions(fs, base).filter(v => v > from && v <= version)
+      .foldLeft(init) { (s, v) =>
+        s ++ parseCommit(readText(fs, commitPath(base, v))).copyFiles
+      }
+  }
+
   private def commit(spark: SparkSession, dir: String, df: DataFrame, op: String,
                      statsCols: Seq[String], expectedParent: Option[Long],
                      txn: Option[(String, Long)],
                      explicitRemoves: Option[Seq[AddFile]] = None,
                      schemaOverride: Option[String] = None,
                      writeOptions: Map[String, String] = Map.empty,
-                     readBounds: Seq[(String, Any, Any)] = Nil): Long = {
+                     readBounds: Seq[(String, Any, Any)] = Nil,
+                     copyFiles: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -971,22 +1245,25 @@ object TableLog {
     val parent = expectedParent.getOrElse(commitVers.lastOption.getOrElse(0L))
     require(parent == 0L || commitVers.contains(parent),
       s"TableLog: expectedParent $parent does not exist")
-    if (op == "append" && schemaOverride.isEmpty && parent > 0L) {
+    if ((op == "append" || op == "copyinto") && schemaOverride.isEmpty && parent > 0L) {
       val (pSchema, _) = snapshotAt(spark, fs, base, parent)
       // nullability-insensitive: a parquet round-trip (readAt → compact)
       // widens nullable flags, and a maintenance rewrite must not lock
       // appends out — names and types are the contract
       val parsed = DataType.fromJson(pSchema).asInstanceOf[StructType]
       require(nullableForm(df.schema) == nullableForm(parsed),
-        s"TableLog.append: schema mismatch vs version $parent " +
+        s"TableLog.$op: schema mismatch vs version $parent " +
           s"(${df.schema.simpleString} vs ${parsed.simpleString}) — " +
-          "append requires the current column names/types; use overwrite to change them")
+          s"$op requires the current column names/types; use overwrite to change them")
     }
     // data files land under a per-attempt subdir: uncommitted attempts
     // never collide and vacuum can sweep whole orphan directories
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
     val dataSub = s"data/$attempt"
-    df.write.options(writeOptions).parquet(s"$dir/$dataSub")
+    val cks =
+      if (parent <= 0L) Map.empty[String, String]
+      else parseCommit(readText(fs, commitPath(base, parent))).constraints
+    enforceConstraints(df, cks).write.options(writeOptions).parquet(s"$dir/$dataSub")
     val files = fs.listStatus(new Path(base, dataSub))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     // stats harvesting is footer work too: a 10k-file initial load must
@@ -1026,7 +1303,8 @@ object TableLog {
         (op != "append" || schemaOverride.isEmpty)
     publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
       adds, removeEntries, parent, txn, autoRetryEligible,
-      conflictCleanup = Some(new Path(base, dataSub)), readBounds = readBounds)
+      conflictCleanup = Some(new Path(base, dataSub)), readBounds = readBounds,
+      copyFiles = copyFiles)
   }
 
   /** The shared COMMIT POINT for data-bearing and manifest-only commits:
@@ -1044,7 +1322,9 @@ object TableLog {
                             txn: Option[(String, Long)],
                             rebaseEligible: Boolean,
                             conflictCleanup: Option[Path],
-                            readBounds: Seq[(String, Any, Any)] = Nil): Long = {
+                            readBounds: Seq[(String, Any, Any)] = Nil,
+                            constraintsOverride: Option[Map[String, String]] = None,
+                            copyFiles: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -1064,8 +1344,16 @@ object TableLog {
       // monotonic-clamped commit instant: a wall clock stepping backwards
       // between writers must not reorder TIMESTAMP AS OF history
       val ts = math.max(commitTs(fs, base, parentNow) + 1, clockMs())
+      // the constraint set rides every manifest in full (like the
+      // schema): default is carry-forward from the CURRENT parent —
+      // re-resolved per attempt, so a rebase onto a new head keeps the
+      // head's set (a constraint-CHANGING winner is blocked in
+      // rebaseOk, so carry-forward over the survivors is exact)
+      val cstr = constraintsOverride.getOrElse(
+        if (parentNow <= 0L) Map.empty[String, String]
+        else parseCommit(readText(fs, commitPath(base, parentNow))).constraints)
       val body = renderCommit(Commit(version, parentNow, op,
-        schemaJson, adds, removes, txn, ts, removeDv))
+        schemaJson, adds, removes, txn, ts, removeDv, cstr, copyFiles))
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
@@ -1149,6 +1437,13 @@ object TableLog {
       return false
     val intervening = vers.filter(v => v > oldParent && v <= newBase)
       .map(v => parseCommit(readText(fs, commitPath(base, v))))
+    // a winner that CHANGED the constraint set is a real conflict: this
+    // commit's rows were validated (or not) against the OLD set —
+    // rebasing an append over a concurrent ADD CONSTRAINT would land
+    // unchecked rows behind a constraint that claims the whole table
+    // passed its existing-data validation
+    if (intervening.exists(_.op == "constraint"))
+      return false
     if (readBounds.nonEmpty &&
         intervening.exists(_.add.exists(f => mayOverlap(f, readBounds))))
       return false
@@ -1289,14 +1584,14 @@ object TableLog {
         "vector scan's working columns — rename them")
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(clean.map(f => s"$dir/${f.path}"): _*))
+      else Some(spark.read.schema(schema).parquet(clean.map(f => dataFilePath(dir, f.path)): _*))
     if (dvFiles.isEmpty) return cleanDf.get
     val doomed = spark.createDataFrame(
-      dvFiles.flatMap(e => e.dv.map(p => Row(e.path, p))).asJava,
+      dvFiles.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p))).asJava,
       new StructType()
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val dvDf = spark.read.schema(schema).parquet(dvFiles.map(f => s"$dir/${f.path}"): _*)
+    val dvDf = spark.read.schema(schema).parquet(dvFiles.map(f => dataFilePath(dir, f.path)): _*)
       .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
@@ -2009,18 +2304,29 @@ object TableLog {
       else s""","removedv":{${c.removeDv.toSeq.sortBy(_._1)
         .map { case (p, ps) => s""""${esc(p)}":[${ps.mkString(",")}]""" }
         .mkString(",")}}"""
+    val cks =
+      if (c.constraints.isEmpty) ""
+      else s""","constraints":{${c.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e2) => s""""${esc(n)}":"${esc(e2)}"""" }
+        .mkString(",")}}"""
+    val cf =
+      if (c.copyFiles.isEmpty) ""
+      else s""","copyfiles":[${c.copyFiles.map(p => s""""${esc(p)}"""").mkString(",")}]"""
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
       s""""ts":${c.ts},""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv}"""
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
                                live: Seq[AddFile],
-                               txns: Map[String, Long]): String = {
+                               txns: Map[String, Long],
+                               copyFiles: Set[String]): String = {
     val txnBody = txns.toSeq.sortBy(_._1)
       .map { case (a, b) => s""""${esc(a)}":$b""" }.mkString(",")
+    val cfBody = copyFiles.toSeq.sorted.map(p => s""""${esc(p)}"""").mkString(",")
     s"""{"version":$version,"schema":"${esc(schemaJson)}",""" +
       s""""txns":{$txnBody},""" +
+      s""""copyfiles":[$cfBody],""" +
       s""""live":[${live.map(renderAdd).mkString(",")}]}"""
   }
 
@@ -2065,11 +2371,16 @@ object TableLog {
       rd.properties().asScala.map(e =>
         e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSeq).toMap
     }.getOrElse(Map.empty[String, Seq[Long]])
+    val cks = Option(n.get("constraints")).map { cc =>
+      cc.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val cf = Option(n.get("copyfiles"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
       removes, txn,
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
-      removeDv = removeDv)
+      removeDv = removeDv, constraints = cks, copyFiles = cf)
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
@@ -2085,5 +2396,16 @@ object TableLog {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     Option(n.get("txns")).map(t =>
       t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+
+  /** `None` for a legacy checkpoint without the `copyfiles` field —
+    * the caller folds the ingest ledger from the full log (the next
+    * checkpoint written repairs the format).
+    */
+  private def parseCheckpointCopyFiles(txt: String): Option[Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    Option(n.get("copyfiles"))
+      .map(_.elements().asScala.map(_.asText()).toSet)
   }
 }
