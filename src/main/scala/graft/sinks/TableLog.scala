@@ -119,7 +119,8 @@ object TableLog {
                           ts: Long = 0L,
                           removeDv: Map[String, Seq[Long]] = Map.empty,
                           constraints: Map[String, String] = Map.empty,
-                          copyFiles: Seq[String] = Nil)
+                          copyFiles: Seq[String] = Nil,
+                          properties: Map[String, String] = Map.empty)
 
   /** Injectable clock — tests pin commit timestamps (and clock skew)
     * deterministically; production leaves the default.
@@ -858,14 +859,16 @@ object TableLog {
     val srcQualified = fs.makeQualified(srcPath).toString
     val adds = files.map(f => f.copy(path =
       if (isAbsEntry(f.path)) f.path else s"$srcQualified/${f.path}"))
-    // the fork inherits the source's CHECK constraints: data valid
-    // there is valid here, and a clone used as a dev branch should
-    // refuse the same garbage production refuses
+    // the fork inherits the source's CHECK constraints and table
+    // properties: data valid there is valid here, a clone used as a
+    // dev branch should refuse the same garbage production refuses,
+    // and its maintenance knobs start from the source's
     val resolvedSrc =
       if (version == -1L) currentVersion(spark, srcDir) else version
     commitManifest(spark, dstDir, "clone", schemaJson, adds,
       removeEntries = Nil, expectedParent = 0L, txn = None,
-      constraintsOverride = Some(constraintsAt(spark, srcDir, resolvedSrc)))
+      constraintsOverride = Some(constraintsAt(spark, srcDir, resolvedSrc)),
+      propertiesOverride = Some(tablePropertiesAt(spark, srcDir, resolvedSrc)))
   }
 
   // ----------------------------------------------------- CHECK constraints
@@ -950,6 +953,129 @@ object TableLog {
     commitManifest(spark, dir, "constraint", schemaJson, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None,
       constraintsOverride = Some(existing - name))
+  }
+
+  // ------------------------------------------------------ table properties
+
+  /** The table's key→value properties at `version` (-1 = latest) —
+    * `TBLPROPERTIES`: free-form configuration that rides every
+    * manifest in full (one parse to resolve, the constraint/schema
+    * discipline). `graft.`-prefixed keys configure maintenance
+    * ([[maintainAuto]]); everything else is the owner's to interpret.
+    */
+  def tablePropertiesAt(spark: SparkSession, dir: String,
+                        version: Long = -1L): Map[String, String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version == -1L) currentVersion(spark, dir) else version
+    if (v <= 0L) Map.empty
+    else {
+      require(commitVersions(fs, base).contains(v),
+        s"TableLog.tablePropertiesAt: version $v of $dir does not exist")
+      parseCommit(readText(fs, commitPath(base, v))).properties
+    }
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — merge `props` into the current
+    * set as a manifest-only `properties` commit. Racing writers stay
+    * loud (properties changes are rare and deliberate); a concurrent
+    * APPEND rebasing over this commit carries the new values forward.
+    */
+  def setTableProperties(spark: SparkSession, dir: String,
+                         props: Map[String, String]): Long = {
+    require(props.nonEmpty, "TableLog.setTableProperties: empty property map")
+    val base = currentVersion(spark, dir)
+    require(base > 0L,
+      s"TableLog.setTableProperties: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    commitManifest(spark, dir, "properties", schemaJson, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      propertiesOverride = Some(tablePropertiesAt(spark, dir, base) ++ props))
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — unknown keys are a loud
+    * error (silently "unsetting" a typo hides a config that stays
+    * live).
+    */
+  def unsetTableProperties(spark: SparkSession, dir: String,
+                           keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "TableLog.unsetTableProperties: no keys given")
+    val base = currentVersion(spark, dir)
+    require(base > 0L,
+      s"TableLog.unsetTableProperties: $dir has no committed versions")
+    val existing = tablePropertiesAt(spark, dir, base)
+    val missing = keys.filterNot(existing.contains)
+    require(missing.isEmpty,
+      s"TableLog.unsetTableProperties: not set: ${missing.mkString(", ")}")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    commitManifest(spark, dir, "properties", schemaJson, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      propertiesOverride = Some(existing -- keys))
+  }
+
+  /** [[maintain]] with every knob resolved from TABLE PROPERTIES
+    * (`graft.compact.minFileMB`, `graft.compact.targetFileMB`,
+    * `graft.compact.minSmallFiles`, `graft.retain.keepVersions`,
+    * `graft.retain.ms`, `graft.stats.cols` — comma-separated), falling
+    * back to [[maintain]]'s defaults: the cron job calls ONE method per
+    * table and each table's owner tunes retention/layout by setting
+    * properties, not by editing the scheduler.
+    */
+  def maintainAuto(spark: SparkSession, dir: String): MaintenanceReport = {
+    val p = tablePropertiesAt(spark, dir)
+    def i(k: String, dflt: Int): Int = p.get(k).map(_.trim.toInt).getOrElse(dflt)
+    maintain(spark, dir,
+      minFileMB = i("graft.compact.minFileMB", 32),
+      targetFileMB = i("graft.compact.targetFileMB", 128),
+      minSmallFiles = i("graft.compact.minSmallFiles", 2),
+      keepVersions = i("graft.retain.keepVersions", 2),
+      retainMs = p.get("graft.retain.ms").map(_.trim.toLong),
+      statsCols = p.get("graft.stats.cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** `DESCRIBE DETAIL` — one row summarizing the table at `version`
+    * (-1 = latest): version + commit instant, live file/row/dv counts,
+    * total bytes (per-file statuses fetched through the distributed
+    * footer path above [[DistributeFileOpsThreshold]] — the driver
+    * never serially stats 10⁵ files), the constraint/property sets as
+    * JSON, the ingest-ledger size, the newest checkpoint at-or-below,
+    * and the earliest readable (vacuum watermark) version.
+    */
+  def describeDetail(spark: SparkSession, dir: String,
+                     version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version == -1L) currentVersion(spark, dir) else version
+    val (_, files) = resolve(spark, dir, v, "describeDetail")
+    val sizes = mapOverFooters(spark, base, files.map(_.path),
+      DistributeFileOpsThreshold)((c, p) =>
+      p.getFileSystem(c).getFileStatus(p).getLen)
+    val dvRows = files.map(_.dv.length.toLong).sum
+    def js(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v2) =>
+        s""""${esc(k)}":"${esc(v2)}"""" }.mkString("{", ",", "}")
+    val row = Row(v, new java.sql.Timestamp(commitTs(fs, base, v)),
+      files.length, sizes.sum, files.map(_.rows).sum - dvRows, dvRows,
+      js(constraintsAt(spark, dir, v)), js(tablePropertiesAt(spark, dir, v)),
+      ingestedFilesAt(fs, base, v).size,
+      checkpointVersions(fs, base).filter(_ <= v).lastOption.getOrElse(0L),
+      math.max(1L, vacuumWatermark(fs, base)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      new StructType()
+        .add("version", LongType).add("committed_at", TimestampType)
+        .add("num_files", IntegerType).add("size_bytes", LongType)
+        .add("live_rows", LongType).add("dv_rows", LongType)
+        .add("constraints", StringType).add("properties", StringType)
+        .add("ingested_files", IntegerType)
+        .add("checkpoint_version", LongType)
+        .add("earliest_readable_version", LongType))
   }
 
   final case class CopyIntoReport(version: Option[Long], loadedFiles: Int,
@@ -1047,11 +1173,13 @@ object TableLog {
                              schemaJson: String, adds: Seq[AddFile],
                              removeEntries: Seq[AddFile], expectedParent: Long,
                              txn: Option[(String, Long)],
-                             constraintsOverride: Option[Map[String, String]] = None): Long =
+                             constraintsOverride: Option[Map[String, String]] = None,
+                             propertiesOverride: Option[Map[String, String]] = None): Long =
     publishCommit(spark, dir, op, schemaJson, adds, removeEntries,
       expectedParent, txn,
       rebaseEligible = op == "delete" || op == "restore" || op == "txn",
-      conflictCleanup = None, constraintsOverride = constraintsOverride)
+      conflictCleanup = None, constraintsOverride = constraintsOverride,
+      propertiesOverride = propertiesOverride)
 
   /** Marker-only commit: record an `(appId, batchId)` txn marker with
     * NO data change — the exactly-once primitive for a streaming sink
@@ -1324,7 +1452,8 @@ object TableLog {
                             conflictCleanup: Option[Path],
                             readBounds: Seq[(String, Any, Any)] = Nil,
                             constraintsOverride: Option[Map[String, String]] = None,
-                            copyFiles: Seq[String] = Nil): Long = {
+                            copyFiles: Seq[String] = Nil,
+                            propertiesOverride: Option[Map[String, String]] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -1344,16 +1473,21 @@ object TableLog {
       // monotonic-clamped commit instant: a wall clock stepping backwards
       // between writers must not reorder TIMESTAMP AS OF history
       val ts = math.max(commitTs(fs, base, parentNow) + 1, clockMs())
-      // the constraint set rides every manifest in full (like the
-      // schema): default is carry-forward from the CURRENT parent —
+      // constraint + property sets ride every manifest in full (like
+      // the schema): default is carry-forward from the CURRENT parent —
       // re-resolved per attempt, so a rebase onto a new head keeps the
-      // head's set (a constraint-CHANGING winner is blocked in
-      // rebaseOk, so carry-forward over the survivors is exact)
+      // head's sets (a constraint-CHANGING winner is blocked in
+      // rebaseOk; a property change commutes, and carry-forward picks
+      // the head's values exactly)
+      val parentCommit =
+        if (parentNow <= 0L) None
+        else Some(parseCommit(readText(fs, commitPath(base, parentNow))))
       val cstr = constraintsOverride.getOrElse(
-        if (parentNow <= 0L) Map.empty[String, String]
-        else parseCommit(readText(fs, commitPath(base, parentNow))).constraints)
+        parentCommit.fold(Map.empty[String, String])(_.constraints))
+      val props = propertiesOverride.getOrElse(
+        parentCommit.fold(Map.empty[String, String])(_.properties))
       val body = renderCommit(Commit(version, parentNow, op,
-        schemaJson, adds, removes, txn, ts, removeDv, cstr, copyFiles))
+        schemaJson, adds, removes, txn, ts, removeDv, cstr, copyFiles, props))
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
@@ -2312,9 +2446,14 @@ object TableLog {
     val cf =
       if (c.copyFiles.isEmpty) ""
       else s""","copyfiles":[${c.copyFiles.map(p => s""""${esc(p)}"""").mkString(",")}]"""
+    val props =
+      if (c.properties.isEmpty) ""
+      else s""","properties":{${c.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(",")}}"""
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
       s""""ts":${c.ts},""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf}"""
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
@@ -2376,11 +2515,15 @@ object TableLog {
     }.getOrElse(Map.empty[String, String])
     val cf = Option(n.get("copyfiles"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val props = Option(n.get("properties")).map { pp =>
+      pp.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
       removes, txn,
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
-      removeDv = removeDv, constraints = cks, copyFiles = cf)
+      removeDv = removeDv, constraints = cks, copyFiles = cf,
+      properties = props)
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {

@@ -514,7 +514,8 @@ object ScaleProbe {
     // parse. Both ratios should sit near 1, not 16.
     val tlogProbes = Set("table_log_prune", "table_log_commit",
       "table_log_merge", "table_log_point", "table_log_cdf",
-      "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax")
+      "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax",
+      "table_log_clone")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -682,6 +683,43 @@ object ScaleProbe {
         probeRun("agg_view_minmax") { () => mmRefresh(tl1, avm1) } {
           () => mmRefresh(tl16, avm16)
         }
+      }
+      // shallow clone: one manifest render over the live entries — the
+      // 16× table has 16× MANIFEST LINES but zero data moves, so the
+      // fork must stay in manifest-write time (sub-second), nowhere
+      // near data scale; each timed pass forks into a fresh dir
+      var clTick = 0L
+      def cloneOnce(src: String): Unit = {
+        clTick += 1
+        val dst = s"$StageDir/clone_${clTick}_${src.hashCode.toHexString}"
+        TableLog.cloneShallow(spark, src, dst)
+        ()
+      }
+      probeRun("table_log_clone") { () => cloneOnce(tl1) } { () => cloneOnce(tl16) }
+    }
+
+    // COPY INTO steady state: the glob re-lists 8 vs 128 already-
+    // ingested files and must skip them all — cost is ONE listing plus
+    // the ledger fold (O(commits since checkpoint)), never a data read;
+    // both sides should sit in driver-time, ratio far under linear
+    if (only.isEmpty || only("copy_into_skip")) {
+      import graft.sinks.TableLog
+      def ciStage(name: String, df: DataFrame, nFiles: Int): (String, String) = {
+        val srcP = s"$StageDir/cisrc_$name"
+        val tabP = s"$StageDir/citab_$name"
+        df.select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(nFiles).write.mode("overwrite").parquet(srcP)
+        TableLog.copyInto(spark, tabP, s"$srcP/*.parquet")
+        (srcP, tabP)
+      }
+      val (cs1, ct1) = ciStage("1x", ev1, 8)
+      val (cs16, ct16) = ciStage("16x", ev, 128)
+      def skipRun(srcP: String, tabP: String): Unit = {
+        val r = TableLog.copyInto(spark, tabP, s"$srcP/*.parquet")
+        require(r.loadedFiles == 0, "steady-state copyInto must skip everything")
+      }
+      probeRun("copy_into_skip") { () => skipRun(cs1, ct1) } {
+        () => skipRun(cs16, ct16)
       }
     }
 

@@ -1,0 +1,98 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Table properties (TBLPROPERTIES), property-driven maintenance, and
+  * DESCRIBE DETAIL.
+  */
+class TableLogPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("set/unset lifecycle; the set rides every later commit; version travel") {
+    val dir = tmpDir("props")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    assert(TableLog.tablePropertiesAt(spark, dir).isEmpty)
+    val vSet = TableLog.setTableProperties(spark, dir,
+      Map("owner" -> "ingest-team", "graft.retain.keepVersions" -> "5"))
+    assert(TableLog.history(spark, dir).last.op == "properties")
+    // carried forward by unrelated commits
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    assert(TableLog.tablePropertiesAt(spark, dir) ==
+      Map("owner" -> "ingest-team", "graft.retain.keepVersions" -> "5"))
+    // merge semantics: a second SET only touches its keys
+    TableLog.setTableProperties(spark, dir, Map("owner" -> "core-data"))
+    assert(TableLog.tablePropertiesAt(spark, dir)("owner") == "core-data")
+    assert(TableLog.tablePropertiesAt(spark, dir).contains("graft.retain.keepVersions"))
+    // version travel: the pre-SET version has no properties
+    assert(TableLog.tablePropertiesAt(spark, dir, vSet - 1).isEmpty)
+    // unset: unknown key is loud, known key goes away
+    intercept[IllegalArgumentException] {
+      TableLog.unsetTableProperties(spark, dir, Seq("nope"))
+    }
+    TableLog.unsetTableProperties(spark, dir, Seq("owner"))
+    assert(TableLog.tablePropertiesAt(spark, dir).keySet ==
+      Set("graft.retain.keepVersions"))
+  }
+
+  test("maintainAuto reads its knobs from properties; clone inherits them") {
+    val dir = tmpDir("props_maint")
+    // 6 tiny files, then a property set that FORBIDS compaction from
+    // kicking in (minSmallFiles above the file count) and pins deep
+    // version retention
+    TableLog.append(spark, dir, (1L to 60L).map(k => (k, s"v$k")).toDF("k", "s")
+      .repartition(6))
+    TableLog.setTableProperties(spark, dir, Map(
+      "graft.compact.minSmallFiles" -> "99",
+      "graft.retain.keepVersions" -> "99"))
+    TableLog.append(spark, dir, Seq((61L, "x")).toDF("k", "s"))
+    val rep = TableLog.maintainAuto(spark, dir)
+    assert(rep.compactedCommit.isEmpty,
+      "minSmallFiles=99 from properties must suppress compaction")
+    assert(rep.deletedDataFiles == 0,
+      "keepVersions=99 from properties must retain everything")
+    assert(TableLog.readAt(spark, dir, 1L).count() == 60L,
+      "version 1 must still be readable under deep retention")
+    // flip to aggressive properties: compaction + vacuum now engage
+    TableLog.setTableProperties(spark, dir, Map(
+      "graft.compact.minSmallFiles" -> "2",
+      "graft.retain.keepVersions" -> "1"))
+    val rep2 = TableLog.maintainAuto(spark, dir)
+    assert(rep2.compactedCommit.nonEmpty)
+    assert(rep2.deletedDataFiles > 0)
+    // clone inherits the current properties
+    val dst = tmpDir("props_clone")
+    TableLog.cloneShallow(spark, dir, dst)
+    assert(TableLog.tablePropertiesAt(spark, dst)("graft.retain.keepVersions") == "1")
+  }
+
+  test("describeDetail summarizes files/rows/dv/constraints/properties/ledger") {
+    val dir = tmpDir("props_detail")
+    val src = tmpDir("props_detail_src")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "price")
+      .coalesce(1).write.parquet(s"$src/batch")
+    TableLog.copyInto(spark, dir, s"$src/batch/*.parquet")
+    TableLog.addCheckConstraint(spark, dir, "price_pos", "price > 0")
+    TableLog.setTableProperties(spark, dir, Map("owner" -> "me"))
+    TableLog.deleteWhere(spark, dir, col("k") === 2L, mode = "dv")
+    TableLog.checkpoint(spark, dir)
+    val d = TableLog.describeDetail(spark, dir).collect().head
+    assert(d.getAs[Int]("num_files") == 1)
+    assert(d.getAs[Long]("live_rows") == 2L)
+    assert(d.getAs[Long]("dv_rows") == 1L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("constraints").contains("price_pos"))
+    assert(d.getAs[String]("properties").contains("owner"))
+    assert(d.getAs[Int]("ingested_files") == 1)
+    assert(d.getAs[Long]("checkpoint_version") ==
+      TableLog.currentVersion(spark, dir))
+    assert(d.getAs[Long]("earliest_readable_version") == 1L)
+    // a historical version reports ITS state: before the dv delete
+    val dvV = TableLog.currentVersion(spark, dir)
+    val d0 = TableLog.describeDetail(spark, dir, dvV - 1).collect().head
+    assert(d0.getAs[Long]("live_rows") == 3L && d0.getAs[Long]("dv_rows") == 0L)
+  }
+}
