@@ -113,6 +113,13 @@ object SparkEntry {
   private val tableLogClonePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged replaceWhere backfill (q_replace_where): one price band
+    * atomically swapped for its recomputed slice in a single commit —
+    * the stats-pruned touch set rewrites, everything else carries over.
+    */
+  private val tableLogReplacePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def cowBase(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast("double").as("price"))
@@ -1859,6 +1866,25 @@ object SparkEntry {
       })
       TableLog.readAt(s, dir)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // replaceWhere BACKFILL: one price band atomically swapped for its
+    // recomputed slice (only the l_linenumber=1 rows survive the
+    // recompute) in ONE commit — files disjoint from the band carry
+    // over verbatim in the manifest, overlapping files rewrite minus
+    // matching rows, the new batch lands alongside
+    "q_replace_where" -> ((s, d) => {
+      val dir = tableLogReplacePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogreplace", d)
+        TableLog.append(s, p, cowBase(s, d).repartitionByRange(16, col("price")),
+          statsCols = Seq("price"))
+        val window = col("price").between(20000.0, 30000.0)
+        TableLog.replaceWhere(s, p,
+          cowBase(s, d).filter(window && col("l_linenumber") === 1),
+          window, statsCols = Seq("price"))
+        p
+      })
+      TableLog.readAt(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // change data feed across the delete + update commits: the delete
@@ -4742,6 +4768,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)
         |  AND NOT (l_extendedprice::DOUBLE BETWEEN 30000.0 AND 40000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // replaceWhere: the band's rows are exactly the recomputed slice,
+    // everything outside the band is untouched
+    "q_replace_where" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 20000.0 AND 30000.0)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_extendedprice::DOUBLE BETWEEN 20000.0 AND 30000.0
+        |  AND l_linenumber = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // state after the CoW DELETE commit (rows where the predicate was

@@ -422,6 +422,46 @@ object TableLog {
     }
   }
 
+  /** `INSERT OVERWRITE … replaceWhere` — the BACKFILL primitive: delete
+    * every row matching `predicate` and insert `df`, as ONE atomic
+    * commit (recompute a day/region/band and swap it in while readers
+    * keep a consistent snapshot; the two-commit delete-then-append
+    * alternative exposes a window with the slice missing). Every row
+    * of `df` MUST satisfy `predicate` — checked LOUDLY before anything
+    * writes: a batch that spills outside the window it claims to
+    * replace would silently corrupt neighboring data, the classic
+    * backfill footgun (NULL-predicate rows count as violations — a row
+    * the predicate cannot place inside the window was never part of
+    * what's replaced). The touch set is stats-pruned from the
+    * predicate ([[boundsFromPredicate]]): files provably disjoint from
+    * the window carry over verbatim (paths and stats untouched in the
+    * manifest), overlapping files rewrite minus their matching rows —
+    * at 100 TB a date-clustered backfill costs O(window), never
+    * O(table). Rows where the predicate is NULL are KEPT (DELETE
+    * semantics). `df` is evaluated twice (the violation probe and the
+    * commit write) — cache it if it is expensive to recompute.
+    * Concurrency: replace is NOT auto-rebase-eligible — a concurrent
+    * append may add rows inside the window, and which of the two
+    * "happened first" decides whether those rows survive; that
+    * ordering belongs to the caller, so the race stays a loud
+    * conflict.
+    */
+  def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
+                   predicate: org.apache.spark.sql.Column,
+                   statsCols: Seq[String] = Nil,
+                   txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
+    require(df.filter(not(fnCoalesce(predicate, lit(false)))).isEmpty,
+      "TableLog.replaceWhere: the batch holds rows that do NOT satisfy the " +
+        "replace predicate — a backfill must stay inside the window it " +
+        "replaces (filter the batch, or widen the predicate)")
+    rewriteTouched(spark, dir, "replace", pruneBounds = Nil, statsCols,
+        txn = txn, autoBoundsFrom = Some(predicate)) { touched =>
+      touched.filter(not(fnCoalesce(predicate, lit(false))))
+        .unionByName(df.select(touched.columns.map(col).toSeq: _*))
+    }
+  }
+
   /** `MERGE INTO` as a copy-on-write transaction — the at-scale form of
     * [[upsertInto]] (which rewrites the WHOLE table every commit): the
     * touch set is the files whose key stats overlap the source's key

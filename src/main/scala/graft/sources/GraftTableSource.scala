@@ -102,7 +102,11 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     * harvest manifest min/max for file skipping), `bloomCols` +
     * `bloomNdv` (parquet bloom filters for point-lookup pruning, the
     * [[TableLog.bloomOptions]] shape), `mergeSchema` (append may add
-    * new nullable columns, the [[TableLog.append]] evolution arm).
+    * new nullable columns, the [[TableLog.append]] evolution arm),
+    * `replaceWhere` (Overwrite only — a SQL predicate scoping the
+    * overwrite to matching rows, the [[TableLog.replaceWhere]] backfill
+    * arm; on a not-yet-existing table it degrades to a plain first
+    * write, still violation-checked).
     */
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
@@ -129,7 +133,20 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
         TableLog.append(spark, dir, data, statsCols,
           mergeSchema = mergeSchema, writeOptions = writeOpts)
       case SaveMode.Overwrite =>
-        TableLog.overwrite(spark, dir, data, statsCols, writeOptions = writeOpts)
+        parameters.get("replaceWhere") match {
+          case Some(cond) if exists =>
+            TableLog.replaceWhere(spark, dir, data,
+              org.apache.spark.sql.functions.expr(cond), statsCols)
+          case Some(cond) =>
+            // first write: nothing to replace, but the batch must still
+            // honor the window it claims (same loud contract)
+            import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+            require(data.filter(not(coalesce(expr(cond), lit(false)))).isEmpty,
+              s"graft: replaceWhere '$cond' does not hold for every row of the batch")
+            TableLog.overwrite(spark, dir, data, statsCols, writeOptions = writeOpts)
+          case None =>
+            TableLog.overwrite(spark, dir, data, statsCols, writeOptions = writeOpts)
+        }
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft: $dir already has committed versions (SaveMode.ErrorIfExists)")
