@@ -120,6 +120,39 @@ object SparkEntry {
   private val tableLogReplacePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged column-mapping history (q_rename_column, q_drop_column):
+    * half of lineitem lands under the original column names, RENAME
+    * COLUMN flips price→unit_price manifest-only, the other half
+    * appends under the new logical schema (physically still the frozen
+    * name), then DROP COLUMN retires l_linenumber — reads, stats
+    * pruning, and the final projection all translate through the
+    * mapping.
+    */
+  private val tableLogRenamePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def renameFixture(s: SparkSession, d: String): String =
+    tableLogRenamePath.getOrElseUpdate(d, {
+      val p = stageDir("tlogrename", d)
+      // v1: even-key half under the ORIGINAL names
+      TableLog.append(s, p,
+        cowBase(s, d).filter(pmod(col("l_orderkey"), lit(2)) === 0)
+          .repartitionByRange(8, col("price")),
+        statsCols = Seq("price"))
+      // v2: manifest-only rename — price becomes unit_price
+      TableLog.renameColumn(s, p, "price", "unit_price")
+      // v3: odd-key half appends under the NEW logical schema (files
+      // physically carry the frozen name "price")
+      TableLog.append(s, p,
+        cowBase(s, d).filter(pmod(col("l_orderkey"), lit(2)) === 1)
+          .withColumnRenamed("price", "unit_price")
+          .repartitionByRange(8, col("unit_price")),
+        statsCols = Seq("unit_price"))
+      // v4: manifest-only drop of l_linenumber
+      TableLog.dropColumn(s, p, "l_linenumber")
+      p
+    })
+
   private def cowBase(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast("double").as("price"))
@@ -1885,6 +1918,29 @@ object SparkEntry {
         p
       })
       TableLog.readAt(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // RENAME COLUMN via column mapping: files written before AND after
+    // the rename (physically both carry the frozen name), read under
+    // the new logical schema through a stats-pruned scan whose bounds
+    // translate to the physical domain — zero data rewritten by the
+    // rename itself
+    "q_rename_column" -> ((s, d) => {
+      val dir = renameFixture(s, d)
+      val pr = TableLog.scanWhere(s, dir,
+        col("unit_price").between(10000.0, 30000.0), version = 3L)
+      pr.df.filter(col("unit_price").between(10000.0, 30000.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("unit_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // DROP COLUMN: manifest-only retire of l_linenumber on the same
+    // history — the column vanishes from reads while its bytes linger
+    // in the immutable files until maintenance rewrites them
+    "q_drop_column" -> ((s, d) => {
+      val dir = renameFixture(s, d)
+      TableLog.readAt(s, dir, version = 4L)
+        .orderBy(col("l_orderkey"), col("unit_price"))
     }),
 
     // change data feed across the delete + update commits: the delete
@@ -4782,6 +4838,20 @@ object SparkEntry {
         |WHERE l_extendedprice::DOUBLE BETWEEN 20000.0 AND 30000.0
         |  AND l_linenumber = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // rename: every lineitem row reads back under the new logical name
+    // inside the pruned band
+    "q_rename_column" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS unit_price
+        |FROM lineitem
+        |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 30000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // drop: the retired column vanishes from the projection
+    "q_drop_column" ->
+      """SELECT l_orderkey, l_extendedprice::DOUBLE AS unit_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, unit_price""".stripMargin,
 
     // state after the CoW DELETE commit (rows where the predicate was
     // not TRUE survive)

@@ -113,6 +113,20 @@ object TableLog {
     * from the nearest one), keeping resolution O(commits since
     * checkpoint) however long the ingest history grows.
     */
+  /** `colmap` is the COLUMN MAPPING (logical name → physical name in
+    * the parquet files), what makes [[renameColumn]] a manifest-only
+    * commit on a 100 TB table: files are immutable, so a renamed
+    * column keeps its original name on disk and every read/write
+    * translates at the narrow waists ([[readWithDv]] aliases physical
+    * → logical, [[commit]] writes logical → physical, stat bounds
+    * translate before pruning). Identity entries are never stored;
+    * the full map rides every commit like the schema. `droppedCols`
+    * is the set of PHYSICAL names retired by [[dropColumn]] — live
+    * files still carry those columns, so re-adding a column under a
+    * retired physical name would silently resurrect the old bytes;
+    * the set blocks that loudly and resets on `overwrite` (which
+    * replaces every file).
+    */
   final case class Commit(version: Long, parent: Long, op: String,
                           schemaJson: String, add: Seq[AddFile], remove: Seq[String],
                           txn: Option[(String, Long)] = None,
@@ -120,7 +134,9 @@ object TableLog {
                           removeDv: Map[String, Seq[Long]] = Map.empty,
                           constraints: Map[String, String] = Map.empty,
                           copyFiles: Seq[String] = Nil,
-                          properties: Map[String, String] = Map.empty)
+                          properties: Map[String, String] = Map.empty,
+                          colmap: Map[String, String] = Map.empty,
+                          droppedCols: Seq[String] = Nil)
 
   /** Injectable clock — tests pin commit timestamps (and clock skew)
     * deterministically; production leaves the default.
@@ -361,14 +377,21 @@ object TableLog {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val touched = dvTouchSet(spark, basePath, files, schema, predicate, pruneBounds)
+    val cm = columnMappingAt(spark, dir, base)
+    val touched = dvTouchSet(spark, basePath, files, schema, predicate,
+      pruneBounds, cm)
     if (touched.isEmpty)
       return commitManifest(spark, dir, "delete", schemaJson, Nil, Nil, base, txn)
     require(!schema.fieldNames.exists(n => n == "_dv_rel" || n == "_dv_pos"),
       "TableLog.deleteWhere(dv): columns named _dv_rel/_dv_pos collide with " +
         "the position scan's working columns — rename them")
-    val scan = spark.read.schema(schema)
+    // the position scan reads PHYSICAL columns, aliases to logical so
+    // the caller's predicate resolves, then rides the metadata columns
+    val scan = spark.read.schema(physSchemaOf(schema, cm))
       .parquet(touched.map(f => dataFilePath(dir, f.path)): _*)
+      .select((schema.fields.map(f =>
+          col(cm.getOrElse(f.name, f.name)).as(f.name)) :+
+        col("_metadata")).toSeq: _*)
       .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
     val existing = touched.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p)))
@@ -635,17 +658,19 @@ object TableLog {
   private[sinks] def dvTouchSet(spark: SparkSession, basePath: Path,
                                 files: Seq[AddFile], schema: StructType,
                                 predicate: org.apache.spark.sql.Column,
-                                pruneBounds: Seq[(String, Any, Any)] = Nil): Seq[AddFile] = {
+                                pruneBounds: Seq[(String, Any, Any)] = Nil,
+                                colmap: Map[String, String] = Map.empty): Seq[AddFile] = {
     val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val bounds =
       if (pruneBounds.nonEmpty) pruneBounds
       else boundsFromPredicate(probe, predicate)
-    val statsKept = files.filter(f => mayOverlap(f, bounds))
+    val statsKept = files.filter(f => mayOverlap(f, physBounds(colmap, bounds)))
     inListShape(probe, predicate) match {
       case Some((column, values)) if statsKept.nonEmpty =>
+        val physCol = colmap.getOrElse(column, column)
         val verdicts = mapOverFooters(spark, basePath, statsKept.map(_.path),
           DistributeFileOpsThreshold)((c, p) =>
-          bloomMightContain(c, p, column, values))
+          bloomMightContain(c, p, physCol, values))
         statsKept.zip(verdicts).collect { case (f, true) => f }
       case _ => statsKept
     }
@@ -753,16 +778,20 @@ object TableLog {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cm = columnMappingAt(spark, dir, base)
     val bounds =
       if (pruneBounds.nonEmpty) pruneBounds
       else autoBoundsFrom.map { p =>
         val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         boundsFromPredicate(probe, p)
       }.getOrElse(Nil)
-    val touched = files.filter(f => mayOverlap(f, bounds))
+    // bounds are in the LOGICAL domain (predicates, merge keys);
+    // manifest stats and rebaseOk's winner-adds check live in the
+    // PHYSICAL domain — translate once for both
+    val touched = files.filter(f => mayOverlap(f, physBounds(cm, bounds)))
     // dv-aware: a touched file's already-deleted positions must not
     // resurrect through the rewrite
-    val touchedDf = readWithDv(spark, dir, schema, touched)
+    val touchedDf = readWithDv(spark, dir, schema, touched, cm)
     val out = rewrite(touchedDf)
     if (schemaCheck)
       require(nullableForm(out.schema) == nullableForm(schema),
@@ -770,7 +799,8 @@ object TableLog {
           s"(${out.schema.simpleString} vs ${schema.simpleString})")
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
       txn = txn, explicitRemoves = Some(touched),
-      schemaOverride = Some(schemaJson), readBounds = readBounds)
+      schemaOverride = Some(schemaJson),
+      readBounds = physBounds(cm, readBounds))
   }
 
   /** Idempotent transactional MERGE for streaming `foreachBatch` — the
@@ -860,12 +890,18 @@ object TableLog {
     // misreport their rows as inserts; a path whose dv changed between
     // the versions re-points (remove live entry, re-add target entry)
     // so the restored snapshot carries the target's dv exactly
+    // the restored SCHEMA is the target version's, so the column
+    // mapping and tombstones must be the target's too — restoring
+    // across a rename with the head's mapping would mis-project every
+    // file
     commitManifest(spark, dir, "restore", schemaJson,
       adds = targetFiles.filter(f =>
         !liveByPath.get(f.path).exists(_.dv == f.dv)),
       removeEntries = liveFiles.filter(f =>
         !targetByPath.get(f.path).exists(_.dv == f.dv)),
-      expectedParent = base, txn = None)
+      expectedParent = base, txn = None,
+      colmapOverride = Some(columnMappingAt(spark, dir, version)),
+      droppedColsOverride = Some(droppedColsAt(spark, dir, version)))
   }
 
   /** `CREATE TABLE … SHALLOW CLONE src [VERSION AS OF v]` — a ZERO-COPY
@@ -893,22 +929,24 @@ object TableLog {
     require(currentVersion(spark, dstDir) == 0L,
       s"TableLog.cloneShallow: $dstDir already has committed versions — " +
         "clone targets a fresh table directory")
-    val (schemaJson, files) = resolve(spark, srcDir, version, "cloneShallow")
+    val (resolvedSrc, schemaJson, files) = resolve(spark, srcDir, version, "cloneShallow")
     val srcPath = new Path(srcDir)
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcQualified = fs.makeQualified(srcPath).toString
     val adds = files.map(f => f.copy(path =
       if (isAbsEntry(f.path)) f.path else s"$srcQualified/${f.path}"))
-    // the fork inherits the source's CHECK constraints and table
-    // properties: data valid there is valid here, a clone used as a
-    // dev branch should refuse the same garbage production refuses,
-    // and its maintenance knobs start from the source's
-    val resolvedSrc =
-      if (version == -1L) currentVersion(spark, srcDir) else version
+    // the fork inherits the source's CHECK constraints, table
+    // properties, column mapping, and dropped-column tombstones: data
+    // valid there is valid here, a clone used as a dev branch should
+    // refuse the same garbage production refuses, its maintenance
+    // knobs start from the source's, and the inherited files' physical
+    // column names must keep resolving
     commitManifest(spark, dstDir, "clone", schemaJson, adds,
       removeEntries = Nil, expectedParent = 0L, txn = None,
       constraintsOverride = Some(constraintsAt(spark, srcDir, resolvedSrc)),
-      propertiesOverride = Some(tablePropertiesAt(spark, srcDir, resolvedSrc)))
+      propertiesOverride = Some(tablePropertiesAt(spark, srcDir, resolvedSrc)),
+      colmapOverride = Some(columnMappingAt(spark, srcDir, resolvedSrc)),
+      droppedColsOverride = Some(droppedColsAt(spark, srcDir, resolvedSrc)))
   }
 
   // ----------------------------------------------------- CHECK constraints
@@ -1057,6 +1095,130 @@ object TableLog {
       propertiesOverride = Some(existing -- keys))
   }
 
+  // ------------------------------------------------------- column mapping
+
+  /** The COLUMN MAPPING at `version` (-1 = latest): logical column name
+    * → physical name in the parquet files. Empty for a table that was
+    * never renamed. One manifest parse (the full map rides every
+    * commit, like the schema/constraints).
+    */
+  def columnMappingAt(spark: SparkSession, dir: String,
+                      version: Long = -1L): Map[String, String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version == -1L) currentVersion(spark, dir) else version
+    if (v <= 0L) Map.empty
+    else {
+      require(commitVersions(fs, base).contains(v),
+        s"TableLog.columnMappingAt: version $v of $dir does not exist")
+      parseCommit(readText(fs, commitPath(base, v))).colmap
+    }
+  }
+
+  private def droppedColsAt(spark: SparkSession, dir: String,
+                            version: Long): Seq[String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (version <= 0L) Nil
+    else parseCommit(readText(fs, commitPath(base, version))).droppedCols
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` as a MANIFEST-ONLY
+    * commit — zero data rewritten however large the table: files are
+    * immutable, so the column keeps its original PHYSICAL name on disk
+    * and the commit updates the logical schema plus the column mapping;
+    * reads alias physical → logical, writes map logical → physical,
+    * and stat-based pruning translates bounds before comparing
+    * (manifest stats are keyed by physical name, untouched). Refused
+    * loudly when: the old name doesn't exist, the new name collides
+    * with a live logical OR physical name (a later write would put two
+    * logical columns into one physical column), the new name shadows
+    * the dv working columns, or a CHECK constraint references the old
+    * name (its SQL text would go stale — drop it, rename, re-add).
+    * The rename is a schema change, so concurrent writers' rebases
+    * refuse across it (rebaseOk's schema rule) — racing appends stay
+    * loud, never silently mis-mapped.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName != newName,
+      s"TableLog.renameColumn: '$oldName' to itself is a no-op")
+    require(newName != "_dv_rel" && newName != "_dv_pos",
+      "TableLog.renameColumn: _dv_rel/_dv_pos shadow the deletion-vector " +
+        "scan's working columns")
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.renameColumn: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"TableLog.renameColumn: no column '$oldName' in ${schema.fieldNames.mkString(", ")}")
+    require(!schema.fieldNames.contains(newName),
+      s"TableLog.renameColumn: '$newName' already exists")
+    val cm = columnMappingAt(spark, dir, base)
+    def phys(c: String): String = cm.getOrElse(c, c)
+    require(!schema.fieldNames.filterNot(_ == oldName).map(phys).contains(newName),
+      s"TableLog.renameColumn: '$newName' is the PHYSICAL name of another " +
+        "live column — a later write would merge two logical columns into " +
+        "one on-disk column")
+    val cks = constraintsAt(spark, dir, base)
+    val referencing = cks.filter { case (_, sql) =>
+      s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+        .findFirstIn(sql).isDefined }
+    require(referencing.isEmpty,
+      s"TableLog.renameColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
+        s"reference '$oldName' — drop them, rename, re-add under the new name")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // renaming BACK to the physical name collapses to identity (no entry)
+    val p = phys(oldName)
+    val newCm = (cm - oldName) ++ (if (p == newName) Map.empty else Map(newName -> p))
+    commitManifest(spark, dir, "rename", newSchema.json, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      colmapOverride = Some(newCm))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as a MANIFEST-ONLY commit: the logical
+    * schema loses the field, reads stop projecting it, new writes no
+    * longer carry it — zero data rewritten; the bytes linger in
+    * existing files until CoW rewrites/compaction retire them (time
+    * travel to a pre-drop version still reads the column). The
+    * column's PHYSICAL name goes into the manifest's `droppedCols`
+    * tombstone set: re-ADDING a column under a tombstoned physical
+    * name is refused (live files still carry the old bytes — the new
+    * column would silently resurrect them); `overwrite` replaces every
+    * file and clears the set. Refused when a CHECK constraint
+    * references the column or it is the table's last column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.dropColumn: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TableLog.dropColumn: no column '$name' in ${schema.fieldNames.mkString(", ")}")
+    require(schema.fields.length > 1,
+      s"TableLog.dropColumn: '$name' is the table's last column")
+    val cks = constraintsAt(spark, dir, base)
+    val referencing = cks.filter { case (_, sql) =>
+      s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+        .findFirstIn(sql).isDefined }
+    require(referencing.isEmpty,
+      s"TableLog.dropColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
+        s"reference '$name' — drop them first")
+    val cm = columnMappingAt(spark, dir, base)
+    val physName = cm.getOrElse(name, name)
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    commitManifest(spark, dir, "drop", newSchema.json, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      colmapOverride = Some(cm - name),
+      droppedColsOverride =
+        Some((droppedColsAt(spark, dir, base) :+ physName).distinct))
+  }
+
   /** [[maintain]] with every knob resolved from TABLE PROPERTIES
     * (`graft.compact.minFileMB`, `graft.compact.targetFileMB`,
     * `graft.compact.minSmallFiles`, `graft.retain.keepVersions`,
@@ -1092,7 +1254,7 @@ object TableLog {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = if (version == -1L) currentVersion(spark, dir) else version
-    val (_, files) = resolve(spark, dir, v, "describeDetail")
+    val (_, _, files) = resolve(spark, dir, v, "describeDetail")
     val sizes = mapOverFooters(spark, base, files.map(_.path),
       DistributeFileOpsThreshold)((c, p) =>
       p.getFileSystem(c).getFileStatus(p).getLen)
@@ -1214,12 +1376,15 @@ object TableLog {
                              removeEntries: Seq[AddFile], expectedParent: Long,
                              txn: Option[(String, Long)],
                              constraintsOverride: Option[Map[String, String]] = None,
-                             propertiesOverride: Option[Map[String, String]] = None): Long =
+                             propertiesOverride: Option[Map[String, String]] = None,
+                             colmapOverride: Option[Map[String, String]] = None,
+                             droppedColsOverride: Option[Seq[String]] = None): Long =
     publishCommit(spark, dir, op, schemaJson, adds, removeEntries,
       expectedParent, txn,
       rebaseEligible = op == "delete" || op == "restore" || op == "txn",
       conflictCleanup = None, constraintsOverride = constraintsOverride,
-      propertiesOverride = propertiesOverride)
+      propertiesOverride = propertiesOverride, colmapOverride = colmapOverride,
+      droppedColsOverride = droppedColsOverride)
 
   /** Marker-only commit: record an `(appId, batchId)` txn marker with
     * NO data change — the exactly-once primitive for a streaming sink
@@ -1278,7 +1443,8 @@ object TableLog {
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val rewritten = readWithDv(spark, dir, schema, small).coalesce(nOut)
+    val rewritten = readWithDv(spark, dir, schema, small,
+      columnMappingAt(spark, dir, base)).coalesce(nOut)
     Some(commit(spark, dir, rewritten, "compact", statsCols,
       expectedParent = Some(base), txn = None,
       explicitRemoves = Some(small),
@@ -1428,17 +1594,56 @@ object TableLog {
     // never collide and vacuum can sweep whole orphan directories
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
     val dataSub = s"data/$attempt"
-    val cks =
-      if (parent <= 0L) Map.empty[String, String]
-      else parseCommit(readText(fs, commitPath(base, parent))).constraints
-    enforceConstraints(df, cks).write.options(writeOptions).parquet(s"$dir/$dataSub")
+    val parentC =
+      if (parent <= 0L) None
+      else Some(parseCommit(readText(fs, commitPath(base, parent))))
+    val cks = parentC.fold(Map.empty[String, String])(_.constraints)
+    // COLUMN MAPPING: the batch arrives in the LOGICAL domain
+    // (constraints evaluate there), the files are written in the
+    // PHYSICAL one. Entries for columns the new schema dropped fall
+    // away; an overwrite replaces every live file, so the dropped-
+    // column tombstones reset with it
+    val logicalNames = df.schema.fieldNames.toSeq
+    val cm = parentC.fold(Map.empty[String, String])(_.colmap)
+      .filter { case (l, _) => logicalNames.contains(l) }
+    val dropped =
+      if (op == "overwrite") Seq.empty[String]
+      else parentC.fold(Seq.empty[String])(_.droppedCols)
+    def phys(c: String): String = cm.getOrElse(c, c)
+    val physNames = logicalNames.map(phys)
+    require(physNames.distinct.length == physNames.length,
+      s"TableLog.$op: two columns resolve to the same PHYSICAL name " +
+        s"(${physNames.mkString(", ")}) — a renamed column's original name " +
+        "cannot be reused by a new column")
+    val resurrected = logicalNames.filterNot(cm.contains).filter(dropped.contains)
+    require(resurrected.isEmpty,
+      s"TableLog.$op: column(s) ${resurrected.mkString(", ")} were DROPPED " +
+        "earlier and live files still carry their old bytes — adding them " +
+        "back would silently resurrect stale data; pick another name or " +
+        "overwrite the table")
+    val checked = enforceConstraints(df, cks)
+    val toWrite =
+      if (cm.isEmpty) checked
+      else checked.select(logicalNames.map(c =>
+        org.apache.spark.sql.functions.col(c).as(phys(c))): _*)
+    // per-column writer options (parquet.bloom.filter.*#col) address
+    // the file's columns — translate their suffixes too
+    val physWriteOptions =
+      if (cm.isEmpty) writeOptions
+      else writeOptions.map { case (k, v) =>
+        k.split("#", 2) match {
+          case Array(pre, c) => s"$pre#${phys(c)}" -> v
+          case _ => k -> v
+        }
+      }
+    toWrite.write.options(physWriteOptions).parquet(s"$dir/$dataSub")
     val files = fs.listStatus(new Path(base, dataSub))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     // stats harvesting is footer work too: a 10k-file initial load must
     // not pay a serial driver loop — same distribution rule as the
     // bloom probe (driver under the threshold, executor tasks above)
     val relFiles = files.map(f => s"$dataSub/${f.getName}").toSeq
-    val statsSet = statsCols.toSet
+    val statsSet = statsCols.map(phys).toSet
     val harvested = mapOverFooters(spark, base, relFiles,
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
     val adds = relFiles.zip(harvested).map { case (rp, (rows, stats)) =>
@@ -1472,7 +1677,8 @@ object TableLog {
     publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
       adds, removeEntries, parent, txn, autoRetryEligible,
       conflictCleanup = Some(new Path(base, dataSub)), readBounds = readBounds,
-      copyFiles = copyFiles)
+      copyFiles = copyFiles, colmapOverride = Some(cm),
+      droppedColsOverride = Some(dropped))
   }
 
   /** The shared COMMIT POINT for data-bearing and manifest-only commits:
@@ -1493,7 +1699,9 @@ object TableLog {
                             readBounds: Seq[(String, Any, Any)] = Nil,
                             constraintsOverride: Option[Map[String, String]] = None,
                             copyFiles: Seq[String] = Nil,
-                            propertiesOverride: Option[Map[String, String]] = None): Long = {
+                            propertiesOverride: Option[Map[String, String]] = None,
+                            colmapOverride: Option[Map[String, String]] = None,
+                            droppedColsOverride: Option[Seq[String]] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -1526,8 +1734,13 @@ object TableLog {
         parentCommit.fold(Map.empty[String, String])(_.constraints))
       val props = propertiesOverride.getOrElse(
         parentCommit.fold(Map.empty[String, String])(_.properties))
+      val cmap = colmapOverride.getOrElse(
+        parentCommit.fold(Map.empty[String, String])(_.colmap))
+      val dcols = droppedColsOverride.getOrElse(
+        parentCommit.fold(Seq.empty[String])(_.droppedCols))
       val body = renderCommit(Commit(version, parentNow, op,
-        schemaJson, adds, removes, txn, ts, removeDv, cstr, copyFiles, props))
+        schemaJson, adds, removes, txn, ts, removeDv, cstr, copyFiles, props,
+        cmap, dcols))
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       // THE commit point: rename WITHOUT overwrite — atomic on HDFS/posix,
@@ -1723,9 +1936,9 @@ object TableLog {
     * version that never existed or that [[vacuum]] has retired.
     */
   def readAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
-    val (schemaJson, files) = resolve(spark, dir, version, "readAt")
+    val (v, schemaJson, files) = resolve(spark, dir, version, "readAt")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    readWithDv(spark, dir, schema, files)
+    readWithDv(spark, dir, schema, files, columnMappingAt(spark, dir, v))
   }
 
   /** Read a set of manifest entries with their deletion vectors
@@ -1742,7 +1955,8 @@ object TableLog {
     * path contains a `data` segment.
     */
   private def readWithDv(spark: SparkSession, dir: String, schema: StructType,
-                         entries: Seq[AddFile]): DataFrame = {
+                         entries: Seq[AddFile],
+                         colmap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import scala.jdk.CollectionConverters._
     if (entries.isEmpty)
@@ -1756,20 +1970,30 @@ object TableLog {
         !schema.fieldNames.exists(n => n == "_dv_rel" || n == "_dv_pos"),
       "TableLog: columns named _dv_rel/_dv_pos collide with the deletion-" +
         "vector scan's working columns — rename them")
+    // column mapping: request the PHYSICAL schema from parquet, alias
+    // back to logical as the scan's projection — one select, no data
+    // movement, and a mapping-free table takes the identical plan
+    val pSchema = physSchemaOf(schema, colmap)
+    def toLogical(df: DataFrame): DataFrame =
+      if (colmap.isEmpty) df
+      else df.select(schema.fields.map(f =>
+        col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(clean.map(f => dataFilePath(dir, f.path)): _*))
+      else Some(toLogical(spark.read.schema(pSchema)
+        .parquet(clean.map(f => dataFilePath(dir, f.path)): _*)))
     if (dvFiles.isEmpty) return cleanDf.get
     val doomed = spark.createDataFrame(
       dvFiles.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p))).asJava,
       new StructType()
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val dvDf = spark.read.schema(schema).parquet(dvFiles.map(f => dataFilePath(dir, f.path)): _*)
+    val dvDf = spark.read.schema(pSchema).parquet(dvFiles.map(f => dataFilePath(dir, f.path)): _*)
       .withColumn("_dv_rel", dvRelPath)
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
-      .select(schema.fieldNames.toSeq.map(col): _*)
+      .select(schema.fields.map(f =>
+        col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
     cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
   }
 
@@ -1824,7 +2048,7 @@ object TableLog {
   def scanWhere(spark: SparkSession, dir: String,
                 predicate: org.apache.spark.sql.Column,
                 version: Long = -1L): PrunedScan = {
-    val (schemaJson, _) = resolve(spark, dir, version, "scanWhere")
+    val (_, schemaJson, _) = resolve(spark, dir, version, "scanWhere")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val pruned = scanPruned(spark, dir, boundsFromPredicate(probe, predicate), version)
@@ -1841,10 +2065,11 @@ object TableLog {
   def scanPruned(spark: SparkSession, dir: String,
                  bounds: Seq[(String, Any, Any)],
                  version: Long = -1L): PrunedScan = {
-    val (schemaJson, files) = resolve(spark, dir, version, "scanPruned")
-    val kept = files.filter(f => mayOverlap(f, bounds))
+    val (v, schemaJson, files) = resolve(spark, dir, version, "scanPruned")
+    val cm = columnMappingAt(spark, dir, v)
+    val kept = files.filter(f => mayOverlap(f, physBounds(cm, bounds)))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    PrunedScan(readWithDv(spark, dir, schema, kept), kept.length, files.length)
+    PrunedScan(readWithDv(spark, dir, schema, kept, cm), kept.length, files.length)
   }
 
   /** Below this many candidate files, per-file footer work (bloom
@@ -1914,8 +2139,10 @@ object TableLog {
                       values: Seq[Any], version: Long = -1L,
                       threshold: Int = DistributeFileOpsThreshold): PrunedScan = {
     require(values.nonEmpty, "TableLog.scanPointLookup: values must be non-empty")
-    val (schemaJson, files) = resolve(spark, dir, version, "scanPointLookup")
-    val statsKept = files.filter(f => f.stats.get(column) match {
+    val (v, schemaJson, files) = resolve(spark, dir, version, "scanPointLookup")
+    val cm = columnMappingAt(spark, dir, v)
+    val physCol = cm.getOrElse(column, column)
+    val statsKept = files.filter(f => f.stats.get(physCol) match {
       case Some(NumStat(mn, mx)) => values.exists {
         case n: Number => n.doubleValue() >= mn && n.doubleValue() <= mx
         case _ => true
@@ -1929,10 +2156,10 @@ object TableLog {
     val basePath = new Path(dir)
     val probeValues = values.toList // List serializes cleanly into the task closure
     val verdicts = mapOverFooters(spark, basePath, statsKept.map(_.path), threshold)(
-      (c, p) => bloomMightContain(c, p, column, probeValues))
+      (c, p) => bloomMightContain(c, p, physCol, probeValues))
     val kept = statsKept.zip(verdicts).collect { case (f, true) => f }
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    PrunedScan(readWithDv(spark, dir, schema, kept), kept.length, files.length)
+    PrunedScan(readWithDv(spark, dir, schema, kept, cm), kept.length, files.length)
   }
 
   /** True unless every row group's bloom filter rules out every value —
@@ -2034,14 +2261,14 @@ object TableLog {
       // the dv each path had at removal time — so a merge-on-read
       // delete commit (same path, bigger dv) diffs to exactly the
       // newly-deleted rows, and already-deleted rows never re-emit
-      val added = readWithDv(spark, dir, schema, c.add)
+      val added = readWithDv(spark, dir, schema, c.add, c.colmap)
       val changes =
         if (c.op == "append" || c.remove.isEmpty)
           added.withColumn("_change_type", lit("insert"))
         else {
           val removed = readWithDv(spark, dir, schema,
             c.remove.map(p => AddFile(p, 0L, Map.empty,
-              c.removeDv.getOrElse(p, Nil))))
+              c.removeDv.getOrElse(p, Nil))), c.colmap)
           val ins = added.exceptAll(removed)
           val del = removed.exceptAll(added)
           if (keys.isEmpty)
@@ -2109,11 +2336,11 @@ object TableLog {
     * data files touched (what a SQL connector needs before planning).
     */
   def schemaAt(spark: SparkSession, dir: String, version: Long = -1L): StructType =
-    DataType.fromJson(resolve(spark, dir, version, "schemaAt")._1)
+    DataType.fromJson(resolve(spark, dir, version, "schemaAt")._2)
       .asInstanceOf[StructType]
 
   private def resolve(spark: SparkSession, dir: String, version: Long,
-                      who: String): (String, Seq[AddFile]) = {
+                      who: String): (Long, String, Seq[AddFile]) = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitVers = commitVersions(fs, base)
@@ -2124,7 +2351,8 @@ object TableLog {
       s"TableLog.$who: version $v of $dir was vacuumed (earliest readable: $wm)")
     require(commitVers.contains(v),
       s"TableLog.$who: version $v of $dir does not exist (latest: ${commitVers.last})")
-    snapshotAt(spark, fs, base, v)
+    val (schemaJson, files) = snapshotAt(spark, fs, base, v)
+    (v, schemaJson, files)
   }
 
   final case class MaintenanceReport(compactedCommit: Option[Long],
@@ -2258,6 +2486,27 @@ object TableLog {
         valueType = nullableForm(m.valueType), valueContainsNull = true)
     case other => other
   }
+
+  /** Pruning bounds translated into the PHYSICAL column domain —
+    * manifest stats are keyed by on-disk names, every public bound by
+    * logical names; without the translation a renamed column's bounds
+    * would match no stats and pruning silently degrades to keep-all
+    * (correct but O(table)).
+    */
+  private def physBounds(cm: Map[String, String],
+                         bounds: Seq[(String, Any, Any)]): Seq[(String, Any, Any)] =
+    if (cm.isEmpty) bounds
+    else bounds.map { case (c, lo, hi) => (cm.getOrElse(c, c), lo, hi) }
+
+  /** The schema with every field renamed to its PHYSICAL name — what
+    * the parquet reader must request (requesting a renamed logical
+    * name would silently null-fill the column).
+    */
+  private def physSchemaOf(schema: StructType,
+                           cm: Map[String, String]): StructType =
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
 
   /** File-vs-bounds intersection — the one pruning rule: a file is kept
     * unless its recorded stats PROVE no row can satisfy every bound
@@ -2491,9 +2740,17 @@ object TableLog {
       else s""","properties":{${c.properties.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
         .mkString(",")}}"""
+    val cmap =
+      if (c.colmap.isEmpty) ""
+      else s""","colmap":{${c.colmap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(",")}}"""
+    val dcols =
+      if (c.droppedCols.isEmpty) ""
+      else s""","dropcols":[${c.droppedCols.map(p => s""""${esc(p)}"""").mkString(",")}]"""
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
       s""""ts":${c.ts},""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props}"""
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props$cmap$dcols}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
@@ -2558,12 +2815,17 @@ object TableLog {
     val props = Option(n.get("properties")).map { pp =>
       pp.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val cmap = Option(n.get("colmap")).map { cm =>
+      cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val dcols = Option(n.get("dropcols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
       removes, txn,
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       removeDv = removeDv, constraints = cks, copyFiles = cf,
-      properties = props)
+      properties = props, colmap = cmap, droppedCols = dcols)
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
