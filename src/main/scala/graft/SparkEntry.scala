@@ -131,6 +131,21 @@ object SparkEntry {
   private val tableLogRenamePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The bloom-indexed fixture declares its bloom columns as a table
+    * property, so the SQL connector's read path (q_sql_point) knows to
+    * route equality/IN filters through the footer-bloom phase.
+    */
+  private def bloomFixture(s: SparkSession, d: String): String =
+    tableLogBloomPath.getOrElseUpdate(d, {
+      val p = stageDir("tlogbloom", d)
+      TableLog.append(s, p,
+        cowBase(s, d).repartition(16, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"),
+        writeOptions = TableLog.bloomOptions(Seq("l_orderkey"), expectedNdv = 100000L))
+      TableLog.setTableProperties(s, p, Map("graft.bloom.cols" -> "l_orderkey"))
+      p
+    })
+
   private def renameFixture(s: SparkSession, d: String): String =
     tableLogRenamePath.getOrElseUpdate(d, {
       val p = stageDir("tlogrename", d)
@@ -2074,19 +2089,26 @@ object SparkEntry {
     // bloom skips the non-matching files and the rows still match
     // DuckDB's IN-filter exactly
     "q_table_log_point" -> ((s, d) => {
-      val dir = tableLogBloomPath.getOrElseUpdate(d, {
-        val p = stageDir("tlogbloom", d)
-        TableLog.append(s, p,
-          cowBase(s, d).repartition(16, col("l_orderkey")),
-          statsCols = Seq("l_orderkey"),
-          writeOptions = TableLog.bloomOptions(Seq("l_orderkey"), expectedNdv = 100000L))
-        p
-      })
+      val dir = bloomFixture(s, d)
       val keys = cowBase(s, d).agg(min(col("l_orderkey")), max(col("l_orderkey")))
         .head()
       val probes = Seq(keys.getLong(0), keys.getLong(1))
       val scan = TableLog.scanPointLookup(s, dir, "l_orderkey", probes)
       scan.df.filter(col("l_orderkey").isin(probes: _*))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // the SAME point lookup through plain SQL: the graft DataSource
+    // routes the IN filter through the footer-bloom phase because the
+    // table declares graft.bloom.cols — a `WHERE id IN (…)` SQL query
+    // plans O(files that might hold the keys), not O(stats survivors)
+    "q_sql_point" -> ((s, d) => {
+      val dir = bloomFixture(s, d)
+      val keys = cowBase(s, d).agg(min(col("l_orderkey")), max(col("l_orderkey")))
+        .head()
+      val probes = Seq(keys.getLong(0), keys.getLong(1))
+      s.read.format("graft").load(dir)
+        .filter(col("l_orderkey").isin(probes: _*))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -5025,6 +5047,15 @@ object SparkEntry {
     // bloom point lookup == plain IN filter (the pruning is invisible
     // to the result, which is the point)
     "q_table_log_point" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT min(l_orderkey) FROM lineitem
+        |                     UNION ALL
+        |                     SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the same point lookup through the SQL connector's bloom routing
+    "q_sql_point" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT min(l_orderkey) FROM lineitem

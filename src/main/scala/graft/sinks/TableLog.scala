@@ -2404,9 +2404,17 @@ object TableLog {
     * window and a fast-committing streaming table cannot vacuum away
     * this morning's history just because keepVersions rolled over.
     * Age can only ADD retention, never shrink the version-count floor.
+    *
+    * `dryRun = true` is `VACUUM … DRY RUN`: compute and report exactly
+    * what a real run would delete and where the watermark would land,
+    * but touch NOTHING — no file deletes, no orphan sweep, no
+    * watermark write (reads below the would-be floor keep working).
+    * The blast-radius check every operator wants before pointing
+    * retention at a production table.
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
-             retainMs: Option[Long] = None): VacuumReport = {
+             retainMs: Option[Long] = None,
+             dryRun: Boolean = false): VacuumReport = {
     require(keepVersions >= 1, s"TableLog.vacuum: keepVersions must be ≥1, got $keepVersions")
     require(retainMs.forall(_ >= 0L),
       s"TableLog.vacuum: retainMs must be non-negative, got $retainMs")
@@ -2447,18 +2455,22 @@ object TableLog {
         val rel = s"data/${f.getParent.getName}/${f.getName}"
         if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) doomed += f
       }
-      doomed.foreach { f => if (fs.delete(f, false)) deletedData += 1 }
-      // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS litter)
-      fs.listStatus(dataRoot).foreach { d =>
-        val kids = fs.listStatus(d.getPath)
-        if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")) &&
-            !referenced.exists(_.startsWith(s"data/${d.getPath.getName}/")))
-          fs.delete(d.getPath, true)
+      if (dryRun) deletedData = doomed.length
+      else {
+        doomed.foreach { f => if (fs.delete(f, false)) deletedData += 1 }
+        // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS litter)
+        fs.listStatus(dataRoot).foreach { d =>
+          val kids = fs.listStatus(d.getPath)
+          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")) &&
+              !referenced.exists(_.startsWith(s"data/${d.getPath.getName}/")))
+            fs.delete(d.getPath, true)
+        }
       }
     }
     val logRoot = new Path(base, "_log")
     val tmps = fs.listStatus(logRoot).map(_.getPath)
       .filter(_.getName.startsWith(".tmp_"))
+    if (dryRun) return VacuumReport(deletedData, tmps.length, retainFrom)
     tmps.foreach(t => fs.delete(t, false))
     // watermark: monotonic, plain overwrite (not a correctness CAS — the
     // readable floor only ever rises)

@@ -106,12 +106,19 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     * `replaceWhere` (Overwrite only — a SQL predicate scoping the
     * overwrite to matching rows, the [[TableLog.replaceWhere]] backfill
     * arm; on a not-yet-existing table it degrades to a plain first
-    * write, still violation-checked).
+    * write, still violation-checked), `clusterBy` + `clusterFiles`
+    * (range-cluster the batch on the given columns before writing so
+    * every file carries TIGHT manifest min/max on them — the
+    * data-skipping layout as a write-time option; statsCols defaults
+    * to the cluster columns). Writing with `bloomCols` also records
+    * the `graft.bloom.cols` table property, which is what routes the
+    * read path's equality/IN filters through the footer-bloom
+    * point-lookup phase.
     */
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
                               parameters: Map[String, String],
-                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+                              rawData: org.apache.spark.sql.DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException(
@@ -119,15 +126,30 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     def csv(k: String): Seq[String] =
       parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val statsCols = csv("statsCols")
-    val writeOpts = {
-      val bc = csv("bloomCols")
-      if (bc.isEmpty) Map.empty[String, String]
-      else TableLog.bloomOptions(bc,
-        parameters.get("bloomNdv").map(_.toLong).getOrElse(1000000L))
+    val bloomCols = csv("bloomCols")
+    val clusterCols = csv("clusterBy")
+    val statsCols = {
+      val explicit = csv("statsCols")
+      if (explicit.nonEmpty) explicit else clusterCols
     }
+    val writeOpts =
+      if (bloomCols.isEmpty) Map.empty[String, String]
+      else TableLog.bloomOptions(bloomCols,
+        parameters.get("bloomNdv").map(_.toLong).getOrElse(1000000L))
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     val exists = TableLog.currentVersion(spark, dir) > 0L
+    // range-clustered layout: each written file becomes a tight
+    // min/max hyper-rectangle on the cluster columns, so later bounded
+    // scans prune at the manifest — the zero-extra-pass data-skipping
+    // knob for SQL writers who cannot call compactTable(sortCols)
+    val data =
+      if (clusterCols.isEmpty) rawData
+      else {
+        val n = parameters.get("clusterFiles").map(_.toInt)
+          .getOrElse(spark.sessionState.conf.numShufflePartitions)
+        rawData.repartitionByRange(n, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      }
     mode match {
       case SaveMode.Append =>
         TableLog.append(spark, dir, data, statsCols,
@@ -155,6 +177,19 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Ignore =>
         if (!exists)
           TableLog.append(spark, dir, data, statsCols, writeOptions = writeOpts)
+    }
+    // declare the bloom columns as a table property so the READ path
+    // knows to route equality/IN filters through the footer-bloom
+    // phase; merged with any already-declared set, committed only on
+    // change (no property-commit spam on steady-state batch writes)
+    if (bloomCols.nonEmpty && TableLog.currentVersion(spark, dir) > 0L) {
+      val existing = TableLog.tablePropertiesAt(spark, dir)
+        .get("graft.bloom.cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val merged = (existing ++ bloomCols).distinct
+      if (merged != existing)
+        TableLog.setTableProperties(spark, dir,
+          Map("graft.bloom.cols" -> merged.mkString(",")))
     }
     createRelation(sqlContext, parameters)
   }
@@ -246,16 +281,40 @@ private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val preds = filters.flatMap(GraftTableRelation.toColumn)
-    val scan =
-      if (preds.isEmpty) {
+    // POINT-LOOKUP routing: min/max stats cannot prune an equality on a
+    // high-cardinality key whose range spans every file — exactly the
+    // query shape `WHERE id = …` SQL users run against a bloom-indexed
+    // table. When the table DECLARES bloom columns (the
+    // `graft.bloom.cols` property, auto-set by this connector's write
+    // path), an equality/IN filter on one routes through
+    // scanPointLookup's distributed footer-bloom phase instead of the
+    // stats-only scanWhere, cutting the plan to O(files that might hold
+    // the keys); every other filter still applies on top. Tables
+    // without the property keep the stats-only path — no footer is
+    // ever opened speculatively.
+    val bloomCols = TableLog.tablePropertiesAt(spark, dir, version)
+      .get("graft.bloom.cols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val pointFilter = filters.collectFirst {
+      case EqualTo(a, v) if bloomCols(a) && v != null => (a, Seq(v))
+      case EqualNullSafe(a, v) if bloomCols(a) && v != null => (a, Seq(v))
+      case In(a, vs) if bloomCols(a) && vs.nonEmpty && vs.forall(_ != null) =>
+        (a, vs.toSeq)
+    }
+    val scan = pointFilter match {
+      case Some((c, vals)) =>
+        val pr = TableLog.scanPointLookup(spark, dir, c, vals, version)
+        GraftTableSource.lastPrune = Some((pr.filesRead, pr.filesTotal))
+        if (preds.isEmpty) pr.df else pr.df.filter(preds.reduce(_ && _))
+      case None if preds.isEmpty =>
         val pr = TableLog.scanPruned(spark, dir, Nil, version)
         GraftTableSource.lastPrune = Some((pr.filesRead, pr.filesTotal))
         pr.df
-      } else {
+      case None =>
         val pr = TableLog.scanWhere(spark, dir, preds.reduce(_ && _), version)
         GraftTableSource.lastPrune = Some((pr.filesRead, pr.filesTotal))
         pr.df
-      }
+    }
     val projected = scan.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }

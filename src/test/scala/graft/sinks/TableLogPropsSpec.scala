@@ -69,6 +69,23 @@ class TableLogPropsSpec extends SparkSpec {
     assert(TableLog.tablePropertiesAt(spark, dst)("graft.retain.keepVersions") == "1")
   }
 
+  test("vacuum dryRun reports the blast radius and touches nothing") {
+    val dir = tmpDir("props_dryrun")
+    TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"v$k")).toDF("k", "s")
+      .repartition(4))
+    TableLog.overwrite(spark, dir, Seq((99L, "z")).toDF("k", "s"))
+    val dry = TableLog.vacuum(spark, dir, keepVersions = 1, dryRun = true)
+    assert(dry.deletedDataFiles == 4, "v1's four files would go")
+    assert(dry.retainedFrom == 2L)
+    // nothing actually happened: v1 still reads, no watermark landed
+    assert(TableLog.readAt(spark, dir, 1L).count() == 20L,
+      "dryRun must not delete data or move the readable floor")
+    val real = TableLog.vacuum(spark, dir, keepVersions = 1)
+    assert(real.deletedDataFiles == dry.deletedDataFiles,
+      "the real run deletes exactly what the dry run reported")
+    intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
+  }
+
   test("describeDetail summarizes files/rows/dv/constraints/properties/ledger") {
     val dir = tmpDir("props_detail")
     val src = tmpDir("props_detail_src")

@@ -148,6 +148,60 @@ class GraftTableSourceSpec extends SparkSpec {
     spark.sql("DROP VIEW tlive"); spark.sql("DROP VIEW tpin")
   }
 
+  test("declared bloom columns route SQL equality/IN through the footer-bloom phase") {
+    val dir = tmpDir("gts_bloom")
+    // hash layout: every file spans ~the full key range, so min/max
+    // stats prune NOTHING — only the bloom phase can cut the file list
+    (1L to 4000L).map(k => (k, k % 13)).toDF("k", "grp")
+      .repartition(8, col("grp"))
+      .write.format("graft")
+      .option("statsCols", "k").option("bloomCols", "k")
+      .option("bloomNdv", "10000").save(dir)
+    assert(TableLog.tablePropertiesAt(spark, dir)("graft.bloom.cols") == "k",
+      "the write path must declare its bloom columns as a property")
+    GraftTableSource.lastPrune = None
+    val hit = spark.read.format("graft").load(dir).filter(col("k") === 42L)
+    assert(hit.count() == 1L)
+    val (read, total) = GraftTableSource.lastPrune.get
+    assert(read < total,
+      s"SQL equality on a declared bloom column must prune files ($read/$total)")
+    // IN-list shape routes too; extra predicates still apply on top
+    GraftTableSource.lastPrune = None
+    val in2 = spark.read.format("graft").load(dir)
+      .filter(col("k").isin(7L, 99L) && col("grp") >= 0L)
+    assert(in2.count() == 2L)
+    assert(GraftTableSource.lastPrune.exists(p => p._1 < p._2))
+    // a table WITHOUT the property takes the stats-only path (no
+    // speculative footer opens) and stays exact
+    val plain = tmpDir("gts_plain")
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "s")
+      .write.format("graft").option("statsCols", "k").save(plain)
+    assert(spark.read.format("graft").load(plain)
+      .filter(col("k") === 5L).count() == 1L)
+    assert(TableLog.tablePropertiesAt(spark, plain).isEmpty)
+    // steady-state writes do not spam property commits
+    (4001L to 4002L).map(k => (k, k % 13)).toDF("k", "grp")
+      .write.format("graft").mode("append")
+      .option("statsCols", "k").option("bloomCols", "k").save(dir)
+    assert(TableLog.history(spark, dir).count(_.op == "properties") == 1,
+      "an unchanged bloom declaration must not re-commit")
+  }
+
+  test("clusterBy write option: range-clustered files carry tight stats and prune") {
+    val dir = tmpDir("gts_cluster")
+    (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "s")
+      .orderBy(rand(7))  // arrive unclustered
+      .write.format("graft")
+      .option("clusterBy", "k").option("clusterFiles", "8").save(dir)
+    GraftTableSource.lastPrune = None
+    val slice = spark.read.format("graft").load(dir)
+      .filter(col("k").between(100L, 200L))
+    assert(slice.count() == 101L)
+    val (read, total) = GraftTableSource.lastPrune.get
+    assert(total == 8 && read <= 2,
+      s"range-clustered write must prune a bounded scan ($read/$total)")
+  }
+
   test("INSERT INTO … USING graft view lands transactional commits") {
     val dir = tmpDir("gts_insert")
     Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)   // v1
