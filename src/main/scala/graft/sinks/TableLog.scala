@@ -1626,11 +1626,31 @@ object TableLog {
       if (cm.isEmpty) checked
       else checked.select(logicalNames.map(c =>
         org.apache.spark.sql.functions.col(c).as(phys(c))): _*)
+    // DECLARED layout survives every rewrite path: a table whose owner
+    // set `graft.bloom.cols` / `graft.stats.cols` keeps its bloom
+    // filters and manifest stats through CoW rewrites, compaction,
+    // merges, and backfills — without this, the first maintenance pass
+    // after declaring blooms would silently strip the point-lookup
+    // pruning the table was built for. Explicit caller arguments win;
+    // the properties are the default, not an override.
+    val props = parentC.fold(Map.empty[String, String])(_.properties)
+    def propCols(k: String): Seq[String] = props.get(k).toSeq
+      .flatMap(_.split(",")).map(_.trim)
+      .filter(c => c.nonEmpty && logicalNames.contains(c))
+    val effStatsCols =
+      if (statsCols.nonEmpty) statsCols else propCols("graft.stats.cols")
+    val declaredBlooms = propCols("graft.bloom.cols")
+    val effWriteOptions =
+      if (declaredBlooms.isEmpty ||
+          writeOptions.keys.exists(_.startsWith("parquet.bloom")))
+        writeOptions
+      else writeOptions ++ bloomOptions(declaredBlooms,
+        props.get("graft.bloom.ndv").map(_.trim.toLong).getOrElse(1000000L))
     // per-column writer options (parquet.bloom.filter.*#col) address
     // the file's columns — translate their suffixes too
     val physWriteOptions =
-      if (cm.isEmpty) writeOptions
-      else writeOptions.map { case (k, v) =>
+      if (cm.isEmpty) effWriteOptions
+      else effWriteOptions.map { case (k, v) =>
         k.split("#", 2) match {
           case Array(pre, c) => s"$pre#${phys(c)}" -> v
           case _ => k -> v
@@ -1643,7 +1663,7 @@ object TableLog {
     // not pay a serial driver loop — same distribution rule as the
     // bloom probe (driver under the threshold, executor tasks above)
     val relFiles = files.map(f => s"$dataSub/${f.getName}").toSeq
-    val statsSet = statsCols.map(phys).toSet
+    val statsSet = effStatsCols.map(phys).toSet
     val harvested = mapOverFooters(spark, base, relFiles,
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
     val adds = relFiles.zip(harvested).map { case (rp, (rows, stats)) =>

@@ -69,6 +69,63 @@ class TableLogPropsSpec extends SparkSpec {
     assert(TableLog.tablePropertiesAt(spark, dst)("graft.retain.keepVersions") == "1")
   }
 
+  test("declared bloom/stats layout survives CoW rewrites and compaction") {
+    val dir = tmpDir("props_layout")
+    // hash layout (stats prune nothing on k) + blooms, DECLARED as
+    // properties so maintenance preserves them
+    TableLog.append(spark, dir,
+      (1L to 4000L).map(k => (k, k % 13)).toDF("k", "grp")
+        .repartition(8, col("grp")),
+      statsCols = Seq("k"),
+      writeOptions = TableLog.bloomOptions(Seq("k"), expectedNdv = 10000L))
+    TableLog.setTableProperties(spark, dir, Map(
+      "graft.bloom.cols" -> "k", "graft.stats.cols" -> "k",
+      "graft.bloom.ndv" -> "10000"))
+    def prunes(): Boolean = {
+      val pr = TableLog.scanPointLookup(spark, dir, "k", Seq(42L), threshold = 1)
+      pr.filesRead < pr.filesTotal
+    }
+    assert(prunes(), "baseline: fresh blooms prune")
+    // a FULL-table CoW rewrite (predicate has no stats bounds) — the
+    // rewritten files must re-carry blooms AND manifest stats without
+    // the caller passing either
+    TableLog.updateWhere(spark, dir, col("grp") === 999L,
+      set = Map("grp" -> lit(999L)))
+    assert(prunes(), "post-rewrite files must keep the declared blooms")
+    // stats came back too: the manifest carries min/max for k on the
+    // rewritten entries (a bounded scan on a range layout would prune;
+    // here just assert the stats exist via a bounds probe being exact)
+    assert(TableLog.scanPruned(spark, dir, Seq(("k", 1.0, 4000.0))).df.count() == 4000L)
+    // and through property-driven maintenance (compaction rewrites
+    // everything into one file here, so assert the layout DIRECTLY:
+    // the compacted footer carries a bloom for k, the manifest entry
+    // carries k's min/max — neither was passed by the maintenance call)
+    TableLog.setTableProperties(spark, dir, Map(
+      "graft.compact.minFileMB" -> "64", "graft.compact.targetFileMB" -> "64",
+      "graft.retain.keepVersions" -> "99"))
+    val rep = TableLog.maintainAuto(spark, dir)
+    assert(rep.compactedCommit.nonEmpty, "compaction must have rewritten")
+    val compacted = TableLog.history(spark, dir)
+      .find(_.version == rep.compactedCommit.get).get.add
+    assert(compacted.nonEmpty && compacted.forall(_.stats.contains("k")),
+      "compacted entries must re-carry the declared manifest stats")
+    val file = TableLog.readAt(spark, dir).select(input_file_name())
+      .head().getString(0).stripPrefix("file:")
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.asScala.head
+      val kCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "k").get
+      assert(reader.getBloomFilterDataReader(block)
+          .readBloomFilter(kCol) != null,
+        "compacted files must re-carry the declared bloom filter")
+    } finally reader.close()
+  }
+
   test("vacuum dryRun reports the blast radius and touches nothing") {
     val dir = tmpDir("props_dryrun")
     TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"v$k")).toDF("k", "s")
