@@ -515,7 +515,7 @@ object ScaleProbe {
     val tlogProbes = Set("table_log_prune", "table_log_commit",
       "table_log_merge", "table_log_point", "table_log_cdf",
       "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax",
-      "table_log_clone")
+      "table_log_clone", "replace_where", "rename_read")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -537,6 +537,53 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("table_log_prune") { () => prunedScan(tl1) } { () => prunedScan(tl16) }
+      // replaceWhere BACKFILL: the window is sized to ONE file's range
+      // in each layout (taken from the first manifest entry's stats),
+      // so the 16× table's backfill touches ~the same file count — the
+      // cost must track the WINDOW, not the table (ratio ≈ 1, not 16)
+      def replaceStage(p: String): (org.apache.spark.sql.Column, DataFrame) = {
+        val st = TableLog.history(spark, p).head.add.head.stats("event_id")
+        val (lo, hi) = st match {
+          case TableLog.NumStat(mn, mx) => (mn, mx)
+          case _ => sys.error("probe: event_id stats missing")
+        }
+        val dt = TableLog.schemaAt(spark, p)("event_id").dataType
+        val pred = col("event_id").between(lo, hi)
+        val batch = ev1.select(col("event_id"), col("user_id"), col("ts"))
+          .limit(100)
+          .withColumn("event_id", lit((lo + (hi - lo) / 2).toLong).cast(dt))
+          .cache()
+        batch.count()
+        (pred, batch)
+      }
+      val (rp1, rb1) = replaceStage(tl1)
+      val (rp16, rb16) = replaceStage(tl16)
+      probeRun("replace_where") {
+        () => TableLog.replaceWhere(spark, tl1, rb1, rp1, statsCols = Seq("event_id"))
+      } {
+        () => TableLog.replaceWhere(spark, tl16, rb16, rp16, statsCols = Seq("event_id"))
+      }
+      rb1.unpersist(); rb16.unpersist()
+      // COLUMN MAPPING read path: a renamed clone's stats-pruned scan
+      // must keep the same flat profile as the unmapped read — the
+      // alias projection is per-plan, the bounds translate to the
+      // frozen physical name, pruning is unchanged
+      def renameStage(src: String, tag: String): String = {
+        val dst = s"$StageDir/tlren_$tag"
+        val dstP = new org.apache.hadoop.fs.Path(dst)
+        dstP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dstP, true)
+        TableLog.cloneShallow(spark, src, dst)
+        TableLog.renameColumn(spark, dst, "event_id", "eid")
+        dst
+      }
+      val rn1 = renameStage(tl1, "1x")
+      val rn16 = renameStage(tl16, "16x")
+      def renamedScan(p: String): Unit = {
+        val pr = TableLog.scanPruned(spark, p, Seq(("eid", 0.0, 5000.0)))
+        pr.df.filter(col("eid") < 5000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("rename_read") { () => renamedScan(rn1) } { () => renamedScan(rn16) }
       val batch = ev1.select(col("event_id"), col("user_id"), col("ts"))
         .limit(1000).cache()
       batch.count()
