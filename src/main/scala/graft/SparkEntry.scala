@@ -120,6 +120,35 @@ object SparkEntry {
   private val tableLogReplacePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged full-sync merge (q_merge_sync): MERGE with `WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE` scoped by a condition — the
+    * upstream-mirror shape: matched keys update, new keys insert, and
+    * keys the source no longer carries hard-delete, but only inside
+    * the declared window (status = 'F'); unmatched rows outside it
+    * survive untouched.
+    */
+  private val tableLogSyncPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def syncFixture(s: SparkSession, d: String): String =
+    tableLogSyncPath.getOrElseUpdate(d, {
+      val p = stageDir("tlogsync", d)
+      val tgt = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("total"),
+        col("o_orderstatus").as("status"))
+      TableLog.append(s, p, tgt.repartitionByRange(16, col("k")),
+        statsCols = Seq("k"))
+      val src = tgt.filter(pmod(col("k"), lit(3)) === 0)
+        .withColumn("total", col("total") + 1.0)
+        .unionByName(tgt.filter(pmod(col("k"), lit(1000)) === 0)
+          .select((col("k") + 1000000000L).as("k"),
+            lit(5.0).as("total"), lit("N").as("status")))
+      TableLog.mergeInto(s, p, src, Seq("k"),
+        whenNotMatchedBySource = "delete",
+        notMatchedBySourceCondition = Some(col("status") === "F"))
+      p
+    })
+
   /** Staged column-mapping history (q_rename_column, q_drop_column):
     * half of lineitem lands under the original column names, RENAME
     * COLUMN flips price→unit_price manifest-only, the other half
@@ -1877,6 +1906,15 @@ object SparkEntry {
     "q_merge_into" -> ((s, d) => {
       TableLog.readAt(s, cowFixture(s, d), version = 4L)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // MERGE full sync (WHEN NOT MATCHED BY SOURCE THEN DELETE,
+    // condition-scoped): the upstream-mirror shape — every third key
+    // updates, synthetic new keys insert, and unmatched 'F'-status rows
+    // hard-delete while unmatched rows outside the window carry over in
+    // files the merge never touched
+    "q_merge_sync" -> ((s, d) => {
+      TableLog.readAt(s, syncFixture(s, d)).orderBy(col("k"))
     }),
 
     // zero-copy RESTORE: version 5 rolled the whole CoW history back to
@@ -4919,6 +4957,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, price FROM src
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // state after the conditioned FULL-SYNC merge: source rows verbatim
+    // (updates + inserts), plus unmatched target rows that escaped the
+    // delete window (status <> 'F'; NULL would also survive — the WHEN
+    // clause must prove the delete)
+    "q_merge_sync" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice::DOUBLE AS total,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, total + 1.0 AS total, status FROM tgt WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, 5.0, 'N' FROM tgt WHERE k % 1000 = 0)
+        |SELECT k, total, status FROM src
+        |UNION ALL
+        |SELECT t.k, t.total, t.status FROM tgt t
+        |LEFT JOIN src s USING (k)
+        |WHERE s.k IS NULL AND (t.status IS NULL OR t.status <> 'F')
+        |ORDER BY k""".stripMargin,
 
     // change feed (1, 3]: the SAME multiset-diff formulation the feed
     // itself uses (EXCEPT ALL of the after-state vs the before-state,

@@ -78,8 +78,19 @@ object TableLog {
     * keeping the wider range can only keep extra files, never drop a
     * matching one). [[compactSmallFiles]] materializes dvs away.
     */
+  /** `bytes` is the file's on-disk size, captured from the commit's own
+    * output listing (no extra RPC — the listing already happens to find
+    * the written files). What it buys at scale: table statistics are a
+    * MANIFEST read, never an O(files) getFileStatus sweep — the SQL
+    * connector reports `sizeInBytes` to Catalyst so a small dimension
+    * table auto-broadcasts in joins, and DESCRIBE DETAIL sums sizes
+    * from the manifest. Legacy entries parse as 0 and every consumer
+    * falls back CONSERVATIVELY (unknown size = assume big, stat the
+    * files) — a 0 must never make the optimizer broadcast a 100 TB
+    * table.
+    */
   final case class AddFile(path: String, rows: Long, stats: Map[String, Stat],
-                           dv: Seq[Long] = Nil)
+                           dv: Seq[Long] = Nil, bytes: Long = 0L)
 
   /** `txn` is the optional idempotence marker `(appId, batchId)` a
     * streaming writer stamps on its commit — a replayed micro-batch is
@@ -496,15 +507,41 @@ object TableLog {
     * two source rows matching one target row is refused loudly (the
     * ambiguous-merge rule). Conflicts with concurrent writers surface
     * through the usual commit CAS pinned to the version read.
+    *
+    * `whenNotMatchedBySource = "delete"` is the FULL-SYNC arm (Delta's
+    * `WHEN NOT MATCHED BY SOURCE THEN DELETE`): target rows whose keys
+    * the source does NOT carry are deleted — what a mirror of an
+    * upstream system needs so upstream hard-deletes propagate. The
+    * touch set necessarily grows: a not-matched row can live in ANY
+    * file, so without a scoping condition the merge reads the whole
+    * table (the honest cost of full sync — flag it, don't hide it).
+    * `notMatchedBySourceCondition` bounds the arm the way Delta's
+    * optional condition does: only not-matched rows satisfying it
+    * delete (NULL keeps the row), and the touch set shrinks to files
+    * overlapping the KEY box OR the CONDITION's box — a date-scoped
+    * full sync costs O(key box + window), never O(table). Full-sync
+    * merges are never auto-rebased: their read is table-wide (or
+    * condition-wide), so ANY concurrent add invalidates the
+    * not-matched decision — the race stays a loud conflict.
     */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keys: Seq[String], whenMatched: String = "update",
                 insertUnmatched: Boolean = true,
                 statsCols: Seq[String] = Nil,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                whenNotMatchedBySource: String = "none",
+                notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None): Long = {
     require(keys.nonEmpty, "TableLog.mergeInto: keys must be non-empty")
     require(whenMatched == "update" || whenMatched == "delete",
       s"TableLog.mergeInto: whenMatched must be update|delete, got $whenMatched")
+    require(whenNotMatchedBySource == "none" || whenNotMatchedBySource == "delete",
+      s"TableLog.mergeInto: whenNotMatchedBySource must be none|delete, " +
+        s"got $whenNotMatchedBySource")
+    require(notMatchedBySourceCondition.isEmpty ||
+        whenNotMatchedBySource == "delete",
+      "TableLog.mergeInto: notMatchedBySourceCondition requires " +
+        "whenNotMatchedBySource = delete")
+    val fullSync = whenNotMatchedBySource == "delete"
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, struct}
     val uniq = source.agg(count(lit(1)).as("n"),
       countDistinct(struct(keys.map(col): _*)).as("d")).head()
@@ -519,11 +556,36 @@ object TableLog {
     val bounds = keys.zipWithIndex.map { case (k, i) =>
       (k, boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
     }
+    // full sync: the not-matched-by-source arm must SEE every row it
+    // might delete — all files when unconditioned, the condition's box
+    // (OR'd with the key box) when scoped. An unconditioned full sync
+    // derives empty bounds, which touches everything.
+    val nmbsBounds: Seq[Seq[(String, Any, Any)]] =
+      if (!fullSync) Nil
+      else notMatchedBySourceCondition match {
+        case None => Seq(Nil) // overlaps everything: whole-table touch
+        case Some(c) =>
+          val probe = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            schemaAt(spark, dir))
+          Seq(boundsFromPredicate(probe, c))
+      }
     rewriteTouched(spark, dir, "merge", bounds, statsCols,
         schemaCheck = whenMatched == "update" || insertUnmatched,
-        txn = txn, readBounds = bounds) { touched =>
-      val kept = touched.join(source.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
+        txn = txn, readBounds = bounds, orBounds = nmbsBounds,
+        rebaseable = !fullSync) { touched =>
+      import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
+      val keptUnmatched = touched.join(
+        source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val kept =
+        if (!fullSync) keptUnmatched
+        else notMatchedBySourceCondition match {
+          // unconditioned full sync: every not-matched target row deletes
+          case None => keptUnmatched.filter(lit(false))
+          // conditioned: delete only where the condition is TRUE (NULL
+          // keeps the row — the WHEN clause must prove the delete)
+          case Some(c) => keptUnmatched.filter(not(fnCoalesce(c, lit(false))))
+        }
       val incoming = (whenMatched, insertUnmatched) match {
         case ("update", true) => source // matched replacements + inserts
         case ("update", false) =>
@@ -770,7 +832,9 @@ object TableLog {
                              schemaCheck: Boolean = true,
                              txn: Option[(String, Long)] = None,
                              autoBoundsFrom: Option[org.apache.spark.sql.Column] = None,
-                             readBounds: Seq[(String, Any, Any)] = Nil)
+                             readBounds: Seq[(String, Any, Any)] = Nil,
+                             orBounds: Seq[Seq[(String, Any, Any)]] = Nil,
+                             rebaseable: Boolean = true)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
@@ -787,8 +851,14 @@ object TableLog {
       }.getOrElse(Nil)
     // bounds are in the LOGICAL domain (predicates, merge keys);
     // manifest stats and rebaseOk's winner-adds check live in the
-    // PHYSICAL domain — translate once for both
-    val touched = files.filter(f => mayOverlap(f, physBounds(cm, bounds)))
+    // PHYSICAL domain — translate once for both. `orBounds` widens the
+    // touch set DISJUNCTIVELY (a file touches when it overlaps the
+    // primary box OR any of the extra boxes) — what a full-sync merge
+    // needs: its update arm touches the key box, its
+    // not-matched-by-source arm touches the condition's box
+    val touched = files.filter(f =>
+      mayOverlap(f, physBounds(cm, bounds)) ||
+        orBounds.exists(b => mayOverlap(f, physBounds(cm, b))))
     // dv-aware: a touched file's already-deleted positions must not
     // resurrect through the rewrite
     val touchedDf = readWithDv(spark, dir, schema, touched, cm)
@@ -800,7 +870,7 @@ object TableLog {
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
       txn = txn, explicitRemoves = Some(touched),
       schemaOverride = Some(schemaJson),
-      readBounds = physBounds(cm, readBounds))
+      readBounds = physBounds(cm, readBounds), rebaseable = rebaseable)
   }
 
   /** Idempotent transactional MERGE for streaming `foreachBatch` — the
@@ -1255,9 +1325,15 @@ object TableLog {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = if (version == -1L) currentVersion(spark, dir) else version
     val (_, _, files) = resolve(spark, dir, v, "describeDetail")
-    val sizes = mapOverFooters(spark, base, files.map(_.path),
-      DistributeFileOpsThreshold)((c, p) =>
-      p.getFileSystem(c).getFileStatus(p).getLen)
+    // sizes come from the manifest when every entry carries them (one
+    // parse, zero file RPCs — the normal case for any table written
+    // since `bytes` landed); legacy entries (bytes=0) fall back to the
+    // distributed getFileStatus sweep for exactness
+    val sizes: Seq[Long] =
+      if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes)
+      else mapOverFooters(spark, base, files.map(_.path),
+        DistributeFileOpsThreshold)((c, p) =>
+        p.getFileSystem(c).getFileStatus(p).getLen)
     val dvRows = files.map(_.dv.length.toLong).sum
     def js(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v2) =>
@@ -1570,7 +1646,8 @@ object TableLog {
                      schemaOverride: Option[String] = None,
                      writeOptions: Map[String, String] = Map.empty,
                      readBounds: Seq[(String, Any, Any)] = Nil,
-                     copyFiles: Seq[String] = Nil): Long = {
+                     copyFiles: Seq[String] = Nil,
+                     rebaseable: Boolean = true): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -1658,17 +1735,21 @@ object TableLog {
       }
     toWrite.write.options(physWriteOptions).parquet(s"$dir/$dataSub")
     val files = fs.listStatus(new Path(base, dataSub))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     // stats harvesting is footer work too: a 10k-file initial load must
     // not pay a serial driver loop — same distribution rule as the
-    // bloom probe (driver under the threshold, executor tasks above)
-    val relFiles = files.map(f => s"$dataSub/${f.getName}").toSeq
+    // bloom probe (driver under the threshold, executor tasks above).
+    // File SIZES ride along from this same listing (zero extra RPCs) so
+    // the manifest can answer table-statistics questions by itself.
+    val relFiles = files.map(f => s"$dataSub/${f.getPath.getName}").toSeq
     val statsSet = effStatsCols.map(phys).toSet
     val harvested = mapOverFooters(spark, base, relFiles,
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
-    val adds = relFiles.zip(harvested).map { case (rp, (rows, stats)) =>
-      AddFile(rp, rows, stats)
-    }
+    val adds = relFiles.lazyZip(harvested).lazyZip(files.map(_.getLen).toSeq)
+      .map { case (rp, (rows, stats), len) =>
+        AddFile(rp, rows, stats, bytes = len)
+      }
     // removes carry their entries (not just paths) so the manifest can
     // record each removed file's deletion vector — the change feed's
     // removed side must read MINUS that old dv or it re-emits rows an
@@ -1691,7 +1772,7 @@ object TableLog {
     // silently drop the winner's rows: the lost-update this CAS
     // exists to prevent), and evolution appends stay loud (their
     // schema was derived from the base they read).
-    val autoRetryEligible =
+    val autoRetryEligible = rebaseable &&
       Set("append", "delete", "update", "merge", "compact")(op) &&
         (op != "append" || schemaOverride.isEmpty)
     publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
@@ -2359,6 +2440,16 @@ object TableLog {
     DataType.fromJson(resolve(spark, dir, version, "schemaAt")._2)
       .asInstanceOf[StructType]
 
+  /** The live file entries at `version` (-1 = latest) — manifest-only,
+    * no data files touched. What the SQL connector reads to report
+    * table statistics (Σ bytes) to Catalyst, so a small graft table
+    * AUTO-BROADCASTS in joins instead of inheriting the
+    * assume-the-worst default size.
+    */
+  def liveFilesAt(spark: SparkSession, dir: String,
+                  version: Long = -1L): Seq[AddFile] =
+    resolve(spark, dir, version, "liveFilesAt")._3
+
   private def resolve(spark: SparkSession, dir: String, version: Long,
                       who: String): (Long, String, Seq[AddFile]) = {
     val base = new Path(dir)
@@ -2746,7 +2837,42 @@ object TableLog {
       }
       .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
     val dv = if (a.dv.isEmpty) "" else s""","dv":[${a.dv.mkString(",")}]"""
-    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv}"""
+    val bytes = if (a.bytes <= 0L) "" else s""","bytes":${a.bytes}"""
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv$bytes}"""
+  }
+
+  /** READER-FEATURE guard (Delta's protocol/table-features idea, cut to
+    * what matters): a manifest DECLARES the capabilities a reader must
+    * implement to interpret it correctly — ignoring `dv` resurrects
+    * deleted rows, ignoring `colmap` reads renamed/dropped columns
+    * wrong, ignoring `abs-paths` (clones) resolves paths against the
+    * wrong root. The declaration is DERIVED from the manifest's own
+    * content at render time (never trusted state), and the parser
+    * REFUSES any feature name it does not know: a table touched by a
+    * newer writer fails LOUDLY on this reader instead of silently
+    * misreading — the one failure mode a format guard exists to kill.
+    * Advisory fields (bytes, constraints, properties, the ingest
+    * ledger) are deliberately NOT features: a reader that ignores them
+    * stays correct.
+    */
+  private[sinks] val SupportedReaderFeatures: Set[String] =
+    Set("dv", "colmap", "abs-paths")
+
+  private[sinks] def readerFeaturesOf(c: Commit): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (c.add.exists(_.dv.nonEmpty) || c.removeDv.nonEmpty) b += "dv"
+    if (c.colmap.nonEmpty || c.droppedCols.nonEmpty) b += "colmap"
+    if (c.add.exists(f => isAbsEntry(f.path))) b += "abs-paths"
+    b.result()
+  }
+
+  private def requireSupportedFeatures(declared: Seq[String], what: String): Unit = {
+    val unknown = declared.filterNot(SupportedReaderFeatures)
+    require(unknown.isEmpty,
+      s"TableLog: $what requires reader feature(s) ${unknown.mkString(", ")} " +
+        "this library does not implement — the table was written by a newer " +
+        "graft writer; upgrade before reading (a silent misread is the one " +
+        "thing a format guard must never allow)")
   }
 
   private[sinks] def renderCommit(c: Commit): String = {
@@ -2780,9 +2906,14 @@ object TableLog {
     val dcols =
       if (c.droppedCols.isEmpty) ""
       else s""","dropcols":[${c.droppedCols.map(p => s""""${esc(p)}"""").mkString(",")}]"""
+    val feats = {
+      val fs = readerFeaturesOf(c)
+      if (fs.isEmpty) ""
+      else s""","features":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}]"""
+    }
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
       s""""ts":${c.ts},""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props$cmap$dcols}"""
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props$cmap$dcols$feats}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
@@ -2792,7 +2923,18 @@ object TableLog {
     val txnBody = txns.toSeq.sortBy(_._1)
       .map { case (a, b) => s""""${esc(a)}":$b""" }.mkString(",")
     val cfBody = copyFiles.toSeq.sorted.map(p => s""""${esc(p)}"""").mkString(",")
+    // a checkpoint's reader features derive from its LIVE set (the
+    // folded colmap rides the commit manifests, which never delete)
+    val feats = {
+      val b = Seq.newBuilder[String]
+      if (live.exists(_.dv.nonEmpty)) b += "dv"
+      if (live.exists(f => isAbsEntry(f.path))) b += "abs-paths"
+      val fs = b.result()
+      if (fs.isEmpty) ""
+      else s""""features":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}],"""
+    }
     s"""{"version":$version,"schema":"${esc(schemaJson)}",""" +
+      feats +
       s""""txns":{$txnBody},""" +
       s""""copyfiles":[$cfBody],""" +
       s""""live":[${live.map(renderAdd).mkString(",")}]}"""
@@ -2813,7 +2955,8 @@ object TableLog {
       }.getOrElse(Map.empty[String, Stat])
       val dv = Option(a.get("dv")).map(_.elements().asScala.map(_.asLong()).toSeq)
         .getOrElse(Nil)
-      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats, dv)
+      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats, dv,
+        bytes = Option(a.get("bytes")).map(_.asLong()).getOrElse(0L))
     }.toSeq
   }
 
@@ -2832,6 +2975,10 @@ object TableLog {
   private[sinks] def parseCommit(txt: String): Commit = {
     import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    requireSupportedFeatures(
+      Option(n.get("features"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      s"commit ${Option(n.get("version")).fold("?")(_.asText())}")
     val removes = n.get("remove").elements().asScala.map(_.asText()).toSeq
     val txn = Option(n.get("txn")).map(t =>
       (t.get("app").asText(), t.get("batch").asLong()))
@@ -2861,7 +3008,12 @@ object TableLog {
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
+    import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    requireSupportedFeatures(
+      Option(n.get("features"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      "checkpoint")
     (n.get("schema").asText(), parseAdds(n.get("live")))
   }
 

@@ -200,6 +200,28 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException(
         "graft: the 'path' option is required (spark.read.format(\"graft\").load(dir))"))
     val spark = sqlContext.sparkSession
+    // BATCH change-feed read — `option("readChangeFeed", true)` with
+    // `startingVersion` / `endingVersion` (Delta's batch CDF shape,
+    // both INCLUSIVE; startingVersion defaults to 1 = whole history,
+    // matching the streaming source's convention): the scan is
+    // TableLog.readChanges over the commit range, so it costs the
+    // commits' touch sets, never a table scan. `keys` opts into the
+    // keyed feed (update_preimage/update_postimage pairs).
+    // endingVersion defaults to the table head AT RELATION CREATION —
+    // a CDF query never grows while it runs.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(!parameters.contains("versionAsOf") &&
+          !parameters.contains("timestampAsOf"),
+        "graft: readChangeFeed is mutually exclusive with versionAsOf/" +
+          "timestampAsOf — the feed IS a version range; bound it with " +
+          "startingVersion/endingVersion")
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(TableLog.currentVersion(spark, dir))
+      val keys = parameters.get("keys").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      return new GraftChangesRelation(sqlContext, dir, from - 1L, to, keys)
+    }
     val version = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException(
@@ -256,6 +278,21 @@ private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
   // unpinned relation reading latest surfaces a later column RENAME as
   // a loud resolution error rather than silently stale data
   override val schema: StructType = TableLog.schemaAt(spark, dir, version)
+
+  /** Table statistics for Catalyst's join planning: the Σ of the
+    * manifest's per-file byte counts — ONE manifest parse, zero data
+    * RPCs. This is what lets a small `USING graft` dimension table
+    * AUTO-BROADCAST in a join (without it, a V1 relation reports
+    * `spark.sql.defaultSizeInBytes` ≈ ∞ and every join sort-merges).
+    * Conservative on legacy manifests: any entry without a recorded
+    * size makes the whole table report the default — an unknown size
+    * must never broadcast a 100 TB table.
+    */
+  override def sizeInBytes: Long = {
+    val files = TableLog.liveFilesAt(spark, dir, version)
+    if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
+    else super.sizeInBytes
+  }
 
   /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE` against a
     * `USING graft` view — lands as a transactional table-log commit
@@ -318,6 +355,38 @@ private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
     val projected = scan.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** Batch change-feed relation — `spark.read.format("graft")
+  * .option("readChangeFeed", "true").option("startingVersion", n)
+  * .load(dir)`, optionally `endingVersion` and `keys` (comma-separated
+  * — the keyed feed's update_preimage/update_postimage pairing). The
+  * scan IS [[TableLog.readChanges]]: per-commit touch-set reads, so a
+  * CDF query over a short version range on a huge table never scans
+  * the table. No filter pushdown: each commit's slice is already
+  * touch-set-sized, and Spark applies predicates above.
+  */
+private[sources] class GraftChangesRelation(override val sqlContext: SQLContext,
+                                            dir: String, fromVersion: Long,
+                                            toVersion: Long, keys: Seq[String])
+    extends BaseRelation with TableScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    TableLog.schemaAt(spark, dir, toVersion)
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    // select in declared order: a feed over an evolved history emits
+    // the union of the commits' schemas — project to the ending
+    // version's view of the table (+ the CDC columns)
+    TableLog.readChanges(spark, dir, fromVersion, toVersion, keys)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 private[sources] object GraftTableRelation {

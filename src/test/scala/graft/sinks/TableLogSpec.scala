@@ -1204,6 +1204,164 @@ class TableLogSpec extends SparkSpec {
       s"the key must land at most once: ${rows.length} rows, ${conflicts.get()} conflicts")
   }
 
+  test("mergeInto full sync: WHEN NOT MATCHED BY SOURCE deletes, result == source") {
+    val dir = tmpDir("tlog_sync")
+    TableLog.append(spark, dir,
+      (1L to 5L).map(k => (k, 0.0)).toDF("k", "v"), statsCols = Seq("k"))
+    val source = Seq((2L, 2.0), (3L, 3.0), (9L, 9.0)).toDF("k", "v")
+    TableLog.mergeInto(spark, dir, source, Seq("k"),
+      whenNotMatchedBySource = "delete")
+    val rows = TableLog.readAt(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((2L, 2.0), (3L, 3.0), (9L, 9.0)),
+      "full sync must mirror the source exactly: updates + inserts + " +
+        s"hard-deletes of vanished keys, got $rows")
+    // refusal matrix
+    intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark, dir, source, Seq("k"),
+        whenNotMatchedBySource = "bogus")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark, dir, source, Seq("k"),
+        notMatchedBySourceCondition = Some(col("v") > 0.0))
+    }
+  }
+
+  test("mergeInto full sync, conditioned: scoped deletes, touch set = key box OR condition box") {
+    val dir = tmpDir("tlog_sync_cond")
+    TableLog.append(spark, dir,
+      (1L to 1000L).map(k => (k, 0.0)).toDF("k", "v")
+        .repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    val v1Files = TableLog.history(spark, dir).head.add.map(_.path).toSet
+    // source updates a narrow key band; the NMBS delete arm is scoped to
+    // a DISJOINT band — files overlapping neither must carry over
+    val source = (100L to 110L).map(k => (k, 1.0)).toDF("k", "v")
+    TableLog.mergeInto(spark, dir, source, Seq("k"),
+      whenNotMatchedBySource = "delete",
+      notMatchedBySourceCondition = Some(col("k").between(900L, 950L)))
+    val after = TableLog.readAt(spark, dir)
+    assert(after.count() == 1000L - 51L)
+    assert(after.filter(col("k").between(900L, 950L)).isEmpty,
+      "unmatched rows inside the condition window delete")
+    assert(after.filter(col("k") === 105L).head().getDouble(1) == 1.0,
+      "matched rows still update")
+    assert(after.filter(col("k") === 500L).head().getDouble(1) == 0.0,
+      "unmatched rows OUTSIDE the window survive untouched")
+    val merge = TableLog.history(spark, dir).last
+    val removed = merge.remove.toSet
+    assert(removed.nonEmpty && removed.subsetOf(v1Files))
+    assert(removed.size < v1Files.size,
+      s"a scoped full sync must NOT touch the whole table " +
+        s"(${removed.size}/${v1Files.size} files rewrote)")
+    // an UNCONDITIONED full sync on the same layout reads everything —
+    // the honest cost of true mirroring
+    val dir2 = tmpDir("tlog_sync_all")
+    TableLog.append(spark, dir2,
+      (1L to 1000L).map(k => (k, 0.0)).toDF("k", "v")
+        .repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    TableLog.mergeInto(spark, dir2, source, Seq("k"),
+      whenNotMatchedBySource = "delete")
+    assert(TableLog.history(spark, dir2).last.remove.size == 8,
+      "unconditioned full sync touches every file")
+    assert(TableLog.readAt(spark, dir2).count() == 11L)
+  }
+
+  test("mergeInto full sync: NULL condition keeps the row; delete-matched composes") {
+    val dir = tmpDir("tlog_sync_null")
+    TableLog.append(spark, dir,
+      Seq((1L, Some(true)), (2L, Some(false)), (3L, None), (4L, Some(true)))
+        .toDF("k", "stale"), statsCols = Seq("k"))
+    // key 4 matches (and deletes via whenMatched); 1/2/3 are unmatched:
+    // stale=true deletes, stale=false and stale=NULL survive
+    TableLog.mergeInto(spark, dir, Seq((4L, false)).toDF("k", "stale"),
+      Seq("k"), whenMatched = "delete", insertUnmatched = false,
+      whenNotMatchedBySource = "delete",
+      notMatchedBySourceCondition = Some(col("stale") === true))
+    val left = TableLog.readAt(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L),
+      s"TRUE deletes, FALSE and NULL keep, matched delete-arm fires: $left")
+  }
+
+  test("reader-feature guard: manifests declare dv/colmap/abs-paths; unknown features refuse loudly") {
+    val dir = tmpDir("tlog_features")
+    TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"p$k")).toDF("k", "s"))
+    assert(TableLog.readerFeaturesOf(TableLog.history(spark, dir).head).isEmpty,
+      "a plain parquet-and-stats table needs no special reader")
+    TableLog.deleteWhere(spark, dir, col("k") === 3L, mode = "dv")
+    assert(TableLog.readerFeaturesOf(TableLog.history(spark, dir).last) == Seq("dv"))
+    TableLog.renameColumn(spark, dir, "s", "name")
+    assert(TableLog.readerFeaturesOf(TableLog.history(spark, dir).last)
+      .contains("colmap"))
+    val cl = tmpDir("tlog_features_clone")
+    TableLog.cloneShallow(spark, dir, cl)
+    assert(TableLog.readerFeaturesOf(TableLog.history(spark, cl).head)
+      .contains("abs-paths"))
+    // everything this round writes stays readable (derive == supported)
+    assert(TableLog.readAt(spark, cl).count() == 19L)
+    // a manifest from a NEWER writer declaring a feature this reader
+    // lacks must refuse on EVERY read path, naming the feature — the
+    // direct parse, the snapshot fold, and history
+    val direct = intercept[IllegalArgumentException] {
+      TableLog.parseCommit(
+        """{"version":9,"parent":8,"op":"append","ts":1,"schema":"x",""" +
+          """"add":[],"remove":[],"features":["time-crystals"]}""")
+    }
+    assert(direct.getMessage.contains("time-crystals"))
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = TableLog.currentVersion(spark, dir) + 1
+    val planted = new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.json")
+    val out = fs.create(planted, true)
+    out.write(
+      (s"""{"version":$v,"parent":${v - 1},"op":"append","ts":1,""" +
+        """"schema":"x","add":[],"remove":[],""" +
+        """"features":["time-crystals"]}""").getBytes("UTF-8"))
+    out.close()
+    val folded = intercept[IllegalArgumentException] {
+      TableLog.readAt(spark, dir).count()
+    }
+    assert(folded.getMessage.contains("time-crystals"))
+    intercept[IllegalArgumentException] { TableLog.history(spark, dir) }
+    // time travel BELOW the alien commit keeps working after a repair
+    // (delete the foreign manifest — recovery is possible because the
+    // guard refused instead of committing on top of a misread)
+    fs.delete(planted, false)
+    assert(TableLog.readAt(spark, dir).count() == 19L)
+  }
+
+  test("concurrent full-sync merge vs append: never a silent torn state") {
+    val dir = tmpDir("tlog_sync_race")
+    TableLog.append(spark, dir, (1L to 50L).map(k => (k, 0.0)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    val source = (1L to 10L).map(k => (k, 1.0)).toDF("k", "v")
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val syncer = new Thread(() => {
+      try {
+        TableLog.mergeInto(spark, dir, source, Seq("k"),
+          whenNotMatchedBySource = "delete")
+        ()
+      } catch { case _: TableLogConflictException => conflicts.incrementAndGet(); () }
+    })
+    val appender = new Thread(() => {
+      try { TableLog.append(spark, dir, Seq((777L, 7.0)).toDF("k", "v")); () }
+      catch { case _: TableLogConflictException => conflicts.incrementAndGet(); () }
+    })
+    Seq(syncer, appender).foreach(_.start())
+    Seq(syncer, appender).foreach(_.join())
+    val ks = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).toSet
+    // every legal outcome is a SERIAL order of the operations that
+    // committed — the full-sync merge is never auto-rebased, so an
+    // interleaved loser surfaces loudly instead of landing a commit
+    // whose not-matched decisions predate the winner
+    val legal = Set(
+      (1L to 10L).toSet,          // append lost or ran first (then deleted)
+      (1L to 10L).toSet + 777L,   // merge first, append second
+      (1L to 50L).toSet + 777L,   // merge lost
+      (1L to 50L).toSet)          // both lost (two conflicts)
+    assert(legal.contains(ks), s"state must be a serial outcome: $ks")
+  }
+
   test("dv delete probes blooms: the position scan touches only files that might hold the keys") {
     val dir = tmpDir("tlog_dv_bloom")
     // hash-distributed key: every file's k range spans the space, so

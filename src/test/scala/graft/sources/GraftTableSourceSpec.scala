@@ -202,6 +202,110 @@ class GraftTableSourceSpec extends SparkSpec {
       s"range-clustered write must prune a bounded scan ($read/$total)")
   }
 
+  test("sizeInBytes: manifest Σbytes reaches Catalyst; small graft tables auto-broadcast") {
+    val dir = tmpDir("gts_size")
+    (1L to 100L).map(k => (k, s"p$k")).toDF("k", "s")
+      .write.format("graft").option("statsCols", "k").save(dir)
+    val rel = spark.read.format("graft").load(dir)
+    val manifestSum = TableLog.liveFilesAt(spark, dir).map(_.bytes).sum
+    assert(manifestSum > 0L, "commits must record file sizes in the manifest")
+    assert(rel.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(manifestSum),
+      "the relation must report the manifest's byte sum to Catalyst")
+    // a join against a big side: the statically-planned join must
+    // BROADCAST the graft side on stats alone (no hint, no AQE rescue)
+    val big = spark.range(10000000L).withColumnRenamed("id", "k")
+    val plan = big.join(rel, "k").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-sized graft table must auto-broadcast:\n$plan")
+    // CONSERVATIVE fallback: a legacy manifest without byte counts must
+    // report the assume-the-worst default, never 0 (which would
+    // broadcast a table of unknown — possibly 100 TB — size)
+    val legacy = tmpDir("gts_size_legacy")
+    Seq((1L, "a")).toDF("k", "s").write.format("graft").save(legacy)
+    val mf = new java.io.File(legacy, "_log").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replaceAll(""","bytes":\d+""", "").getBytes("UTF-8"))
+    // the local FS keeps a checksum sidecar; the hand-edit invalidates it
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    val legacyRel = spark.read.format("graft").load(legacy)
+    assert(legacyRel.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(spark.sessionState.conf.defaultSizeInBytes))
+    val legacyPlan = big.join(legacyRel, "k").queryExecution.sparkPlan.toString
+    assert(!legacyPlan.contains("BroadcastHashJoin"),
+      s"unknown size must never auto-broadcast:\n$legacyPlan")
+    // and DESCRIBE DETAIL still reports exact sizes via the stat sweep
+    val detail = TableLog.describeDetail(spark, legacy).head()
+    assert(detail.getAs[Long]("size_bytes") > 0L)
+  }
+
+  test("sizeInBytes carries through rewrites: CoW, compaction, clone") {
+    val dir = tmpDir("gts_size_rw")
+    (1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft").option("statsCols", "k").save(dir)
+    TableLog.deleteWhere(spark, dir, col("k") <= 10L)          // CoW rewrite
+    TableLog.compactSmallFiles(spark, dir, minFileMB = 1)      // compaction
+    val files = TableLog.liveFilesAt(spark, dir)
+    assert(files.nonEmpty && files.forall(_.bytes > 0L),
+      "every rewrite path must keep recording sizes")
+    val clone = tmpDir("gts_size_clone")
+    TableLog.cloneShallow(spark, dir, clone)
+    assert(TableLog.liveFilesAt(spark, clone).map(_.bytes).sum ==
+      files.map(_.bytes).sum, "a shallow clone inherits the sizes verbatim")
+  }
+
+  test("batch readChangeFeed: connector CDF == readChanges, version bounds inclusive") {
+    val dir = fixture() // v1 append 1000 rows, v2 dv-delete k=500, v3 append k=2000
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("k", "price", "s", "_change_type", "_commit_version")
+        .collect().map(_.toString).sorted.toSeq
+    val all = spark.read.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+    assert(canon(all) == canon(TableLog.readChanges(spark, dir, 0L)))
+    assert(all.count() == 1000L + 1L + 1L,
+      "1000 v1 inserts + 1 v2 delete + 1 v3 insert")
+    // startingVersion is INCLUSIVE (the streaming source's convention)
+    val fromV2 = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "2").load(dir)
+    assert(canon(fromV2) == canon(TableLog.readChanges(spark, dir, 1L)))
+    assert(fromV2.count() == 2L)
+    // endingVersion bounds the range; SQL predicates apply above
+    val onlyV2 = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(dir)
+    assert(onlyV2.count() == 1L)
+    assert(onlyV2.head().getAs[String]("_change_type") == "delete")
+    assert(onlyV2.filter(col("k") === 500L).count() == 1L)
+    // time-travel options are mutually exclusive with the feed
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("versionAsOf", "1").load(dir).collect()
+    }
+  }
+
+  test("batch readChangeFeed with keys: update pre/post pairs through SQL") {
+    val dir = tmpDir("gts_cdf_keys")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graft").option("statsCols", "k").save(dir)     // v1
+    TableLog.mergeInto(spark, dir, Seq((2L, "B"), (3L, "c")).toDF("k", "s"),
+      keys = Seq("k"))                                              // v2
+    val keyed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k").load(dir)
+    val v2 = keyed.filter(col("_commit_version") === 2L)
+      .select("k", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(v2 == Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "insert")))
+    // plain SQL reaches the same feed through a view
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tcdf USING graft " +
+      s"OPTIONS (path '$dir', readChangeFeed 'true', keys 'k')")
+    assert(spark.sql("SELECT count(*) FROM tcdf WHERE _change_type LIKE 'update%'")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP VIEW tcdf")
+  }
+
   test("INSERT INTO … USING graft view lands transactional commits") {
     val dir = tmpDir("gts_insert")
     Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)   // v1
