@@ -130,6 +130,27 @@ object SparkEntry {
   private val tableLogSyncPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged null-count layout (q_null_prune): rows with and without
+    * NULLs land in separate files, so the manifest's per-file null
+    * counts can answer `IS NOT NULL` at the FILE level — the predicate
+    * shape min/max stats can never prune.
+    */
+  private val tableLogNullsPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def nullsFixture(s: SparkSession, d: String): String =
+    tableLogNullsPath.getOrElseUpdate(d, {
+      val p = stageDir("tlognulls", d)
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice").cast("double")).as("total"))
+      TableLog.append(s, p, base.filter(col("total").isNotNull).coalesce(4),
+        statsCols = Seq("k", "total"))
+      TableLog.append(s, p, base.filter(col("total").isNull).coalesce(2),
+        statsCols = Seq("k", "total"))
+      p
+    })
+
   private def syncFixture(s: SparkSession, d: String): String =
     tableLogSyncPath.getOrElseUpdate(d, {
       val p = stageDir("tlogsync", d)
@@ -1906,6 +1927,18 @@ object SparkEntry {
     "q_merge_into" -> ((s, d) => {
       TableLog.readAt(s, cowFixture(s, d), version = 4L)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // NULL-count file pruning: `IS NOT NULL` — every cleaning
+    // pipeline's first filter — skips whole files through the
+    // manifest's per-file null counts (min/max stats cannot answer
+    // null-ness); the plan is pinned to actually prune before the rows
+    // are compared
+    "q_null_prune" -> ((s, d) => {
+      val pr = TableLog.scanWhere(s, nullsFixture(s, d), col("total").isNotNull)
+      require(pr.filesRead < pr.filesTotal,
+        s"IS NOT NULL must prune all-null files (${pr.filesRead}/${pr.filesTotal})")
+      pr.df.orderBy(col("k"))
     }),
 
     // MERGE full sync (WHEN NOT MATCHED BY SOURCE THEN DELETE,
@@ -4957,6 +4990,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, price FROM src
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the IS NOT NULL slice: rows whose derived total survived the
+    // null-out rule (the file-level prune is a plan property, pinned in
+    // the query itself — the rowset is just the filter)
+    "q_null_prune" ->
+      """SELECT o_orderkey AS k, o_totalprice::DOUBLE AS total
+        |FROM orders
+        |WHERE o_orderkey % 5 <> 0
+        |ORDER BY k""".stripMargin,
 
     // state after the conditioned FULL-SYNC merge: source rows verbatim
     // (updates + inserts), plus unmatched target rows that escaped the

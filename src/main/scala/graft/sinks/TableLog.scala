@@ -89,8 +89,18 @@ object TableLog {
     * files) — a 0 must never make the optimizer broadcast a 100 TB
     * table.
     */
+  /** `nullCounts` is the per-column NULL count (physical column names,
+    * stats columns only, harvested from the same footer pass as
+    * min/max). What it prunes: `IS NULL` skips files with zero nulls,
+    * `IS NOT NULL` skips files that are entirely null in the column —
+    * the two predicate shapes min/max stats can never answer, and the
+    * first filters every cleaning pipeline runs. Missing entry =
+    * unknown = keep (pruning must never drop a row). Deletion vectors
+    * only remove rows, so both skips stay sound on dv'd files.
+    */
   final case class AddFile(path: String, rows: Long, stats: Map[String, Stat],
-                           dv: Seq[Long] = Nil, bytes: Long = 0L)
+                           dv: Seq[Long] = Nil, bytes: Long = 0L,
+                           nullCounts: Map[String, Long] = Map.empty)
 
   /** `txn` is the optional idempotence marker `(appId, batchId)` a
     * streaming writer stamps on its commit — a replayed micro-batch is
@@ -726,7 +736,9 @@ object TableLog {
     val bounds =
       if (pruneBounds.nonEmpty) pruneBounds
       else boundsFromPredicate(probe, predicate)
-    val statsKept = files.filter(f => mayOverlap(f, physBounds(colmap, bounds)))
+    val ns = physNullShapes(colmap, nullShapesFromPredicate(probe, predicate))
+    val statsKept = files.filter(f =>
+      mayOverlap(f, physBounds(colmap, bounds)) && mayPassNullShapes(f, ns))
     inListShape(probe, predicate) match {
       case Some((column, values)) if statsKept.nonEmpty =>
         val physCol = colmap.getOrElse(column, column)
@@ -737,6 +749,50 @@ object TableLog {
       case _ => statsKept
     }
   }
+
+  /** Extract top-level `IS NULL` / `IS NOT NULL` conjuncts from a
+    * predicate (true = IS NULL) — the two shapes min/max bounds can
+    * never answer but per-file NULL COUNTS can: `IS NULL` skips files
+    * with zero nulls in the column, `IS NOT NULL` skips files that are
+    * entirely null. Only AND-level conjuncts on a bare column
+    * contribute (conservative — an OR branch or a wrapped expression
+    * just prunes nothing), and a file without a recorded count is
+    * always kept.
+    */
+  private[sinks] def nullShapesFromPredicate(probe: DataFrame,
+      pred: org.apache.spark.sql.Column): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val cond = probe.filter(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    cond.toSeq.flatMap(conjuncts).collect {
+      case IsNull(a: AttributeReference) => (a.name, true)
+      case Not(IsNull(a: AttributeReference)) => (a.name, false)
+      case IsNotNull(a: AttributeReference) => (a.name, false)
+    }
+  }
+
+  /** Can `f` hold a row passing every null-shape conjunct? (shapes
+    * arrive in PHYSICAL column names, like manifest stats).
+    */
+  private def mayPassNullShapes(f: AddFile,
+                                shapes: Seq[(String, Boolean)]): Boolean =
+    shapes.forall { case (c, wantNull) =>
+      f.nullCounts.get(c) match {
+        case Some(n) if wantNull => n > 0L // IS NULL: a zero-null file skips
+        case Some(n) => n < f.rows         // IS NOT NULL: an all-null file skips
+        case None => true
+      }
+    }
+
+  private def physNullShapes(cm: Map[String, String],
+                             shapes: Seq[(String, Boolean)]): Seq[(String, Boolean)] =
+    if (cm.isEmpty) shapes
+    else shapes.map { case (c, w) => (cm.getOrElse(c, c), w) }
 
   /** Recognize a single-column point-lookup predicate — `col = lit`,
     * `col IN (lits…)`, or an OR-chain of equalities on ONE column —
@@ -849,6 +905,16 @@ object TableLog {
         val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         boundsFromPredicate(probe, p)
       }.getOrElse(Nil)
+    // IS NULL / IS NOT NULL conjuncts prune the touch set through the
+    // manifest null counts — `deleteWhere(col.isNull)` (the standard
+    // cleaning delete) touches only files that HOLD nulls, not the
+    // table. Only sound when the bounds came from the predicate itself.
+    val nullShapes =
+      if (pruneBounds.nonEmpty) Nil
+      else autoBoundsFrom.map { p =>
+        val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        physNullShapes(cm, nullShapesFromPredicate(probe, p))
+      }.getOrElse(Nil)
     // bounds are in the LOGICAL domain (predicates, merge keys);
     // manifest stats and rebaseOk's winner-adds check live in the
     // PHYSICAL domain — translate once for both. `orBounds` widens the
@@ -857,7 +923,7 @@ object TableLog {
     // needs: its update arm touches the key box, its
     // not-matched-by-source arm touches the condition's box
     val touched = files.filter(f =>
-      mayOverlap(f, physBounds(cm, bounds)) ||
+      (mayOverlap(f, physBounds(cm, bounds)) && mayPassNullShapes(f, nullShapes)) ||
         orBounds.exists(b => mayOverlap(f, physBounds(cm, b))))
     // dv-aware: a touched file's already-deleted positions must not
     // resurrect through the rewrite
@@ -1747,8 +1813,8 @@ object TableLog {
     val harvested = mapOverFooters(spark, base, relFiles,
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
     val adds = relFiles.lazyZip(harvested).lazyZip(files.map(_.getLen).toSeq)
-      .map { case (rp, (rows, stats), len) =>
-        AddFile(rp, rows, stats, bytes = len)
+      .map { case (rp, (rows, stats, nulls), len) =>
+        AddFile(rp, rows, stats, bytes = len, nullCounts = nulls)
       }
     // removes carry their entries (not just paths) so the manifest can
     // record each removed file's deletion vector — the change feed's
@@ -2152,7 +2218,8 @@ object TableLog {
     val (_, schemaJson, _) = resolve(spark, dir, version, "scanWhere")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val pruned = scanPruned(spark, dir, boundsFromPredicate(probe, predicate), version)
+    val pruned = scanPruned(spark, dir, boundsFromPredicate(probe, predicate),
+      version, nullShapes = nullShapesFromPredicate(probe, predicate))
     pruned.copy(df = pruned.df.filter(predicate))
   }
 
@@ -2165,10 +2232,13 @@ object TableLog {
     */
   def scanPruned(spark: SparkSession, dir: String,
                  bounds: Seq[(String, Any, Any)],
-                 version: Long = -1L): PrunedScan = {
+                 version: Long = -1L,
+                 nullShapes: Seq[(String, Boolean)] = Nil): PrunedScan = {
     val (v, schemaJson, files) = resolve(spark, dir, version, "scanPruned")
     val cm = columnMappingAt(spark, dir, v)
-    val kept = files.filter(f => mayOverlap(f, physBounds(cm, bounds)))
+    val ns = physNullShapes(cm, nullShapes)
+    val kept = files.filter(f =>
+      mayOverlap(f, physBounds(cm, bounds)) && mayPassNullShapes(f, ns))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     PrunedScan(readWithDv(spark, dir, schema, kept, cm), kept.length, files.length)
   }
@@ -2734,7 +2804,8 @@ object TableLog {
     * one, once row-level CoW ops derive their touch sets from stats).
     */
   private[sinks] def footerStats(conf: Configuration, file: Path,
-                                 statsCols: Set[String]): (Long, Map[String, Stat]) = {
+                                 statsCols: Set[String])
+      : (Long, Map[String, Stat], Map[String, Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2746,9 +2817,20 @@ object TableLog {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map.empty[String, Stat]
+      // NULL counts accumulate independently of min/max: an all-null
+      // block has no non-null value (so no range stat) but a perfectly
+      // good null count — exactly the file IS NOT NULL pruning skips.
+      // Any block without a recorded count poisons the column to
+      // "unknown" (absent), never a partial sum.
+      val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      val nullBad = scala.collection.mutable.Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         if (statsCols.contains(name)) {
+          val st0 = c.getStatistics
+          if (st0 != null && !st0.isEmpty && st0.isNumNullsSet && st0.getNumNulls >= 0L)
+            nullAcc(name) = nullAcc.getOrElse(name, 0L) + st0.getNumNulls
+          else nullBad += name
           val st = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val prim = c.getPrimitiveType
@@ -2802,7 +2884,7 @@ object TableLog {
           }
         }
       }
-      (rows, acc.toMap)
+      (rows, acc.toMap, (nullAcc -- nullBad).toMap)
     } finally reader.close()
   }
 
@@ -2838,7 +2920,11 @@ object TableLog {
       .map { case (k, v) => s""""${esc(k)}":${renderStat(v)}""" }.mkString(",")
     val dv = if (a.dv.isEmpty) "" else s""","dv":[${a.dv.mkString(",")}]"""
     val bytes = if (a.bytes <= 0L) "" else s""","bytes":${a.bytes}"""
-    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv$bytes}"""
+    val nulls =
+      if (a.nullCounts.isEmpty) ""
+      else s""","nulls":{${a.nullCounts.toSeq.sortBy(_._1)
+        .map { case (c, n) => s""""${esc(c)}":$n""" }.mkString(",")}}"""
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv$bytes$nulls}"""
   }
 
   /** READER-FEATURE guard (Delta's protocol/table-features idea, cut to
@@ -2955,8 +3041,12 @@ object TableLog {
       }.getOrElse(Map.empty[String, Stat])
       val dv = Option(a.get("dv")).map(_.elements().asScala.map(_.asLong()).toSeq)
         .getOrElse(Nil)
+      val nulls = Option(a.get("nulls")).map { nn =>
+        nn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty[String, Long])
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats, dv,
-        bytes = Option(a.get("bytes")).map(_.asLong()).getOrElse(0L))
+        bytes = Option(a.get("bytes")).map(_.asLong()).getOrElse(0L),
+        nullCounts = nulls)
     }.toSeq
   }
 

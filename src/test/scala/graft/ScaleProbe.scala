@@ -515,7 +515,8 @@ object ScaleProbe {
     val tlogProbes = Set("table_log_prune", "table_log_commit",
       "table_log_merge", "table_log_point", "table_log_cdf",
       "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax",
-      "table_log_clone", "replace_where", "rename_read")
+      "table_log_clone", "replace_where", "rename_read",
+      "merge_sync", "null_prune_scan")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -731,6 +732,50 @@ object ScaleProbe {
           () => mmRefresh(tl16, avm16)
         }
       }
+      // FULL-SYNC merge, conditioned: the update arm touches the key
+      // box, the not-matched-by-source delete arm touches the
+      // CONDITION box — both fixed ranges, so the touch set is ~the
+      // same file count in each layout and cost tracks the boxes, not
+      // the table (an unconditioned sync honestly pays O(table): that
+      // mode is for true mirrors)
+      val syncSrc = ev1.select(col("event_id"), col("user_id"), col("ts"))
+        .filter(col("event_id") < 5000).dropDuplicates("event_id")
+        .withColumn("user_id", -col("user_id")).cache()
+      syncSrc.count()
+      def syncMerge(p: String): Unit = {
+        TableLog.mergeInto(spark, p, syncSrc, Seq("event_id"),
+          statsCols = Seq("event_id"),
+          whenNotMatchedBySource = "delete",
+          notMatchedBySourceCondition =
+            Some(col("event_id").between(8000L, 9000L)))
+        ()
+      }
+      probeRun("merge_sync") { () => syncMerge(tl1) } { () => syncMerge(tl16) }
+      syncSrc.unpersist()
+      // NULL-count pruning: the cleaning filter (IS NULL) reads only
+      // the files that HOLD nulls — staged so nulls live in a fixed
+      // event_id band, i.e. a fixed file count in both layouts
+      def tlogNulls(name: String, df: DataFrame, nFiles: Int): String = {
+        val p = s"$StageDir/tlognull_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        TableLog.append(spark, p,
+          df.select(col("event_id"), col("user_id"), col("ts"),
+              when(col("event_id") < 5000, lit(null).cast("long"))
+                .otherwise(col("user_id")).as("maybe"))
+            .repartitionByRange(nFiles, col("event_id")),
+          statsCols = Seq("event_id", "maybe"))
+        p
+      }
+      val tn1 = tlogNulls("1x", ev1, 8)
+      val tn16 = tlogNulls("16x", ev, 128)
+      def nullScan(p: String): Unit = {
+        val pr = TableLog.scanWhere(spark, p, col("maybe").isNull)
+        require(pr.filesRead < pr.filesTotal,
+          s"probe: IS NULL must prune null-free files (${pr.filesRead}/${pr.filesTotal})")
+        pr.df.write.format("noop").mode("overwrite").save()
+      }
+      probeRun("null_prune_scan") { () => nullScan(tn1) } { () => nullScan(tn16) }
       // shallow clone: one manifest render over the live entries — the
       // 16× table has 16× MANIFEST LINES but zero data moves, so the
       // fork must stay in manifest-write time (sub-second), nowhere

@@ -1283,6 +1283,47 @@ class TableLogSpec extends SparkSpec {
       s"TRUE deletes, FALSE and NULL keep, matched delete-arm fires: $left")
   }
 
+  test("null-count pruning: IS NULL / IS NOT NULL skip files via manifest null counts") {
+    val dir = tmpDir("tlog_nulls")
+    // three single-file commits: no-null, half-null, all-null in v
+    TableLog.append(spark, dir,
+      (1L to 100L).map(k => (k, Some(k * 1.0))).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k", "v"))
+    TableLog.append(spark, dir,
+      (101L to 200L).map(k => (k, if (k % 2 == 0) Some(k * 1.0) else None))
+        .toDF("k", "v").coalesce(1), statsCols = Seq("k", "v"))
+    TableLog.append(spark, dir,
+      (201L to 300L).map(k => (k, None: Option[Double])).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k", "v"))
+    val live = TableLog.liveFilesAt(spark, dir)
+    assert(live.map(_.nullCounts.get("v")).toSet == Set(Some(0L), Some(50L), Some(100L)),
+      s"commits must harvest per-file null counts: ${live.map(_.nullCounts)}")
+    // IS NULL skips the zero-null file; IS NOT NULL skips the all-null
+    // file (min/max stats can answer NEITHER shape — the all-null file
+    // carries no range stat at all, yet still prunes)
+    val isNull = TableLog.scanWhere(spark, dir, col("v").isNull)
+    assert(isNull.filesRead == 2 && isNull.filesTotal == 3, s"IS NULL: $isNull")
+    assert(isNull.df.count() == 150L)
+    val notNull = TableLog.scanWhere(spark, dir, col("v").isNotNull)
+    assert(notNull.filesRead == 2 && notNull.filesTotal == 3)
+    assert(notNull.df.count() == 150L)
+    // conjuncts compose with range bounds; !isNull parses like isNotNull
+    val both = TableLog.scanWhere(spark, dir, col("v").isNotNull && col("k") <= 100L)
+    assert(both.filesRead == 1 && both.df.count() == 100L)
+    assert(TableLog.scanWhere(spark, dir, !col("v").isNull).filesRead == 2)
+    // the CLEANING DELETE: drop-null-rows touches only null-holding files
+    TableLog.deleteWhere(spark, dir, col("v").isNull, statsCols = Seq("k", "v"))
+    val del = TableLog.history(spark, dir).last
+    assert(del.remove.size == 2,
+      s"deleteWhere(isNull) must not rewrite the null-free file: ${del.remove}")
+    assert(TableLog.readAt(spark, dir).count() == 150L)
+    // carried-over + rewritten files both keep pruning afterwards
+    val after = TableLog.scanWhere(spark, dir, col("v").isNull)
+    assert(after.df.isEmpty)
+    assert(after.filesRead < after.filesTotal,
+      "post-delete manifests still prune the IS NULL shape")
+  }
+
   test("reader-feature guard: manifests declare dv/colmap/abs-paths; unknown features refuse loudly") {
     val dir = tmpDir("tlog_features")
     TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"p$k")).toDF("k", "s"))
