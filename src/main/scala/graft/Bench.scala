@@ -190,8 +190,21 @@ object Bench {
           nemb, nq, "vec_id", "nv", model, k = 10, shortlist = 100)
         val rPq = Similarity.recallAtK(pq, nbf)
         nbf.unpersist()
+        // PCA compression at k=48/64: these embeddings are near-isotropic
+        // (low explained variance — the telemetry that says "don't deploy
+        // PCA on this store"), so the recorded number characterizes the
+        // honest ceiling, not a tuned win; the ≥0.9 deployment case is
+        // pinned on a structured corpus in SimilaritySpec
+        val pm = Similarity.pcaFit(emb, "embedding", dim = 64, k = 48)
+        def proj(df: org.apache.spark.sql.DataFrame) =
+          Similarity.pcaProject(df, "embedding", pm)
+            .select(col("vec_id"), col("pca_vec"))
+        val rPca = Similarity.recallAtK(
+          Similarity.bruteForceTopK(proj(emb), proj(queries),
+            "vec_id", "pca_vec", 10), bf)
         bf.unpersist()
-        s""","recall":{"lsh":${sec(rLsh)},"ivf":${sec(rIvf)},"pq":${sec(rPq)}}"""
+        s""","recall":{"lsh":${sec(rLsh)},"ivf":${sec(rIvf)},"pq":${sec(rPq)},""" +
+          s""""pca48":${sec(rPca)},"pca48_explained":${sec(pm.explainedTotal)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
         ""","recall":null"""

@@ -261,6 +261,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("mat_project"),
+      new ExpressionInfo(classOf[graft.functions.MatProjectExpr].getName, "mat_project"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "mat_project(modelBytes, vec)")
+        graft.functions.MatProjectExpr(args.head, args(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("fold_text"),
       new ExpressionInfo(classOf[FoldTextExpr].getName, "fold_text"),
       (args: Seq[Expression]) => {

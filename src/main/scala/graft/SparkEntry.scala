@@ -1489,6 +1489,28 @@ object SparkEntry {
           round(element_at(col("ne"), 1).cast("double"), 6).as("lane0"))
         .orderBy(col("vec_id"))),
 
+    // mat_project — the PCA/random-projection kernel y = B(x − μ) as a
+    // fixed FORMULA basis both engines derive independently (μ = 0,
+    // b_j(i) = ((i·(j+2)+1) mod 7 − 3)/4, dyadic rationals): per-lane
+    // double products, sequential double sum, float cast — the same
+    // bit-portable discipline as l2_normalize. Invalid embeddings
+    // (null/NaN/Inf lane) project to NULL on both sides.
+    "q_mat_project" -> ((s, d) => {
+      val basis = Array.tabulate(4, 64)((j, i) =>
+        (((i * (j + 2) + 1) % 7 - 3) * 0.25).toFloat)
+      val model = graft.functions.MatCodec.serialize(
+        Array.fill(64)(0.0f), basis.map(_.toArray))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          call_function("mat_project", lit(model), col("embedding")).as("p"))
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1).cast("double"), 6).as("y0"),
+          round(element_at(col("p"), 2).cast("double"), 6).as("y1"),
+          round(element_at(col("p"), 3).cast("double"), 6).as("y2"),
+          round(element_at(col("p"), 4).cast("double"), 6).as("y3"))
+        .orderBy(col("vec_id"))
+    }),
+
     // symmetric int8 quantization — scale + lane extrema/sum are exact
     // integer/double math both engines reproduce bit-for-bit
     "q_embed_quantize" -> ((s, d) =>
@@ -4583,6 +4605,30 @@ object SparkEntry {
     // mirrors the native null contract: an invalid embedding (null/NaN/Inf
     // lane, or a null vector) nulls every output; a zero vector passes
     // through as zeros (x/0 would fabricate inf lanes)
+    // y_j = Σ_i b_j(i)·x_i with the formula basis; same per-lane double
+    // products, same sequential sum order, same float cast — and the
+    // same invalid-vector NULL branch as l2_normalize
+    "q_mat_project" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |         (embedding IS NULL
+        |          OR len(list_filter(embedding::DOUBLE[], x -> x IS NULL)) > 0
+        |          OR len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0) AS bad
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, bad,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> ((((i-1)*2 + 1) % 7) - 3) * 0.25 * e[i])) AS REAL) AS p0,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> ((((i-1)*3 + 1) % 7) - 3) * 0.25 * e[i])) AS REAL) AS p1,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> ((((i-1)*4 + 1) % 7) - 3) * 0.25 * e[i])) AS REAL) AS p2,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> ((((i-1)*5 + 1) % 7) - 3) * 0.25 * e[i])) AS REAL) AS p3
+        |  FROM s)
+        |SELECT vec_id,
+        |  CASE WHEN bad THEN NULL ELSE round(CAST(p0 AS DOUBLE), 6) END AS y0,
+        |  CASE WHEN bad THEN NULL ELSE round(CAST(p1 AS DOUBLE), 6) END AS y1,
+        |  CASE WHEN bad THEN NULL ELSE round(CAST(p2 AS DOUBLE), 6) END AS y2,
+        |  CASE WHEN bad THEN NULL ELSE round(CAST(p3 AS DOUBLE), 6) END AS y3
+        |FROM p ORDER BY vec_id""".stripMargin,
+
     "q_embed_normalize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,

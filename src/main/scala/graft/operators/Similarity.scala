@@ -611,6 +611,112 @@ object Similarity {
     explodeTopK(grouped)
   }
 
+  // ------------------------------------------------ PCA compression
+
+  /** PCA model for embedding-store compression: the top-k principal
+    * directions of the corpus (`basis`, k×d), its mean (`mean`), and
+    * each kept direction's explained-variance share. `bytes` is the
+    * packed literal every `mat_project` call ships (the PQ-codebook
+    * discipline — deserialized once per task, never per row).
+    */
+  final case class PcaModel(dim: Int, k: Int, mean: Array[Float],
+                            basis: Array[Array[Float]],
+                            explainedVariance: Array[Double]) {
+    def bytes: Array[Byte] = graft.functions.MatCodec.serialize(mean, basis)
+    def explainedTotal: Double = explainedVariance.sum
+  }
+
+  /** Fit PCA over an embedding column in ONE distributed pass: each
+    * partition accumulates Σx and the upper-triangular Gramian Σxxᵀ
+    * (O(d²) per task, merged in a treeAggregate), the d×d covariance
+    * `Σxxᵀ/n − μμᵀ` is eigendecomposed ON THE DRIVER (breeze `eigSym` —
+    * the symmetric solver Spark itself ships for MLlib), and the top-k
+    * eigenvectors become the projection basis. At 100 TB the data pass
+    * is the only data-sized cost; the driver work is O(d³) on a d ≤
+    * ~2000 guard — past that, random projection is the honest tool and
+    * this refuses rather than melting the driver. Deliberately NOT
+    * MLlib's `ml.feature.PCA`: its `transform` skips mean-centering
+    * (a long-documented quirk), which biases every projected cosine
+    * toward the corpus mean direction.
+    *
+    * Eigenvector signs are canonicalized (largest-|lane| positive), so
+    * refits on reshuffled data produce comparable bases. Null vectors
+    * are skipped by the fit; a wrong-length vector refuses loudly.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"pcaFit: need 1 <= k <= dim, got k=$k dim=$dim")
+    require(dim <= 2048,
+      s"pcaFit: dim=$dim means a ${dim.toLong * dim}-double covariance per task " +
+        "and an O(dim³) driver eig — past ~2048 dims use a random projection")
+    val zero = (0L, new Array[Double](dim), new Array[Double](dim * dim))
+    val (n, sum, gram) = df.select(col(vecCol)).na.drop(Seq(vecCol)).rdd
+      .treeAggregate(zero)(
+        seqOp = { case ((c, s, g), row) =>
+          val v = row.getSeq[Any](0)
+          require(v.length == dim,
+            s"pcaFit: vector has ${v.length} lanes, expected $dim")
+          var i = 0
+          while (i < dim) {
+            val xi = v(i).asInstanceOf[Number].doubleValue()
+            s(i) += xi
+            var j = i
+            while (j < dim) {
+              g(i * dim + j) += xi * v(j).asInstanceOf[Number].doubleValue()
+              j += 1
+            }
+            i += 1
+          }
+          (c + 1, s, g)
+        },
+        combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (c1 + c2, s1, g1)
+        })
+    require(n > k,
+      s"pcaFit: $n usable vectors cannot support a rank-$k basis")
+    val mu = sum.map(_ / n)
+    val cov = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = gram(i * dim + j) / n - mu(i) * mu(j)
+        cov(i * dim + j) = c
+        cov(j * dim + i) = c // mirror: eigSym wants the full symmetric matrix
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(new breeze.linalg.DenseMatrix(dim, dim, cov))
+    val order = (0 until dim).sortBy(c => -es.eigenvalues(c))
+    val top = order.take(k)
+    val totalVar = (0 until dim).map(c => math.max(es.eigenvalues(c), 0.0)).sum
+    val basis = top.map { c =>
+      val v = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val pivot = v.indices.maxBy(l => math.abs(v(l)))
+      val sgn = if (v(pivot) < 0) -1.0 else 1.0
+      v.map(x => (x * sgn).toFloat)
+    }.toArray
+    val explained = top.map(c =>
+      math.max(es.eigenvalues(c), 0.0) / math.max(totalVar, 1e-300)).toArray
+    PcaModel(dim, k, mu.map(_.toFloat), basis, explained)
+  }
+
+  /** Project the corpus into the PCA basis — one codegen'd
+    * `mat_project` pass (`y = B(x − μ)`), a dim/k-fold cut of every
+    * downstream scan/shuffle that touches the vectors. Cosine ranking
+    * over projections approximates full-space ranking exactly as well
+    * as the kept variance share — measure with [[recallAtK]] before
+    * trusting a (dim, k) pair, same discipline as LSH/IVF/PQ.
+    */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
+                 outCol: String = "pca_vec"): DataFrame =
+    df.withColumn(outCol,
+      call_function("mat_project", lit(model.bytes), col(vecCol)))
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, maxExactRows: Long = 10000L): DataFrame = {
     val n = df.count()

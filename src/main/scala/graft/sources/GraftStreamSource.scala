@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -40,6 +41,16 @@ import graft.sinks.TableLog
   * `startingVersion` skips the initial-snapshot replay for consumers
   * bootstrapped from a snapshot (same contract as
   * `changeFeedStream`).
+  *
+  * `Trigger.AvailableNow` is first-class ([[SupportsTriggerAvailableNow]]
+  * — the v1 `Source` trait extends `SparkDataStream`, so the v2
+  * admission-control interfaces bolt straight on): the drain bound
+  * PINS to the table's head at `prepareForTriggerAvailableNow` (a
+  * catch-up run never chases commits landing while it drains — it
+  * terminates), micro-batches still respect `maxVersionsPerTrigger`
+  * through the ReadLimit, and the query self-stops at the bound — the
+  * cron-shaped consumer: drain everything committed so far as bounded
+  * batches, checkpoint, exit.
   */
 private[sources] class GraftStreamSource(val sqlContext: SQLContext,
                                          dir: String, cdf: Boolean,
@@ -47,12 +58,14 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
                                          startingVersion: Long,
                                          maxVersionsPerTrigger: Option[Long],
                                          override val schema: StructType)
-    extends Source {
+    extends Source with SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
   private val floor = math.max(startingVersion, 0L)
   // best-effort rate-limit cursor; corrected from real offsets in getBatch
   @volatile private var lastEnd: Long = -1L
+  // AvailableNow drain bound, fixed at prepare time
+  @volatile private var drainBound: Option[Long] = None
 
   override def getOffset: Option[OffsetV1] = {
     val cur = TableLog.currentVersion(spark, dir)
@@ -64,6 +77,32 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
       lastEnd = math.max(end, from)
       Some(LongOffset(lastEnd))
     }
+  }
+
+  // ---- v2 admission control (what Trigger.AvailableNow drives; a
+  // SupportsAdmissionControl source takes this path for EVERY trigger,
+  // so this subsumes getOffset's logic rather than duplicating it)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainBound = Some(TableLog.currentVersion(spark, dir))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n =>
+      ReadLimit.maxRows(math.max(1L, n))) // "rows" = commit versions here
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(_.json.trim.toLong).getOrElse(floor)
+    val head = TableLog.currentVersion(spark, dir)
+    val bound = drainBound.fold(head)(math.min(_, head))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(bound, from + math.max(1L, r.maxRows()))
+      case _ => bound
+    }
+    val end = math.max(from, math.max(capped, floor))
+    // an offset equal to the start means "no new data" — for the very
+    // first poll of an empty/drained table, null means the same
+    if (end <= from && startOffset == null) null
+    else LongOffset(end)
   }
 
   private def toVersion(o: OffsetV1): Long = o.json.trim.toLong

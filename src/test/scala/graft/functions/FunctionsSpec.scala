@@ -535,6 +535,47 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set(conf, before)
   }
 
+  test("mat_project matches the zip_with/aggregate Column formulation; codegen parity") {
+    import graft.functions.MatCodec
+    val mean = Array(1.0f, -2.0f, 0.5f)
+    val basis = Array(Array(0.5f, 0.25f, -1.0f), Array(2.0f, 0.0f, 3.0f))
+    val model = MatCodec.serialize(mean, basis)
+    val df = Seq(
+      Array(3.0f, 4.0f, -1.0f), Array(0.0f, 0.0f, 0.0f), Array(-2.5f, 7.0f, 0.125f)
+    ).toDF("v")
+    // reference: y_j = Σ_i basis_j_i · (x_i − μ_i) via higher-order fns
+    def dot(row: Array[Float]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("v"),
+          typedLit(mean.zip(row)), // (μ_i, b_i) pairs
+          (x, mb) => (x.cast("double") - mb.getField("_1").cast("double")) *
+            mb.getField("_2").cast("double")),
+        lit(0d), (a, x) => a + x)
+    val ref = array(basis.map(r => dot(r).cast("float")).toIndexedSeq: _*)
+    val out = df.select(
+      call_function("mat_project", lit(model), col("v")).as("native"),
+      ref.as("column")).collect()
+    out.foreach { r =>
+      r.getSeq[Float](0).zip(r.getSeq[Float](1)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-5f, s"$a vs $b") }
+    }
+    // null lane → null result, in BOTH eval modes; wrong width is loud
+    val conf = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(conf)
+    try Seq("true", "false").foreach { m =>
+      spark.conf.set(conf, m)
+      val r = spark.sql(
+        "SELECT mat_project(X'" + model.map("%02x".format(_)).mkString + "', " +
+          "array(cast(1.0 as float), cast(null as float), cast(0.0 as float))) AS p").head()
+      assert(r.isNullAt(0), s"mode=$m")
+    } finally spark.conf.set(conf, before)
+    val e = intercept[Exception] {
+      Seq(Array(1.0f)).toDF("v")
+        .select(call_function("mat_project", lit(model), col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("quantize_i8: scale, truncation, clamp, zero vector, dequantization error") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),   // maxAbs 1.0 → scale 127

@@ -50,6 +50,41 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(seen.values.flatten.size == before + 1)
   }
 
+  test("streaming source: Trigger.AvailableNow drains the backlog, stops, resumes later") {
+    val base = tmpDir("gss_an")
+    val dir = s"$base/t"
+    (1 to 3).foreach { i =>
+      TableLog.append(spark, dir,
+        ((i * 10L) until (i * 10L + 10L)).map(k => (k, s"b$i")).toDF("k", "tag"))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen ++= b.collect().map(_.getLong(0)); ()
+        }
+        .start()
+      // AvailableNow must TERMINATE by itself once the backlog drains —
+      // the batch-job-on-a-stream contract (a cron catch-up consumer)
+      assert(q.awaitTermination(120000), "AvailableNow query must self-stop")
+    }
+    drain()
+    assert(seen.sorted.toSeq == (10L until 40L),
+      s"the whole backlog drains in one run: ${seen.size} rows")
+    // nothing new → an immediate re-run sees zero rows and still stops
+    val before = seen.size
+    drain()
+    assert(seen.size == before, "an up-to-date AvailableNow run delivers nothing")
+    // later commits arrive on the NEXT scheduled run, exactly once
+    TableLog.append(spark, dir, Seq((99L, "late")).toDF("k", "tag"))
+    drain()
+    assert(seen.sorted.toSeq == ((10L until 40L) :+ 99L).sorted)
+  }
+
   test("streaming source: append-only mode refuses row-changing commits; CDF mode streams them") {
     val base = tmpDir("gss_cdf")
     val dir = s"$base/t"
