@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.sinks.{AggView, DataSink, TableLog}
-import graft.sources.Tables
+import graft.sources.{GraftSql, Tables}
 
 /** Driver contract: `queries` = one entry per implemented operator from
   * SURVEY.md §2; `oracleSql` = DuckDB-runnable equivalent SQL (identical
@@ -148,6 +148,39 @@ object SparkEntry {
         statsCols = Seq("k", "total"))
       TableLog.append(s, p, base.filter(col("total").isNull).coalesce(2),
         statsCols = Seq("k", "total"))
+      p
+    })
+
+  /** Staged SQL-DML history (q_sql_dml): DELETE, UPDATE, and MERGE
+    * written as plain SQL statements (GraftSql routes them through the
+    * table log's transactional row-level ops with pruning intact) —
+    * the warehouse user's surface, oracle-checked end to end.
+    */
+  private val tableLogDmlPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dmlFixture(s: SparkSession, d: String): String =
+    tableLogDmlPath.getOrElseUpdate(d, {
+      val p = stageDir("tlogdml", d)
+      val tgt = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("total"),
+        col("o_orderstatus").as("status"))
+      TableLog.append(s, p, tgt.repartitionByRange(16, col("k")),
+        statsCols = Seq("k"))
+      val v = s"dml_${java.lang.Integer.toHexString(d.hashCode)}"
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v USING graft OPTIONS (path '$p')")
+      GraftSql.exec(s, s"DELETE FROM $v WHERE k % 10 = 0 AND status = 'F'")
+      GraftSql.exec(s, s"UPDATE $v SET total = total + 1.0 WHERE k BETWEEN 1000 AND 2000")
+      tgt.filter(pmod(col("k"), lit(97)) === 0)
+        .withColumn("total", lit(7.0))
+        .unionByName(tgt.filter(pmod(col("k"), lit(1000)) === 0)
+          .select((col("k") + 2000000000L).as("k"),
+            lit(9.0).as("total"), lit("N").as("status")))
+        .createOrReplaceTempView(s"${v}_src")
+      GraftSql.exec(s,
+        s"""MERGE INTO $v t USING ${v}_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       p
     })
 
@@ -1961,6 +1994,14 @@ object SparkEntry {
       require(pr.filesRead < pr.filesTotal,
         s"IS NOT NULL must prune all-null files (${pr.filesRead}/${pr.filesTotal})")
       pr.df.orderBy(col("k"))
+    }),
+
+    // SQL DML end-to-end: DELETE / UPDATE / MERGE written as the SQL a
+    // warehouse user types, parsed by Spark's own parser, routed
+    // through the table log's transactional ops (touch-set pruning and
+    // null-count skips fire identically from SQL text)
+    "q_sql_dml" -> ((s, d) => {
+      TableLog.readAt(s, dmlFixture(s, d)).orderBy(col("k"))
     }),
 
     // MERGE full sync (WHEN NOT MATCHED BY SOURCE THEN DELETE,
@@ -5044,6 +5085,29 @@ object SparkEntry {
       """SELECT o_orderkey AS k, o_totalprice::DOUBLE AS total
         |FROM orders
         |WHERE o_orderkey % 5 <> 0
+        |ORDER BY k""".stripMargin,
+
+    // state after the SQL DML chain: delete, then windowed update, then
+    // merge (matched keys take the source row — including keys the
+    // delete removed and the merge re-inserts; synthetic keys insert)
+    "q_sql_dml" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey AS k, o_totalprice::DOUBLE AS total,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |t1 AS (SELECT * FROM t0 WHERE NOT (k % 10 = 0 AND status = 'F')),
+        |t2 AS (SELECT k,
+        |         CASE WHEN k BETWEEN 1000 AND 2000 THEN total + 1.0
+        |              ELSE total END AS total,
+        |         status FROM t1),
+        |src AS (
+        |  SELECT k, 7.0 AS total, status FROM t0 WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT k + 2000000000, 9.0, 'N' FROM t0 WHERE k % 1000 = 0)
+        |SELECT k, total, status FROM src
+        |UNION ALL
+        |SELECT t2.k, t2.total, t2.status FROM t2
+        |LEFT JOIN src USING (k) WHERE src.k IS NULL
         |ORDER BY k""".stripMargin,
 
     // state after the conditioned FULL-SYNC merge: source rows verbatim

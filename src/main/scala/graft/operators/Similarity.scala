@@ -717,6 +717,27 @@ object Similarity {
     df.withColumn(outCol,
       call_function("mat_project", lit(model.bytes), col(vecCol)))
 
+  /** Seeded Gaussian RANDOM PROJECTION (Johnson–Lindenstrauss) — the
+    * dimensionality-reduction path for stores too wide for [[pcaFit]]'s
+    * d² covariance (its refusal message points here): no fit pass at
+    * all — the basis derives from the seed alone (entries N(0, 1/k), so
+    * squared distances are preserved in expectation), projection is the
+    * same codegen'd `mat_project` kernel, and two sites with the same
+    * (dim, k, seed) project IDENTICALLY without exchanging a model.
+    * `explainedVariance` is empty: JL gives a distance-distortion
+    * guarantee (ε ~ √(log n / k)), not a variance decomposition —
+    * measure ranking fidelity with [[recallAtK]] like every other
+    * approximate path.
+    */
+  def randomProjectionModel(dim: Int, k: Int, seed: Long = 42L): PcaModel = {
+    require(k >= 1 && k < dim,
+      s"randomProjectionModel: need 1 <= k < dim, got k=$k dim=$dim")
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(k)
+    val basis = Array.fill(k)(Array.fill(dim)((rnd.nextGaussian() * scale).toFloat))
+    PcaModel(dim, k, Array.fill(dim)(0.0f), basis, Array.empty)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, maxExactRows: Long = 10000L): DataFrame = {
     val n = df.count()

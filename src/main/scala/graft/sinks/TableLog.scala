@@ -626,6 +626,25 @@ object TableLog {
     * [[deleteWhere]]/[[updateWhere]] derive their touch set from the
     * predicate itself unless the caller overrides.
     */
+  /** Unwrap analyzer sugar so SQL-text predicates prune like their
+    * Column-API twins: RuntimeReplaceable nodes (BETWEEN, …) replace
+    * with their rewrite, and the `With` common-subexpression wrapper
+    * that rewrite introduces inlines its refs (the CSE is a runtime
+    * optimization; the bounds analysis wants the plain tree).
+    */
+  private def unsugar(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.transformUp { case r: RuntimeReplaceable => r.replacement }
+      .transformUp {
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp {
+            case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
+          }
+      }
+  }
+
   private[sinks] def boundsFromPredicate(probe: DataFrame,
                                          pred: org.apache.spark.sql.Column): Seq[(String, Any, Any)] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -633,10 +652,14 @@ object TableLog {
     // resolve against the table schema so type-coercion casts are
     // explicit in the tree (a literal cast folds; a numeric-widening
     // cast around the column keeps its name — order-preserving, and
-    // the manifest stats compare in double space anyway)
+    // the manifest stats compare in double space anyway). SQL-parsed
+    // sugar (BETWEEN, …) analyzes to RuntimeReplaceable wrappers —
+    // unwrap to the replacement tree so a predicate that arrived as
+    // SQL text prunes exactly like its Column-API twin.
     val cond = probe.filter(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition }
+      .map(unsugar)
     def litVal(e: Expression): Option[Any] = e match {
       case l if l.foldable => Option(l.eval(null)).map {
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
@@ -765,6 +788,7 @@ object TableLog {
     val cond = probe.filter(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition }
+      .map(unsugar)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)

@@ -268,8 +268,8 @@ object GraftTableSource {
   @volatile var lastPrune: Option[(Int, Int)] = None
 }
 
-private[sources] class GraftTableRelation(override val sqlContext: SQLContext,
-                                          dir: String, version: Long)
+private[graft] class GraftTableRelation(override val sqlContext: SQLContext,
+                                        val dir: String, val version: Long)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession

@@ -489,6 +489,35 @@ class SimilaritySpec extends SparkSpec {
     } finally bf.unpersist()
   }
 
+  test("randomProjectionModel: JL distance preservation, seed determinism, no fit pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 300L).map(id => (id, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val df = rows.toDF("id", "vec")
+    val m = Similarity.randomProjectionModel(dim = 64, k = 32, seed = 9L)
+    assert(m.explainedVariance.isEmpty, "JL carries no variance decomposition")
+    val proj = Similarity.pcaProject(df, "vec", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+    val full = rows.toMap
+    def d2(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    // JL: squared distances preserved in EXPECTATION with ε ~ √(ln n/k);
+    // assert the mean relative distortion is small and no pair explodes
+    val ids = rows.take(40).map(_._1)
+    val dist = for (i <- ids; j <- ids if i < j) yield {
+      val a = d2(full(i).toArray, full(j).toArray)
+      val b = d2(proj(i), proj(j))
+      math.abs(b - a) / a
+    }
+    assert(dist.sum / dist.size < 0.2,
+      f"mean JL distortion must stay small: ${dist.sum / dist.size}%.3f")
+    assert(dist.max < 1.0, f"no pair may explode: ${dist.max}%.3f")
+    // same (dim, k, seed) at another site → the identical model, no
+    // model exchange needed; another seed → a different basis
+    assert(Similarity.randomProjectionModel(64, 32, 9L).bytes.toSeq == m.bytes.toSeq)
+    assert(Similarity.randomProjectionModel(64, 32, 10L).bytes.toSeq != m.bytes.toSeq)
+  }
+
   test("dropHotSigBuckets: duplicated-embedding bucket capped, distinct pair survives") {
     import spark.implicits._
     // 30 byte-identical embeddings → one bucket per table with 30 members;
