@@ -1387,6 +1387,51 @@ object TableLog {
     * table and each table's owner tunes retention/layout by setting
     * properties, not by editing the scheduler.
     */
+  /** Fleet upkeep: discover every table under `rootDir` (any immediate
+    * or nested directory carrying a `_log`) and run [[maintainAuto]] on
+    * each — ONE scheduler entry point for a whole warehouse, each
+    * table tuned by its own properties. A table whose maintenance
+    * THROWS is reported (`error` column) and the sweep continues: one
+    * wedged table must not starve every other table's retention.
+    * Discovery prunes at `_log` boundaries (a table's data subdirs are
+    * never walked), so the listing cost is O(directories), not
+    * O(files). Returns one report row per table, path-ordered.
+    */
+  def maintainAll(spark: SparkSession, rootDir: String,
+                  maxDepth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"TableLog.maintainAll: $rootDir does not exist")
+    def discover(p: Path, depth: Int): Seq[Path] =
+      if (fs.exists(new Path(p, "_log"))) Seq(p)
+      else if (depth >= maxDepth) Nil
+      else fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap(s => discover(s.getPath, depth + 1)).toSeq
+    val tables = discover(root, 0).map(_.toString).sorted
+    val rows = tables.map { t =>
+      try {
+        val r = maintainAuto(spark, t)
+        Row(t, r.compactedCommit.map(java.lang.Long.valueOf).orNull,
+          r.checkpointedAt, r.deletedDataFiles, r.deletedTmp,
+          r.retainedFrom, null)
+      } catch { case e: Exception =>
+        Row(t, null, null, null, null, null,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, new StructType()
+      .add("table", StringType, nullable = false)
+      .add("compacted_commit", LongType)
+      .add("checkpointed_at", LongType)
+      .add("deleted_data_files", IntegerType)
+      .add("deleted_tmp", IntegerType)
+      .add("retained_from", LongType)
+      .add("error", StringType))
+  }
+
   def maintainAuto(spark: SparkSession, dir: String): MaintenanceReport = {
     val p = tablePropertiesAt(spark, dir)
     def i(k: String, dflt: Int): Int = p.get(k).map(_.trim.toInt).getOrElse(dflt)

@@ -1324,6 +1324,41 @@ class TableLogSpec extends SparkSpec {
       "post-delete manifests still prune the IS NULL shape")
   }
 
+  test("maintainAll: fleet sweep discovers nested tables, isolates failures, applies per-table knobs") {
+    val root = tmpDir("tlog_fleet")
+    val t1 = s"$root/a"
+    val t2 = s"$root/nest/b"
+    (1 to 4).foreach(i =>
+      TableLog.append(spark, t1, Seq((i.toLong, s"v$i")).toDF("k", "s")))
+    (1 to 3).foreach(i =>
+      TableLog.append(spark, t2, Seq((i.toLong, i * 1.0)).toDF("k", "v")))
+    TableLog.setTableProperties(spark, t2,
+      Map("graft.retain.keepVersions" -> "1"))
+    // a wedged table: unparseable manifest — its failure must not
+    // starve the rest of the fleet's maintenance
+    val bad = s"$root/c"
+    new java.io.File(s"$bad/_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bad/_log/00000000000000000001.json"),
+      "not json".getBytes("UTF-8"))
+    val report = TableLog.maintainAll(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(report.keySet.map(_.split('/').last) == Set("a", "b", "c"),
+      s"discovery must find nested tables and stop at _log: ${report.keySet}")
+    val (ra, rb, rc) = (report.find(_._1.endsWith("/a")).get._2,
+      report.find(_._1.endsWith("/b")).get._2,
+      report.find(_._1.endsWith("/c")).get._2)
+    assert(ra.isNullAt(6) && rb.isNullAt(6), "healthy tables report no error")
+    assert(!rc.isNullAt(6) && rc.getString(6).nonEmpty,
+      "the wedged table reports its failure")
+    assert(!ra.isNullAt(1), "four tiny files must compact")
+    assert(TableLog.readAt(spark, t1).count() == 4L)
+    assert(TableLog.readAt(spark, t2).count() == 3L)
+    // t2's property-tuned retention (keepVersions=1) vacuumed deeper
+    // than t1's default of 2
+    assert(rb.getLong(5) > 1L, s"property-tuned retention must apply: $rb")
+  }
+
   test("reader-feature guard: manifests declare dv/colmap/abs-paths; unknown features refuse loudly") {
     val dir = tmpDir("tlog_features")
     TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"p$k")).toDF("k", "s"))
