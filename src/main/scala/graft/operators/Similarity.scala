@@ -648,8 +648,19 @@ object Similarity {
     require(dim <= 2048,
       s"pcaFit: dim=$dim means a ${dim.toLong * dim}-double covariance per task " +
         "and an O(dim³) driver eig — past ~2048 dims use a random projection")
+    // INVALID vectors (null, or carrying a null/NaN/±Inf lane) are
+    // SKIPPED by the fit — the same rows mat_project later nulls out;
+    // letting one through would NPE the aggregate or poison the whole
+    // covariance with NaN after a full data pass
+    val validVec = {
+      val xd = (x: Column) => x.cast("double")
+      col(vecCol).isNotNull && !exists(col(vecCol), x =>
+        x.isNull || isnan(xd(x)) ||
+          xd(x) === lit(Double.PositiveInfinity) ||
+          xd(x) === lit(Double.NegativeInfinity))
+    }
     val zero = (0L, new Array[Double](dim), new Array[Double](dim * dim))
-    val (n, sum, gram) = df.select(col(vecCol)).na.drop(Seq(vecCol)).rdd
+    val (n, sum, gram) = df.select(col(vecCol)).where(validVec).rdd
       .treeAggregate(zero)(
         seqOp = { case ((c, s, g), row) =>
           val v = row.getSeq[Any](0)

@@ -493,14 +493,16 @@ object TableLog {
   def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
                    predicate: org.apache.spark.sql.Column,
                    statsCols: Seq[String] = Nil,
-                   txn: Option[(String, Long)] = None): Long = {
+                   txn: Option[(String, Long)] = None,
+                   writeOptions: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
     require(df.filter(not(fnCoalesce(predicate, lit(false)))).isEmpty,
       "TableLog.replaceWhere: the batch holds rows that do NOT satisfy the " +
         "replace predicate — a backfill must stay inside the window it " +
         "replaces (filter the batch, or widen the predicate)")
     rewriteTouched(spark, dir, "replace", pruneBounds = Nil, statsCols,
-        txn = txn, autoBoundsFrom = Some(predicate)) { touched =>
+        txn = txn, autoBoundsFrom = Some(predicate),
+        writeOptions = writeOptions) { touched =>
       touched.filter(not(fnCoalesce(predicate, lit(false))))
         .unionByName(df.select(touched.columns.map(col).toSeq: _*))
     }
@@ -832,6 +834,7 @@ object TableLog {
     val cond = probe.filter(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition }
+      .map(unsugar) // SQL-text sugar must not hide a bloom-answerable shape
     def litVal(e: Expression): Option[Any] = e match {
       case l if l.foldable => Option(l.eval(null)).map {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString
@@ -914,7 +917,8 @@ object TableLog {
                              autoBoundsFrom: Option[org.apache.spark.sql.Column] = None,
                              readBounds: Seq[(String, Any, Any)] = Nil,
                              orBounds: Seq[Seq[(String, Any, Any)]] = Nil,
-                             rebaseable: Boolean = true)
+                             rebaseable: Boolean = true,
+                             writeOptions: Map[String, String] = Map.empty)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
@@ -959,7 +963,7 @@ object TableLog {
           s"(${out.schema.simpleString} vs ${schema.simpleString})")
     commit(spark, dir, out, op, statsCols, expectedParent = Some(base),
       txn = txn, explicitRemoves = Some(touched),
-      schemaOverride = Some(schemaJson),
+      schemaOverride = Some(schemaJson), writeOptions = writeOptions,
       readBounds = physBounds(cm, readBounds), rebaseable = rebaseable)
   }
 
@@ -1004,8 +1008,7 @@ object TableLog {
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, files) = snapshotAt(spark, fs, basePath, base)
-    val totalBytes = files.map(f =>
-      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val totalBytes = files.map(fileBytes(fs, basePath, _)).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val cur = readAt(spark, dir, base)
@@ -1015,8 +1018,21 @@ object TableLog {
         cur.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.coalesce(nOut)
-    overwrite(spark, dir, laid, statsCols, expectedParent = Some(base))
+    // commits as op `compact`, NOT `overwrite`: the row multiset is
+    // unchanged, and downstream consumers key off the op — an
+    // append-only stream passes maintenance commits through with their
+    // empty diff but must refuse a real overwrite loudly
+    commit(spark, dir, laid, "compact", statsCols,
+      expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
   }
+
+  /** A live file's size: from the MANIFEST when recorded (the normal
+    * case since `bytes` landed — zero RPCs), a getFileStatus fallback
+    * for legacy entries only.
+    */
+  private def fileBytes(fs: FileSystem, basePath: Path, f: AddFile): Long =
+    if (f.bytes > 0L) f.bytes
+    else fs.getFileStatus(new Path(basePath, f.path)).getLen
 
   /** `RESTORE TABLE … TO VERSION` as a ZERO-COPY commit: roll the table
     * back to `version`'s contents by publishing a new commit whose adds
@@ -1646,11 +1662,12 @@ object TableLog {
     // a file carrying a deletion vector qualifies REGARDLESS of size:
     // compaction is where merge-on-read deletes get materialized away
     // (the rewrite drops the dv'd rows and the new entry is clean)
+    // sizes come from the manifest (fileBytes — no O(files) stat sweep
+    // per maintenance run; legacy entries fall back to getFileStatus)
     val small = files.filter(f => f.dv.nonEmpty ||
-      fs.getFileStatus(new Path(basePath, f.path)).getLen < minFileMB * 1024L * 1024L)
+      fileBytes(fs, basePath, f) < minFileMB * 1024L * 1024L)
     if (small.length < minSmallFiles && !small.exists(_.dv.nonEmpty)) return None
-    val totalBytes = small.map(f =>
-      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val totalBytes = small.map(fileBytes(fs, basePath, _)).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -1682,17 +1699,18 @@ object TableLog {
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, files) = snapshotAt(spark, fs, basePath, base)
-    val totalBytes = files.map(f =>
-      fs.getFileStatus(new Path(basePath, f.path)).getLen).sum
+    val totalBytes = files.map(fileBytes(fs, basePath, _)).sum
     val nOut =
       if (targetFiles > 0) targetFiles
       else math.max(1,
         math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val laid = DataSink.zOrderLayout(readAt(spark, dir, base), zCols,
       bitsPerCol, curve, nOut)
-    overwrite(spark, dir, laid,
+    // rows-preserving layout maintenance commits as `compact` (see
+    // compactTable) — a streaming consumer must not die on OPTIMIZE
+    commit(spark, dir, laid, "compact",
       if (statsCols.isEmpty) zCols else statsCols,
-      expectedParent = Some(base))
+      expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
   }
 
   /** Materialize the live state at the LATEST version as a checkpoint
@@ -2055,6 +2073,21 @@ object TableLog {
     if (nullableForm(DataType.fromJson(schemaJson).asInstanceOf[StructType]) !=
         nullableForm(DataType.fromJson(headSchema).asInstanceOf[StructType]))
       return false
+    // a winner that changed the COLUMN MAPPING or the dropped-column
+    // tombstones is a real conflict even when the logical schema reads
+    // the same: the loser's data files were written under the OLD
+    // physical mapping (re-pinning it would tombstone columns a
+    // concurrent overwrite just legitimately cleared, and a mapping
+    // divergence would make one table-level colmap describe files
+    // written under two different physical layouts — silent null-fills)
+    def mappingOf(v: Long): (Map[String, String], Set[String]) =
+      if (v <= 0L) (Map.empty, Set.empty)
+      else {
+        val c = parseCommit(readText(fs, commitPath(base, v)))
+        (c.colmap, c.droppedCols.toSet)
+      }
+    if (mappingOf(oldParent) != mappingOf(newBase))
+      return false
     val headByPath = headFiles.map(f => f.path -> f).toMap
     if (!removeEntries.forall(r => headByPath.get(r.path).exists(_.dv == r.dv)))
       return false
@@ -2126,6 +2159,21 @@ object TableLog {
     if (!fs.exists(new Path(base, "_log"))) Nil
     else commitVersions(fs, base).map(v => parseCommit(readText(fs,
       new Path(base, f"_log/$v%020d.json"))))
+  }
+
+  /** The commits in `(fromExclusive, toInclusive]` only — what a
+    * per-trigger consumer needs: parsing cost is O(range), never
+    * O(table lifetime) (a streaming guard calling full [[history]] on
+    * every micro-batch would reparse 10⁵ manifests to inspect two).
+    */
+  def historyRange(spark: SparkSession, dir: String,
+                   fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(base, "_log"))) Nil
+    else commitVersions(fs, base)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .map(v => parseCommit(readText(fs, commitPath(base, v))))
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest version whose commit
@@ -2424,17 +2472,82 @@ object TableLog {
             val bloom = reader.readBloomFilter(cc)
             if (bloom == null) true
             else {
-              val prim = cc.getPrimitiveType.getPrimitiveTypeName
-              probes.exists { v =>
-                val hash: Option[Long] = (prim, v) match {
-                  case (INT64, n: Number) => Some(bloom.hash(n.longValue()))
-                  case (INT32, n: Number) => Some(bloom.hash(n.intValue()))
-                  case (DOUBLE, n: Number) => Some(bloom.hash(n.doubleValue()))
-                  case (FLOAT, n: Number) => Some(bloom.hash(n.floatValue()))
-                  case (BINARY, s: String) => Some(bloom.hash(Binary.fromString(s)))
-                  case _ => None
+              import org.apache.parquet.schema.LogicalTypeAnnotation
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY
+              val primType = cc.getPrimitiveType
+              val prim = primType.getPrimitiveTypeName
+              // DECIMAL columns store (and the bloom hashes) the
+              // UNSCALED integer while the probe arrives in VALUE space
+              // — the same domain mismatch footerStats rescales for.
+              // Probing bloom.hash(12L) for a stored 12.34 (unscaled
+              // 1234) would answer "absent" and silently prune a file
+              // that HOLDS the row: a missed delete / missing query
+              // rows. Convert the probe exactly; a value no decimal of
+              // this scale can represent cannot match any stored row,
+              // so it contributes "absent" soundly.
+              val decScale: Option[Int] = primType.getLogicalTypeAnnotation match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
+              def exactDecimal(v: Any): Option[java.math.BigDecimal] = v match {
+                case b: java.math.BigDecimal => Some(b)
+                case b: scala.math.BigDecimal => Some(b.underlying)
+                case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+                case n @ (_: java.lang.Long | _: java.lang.Integer |
+                          _: java.lang.Short | _: java.lang.Byte) =>
+                  Some(java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue()))
+                // toString is the shortest exact decimal rendering —
+                // new BigDecimal(12.34d) directly would carry the
+                // binary-fraction noise and never setScale exactly
+                case d: java.lang.Double => Some(new java.math.BigDecimal(d.toString))
+                case f: java.lang.Float => Some(new java.math.BigDecimal(f.toString))
+                case _ => None
+              }
+              def decimalMight(v: Any, sc: Int): Boolean =
+                exactDecimal(v) match {
+                  case None => true // unknown probe type: never prune
+                  case Some(bd) =>
+                    (try Some(bd.setScale(sc).unscaledValue())
+                     catch { case _: ArithmeticException => None }) match {
+                      case None => false // no decimal(_, sc) equals this value
+                      case Some(bi) => prim match {
+                        case INT64 =>
+                          bi.bitLength() < 64 && bloom.findHash(bloom.hash(bi.longValue()))
+                        case INT32 =>
+                          bi.bitLength() < 32 && bloom.findHash(bloom.hash(bi.intValue()))
+                        case FIXED_LEN_BYTE_ARRAY | BINARY =>
+                          // big-endian two's complement, sign-extended
+                          // to the column's fixed width for FLBA
+                          val raw = bi.toByteArray
+                          val len =
+                            if (prim == FIXED_LEN_BYTE_ARRAY) primType.getTypeLength
+                            else raw.length
+                          if (raw.length > len) false // cannot fit the column
+                          else {
+                            val out = Array.fill[Byte](len)(
+                              if (bi.signum() < 0) -1 else 0)
+                            System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+                            bloom.findHash(bloom.hash(Binary.fromConstantByteArray(out)))
+                          }
+                        case _ => true
+                      }
+                    }
                 }
-                hash.forall(bloom.findHash) // un-coercible value: keep the file
+              probes.exists { v =>
+                decScale match {
+                  case Some(sc) => decimalMight(v, sc)
+                  case None =>
+                    val hash: Option[Long] = (prim, v) match {
+                      case (INT64, n: Number) => Some(bloom.hash(n.longValue()))
+                      case (INT32, n: Number) => Some(bloom.hash(n.intValue()))
+                      case (DOUBLE, n: Number) => Some(bloom.hash(n.doubleValue()))
+                      case (FLOAT, n: Number) => Some(bloom.hash(n.floatValue()))
+                      case (BINARY, s: String) => Some(bloom.hash(Binary.fromString(s)))
+                      case _ => None
+                    }
+                    hash.forall(bloom.findHash) // un-coercible value: keep the file
+                }
               }
             }
         }

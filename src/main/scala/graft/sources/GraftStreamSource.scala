@@ -38,9 +38,11 @@ import graft.sinks.TableLog
   *  - `readChangeFeed=true`: the full change feed — data columns +
   *    `_change_type` + `_commit_version` — for CDC consumers.
   *
-  * `startingVersion` skips the initial-snapshot replay for consumers
-  * bootstrapped from a snapshot (same contract as
-  * `changeFeedStream`).
+  * `startingVersion` is INCLUSIVE — the stream begins AT that commit
+  * (the batch CDF reader's, `changeFeedStream`'s, and Delta's
+  * convention; one option name must not mean off-by-one different
+  * things across the three surfaces). A consumer bootstrapped from a
+  * snapshot at version S passes `startingVersion = S + 1`.
   *
   * `Trigger.AvailableNow` is first-class ([[SupportsTriggerAvailableNow]]
   * — the v1 `Source` trait extends `SparkDataStream`, so the v2
@@ -61,7 +63,8 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
     extends Source with SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
-  private val floor = math.max(startingVersion, 0L)
+  // the EXCLUSIVE lower offset bound: startingVersion itself delivers
+  private val floor = math.max(startingVersion - 1L, 0L)
   // best-effort rate-limit cursor; corrected from real offsets in getBatch
   @volatile private var lastEnd: Long = -1L
   // AvailableNow drain bound, fixed at prepare time
@@ -115,12 +118,14 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
     if (cdf) changes
     else {
       if (!ignoreChanges) {
-        // manifest-level check, driver-side and log-sized: a commit with
-        // a non-empty remove set that is not pure maintenance may have
-        // emitted deletes — silently dropping them would desync every
-        // downstream aggregate, so refuse loudly (Delta's rule)
-        val rowChanging = TableLog.history(spark, dir)
-          .filter(c => c.version > from && c.version <= to)
+        // manifest-level check, driver-side and RANGE-sized (never the
+        // table's whole lifetime): a commit with a non-empty remove set
+        // that is not pure maintenance may have emitted deletes —
+        // silently dropping them would desync every downstream
+        // aggregate, so refuse loudly (Delta's rule). compactTable /
+        // optimizeZOrdered / compactSmallFiles all commit as `compact`
+        // (rows preserved), so layout maintenance passes through.
+        val rowChanging = TableLog.historyRange(spark, dir, from, to)
           .filter(c => c.remove.nonEmpty &&
             !Set("compact", "txn", "checkpoint").contains(c.op))
         require(rowChanging.isEmpty,

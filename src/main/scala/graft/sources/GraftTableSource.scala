@@ -87,7 +87,7 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     new GraftStreamSource(sqlContext, dir,
       cdf = parameters.get("readChangeFeed").exists(_.toBoolean),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       schema = GraftTableSource.streamSchema(sqlContext, parameters))
   }
@@ -157,8 +157,12 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Overwrite =>
         parameters.get("replaceWhere") match {
           case Some(cond) if exists =>
+            // writeOpts must reach the replacement files too — a
+            // bloomCols+replaceWhere write otherwise lands the window
+            // WITHOUT the blooms the caller declared
             TableLog.replaceWhere(spark, dir, data,
-              org.apache.spark.sql.functions.expr(cond), statsCols)
+              org.apache.spark.sql.functions.expr(cond), statsCols,
+              writeOptions = writeOpts)
           case Some(cond) =>
             // first write: nothing to replace, but the batch must still
             // honor the window it claims (same loud contract)

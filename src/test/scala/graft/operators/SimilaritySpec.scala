@@ -489,6 +489,25 @@ class SimilaritySpec extends SparkSpec {
     } finally bf.unpersist()
   }
 
+  test("pcaFit skips invalid vectors (null / null-lane / NaN-lane) instead of dying mid-aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val good = (1L to 200L).map(id =>
+      (id, Array.fill(4)(rnd.nextGaussian().toFloat).map(Option(_)).toSeq))
+    val bad = Seq(
+      (900L, Seq(Some(1.0f), None, Some(0.0f), Some(0.0f))),
+      (901L, null.asInstanceOf[Seq[Option[Float]]]),
+      (902L, Seq(Some(Float.NaN), Some(0.0f), Some(0.0f), Some(0.0f))),
+      (903L, Seq(Some(Float.PositiveInfinity), Some(0f), Some(0f), Some(0f))))
+    val clean = Similarity.pcaFit(good.toDF("id", "vec"), "vec", dim = 4, k = 2)
+    val polluted = Similarity.pcaFit((good ++ bad).toDF("id", "vec"), "vec",
+      dim = 4, k = 2)
+    clean.basis.zip(polluted.basis).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-5, s"invalid rows must not move the fit: $x vs $y") }
+    }
+  }
+
   test("randomProjectionModel: JL distance preservation, seed determinism, no fit pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -1324,6 +1324,56 @@ class TableLogSpec extends SparkSpec {
       "post-delete manifests still prune the IS NULL shape")
   }
 
+  test("bloom point lookups on DECIMAL columns probe the unscaled domain") {
+    val dir = tmpDir("tlog_dec_bloom")
+    // hash layout on k → every file's price range spans the space:
+    // only the bloom phase can prune, and the bloom hashes the
+    // UNSCALED int64 (12.34 stored as 1234L)
+    val df = (1L to 4000L).map(k => (k, k))
+      .toDF("k", "c")
+      .select(col("k"),
+        (col("c").cast("decimal(12,2)") / 100).cast("decimal(12,2)").as("price"))
+      .repartition(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("price"),
+      writeOptions = TableLog.bloomOptions(Seq("price"), expectedNdv = 4000L))
+    val probe = new java.math.BigDecimal("12.34")
+    val pr = TableLog.scanPointLookup(spark, dir, "price", Seq(probe))
+    assert(pr.df.filter(col("price") === probe).count() == 1L,
+      "the file holding the value must SURVIVE the bloom phase")
+    assert(pr.filesRead < pr.filesTotal,
+      s"decimal blooms must also PRUNE: ${pr.filesRead}/${pr.filesTotal}")
+    // a value no decimal(12,2) can represent matches nothing — provably
+    val impossible = TableLog.scanPointLookup(spark, dir, "price",
+      Seq(new java.math.BigDecimal("10.555")))
+    assert(impossible.filesRead == 0 && impossible.df.isEmpty)
+    // the erasure shape end-to-end: a dv delete keyed by decimal
+    // equality must actually delete (a wrong-domain probe would prune
+    // the holding file and silently no-op the erasure)
+    TableLog.deleteWhere(spark, dir,
+      col("price") === new java.math.BigDecimal("20.00"), mode = "dv")
+    val after = TableLog.readAt(spark, dir)
+    assert(after.filter(col("price") === new java.math.BigDecimal("20.00")).isEmpty,
+      "the decimal-keyed erasure must remove the row")
+    assert(after.count() == 3999L)
+  }
+
+  test("rebaseOk: a winner that changed column mapping or tombstones is a real conflict") {
+    val dir = tmpDir("tlog_rebase_cm")
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableLog.append(spark, dir, Seq((1L, 1.0, "a")).toDF("k", "x", "s")) // v1
+    TableLog.dropColumn(spark, dir, "x")                                  // v2: tombstone px
+    val schemaJson = TableLog.readAt(spark, dir).schema.json              // (k, s)
+    TableLog.overwrite(spark, dir, Seq((2L, "b")).toDF("k", "s"))         // v3: tombstones clear
+    assert(!TableLog.rebaseOk(spark, fs, basePath, 2L, schemaJson, Nil, None),
+      "an append captured under the OLD tombstone set must not rebase over " +
+        "the overwrite that legitimately cleared it (re-pinning would " +
+        "resurrect the tombstone)")
+    TableLog.append(spark, dir, Seq((3L, "c")).toDF("k", "s"))            // v4: same mapping
+    assert(TableLog.rebaseOk(spark, fs, basePath, 3L, schemaJson, Nil, None),
+      "an identical-mapping winner still commutes")
+  }
+
   test("maintainAll: fleet sweep discovers nested tables, isolates failures, applies per-table knobs") {
     val root = tmpDir("tlog_fleet")
     val t1 = s"$root/a"

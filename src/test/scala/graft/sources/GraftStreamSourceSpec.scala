@@ -136,8 +136,10 @@ class GraftStreamSourceSpec extends SparkSpec {
     TableLog.compactSmallFiles(spark, dir, minFileMB = 1024, targetFileMB = 1024) // v3: rows-preserving
     TableLog.append(spark, dir, Seq((200L, "y")).toDF("k", "s"))                  // v4
     val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // INCLUSIVE (the batch CDF / changeFeedStream / Delta convention):
+    // a consumer bootstrapped from the v1 snapshot starts AT v2
     val q = spark.readStream.format("graft")
-      .option("startingVersion", "1").load(dir)
+      .option("startingVersion", "2").load(dir)
       .writeStream.option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (b: DataFrame, _: Long) =>
         got ++= b.collect().map(_.getLong(0)); ()
@@ -145,7 +147,21 @@ class GraftStreamSourceSpec extends SparkSpec {
       .start()
     q.processAllAvailable(); q.stop()
     assert(got.sorted == Seq(100L, 200L),
-      s"startingVersion=1 skips v1's snapshot; compaction emits nothing: $got")
+      s"startingVersion=2 skips v1's snapshot; compaction emits nothing: $got")
+    // compactTable (a full rows-preserving OPTIMIZE) must also pass the
+    // append-only guard — it commits as `compact`, not `overwrite`
+    TableLog.compactTable(spark, dir)                                          // v5
+    TableLog.append(spark, dir, Seq((300L, "z")).toDF("k", "s"))               // v6
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "2").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.collect().map(_.getLong(0)); ()
+      }
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got.sorted == Seq(100L, 100L, 200L, 200L, 300L),
+      s"full-table OPTIMIZE passes the append-only stream: $got")
   }
 
   test("streaming sink: micro-batches land as exactly-once commits; keys upsert; source→sink composes") {

@@ -306,6 +306,25 @@ class GraftTableSourceSpec extends SparkSpec {
     spark.sql("DROP VIEW tcdf")
   }
 
+  test("replaceWhere write carries bloomCols into the replacement files") {
+    val dir = tmpDir("gts_rw_bloom")
+    // v1: NO blooms declared anywhere (the property does not exist yet)
+    (1L to 2000L).map(k => (k, 0.0)).toDF("k", "v").repartition(4, col("k"))
+      .write.format("graft").option("statsCols", "k").save(dir)
+    // v2: replace the whole table WITH bloomCols — the replacement
+    // files themselves must carry the blooms (dropping writeOpts here
+    // would leave the declared property pointing at bloom-less files)
+    (1L to 2000L).map(k => (k, 1.0)).toDF("k", "v").repartition(4, col("k"))
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "k >= 1")
+      .option("statsCols", "k")
+      .option("bloomCols", "k").option("bloomNdv", "4000").save(dir)
+    assert(TableLog.readAt(spark, dir).agg(sum("v")).head().getDouble(0) == 2000.0)
+    val pr = TableLog.scanPointLookup(spark, dir, "k", Seq(37L))
+    assert(pr.filesRead < pr.filesTotal,
+      s"the replacement files must carry blooms: ${pr.filesRead}/${pr.filesTotal}")
+  }
+
   test("INSERT INTO … USING graft view lands transactional commits") {
     val dir = tmpDir("gts_insert")
     Seq((1L, "a")).toDF("k", "s").write.format("graft").save(dir)   // v1
