@@ -36,7 +36,10 @@ import graft.sinks.TableLog
   *    semantics); rows-preserving maintenance (compaction, checkpoints,
   *    txn markers) passes through silently with its empty diff.
   *  - `readChangeFeed=true`: the full change feed — data columns +
-  *    `_change_type` + `_commit_version` — for CDC consumers.
+  *    `_change_type` + `_commit_version` — for CDC consumers; `keys`
+  *    (comma-separated) opts into the KEYED feed, pairing each key's
+  *    delete+insert per commit into `update_preimage`/`update_postimage`
+  *    (the batch CDF reader's option, same name, same semantics).
   *
   * `startingVersion` is INCLUSIVE — the stream begins AT that commit
   * (the batch CDF reader's, `changeFeedStream`'s, and Delta's
@@ -59,8 +62,13 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
                                          ignoreChanges: Boolean,
                                          startingVersion: Long,
                                          maxVersionsPerTrigger: Option[Long],
-                                         override val schema: StructType)
+                                         override val schema: StructType,
+                                         keys: Seq[String] = Nil)
     extends Source with SupportsTriggerAvailableNow {
+
+  require(keys.isEmpty || cdf,
+    "graft streaming source: the 'keys' option (keyed update attribution) " +
+      "requires readChangeFeed=true")
 
   private def spark = sqlContext.sparkSession
   // the EXCLUSIVE lower offset bound: startingVersion itself delivers
@@ -114,7 +122,7 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
     val from = start.map(toVersion).getOrElse(floor)
     val to = toVersion(end)
     lastEnd = math.max(lastEnd, to)
-    val changes = TableLog.readChanges(spark, dir, from, to)
+    val changes = TableLog.readChanges(spark, dir, from, to, keys)
     if (cdf) changes
     else {
       if (!ignoreChanges) {

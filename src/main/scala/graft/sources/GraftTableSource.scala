@@ -89,7 +89,9 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      schema = GraftTableSource.streamSchema(sqlContext, parameters))
+      schema = GraftTableSource.streamSchema(sqlContext, parameters),
+      keys = parameters.get("keys").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 
   /** Write path — `df.write.format("graft").mode(…).save(dir)` lands as

@@ -128,6 +128,39 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(kept.sorted == (1L to 20L), s"ignoreChanges keeps the insert arms: $kept")
   }
 
+  test("streaming source: keyed CDF pairs updates into pre/post images per micro-batch") {
+    val base = tmpDir("gss_keys")
+    val dir = s"$base/t"
+    TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s")) // v1
+    TableLog.mergeInto(spark, dir, Seq((2L, "B"), (3L, "c")).toDF("k", "s"),
+      Seq("k"))                                                            // v2
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(rows.filter(_._4 == 2L).toSet == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "insert", 2L)),
+      s"the streaming keyed feed must pair like the batch one: $rows")
+    // keys without readChangeFeed is a loud contract error
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("keys", "k").load(dir)
+        .writeStream.option("checkpointLocation", s"$base/ckpt2")
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+        .processAllAvailable()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("readChangeFeed")), s"got $e")
+  }
+
   test("streaming source: startingVersion bootstrap; compaction passes the append-only check") {
     val base = tmpDir("gss_sv")
     val dir = s"$base/t"
