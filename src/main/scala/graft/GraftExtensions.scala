@@ -23,6 +23,11 @@ import graft.functions.{BloomMightContainExpr, ClfScoreExpr, CosineSim, Fingerpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // metadata-only COUNT/MIN/MAX over graft tables — a global aggregate
+    // the transaction log can answer exactly plans as a LocalRelation,
+    // zero scan tasks (see graft.plans.MetadataOnlyAgg for the gates)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataOnlyAgg)
+
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

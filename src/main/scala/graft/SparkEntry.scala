@@ -1939,6 +1939,29 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // METADATA-ONLY aggregate (plans/MetadataOnlyAgg): a global
+    // COUNT(*)/COUNT(col)/MIN/MAX over a graft table folds from the
+    // manifest's footer-exact row counts / null counts / min-max stats
+    // into a LocalRelation — ZERO scan tasks (the spec pins the plan;
+    // this query pins the VALUES against DuckDB recomputing the same
+    // aggregates from the raw rows). On 100 TB this is the difference
+    // between a count() costing milliseconds and a full-table read.
+    "q_meta_count" -> ((s, d) => {
+      val dir = tableLogPrunedPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogprune", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartitionByRange(16, col("price"))
+        TableLog.append(s, p, li, statsCols = Seq("price"))
+        p
+      })
+      s.read.format("graft").load(dir).agg(
+        count(lit(1)).as("cnt"),
+        count(col("price")).as("cnt_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+    }),
+
     // SQL-surface read of the same staged layout through the graft
     // DataSource (spark.read.format("graft")): the pushed-down price
     // filter routes through boundsFromPredicate → scanPruned, so the
@@ -4978,6 +5001,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the metadata-only aggregate must equal DuckDB recomputing the
+    // same global aggregates from the raw rows (the staged table is the
+    // price projection of lineitem)
+    "q_meta_count" ->
+      """SELECT count(*) AS cnt,
+        |       count(l_extendedprice::DOUBLE) AS cnt_price,
+        |       min(l_extendedprice::DOUBLE) AS min_price,
+        |       max(l_extendedprice::DOUBLE) AS max_price
+        |FROM lineitem""".stripMargin,
 
     // the connector twin reads the same staged layout through
     // spark.read.format("graft") — same rows, same oracle
