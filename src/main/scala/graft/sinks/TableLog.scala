@@ -2209,6 +2209,33 @@ object TableLog {
     vers(lo)
   }
 
+  /** The EARLIEST version whose commit instant is at or after
+    * `tsMillis` — Delta's `startingTimestamp` resolution for change
+    * feeds ("changes since yesterday" without knowing a version
+    * number). None when every commit predates the instant (the caller
+    * decides: a batch feed refuses loudly, a streaming consumer waits
+    * for the next commit). Same O(log history) binary search over the
+    * monotone-clamped instants as [[versionAtTimestamp]].
+    */
+  def firstVersionAtOrAfter(spark: SparkSession, dir: String,
+                            tsMillis: Long): Option[Long] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = commitVersions(fs, base)
+    require(vers.nonEmpty,
+      s"TableLog.firstVersionAtOrAfter: $dir has no committed versions")
+    if (commitTs(fs, base, vers.last) < tsMillis) None
+    else {
+      var lo = 0
+      var hi = vers.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (commitTs(fs, base, vers(mid)) >= tsMillis) hi = mid else lo = mid + 1
+      }
+      Some(vers(lo))
+    }
+  }
+
   /** Snapshot read at the wall-clock instant `tsMillis` — resolves via
     * [[versionAtTimestamp]] and delegates to [[readAt]] (so vacuumed
     * history still fails with the watermark message).

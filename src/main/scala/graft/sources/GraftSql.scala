@@ -53,7 +53,7 @@ object GraftSql {
         val as = aliasesOf(u.table)
         val cond = u.condition.map(c => toColumn(c, as)).getOrElse(lit(true))
         val set = u.assignments.map(a =>
-          attrName(a.key, "UPDATE SET column") -> toColumn(a.value, as)).toMap
+          attrName(a.key, "UPDATE SET column", as) -> toColumn(a.value, as)).toMap
         TableLog.updateWhere(spark, dir, cond, set)
       case m: MergeIntoTable =>
         execMerge(spark, m)
@@ -69,7 +69,8 @@ object GraftSql {
         "with append(mergeSchema) first, then merge")
     val dir = targetDir(spark, m.targetTable)
     val source = GraftSqlShimAccess.ofRows(spark, m.sourceTable)
-    val keys = equiKeys(m.mergeCondition)
+    val keys = equiKeys(m.mergeCondition,
+      aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable))
     // matched arm: whole-row UPDATE SET * or DELETE, unconditioned —
     // the method API's semantics, refused beyond them
     val whenMatched = m.matchedActions match {
@@ -108,17 +109,18 @@ object GraftSql {
     * Anything else refuses (an inequality ON clause is a different
     * operator — the interval join family).
     */
-  private def equiKeys(cond: Expression): Seq[String] = {
+  private def equiKeys(cond: Expression, aliases: Set[String]): Seq[String] = {
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
     val keys = split(cond).map {
       case EqualTo(l, r) =>
-        val (a, b) = (lastName(l), lastName(r))
+        val (a, b) = (plainName(l, aliases), plainName(r, aliases))
         require(a.nonEmpty && a == b,
-          s"GraftSql MERGE: ON equality must join the SAME column on both " +
-            s"sides (got ${l.sql} = ${r.sql}) — rename the source column first")
+          s"GraftSql MERGE: ON equality must join the SAME top-level column " +
+            s"on both sides (got ${l.sql} = ${r.sql}) — rename the source " +
+            "column first; struct fields cannot be merge keys")
         a.get
       case other => throw new IllegalArgumentException(
         s"GraftSql MERGE: ON clause must be a conjunction of equalities, " +
@@ -157,15 +159,28 @@ object GraftSql {
     walk(table).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
   }
 
-  private def lastName(e: Expression): Option[String] = e match {
-    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-      a.nameParts.lastOption
-    case _ => None
-  }
+  /** The reference's name as a TOP-LEVEL column: an optional leading
+    * target/source alias strips, and exactly one part must remain. A
+    * multi-part residue (`meta.field`) is a struct-field reference —
+    * REFUSED rather than silently collapsed to its last part, which
+    * would misapply the statement to a same-named top-level column.
+    */
+  private def plainName(e: Expression, aliases: Set[String]): Option[String] =
+    e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        val parts =
+          if (a.nameParts.length > 1 &&
+              aliases.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+            a.nameParts.tail
+          else a.nameParts
+        if (parts.length == 1) Some(parts.head) else None
+      case _ => None
+    }
 
-  private def attrName(e: Expression, what: String): String =
-    lastName(e).getOrElse(throw new IllegalArgumentException(
-      s"GraftSql: $what must be a plain column reference, got ${e.sql}"))
+  private def attrName(e: Expression, what: String, aliases: Set[String]): String =
+    plainName(e, aliases).getOrElse(throw new IllegalArgumentException(
+      s"GraftSql: $what must be a plain top-level column reference, got " +
+        s"${e.sql} — struct-field assignment is not supported"))
 
   /** Resolve a DML target to its table directory: a temp view created
     * with `USING graft` (looked up through the session catalog, so any

@@ -84,10 +84,23 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft: the 'path' option is required (spark.readStream.format(\"graft\").load(dir))"))
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
+    // streaming: an instant past the last commit means "only deliver
+    // what lands from here on" — the consumer waits instead of refusing
+    // (a tail of a quiet table is a legitimate subscription)
+    val startV = parameters.get("startingTimestamp") match {
+      case Some(ts) =>
+        val t = GraftTableSource.parseTsMillis(ts)
+        TableLog.firstVersionAtOrAfter(sqlContext.sparkSession, dir, t)
+          .getOrElse(TableLog.currentVersion(sqlContext.sparkSession, dir) + 1L)
+      case None => parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+    }
     new GraftStreamSource(sqlContext, dir,
       cdf = parameters.get("readChangeFeed").exists(_.toBoolean),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
+      startingVersion = startV,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       schema = GraftTableSource.streamSchema(sqlContext, parameters),
       keys = parameters.get("keys").toSeq
@@ -221,7 +234,22 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
         "graft: readChangeFeed is mutually exclusive with versionAsOf/" +
           "timestampAsOf — the feed IS a version range; bound it with " +
           "startingVersion/endingVersion")
-      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      require(!(parameters.contains("startingVersion") &&
+          parameters.contains("startingTimestamp")),
+        "graft: startingVersion and startingTimestamp are mutually exclusive")
+      // startingTimestamp = "changes since this instant": the earliest
+      // commit at-or-after it (Delta's rule). An instant past the last
+      // commit refuses loudly — for a batch feed an empty answer would
+      // be indistinguishable from "nothing ever changed"
+      val from = parameters.get("startingTimestamp") match {
+        case Some(ts) =>
+          val t = GraftTableSource.parseTsMillis(ts)
+          TableLog.firstVersionAtOrAfter(spark, dir, t).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft: startingTimestamp $ts is after the table's last " +
+                "commit — no changes exist at or after that instant"))
+        case None => parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      }
       val to = parameters.get("endingVersion").map(_.toLong)
         .getOrElse(TableLog.currentVersion(spark, dir))
       val keys = parameters.get("keys").toSeq
@@ -253,6 +281,10 @@ object GraftTableSource {
                                     parameters: Map[String, String]): StructType = {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: the 'path' option is required"))
+    // option conflicts surface at load() time, not first trigger
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
     val base = TableLog.schemaAt(sqlContext.sparkSession, dir, -1L)
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       base.add("_change_type", org.apache.spark.sql.types.StringType)

@@ -111,7 +111,14 @@ class GraftSqlSpec extends SparkSpec {
       "equalities")
     refuse("""MERGE INTO tref t USING tref_src s ON t.k = s.v
              |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
-      "same column")
+      "same top-level column")
+    // struct-field references must refuse, never silently collapse to
+    // the last name part (which could alias a real top-level column)
+    refuse("""MERGE INTO tref t USING tref_src s ON t.meta.k = s.meta.k
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+      "same top-level column")
+    refuse("UPDATE tref SET meta.field = 5 WHERE k = 1",
+      "struct-field assignment")
     refuse("SELECT * FROM tref", "delete from / update / merge")
     // a plain (non-graft) temp view is not a DML target
     val e2 = intercept[IllegalArgumentException] {

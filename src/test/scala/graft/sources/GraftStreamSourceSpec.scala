@@ -50,6 +50,44 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(seen.values.flatten.size == before + 1)
   }
 
+  test("streaming source startingTimestamp: subscribe from an instant, future instants wait") {
+    val base = tmpDir("gss_ts")
+    val dir = s"$base/t"
+    (1 to 3).foreach { i =>
+      TableLog.append(spark, dir,
+        ((i * 10L) until (i * 10L + 10L)).map(k => (k, s"b$i")).toDF("k", "tag"))
+    }
+    val hist = TableLog.history(spark, dir)
+    val ts2 = hist.find(_.version == 2L).get.ts
+    def drain(ts: Long, ckpt: String): Seq[Long] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", ts.toString).load(dir)
+        .writeStream.option("checkpointLocation", s"$base/$ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen ++= b.collect().map(_.getLong(0)); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+      seen.toSeq.sorted
+    }
+    // from v2's instant → v2 and v3 rows only
+    assert(drain(ts2, "c1") == (20L until 40L))
+    // an instant past the head: the stream WAITS (delivers nothing now,
+    // picks up the next commit) — tailing a quiet table is legitimate
+    val futureTs = hist.map(_.ts).max + 1L
+    assert(drain(futureTs, "c2").isEmpty)
+    TableLog.append(spark, dir, Seq((99L, "late")).toDF("k", "tag"))
+    assert(drain(futureTs, "c2") == Seq(99L),
+      "the same checkpoint resumes and sees only the new commit")
+    // mutually exclusive with startingVersion
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").option("startingVersion", "2")
+        .option("startingTimestamp", ts2.toString).load(dir)
+    }
+  }
+
   test("streaming source: Trigger.AvailableNow drains the backlog, stops, resumes later") {
     val base = tmpDir("gss_an")
     val dir = s"$base/t"

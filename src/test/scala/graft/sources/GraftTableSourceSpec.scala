@@ -285,6 +285,33 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("batch readChangeFeed startingTimestamp: earliest commit at-or-after the instant") {
+    val dir = fixture() // v1, v2, v3 — commit instants strictly increasing
+    val hist = TableLog.history(spark, dir)
+    val ts2 = hist.find(_.version == 2L).get.ts
+    def feedFrom(ts: Long) = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingTimestamp", ts.toString)
+      .load(dir)
+    // exactly v2's instant → v2 inclusive (== startingVersion 2)
+    assert(feedFrom(ts2).count() == 2L)
+    // one ms past v2 → v3 only
+    assert(feedFrom(ts2 + 1L).count() == 1L)
+    // before everything → whole history
+    assert(feedFrom(hist.map(_.ts).min - 1L).count() == 1002L)
+    // past the last commit: a batch feed refuses loudly (an empty
+    // answer would read as "nothing ever changed")
+    val late = intercept[IllegalArgumentException] {
+      feedFrom(hist.map(_.ts).max + 1L).collect()
+    }
+    assert(late.getMessage.contains("after the table's last commit"))
+    // startingVersion + startingTimestamp are mutually exclusive
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "2").option("startingTimestamp", ts2.toString)
+        .load(dir).collect()
+    }
+  }
+
   test("batch readChangeFeed with keys: update pre/post pairs through SQL") {
     val dir = tmpDir("gts_cdf_keys")
     Seq((1L, "a"), (2L, "b")).toDF("k", "s")
