@@ -1413,19 +1413,51 @@ object TableLog {
     * never walked), so the listing cost is O(directories), not
     * O(files). Returns one report row per table, path-ordered.
     */
-  def maintainAll(spark: SparkSession, rootDir: String,
-                  maxDepth: Int = 3): DataFrame = {
-    import org.apache.spark.sql.types._
+  /** Discover every table-log table under a warehouse root: any nested
+    * directory carrying a `_log`, pruned AT the `_log` boundary so the
+    * walk is O(directories), never O(files) — a table's data
+    * subdirectories are never listed.
+    */
+  def discoverTables(spark: SparkSession, rootDir: String,
+                     maxDepth: Int = 3): Seq[String] = {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"TableLog.maintainAll: $rootDir does not exist")
+    require(fs.exists(root), s"TableLog.discoverTables: $rootDir does not exist")
     def discover(p: Path, depth: Int): Seq[Path] =
       if (fs.exists(new Path(p, "_log"))) Seq(p)
       else if (depth >= maxDepth) Nil
       else fs.listStatus(p).filter(_.isDirectory)
         .filterNot(_.getPath.getName.startsWith("_"))
         .flatMap(s => discover(s.getPath, depth + 1)).toSeq
-    val tables = discover(root, 0).map(_.toString).sorted
+    discover(root, 0).map(_.toString).sorted
+  }
+
+  /** Consistent CROSS-TABLE snapshot: every table under `rootDir`
+    * (same discovery as [[maintainAll]]) resolved to the version live
+    * AT the wall-clock instant `tsMillis` and returned PINNED there —
+    * the multi-table report shape: a reconciliation joining `orders`
+    * against `shipments` must not mix one table's Monday state with the
+    * other's Tuesday. Each frame is `readAt(versionAtTimestamp(ts))`,
+    * an immutable-version read: concurrent writers cannot drift the
+    * report while it runs, however long it takes, and vacuumed history
+    * fails LOUDLY rather than returning partial data. A table whose
+    * first commit is after the instant is absent from the map — it was
+    * absent from the warehouse then too.
+    */
+  def snapshotAll(spark: SparkSession, rootDir: String, tsMillis: Long,
+                  maxDepth: Int = 3): Map[String, DataFrame] =
+    discoverTables(spark, rootDir, maxDepth).flatMap { t =>
+      val base = new Path(t)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vers = commitVersions(fs, base)
+      if (vers.isEmpty || commitTs(fs, base, vers.head) > tsMillis) None
+      else Some(t -> readAt(spark, t, versionAtTimestamp(spark, t, tsMillis)))
+    }.toMap
+
+  def maintainAll(spark: SparkSession, rootDir: String,
+                  maxDepth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tables = discoverTables(spark, rootDir, maxDepth)
     val rows = tables.map { t =>
       try {
         val r = maintainAuto(spark, t)

@@ -516,7 +516,7 @@ object ScaleProbe {
       "table_log_merge", "table_log_point", "table_log_cdf",
       "table_log_dv", "erasure_bloom", "point_lookup_plan", "agg_view_minmax",
       "table_log_clone", "replace_where", "rename_read",
-      "merge_sync", "null_prune_scan")
+      "merge_sync", "null_prune_scan", "meta_count")
     if (only.isEmpty || only.exists(tlogProbes)) {
       import graft.sinks.TableLog
       def tlogStage(name: String, df: DataFrame, nFiles: Int): String = {
@@ -538,6 +538,16 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("table_log_prune") { () => prunedScan(tl1) } { () => prunedScan(tl16) }
+      // metadata-only aggregate: count+min+max folds from the manifest
+      // (plans/MetadataOnlyAgg) — the cost is a manifest parse, so 16×
+      // the data (and 16× the files) must cost ~the same, not 16× a scan
+      def metaCount(p: String): Unit = {
+        val r = spark.read.format("graft").load(p).agg(
+          count(lit(1)).as("c"), min(col("event_id")).as("mn"),
+          max(col("event_id")).as("mx")).collect()
+        assert(r.length == 1 && r(0).getLong(0) > 0L)
+      }
+      probeRun("meta_count") { () => metaCount(tl1) } { () => metaCount(tl16) }
       // replaceWhere BACKFILL: the window is sized to ONE file's range
       // in each layout (taken from the first manifest entry's stats),
       // so the 16× table's backfill touches ~the same file count — the

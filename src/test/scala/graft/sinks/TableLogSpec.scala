@@ -1409,6 +1409,37 @@ class TableLogSpec extends SparkSpec {
     assert(rb.getLong(5) > 1L, s"property-tuned retention must apply: $rb")
   }
 
+  test("snapshotAll: one instant pins every table; unborn tables absent; pins survive later commits") {
+    val root = tmpDir("tlog_snapall")
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => 1000L
+      TableLog.append(spark, s"$root/a", Seq((1L, "a1")).toDF("k", "s")) // a@v1 ts1000
+      TableLog.clockMs = () => 2000L
+      TableLog.append(spark, s"$root/nest/b", Seq((1L, 1.0)).toDF("k", "v")) // b@v1 ts2000
+      TableLog.clockMs = () => 3000L
+      TableLog.append(spark, s"$root/a", Seq((2L, "a2")).toDF("k", "s")) // a@v2 ts3000
+      TableLog.clockMs = () => 5000L
+      TableLog.append(spark, s"$root/c", Seq((1L, "c1")).toDF("k", "s")) // c@v1 ts5000
+      // at 3500: a@v2, b@v1, c not yet born
+      val snap = TableLog.snapshotAll(spark, root, 3500L)
+      assert(snap.keySet.map(_.split('/').last) == Set("a", "b"),
+        s"c was born after the instant: ${snap.keySet}")
+      assert(snap.find(_._1.endsWith("/a")).get._2.count() == 2L)
+      assert(snap.find(_._1.endsWith("/b")).get._2.count() == 1L)
+      // at 1500: only a exists, at its first version
+      val early = TableLog.snapshotAll(spark, root, 1500L)
+      assert(early.keySet.map(_.split('/').last) == Set("a"))
+      assert(early.head._2.count() == 1L)
+      // the returned frames are PINNED: a commit landing after the
+      // snapshot resolves must not drift the report mid-run
+      val aPinned = snap.find(_._1.endsWith("/a")).get._2
+      TableLog.clockMs = () => 6000L
+      TableLog.append(spark, s"$root/a", Seq((3L, "a3")).toDF("k", "s"))
+      assert(aPinned.count() == 2L, "a snapshot frame must not see later commits")
+    } finally TableLog.clockMs = saved
+  }
+
   test("reader-feature guard: manifests declare dv/colmap/abs-paths; unknown features refuse loudly") {
     val dir = tmpDir("tlog_features")
     TableLog.append(spark, dir, (1L to 20L).map(k => (k, s"p$k")).toDF("k", "s"))
