@@ -304,6 +304,12 @@ object GraftTableSource {
     * as TableLog.clockMs.
     */
   @volatile var lastPrune: Option[(Int, Int)] = None
+
+  /** Same seam for the change-feed relation: the (fromExclusive, to)
+    * version range the LAST CDF buildScan actually read after
+    * `_commit_version` pushdown narrowed it.
+    */
+  @volatile var lastFeedRange: Option[(Long, Long)] = None
 }
 
 private[graft] class GraftTableRelation(override val sqlContext: SQLContext,
@@ -401,13 +407,17 @@ private[graft] class GraftTableRelation(override val sqlContext: SQLContext,
   * — the keyed feed's update_preimage/update_postimage pairing). The
   * scan IS [[TableLog.readChanges]]: per-commit touch-set reads, so a
   * CDF query over a short version range on a huge table never scans
-  * the table. No filter pushdown: each commit's slice is already
-  * touch-set-sized, and Spark applies predicates above.
+  * the table. Filters on `_commit_version` PUSH INTO THE RANGE — a
+  * `WHERE _commit_version = v` (or range/IN) query reads only the
+  * matching commits' manifests and touch sets, never the relation's
+  * whole span (the query shape every "what changed in THAT commit"
+  * audit runs); data-column predicates apply above, where each
+  * commit's slice is already touch-set-sized.
   */
 private[sources] class GraftChangesRelation(override val sqlContext: SQLContext,
                                             dir: String, fromVersion: Long,
                                             toVersion: Long, keys: Seq[String])
-    extends BaseRelation with TableScan {
+    extends BaseRelation with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession
 
@@ -418,13 +428,60 @@ private[sources] class GraftChangesRelation(override val sqlContext: SQLContext,
 
   override def needConversion: Boolean = false
 
-  override def buildScan(): RDD[Row] =
+  // every filter re-applies above — version pruning is a hint, never
+  // load-bearing for correctness
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** Conjunct `_commit_version` bounds from the pushed filters: each
+    * top-level Filter is one AND-leg, so bounds INTERSECT. Anything
+    * untranslatable just leaves its side open.
+    */
+  private def versionBounds(filters: Array[Filter]): (Long, Long) = {
+    val V = "_commit_version"
+    def long(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    filters.foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), f) =>
+      f match {
+        case EqualTo(V, v) => long(v).fold((lo, hi))(x =>
+          (math.max(lo, x), math.min(hi, x)))
+        case GreaterThan(V, v) => long(v).fold((lo, hi))(x =>
+          (math.max(lo, x + 1L), hi))
+        case GreaterThanOrEqual(V, v) => long(v).fold((lo, hi))(x =>
+          (math.max(lo, x), hi))
+        case LessThan(V, v) => long(v).fold((lo, hi))(x =>
+          (lo, math.min(hi, x - 1L)))
+        case LessThanOrEqual(V, v) => long(v).fold((lo, hi))(x =>
+          (lo, math.min(hi, x)))
+        case In(V, vs) =>
+          val ls = vs.toSeq.flatMap(long)
+          if (ls.isEmpty || ls.length != vs.length) (lo, hi)
+          else (math.max(lo, ls.min), math.min(hi, ls.max))
+        case _ => (lo, hi)
+      }
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val (lo, hi) = versionBounds(filters)
+    // open lower bound stays the relation's own (MinValue − 1 would wrap)
+    val fromEx =
+      if (lo == Long.MinValue) fromVersion else math.max(fromVersion, lo - 1L)
+    val to = math.min(toVersion, hi)
+    GraftTableSource.lastFeedRange = Some((fromEx, to))
     // select in declared order: a feed over an evolved history emits
     // the union of the commits' schemas — project to the ending
     // version's view of the table (+ the CDC columns)
-    TableLog.readChanges(spark, dir, fromVersion, toVersion, keys)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val feed =
+      if (to <= fromEx) // bounds exclude the whole range — zero commits read
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else TableLog.readChanges(spark, dir, fromEx, to, keys)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    feed.select(requiredColumns.map(col).toIndexedSeq: _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
 }
 
 private[sources] object GraftTableRelation {

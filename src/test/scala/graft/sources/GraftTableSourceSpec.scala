@@ -285,6 +285,37 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("batch readChangeFeed: _commit_version predicates prune the commits actually read") {
+    val dir = fixture() // v1 append, v2 dv-delete, v3 append
+    val feed = spark.read.format("graft").option("readChangeFeed", "true").load(dir)
+    def readRange(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      GraftTableSource.lastFeedRange = None
+      df.collect()
+      GraftTableSource.lastFeedRange.get
+    }
+    // equality: exactly one commit's manifests/touch set read
+    val one = feed.filter(col("_commit_version") === 2L)
+    assert(readRange(one) == (1L, 2L), "v2 only")
+    assert(one.count() == 1L && one.head().getAs[String]("_change_type") == "delete")
+    // range: the suffix only
+    val tail2 = feed.filter(col("_commit_version") >= 3L)
+    assert(readRange(tail2) == (2L, 3L))
+    // IN: min..max of the list
+    assert(readRange(feed.filter(col("_commit_version").isin(2L, 3L))) == (1L, 3L))
+    // bounds that exclude everything: zero commits read, empty result
+    // (fresh frames per check — a Dataset plans once, and buildScan
+    // runs at planning time)
+    assert(feed.filter(col("_commit_version") > 99L).count() == 0L)
+    val noneR = readRange(feed.filter(col("_commit_version") > 99L))
+    assert(noneR._2 <= noneR._1)
+    // data-column filters don't narrow the range (they apply above)
+    assert(readRange(feed.filter(col("k") === 500L)) == (0L, 3L))
+    // results identical to the unpruned feed + filter
+    assert(one.collect().map(_.toString).sorted.toSeq ==
+      feed.collect().filter(_.getAs[Long]("_commit_version") == 2L)
+        .map(_.toString).sorted.toSeq)
+  }
+
   test("batch readChangeFeed startingTimestamp: earliest commit at-or-after the instant") {
     val dir = fixture() // v1, v2, v3 — commit instants strictly increasing
     val hist = TableLog.history(spark, dir)
