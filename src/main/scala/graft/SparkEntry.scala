@@ -138,6 +138,14 @@ object SparkEntry {
   private val tableLogNullsPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged erasure-audit fixture (q_erasure_audit): lineitem hash-
+    * distributed into 16 files with l_orderkey blooms, two keys
+    * dv-erased — the audit must prove them gone via the bloom-pruned
+    * point-lookup plan.
+    */
+  private val tableLogAuditPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -1937,6 +1945,27 @@ object SparkEntry {
       pr.df.filter(col("price").between(10000.0, 20000.0))
         .select(col("l_orderkey"), col("l_linenumber"), col("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ERASURE AUDIT: the verification half of the GDPR pipeline — after
+    // dv-deleting keys on a HASH-distributed layout (stats prune
+    // nothing; the bloom phase prunes to files that might hold a key),
+    // auditErased must report 0 surviving rows for erased keys and the
+    // true count for everything else. The oracle replays the delete as
+    // a plain filter and recounts per requested key.
+    "q_erasure_audit" -> ((s, d) => {
+      val dir = tableLogAuditPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogaudit", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartition(16, col("l_orderkey"))
+        TableLog.append(s, p, li, statsCols = Seq("l_orderkey"),
+          writeOptions = TableLog.bloomOptions(Seq("l_orderkey")))
+        TableLog.deleteWhere(s, p, col("l_orderkey").isin(1L, 32L), mode = "dv")
+        p
+      })
+      TableLog.auditErased(s, dir, "l_orderkey", Seq(1L, 32L, 33L))
+        .orderBy(col("key"))
     }),
 
     // METADATA-ONLY aggregate (plans/MetadataOnlyAgg): a global
@@ -5001,6 +5030,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the audited table is lineitem minus the two dv-erased keys; the
+    // oracle recounts per requested key over that filtered state
+    "q_erasure_audit" ->
+      """WITH audit("key") AS (VALUES (CAST(1 AS BIGINT)), (32), (33)),
+        |     live AS (SELECT l_orderkey FROM lineitem
+        |              WHERE l_orderkey NOT IN (1, 32))
+        |SELECT a."key",
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS surviving_rows
+        |FROM audit a
+        |LEFT JOIN (SELECT l_orderkey, count(*) AS cnt FROM live GROUP BY 1) c
+        |  ON a."key" = c.l_orderkey
+        |ORDER BY a."key"""".stripMargin,
 
     // the metadata-only aggregate must equal DuckDB recomputing the
     // same global aggregates from the raw rows (the staged table is the

@@ -2509,6 +2509,34 @@ object TableLog {
     PrunedScan(readWithDv(spark, dir, schema, kept, cm), kept.length, files.length)
   }
 
+  /** ERASURE AUDIT — prove a set of keys no longer exists in the live
+    * table: one row per requested key with its surviving row count
+    * (0 = erased). The verification half of a GDPR pipeline — the
+    * erasure sink deletes, and a compliance audit must be able to SHOW
+    * the deletion happened rather than trust that it did. Cost is the
+    * point-lookup plan ([[scanPointLookup]]): manifest stats prune,
+    * the DISTRIBUTED footer-bloom phase keeps only files that might
+    * hold a key, and ONE scan of the survivors (minus their deletion
+    * vectors) counts — O(files that might hold the keys), never the
+    * table, on exactly the hash-distributed layout where min/max stats
+    * prune nothing. Keys the table never held report 0 like erased
+    * ones — absence is absence.
+    */
+  def auditErased(spark: SparkSession, dir: String, column: String,
+                  keys: Seq[Any], version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, count, lit}
+    val dt = schemaAt(spark, dir, version)(column).dataType
+    val pr = scanPointLookup(spark, dir, column, keys, version)
+    val survivors = pr.df.filter(col(column).isin(keys: _*))
+      .groupBy(col(column).as("key")).agg(count(lit(1)).as("surviving_rows"))
+    val requested = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      StructType(Seq(org.apache.spark.sql.types.StructField("key", dt))))
+    requested.join(survivors, Seq("key"), "left")
+      .select(col("key"),
+        fnCoalesce(col("surviving_rows"), lit(0L)).as("surviving_rows"))
+  }
+
   /** True unless every row group's bloom filter rules out every value —
     * the only way this file gets skipped. Values hash by the COLUMN's
     * physical type (a long key probed with an Int literal must hash as

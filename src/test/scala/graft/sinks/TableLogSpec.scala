@@ -808,6 +808,25 @@ class TableLogSpec extends SparkSpec {
     assert(none.filesRead <= 1, s"read ${none.filesRead} files for an absent key")
   }
 
+  test("auditErased: erased keys prove 0, present keys count, never-held keys report 0") {
+    val dir = tmpDir("tlog_audit")
+    // hash layout + blooms: the audit's plan is the point-lookup's
+    val df = (1L to 2000L).flatMap(k => Seq((k, "a"), (k, "b")))
+      .toDF("k", "s").repartition(8, col("k"))
+    TableLog.append(spark, dir, df, statsCols = Seq("k"),
+      writeOptions = TableLog.bloomOptions(Seq("k"), expectedNdv = 1000L))
+    TableLog.deleteWhere(spark, dir, col("k").isin(37L, 1999L), mode = "dv")
+    val report = TableLog.auditErased(spark, dir, "k", Seq(37L, 1999L, 500L, 888888L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report == Map(37L -> 0L, 1999L -> 0L, 500L -> 2L, 888888L -> 0L),
+      s"erased → 0, present → its row count, never-held → 0: $report")
+    // a PARTIAL erasure is caught: delete only one of a key's rows
+    TableLog.deleteWhere(spark, dir, col("k") === 500L && col("s") === "a", mode = "dv")
+    val partial = TableLog.auditErased(spark, dir, "k", Seq(500L))
+      .head().getLong(1)
+    assert(partial == 1L, "the audit must see the surviving half")
+  }
+
   test("compactSmallFiles: only the fragmented tail rewrites; big files and rows carry over") {
     val dir = tmpDir("tlog_partial")
     // one big (incompressible) file + a stream of small single-row appends
