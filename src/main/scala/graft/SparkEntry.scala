@@ -146,6 +146,12 @@ object SparkEntry {
   private val tableLogAuditPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged CONVERT fixture (q_convert): a plain parquet dir adopted
+    * in place by convertToGraft — the zero-copy migration path.
+    */
+  private val tableLogConvertPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -1945,6 +1951,22 @@ object SparkEntry {
       pr.df.filter(col("price").between(10000.0, 20000.0))
         .select(col("l_orderkey"), col("l_linenumber"), col("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // CONVERT TO GRAFT: adopt a plain parquet directory into the table
+    // log in place — zero bytes copied, manifest v1 references the
+    // files where they sit, and the adopted table must read exactly
+    // what the parquet dir held
+    "q_convert" -> ((s, d) => {
+      val dir = tableLogConvertPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogconvert", d) + "/lake"
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartition(4).write.parquet(p)
+        TableLog.convertToGraft(s, p, statsCols = Seq("price"))
+        p
+      })
+      TableLog.readAt(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
@@ -5029,6 +5051,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the adopted table IS the parquet dir's rows — the original
+    // lineitem projection, bit for bit
+    "q_convert" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the audited table is lineitem minus the two dv-erased keys; the

@@ -1125,6 +1125,55 @@ object TableLog {
       droppedColsOverride = Some(droppedColsAt(spark, srcDir, resolvedSrc)))
   }
 
+  /** `CONVERT TO GRAFT` — adopt an EXISTING flat parquet directory into
+    * the transactional table log IN PLACE, zero bytes copied or moved:
+    * list the `*.parquet` files, harvest footer stats/null counts with
+    * the same distributed pass every commit uses, and publish manifest
+    * v1 whose adds reference the files ABSOLUTELY where they sit (the
+    * shallow-clone mechanism; the `abs-paths` reader feature
+    * self-declares). The migration path for a 100 TB parquet lake: one
+    * footer sweep and the directory has CAS commits, time travel,
+    * row-level DML, stats pruning, and the change feed — rewriting
+    * would cost a full read+write of the lake. From then on appends
+    * land under `data/`, CoW rewrites replace adopted references with
+    * table-local files (the table self-contains over its maintenance
+    * cadence), and `vacuum` only deletes under `data/`, so adopted
+    * bytes are never reclaimed — `compactTable` re-owns them first.
+    * Hive-partitioned layouts REFUSE (their partition values live in
+    * directory names, not the files — adopting them would silently
+    * drop columns); read those with `spark.read.parquet` and
+    * `overwrite()` into a fresh table instead.
+    */
+  def convertToGraft(spark: SparkSession, dir: String,
+                     statsCols: Seq[String] = Nil): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"TableLog.convertToGraft: $dir does not exist")
+    require(!fs.exists(new Path(base, "_log")),
+      s"TableLog.convertToGraft: $dir already carries a table log")
+    val listed = fs.listStatus(base).toSeq
+    val subdirs = listed.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"TableLog.convertToGraft: $dir has subdirectories " +
+        s"(${subdirs.take(3).mkString(", ")}) — a hive-partitioned layout's " +
+        "partition values live in directory names and would silently drop; " +
+        "read it with spark.read.parquet and overwrite() a fresh table instead")
+    val files = listed
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    require(files.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
+    val schema = spark.read.parquet(dir).schema
+    val statsSet = statsCols.toSet
+    val harvested = mapOverFooters(spark, base, files.map(_.getPath.getName),
+      DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
+    val adds = files.lazyZip(harvested).map { case (f, (rows, stats, nulls)) =>
+      AddFile(fs.makeQualified(f.getPath).toString, rows, stats,
+        bytes = f.getLen, nullCounts = nulls)
+    }
+    commitManifest(spark, dir, "convert", schema.json, adds,
+      removeEntries = Nil, expectedParent = 0L, txn = None)
+  }
+
   // ----------------------------------------------------- CHECK constraints
 
   /** The active CHECK-constraint set at `version` (-1 = latest): name →

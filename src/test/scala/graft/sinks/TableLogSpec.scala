@@ -808,6 +808,61 @@ class TableLogSpec extends SparkSpec {
     assert(none.filesRead <= 1, s"read ${none.filesRead} files for an absent key")
   }
 
+  test("convertToGraft: adopt a parquet dir in place — zero copies, full DML after") {
+    val dir = tmpDir("tlog_convert") + "/lake"
+    val src = (1L to 1000L).map(k => (k, k * 2.0, s"p$k")).toDF("k", "v", "s")
+    src.repartition(4).write.parquet(dir)
+    val dataBefore = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val v = TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    assert(v == 1L)
+    // the adopted table reads exactly the original rows; no bytes moved
+    assert(TableLog.readAt(spark, dir).count() == 1000L)
+    val dataAfter = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(dataAfter == dataBefore, "convert must not touch the files")
+    assert(TableLog.history(spark, dir).head.op == "convert")
+    // footer stats harvested: manifest row counts + metadata count work
+    assert(TableLog.liveFilesAt(spark, dir).map(_.rows).sum == 1000L)
+    assert(spark.read.format("graft").load(dir).count() == 1000L)
+    // full DML from day one: append + CoW delete
+    TableLog.append(spark, dir, Seq((2000L, 1.0, "new")).toDF("k", "v", "s"))
+    TableLog.deleteWhere(spark, dir, col("k") === 7L)
+    val after = TableLog.readAt(spark, dir)
+    assert(after.count() == 1000L)
+    assert(after.filter(col("k") === 7L).isEmpty)
+    assert(after.filter(col("k") === 2000L).count() == 1L)
+    // vacuum never reclaims adopted bytes (they live outside data/)
+    TableLog.vacuum(spark, dir, keepVersions = 1)
+    assert(new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+      == dataBefore.size, "adopted files survive vacuum")
+    // compaction re-owns: every live reference moves under data/
+    TableLog.compactTable(spark, dir, targetFileMB = 512)
+    assert(TableLog.liveFilesAt(spark, dir).forall(_.path.startsWith("data/")),
+      "compaction must replace adopted references with table-local files")
+    assert(TableLog.readAt(spark, dir).count() == 1000L)
+  }
+
+  test("convertToGraft refusals: partitioned layouts, existing tables, empty dirs") {
+    val root = tmpDir("tlog_convert_ref")
+    val part = s"$root/part"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p").write.partitionBy("p").parquet(part)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.convertToGraft(spark, part)
+    }
+    assert(e.getMessage.contains("partition"))
+    val t = s"$root/t"
+    TableLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    assert(intercept[IllegalArgumentException] {
+      TableLog.convertToGraft(spark, t)
+    }.getMessage.contains("already carries a table log"))
+    val empty = s"$root/empty"
+    new java.io.File(empty).mkdirs()
+    assert(intercept[IllegalArgumentException] {
+      TableLog.convertToGraft(spark, empty)
+    }.getMessage.contains("no parquet files"))
+  }
+
   test("auditErased: erased keys prove 0, present keys count, never-held keys report 0") {
     val dir = tmpDir("tlog_audit")
     // hash layout + blooms: the audit's plan is the point-lookup's
