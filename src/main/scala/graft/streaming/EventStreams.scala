@@ -984,6 +984,45 @@ object EventStreams {
     q
   }
 
+  /** CONTINUOUS AGGREGATE-VIEW MAINTENANCE — keep an [[AggView]] fresh
+    * as its base table commits: the graft streaming source (CDF mode)
+    * is the commit-notification channel, and each micro-batch runs ONE
+    * `AggView.refreshMulti` — which reads its OWN high-water mark from
+    * the view's txn marker, folds exactly the change-feed delta since,
+    * and lands one idempotent view commit. The notification frame is
+    * never executed (the refresh reads its own slice), so a trigger
+    * costs the refresh, not a second feed pass; crash-replay of a
+    * micro-batch finds the view already at the table's version and
+    * no-ops — exactly-once end-to-end without this sink holding any
+    * state of its own. The continuous form of the "materialized view
+    * follows the table" maintenance loop, at change-feed cost: per
+    * commit touch sets, never base-table scans.
+    */
+  def aggViewMaintainStream(spark: SparkSession, tableDir: String,
+                            viewDir: String, checkpointDir: String,
+                            groupCols: Seq[String],
+                            measures: Seq[graft.sinks.AggView.Measure],
+                            viewApp: String = "aggview",
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                            maxVersionsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+    val src = maxVersionsPerTrigger
+      .fold(reader)(n => reader.option("maxVersionsPerTrigger", n.toString))
+      .load(tableDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.sinks.AggView.refreshMulti(spark, viewDir, tableDir,
+          groupCols, measures, viewApp)
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ERASURE SINK — the GDPR right-to-be-forgotten pipeline
     * the deletion-vector machinery exists for: a stream of erasure
     * requests (rows carrying `keyCol`) lands each micro-batch as ONE

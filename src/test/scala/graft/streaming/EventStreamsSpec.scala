@@ -936,6 +936,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(snaps.contains(EventStreams.currentSnapshotName(spark, s"$base/t").get))
   }
 
+  test("aggViewMaintainStream: the view follows the table's commits, exactly-once") {
+    import java.nio.file.Files
+    import graft.sinks.{AggView, TableLog}
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("aggv_stream").toFile.getAbsolutePath
+    val (t, v) = (s"$base/t", s"$base/v")
+    def drain(): Unit = {
+      val q = EventStreams.aggViewMaintainStream(spark, t, v, s"$base/ckpt",
+        Seq("g"), Seq(AggView.Measure("x", "sum"), AggView.Measure("x", "max")))
+      assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    }
+    TableLog.append(spark, t,
+      Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 10.0)).toDF("id", "g", "x"),
+      statsCols = Seq("id"))
+    drain()
+    def viewMap(): Map[String, (Double, Double, Long)] =
+      AggView.read(spark, v).collect().map(r =>
+        r.getString(0) -> (r.getDecimal(1).doubleValue(),
+          r.getDouble(2), r.getLong(3))).toMap
+    assert(viewMap() == Map("a" -> (4.0, 2.5, 2L), "b" -> (10.0, 10.0, 1L)))
+    // two more table commits: an append and a max-retiring delete
+    TableLog.append(spark, t, Seq((4L, "b", 3.0)).toDF("id", "g", "x"))
+    TableLog.deleteWhere(spark, t, col("x") === 10.0)
+    drain()
+    assert(viewMap() == Map("a" -> (4.0, 2.5, 2L), "b" -> (3.0, 3.0, 1L)),
+      "the retired max must recompute, the append must fold")
+    // replay with the same checkpoint and no new commits: the view's
+    // version must not move (refreshMulti's marker short-circuits)
+    val vv = TableLog.currentVersion(spark, v)
+    drain()
+    assert(TableLog.currentVersion(spark, v) == vv)
+    // equal to a from-scratch view of the same table state
+    val v2 = s"$base/v2"
+    AggView.refreshMulti(spark, v2, t, Seq("g"),
+      Seq(AggView.Measure("x", "sum"), AggView.Measure("x", "max")))
+    val m2 = AggView.read(spark, v2).collect().map(r =>
+      r.getString(0) -> (r.getDecimal(1).doubleValue(),
+        r.getDouble(2), r.getLong(3))).toMap
+    assert(viewMap() == m2)
+  }
+
   test("tableLogUpsertSink: one TableLog commit per micro-batch, replay skips, history time-travels") {
     import java.nio.file.Files
     import graft.sinks.TableLog
