@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // zero scan tasks (see graft.plans.MetadataOnlyAgg for the gates)
     ext.injectOptimizerRule(_ => graft.plans.MetadataOnlyAgg)
 
+    // SQL maintenance statements (VACUUM / OPTIMIZE [ZORDER BY] /
+    // DESCRIBE HISTORY / CONVERT TO GRAFT) — a delegating parser that
+    // adds the four statements and passes everything else through
+    // verbatim (see graft.sources.GraftSqlParser)
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

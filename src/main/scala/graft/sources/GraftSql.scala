@@ -201,6 +201,13 @@ object GraftSql {
         s"GraftSql: DML target must be a table reference, got ${other.nodeName}")
     }
 
+  /** Resolve a temp-view name to its unpinned graft table directory —
+    * shared by the DML front and the SQL maintenance commands
+    * ([[GraftSqlParser]]).
+    */
+  private[sources] def resolveViewDir(spark: SparkSession, name: String): String =
+    relationOf(spark, name)
+
   private def relationOf(spark: SparkSession, name: String): String = {
     val analyzed = spark.table(name).queryExecution.analyzed
     val rel = analyzed.collect {

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.TableLog
+
+/** The SQL maintenance statements (delegating parser): VACUUM /
+  * OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY / CONVERT TO GRAFT execute
+  * the method API; everything else parses exactly as before.
+  */
+class GraftSqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("OPTIMIZE / DESCRIBE HISTORY / VACUUM over a view run the method API") {
+    val dir = tmpDir("gsp") + "/t"
+    (1 to 4).foreach(i =>
+      TableLog.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "s"),
+        statsCols = Seq("k")))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gsp_t USING graft OPTIONS (path '$dir')")
+
+    val opt = spark.sql("OPTIMIZE gsp_t").collect()
+    assert(opt.length == 1 && opt.head.getLong(0) == 5L &&
+      opt.head.getString(1) == "compact")
+    assert(TableLog.liveFilesAt(spark, dir).length < 4,
+      "four tiny files must compact through the SQL statement")
+
+    val hist = spark.sql("DESCRIBE HISTORY gsp_t").collect()
+    assert(hist.length == 5)
+    assert(hist.map(_.getString(2)).count(_ == "append") == 4)
+    assert(hist.map(_.getString(2)).contains("compact"))
+
+    // dry run reports, deletes nothing; the real run then deletes
+    val dry = spark.sql("VACUUM gsp_t RETAIN 1 VERSIONS DRY RUN").head()
+    assert(dry.getBoolean(3) && dry.getInt(0) > 0)
+    val before = TableLog.history(spark, dir).length
+    assert(TableLog.history(spark, dir).length == before)
+    val real = spark.sql("VACUUM gsp_t RETAIN 1 VERSIONS").head()
+    assert(!real.getBoolean(3) && real.getInt(0) == dry.getInt(0),
+      "the dry run must have reported exactly the real run's deletions")
+    assert(TableLog.readAt(spark, dir).count() == 4L, "head still reads")
+    spark.sql("DROP VIEW gsp_t")
+  }
+
+  test("OPTIMIZE ZORDER BY and the graft.`path` target form") {
+    val dir = tmpDir("gsp_z") + "/t"
+    TableLog.append(spark, dir,
+      (1L to 4000L).map(k => (k, k % 64, (k / 64) % 64)).toDF("id", "x", "y")
+        .repartition(16), statsCols = Seq("x", "y"))
+    val r = spark.sql(s"OPTIMIZE graft.`$dir` ZORDER BY (x, y)").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "zorder(x,y)")
+    // one transactional layout commit: rows identical, op recorded
+    // (the z-curve pruning itself is pinned in the TableLog specs)
+    assert(TableLog.history(spark, dir).last.op == "compact")
+    assert(TableLog.readAt(spark, dir).count() == 4000L)
+    assert(TableLog.liveFilesAt(spark, dir).length < 16,
+      "the 16-file layout must have been rewritten")
+  }
+
+  test("CONVERT TO GRAFT as SQL; delegation leaves normal SQL untouched") {
+    val lake = tmpDir("gsp_cv") + "/lake"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2).write.parquet(lake)
+    val v = spark.sql(s"CONVERT TO GRAFT parquet.`$lake`").head().getLong(0)
+    assert(v == 1L)
+    assert(TableLog.readAt(spark, lake).count() == 2L)
+    // normal SQL still parses and runs through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    // garbage still fails with a parse error, not a silent no-op
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("VACUUM")
+    }
+    // a non-graft view refuses loudly
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("gsp_plain")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("DESCRIBE HISTORY gsp_plain").collect()
+    }
+    assert(e.getMessage.contains("does not resolve to a graft table"))
+    spark.sql("DROP VIEW gsp_plain")
+  }
+}
