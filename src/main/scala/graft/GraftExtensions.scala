@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // zero scan tasks (see graft.plans.MetadataOnlyAgg for the gates)
     ext.injectOptimizerRule(_ => graft.plans.MetadataOnlyAgg)
 
+    // graft.`/path` references + VERSION AS OF / TIMESTAMP AS OF time
+    // travel in plain SQL (see graft.plans.GraftSqlResolution). Hint
+    // batch: it runs BEFORE the main resolution batch, where
+    // ResolveSQLOnFile would otherwise grab the path identifier first
+    // and refuse it as a direct file query
+    ext.injectHintResolutionRule(session => graft.plans.GraftSqlResolution(session))
+
     // SQL maintenance statements (VACUUM / OPTIMIZE [ZORDER BY] /
     // DESCRIBE HISTORY / CONVERT TO GRAFT) — a delegating parser that
     // adds the four statements and passes everything else through

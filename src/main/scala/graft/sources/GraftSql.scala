@@ -205,7 +205,7 @@ object GraftSql {
     * shared by the DML front and the SQL maintenance commands
     * ([[GraftSqlParser]]).
     */
-  private[sources] def resolveViewDir(spark: SparkSession, name: String): String =
+  private[graft] def resolveViewDir(spark: SparkSession, name: String): String =
     relationOf(spark, name)
 
   private def relationOf(spark: SparkSession, name: String): String = {

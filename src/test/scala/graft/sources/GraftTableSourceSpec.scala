@@ -285,6 +285,35 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve graft targets") {
+    val dir = fixture() // v1 1000 rows, v2 dv-deletes one, v3 appends one
+    def cnt(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(cnt(s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF 1") == 1000L)
+    assert(cnt(s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF 2") == 999L)
+    assert(cnt(s"SELECT count(*) AS c FROM graft.`$dir`") == 1000L)
+    // TIMESTAMP AS OF at v2's commit instant (UTC session)
+    val ts2 = TableLog.history(spark, dir).find(_.version == 2L).get.ts
+    val lit2 = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts2), java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ')
+    assert(cnt(s"SELECT count(*) AS c FROM graft.`$dir` TIMESTAMP AS OF '$lit2'") == 999L)
+    // the view form travels too, and stays unpinned for plain reads
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ttv USING graft OPTIONS (path '$dir')")
+    assert(cnt("SELECT count(*) AS c FROM ttv VERSION AS OF 1") == 1000L)
+    assert(cnt("SELECT count(*) AS c FROM ttv") == 1000L)
+    // rows, not just counts: the pinned snapshot carries the deleted row
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .filter(col("k") === 500L).count() == 1L)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 2")
+      .filter(col("k") === 500L).isEmpty)
+    // non-graft targets keep Spark's own rejection
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("tt_plain")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM tt_plain VERSION AS OF 1").collect()
+    }
+    spark.sql("DROP VIEW ttv"); spark.sql("DROP VIEW tt_plain")
+  }
+
   test("batch readChangeFeed: _commit_version predicates prune the commits actually read") {
     val dir = fixture() // v1 append, v2 dv-delete, v3 append
     val feed = spark.read.format("graft").option("readChangeFeed", "true").load(dir)
