@@ -1953,6 +1953,16 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // SQL TIME TRAVEL: the same post-delete snapshot as
+    // q_table_log_delete, read as PLAIN SQL — `FROM graft.`path`
+    // VERSION AS OF 2` through the analyzer rule; must hash-match the
+    // method API's readAt against the same oracle
+    "q_sql_timetravel" -> ((s, d) => {
+      val dir = cowFixture(s, d)
+      s.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 2")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // CONVERT TO GRAFT: adopt a plain parquet directory into the table
     // log in place — zero bytes copied, manifest v1 references the
     // files where they sit, and the adopted table must read exactly
@@ -5140,6 +5150,13 @@ object SparkEntry {
     // state after the CoW DELETE commit (rows where the predicate was
     // not TRUE survive)
     "q_table_log_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // SQL time travel reads the SAME snapshot as q_table_log_delete
+    "q_sql_timetravel" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE NOT (l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0)

@@ -55,9 +55,12 @@ case class GraftSqlResolution(session: SparkSession) extends Rule[LogicalPlan] {
           }
           relation(dir, v)
       }
-    case u: UnresolvedRelation =>
+    case u: UnresolvedRelation if !u.isStreaming =>
       // plain path reference: only the explicit graft.`/path` form —
-      // view names resolve through the catalog as before
+      // view names resolve through the catalog as before. A STREAMING
+      // reference stays untouched: silently substituting a batch
+      // relation into a stream would be wrong twice over (use
+      // spark.readStream.format("graft") for that)
       graftDir(u, viaCatalog = false).map(relation(_, -1L)).getOrElse(u)
   }
 
