@@ -64,6 +64,11 @@ object GraftSqlParser {
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\.|graft\.)?`([^`]+)`(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""".r
 
@@ -79,6 +84,10 @@ object GraftSqlParser {
         Option(z).map(cols).getOrElse(Nil)))
     case HistoryRe(p, v) =>
       Some(GraftHistoryCommand(Option(p), Option(v)))
+    case DetailRe(p, v) =>
+      Some(GraftDetailCommand(Option(p), Option(v)))
+    case RestoreRe(p, v, ver) =>
+      Some(GraftRestoreCommand(Option(p), Option(v), ver.toLong))
     case ConvertRe(path, st) =>
       Some(GraftConvertCommand(path, Option(st).map(cols).getOrElse(Nil)))
     case _ => None
@@ -145,6 +154,44 @@ private[sources] case class GraftHistoryCommand(path: Option[String],
   override def run(spark: SparkSession): Seq[Row] =
     TableLog.describeHistory(spark,
       GraftSqlParser.dirOf(spark, path, view)).collect().toSeq
+}
+
+private[sources] case class GraftDetailCommand(path: Option[String],
+                                               view: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType)
+    .add("committed_at", TimestampType)
+    .add("num_files", IntegerType)
+    .add("size_bytes", LongType)
+    .add("live_rows", LongType)
+    .add("dv_rows", LongType)
+    .add("constraints", StringType)
+    .add("properties", StringType)
+    .add("ingested_files", IntegerType)
+    .add("checkpoint_version", LongType)
+    .add("earliest_readable_version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    TableLog.describeDetail(spark,
+      GraftSqlParser.dirOf(spark, path, view)).collect().toSeq
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` — the zero-copy rollback:
+  * one commit re-points the table at the target version's immutable
+  * files; the rolled-back history stays readable until vacuum.
+  */
+private[sources] case class GraftRestoreCommand(path: Option[String],
+                                                view: Option[String],
+                                                toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = false)
+    .add("restored_to", LongType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableLog.restore(spark,
+      GraftSqlParser.dirOf(spark, path, view), toVersion)
+    Seq(Row(v, toVersion))
+  }
 }
 
 private[sources] case class GraftConvertCommand(dir: String,

@@ -62,6 +62,21 @@ class GraftSqlParserSpec extends SparkSpec {
       "the 16-file layout must have been rewritten")
   }
 
+  test("DESCRIBE DETAIL and RESTORE TABLE as SQL") {
+    val dir = tmpDir("gsp_dr") + "/t"
+    TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TableLog.deleteWhere(spark, dir, col("k") === 2L, mode = "dv")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gsp_dr USING graft OPTIONS (path '$dir')")
+    val d = spark.sql("DESCRIBE DETAIL gsp_dr").head()
+    assert(d.getLong(0) == 2L && d.getLong(4) == 1L && d.getLong(5) == 1L,
+      s"v2, one live row, one dv row: $d")
+    // zero-copy rollback through SQL: v3 re-points at v1's files
+    val r = spark.sql(s"RESTORE TABLE graft.`$dir` TO VERSION AS OF 1").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(TableLog.readAt(spark, dir).count() == 2L, "the deleted row is back")
+    spark.sql("DROP VIEW gsp_dr")
+  }
+
   test("CONVERT TO GRAFT as SQL; delegation leaves normal SQL untouched") {
     val lake = tmpDir("gsp_cv") + "/lake"
     Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2).write.parquet(lake)
