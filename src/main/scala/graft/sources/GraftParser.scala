@@ -71,6 +71,11 @@ object GraftSqlParser {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\.|graft\.)?`([^`]+)`(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""".r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + T +
+      """\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""").r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s+IN\s+'([^']+)'\s*;?\s*$""".r
 
   private def cols(s: String): Seq[String] =
     s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -90,6 +95,12 @@ object GraftSqlParser {
       Some(GraftRestoreCommand(Option(p), Option(v), ver.toLong))
     case ConvertRe(path, st) =>
       Some(GraftConvertCommand(path, Option(st).map(cols).getOrElse(Nil)))
+    case CopyIntoRe(p, v, glob, fmt, st) =>
+      Some(GraftCopyIntoCommand(Option(p), Option(v), glob,
+        Option(fmt).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("parquet"),
+        Option(st).map(cols).getOrElse(Nil)))
+    case ShowTablesRe(root) =>
+      Some(GraftShowTablesCommand(root))
     case _ => None
   }
 
@@ -201,4 +212,45 @@ private[sources] case class GraftConvertCommand(dir: String,
     .add("version", LongType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TableLog.convertToGraft(spark, dir, statsCols)))
+}
+
+/** `COPY INTO t FROM '<glob>' [FILEFORMAT = fmt] [STATS (cols)]` — the
+  * idempotent ingest: files already in the table's ingest ledger skip,
+  * new ones land as one transactional commit, however often the
+  * statement re-runs (the cron/crash-replay ingest loop as SQL).
+  */
+private[sources] case class GraftCopyIntoCommand(path: Option[String],
+                                                 view: Option[String],
+                                                 glob: String, format: String,
+                                                 statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = true)
+    .add("loaded_files", IntegerType, nullable = false)
+    .add("skipped_files", IntegerType, nullable = false)
+    .add("loaded_rows", LongType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TableLog.copyInto(spark, GraftSqlParser.dirOf(spark, path, view),
+      glob, format, statsCols = statsCols)
+    Seq(Row(r.version.map(java.lang.Long.valueOf).orNull,
+      r.loadedFiles, r.skippedFiles, r.loadedRows))
+  }
+}
+
+/** `SHOW GRAFT TABLES IN '<root>'` — warehouse discovery: one row per
+  * table-log table under the root (the `_log`-boundary walk,
+  * O(directories)), with its head version and live file count from one
+  * manifest parse each.
+  */
+private[sources] case class GraftShowTablesCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("table", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
+    .add("num_files", IntegerType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] =
+    TableLog.discoverTables(spark, root).map { t =>
+      val files = TableLog.liveFilesAt(spark, t)
+      Row(t, TableLog.currentVersion(spark, t), files.length)
+    }
 }

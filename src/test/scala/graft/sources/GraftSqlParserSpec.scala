@@ -77,6 +77,28 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.sql("DROP VIEW gsp_dr")
   }
 
+  test("COPY INTO is idempotent from SQL; SHOW GRAFT TABLES discovers the warehouse") {
+    val root = tmpDir("gsp_ci")
+    val src = s"$root/landing"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1).write.parquet(src)
+    val t = s"$root/wh/t"
+    val first = spark.sql(s"COPY INTO graft.`$t` FROM '$src/*.parquet'").head()
+    assert(first.getLong(0) == 1L && first.getInt(1) == 1 && first.getInt(2) == 0 &&
+      first.getLong(3) == 2L)
+    // re-running loads nothing — the ledger skips every known file
+    val again = spark.sql(s"COPY INTO graft.`$t` FROM '$src/*.parquet'").head()
+    assert(again.isNullAt(0) && again.getInt(1) == 0 && again.getInt(2) == 1)
+    // a new landing file loads exactly once
+    Seq((3L, "c")).toDF("k", "s").coalesce(1).write.mode("append").parquet(src)
+    val inc = spark.sql(s"COPY INTO graft.`$t` FROM '$src/*.parquet'").head()
+    assert(inc.getInt(1) == 1 && inc.getLong(3) == 1L)
+    assert(TableLog.readAt(spark, t).count() == 3L)
+    // discovery sees the one table under the warehouse root
+    val shown = spark.sql(s"SHOW GRAFT TABLES IN '$root/wh'").collect()
+    assert(shown.length == 1 && shown.head.getString(0).endsWith("/t") &&
+      shown.head.getLong(1) == 2L)
+  }
+
   test("CONVERT TO GRAFT as SQL; delegation leaves normal SQL untouched") {
     val lake = tmpDir("gsp_cv") + "/lake"
     Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2).write.parquet(lake)
