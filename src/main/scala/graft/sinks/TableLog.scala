@@ -1152,7 +1152,11 @@ object TableLog {
     require(!fs.exists(new Path(base, "_log")),
       s"TableLog.convertToGraft: $dir already carries a table log")
     val listed = fs.listStatus(base).toSeq
+    // metadata dirs (_spark_metadata from a streaming file sink, dotted
+    // staging dirs) are ignored like _SUCCESS is — only DATA
+    // subdirectories signal a partitioned layout
     val subdirs = listed.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
     require(subdirs.isEmpty,
       s"TableLog.convertToGraft: $dir has subdirectories " +
         s"(${subdirs.take(3).mkString(", ")}) — a hive-partitioned layout's " +
@@ -1162,7 +1166,10 @@ object TableLog {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
-    val schema = spark.read.parquet(dir).schema
+    // infer from the explicit FILE list, not the directory: a stray
+    // _spark_metadata dir would otherwise route inference through the
+    // (foreign) streaming file-sink log
+    val schema = spark.read.parquet(files.map(_.getPath.toString): _*).schema
     val statsSet = statsCols.toSet
     val harvested = mapOverFooters(spark, base, files.map(_.getPath.getName),
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))

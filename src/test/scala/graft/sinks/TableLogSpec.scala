@@ -861,6 +861,13 @@ class TableLogSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       TableLog.convertToGraft(spark, empty)
     }.getMessage.contains("no parquet files"))
+    // metadata subdirs (streaming file-sink output) are NOT a
+    // partitioned layout — they ignore like _SUCCESS does
+    val meta = s"$root/meta"
+    Seq((1L, "a")).toDF("k", "s").coalesce(1).write.parquet(meta)
+    new java.io.File(s"$meta/_spark_metadata").mkdirs()
+    assert(TableLog.convertToGraft(spark, meta) == 1L)
+    assert(TableLog.readAt(spark, meta).count() == 1L)
   }
 
   test("auditErased: erased keys prove 0, present keys count, never-held keys report 0") {
