@@ -2784,14 +2784,28 @@ object TableLog {
             require(missing.isEmpty,
               s"TableLog.readChanges(keys): commit $v's schema lacks ${missing.mkString(", ")}")
             val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
+            // the uniqueness guard rides INSIDE the plan (a per-key
+            // window count + raise_error, the enforceConstraints
+            // pattern) instead of an eager agg per side per commit —
+            // the old form cost a streaming keyed-CDF consumer two
+            // extra jobs AND a second exceptAll evaluation per
+            // micro-batch. The window hash-partitions on the keys,
+            // which is exactly the join's requirement, so the guard
+            // adds no exchange of its own.
             def uniqGuard(df: DataFrame, side: String): DataFrame = {
-              val r = df.agg(count(lit(1)).as("n"),
-                countDistinct(struct(keys.map(col): _*)).as("d")).head()
-              require(r.getLong(0) == r.getLong(1),
-                s"TableLog.readChanges(keys): commit $v's $side side carries " +
-                  s"duplicate keys (${r.getLong(0)} rows, ${r.getLong(1)} distinct) — " +
-                  "keyed attribution needs unique keys; use the un-keyed feed")
-              df
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.{concat, raise_error, to_json, when}
+              val w = Window.partitionBy(keys.map(col): _*)
+              df.withColumn("_k_n", count(lit(1)).over(w))
+                .filter(when(col("_k_n") > 1L,
+                  raise_error(concat(
+                    lit(s"TableLog.readChanges(keys): commit $v's $side side " +
+                      "carries duplicate keys (e.g. "),
+                    to_json(struct(keys.map(col): _*)),
+                    lit(") — keyed attribution needs unique keys; use the " +
+                      "un-keyed feed"))).cast("boolean"))
+                  .otherwise(lit(true)))
+                .drop("_k_n")
             }
             val dRen = uniqGuard(del, "removed").select(
               (keys.map(col) :+ lit(true).as("_d_present")) ++

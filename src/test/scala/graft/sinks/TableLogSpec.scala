@@ -1734,14 +1734,18 @@ class TableLogSpec extends SparkSpec {
       .map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSet
     assert(ch == Set((None, "x", "delete"), (None, "y", "insert")),
       s"a NULL key is delete+insert, never an update pair: $ch")
-    // duplicate keys cross-multiply through the pairing join — loud
+    // duplicate keys cross-multiply through the pairing join — loud.
+    // The guard rides INSIDE the plan (raise_error on a per-key window
+    // count — no extra jobs per commit), so it surfaces at execution
     val dup = tmpDir("tlog_cdf_keyed_dup")
     TableLog.append(spark, dup, Seq((1L, "a"), (1L, "b")).toDF("k", "s"))
     TableLog.updateWhere(spark, dup, lit(true), set = Map("s" -> lit("z")))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       TableLog.readChanges(spark, dup, 1L, 2L, keys = Seq("k")).collect()
     }
-    assert(e.getMessage.contains("duplicate keys"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate keys")), msgs(e).mkString(" | "))
   }
 
   test("commitTxnMarker: marker-only commit records the batch, changes nothing") {
