@@ -1546,6 +1546,10 @@ object TableLog {
       keepVersions = i("graft.retain.keepVersions", 2),
       retainMs = p.get("graft.retain.ms").map(_.trim.toLong),
       statsCols = p.get("graft.stats.cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      // declared clustering: the scheduled compaction re-establishes
+      // the table's layout on its ingest tail
+      clusterCols = p.get("graft.cluster.cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 
@@ -1736,7 +1740,8 @@ object TableLog {
     */
   def compactSmallFiles(spark: SparkSession, dir: String, minFileMB: Int = 32,
                         targetFileMB: Int = 128, minSmallFiles: Int = 2,
-                        statsCols: Seq[String] = Nil): Option[Long] = {
+                        statsCols: Seq[String] = Nil,
+                        clusterCols: Seq[String] = Nil): Option[Long] = {
     require(minFileMB > 0 && targetFileMB >= minFileMB,
       s"TableLog.compactSmallFiles: need 0 < minFileMB <= targetFileMB, " +
         s"got ($minFileMB, $targetFileMB)")
@@ -1759,9 +1764,22 @@ object TableLog {
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val rewritten = readWithDv(spark, dir, schema, small,
-      columnMappingAt(spark, dir, base)).coalesce(nOut)
-    Some(commit(spark, dir, rewritten, "compact", statsCols,
+    val body = readWithDv(spark, dir, schema, small,
+      columnMappingAt(spark, dir, base))
+    // DECLARED CLUSTERING SURVIVES MAINTENANCE: with clusterCols the
+    // rewritten tail comes out range-clustered (tight per-file min/max
+    // on those columns) instead of arrival-ordered — the ingest tail is
+    // exactly the data whose stats would otherwise span the whole
+    // domain, so scheduled compaction is where the table's declared
+    // layout re-establishes itself (the liquid-clustering cadence)
+    val rewritten = {
+      import org.apache.spark.sql.functions.col
+      if (clusterCols.isEmpty) body.coalesce(nOut)
+      else body.repartitionByRange(nOut, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    }
+    Some(commit(spark, dir, rewritten, "compact",
+      if (statsCols.isEmpty) clusterCols else statsCols,
       expectedParent = Some(base), txn = None,
       explicitRemoves = Some(small),
       schemaOverride = Some(schemaJson)))
@@ -2898,9 +2916,10 @@ object TableLog {
   def maintain(spark: SparkSession, dir: String, minFileMB: Int = 32,
                targetFileMB: Int = 128, minSmallFiles: Int = 2,
                keepVersions: Int = 2, retainMs: Option[Long] = None,
-               statsCols: Seq[String] = Nil): MaintenanceReport = {
+               statsCols: Seq[String] = Nil,
+               clusterCols: Seq[String] = Nil): MaintenanceReport = {
     val compacted = compactSmallFiles(spark, dir, minFileMB, targetFileMB,
-      minSmallFiles, statsCols)
+      minSmallFiles, statsCols, clusterCols)
     val ck = checkpoint(spark, dir)
     val vr = vacuum(spark, dir, keepVersions, retainMs)
     MaintenanceReport(compacted, ck, vr.deletedDataFiles, vr.deletedTmp,

@@ -870,6 +870,33 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readAt(spark, meta).count() == 1L)
   }
 
+  test("declared clustering survives maintenance: the compacted tail prunes") {
+    val dir = tmpDir("tlog_cluster")
+    // four arrival-ordered appends, EACH spanning the whole x domain —
+    // pre-compaction stats prune nothing on an x box. High-entropy
+    // payloads keep each file under the small-file bar while the total
+    // forces a multi-file clustered rewrite
+    def batch(i: Int) = spark.range(25000).select(
+      (col("id") * 4 + i).as("x"),
+      md5(concat(col("id").cast("string"), lit(s"-$i"))).as("s"))
+    (0 until 4).foreach(i =>
+      TableLog.append(spark, dir, batch(i).coalesce(1), statsCols = Seq("x")))
+    TableLog.setTableProperties(spark, dir,
+      Map("graft.cluster.cols" -> "x", "graft.stats.cols" -> "x",
+        "graft.compact.minFileMB" -> "1", "graft.compact.targetFileMB" -> "1",
+        "graft.compact.minSmallFiles" -> "2"))
+    val before = TableLog.scanPruned(spark, dir, Seq(("x", 0.0, 9999.0)))
+    assert(before.filesRead == before.filesTotal,
+      s"arrival order must NOT prune: ${before.filesRead}/${before.filesTotal}")
+    val r = TableLog.maintainAuto(spark, dir)
+    assert(r.compactedCommit.isDefined, "the tiny tail must compact")
+    val after = TableLog.scanPruned(spark, dir, Seq(("x", 0.0, 9999.0)))
+    assert(after.filesTotal > 1, s"the rewrite must emit several files: $after")
+    assert(after.filesRead < after.filesTotal,
+      s"the clustered rewrite must prune the x box: ${after.filesRead}/${after.filesTotal}")
+    assert(TableLog.readAt(spark, dir).count() == 100000L)
+  }
+
   test("auditErased: erased keys prove 0, present keys count, never-held keys report 0") {
     val dir = tmpDir("tlog_audit")
     // hash layout + blooms: the audit's plan is the point-lookup's
