@@ -35,10 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and refuse it as a direct file query
     ext.injectHintResolutionRule(session => graft.plans.GraftSqlResolution(session))
 
-    // SQL maintenance statements (VACUUM / OPTIMIZE [ZORDER BY] /
-    // DESCRIBE HISTORY / CONVERT TO GRAFT) — a delegating parser that
-    // adds the four statements and passes everything else through
-    // verbatim (see graft.sources.GraftSqlParser)
+    // SQL maintenance statements — a delegating parser that intercepts
+    // eight statements (VACUUM [DRY RUN], OPTIMIZE [ZORDER BY],
+    // DESCRIBE HISTORY, DESCRIBE DETAIL, RESTORE, CONVERT TO GRAFT,
+    // COPY INTO, SHOW GRAFT TABLES) and passes everything else through
+    // verbatim. Note DESCRIBE HISTORY **and** DESCRIBE DETAIL shadow
+    // vanilla `DESCRIBE <tbl> history|detail` column-describes — the
+    // documented trade for not forking the grammar (see
+    // graft.sources.GraftSqlParser)
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
 
     ext.injectFunction((

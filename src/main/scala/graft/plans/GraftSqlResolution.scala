@@ -92,6 +92,10 @@ case class GraftSqlResolution(session: SparkSession) extends Rule[LogicalPlan] {
     val micros = cast.eval(null)
     require(micros != null,
       s"graft time travel: TIMESTAMP AS OF '${e.sql}' did not parse as a timestamp")
-    micros.asInstanceOf[Long] / 1000L
+    // floorDiv, not truncating `/`: a pre-1970 instant's micros are
+    // negative and truncation rounds TOWARD zero — shifting the
+    // AS OF boundary 1ms late; floor keeps at-or-before semantics
+    // exact on both sides of the epoch
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
   }
 }

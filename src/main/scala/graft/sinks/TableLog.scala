@@ -164,9 +164,19 @@ object TableLog {
     */
   private[sinks] var clockMs: () => Long = () => System.currentTimeMillis()
 
+  /** Default in-flight-commit grace for [[vacuum]]'s orphan sweep — an
+    * unreferenced data file younger than this is presumed to belong to
+    * a commit still in flight (staged before its manifest CAS) and is
+    * NOT deleted. 6 hours: generous past any plausible write-job
+    * duration, the Delta `deletedFileRetentionDuration` instinct.
+    * Override per call (`graceMs`) or per table
+    * (`graft.vacuum.graceMs`).
+    */
+  val DefaultVacuumGraceMs: Long = 6L * 3600L * 1000L
+
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
   final case class VacuumReport(deletedDataFiles: Int, deletedTmp: Int,
-                                retainedFrom: Long)
+                                retainedFrom: Long, skippedYoung: Int = 0)
 
   // ------------------------------------------------------------------ write
 
@@ -1778,8 +1788,14 @@ object TableLog {
       else body.repartitionByRange(nOut, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
     }
+    // stats are the UNION of declared stats and cluster columns: a table
+    // declaring both graft.stats.cols and graft.cluster.cols must keep
+    // tight per-file min/max on the CLUSTERED columns too — that range
+    // pruning is what declared clustering exists to provide, and
+    // harvesting only statsCols would silently strip it on every
+    // maintenance pass
     Some(commit(spark, dir, rewritten, "compact",
-      if (statsCols.isEmpty) clusterCols else statsCols,
+      (statsCols ++ clusterCols).distinct,
       expectedParent = Some(base), txn = None,
       explicitRemoves = Some(small),
       schemaOverride = Some(schemaJson)))
@@ -1814,8 +1830,11 @@ object TableLog {
       bitsPerCol, curve, nOut)
     // rows-preserving layout maintenance commits as `compact` (see
     // compactTable) — a streaming consumer must not die on OPTIMIZE
+    // union, not either-or: explicit statsCols must never DROP the
+    // zCols' stats — each new file is a curve hyper-rectangle and the
+    // z-columns' min/max are the whole point of the layout
     commit(spark, dir, laid, "compact",
-      if (statsCols.isEmpty) zCols else statsCols,
+      (statsCols ++ zCols).distinct,
       expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
   }
 
@@ -2342,6 +2361,33 @@ object TableLog {
     }
   }
 
+  /** [[firstVersionAtOrAfter]] for a streaming subscription: when no
+    * committed version is at-or-after `tsMillis` yet, return
+    * `lastObserved + 1` — the wait position — derived from the SAME
+    * version listing the search read. Re-listing the log here (the old
+    * `currentVersion` fallback) had a race: a commit with
+    * `ts >= tsMillis` landing between the two listings would bump the
+    * fallback past itself and be permanently skipped by the stream.
+    */
+  def firstVersionAtOrAfterElseNext(spark: SparkSession, dir: String,
+                                    tsMillis: Long): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = commitVersions(fs, base)
+    require(vers.nonEmpty,
+      s"TableLog.firstVersionAtOrAfterElseNext: $dir has no committed versions")
+    if (commitTs(fs, base, vers.last) < tsMillis) vers.last + 1L
+    else {
+      var lo = 0
+      var hi = vers.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (commitTs(fs, base, vers(mid)) >= tsMillis) hi = mid else lo = mid + 1
+      }
+      vers(lo)
+    }
+  }
+
   /** Snapshot read at the wall-clock instant `tsMillis` — resolves via
     * [[versionAtTimestamp]] and delegates to [[readAt]] (so vacuumed
     * history still fails with the watermark message).
@@ -2503,6 +2549,13 @@ object TableLog {
     * needs the O(paths) verdict list back.
     */
   val DistributeFileOpsThreshold = 64
+
+  /** Commits per chunk in [[readChanges]]' long-history plan folding —
+    * ranges at or under this build one direct union (fully transparent
+    * to the optimizer); longer ranges fold per-chunk and re-root each
+    * chunk as a leaf so the driver plan stays O(range / chunk) wide.
+    */
+  val CdfChunkCommits = 64
 
   /** Map a footer-level function over files, preserving order — driver
     * loop under `threshold` candidates, executor tasks at or above it.
@@ -2832,21 +2885,26 @@ object TableLog {
               (keys.map(col) :+ lit(true).as("_i_present")) ++
                 dataCols.map(c2 => col(c2).as(s"_i_$c2")): _*)
             val j = dRen.join(iRen, keys, "full_outer")
-            val paired = j.filter(col("_d_present") && col("_i_present"))
-            def img(prefix: String, tag: String) =
-              paired.select(schema.fieldNames.toSeq.map(c2 =>
-                  (if (keys.contains(c2)) col(c2) else col(s"$prefix$c2")).as(c2)): _*)
-                .withColumn("_change_type", lit(tag))
-            val insOnly = j.filter(!fnCoalesce(col("_d_present"), lit(false)))
-              .select(schema.fieldNames.toSeq.map(c2 =>
-                (if (keys.contains(c2)) col(c2) else col(s"_i_$c2")).as(c2)): _*)
-              .withColumn("_change_type", lit("insert"))
-            val delOnly = j.filter(!fnCoalesce(col("_i_present"), lit(false)))
-              .select(schema.fieldNames.toSeq.map(c2 =>
-                (if (keys.contains(c2)) col(c2) else col(s"_d_$c2")).as(c2)): _*)
-              .withColumn("_change_type", lit("delete"))
-            img("_d_", "update_preimage").unionByName(img("_i_", "update_postimage"))
-              .unionByName(insOnly).unionByName(delOnly)
+            // SINGLE-PASS EMISSION: per joined key build the 1–2 change
+            // rows as an inline array of structs and explode — ONE
+            // evaluation of the join and both uniqueness-guard windows.
+            // The old form derived four union branches (pre/post/
+            // insert-only/delete-only) from the shared join, and each
+            // branch re-executed the join + windows unless exchange
+            // reuse happened to save it: 3.5× the un-keyed feed's cost
+            // on identical diffs, times four streaming consumers' jobs.
+            import org.apache.spark.sql.functions.{array, explode, when}
+            def img(prefix: String, tag: String) = struct(
+              (schema.fieldNames.toSeq.map(c2 =>
+                (if (keys.contains(c2)) col(c2) else col(s"$prefix$c2")).as(c2)) :+
+                lit(tag).as("_change_type")): _*)
+            val dp = fnCoalesce(col("_d_present"), lit(false))
+            val ip = fnCoalesce(col("_i_present"), lit(false))
+            val changeRows = when(dp && ip,
+                array(img("_d_", "update_preimage"), img("_i_", "update_postimage")))
+              .when(ip, array(img("_i_", "insert")))
+              .otherwise(array(img("_d_", "delete")))
+            j.select(explode(changeRows).as("_c")).select(col("_c.*"))
           }
         }
       changes.withColumn("_commit_version", lit(v))
@@ -2857,7 +2915,38 @@ object TableLog {
         .add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", org.apache.spark.sql.types.LongType)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    } else if (parts.length <= CdfChunkCommits)
+      parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else {
+      // LONG-HISTORY RANGES PLAN FLAT: one union branch per commit is
+      // O(commits) driver plan growth — a batch replay over a 10⁵-commit
+      // streaming table would spend its life in analysis, not IO. Fold
+      // the per-commit plans in bounded chunks and re-root each chunk as
+      // a LogicalRDD leaf (plan-only, nothing executes), so the final
+      // union has O(range / chunk) branches each of O(chunk) depth.
+      // Trade: a leaf is opaque to cross-chunk optimization (a
+      // consumer's filter stops at the chunk boundary) — which is why
+      // short ranges (every interactive read, every streaming slice)
+      // keep the direct union above.
+      val chunks = parts.grouped(CdfChunkCommits)
+        .map(_.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+        .toSeq
+      // align chunks to the RANGE-WIDE schema before flattening (column
+      // evolution inside the range: later chunks may carry columns
+      // earlier ones lack — unionByName null-fills inside a chunk, we
+      // null-fill across them)
+      val target = chunks.foldLeft(Seq.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, c) => acc ++ c.schema.fields.filterNot(f => acc.exists(_.name == f.name))
+      }
+      val aligned = chunks.map { c =>
+        val have = c.schema.fieldNames.toSet
+        c.select(target.map(f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+      aligned.map(org.apache.spark.sql.graftshim.GraftPlanShim.flattenToLeaf)
+        .reduce(_ unionByName _)
+    }
   }
 
   /** The table schema at `version` (-1 = latest) — manifest-only, no
@@ -2896,7 +2985,8 @@ object TableLog {
   final case class MaintenanceReport(compactedCommit: Option[Long],
                                      checkpointedAt: Long,
                                      deletedDataFiles: Int, deletedTmp: Int,
-                                     retainedFrom: Long)
+                                     retainedFrom: Long,
+                                     skippedYoung: Int = 0)
 
   /** One-call table upkeep — the scheduled cron shape the reference
     * runs nightly (dags/etl_pipeline_dag.py:252's maintenance arm),
@@ -2917,13 +3007,14 @@ object TableLog {
                targetFileMB: Int = 128, minSmallFiles: Int = 2,
                keepVersions: Int = 2, retainMs: Option[Long] = None,
                statsCols: Seq[String] = Nil,
-               clusterCols: Seq[String] = Nil): MaintenanceReport = {
+               clusterCols: Seq[String] = Nil,
+               graceMs: Option[Long] = None): MaintenanceReport = {
     val compacted = compactSmallFiles(spark, dir, minFileMB, targetFileMB,
       minSmallFiles, statsCols, clusterCols)
     val ck = checkpoint(spark, dir)
-    val vr = vacuum(spark, dir, keepVersions, retainMs)
+    val vr = vacuum(spark, dir, keepVersions, retainMs, graceMs = graceMs)
     MaintenanceReport(compacted, ck, vr.deletedDataFiles, vr.deletedTmp,
-      vr.retainedFrom)
+      vr.retainedFrom, vr.skippedYoung)
   }
 
   // ----------------------------------------------------------------- vacuum
@@ -2950,13 +3041,38 @@ object TableLog {
     * watermark write (reads below the would-be floor keep working).
     * The blast-radius check every operator wants before pointing
     * retention at a production table.
+    *
+    * IN-FLIGHT-COMMIT GRACE (`graceMs`, the Delta
+    * `deletedFileRetentionDuration` instinct): commits stage their
+    * data files under `data/(attempt)/` BEFORE the manifest CAS, so a
+    * parquet referenced by NO manifest at all is EITHER a crash
+    * orphan OR a commit in flight — indistinguishable by reference
+    * alone. Deleting the in-flight one corrupts the table: the
+    * writer's manifest lands moments later pointing at missing files
+    * (and the race is invited by design — auto-rebase exists so
+    * maintenance can run against live ingest). The tiebreaker is AGE:
+    * never-referenced files younger than the grace window are SKIPPED
+    * (counted in `skippedYoung`; the next vacuum gets them once
+    * they're genuinely orphaned), and an attempt directory holding
+    * any young file survives the orphan-dir sweep too. Files RETIRED
+    * by version retention are exempt — some manifest names them, which
+    * PROVES they are not in flight — so retention reclaims on
+    * schedule regardless of the window. Resolution: explicit
+    * `graceMs` argument, else the `graft.vacuum.graceMs` table
+    * property, else 6 hours — generous past any plausible write-job
+    * duration, because a too-small window re-opens the data-loss race
+    * a format guard must never allow. Set 0 ONLY when no writer can
+    * be mid-commit (single-writer test fixtures).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              retainMs: Option[Long] = None,
-             dryRun: Boolean = false): VacuumReport = {
+             dryRun: Boolean = false,
+             graceMs: Option[Long] = None): VacuumReport = {
     require(keepVersions >= 1, s"TableLog.vacuum: keepVersions must be ≥1, got $keepVersions")
     require(retainMs.forall(_ >= 0L),
       s"TableLog.vacuum: retainMs must be non-negative, got $retainMs")
+    require(graceMs.forall(_ >= 0L),
+      s"TableLog.vacuum: graceMs must be non-negative, got $graceMs")
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
@@ -2984,33 +3100,83 @@ object TableLog {
       byAge.fold(byCount)(math.min(byCount, _)))
     val referenced = commitVers.filter(_ >= retainFrom)
       .flatMap(v => snapshotAt(spark, fs, base, v)._2.map(_.path)).toSet
+    // everything ANY manifest ever added: a file here but not in
+    // `referenced` was RETIRED by retention — its manifest's existence
+    // proves it is not an in-flight commit, so age never protects it
+    val everAdded = commitVers
+      .flatMap(v => parseCommit(readText(fs, commitPath(base, v))).add.map(_.path))
+      .toSet
+    // in-flight-commit grace: param > table property > 6 h default
+    val grace = graceMs
+      .orElse(tablePropertiesAt(spark, dir).get("graft.vacuum.graceMs")
+        .map(_.trim.toLong))
+      .getOrElse(DefaultVacuumGraceMs)
+    val now = clockMs()
     val dataRoot = new Path(base, "data")
     var deletedData = 0
+    var skippedYoung = 0
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      // attempt dirs that still hold ANY young never-referenced file
+      // must survive the orphan-dir sweep — a recursive dir delete of a
+      // mid-write attempt is the same data loss as a file delete
+      val youngDirs = scala.collection.mutable.Set.empty[String]
       while (it.hasNext) {
-        val f = it.next().getPath
+        val st = it.next()
+        val f = st.getPath
         val rel = s"data/${f.getParent.getName}/${f.getName}"
-        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) doomed += f
+        // young + never named by any manifest = possibly in flight
+        val inFlight = now - st.getModificationTime < grace &&
+          !everAdded.contains(rel)
+        if (inFlight) {
+          // the listing is recursive: nested temp files (a running
+          // write's _temporary litter) tag the ATTEMPT-level dir, the
+          // component right under data/
+          var p = f
+          while (p.getParent != null && p.getParent.getName != "data")
+            p = p.getParent
+          youngDirs += p.getName
+        }
+        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+          if (inFlight) skippedYoung += 1 else doomed += f
+        }
       }
       if (dryRun) deletedData = doomed.length
       else {
         doomed.foreach { f => if (fs.delete(f, false)) deletedData += 1 }
-        // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS litter)
+        // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS
+        // litter) — but never one that held a possibly-in-flight file
+        // moments ago, and never a never-referenced one whose own mtime
+        // is inside the grace window (a dir created between the listing
+        // above and this sweep). Fresh clock reading: the file deletes
+        // above just TOUCHED these dirs' mtimes, so ageing them against
+        // the pre-delete `now` would mis-read our own sweep as activity
+        val now2 = clockMs()
         fs.listStatus(dataRoot).foreach { d =>
+          val name = d.getPath.getName
           val kids = fs.listStatus(d.getPath)
+          val everHeld = everAdded.exists(_.startsWith(s"data/$name/"))
           if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")) &&
-              !referenced.exists(_.startsWith(s"data/${d.getPath.getName}/")))
+              !referenced.exists(_.startsWith(s"data/$name/")) &&
+              !youngDirs.contains(name) &&
+              (everHeld || now2 - d.getModificationTime >= grace))
             fs.delete(d.getPath, true)
         }
       }
     }
     val logRoot = new Path(base, "_log")
-    val tmps = fs.listStatus(logRoot).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp_"))
-    if (dryRun) return VacuumReport(deletedData, tmps.length, retainFrom)
-    tmps.foreach(t => fs.delete(t, false))
+    // same grace for temp manifests: a `.tmp_` younger than the window
+    // may be mid-rename in a concurrent writer's commit point — deleting
+    // it fails that commit spuriously (loud, not corrupting, but a
+    // failure vacuum has no business causing)
+    val oldTmps = fs.listStatus(logRoot)
+      .filter(s => s.getPath.getName.startsWith(".tmp_") &&
+        now - s.getModificationTime >= grace)
+      .map(_.getPath)
+    if (dryRun)
+      return VacuumReport(deletedData, oldTmps.length, retainFrom, skippedYoung)
+    oldTmps.foreach(t => fs.delete(t, false))
     // watermark: monotonic, plain overwrite (not a correctness CAS — the
     // readable floor only ever rises)
     val wmTmp = new Path(logRoot, ".tmp_wm")
@@ -3018,7 +3184,7 @@ object TableLog {
     try out.write(retainFrom.toString.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(base.toUri, conf)
     fc.rename(wmTmp, new Path(logRoot, "_VACUUM"), Options.Rename.OVERWRITE)
-    VacuumReport(deletedData, tmps.length, retainFrom)
+    VacuumReport(deletedData, oldTmps.length, retainFrom, skippedYoung)
   }
 
   // -------------------------------------------------------------- internals

@@ -18,11 +18,15 @@ import graft.sinks.TableLog
   *   VACUUM t [RETAIN 5 VERSIONS] [DRY RUN]
   *   OPTIMIZE t [ZORDER BY (x, y)]
   *   DESCRIBE HISTORY t
+  *   DESCRIBE DETAIL t
+  *   RESTORE [TABLE] t [TO] VERSION AS OF n
   *   CONVERT TO GRAFT parquet.`/path/to/lake`
+  *   COPY INTO t FROM '/staged' FILEFORMAT = PARQUET
+  *   SHOW GRAFT TABLES IN '/warehouse/root'
   * }}}
   *
   * where `t` is a `USING graft` temp-view name or the path form
-  * `` graft.`/path` ``. Anything that does not match one of these four
+  * `` graft.`/path` ``. Anything that does not match one of these EIGHT
   * statements delegates VERBATIM to Spark's parser — this class adds
   * grammar, it never changes any. Each statement plans as a
   * `LeafRunnableCommand` whose `run` calls the method API, so the SQL
@@ -30,11 +34,12 @@ import graft.sinks.TableLog
   * same retention floor and dry-run report, OPTIMIZE commits pinned and
   * loses races loudly, CONVERT adopts in place with the same refusals.
   *
-  * The one deliberate grab: `DESCRIBE HISTORY <name>` is claimed as the
-  * audit statement (Delta's). Vanilla Spark would read that text as
-  * "describe column <name> of a table named history" — a collision only
-  * for tables literally named `history`, which the docstring trade
-  * accepts (Delta makes the identical one).
+  * Two deliberate grabs: `DESCRIBE HISTORY <name>` is claimed as the
+  * audit statement (Delta's), and `DESCRIBE DETAIL <name>` as the
+  * summary statement — vanilla Spark would read each as "describe
+  * column history/detail of table <name>", a collision only for
+  * columns literally named `history` or `detail`, which this trade
+  * accepts (Delta makes the identical ones).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -125,11 +130,12 @@ private[sources] case class GraftVacuumCommand(path: Option[String],
     .add("deleted_data_files", IntegerType, nullable = false)
     .add("deleted_tmp", IntegerType, nullable = false)
     .add("retained_from", LongType, nullable = false)
+    .add("skipped_young", IntegerType, nullable = false)
     .add("dry_run", BooleanType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] = {
     val r = TableLog.vacuum(spark, GraftSqlParser.dirOf(spark, path, view),
       keepVersions = retain.getOrElse(2), dryRun = dry)
-    Seq(Row(r.deletedDataFiles, r.deletedTmp, r.retainedFrom, dry))
+    Seq(Row(r.deletedDataFiles, r.deletedTmp, r.retainedFrom, r.skippedYoung, dry))
   }
 }
 

@@ -89,12 +89,14 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       "graft: startingVersion and startingTimestamp are mutually exclusive")
     // streaming: an instant past the last commit means "only deliver
     // what lands from here on" — the consumer waits instead of refusing
-    // (a tail of a quiet table is a legitimate subscription)
+    // (a tail of a quiet table is a legitimate subscription). The wait
+    // position derives from the SAME log listing the search read
+    // (firstVersionAtOrAfterElseNext): a second listing here would race
+    // a landing commit and permanently skip it.
     val startV = parameters.get("startingTimestamp") match {
       case Some(ts) =>
         val t = GraftTableSource.parseTsMillis(ts)
-        TableLog.firstVersionAtOrAfter(sqlContext.sparkSession, dir, t)
-          .getOrElse(TableLog.currentVersion(sqlContext.sparkSession, dir) + 1L)
+        TableLog.firstVersionAtOrAfterElseNext(sqlContext.sparkSession, dir, t)
       case None => parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
     }
     new GraftStreamSource(sqlContext, dir,

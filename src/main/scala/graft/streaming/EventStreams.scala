@@ -953,7 +953,8 @@ object EventStreams {
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                        maxFilesPerTrigger: Option[Int] = None,
-                       startingVersion: Long = 0L)
+                       startingVersion: Long = 0L,
+                       keys: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // BACKPRESSURE: a consumer attaching to a long-lived table must not
     // replay its whole history in one giant first micro-batch —
@@ -975,8 +976,12 @@ object EventStreams {
           .flatMap(r => graft.sinks.TableLog.parseVersionIfCommit(r.getString(0)))
           .filter(_ >= math.max(startingVersion, 1L))
           .sorted
+        // `keys` opts each slice into the KEYED feed (update_preimage/
+        // update_postimage pairing — the batch readChanges option, same
+        // name, same semantics), so a continuous warehouse applier can
+        // issue true UPDATEs instead of delete+insert pairs
         versions.foreach { v =>
-          onChanges(graft.sinks.TableLog.readChanges(spark, tableDir, v - 1, v), v)
+          onChanges(graft.sinks.TableLog.readChanges(spark, tableDir, v - 1, v, keys), v)
         }
       }
       .start()
@@ -1090,12 +1095,18 @@ object EventStreams {
                               batchSize: Int = 1000,
                               props: java.util.Properties = new java.util.Properties,
                               trigger: org.apache.spark.sql.streaming.Trigger =
-                                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                                org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                              keyedFeed: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // keyedFeed: stream the KEYED feed so applyChanges sees paired
+    // update images and issues true per-key UPDATE statements — the
+    // streaming twin of the batch `readChanges(keys=…)` applier. Tables
+    // whose per-commit key uniqueness cannot be promised (the keyed
+    // feed refuses duplicates loudly) opt out and get delete+insert.
     changeFeedStream(spark, tableDir, checkpointDir,
       (changes, _) => graft.sinks.JdbcWarehouse.applyChanges(
         spark, url, table, changes, keys, batchSize, props),
-      trigger)
+      trigger, keys = if (keyedFeed) keys else Nil)
 
   /** One micro-batch of the upsert protocol (factored out of the stream
     * closure so the at-least-once replay path is directly testable).

@@ -14,4 +14,20 @@ object GraftPlanShim {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-root a DataFrame's physical RDD as a fresh `LogicalRDD` leaf —
+    * the plan-flattening primitive behind the change feed's long-history
+    * chunking: a batch CDF read over 10⁵ commits must not carry one
+    * union branch per commit through analysis/optimization (O(commits)
+    * driver plan growth). `toRdd` plans THIS chunk eagerly (bounded,
+    * driver-side) but executes nothing; the `.copy()` is mandatory —
+    * unsafe rows are buffer-reused (the same discipline
+    * `Dataset.checkpoint` applies). `internalCreateDataFrame` is
+    * `private[sql]`, hence this doorway; no behavior lives here.
+    */
+  def flattenToLeaf(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), df.schema)
+  }
 }

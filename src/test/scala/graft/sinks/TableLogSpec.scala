@@ -398,7 +398,9 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).select("k").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     // vacuum sweeps the orphan attempt dir and the temp manifest
-    val rep = TableLog.vacuum(spark, dir, keepVersions = 10)
+    // (graceMs=0: single-writer fixture, nothing can be in flight)
+    val rep = TableLog.vacuum(spark, dir, keepVersions = 10,
+      graceMs = Some(0L))
     assert(rep.deletedDataFiles >= 1, "the ghost parquet must be deleted")
     assert(rep.deletedTmp >= 1, "the crashed temp manifest must be deleted")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "data/crashed_attempt")))
@@ -596,6 +598,8 @@ class TableLogSpec extends SparkSpec {
     TableLog.overwrite(spark, dir, Seq((2L, "v2")).toDF("k", "s"))
     TableLog.overwrite(spark, dir, Seq((3L, "v3")).toDF("k", "s"))
     TableLog.overwrite(spark, dir, Seq((4L, "v4")).toDF("k", "s"))
+    // default grace: retired files delete regardless of age — their
+    // manifests prove they are not in-flight commits
     val rep = TableLog.vacuum(spark, dir, keepVersions = 2)
     assert(rep.retainedFrom == 3L)
     assert(rep.deletedDataFiles >= 2, "v1/v2-only files must be reclaimed")

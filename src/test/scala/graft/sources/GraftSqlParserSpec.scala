@@ -37,11 +37,11 @@ class GraftSqlParserSpec extends SparkSpec {
 
     // dry run reports, deletes nothing; the real run then deletes
     val dry = spark.sql("VACUUM gsp_t RETAIN 1 VERSIONS DRY RUN").head()
-    assert(dry.getBoolean(3) && dry.getInt(0) > 0)
+    assert(dry.getBoolean(4) && dry.getInt(0) > 0)
     val before = TableLog.history(spark, dir).length
     assert(TableLog.history(spark, dir).length == before)
     val real = spark.sql("VACUUM gsp_t RETAIN 1 VERSIONS").head()
-    assert(!real.getBoolean(3) && real.getInt(0) == dry.getInt(0),
+    assert(!real.getBoolean(4) && real.getInt(0) == dry.getInt(0),
       "the dry run must have reported exactly the real run's deletions")
     assert(TableLog.readAt(spark, dir).count() == 4L, "head still reads")
     spark.sql("DROP VIEW gsp_t")
