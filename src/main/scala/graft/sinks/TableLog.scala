@@ -157,7 +157,8 @@ object TableLog {
                           copyFiles: Seq[String] = Nil,
                           properties: Map[String, String] = Map.empty,
                           colmap: Map[String, String] = Map.empty,
-                          droppedCols: Seq[String] = Nil)
+                          droppedCols: Seq[String] = Nil,
+                          writerFeatures: Seq[String] = Nil)
 
   /** Injectable clock — tests pin commit timestamps (and clock skew)
     * deterministically; production leaves the default.
@@ -2109,6 +2110,12 @@ object TableLog {
       val parentCommit =
         if (parentNow <= 0L) None
         else Some(parseCommit(readText(fs, commitPath(base, parentNow))))
+      // WRITER-FEATURE GUARD (re-checked per attempt: a rebase moves
+      // onto a new head, whose features may differ): committing onto a
+      // table whose head declares a contract this library does not
+      // implement would silently break it — refuse before any rename
+      parentCommit.foreach(pc => requireSupportedWriterFeatures(
+        pc.writerFeatures, s"committing version $version of $dir"))
       val cstr = constraintsOverride.getOrElse(
         parentCommit.fold(Map.empty[String, String])(_.constraints))
       val props = propertiesOverride.getOrElse(
@@ -3468,6 +3475,42 @@ object TableLog {
   private[sinks] val SupportedReaderFeatures: Set[String] =
     Set("dv", "colmap", "abs-paths")
 
+  /** WRITER features — the other half of the format guard (Delta pins
+    * both sides): what a writer must IMPLEMENT before committing on
+    * top of this table. Reader features protect old readers from
+    * misreading; writer features protect the TABLE from an old writer
+    * that would commit without honoring its contracts — skipping CHECK
+    * constraints writes unvalidated rows, ignoring column mapping
+    * writes files under logical names the mapped reads then null-fill,
+    * ignoring declared clustering silently degrades the layout every
+    * maintenance pass exists to keep. Derived from manifest content at
+    * render time like reader features; [[publishCommit]] refuses to
+    * commit onto a head declaring a writer feature this library does
+    * not implement. Reads stay OPEN — an unknown writer feature never
+    * blocks a reader.
+    */
+  private[sinks] val SupportedWriterFeatures: Set[String] =
+    Set("constraints", "colmap", "clustering")
+
+  private[sinks] def writerFeaturesOf(c: Commit): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (c.constraints.nonEmpty) b += "constraints"
+    if (c.colmap.nonEmpty || c.droppedCols.nonEmpty) b += "colmap"
+    if (c.properties.get("graft.cluster.cols").exists(_.trim.nonEmpty))
+      b += "clustering"
+    b.result()
+  }
+
+  private def requireSupportedWriterFeatures(declared: Seq[String],
+                                             what: String): Unit = {
+    val unknown = declared.filterNot(SupportedWriterFeatures)
+    require(unknown.isEmpty,
+      s"TableLog: $what requires writer feature(s) ${unknown.mkString(", ")} " +
+        "this library does not implement — the table carries contracts " +
+        "(written by a newer graft writer) that this commit would silently " +
+        "break; upgrade before writing. Reads remain available.")
+  }
+
   private[sinks] def readerFeaturesOf(c: Commit): Seq[String] = {
     val b = Seq.newBuilder[String]
     if (c.add.exists(_.dv.nonEmpty) || c.removeDv.nonEmpty) b += "dv"
@@ -3521,9 +3564,16 @@ object TableLog {
       if (fs.isEmpty) ""
       else s""","features":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}]"""
     }
+    val wfeats = {
+      // union with the declared set: a future writer's features carried
+      // through OUR re-render (e.g. a rebase body) must never be dropped
+      val fs = (writerFeaturesOf(c) ++ c.writerFeatures).distinct
+      if (fs.isEmpty) ""
+      else s""","wfeatures":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}]"""
+    }
     s"""{"version":${c.version},"parent":${c.parent},"op":"${esc(c.op)}",""" +
       s""""ts":${c.ts},""" +
-      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props$cmap$dcols$feats}"""
+      s""""schema":"${esc(c.schemaJson)}","add":[$adds],"remove":[$removes]$txn$rdv$cks$cf$props$cmap$dcols$feats$wfeats}"""
   }
 
   private def renderCheckpoint(version: Long, schemaJson: String,
@@ -3613,12 +3663,17 @@ object TableLog {
     }.getOrElse(Map.empty[String, String])
     val dcols = Option(n.get("dropcols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    // writer features parse OPEN: unknown entries refuse WRITES (the
+    // publishCommit guard), never reads — the asymmetry is the point
+    val wfeats = Option(n.get("wfeatures"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("op").asText(), n.get("schema").asText(), parseAdds(n.get("add")),
       removes, txn,
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       removeDv = removeDv, constraints = cks, copyFiles = cf,
-      properties = props, colmap = cmap, droppedCols = dcols)
+      properties = props, colmap = cmap, droppedCols = dcols,
+      writerFeatures = wfeats)
   }
 
   private def parseCheckpoint(txt: String): (String, Seq[AddFile]) = {
