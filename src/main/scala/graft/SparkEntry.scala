@@ -92,6 +92,10 @@ object SparkEntry {
   private val tableLogPrunedPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged persistent-catalog root per sf-dir (q_catalog_sql). */
+  private val catalogRootPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged copy-on-write TableLog history (the q_table_log_delete /
     * _update / q_merge_into / q_table_log_cdf fixture): v1 = lineitem
     * as 16 price-range files, v2 = stats-pruned DELETE of a price band,
@@ -2042,6 +2046,34 @@ object SparkEntry {
         .filter(col("price").between(10000.0, 20000.0))
         .select(col("l_orderkey"), col("l_linenumber"), col("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // PERSISTENT CATALOG: the same pruned read as q_sql_connector, but
+    // through a NAMED table in the V2 catalog — CREATE NAMESPACE +
+    // CTAS + SELECT by name, zero view plumbing. The catalog name is
+    // dataset-hashed so two sf dirs in one JVM never share a root; the
+    // filter still prunes through the one shared buildScan (manifest
+    // stats on price), which the catalog spec pins.
+    "q_catalog_sql" -> ((s, d) => {
+      val cat = s"gcat_${java.lang.Integer.toHexString(d.hashCode)}"
+      catalogRootPath.getOrElseUpdate(d, {
+        val r = stageDir("gcatroot", d)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", r)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .repartitionByRange(16, col("price"))
+          .createOrReplaceTempView("q_catalog_src")
+        s.sql(s"CREATE TABLE $cat.wh.items USING graft " +
+          "TBLPROPERTIES ('graft.stats.cols'='price') " +
+          "AS SELECT * FROM q_catalog_src")
+        r
+      })
+      s.sql(s"SELECT l_orderkey, l_linenumber, price FROM $cat.wh.items " +
+        "WHERE price BETWEEN 10000.0 AND 20000.0 " +
+        "ORDER BY l_orderkey, l_linenumber")
     }),
 
     // copy-on-write DELETE: version 2 of the staged history removed one
@@ -5096,6 +5128,13 @@ object SparkEntry {
     // the connector twin reads the same staged layout through
     // spark.read.format("graft") — same rows, same oracle
     "q_sql_connector" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
+        |FROM lineitem
+        |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the catalog twin: same rows again, by NAME through the V2 catalog
+    "q_catalog_sql" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0

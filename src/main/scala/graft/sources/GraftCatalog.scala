@@ -1,0 +1,455 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.TableLog
+
+/** PERSISTENT CATALOG — the V2 `CatalogPlugin` that makes graft tables
+  * first-class NAMED objects instead of per-session `TEMPORARY VIEW`
+  * plumbing (the reference's schema.sql views are persistent named
+  * objects; this is their lakehouse twin):
+  *
+  * {{{
+  *   spark.sql.catalog.gcat      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.gcat.root = /warehouse
+  *
+  *   CREATE NAMESPACE gcat.sales
+  *   CREATE TABLE gcat.sales.orders (k BIGINT, s STRING) USING graft
+  *   INSERT INTO gcat.sales.orders SELECT …
+  *   SELECT * FROM gcat.sales.orders [VERSION AS OF 3 | TIMESTAMP AS OF …]
+  *   DELETE FROM gcat.sales.orders WHERE k = 7
+  *   SHOW TABLES IN gcat.sales
+  * }}}
+  *
+  * PERSISTENCE IS THE FILESYSTEM, NOT A SERVICE: the catalog owns a
+  * `root` directory; a namespace is a directory under it, a table is a
+  * directory carrying a `_log` (managed) or a `_gcat_external` pointer
+  * file naming the real location (`CREATE TABLE … LOCATION`). Any
+  * session configured with the same root sees the same tables — no
+  * metastore process, the same durability model as the table log
+  * itself (the manifests ARE the metadata). Discovery never walks into
+  * table data: listing stops at the `_log`/pointer boundary, so a
+  * 10⁵-table warehouse lists in O(directories).
+  *
+  * READS ride the V1 fallback seam (`V1Scan`): the scan builder takes
+  * Spark's pushed filters + pruned columns and hands them VERBATIM to
+  * [[GraftTableRelation.buildScan]] — one implementation of
+  * stats-pruning / bloom point-lookup routing / dv anti-apply for the
+  * path form, the view form, and the catalog form. The scan reports
+  * manifest byte/row statistics ([[SupportsReportStatistics]]), so a
+  * small named dimension table still auto-broadcasts. WRITES ride
+  * `V1Write` → [[TableLog.append]]/[[TableLog.overwrite]] (INSERT
+  * INTO / INSERT OVERWRITE / CTAS are all one transactional commit);
+  * `DELETE FROM … WHERE` is [[SupportsDelete]] over
+  * [[TableLog.deleteWhere]]'s stats-pruned CoW (untranslatable
+  * predicates refuse at analysis — `canDeleteWhere` — rather than
+  * degrade). UPDATE/MERGE stay on the graft SQL front (GraftSql),
+  * which resolves catalog names through [[GraftCatalog.tableDirOf]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var rootDir: String = _
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    rootDir = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name': set spark.sql.catalog.$name.root to the warehouse directory"))
+    val root = new Path(rootDir)
+    fs(root).mkdirs(root)
+    ()
+  }
+
+  override def name(): String = catName
+
+  // path-component hygiene: identifiers become directory names
+  private def checkPart(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+        s != "." && s != ".." && !s.startsWith("_"),
+      s"graft catalog: illegal identifier part '$s' (no path separators, " +
+        "no dot-dirs, no leading underscore — that namespace is the catalog's)")
+    s
+  }
+
+  private def entryPath(ident: Identifier): Path =
+    new Path((rootDir +: (ident.namespace().toSeq :+ ident.name())
+      .map(checkPart)).mkString("/"))
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((rootDir +: ns.toSeq.map(checkPart)).mkString("/"))
+
+  private def pointer(entry: Path) = new Path(entry, "_gcat_external")
+
+  private def isTableDir(p: Path): Boolean = {
+    val f = fs(p)
+    f.exists(new Path(p, "_log")) || f.exists(pointer(p))
+  }
+
+  /** The table-log directory behind `ident` — the entry itself
+    * (managed) or the external pointer's target.
+    */
+  def tableDirOf(ident: Identifier): String = {
+    val entry = entryPath(ident)
+    val f = fs(entry)
+    if (f.exists(pointer(entry))) {
+      val in = f.open(pointer(entry))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else entry.toString
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val entry = entryPath(ident)
+    fs(entry).exists(entry) && isTableDir(entry)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    val f = fs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(_.getName.startsWith("_"))
+      .filter(isTableDir)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftV2Table(ident, tableDirOf(ident), -1L)
+  }
+
+  /** `VERSION AS OF` through the catalog — Spark hands the version text. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF must be a commit version number, got '$version'"))
+    new GraftV2Table(ident, tableDirOf(ident), v)
+  }
+
+  /** `TIMESTAMP AS OF` through the catalog — Spark hands epoch MICROS. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDirOf(ident)
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    new GraftV2Table(ident, dir, TableLog.versionAtTimestamp(spark, dir, ms))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — declare layout with " +
+        "TBLPROPERTIES ('graft.cluster.cols'='…') and let maintenance keep it")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val entry = entryPath(ident)
+    val f = fs(entry)
+    val parent = entry.getParent
+    if (!f.exists(parent))
+      throw new NoSuchNamespaceException(catName +: ident.namespace().toSeq)
+    f.mkdirs(entry)
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION))
+    external.foreach { loc =>
+      val out = f.create(pointer(entry), false)
+      try out.write(loc.getBytes("UTF-8")) finally out.close()
+    }
+    val dir = external.getOrElse(entry.toString)
+    val existing = TableLog.currentVersion(spark, dir) > 0L
+    if (!existing) {
+      require(schema.fields.nonEmpty,
+        s"graft catalog: CREATE TABLE ${ident} needs a column list (or a " +
+          "LOCATION holding an existing graft table to adopt)")
+      // anchor the schema as an empty version 1 — one transactional
+      // commit, same as every other write path
+      TableLog.overwrite(spark, dir, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
+      ()
+    } else if (schema.fields.nonEmpty) {
+      val have = TableLog.schemaAt(spark, dir)
+      require(have.fields.map(fd => (fd.name, fd.dataType)).toSeq ==
+          schema.fields.map(fd => (fd.name, fd.dataType)).toSeq,
+        s"graft catalog: LOCATION $dir already holds a table with schema " +
+          s"${have.simpleString}, which differs from the declared " +
+          s"${schema.simpleString} — omit the column list to adopt it")
+    }
+    // user TBLPROPERTIES (graft.* knobs and anything else non-reserved)
+    // land as ONE table-properties commit
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    val user = properties.asScala.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    if (user.nonEmpty) TableLog.setTableProperties(spark, dir, user.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDirOf(ident)
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        TableLog.setTableProperties(spark, dir, Map(s.property() -> s.value()))
+      case r: TableChange.RemoveProperty =>
+        TableLog.unsetTableProperties(spark, dir, Seq(r.property()))
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: nested column renames are not supported")
+        TableLog.renameColumn(spark, dir, c.fieldNames().head, c.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft catalog: nested column drops are not supported")
+        TableLog.dropColumn(spark, dir, d.fieldNames().head)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE change $other is not supported — " +
+          "schema changes beyond rename/drop/properties go through the " +
+          "TableLog API (overwrite / mergeSchema append)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val entry = entryPath(ident)
+    // managed: the entry IS the table — dropping removes data. External:
+    // the entry holds only the pointer — the data stays where it lives
+    // (the SQL-standard external-table contract).
+    fs(entry).delete(entry, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newTarget: Identifier): Unit = {
+    // `ALTER TABLE cat.ns.t RENAME TO cat.ns.u` hands the target through
+    // UNRESOLVED (catalog prefix still in the namespace) — strip our own
+    // name when it leads, the same normalization Delta's catalog applies
+    val newIdent =
+      if (newTarget.namespace().headOption.contains(catName))
+        Identifier.of(newTarget.namespace().drop(1), newTarget.name())
+      else newTarget
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = entryPath(oldIdent)
+    val to = entryPath(newIdent)
+    val f = fs(from)
+    require(f.exists(to.getParent),
+      s"graft catalog: target namespace ${newIdent.namespace().mkString(".")} does not exist")
+    require(f.rename(from, to),
+      s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    val f = fs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName.startsWith("_"))
+      .filterNot(isTableDir)
+      .map(d => namespace :+ d.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val p = nsPath(namespace)
+    fs(p).exists(p) && !isTableDir(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    fs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace)
+    val f = fs(p)
+    require(cascade || f.listStatus(p).isEmpty,
+      s"graft catalog: namespace ${namespace.mkString(".")} is not empty " +
+        "(DROP … CASCADE to remove its tables)")
+    f.delete(p, true)
+  }
+}
+
+/** A named graft table through the V2 seam — reads/writes delegate to
+  * the same TableLog machinery as the path and view forms.
+  */
+private[sources] class GraftV2Table(ident: Identifier, val dir: String,
+                                    version: Long)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark = SparkSession.active
+
+  override def name(): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override lazy val schema: StructType = TableLog.schemaAt(spark, dir, version)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def properties(): util.Map[String, String] = {
+    val p = TableLog.tablePropertiesAt(spark, dir, version)
+    (p + (TableCatalog.PROP_LOCATION -> dir)).asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, dir, version, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version == -1L,
+      "graft catalog: cannot write to a time-travel snapshot")
+    new GraftCatalogWriteBuilder(dir)
+  }
+
+  /** `DELETE FROM cat.ns.t WHERE …` — the stats-pruned CoW delete.
+    * Untranslatable predicates refuse at ANALYSIS (canDeleteWhere)
+    * rather than silently deleting more or less than asked.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTableRelation.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(GraftTableRelation.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TableLog.deleteWhere(spark, dir, pred)
+    ()
+  }
+}
+
+private[sources] class GraftScanBuilder(spark: SparkSession, dir: String,
+                                        version: Long, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  // every filter re-applies above the scan (returned in full): pushdown
+  // is the same pure pruning hint as the V1 connector's
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs
+  }
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (COUNT(*)) still needs one column to scan
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(full.fields.take(1))
+
+  override def build(): Scan =
+    new GraftV1ScanAdapter(spark, dir, version, required, filters)
+}
+
+/** The V1 fallback scan: `toV1TableScan` hands Spark a TableScan whose
+  * buildScan IS [[GraftTableRelation.buildScan]] with the pushed
+  * filters and pruned columns — manifest stats pruning, bloom
+  * point-lookup routing and dv anti-apply, one implementation across
+  * all three SQL surfaces. Reports manifest statistics so joins
+  * against small named tables auto-broadcast.
+  */
+private[sources] class GraftV1ScanAdapter(spark: SparkSession, dir: String,
+                                          version: Long, required: StructType,
+                                          filters: Array[Filter])
+    extends V1Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val files = TableLog.liveFilesAt(spark, dir, version)
+    override def sizeInBytes(): util.OptionalLong =
+      if (files.nonEmpty && files.forall(_.bytes > 0L))
+        util.OptionalLong.of(files.map(_.bytes).sum)
+      else util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      util.OptionalLong.of(files.map(f => f.rows - f.dv.length).sum)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val inner = new GraftTableRelation(context, dir, version)
+    val cols = required.fieldNames
+    val fs = filters
+    new BaseRelation with TableScan {
+      override val sqlContext: SQLContext = context
+      override val schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = inner.buildScan(cols, fs)
+    }.asInstanceOf[T]
+  }
+}
+
+/** INSERT INTO (append) / INSERT OVERWRITE (truncate) / DataFrameWriterV2
+  * `overwrite(cond)` (replaceWhere) — each one transactional commit.
+  */
+private[sources] class GraftCatalogWriteBuilder(dir: String)
+    extends WriteBuilder with SupportsOverwrite {
+
+  // append | truncate | replaceWhere(cond)
+  private var mode: Either[Option[org.apache.spark.sql.Column], Unit] =
+    Left(None) // Left(None)=append, Left(Some(c))=replaceWhere, Right(())=truncate
+
+  override def truncate(): WriteBuilder = { mode = Right(()); this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) mode = Right(())
+    else {
+      val cols = filters.map(f => GraftTableRelation.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft catalog: overwrite condition $f is not translatable — " +
+            "use TableLog.replaceWhere for arbitrary predicates")))
+      mode = Left(Some(cols.reduce(_ && _)))
+    }
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        val spark = data.sparkSession
+        mode match {
+          case Right(()) => TableLog.overwrite(spark, dir, data)
+          case Left(Some(cond)) => TableLog.replaceWhere(spark, dir, data, cond)
+          case Left(None) => TableLog.append(spark, dir, data)
+        }
+        ()
+      }
+  }
+}

@@ -59,8 +59,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  // a target is graft.`/path` or a bare view identifier
-  private val T = """(?:graft\.`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))"""
+  // a target is graft.`/path`, a bare view identifier, or a dotted
+  // catalog name (`gcat.ns.t` — resolved through GraftCatalog)
+  private val T = """(?:graft\.`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*))"""
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + T +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r

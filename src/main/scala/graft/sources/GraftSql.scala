@@ -194,9 +194,22 @@ object GraftSql {
         val parts = u.multipartIdentifier
         if (parts.length == 2 && parts.head.equalsIgnoreCase("graft")) parts(1)
         else if (parts.length == 1) relationOf(spark, parts.head)
-        else throw new IllegalArgumentException(
-          s"GraftSql: cannot resolve target ${parts.mkString(".")} — use a " +
-            "USING graft temp view name or graft.`/path`")
+        else {
+          // catalog-qualified target (`gcat.ns.t`) — the persistent
+          // catalog's tables take UPDATE/MERGE through this front too
+          org.apache.spark.sql.graftshim.GraftPlanShim
+            .catalogPlugin(spark, parts.head) match {
+            case Some(g: GraftCatalog) =>
+              val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+                parts.tail.init.toArray, parts.last)
+              require(g.tableExists(ident),
+                s"GraftSql: table ${parts.mkString(".")} does not exist")
+              g.tableDirOf(ident)
+            case _ => throw new IllegalArgumentException(
+              s"GraftSql: cannot resolve target ${parts.mkString(".")} — use a " +
+                "USING graft temp view name, graft.`/path`, or a graft-catalog name")
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"GraftSql: DML target must be a table reference, got ${other.nodeName}")
     }
@@ -209,6 +222,23 @@ object GraftSql {
     relationOf(spark, name)
 
   private def relationOf(spark: SparkSession, name: String): String = {
+    // catalog-qualified names (`gcat.ns.t`) resolve through the V2
+    // catalog directly — UPDATE/MERGE by name without any view plumbing
+    val parts = scala.util.Try(
+      spark.sessionState.sqlParser.parseMultipartIdentifier(name))
+      .getOrElse(Seq(name))
+    if (parts.length >= 2) {
+      org.apache.spark.sql.graftshim.GraftPlanShim
+        .catalogPlugin(spark, parts.head) match {
+        case Some(g: GraftCatalog) =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)
+          require(g.tableExists(ident),
+            s"GraftSql: table $name does not exist in catalog ${parts.head}")
+          return g.tableDirOf(ident)
+        case _ =>
+      }
+    }
     val analyzed = spark.table(name).queryExecution.analyzed
     val rel = analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation

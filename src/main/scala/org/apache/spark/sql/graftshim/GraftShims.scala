@@ -30,4 +30,16 @@ object GraftPlanShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd.map(_.copy()), df.schema)
   }
+
+  /** Look up a registered V2 catalog by name — `CatalogManager` is
+    * `private[sql]`, but the graft SQL DML front must resolve
+    * `cat.ns.table` targets through [[graft.sources.GraftCatalog]].
+    * None when no such catalog is configured (the caller falls back to
+    * view-name resolution). No behavior lives here.
+    */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
+                    name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
 }

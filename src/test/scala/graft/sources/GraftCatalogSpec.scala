@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The persistent catalog (V2 CatalogPlugin): graft tables as NAMED SQL
+  * objects that survive sessions — CREATE/CTAS/INSERT/SELECT/DELETE/
+  * SHOW/ALTER/RENAME/DROP by name, time travel through `VERSION AS OF`,
+  * external LOCATION adoption, and the same pruning/broadcast behavior
+  * as the path-based connector (one buildScan implementation under all
+  * three SQL surfaces). Persistence is the filesystem: a SECOND catalog
+  * instance over the same root (the cross-session simulation) sees
+  * every table.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root =
+    java.nio.file.Files.createTempDirectory("gcat_root").toFile.getAbsolutePath
+
+  spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gcat.root", root)
+  // the second catalog over the SAME root — "another session"
+  spark.conf.set("spark.sql.catalog.gcat2", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gcat2.root", root)
+
+  test("create / insert / select / delete / overwrite by name; DDL round-trips") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.sales")
+    spark.sql("CREATE TABLE gcat.sales.orders (k BIGINT, s STRING) USING graft")
+    spark.sql("INSERT INTO gcat.sales.orders VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT * FROM gcat.sales.orders").count() == 3L)
+    // SHOW discovers by name
+    assert(spark.sql("SHOW TABLES IN gcat.sales").collect()
+      .map(_.getString(1)).toSeq == Seq("orders"))
+    assert(spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("sales"))
+    // DELETE is the stats-pruned CoW behind SupportsDelete
+    spark.sql("DELETE FROM gcat.sales.orders WHERE k = 2")
+    assert(spark.sql("SELECT k FROM gcat.sales.orders ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // INSERT OVERWRITE is one atomic overwrite commit
+    spark.sql("INSERT OVERWRITE gcat.sales.orders VALUES (9, 'z')")
+    assert(spark.sql("SELECT s FROM gcat.sales.orders").head().getString(0) == "z")
+    // time travel by name: the pre-delete snapshot still reads
+    assert(spark.sql("SELECT * FROM gcat.sales.orders VERSION AS OF 2").count() == 3L)
+    // ALTER: properties + column rename ride the manifest
+    spark.sql("ALTER TABLE gcat.sales.orders SET TBLPROPERTIES ('graft.stats.cols'='k')")
+    spark.sql("ALTER TABLE gcat.sales.orders RENAME COLUMN s TO label")
+    assert(spark.sql("SELECT label FROM gcat.sales.orders").head().getString(0) == "z")
+    // the OTHER catalog instance over the same root sees everything —
+    // tables are filesystem objects, not session state
+    assert(spark.sql("SELECT label FROM gcat2.sales.orders").head().getString(0) == "z")
+    assert(spark.sql("SHOW TABLES IN gcat2.sales").count() == 1L)
+  }
+
+  test("CTAS, managed vs external drop semantics, rename, adoption by LOCATION") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
+    // CTAS: create + one append commit
+    spark.sql("CREATE TABLE gcat.ext.squares USING graft AS " +
+      "SELECT id AS k, id * id AS sq FROM range(10)")
+    assert(spark.sql("SELECT sum(sq) FROM gcat.ext.squares").head().getLong(0) == 285L)
+    // rename by name
+    spark.sql("ALTER TABLE gcat.ext.squares RENAME TO gcat.ext.sq2")
+    assert(spark.sql("SELECT count(*) FROM gcat.ext.sq2").head().getLong(0) == 10L)
+    // external: adopt an existing table-log dir by LOCATION
+    val extDir = java.nio.file.Files.createTempDirectory("gcat_ext").toFile.getAbsolutePath + "/t"
+    graft.sinks.TableLog.append(spark, extDir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    spark.sql(s"CREATE TABLE gcat.ext.adopted USING graft LOCATION '$extDir'")
+    assert(spark.sql("SELECT sum(v) FROM gcat.ext.adopted").head().getDouble(0) == 30.0)
+    // a column list that disagrees with the adopted table refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gcat.ext.bad (x INT) USING graft LOCATION '$extDir'")
+    }
+    assert(e.getMessage.contains("differs"), e.getMessage)
+    // DROP external: the entry goes, the DATA stays
+    spark.sql("DROP TABLE gcat.ext.adopted")
+    assert(graft.sinks.TableLog.readAt(spark, extDir).count() == 2L,
+      "dropping an external table must not delete its data")
+    // DROP managed: the table directory goes
+    val managedDir = s"$root/ext/sq2"
+    spark.sql("DROP TABLE gcat.ext.sq2")
+    assert(!new java.io.File(managedDir).exists(),
+      "dropping a managed table removes its directory")
+  }
+
+  test("UPDATE / MERGE / maintenance statements resolve catalog names") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("CREATE TABLE gcat.dml.acct (k BIGINT, bal DOUBLE) USING graft")
+    spark.sql("INSERT INTO gcat.dml.acct VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    // UPDATE by catalog name through the DML front
+    GraftSql.exec(spark, "UPDATE gcat.dml.acct SET bal = bal + 5.0 WHERE k = 2")
+    assert(spark.sql("SELECT bal FROM gcat.dml.acct WHERE k = 2").head().getDouble(0) == 25.0)
+    // MERGE by catalog name
+    Seq((2L, 99.0), (4L, 40.0)).toDF("k", "bal").createOrReplaceTempView("acct_src")
+    GraftSql.exec(spark,
+      """MERGE INTO gcat.dml.acct t USING acct_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.sql("SELECT k, bal FROM gcat.dml.acct ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(after == Seq(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0), s"got $after")
+    // maintenance statements take catalog names too
+    val hist = spark.sql("DESCRIBE HISTORY gcat.dml.acct").collect()
+    assert(hist.length >= 4, s"create+insert+update+merge commits: ${hist.length}")
+    assert(spark.sql("VACUUM gcat.dml.acct DRY RUN").head().getBoolean(4))
+  }
+
+  test("named reads prune files and auto-broadcast like the path form") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.perf")
+    val factDir = java.nio.file.Files.createTempDirectory("gcat_fact")
+      .toFile.getAbsolutePath + "/fact"
+    val clustered = (1L to 4000L).map(k => (k, k % 7, s"p$k")).toDF("k", "g", "s")
+      .repartitionByRange(8, col("k"))
+    graft.sinks.TableLog.append(spark, factDir, clustered, statsCols = Seq("k"))
+    spark.sql(s"CREATE TABLE gcat.perf.fact USING graft LOCATION '$factDir'")
+    GraftTableSource.lastPrune = None
+    val n = spark.sql("SELECT count(*) FROM gcat.perf.fact WHERE k BETWEEN 100 AND 200")
+      .head().getLong(0)
+    assert(n == 101L)
+    val (read, total) = GraftTableSource.lastPrune.get
+    assert(read < total,
+      s"the named read must prune via manifest stats: $read/$total")
+    // manifest byte stats flow through SupportsReportStatistics → the
+    // small named table broadcasts in a join without a hint
+    val big = spark.range(100000).select(col("id").as("k"), (col("id") % 7).as("gg"))
+    val joined = big.join(spark.table("gcat.perf.fact"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a small named graft table must auto-broadcast:\n$plan")
+    assert(joined.count() == 4000L)
+  }
+}
