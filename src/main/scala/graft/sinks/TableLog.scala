@@ -1366,6 +1366,39 @@ object TableLog {
     else parseCommit(readText(fs, commitPath(base, version))).droppedCols
   }
 
+  /** `ALTER TABLE … ADD COLUMN` as a MANIFEST-ONLY commit — zero data
+    * rewritten however large the table: the new column appends to the
+    * logical schema NULLABLE, existing files simply lack it and
+    * null-fill on read (the same read path mergeSchema-evolved
+    * histories already exercise). Refused loudly when the name
+    * collides with a live logical or physical column, or reuses a
+    * DROPPED column's physical name (live files still carry those
+    * bytes — re-adding would silently resurrect stale data). A schema
+    * change, so concurrent rebases refuse across it (rebaseOk's schema
+    * rule).
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                dataType: DataType): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.addColumn: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cm = columnMappingAt(spark, dir, base)
+    require(!schema.fieldNames.contains(name) && !cm.values.exists(_ == name),
+      s"TableLog.addColumn: column '$name' already exists (logically or physically)")
+    val dropped = droppedColsAt(spark, dir, base)
+    require(!dropped.contains(name),
+      s"TableLog.addColumn: '$name' was DROPPED earlier and live files still " +
+        "carry its old bytes — adding it back would silently resurrect stale " +
+        "data; pick another name or overwrite the table")
+    val newSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    commitManifest(spark, dir, "evolve", newSchema.json, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None)
+  }
+
   /** `ALTER TABLE … RENAME COLUMN old TO new` as a MANIFEST-ONLY
     * commit — zero data rewritten however large the table: files are
     * immutable, so the column keeps its original PHYSICAL name on disk
@@ -1522,10 +1555,12 @@ object TableLog {
     }.toMap
 
   def maintainAll(spark: SparkSession, rootDir: String,
-                  maxDepth: Int = 3): DataFrame = {
+                  maxDepth: Int = 3, parallelism: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
+    require(parallelism >= 1,
+      s"TableLog.maintainAll: parallelism must be ≥1, got $parallelism")
     val tables = discoverTables(spark, rootDir, maxDepth)
-    val rows = tables.map { t =>
+    def one(t: String): Row =
       try {
         val r = maintainAuto(spark, t)
         Row(t, r.compactedCommit.map(java.lang.Long.valueOf).orNull,
@@ -1535,7 +1570,23 @@ object TableLog {
         Row(t, null, null, null, null, null,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-    }
+    // the fleet sweeps CONCURRENTLY (tables are independent directories;
+    // Spark schedules jobs from many threads fine, and each table's own
+    // commits stay transactional through the CAS) — a 1000-table
+    // warehouse's upkeep must not serialize behind its slowest member.
+    // Report order stays path-sorted regardless of completion order.
+    val rows =
+      if (parallelism == 1 || tables.length <= 1) tables.map(one)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, tables.length))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(tables.map(t =>
+            new java.util.concurrent.Callable[Row] { def call(): Row = one(t) }
+          ).asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, new StructType()
       .add("table", StringType, nullable = false)
@@ -2303,6 +2354,15 @@ object TableLog {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(base, "_log"))) Nil
+    else if (toInclusive - fromExclusive <= 64L)
+      // versions are DENSE (every commit is parent+1 through the CAS),
+      // so a bounded frame probes its own range directly — O(range)
+      // existence checks, never an O(history) directory listing; a
+      // monitoring loop's "last few commits" frame stays flat however
+      // long the table lives
+      (math.max(fromExclusive + 1L, 1L) to toInclusive)
+        .filter(v => fs.exists(commitPath(base, v)))
+        .map(v => parseCommit(readText(fs, commitPath(base, v))))
     else commitVersions(fs, base)
       .filter(v => v > fromExclusive && v <= toInclusive)
       .map(v => parseCommit(readText(fs, commitPath(base, v))))

@@ -219,6 +219,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames().length == 1,
           "graft catalog: nested column drops are not supported")
         TableLog.dropColumn(spark, dir, d.fieldNames().head)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested column adds are not supported")
+        require(a.isNullable,
+          "graft catalog: added columns must be nullable — existing files " +
+            "null-fill them on read")
+        TableLog.addColumn(spark, dir, a.fieldNames().head, a.dataType())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +
           "schema changes beyond rename/drop/properties go through the " +

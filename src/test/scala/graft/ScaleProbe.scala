@@ -825,6 +825,62 @@ object ScaleProbe {
       }
     }
 
+    // COMMIT-COUNT axis (the other scale dimension — every probe above
+    // multiplies FILES/ROWS; a streaming table multiplies COMMITS): a
+    // 32- vs 512-commit history, both checkpointed at the same distance
+    // from head, and three consumers that must ride the CHECKPOINT
+    // FLOOR, not the history: (1) a snapshot read folds from the last
+    // checkpoint — O(tail), not O(commits); (2) a bounded history frame
+    // parses its RANGE only; (3) a streaming catch-up from near head
+    // reads its slice's touch sets. Ratios ~1, not 16. (An UNbounded
+    // describeHistory is O(commits) BY DESIGN — it is the audit trail —
+    // so it is deliberately not probed for flatness.)
+    val histProbes = Set("hist_read", "hist_frame", "hist_stream_catchup")
+    if (only.isEmpty || only.exists(histProbes)) {
+      import graft.sinks.TableLog
+      def histStage(name: String, markers: Int): String = {
+        val p = s"$StageDir/hist_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        TableLog.append(spark, p,
+          ev1.select(col("event_id"), col("user_id"), col("ts")).coalesce(4),
+          statsCols = Seq("event_id"))
+        (1 to markers).foreach(i => TableLog.commitTxnMarker(spark, p, "hist", i.toLong))
+        TableLog.checkpoint(spark, p)
+        // an equal-length post-checkpoint tail on both tables: the fold
+        // work ABOVE the checkpoint is identical by construction
+        (1 to 2).foreach(i => TableLog.commitTxnMarker(spark, p, "tail", i.toLong))
+        p
+      }
+      val h1 = histStage("1x", 32)
+      val h16 = histStage("16x", 512)
+      def snapRead(p: String): Unit = {
+        require(TableLog.readAt(spark, p).count() > 0L)
+      }
+      probeRun("hist_read") { () => snapRead(h1) } { () => snapRead(h16) }
+      def frame(p: String): Unit = {
+        val head = TableLog.currentVersion(spark, p)
+        require(TableLog.historyRange(spark, p, head - 5, head).length == 5)
+      }
+      probeRun("hist_frame") { () => frame(h1) } { () => frame(h16) }
+      def catchUp(p: String): Unit = {
+        val head = TableLog.currentVersion(spark, p)
+        val ck = s"$StageDir/hist_ck_${java.util.UUID.randomUUID()}"
+        var rows = 0L
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", (head - 2).toString)
+          .load(p)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) => rows += b.count(); () }
+          .start()
+        q.awaitTermination()
+      }
+      probeRun("hist_stream_catchup") { () => catchUp(h1) } { () => catchUp(h16) }
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory

@@ -1519,6 +1519,13 @@ class TableLogSpec extends SparkSpec {
     // t2's property-tuned retention (keepVersions=1) vacuumed deeper
     // than t1's default of 2
     assert(rb.getLong(5) > 1L, s"property-tuned retention must apply: $rb")
+    // the sweep runs CONCURRENTLY by default (tables are independent);
+    // a sequential re-sweep reports the same fleet in the same order —
+    // converged state, same wedged-table isolation
+    val seq = TableLog.maintainAll(spark, root, parallelism = 1).collect()
+    assert(seq.map(_.getString(0)).toSeq == report.keys.toSeq.sorted,
+      "parallel and sequential sweeps must discover the same path-ordered fleet")
+    assert(seq.count(!_.isNullAt(6)) == 1, "the wedged table still isolates")
   }
 
   test("snapshotAll: one instant pins every table; unborn tables absent; pins survive later commits") {

@@ -43,13 +43,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT s FROM gcat.sales.orders").head().getString(0) == "z")
     // time travel by name: the pre-delete snapshot still reads
     assert(spark.sql("SELECT * FROM gcat.sales.orders VERSION AS OF 2").count() == 3L)
-    // ALTER: properties + column rename ride the manifest
+    // ALTER: properties + column rename/add ride the manifest (all
+    // manifest-only — zero data rewritten)
     spark.sql("ALTER TABLE gcat.sales.orders SET TBLPROPERTIES ('graft.stats.cols'='k')")
     spark.sql("ALTER TABLE gcat.sales.orders RENAME COLUMN s TO label")
     assert(spark.sql("SELECT label FROM gcat.sales.orders").head().getString(0) == "z")
+    spark.sql("ALTER TABLE gcat.sales.orders ADD COLUMN note STRING")
+    // pre-evolution files null-fill the added column on read
+    assert(spark.sql("SELECT note FROM gcat.sales.orders").head().isNullAt(0))
+    spark.sql("INSERT INTO gcat.sales.orders VALUES (10, 'y', 'hello')")
+    assert(spark.sql("SELECT note FROM gcat.sales.orders WHERE k = 10")
+      .head().getString(0) == "hello")
+    // a dropped column's name cannot come back (stale-byte resurrection)
+    spark.sql("ALTER TABLE gcat.sales.orders DROP COLUMN note")
+    val eAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.sales.orders ADD COLUMN note STRING")
+    }
+    assert(eAdd.getMessage.contains("resurrect"), eAdd.getMessage)
     // the OTHER catalog instance over the same root sees everything —
     // tables are filesystem objects, not session state
-    assert(spark.sql("SELECT label FROM gcat2.sales.orders").head().getString(0) == "z")
+    assert(spark.sql("SELECT label FROM gcat2.sales.orders WHERE k = 9")
+      .head().getString(0) == "z")
     assert(spark.sql("SHOW TABLES IN gcat2.sales").count() == 1L)
   }
 
