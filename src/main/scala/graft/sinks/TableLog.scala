@@ -3183,30 +3183,36 @@ object TableLog {
     var deletedData = 0
     var skippedYoung = 0
     if (fs.exists(dataRoot)) {
-      val it = fs.listFiles(dataRoot, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
-      // attempt dirs that still hold ANY young never-referenced file
-      // must survive the orphan-dir sweep — a recursive dir delete of a
+      // attempt dirs that still hold ANY possibly-in-flight state must
+      // survive the orphan-dir sweep — a recursive dir delete of a
       // mid-write attempt is the same data loss as a file delete
       val youngDirs = scala.collection.mutable.Set.empty[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val f = st.getPath
-        val rel = s"data/${f.getParent.getName}/${f.getName}"
-        // young + never named by any manifest = possibly in flight
-        val inFlight = now - st.getModificationTime < grace &&
-          !everAdded.contains(rel)
-        if (inFlight) {
-          // the listing is recursive: nested temp files (a running
-          // write's _temporary litter) tag the ATTEMPT-level dir, the
-          // component right under data/
-          var p = f
-          while (p.getParent != null && p.getParent.getName != "data")
-            p = p.getParent
-          youngDirs += p.getName
-        }
-        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
-          if (inFlight) skippedYoung += 1 else doomed += f
+      // TWO-LEVEL listing, not a recursive walk: commits place parquet
+      // at exactly `data/(attempt)/(part).parquet`, and anything DEEPER
+      // (a running write's `_temporary` task tree) is by definition a
+      // writer in flight — never vacuum's business, and statting it
+      // races the writer's own task-commit renames. A directory that
+      // vanishes mid-listing was a writer moving files — skip it this
+      // run (skipping can only UNDER-delete, never corrupt).
+      def listOrEmpty(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        try fs.listStatus(p)
+        catch { case scala.util.control.NonFatal(_) =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      listOrEmpty(dataRoot).filter(_.isDirectory).foreach { d =>
+        val kids = listOrEmpty(d.getPath)
+        // any subdirectory (the committer's _temporary tree) = in flight
+        if (kids.exists(_.isDirectory)) youngDirs += d.getPath.getName
+        kids.filter(_.isFile).foreach { st =>
+          val f = st.getPath
+          val rel = s"data/${d.getPath.getName}/${f.getName}"
+          // young + never named by any manifest = possibly in flight
+          val inFlight = now - st.getModificationTime < grace &&
+            !everAdded.contains(rel)
+          if (inFlight) youngDirs += d.getPath.getName
+          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+            if (inFlight) skippedYoung += 1 else doomed += f
+          }
         }
       }
       if (dryRun) deletedData = doomed.length
@@ -3220,11 +3226,12 @@ object TableLog {
         // above just TOUCHED these dirs' mtimes, so ageing them against
         // the pre-delete `now` would mis-read our own sweep as activity
         val now2 = clockMs()
-        fs.listStatus(dataRoot).foreach { d =>
+        listOrEmpty(dataRoot).filter(_.isDirectory).foreach { d =>
           val name = d.getPath.getName
-          val kids = fs.listStatus(d.getPath)
+          val kids = listOrEmpty(d.getPath)
           val everHeld = everAdded.exists(_.startsWith(s"data/$name/"))
-          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")) &&
+          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet") &&
+                !k.isDirectory) &&
               !referenced.exists(_.startsWith(s"data/$name/")) &&
               !youngDirs.contains(name) &&
               (everHeld || now2 - d.getModificationTime >= grace))

@@ -317,12 +317,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[sources] class GraftV2Table(ident: Identifier, val dir: String,
                                     version: Long)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.graftshim.GraftV1FallbackTable {
 
   private def spark = SparkSession.active
 
   override def name(): String =
     (ident.namespace() :+ ident.name()).mkString(".")
+
+  /** STREAMING BY NAME — `spark.readStream.table("gcat.ns.t")`: this
+    * table does not implement the V2 MicroBatchStream surface; instead
+    * it hands Spark the V1 fallback descriptor (the Delta pattern), so
+    * streaming resolution re-enters the `graft` DataSource's existing
+    * commit-version-offset Source with the table's path — one streaming
+    * implementation under the path form and the catalog form. Reader
+    * options (`readChangeFeed`, `startingVersion`, `keys`, …) merge in
+    * from the DataStreamReader as usual.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        ident.name(), ident.namespace().lastOption),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat(
+        locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
+        inputFormat = None, outputFormat = None, serde = None,
+        compressed = false, properties = Map("path" -> dir)),
+      schema = schema,
+      provider = Some("graft"))
 
   override lazy val schema: StructType = TableLog.schemaAt(spark, dir, version)
 

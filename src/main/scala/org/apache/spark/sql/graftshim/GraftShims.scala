@@ -10,6 +10,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * `org.apache.spark.sql`. Like [[GraftStreamingShim]], no behavior
   * lives here.
   */
+/** `V2TableWithV1Fallback` is `private[sql]` — the doorway trait that
+  * lets a V2 catalog table hand streaming resolution a V1 descriptor
+  * (the Delta pattern: `readStream.table(name)` re-enters the
+  * registered V1 streaming Source with the table's path). Public
+  * subtrait, no behavior.
+  */
+trait GraftV1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object GraftPlanShim {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

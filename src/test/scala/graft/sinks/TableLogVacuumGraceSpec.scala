@@ -103,6 +103,34 @@ class TableLogVacuumGraceSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
   }
 
+  test("a live writer racing aggressive vacuums: every landed commit reads intact under the default grace") {
+    val dir = tmpDir("grace_live")
+    TableLog.append(spark, dir, Seq((0L, "seed")).toDF("k", "s"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => try {
+      (1 to 12).foreach { i =>
+        TableLog.append(spark, dir, Seq((i.toLong, s"w$i")).toDF("k", "s"))
+      }
+    } catch { case t: Throwable => errs.add(t); () })
+    val maintainer = new Thread(() => try {
+      (1 to 8).foreach { _ =>
+        TableLog.vacuum(spark, dir, keepVersions = 1)
+        Thread.sleep(10)
+      }
+    } catch { case t: Throwable => errs.add(t); () })
+    writer.start(); maintainer.start()
+    writer.join(120000); maintainer.join(120000)
+    assert(errs.isEmpty, s"neither thread may fail: ${errs.size} - ${Option(errs.peek())}")
+    // THE hazard this round closed: before the grace window, one of
+    // these vacuums would race an append between its parquet staging and
+    // its manifest CAS, delete the staged files, and the landed commit
+    // would point at missing bytes. Now the head must read every row.
+    val head = TableLog.readAt(spark, dir)
+    assert(head.count() == 13L, "every landed commit's rows must survive")
+    assert(head.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 12L), "no committed row may have been vacuumed away")
+  }
+
   test("knob resolution: table property opens the window, explicit arg wins over it; DRY RUN reports and touches nothing") {
     val dir = tmpDir("grace_knob")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))

@@ -98,6 +98,28 @@ class GraftCatalogSpec extends SparkSpec {
       "dropping a managed table removes its directory")
   }
 
+  test("readStream.table streams a catalog table through the V1 fallback") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.stream")
+    spark.sql("CREATE TABLE gcat.stream.ev (k BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO gcat.stream.ev VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO gcat.stream.ev VALUES (3, 3.0)")
+    val ck = java.nio.file.Files.createTempDirectory("gcat_stream_ck")
+      .toFile.getAbsolutePath
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.table("gcat.stream.ev")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getLong(0)) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen == Set(1L, 2L, 3L),
+      s"the named stream must drain every appended row: $seen")
+  }
+
   test("UPDATE / MERGE / maintenance statements resolve catalog names") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
     spark.sql("CREATE TABLE gcat.dml.acct (k BIGINT, bal DOUBLE) USING graft")
