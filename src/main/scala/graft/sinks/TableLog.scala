@@ -3217,7 +3217,14 @@ object TableLog {
       }
       if (dryRun) deletedData = doomed.length
       else {
-        doomed.foreach { f => if (fs.delete(f, false)) deletedData += 1 }
+        // deletes distribute like every other per-file operation (the
+        // mapOverFooters rule: driver under the threshold, executor
+        // tasks above) — a retention pass retiring 10⁵ files must not
+        // serialize 10⁵ object-store RPCs through the driver
+        val rels = doomed.map(f => s"data/${f.getParent.getName}/${f.getName}")
+        deletedData = mapOverFooters(spark, base, rels.toSeq,
+          DistributeFileOpsThreshold)((c, p) =>
+          p.getFileSystem(c).delete(p, false)).count(identity)
         // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS
         // litter) — but never one that held a possibly-in-flight file
         // moments ago, and never a never-referenced one whose own mtime
