@@ -3163,14 +3163,21 @@ object TableLog {
           else first
       }
     }
-    val retainFrom = math.max(vacuumWatermark(fs, base),
+    val wmPrev = vacuumWatermark(fs, base)
+    val retainFrom = math.max(wmPrev,
       byAge.fold(byCount)(math.min(byCount, _)))
     val referenced = commitVers.filter(_ >= retainFrom)
       .flatMap(v => snapshotAt(spark, fs, base, v)._2.map(_.path)).toSet
-    // everything ANY manifest ever added: a file here but not in
-    // `referenced` was RETIRED by retention — its manifest's existence
-    // proves it is not an in-flight commit, so age never protects it
-    val everAdded = commitVers
+    // everything a manifest added SINCE THE PREVIOUS WATERMARK: a file
+    // here but not in `referenced` was RETIRED by retention — its
+    // manifest's existence proves it is not an in-flight commit, so age
+    // never protects it. Bounded at the previous watermark, not the
+    // table's birth: files retired below it were deleted by the earlier
+    // vacuum (a crash-mid-delete straggler just ages through the grace
+    // window instead), so steady-state cost is O(commits since the last
+    // vacuum + retention window) — a 10⁵-commit history never re-parses
+    // whole
+    val everAdded = commitVers.filter(_ >= wmPrev)
       .flatMap(v => parseCommit(readText(fs, commitPath(base, v))).add.map(_.path))
       .toSet
     // in-flight-commit grace: param > table property > 6 h default
