@@ -36,13 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(session => graft.plans.GraftSqlResolution(session))
 
     // SQL maintenance statements — a delegating parser that intercepts
-    // eight statements (VACUUM [DRY RUN], OPTIMIZE [ZORDER BY],
+    // eleven statements (VACUUM [DRY RUN], OPTIMIZE [ZORDER BY],
     // DESCRIBE HISTORY, DESCRIBE DETAIL, RESTORE, CONVERT TO GRAFT,
-    // COPY INTO, SHOW GRAFT TABLES) and passes everything else through
+    // COPY INTO, SHOW GRAFT TABLES, CREATE/DROP VIEW over graft
+    // catalogs, SHOW GRAFT VIEWS) and passes everything else through
     // verbatim. Note DESCRIBE HISTORY **and** DESCRIBE DETAIL shadow
     // vanilla `DESCRIBE <tbl> history|detail` column-describes — the
-    // documented trade for not forking the grammar (see
-    // graft.sources.GraftSqlParser)
+    // documented trade for not forking the grammar; the view statements
+    // grab only ≥3-part names and fall back to Spark's parser when the
+    // catalog is not graft (see graft.sources.GraftSqlParser)
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
 
     ext.injectFunction((

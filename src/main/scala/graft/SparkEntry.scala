@@ -2076,6 +2076,22 @@ object SparkEntry {
         "ORDER BY l_orderkey, l_linenumber")
     }),
 
+    // PERSISTENT NAMED VIEW (the reference's schema.sql shape as a
+    // catalog object): an aggregate view defined ONCE over the catalog
+    // table, read by name — definition stored, data live
+    "q_view_sql" -> ((s, d) => {
+      val cat = s"gcat_${java.lang.Integer.toHexString(d.hashCode)}"
+      // ride the q_catalog_sql fixture (constructing the query stages
+      // the catalog + table idempotently per JVM; the frame is unused)
+      queries("q_catalog_sql")(s, d)
+      s.sql(s"CREATE OR REPLACE VIEW $cat.wh.v_order_value AS " +
+        "SELECT l_orderkey, " +
+        "CAST(round(sum(CAST(price AS DECIMAL(30,6))), 2) AS DOUBLE) AS order_value " +
+        s"FROM $cat.wh.items GROUP BY l_orderkey")
+      s.sql(s"SELECT l_orderkey, order_value " +
+        s"FROM $cat.wh.v_order_value ORDER BY l_orderkey")
+    }),
+
     // copy-on-write DELETE: version 2 of the staged history removed one
     // price band by rewriting ONLY the stats-overlapping files — the
     // surviving snapshot must equal DuckDB's plain filter
@@ -5139,6 +5155,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice::DOUBLE BETWEEN 10000.0 AND 20000.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the persistent named view over the catalog table — per-order
+    // value through the stored definition (decimal(30,6) money sums
+    // both sides, the moneySum convention)
+    "q_view_sql" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice::DOUBLE AS DECIMAL(30,6))), 2) AS DOUBLE) AS order_value
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     // the restored table IS the original projection
     "q_table_log_restore" ->

@@ -55,6 +55,15 @@ case class GraftSqlResolution(session: SparkSession) extends Rule[LogicalPlan] {
           }
           relation(dir, v)
       }
+    case u: UnresolvedRelation if !u.isStreaming &&
+        u.multipartIdentifier.length >= 3 =>
+      // PERSISTENT VIEW expansion: a `cat.ns.v` reference whose catalog
+      // is a GraftCatalog and whose name is a stored view substitutes
+      // its defining SQL (parsed fresh — definition fixed, data live;
+      // nested views expand recursively with cycle detection). A
+      // matching TABLE name keeps Spark's own V2 resolution (we never
+      // intercept real tables), and non-graft catalogs pass through.
+      expandView(u.multipartIdentifier, Set.empty).getOrElse(u)
     case u: UnresolvedRelation if !u.isStreaming =>
       // plain path reference: only the explicit graft.`/path` form —
       // view names resolve through the catalog as before. A STREAMING
@@ -62,6 +71,33 @@ case class GraftSqlResolution(session: SparkSession) extends Rule[LogicalPlan] {
       // relation into a stream would be wrong twice over (use
       // spark.readStream.format("graft") for that)
       graftDir(u, viaCatalog = false).map(relation(_, -1L)).getOrElse(u)
+  }
+
+  private def expandView(parts: Seq[String],
+                         expanding: Set[Seq[String]]): Option[LogicalPlan] = {
+    if (parts.length < 3) return None
+    require(!expanding.contains(parts),
+      s"graft views: recursive view definition through ${parts.mkString(".")}")
+    val sqlOpt = org.apache.spark.sql.graftshim.GraftPlanShim
+      .catalogPlugin(session, parts.head) match {
+      case Some(g: graft.sources.GraftCatalog) =>
+        g.viewSql(parts.tail.init, parts.last)
+      case _ => None
+    }
+    sqlOpt.map { sql =>
+      val parsed = session.sessionState.sqlParser.parsePlan(sql)
+      // nested view references expand eagerly under the cycle guard —
+      // leaving them for the analyzer's next fixed-point pass would
+      // turn a definition cycle into a max-iterations failure instead
+      // of this named error
+      val expanded = parsed.transformUp {
+        case n: UnresolvedRelation if !n.isStreaming &&
+            n.multipartIdentifier.length >= 3 =>
+          expandView(n.multipartIdentifier, expanding + parts).getOrElse(n)
+      }
+      org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+        parts.last, expanded)
+    }
   }
 
   private def relation(dir: String, version: Long): LogicalPlan =

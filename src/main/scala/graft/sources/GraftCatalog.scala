@@ -262,6 +262,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"graft catalog: rename $from -> $to failed")
   }
 
+  // ------------------------------------------------------------------ views
+
+  /** PERSISTENT NAMED VIEWS — the reference's schema.sql objects
+    * (v_order_summary, v_delivery_performance) are views, so the
+    * catalog stores them too: a view is a `(name)._gcatview` file under
+    * its namespace directory holding the defining SQL text. Spark's
+    * analyzer has no upstream V2 view resolution, so the graft SQL
+    * surface carries it: `CREATE [OR REPLACE] VIEW cat.ns.v AS …` /
+    * `DROP VIEW` intercept in [[GraftSqlParser]], and reads expand in
+    * [[graft.plans.GraftSqlResolution]] (definition fixed at create,
+    * data live at read — standard view semantics; nested views expand
+    * with cycle detection). Same durability model as tables: any
+    * session over the same root sees the same views.
+    */
+  private def viewFile(ns: Seq[String], name: String): Path =
+    new Path((rootDir +: ns.map(checkPart)).mkString("/") +
+      s"/${checkPart(name)}._gcatview")
+
+  def viewSql(ns: Seq[String], name: String): Option[String] = {
+    val p = viewFile(ns, name)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  def createView(ns: Seq[String], name: String, sql: String,
+                 orReplace: Boolean): Unit = {
+    val ident = Identifier.of(ns.toArray, name)
+    require(!tableExists(ident),
+      s"graft catalog: ${(ns :+ name).mkString(".")} is a TABLE — a view " +
+        "cannot shadow it")
+    val p = viewFile(ns, name)
+    val f = fs(p)
+    require(f.exists(p.getParent),
+      s"graft catalog: namespace ${ns.mkString(".")} does not exist")
+    require(orReplace || !f.exists(p),
+      s"graft catalog: view ${(ns :+ name).mkString(".")} already exists " +
+        "(CREATE OR REPLACE VIEW to redefine)")
+    val out = f.create(p, orReplace)
+    try out.write(sql.getBytes("UTF-8")) finally out.close()
+  }
+
+  def dropView(ns: Seq[String], name: String): Boolean = {
+    val p = viewFile(ns, name)
+    fs(p).delete(p, false)
+  }
+
+  def listViews(ns: Seq[String]): Seq[String] = {
+    val p = nsPath(ns.toArray)
+    val f = fs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(catName +: ns)
+    f.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith("._gcatview"))
+      .map(_.stripSuffix("._gcatview")).sorted.toSeq
+  }
+
   // ------------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)

@@ -23,12 +23,18 @@ import graft.sinks.TableLog
   *   CONVERT TO GRAFT parquet.`/path/to/lake`
   *   COPY INTO t FROM '/staged' FILEFORMAT = PARQUET
   *   SHOW GRAFT TABLES IN '/warehouse/root'
+  *   CREATE [OR REPLACE] VIEW cat.ns.v AS SELECT …   -- graft-catalog views
+  *   DROP VIEW [IF EXISTS] cat.ns.v
+  *   SHOW GRAFT VIEWS IN cat[.ns]
   * }}}
   *
-  * where `t` is a `USING graft` temp-view name or the path form
-  * `` graft.`/path` ``. Anything that does not match one of these EIGHT
-  * statements delegates VERBATIM to Spark's parser — this class adds
-  * grammar, it never changes any. Each statement plans as a
+  * where `t` is a `USING graft` temp-view name, the path form
+  * `` graft.`/path` ``, or a graft-catalog name. Anything that does not
+  * match one of these ELEVEN statements delegates VERBATIM to Spark's
+  * parser — this class adds grammar, it never changes any. The view
+  * statements intercept only ≥3-part dotted names and fall back to
+  * Spark's own parser at run time when the leading part is not a graft
+  * catalog (`spark_catalog.default.v` stays Spark's). Each statement plans as a
   * `LeafRunnableCommand` whose `run` calls the method API, so the SQL
   * path and the method path are one implementation: VACUUM honors the
   * same retention floor and dry-run report, OPTIMIZE commits pinned and
@@ -82,6 +88,19 @@ object GraftSqlParser {
       """\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""").r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+  // PERSISTENT VIEWS over the graft catalog: intercept only names with
+  // ≥3 dotted parts (cat.ns.v) — a form vanilla Spark REFUSES for the
+  // session catalog and every upstream V2 catalog (no V2 view support),
+  // so the grab collides with nothing runnable. The run-time command
+  // still verifies the first part names a GraftCatalog.
+  private val Dotted3 = """((?:[A-Za-z_][A-Za-z0-9_]*\.){2,}[A-Za-z_][A-Za-z0-9_]*)"""
+  private val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" + Dotted3 +
+      """\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val DropViewRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Dotted3 + """\s*;?\s*$""").r
+  private val ShowViewsRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+VIEWS\s+IN\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*$""".r
 
   private def cols(s: String): Seq[String] =
     s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -107,6 +126,13 @@ object GraftSqlParser {
         Option(st).map(cols).getOrElse(Nil)))
     case ShowTablesRe(root) =>
       Some(GraftShowTablesCommand(root))
+    case CreateViewRe(orReplace, name, body) =>
+      Some(GraftCreateViewCommand(name.split('.').toSeq, body,
+        orReplace != null))
+    case DropViewRe(ifExists, name) =>
+      Some(GraftDropViewCommand(name.split('.').toSeq, ifExists != null))
+    case ShowViewsRe(ns) =>
+      Some(GraftShowViewsCommand(ns.split('.').toSeq))
     case _ => None
   }
 
@@ -260,4 +286,87 @@ private[sources] case class GraftShowTablesCommand(root: String)
       val files = TableLog.liveFilesAt(spark, t)
       Row(t, TableLog.currentVersion(spark, t), files.length)
     }
+}
+
+private[sources] object GraftViewCommands {
+  /** The catalog behind a multi-part view name, when it is a
+    * [[GraftCatalog]] — None otherwise (e.g. the fully-qualified
+    * session form `spark_catalog.default.v`, which stays Spark's).
+    */
+  def graftCatalogOf(spark: SparkSession,
+                     name: String): Option[GraftCatalog] =
+    org.apache.spark.sql.graftshim.GraftPlanShim
+      .catalogPlugin(spark, name) match {
+      case Some(g: GraftCatalog) => Some(g)
+      case _ => None
+    }
+
+  /** Re-run `sql` through Spark's OWN parser (bypassing the graft
+    * interceptor, which would just re-grab it) — the fallback for a
+    * multi-part view statement whose catalog is NOT graft: e.g.
+    * `CREATE VIEW spark_catalog.default.v AS …` is a legitimate
+    * session-catalog statement this parser must not break.
+    */
+  def runVanilla(spark: SparkSession, sql: String): Seq[Row] = {
+    val plan = new org.apache.spark.sql.execution.SparkSqlParser().parsePlan(sql)
+    GraftSqlShimAccess.ofRows(spark, plan).collect().toSeq
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW cat.ns.v AS <query>` — a PERSISTENT named
+  * view in the graft catalog (the reference's schema.sql objects are
+  * views; this is their lakehouse twin). The defining SQL is validated
+  * by ANALYZING it now (unresolvable references fail at create, the
+  * standard DDL contract) and stored as text; reads expand it in
+  * [[graft.plans.GraftSqlResolution]] — definition fixed, data live.
+  */
+private[sources] case class GraftCreateViewCommand(parts: Seq[String],
+                                                   sql: String,
+                                                   orReplace: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftViewCommands.graftCatalogOf(spark, parts.head) match {
+      case Some(g) =>
+        // analysis (not execution) — the definition must resolve TODAY;
+        // schema drift in referenced tables surfaces at read, like any
+        // view
+        spark.sql(sql).queryExecution.assertAnalyzed()
+        g.createView(parts.tail.init, parts.last, sql, orReplace)
+        Nil
+      case None => GraftViewCommands.runVanilla(spark,
+        s"CREATE ${if (orReplace) "OR REPLACE " else ""}VIEW " +
+          s"${parts.mkString(".")} AS $sql")
+    }
+}
+
+private[sources] case class GraftDropViewCommand(parts: Seq[String],
+                                                 ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftViewCommands.graftCatalogOf(spark, parts.head) match {
+      case Some(g) =>
+        val dropped = g.dropView(parts.tail.init, parts.last)
+        require(dropped || ifExists,
+          s"DROP VIEW: ${parts.mkString(".")} does not exist (IF EXISTS to ignore)")
+        Nil
+      case None => GraftViewCommands.runVanilla(spark,
+        s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}${parts.mkString(".")}")
+    }
+}
+
+/** `SHOW GRAFT VIEWS IN cat[.ns]` — explicit GRAFT keyword (like SHOW
+  * GRAFT TABLES) so vanilla `SHOW VIEWS` delegation is untouched.
+  */
+private[sources] case class GraftShowViewsCommand(nsParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("namespace", StringType, nullable = false)
+    .add("viewName", StringType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = GraftViewCommands.graftCatalogOf(spark, nsParts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHOW GRAFT VIEWS: '${nsParts.head}' is not a graft catalog"))
+    val ns = nsParts.tail
+    g.listViews(ns).map(v => Row(ns.mkString("."), v))
+  }
 }

@@ -142,6 +142,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("VACUUM gcat.dml.acct DRY RUN").head().getBoolean(4))
   }
 
+  test("persistent views: the reference's schema.sql objects by name, data-live, nested, cycle-safe") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.views")
+    spark.sql("CREATE TABLE gcat.views.orders " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) USING graft")
+    spark.sql("INSERT INTO gcat.views.orders VALUES " +
+      "(1, 100.0, 'F'), (2, 50.0, 'O'), (3, 25.0, 'F')")
+    // the reference's v_order_summary shape, as a PERSISTENT named view
+    spark.sql("CREATE VIEW gcat.views.v_order_summary AS " +
+      "SELECT o_orderstatus, sum(o_totalprice) AS total " +
+      "FROM gcat.views.orders GROUP BY o_orderstatus")
+    def totals = spark.sql(
+      "SELECT o_orderstatus, total FROM gcat.views.v_order_summary ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(totals == Seq("F" -> 125.0, "O" -> 50.0))
+    // DATA-LIVE: new rows show through the stored definition
+    spark.sql("INSERT INTO gcat.views.orders VALUES (4, 75.0, 'O')")
+    assert(totals == Seq("F" -> 125.0, "O" -> 125.0))
+    // nested view over the view
+    spark.sql("CREATE VIEW gcat.views.v_big AS " +
+      "SELECT * FROM gcat.views.v_order_summary WHERE total > 100.0")
+    assert(spark.sql("SELECT count(*) FROM gcat.views.v_big").head().getLong(0) == 2L)
+    // discovery + cross-"session" visibility (second catalog, same root)
+    assert(spark.sql("SHOW GRAFT VIEWS IN gcat.views").collect()
+      .map(_.getString(1)).toSeq == Seq("v_big", "v_order_summary"))
+    assert(spark.sql("SELECT count(*) FROM gcat2.views.v_order_summary")
+      .head().getLong(0) == 2L)
+    // duplicate create refuses; OR REPLACE redefines
+    assert(intercept[Exception] {
+      spark.sql("CREATE VIEW gcat.views.v_big AS SELECT 1 AS one")
+    }.getMessage.contains("already exists"))
+    spark.sql("CREATE OR REPLACE VIEW gcat.views.v_big AS " +
+      "SELECT * FROM gcat.views.v_order_summary WHERE total > 1000.0")
+    assert(spark.sql("SELECT count(*) FROM gcat.views.v_big").head().getLong(0) == 0L)
+    // an unresolvable definition refuses at CREATE, not first read
+    assert(intercept[Exception] {
+      spark.sql("CREATE VIEW gcat.views.v_bad AS SELECT * FROM gcat.views.nope")
+    }.getMessage.toLowerCase.contains("table or view"))
+    // a definition CYCLE is a named error at read, not an analyzer loop
+    spark.sql("CREATE VIEW gcat.views.v_a AS SELECT * FROM gcat.views.orders")
+    spark.sql("CREATE VIEW gcat.views.v_b AS SELECT * FROM gcat.views.v_a")
+    spark.sql("CREATE OR REPLACE VIEW gcat.views.v_a AS SELECT * FROM gcat.views.v_b")
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.views.v_a").collect()
+    }.getMessage.contains("recursive view"))
+    // DROP + IF EXISTS; a view never shadows a table
+    spark.sql("DROP VIEW gcat.views.v_big")
+    spark.sql("DROP VIEW IF EXISTS gcat.views.v_big")
+    assert(intercept[Exception] {
+      spark.sql("DROP VIEW gcat.views.v_big")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[Exception] {
+      spark.sql("CREATE VIEW gcat.views.orders AS SELECT 1 AS one")
+    }.getMessage.contains("TABLE"))
+    // vanilla 3-part session view statements still belong to Spark
+    spark.sql("CREATE VIEW spark_catalog.default.gcat_vanilla AS SELECT 7 AS seven")
+    assert(spark.sql("SELECT seven FROM default.gcat_vanilla").head().getInt(0) == 7)
+    spark.sql("DROP VIEW spark_catalog.default.gcat_vanilla")
+  }
+
   test("named reads prune files and auto-broadcast like the path form") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.perf")
     val factDir = java.nio.file.Files.createTempDirectory("gcat_fact")
