@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.sources.GraftTableSource
 
 /** The change feed's PLAN shape — the two r15 scale fixes pinned:
   * (1) the KEYED feed emits pre/post/insert/delete in ONE pass over the
@@ -62,6 +63,27 @@ class TableLogCdfPlanSpec extends SparkSpec {
     // the short-range path is untouched: a 2-commit slice unions directly
     val short = TableLog.readChanges(spark, dir, 70L)
     assert(short.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("the connector's batch CDF read rides the chunked fold on long ranges") {
+    val dir = tmpDir("cdfplan_conn")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    (1 to 70).foreach(i => TableLog.commitTxnMarker(spark, dir, "connchunk", i.toLong))
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+    val rows = feed.collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, "insert", 1L), (2L, "insert", 72L)), s"got $rows")
+    // and a `_commit_version` predicate still narrows BELOW the chunk
+    // threshold — version pruning beats plan folding when it applies
+    GraftTableSource.lastFeedRange = None
+    val one = feed.filter(col("_commit_version") === 72L).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 2L)
+    assert(GraftTableSource.lastFeedRange.contains((71L, 72L)),
+      s"version pushdown must precede chunking: ${GraftTableSource.lastFeedRange}")
   }
 
   test("streamed keyed feed equals the batch readChanges(keys=…) union") {

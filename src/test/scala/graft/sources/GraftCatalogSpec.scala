@@ -140,6 +140,11 @@ class GraftCatalogSpec extends SparkSpec {
     val hist = spark.sql("DESCRIBE HISTORY gcat.dml.acct").collect()
     assert(hist.length >= 4, s"create+insert+update+merge commits: ${hist.length}")
     assert(spark.sql("VACUUM gcat.dml.acct DRY RUN").head().getBoolean(4))
+    // SHOW TBLPROPERTIES reads the manifest's property set by name
+    spark.sql("ALTER TABLE gcat.dml.acct SET TBLPROPERTIES ('graft.stats.cols'='k')")
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.dml.acct").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.stats.cols").contains("k"), s"got $props")
   }
 
   test("persistent views: the reference's schema.sql objects by name, data-live, nested, cycle-safe") {
