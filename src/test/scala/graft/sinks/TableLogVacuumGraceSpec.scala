@@ -131,6 +131,28 @@ class TableLogVacuumGraceSpec extends SparkSpec {
       (0L to 12L), "no committed row may have been vacuumed away")
   }
 
+  test("a retention pass over >threshold doomed files takes the distributed-delete path exactly") {
+    val dir = tmpDir("grace_dist")
+    // v1: 80 files (past DistributeFileOpsThreshold=64); v2 overwrite
+    // retires them all — the delete fan-out must run as executor tasks
+    // and still count/remove every file
+    TableLog.append(spark, dir,
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "s").repartition(80))
+    val before = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir, "data")).length
+    }
+    assert(before >= 80, s"fixture must stage >threshold files, got $before")
+    TableLog.overwrite(spark, dir, Seq((0L, "z")).toDF("k", "s"))
+    val rep = TableLog.vacuum(spark, dir, keepVersions = 1)
+    assert(rep.deletedDataFiles >= 80,
+      s"every retired file must delete through the distributed path: $rep")
+    assert(TableLog.readAt(spark, dir).count() == 1L)
+    intercept[IllegalArgumentException] { TableLog.readAt(spark, dir, 1L) }
+  }
+
   test("knob resolution: table property opens the window, explicit arg wins over it; DRY RUN reports and touches nothing") {
     val dir = tmpDir("grace_knob")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
