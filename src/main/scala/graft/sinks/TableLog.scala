@@ -98,9 +98,20 @@ object TableLog {
     * unknown = keep (pruning must never drop a row). Deletion vectors
     * only remove rows, so both skips stay sound on dv'd files.
     */
+  /** `pcols` marks a HIVE-PARTITIONED adopted entry ([[convertToGraft]]
+    * over a `k=v` directory layout): the ordered partition column names
+    * whose VALUES live in the file's directory path, not in the file —
+    * the read path recovers them via Spark's own partition discovery
+    * (`basePath`), and the manifest carries each value as a constant
+    * min=max stat so partition predicates prune exactly. Empty for
+    * every normal entry; a non-empty set self-declares the `hive-part`
+    * reader feature (a reader that ignored it would silently drop the
+    * partition columns).
+    */
   final case class AddFile(path: String, rows: Long, stats: Map[String, Stat],
                            dv: Seq[Long] = Nil, bytes: Long = 0L,
-                           nullCounts: Map[String, Long] = Map.empty)
+                           nullCounts: Map[String, Long] = Map.empty,
+                           pcols: Seq[String] = Nil)
 
   /** `txn` is the optional idempotence marker `(appId, batchId)` a
     * streaming writer stamps on its commit — a replayed micro-batch is
@@ -325,7 +336,7 @@ object TableLog {
     val vers = commitVersions(fs, base)
     if (vers.isEmpty) return None
     val ckpt = checkpointVersions(fs, base).lastOption
-      .map(cv => cv -> parseCheckpointTxns(readText(fs, checkpointPath(base, cv))))
+      .map(cv => cv -> parseCheckpointTxns(checkpointHeaderText(fs, base, cv)))
     // the checkpoint is an authoritative floor only when it carries txns
     val floor = ckpt.collect { case (cv, Some(_)) => cv }.getOrElse(0L)
     val above: Seq[Long] = vers.reverseIterator.takeWhile(_ > floor)
@@ -1150,10 +1161,10 @@ object TableLog {
     * table-local files (the table self-contains over its maintenance
     * cadence), and `vacuum` only deletes under `data/`, so adopted
     * bytes are never reclaimed — `compactTable` re-owns them first.
-    * Hive-partitioned layouts REFUSE (their partition values live in
-    * directory names, not the files — adopting them would silently
-    * drop columns); read those with `spark.read.parquet` and
-    * `overwrite()` into a fresh table instead.
+    * Hive-partitioned `k=v` layouts adopt zero-copy too (see
+    * [[convertPartitioned]]): partition values lift into real columns
+    * via the manifest's `pcols` + constant min=max stats. Only MIXED
+    * or unrecognized layouts refuse.
     */
   def convertToGraft(spark: SparkSession, dir: String,
                      statsCols: Seq[String] = Nil): Long = {
@@ -1168,28 +1179,156 @@ object TableLog {
     // subdirectories signal a partitioned layout
     val subdirs = listed.filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
-    require(subdirs.isEmpty,
-      s"TableLog.convertToGraft: $dir has subdirectories " +
-        s"(${subdirs.take(3).mkString(", ")}) — a hive-partitioned layout's " +
-        "partition values live in directory names and would silently drop; " +
-        "read it with spark.read.parquet and overwrite() a fresh table instead")
-    val files = listed
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    require(files.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
-    // infer from the explicit FILE list, not the directory: a stray
-    // _spark_metadata dir would otherwise route inference through the
-    // (foreign) streaming file-sink log
-    val schema = spark.read.parquet(files.map(_.getPath.toString): _*).schema
-    val statsSet = statsCols.toSet
-    val harvested = mapOverFooters(spark, base, files.map(_.getPath.getName),
-      DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
-    val adds = files.lazyZip(harvested).map { case (f, (rows, stats, nulls)) =>
-      AddFile(fs.makeQualified(f.getPath).toString, rows, stats,
-        bytes = f.getLen, nullCounts = nulls)
+    if (subdirs.isEmpty) {
+      val files = listed
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      require(files.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
+      // infer from the explicit FILE list, not the directory: a stray
+      // _spark_metadata dir would otherwise route inference through the
+      // (foreign) streaming file-sink log
+      val schema = spark.read.parquet(files.map(_.getPath.toString): _*).schema
+      val statsSet = statsCols.toSet
+      val harvested = mapOverFooters(spark, base, files.map(_.getPath.getName),
+        DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
+      val adds = files.lazyZip(harvested).map { case (f, (rows, stats, nulls)) =>
+        AddFile(fs.makeQualified(f.getPath).toString, rows, stats,
+          bytes = f.getLen, nullCounts = nulls)
+      }
+      commitManifest(spark, dir, "convert", schema.json, adds,
+        removeEntries = Nil, expectedParent = 0L, txn = None)
+    } else convertPartitioned(spark, dir, statsCols, subdirs)
+  }
+
+  /** HIVE-PARTITIONED adoption — the single most common 100 TB lake
+    * layout (`dir/date=2024-01-01/part.parquet`), adopted ZERO-COPY:
+    * partition values live in the directory names, not the files, so
+    * each entry records (a) its ordered partition column names
+    * (`pcols` — the read path recovers values through Spark's own
+    * `basePath` partition discovery, one scan arm per adopted root)
+    * and (b) each value as a CONSTANT min=max manifest stat plus an
+    * exact null count, so a partition predicate prunes through the
+    * ordinary stats path — identical mechanics to the clustering
+    * story, no special-cased partition pruning code. Partition column
+    * types come from Spark's partition inference (the same types
+    * `spark.read.parquet(dir)` would give), appended after the data
+    * columns. Mixed or unrecognized layouts (a data subdirectory
+    * without `k=v` form, files at inconsistent depths) REFUSE — a
+    * half-adopted lake is worse than none.
+    */
+  private def convertPartitioned(spark: SparkSession, dir: String,
+                                 statsCols: Seq[String],
+                                 subdirs: Seq[String]): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val badTop = subdirs.filterNot(isPartSeg)
+    require(badTop.isEmpty,
+      s"TableLog.convertToGraft: $dir has non-partition subdirectories " +
+        s"(${badTop.take(3).mkString(", ")}) — only a hive `k=v` directory " +
+        "layout adopts; read mixed layouts with spark.read.parquet and " +
+        "overwrite() a fresh table instead")
+    // recursive walk: every level is either all `k=v` dirs (descend) or
+    // all leaf parquet files — anything else refuses
+    def walk(p: Path, segs: Seq[String]): Seq[(String, Seq[String])] = {
+      val kids = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val (dirs, fls) = kids.partition(_.isDirectory)
+      require(dirs.isEmpty || fls.isEmpty,
+        s"TableLog.convertToGraft: ${p} mixes files and subdirectories — " +
+          "not a hive layout")
+      if (dirs.nonEmpty) {
+        val bad = dirs.map(_.getPath.getName).filterNot(isPartSeg)
+        require(bad.isEmpty,
+          s"TableLog.convertToGraft: non-partition directory under $p: " +
+            bad.take(3).mkString(", "))
+        dirs.sortBy(_.getPath.getName)
+          .flatMap(d => walk(d.getPath, segs :+ d.getPath.getName))
+      } else
+        fls.filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map(f => ((segs :+ f.getPath.getName).mkString("/"), segs))
     }
-    commitManifest(spark, dir, "convert", schema.json, adds,
+    val leaves = subdirs.sorted.flatMap(n => walk(new Path(base, n), Seq(n)))
+    require(leaves.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
+    val pcolSeqs = leaves.map(_._2.map(_.takeWhile(_ != '='))).distinct
+    require(pcolSeqs.length == 1,
+      s"TableLog.convertToGraft: inconsistent partition column sequences " +
+        s"across $dir (${pcolSeqs.take(2).map(_.mkString("/")).mkString(" vs ")})")
+    val pcols = pcolSeqs.head
+    // Spark's own partition discovery supplies the FULL schema (data
+    // columns + inferred partition column types, partition cols last) —
+    // from the explicit leaf list with basePath, never the bare dir, so
+    // a stray _spark_metadata can't hijack inference
+    val absLeaves = leaves.map { case (rel, _) => new Path(base, rel).toString }
+    val fullSchema = spark.read.option("basePath", dir)
+      .parquet(absLeaves: _*).schema
+    val pTypes = pcols.map(c => c -> fullSchema(c).dataType).toMap
+    val statsSet = statsCols.toSet -- pcols // partition cols aren't in the files
+    val harvested = mapOverFooters(spark, base, leaves.map(_._1),
+      DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
+    val statuses = leaves.map { case (rel, _) => fs.getFileStatus(new Path(base, rel)) }
+    val adds = leaves.lazyZip(harvested).lazyZip(statuses).map {
+      case ((rel, segs), (rows, stats, nulls), st) =>
+        val vals = segs.map { s =>
+          val c = s.takeWhile(_ != '=')
+          c -> unescapePathSeg(s.drop(c.length + 1))
+        }
+        val pStats = vals.flatMap { case (c, v) =>
+          partitionStat(pTypes(c), v).map(c -> _) }.toMap
+        val pNulls = vals.map { case (c, v) =>
+          c -> (if (v == null) rows else 0L) }.toMap
+        AddFile(fs.makeQualified(st.getPath).toString, rows, stats ++ pStats,
+          bytes = st.getLen, nullCounts = nulls ++ pNulls, pcols = pcols)
+    }
+    commitManifest(spark, dir, "convert", fullSchema.json, adds,
       removeEntries = Nil, expectedParent = 0L, txn = None)
+  }
+
+  private def isPartSeg(n: String): Boolean = {
+    val i = n.indexOf('=')
+    i > 0 && i < n.length - 1
+  }
+
+  /** Hive's `__HIVE_DEFAULT_PARTITION__` token decodes to null; `%XX`
+    * escapes (Spark's `escapePathName` for `/`, `:` etc.) decode to
+    * their characters.
+    */
+  private def unescapePathSeg(s: String): String =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
+  /** A partition VALUE as a constant min=max manifest stat in the same
+    * domain every probe compares in: integral/floating types as their
+    * numeric value, dates as EPOCH DAYS (parquet DATE stats and
+    * analyzed date literals both live there), strings as themselves.
+    * Types without a stats story (timestamps, decimals-from-dirs)
+    * simply carry none — the file is always kept, pruning stays sound.
+    */
+  private def partitionStat(dt: DataType, v: String): Option[Stat] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return None
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        val d = v.toDouble
+        if (java.lang.Double.isFinite(d)) Some(NumStat(d, d)) else None
+      case DateType =>
+        val d = java.time.LocalDate.parse(v).toEpochDay.toDouble
+        Some(NumStat(d, d))
+      case StringType => Some(StrStat(v, v))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ----------------------------------------------------- CHECK constraints
@@ -1890,40 +2029,134 @@ object TableLog {
       expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
   }
 
+  /** Live-entry count at or above which [[checkpoint]] writes the
+    * MULTI-PART PARQUET checkpoint format instead of the single JSON
+    * manifest. The single-string format has a hard physical ceiling:
+    * at the advertised 100 TB scale a table is ~10⁶ files × ~300 B of
+    * rendered stats — a ~300 MB JSON `String` built AND parsed
+    * single-threaded on the driver, with Java's 2 GiB array limit not
+    * far behind. Above the threshold, checkpoint entries are rows
+    * (path, rows, bytes, dv, stats, null counts) written as parquet
+    * part files BY EXECUTOR TASKS and resolved back as a Spark job —
+    * the Delta parquet-multi-part-checkpoint design. Below it the
+    * legacy JSON is strictly better (no job-scheduling overhead on a
+    * 50-file table), so small tables keep it; both formats stay
+    * readable forever.
+    */
+  val MultipartCheckpointThreshold: Int = 10000
+
+  /** Target manifest entries per checkpoint part file — sized so one
+    * part's decode stays well inside a task (10⁶ entries → 10+ parts,
+    * each a few MB of parquet).
+    */
+  private val CheckpointEntriesPerPart: Int = 100000
+
+  /** One checkpoint manifest entry as a PARQUET ROW — the multi-part
+    * format's schema. Stats split by kind into four maps (parquet has
+    * no sum types); `seq` preserves the fold's insertion order so a
+    * multipart round-trip reproduces the exact entry sequence the JSON
+    * format would. `pcols` carries the hive-partition column names a
+    * converted entry encodes in its directory path (empty for normal
+    * entries).
+    */
+  private[sinks] final case class CkptEntry(
+      seq: Long, path: String, rows: Long, bytes: Long, dv: Seq[Long],
+      nmin: Map[String, Double], nmax: Map[String, Double],
+      smin: Map[String, String], smax: Map[String, String],
+      nulls: Map[String, Long], pcols: Seq[String])
+
+  private def toCkptEntry(i: Long, a: AddFile): CkptEntry = {
+    val num = a.stats.collect { case (c, NumStat(mn, mx)) => (c, mn, mx) }.toSeq
+    val str = a.stats.collect { case (c, StrStat(mn, mx)) => (c, mn, mx) }.toSeq
+    CkptEntry(i, a.path, a.rows, a.bytes, a.dv,
+      num.map(t => t._1 -> t._2).toMap, num.map(t => t._1 -> t._3).toMap,
+      str.map(t => t._1 -> t._2).toMap, str.map(t => t._1 -> t._3).toMap,
+      a.nullCounts, a.pcols)
+  }
+
+  private def fromCkptEntry(e: CkptEntry): AddFile = {
+    val stats: Map[String, Stat] =
+      e.nmin.map { case (c, mn) => c -> (NumStat(mn, e.nmax(c)): Stat) } ++
+        e.smin.map { case (c, mn) => c -> (StrStat(mn, e.smax(c)): Stat) }
+    AddFile(e.path, e.rows, stats, e.dv, e.bytes, e.nulls, e.pcols)
+  }
+
   /** Materialize the live state at the LATEST version as a checkpoint
-    * manifest (`_log/<version>.checkpoint.json`, the Delta
-    * `_last_checkpoint` pattern): subsequent reads fold the log from
-    * here instead of from version 1, so snapshot resolution stays
-    * O(commits since last checkpoint) however old the table grows.
+    * manifest: subsequent reads fold the log from here instead of from
+    * version 1, so snapshot resolution stays O(commits since last
+    * checkpoint) however old the table grows. Two formats by live-entry
+    * count (`multipartMinEntries`, default
+    * [[MultipartCheckpointThreshold]]): a small table writes the legacy
+    * single JSON (`_log/<v>.checkpoint.json` — driver-rendered, cheap),
+    * a large one writes PARQUET PART FILES from executor tasks under
+    * `_log/<v>.checkpoint/` plus a tiny driver-written header
+    * (`_log/<v>.checkpoint.meta` — version, schema, txns, ingest
+    * ledger, part/entry counts; the `_last_checkpoint`-style discovery
+    * point, WRITTEN LAST so a crash mid-checkpoint leaves only an
+    * invisible orphan that the next run heals and vacuum sweeps).
     * Idempotent — a checkpoint that already exists is a no-op. Run it
     * from the maintenance job on the compaction cadence.
     */
-  def checkpoint(spark: SparkSession, dir: String): Long = {
+  def checkpoint(spark: SparkSession, dir: String,
+                 multipartMinEntries: Int = MultipartCheckpointThreshold): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     val latest = currentVersion(spark, dir)
     require(latest > 0L, s"TableLog.checkpoint: $dir has no committed versions")
     val target = checkpointPath(base, latest)
-    if (fs.exists(target)) return latest
+    val meta = checkpointMetaPath(base, latest)
+    if (fs.exists(target) || fs.exists(meta)) return latest
     val (schemaJson, live) = snapshotAt(spark, fs, base, latest)
-    val body = renderCheckpoint(latest, schemaJson, live, txnsAt(fs, base, latest),
-      ingestedFilesAt(fs, base, latest))
-    val tmp = new Path(base, s"_log/.tmp_ckpt_$latest")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = FileContext.getFileContext(base.toUri, conf)
-      fc.rename(tmp, target)
-    } catch {
-      case e: Exception =>
-        fs.delete(tmp, false)
-        // benign only if ANOTHER checkpointer landed this version (same
-        // content by construction); a rename that failed with no target
-        // is a genuine IO failure — swallowing it would let maintenance
-        // believe a checkpoint exists that never materialized
-        val landed = try fs.exists(target) catch { case _: Exception => false }
-        if (!landed) throw e
+    val txns = txnsAt(fs, base, latest)
+    val ingested = ingestedFilesAt(fs, base, latest)
+    val fc = FileContext.getFileContext(base.toUri, conf)
+    def publish(tmp: Path, dst: Path, cleanupRecursive: Boolean): Unit =
+      try fc.rename(tmp, dst)
+      catch {
+        case e: Exception =>
+          fs.delete(tmp, cleanupRecursive)
+          // benign only if ANOTHER checkpointer landed this version
+          // (same content by construction); a rename that failed with
+          // no target is a genuine IO failure — swallowing it would let
+          // maintenance believe a checkpoint exists that never
+          // materialized
+          val landed = try fs.exists(dst) catch { case _: Exception => false }
+          if (!landed) throw e
+      }
+    if (live.length < multipartMinEntries) {
+      val body = renderCheckpoint(latest, schemaJson, live, txns, ingested)
+      val tmp = new Path(base, s"_log/.tmp_ckpt_$latest")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      publish(tmp, target, cleanupRecursive = false)
+    } else {
+      // the entry list is a DataFrame-shaped thing: render it as rows,
+      // let EXECUTOR TASKS write the parquet parts — the driver never
+      // builds a table-sized string, and the write parallelizes like
+      // any other job
+      val partDir = checkpointPartDir(base, latest)
+      // an orphan part dir (crash after the dir rename, before the
+      // meta landed) is invisible to resolution — heal it in place
+      if (fs.exists(partDir)) fs.delete(partDir, true)
+      val tmpDir = new Path(base, s"_log/.tmp_ckptdir_$latest")
+      fs.delete(tmpDir, true)
+      val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        math.ceil(live.length.toDouble / CheckpointEntriesPerPart).toInt))
+      val entries = live.iterator.zipWithIndex
+        .map { case (a, i) => toCkptEntry(i.toLong, a) }.toSeq
+      spark.createDataset(entries)(org.apache.spark.sql.Encoders.product[CkptEntry])
+        .repartition(nParts)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val parts = fs.listStatus(tmpDir)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      publish(tmpDir, partDir, cleanupRecursive = true)
+      val body = renderCheckpointMeta(latest, schemaJson, live, txns, ingested,
+        parts, live.length.toLong)
+      val tmpMeta = new Path(base, s"_log/.tmp_ckptmeta_$latest")
+      val out = fs.create(tmpMeta, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      publish(tmpMeta, meta, cleanupRecursive = false)
     }
     latest
   }
@@ -1936,7 +2169,7 @@ object TableLog {
     */
   private def txnsAt(fs: FileSystem, base: Path, version: Long): Map[String, Long] = {
     val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
-      .map(cv => cv -> parseCheckpointTxns(readText(fs, checkpointPath(base, cv))))
+      .map(cv => cv -> parseCheckpointTxns(checkpointHeaderText(fs, base, cv)))
     val (from, init) = ckpt match {
       case Some((cv, Some(m))) => (cv, m)
       case _ => (0L, Map.empty[String, Long])
@@ -1958,7 +2191,7 @@ object TableLog {
   private def ingestedFilesAt(fs: FileSystem, base: Path,
                               version: Long): Set[String] = {
     val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
-      .map(cv => cv -> parseCheckpointCopyFiles(readText(fs, checkpointPath(base, cv))))
+      .map(cv => cv -> parseCheckpointCopyFiles(checkpointHeaderText(fs, base, cv)))
     val (from, init) = ckpt match {
       case Some((cv, Some(s))) => (cv, s)
       case _ => (0L, Set.empty[String])
@@ -2508,22 +2741,47 @@ object TableLog {
       if (colmap.isEmpty) df
       else df.select(schema.fields.map(f =>
         col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    // HIVE-PARTITIONED adopted entries (pcols non-empty) read in their
+    // own scan arm with Spark's partition discovery rooted at the
+    // adopted directory (`basePath` = the file path minus its name and
+    // its pcols' `k=v` segments): the partition columns — absent from
+    // the files — materialize from the directory names, typed by the
+    // requested schema, exactly like a native partitioned read. Plain
+    // entries keep the single flat arm. Arm count is O(distinct
+    // adopted roots) — in practice ≤ 2 (one converted lake + the
+    // table-local `data/` writes) — never O(files).
+    def baseOf(e: AddFile): Option[String] =
+      if (e.pcols.isEmpty) None
+      else {
+        var p = new Path(dataFilePath(dir, e.path))
+        (0 to e.pcols.length).foreach(_ => p = p.getParent)
+        Some(p.toString)
+      }
+    def scanArm(es: Seq[AddFile], bp: Option[String]): DataFrame = {
+      val r0 = spark.read.schema(pSchema)
+      val r = bp.fold(r0)(b => r0.option("basePath", b))
+      r.parquet(es.map(f => dataFilePath(dir, f.path)): _*)
+    }
+    def arms(es: Seq[AddFile]): Seq[(Seq[AddFile], Option[String])] =
+      es.groupBy(baseOf).toSeq.sortBy(_._1.getOrElse("")).map(_.swap)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(toLogical(spark.read.schema(pSchema)
-        .parquet(clean.map(f => dataFilePath(dir, f.path)): _*)))
+      else Some(arms(clean).map { case (es, bp) => toLogical(scanArm(es, bp)) }
+        .reduce(_.unionByName(_)))
     if (dvFiles.isEmpty) return cleanDf.get
     val doomed = spark.createDataFrame(
       dvFiles.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p))).asJava,
       new StructType()
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val dvDf = spark.read.schema(pSchema).parquet(dvFiles.map(f => dataFilePath(dir, f.path)): _*)
-      .withColumn("_dv_rel", dvRelPath)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
-      .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
-      .select(schema.fields.map(f =>
-        col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    val dvDf = arms(dvFiles).map { case (es, bp) =>
+      scanArm(es, bp)
+        .withColumn("_dv_rel", dvRelPath)
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
+        .select(schema.fields.map(f =>
+          col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    }.reduce(_.unionByName(_))
     cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
   }
 
@@ -3168,17 +3426,25 @@ object TableLog {
       byAge.fold(byCount)(math.min(byCount, _)))
     val referenced = commitVers.filter(_ >= retainFrom)
       .flatMap(v => snapshotAt(spark, fs, base, v)._2.map(_.path)).toSet
-    // everything a manifest added SINCE THE PREVIOUS WATERMARK: a file
-    // here but not in `referenced` was RETIRED by retention — its
-    // manifest's existence proves it is not an in-flight commit, so age
-    // never protects it. Bounded at the previous watermark, not the
-    // table's birth: files retired below it were deleted by the earlier
-    // vacuum (a crash-mid-delete straggler just ages through the grace
-    // window instead), so steady-state cost is O(commits since the last
-    // vacuum + retention window) — a 10⁵-commit history never re-parses
-    // whole
+    // everything a manifest NAMED (added OR removed) since the previous
+    // watermark: a file here but not in `referenced` was RETIRED by
+    // retention — its manifest's existence proves it is not an
+    // in-flight commit, so age never protects it. The remove sets
+    // matter too: a file ADDED below wmPrev but REMOVED at or above it
+    // is still manifest-named (the remove proves the reference), so a
+    // fast-commit table's freshly retired files reclaim on schedule
+    // instead of aging through the grace window. Bounded at the
+    // previous watermark, not the table's birth: files whose every
+    // mention sits below it were deleted by the earlier vacuum (a
+    // crash-mid-delete straggler just ages through the grace window
+    // instead), so steady-state cost is O(commits since the last
+    // vacuum + retention window) — a 10⁵-commit history never
+    // re-parses whole
     val everAdded = commitVers.filter(_ >= wmPrev)
-      .flatMap(v => parseCommit(readText(fs, commitPath(base, v))).add.map(_.path))
+      .flatMap { v =>
+        val c = parseCommit(readText(fs, commitPath(base, v)))
+        c.add.map(_.path) ++ c.remove
+      }
       .toSet
     // in-flight-commit grace: param > table property > 6 h default
     val grace = graceMs
@@ -3257,14 +3523,29 @@ object TableLog {
     // same grace for temp manifests: a `.tmp_` younger than the window
     // may be mid-rename in a concurrent writer's commit point — deleting
     // it fails that commit spuriously (loud, not corrupting, but a
-    // failure vacuum has no business causing)
-    val oldTmps = fs.listStatus(logRoot)
-      .filter(s => s.getPath.getName.startsWith(".tmp_") &&
-        now - s.getModificationTime >= grace)
-      .map(_.getPath)
+    // failure vacuum has no business causing). A multipart
+    // checkpoint's staged part directory (`.tmp_ckptdir_*`) sweeps
+    // under the same rule (recursively — it is a directory of parquet
+    // parts), as does an ORPHANED part directory: a
+    // `<v>.checkpoint` dir whose `.meta` header never landed (crash
+    // between the two renames) is unreachable by construction —
+    // resolution discovers checkpoints by header only — and a fresh
+    // one may be mid-publish, so age gates it like everything else.
+    val logKids = fs.listStatus(logRoot)
+    val metaVersions = logKids.map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.checkpoint\\.meta"))
+      .map(_.stripSuffix(".checkpoint.meta").toLong).toSet
+    val oldTmps = logKids
+      .filter { s =>
+        val n = s.getPath.getName
+        val orphanPartDir = s.isDirectory && n.matches("\\d+\\.checkpoint") &&
+          !metaVersions.contains(n.stripSuffix(".checkpoint").toLong)
+        (n.startsWith(".tmp_") || orphanPartDir) &&
+          now - s.getModificationTime >= grace
+      }
     if (dryRun)
       return VacuumReport(deletedData, oldTmps.length, retainFrom, skippedYoung)
-    oldTmps.foreach(t => fs.delete(t, false))
+    oldTmps.foreach(t => fs.delete(t.getPath, t.isDirectory))
     // watermark: monotonic, plain overwrite (not a correctness CAS — the
     // readable floor only ever rises)
     val wmTmp = new Path(logRoot, ".tmp_wm")
@@ -3340,6 +3621,30 @@ object TableLog {
   private def checkpointPath(base: Path, v: Long): Path =
     new Path(base, f"_log/$v%020d.checkpoint.json")
 
+  /** Multi-part checkpoint header — deliberately NOT `.json`-suffixed:
+    * the raw `*.json` glob over `_log` (streaming file feeds, commit
+    * listing) must never see it, and discovery is by this file alone
+    * (a part directory without its header is a crash orphan,
+    * invisible).
+    */
+  private def checkpointMetaPath(base: Path, v: Long): Path =
+    new Path(base, f"_log/$v%020d.checkpoint.meta")
+
+  private def checkpointPartDir(base: Path, v: Long): Path =
+    new Path(base, f"_log/$v%020d.checkpoint")
+
+  /** The checkpoint's HEADER text at `cv` — the multi-part header when
+    * one exists, else the legacy single-JSON body (whose top-level
+    * fields are a superset of the header's). Callers that only need
+    * `txns`/`copyfiles`/`schema` parse this without ever touching the
+    * entry parts.
+    */
+  private def checkpointHeaderText(fs: FileSystem, base: Path, cv: Long): String = {
+    val meta = checkpointMetaPath(base, cv)
+    if (fs.exists(meta)) readText(fs, meta)
+    else readText(fs, checkpointPath(base, cv))
+  }
+
   private def vacuumWatermark(fs: FileSystem, base: Path): Long = {
     val wm = new Path(base, "_log/_VACUUM")
     if (!fs.exists(wm)) 1L else readText(fs, wm).trim.toLong
@@ -3357,33 +3662,87 @@ object TableLog {
   private def commitVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val logRoot = new Path(base, "_log")
     if (!fs.exists(logRoot)) return Nil
+    // digits-only match, not an endsWith chain: every non-commit file
+    // the log directory will ever grow (checkpoint JSONs, multi-part
+    // headers, watermarks) must fail this filter by construction, or a
+    // future name choice turns into a NumberFormatException here
     fs.listStatus(logRoot).map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
-        !n.endsWith(".checkpoint.json"))
+      .filter(_.matches("\\d+\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** Checkpoint versions, ascending — the union of legacy single-JSON
+    * checkpoints and multi-part headers (names only, nothing parsed).
+    */
   private def checkpointVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val logRoot = new Path(base, "_log")
     if (!fs.exists(logRoot)) return Nil
     fs.listStatus(logRoot).map(_.getPath.getName)
-      .filter(n => n.endsWith(".checkpoint.json") && !n.startsWith("."))
-      .map(_.stripSuffix(".checkpoint.json").toLong).sorted.toSeq
+      .collect {
+        case n if n.matches("\\d+\\.checkpoint\\.json") =>
+          n.stripSuffix(".checkpoint.json").toLong
+        case n if n.matches("\\d+\\.checkpoint\\.meta") =>
+          n.stripSuffix(".checkpoint.meta").toLong
+      }
+      .distinct.sorted.toSeq
+  }
+
+  // ------------------------------------------------------- snapshot cache
+
+  /** Bounded LRU memo of resolved snapshots, keyed
+    * `(qualified dir, version, commit-file token)`. A committed
+    * version's content is IMMUTABLE, so a cached snapshot never goes
+    * stale by table activity — the token (the version's own manifest
+    * file length + mtime, one `getFileStatus`) exists only to catch a
+    * table directory being deleted and REBUILT at the same path (test
+    * fixtures, `rm -rf` + re-ingest), where version numbers restart but
+    * content differs. What it buys at scale: a dashboard running N
+    * queries against one version parses the manifest state ONCE — the
+    * 100-query planning storm costs one fold plus 99 map hits instead
+    * of 100 full re-parses. Weight-bounded by ENTRY count, not snapshot
+    * count (one 10⁶-file snapshot is the memory story, not its key).
+    */
+  private val SnapshotCacheMaxEntries: Long = 1L << 20
+  private val snapshotCache =
+    new java.util.LinkedHashMap[(String, Long, String), (String, Seq[AddFile])](
+      64, 0.75f, true)
+  private var snapshotCacheWeight: Long = 0L
+  private[graft] val snapshotFolds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val snapshotHits = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def snapshotCacheClear(): Unit = snapshotCache.synchronized {
+    snapshotCache.clear(); snapshotCacheWeight = 0L
+    snapshotFolds.set(0L); snapshotHits.set(0L)
   }
 
   /** `(schemaJson, live files)` at `version`: start from the nearest
     * checkpoint at or below it, fold only the commits after — the log
     * prefix before a checkpoint is never re-parsed (remove-then-readd is
-    * well-defined, set semantics per step).
+    * well-defined, set semantics per step). Resolved snapshots memoize
+    * per `(dir, version)` (see the cache above); versions without a
+    * readable commit-file token bypass the cache rather than risking a
+    * stale hit.
     */
   private def snapshotAt(spark: SparkSession, fs: FileSystem, base: Path,
                          version: Long): (String, Seq[AddFile]) = {
+    val token =
+      try {
+        val st = fs.getFileStatus(commitPath(base, version))
+        s"${st.getLen}:${st.getModificationTime}"
+      } catch { case scala.util.control.NonFatal(_) => null }
+    val key =
+      if (token == null) null
+      else (fs.makeQualified(base).toUri.toString, version, token)
+    if (key != null) {
+      val hit = snapshotCache.synchronized(Option(snapshotCache.get(key)))
+      hit.foreach { s => snapshotHits.incrementAndGet(); return s }
+    }
+    snapshotFolds.incrementAndGet()
     val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: String = null
     ckpt.foreach { cv =>
-      val (s, files) = parseCheckpoint(readText(fs,
-        new Path(base, f"_log/$cv%020d.checkpoint.json")))
+      val (s, files) = readCheckpointState(spark, fs, base, cv)
       schemaJson = s
       files.foreach(a => live(a.path) = a)
     }
@@ -3396,7 +3755,43 @@ object TableLog {
     }
     require(schemaJson != null,
       s"TableLog: no manifest resolves version $version under $base")
-    (schemaJson, live.values.toSeq)
+    val snap = (schemaJson, live.values.toSeq)
+    if (key != null) snapshotCache.synchronized {
+      if (!snapshotCache.containsKey(key)) {
+        snapshotCache.put(key, snap)
+        snapshotCacheWeight += math.max(1L, snap._2.length.toLong)
+        val it = snapshotCache.entrySet().iterator()
+        while (snapshotCacheWeight > SnapshotCacheMaxEntries && it.hasNext) {
+          val e = it.next()
+          if (!(e.getKey eq key)) {
+            snapshotCacheWeight -= math.max(1L, e.getValue._2.length.toLong)
+            it.remove()
+          }
+        }
+      }
+    }
+    snap
+  }
+
+  /** The checkpoint's full entry state at `cv` — legacy single JSON
+    * parses on the driver (small by construction: [[checkpoint]] only
+    * writes it under the multipart threshold); a multi-part checkpoint
+    * reads its parquet parts as a SPARK JOB (entry decode parallelizes
+    * across executor tasks; the driver receives compact [[AddFile]]s,
+    * never a table-sized string).
+    */
+  private def readCheckpointState(spark: SparkSession, fs: FileSystem,
+                                  base: Path, cv: Long): (String, Seq[AddFile]) = {
+    val meta = checkpointMetaPath(base, cv)
+    if (!fs.exists(meta)) return parseCheckpoint(readText(fs, checkpointPath(base, cv)))
+    val (schemaJson, declared) = parseCheckpointMeta(readText(fs, meta))
+    requireSupportedFeatures(declared, s"checkpoint $cv")
+    val entries = spark.read
+      .parquet(checkpointPartDir(base, cv).toString)
+      .as[CkptEntry](org.apache.spark.sql.Encoders.product[CkptEntry])
+      .collect()
+      .sortBy(_.seq)
+    (schemaJson, entries.iterator.map(fromCkptEntry).toSeq)
   }
 
   /** Row count + per-column min/max from the parquet FOOTER — no data
@@ -3536,7 +3931,10 @@ object TableLog {
       if (a.nullCounts.isEmpty) ""
       else s""","nulls":{${a.nullCounts.toSeq.sortBy(_._1)
         .map { case (c, n) => s""""${esc(c)}":$n""" }.mkString(",")}}"""
-    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv$bytes$nulls}"""
+    val pc =
+      if (a.pcols.isEmpty) ""
+      else s""","pcols":[${a.pcols.map(c => s""""${esc(c)}"""").mkString(",")}]"""
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"stats":{$stats}$dv$bytes$nulls$pc}"""
   }
 
   /** READER-FEATURE guard (Delta's protocol/table-features idea, cut to
@@ -3554,7 +3952,7 @@ object TableLog {
     * stays correct.
     */
   private[sinks] val SupportedReaderFeatures: Set[String] =
-    Set("dv", "colmap", "abs-paths")
+    Set("dv", "colmap", "abs-paths", "hive-part")
 
   /** WRITER features — the other half of the format guard (Delta pins
     * both sides): what a writer must IMPLEMENT before committing on
@@ -3597,6 +3995,7 @@ object TableLog {
     if (c.add.exists(_.dv.nonEmpty) || c.removeDv.nonEmpty) b += "dv"
     if (c.colmap.nonEmpty || c.droppedCols.nonEmpty) b += "colmap"
     if (c.add.exists(f => isAbsEntry(f.path))) b += "abs-paths"
+    if (c.add.exists(_.pcols.nonEmpty)) b += "hive-part"
     b.result()
   }
 
@@ -3670,6 +4069,7 @@ object TableLog {
       val b = Seq.newBuilder[String]
       if (live.exists(_.dv.nonEmpty)) b += "dv"
       if (live.exists(f => isAbsEntry(f.path))) b += "abs-paths"
+      if (live.exists(_.pcols.nonEmpty)) b += "hive-part"
       val fs = b.result()
       if (fs.isEmpty) ""
       else s""""features":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}],"""
@@ -3679,6 +4079,45 @@ object TableLog {
       s""""txns":{$txnBody},""" +
       s""""copyfiles":[$cfBody],""" +
       s""""live":[${live.map(renderAdd).mkString(",")}]}"""
+  }
+
+  /** The multi-part checkpoint HEADER — the legacy checkpoint's
+    * top-level fields (schema, reader features derived from the live
+    * set, folded txns, ingest ledger) with part/entry counts in place
+    * of the inlined entry list. Tiny however large the table is; the
+    * entries live in the parquet parts.
+    */
+  private def renderCheckpointMeta(version: Long, schemaJson: String,
+                                   live: Seq[AddFile],
+                                   txns: Map[String, Long],
+                                   copyFiles: Set[String],
+                                   parts: Int, entries: Long): String = {
+    val txnBody = txns.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""${esc(a)}":$b""" }.mkString(",")
+    val cfBody = copyFiles.toSeq.sorted.map(p => s""""${esc(p)}"""").mkString(",")
+    val feats = {
+      val b = Seq.newBuilder[String]
+      if (live.exists(_.dv.nonEmpty)) b += "dv"
+      if (live.exists(f => isAbsEntry(f.path))) b += "abs-paths"
+      if (live.exists(_.pcols.nonEmpty)) b += "hive-part"
+      val fs = b.result()
+      if (fs.isEmpty) ""
+      else s""""features":[${fs.map(f => s""""${esc(f)}"""").mkString(",")}],"""
+    }
+    s"""{"version":$version,"schema":"${esc(schemaJson)}",""" +
+      feats +
+      s""""txns":{$txnBody},""" +
+      s""""copyfiles":[$cfBody],""" +
+      s""""parts":$parts,"entries":$entries}"""
+  }
+
+  /** `(schemaJson, declared reader features)` from a multi-part header. */
+  private def parseCheckpointMeta(txt: String): (String, Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    (n.get("schema").asText(),
+      Option(n.get("features"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] = {
@@ -3699,9 +4138,11 @@ object TableLog {
       val nulls = Option(a.get("nulls")).map { nn =>
         nn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       }.getOrElse(Map.empty[String, Long])
+      val pcols = Option(a.get("pcols"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats, dv,
         bytes = Option(a.get("bytes")).map(_.asLong()).getOrElse(0L),
-        nullCounts = nulls)
+        nullCounts = nulls, pcols = pcols)
     }.toSeq
   }
 

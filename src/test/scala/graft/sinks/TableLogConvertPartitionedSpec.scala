@@ -1,0 +1,119 @@
+package graft.sinks
+
+import java.sql.Date
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hive-partitioned CONVERT TO GRAFT — the zero-copy adoption path for
+  * the date-partitioned lake layout (round 16; closes the r15 adoption
+  * gap). Pins: partition values lift into REAL columns (Spark basePath
+  * discovery, typed by inference), partition predicates prune through
+  * the ordinary constant min=max stats, post-convert appends and dv
+  * deletes compose, and mixed layouts still refuse.
+  */
+class TableLogConvertPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def stage(dir: String): Unit =
+    spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") % 3).cast("int").as("p"),
+        concat(lit("v"), col("id") % 5).as("s"))
+      .repartition(2)
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+
+  test("partitioned convert: values lift into columns, content matches the plain read") {
+    val dir = tmpDir("tconv_part")
+    stage(dir)
+    val expect = spark.read.parquet(dir).select("k", "p", "s")
+      .collect().map(_.toSeq).toSet
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    val got = TableLog.readAt(spark, dir)
+    assert(got.columns.toSeq.sorted == Seq("k", "p", "s"))
+    assert(got.select("k", "p", "s").collect().map(_.toSeq).toSet == expect)
+    assert(got.count() == 300L)
+    // the partition column really is typed by inference (int, not string)
+    assert(got.schema("p").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(got.filter(col("p") === 1).count() ==
+      spark.read.parquet(dir).filter(col("p") === 1).count())
+  }
+
+  test("partition predicates prune files via constant min=max stats") {
+    val dir = tmpDir("tconv_prune")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir)
+    val pr = TableLog.scanWhere(spark, dir, col("p") === 1)
+    assert(pr.filesRead < pr.filesTotal,
+      s"partition predicate must prune (${pr.filesRead}/${pr.filesTotal})")
+    assert(pr.df.count() == 100L)
+    // IS NULL prunes too: every adopted file records 0 nulls for p
+    val nn = TableLog.scanWhere(spark, dir, col("p").isNull)
+    assert(nn.filesRead == 0, "no file holds null partition values")
+  }
+
+  test("date-typed partitions prune on date predicates") {
+    val dir = tmpDir("tconv_date")
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-02-01"),
+      (4L, "2024-03-01"))
+      .toDF("k", "ds").select(col("k"), col("ds").cast("date").as("d"))
+      .write.partitionBy("d").mode("overwrite").parquet(dir)
+    TableLog.convertToGraft(spark, dir)
+    val got = TableLog.readAt(spark, dir)
+    assert(got.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    val pr = TableLog.scanWhere(spark, dir,
+      col("d") === lit(Date.valueOf("2024-02-01")))
+    assert(pr.filesRead < pr.filesTotal,
+      s"date partition predicate must prune (${pr.filesRead}/${pr.filesTotal})")
+    assert(pr.df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("post-convert appends and dv deletes compose with adopted entries") {
+    val dir = tmpDir("tconv_mix")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    // append lands under data/ with the FULL schema (p is a plain column)
+    TableLog.append(spark, dir,
+      Seq((1000L, "vx", 7)).toDF("k", "s", "p")
+        .select(col("k"), col("s"), col("p").cast("int").as("p")),
+      statsCols = Seq("k"))
+    val all = TableLog.readAt(spark, dir)
+    assert(all.count() == 301L)
+    assert(all.filter(col("p") === 7).select("k").as[Long].collect().toSeq ==
+      Seq(1000L))
+    // dv delete touches adopted partitioned files — deleted rows must
+    // stay deleted through the basePath dv arm
+    TableLog.deleteWhere(spark, dir, col("k").isin(5L, 6L), mode = "dv")
+    val after = TableLog.readAt(spark, dir)
+    assert(after.count() == 299L)
+    assert(after.filter(col("k").isin(5L, 6L)).count() == 0L)
+    // and the partition column still reads correctly on dv'd files
+    assert(after.groupBy("p").count().count() == 4L) // p ∈ {0,1,2,7}
+  }
+
+  test("multipart checkpoint carries pcols entries") {
+    val dir = tmpDir("tconv_ckpt")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir)
+    TableLog.snapshotCacheClear()
+    val before = TableLog.liveFilesAt(spark, dir)
+    TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    TableLog.snapshotCacheClear()
+    assert(TableLog.liveFilesAt(spark, dir) == before)
+    assert(TableLog.readAt(spark, dir).count() == 300L)
+  }
+
+  test("mixed / non-hive layouts still refuse") {
+    val dir = tmpDir("tconv_bad")
+    stage(dir)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(dir, "not_a_partition"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.convertToGraft(spark, dir)
+    }
+    assert(e.getMessage.contains("non-partition"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The multi-part parquet checkpoint format and the (dir, version)
+  * snapshot cache — the round-16 answer to the driver-monolith finding:
+  * a 10⁶-file table must never render or parse a table-sized JSON
+  * string on the driver. These specs pin (1) exact state equivalence
+  * across the parquet round-trip (entries, order, stats, dvs, null
+  * counts, bytes), (2) header-riding txn/ledger folds, (3) crash-mid-
+  * checkpoint self-healing, (4) cache hit/fold accounting and the
+  * rebuilt-directory stale-hit guard.
+  */
+class TableLogMultipartCkptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("multipart checkpoint: exact state equivalence, reads, pruning, dv, txns") {
+    val dir = tmpDir("tlog_mp")
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 10).cast("double").as("v"),
+      concat(lit("s"), col("id") % 7).as("s"))
+    TableLog.append(spark, dir, df.repartitionByRange(8, col("k")),
+      statsCols = Seq("k", "v", "s"), txn = Some("mpapp" -> 3L))
+    TableLog.deleteWhere(spark, dir, col("k").isin(5L, 17L, 423L), mode = "dv")
+    TableLog.append(spark, dir,
+      df.filter(col("k") < 50).withColumn("k", col("k") + 10000L).coalesce(2),
+      statsCols = Seq("k", "v", "s"))
+    val v = TableLog.currentVersion(spark, dir)
+    TableLog.snapshotCacheClear()
+    val before = TableLog.liveFilesAt(spark, dir, v)
+    val preRows = TableLog.readAt(spark, dir).collect().map(_.toSeq).toSet
+    val prePruned = TableLog.scanPruned(spark, dir, Seq(("k", 0L, 100L)))
+
+    val ck = TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    assert(ck == v)
+    val f = fs(dir)
+    val meta = new Path(dir, f"_log/$v%020d.checkpoint.meta")
+    val partDir = new Path(dir, f"_log/$v%020d.checkpoint")
+    assert(f.exists(meta), "multipart header must exist")
+    assert(f.exists(partDir) && f.listStatus(partDir)
+      .exists(_.getPath.getName.endsWith(".parquet")), "parquet parts must exist")
+    assert(!f.exists(new Path(dir, f"_log/$v%020d.checkpoint.json")),
+      "no legacy JSON checkpoint in multipart mode")
+    // idempotent — a second call is a no-op, not a rewrite
+    assert(TableLog.checkpoint(spark, dir, multipartMinEntries = 1) == v)
+
+    // state equivalence: the parquet round-trip reproduces the EXACT
+    // entry list the JSON fold produced — paths, order, stats, dv
+    // positions, byte sizes, null counts
+    TableLog.snapshotCacheClear()
+    val after = TableLog.liveFilesAt(spark, dir, v)
+    assert(after == before, "checkpointed state must round-trip exactly")
+    assert(TableLog.readAt(spark, dir).collect().map(_.toSeq).toSet == preRows)
+    val postPruned = TableLog.scanPruned(spark, dir, Seq(("k", 0L, 100L)))
+    assert((postPruned.filesRead, postPruned.filesTotal) ==
+      (prePruned.filesRead, prePruned.filesTotal))
+    // txn markers fold from the multipart HEADER, no legacy body needed
+    assert(TableLog.lastCommittedBatch(spark, dir, "mpapp").contains(3L))
+    // a version BELOW the checkpoint still resolves (plain log fold)
+    assert(TableLog.readAt(spark, dir, 1L).count() == 1000L)
+  }
+
+  test("multipart checkpoint: copyInto ledger rides the header") {
+    val dir = tmpDir("tlog_mp_ci")
+    val src = tmpDir("tlog_mp_ci_src")
+    spark.range(0, 100).select(col("id").as("k")).coalesce(2)
+      .write.mode("overwrite").parquet(src)
+    val r1 = TableLog.copyInto(spark, dir, s"$src/*.parquet")
+    assert(r1.loadedFiles > 0)
+    TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    TableLog.snapshotCacheClear()
+    val r2 = TableLog.copyInto(spark, dir, s"$src/*.parquet")
+    assert(r2.loadedFiles == 0,
+      "re-listed source files must skip via the header's cumulative ledger")
+  }
+
+  test("crash mid-checkpoint self-heals; vacuum sweeps aged orphan part dirs") {
+    val dir = tmpDir("tlog_mp_crash")
+    TableLog.append(spark, dir,
+      spark.range(0, 100).select(col("id").as("k")).coalesce(4))
+    val v = TableLog.currentVersion(spark, dir)
+    val f = fs(dir)
+    // simulate a crash AFTER the part-dir rename, BEFORE the header: an
+    // orphan part dir (even holding garbage) must be invisible to
+    // resolution — discovery is by header only
+    val orphan = new Path(dir, f"_log/$v%020d.checkpoint")
+    f.mkdirs(orphan)
+    val junk = f.create(new Path(orphan, "part-junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 100L,
+      "orphan part dir must not affect resolution")
+    // re-running checkpoint heals in place (replaces the orphan)
+    assert(TableLog.checkpoint(spark, dir, multipartMinEntries = 1) == v)
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 100L)
+    // a DIFFERENT orphan (no healing checkpoint coming) ages out via
+    // vacuum's grace-gated tmp sweep
+    TableLog.append(spark, dir,
+      spark.range(100, 110).select(col("id").as("k")).coalesce(1))
+    val v2 = TableLog.currentVersion(spark, dir)
+    val orphan2 = new Path(dir, f"_log/$v2%020d.checkpoint")
+    f.mkdirs(orphan2)
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => System.currentTimeMillis() + 10L * 3600L * 1000L
+      TableLog.vacuum(spark, dir, keepVersions = 100, graceMs = Some(3600000L))
+    } finally TableLog.clockMs = saved
+    assert(!f.exists(orphan2), "aged headerless part dir must be swept")
+    assert(f.exists(new Path(dir, f"_log/$v%020d.checkpoint")),
+      "a part dir WITH its header must never be swept")
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 110L)
+  }
+
+  test("snapshot cache: one fold serves repeated reads; new versions and rebuilt dirs miss") {
+    val dir = tmpDir("tlog_cache")
+    TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 2L)
+    val folds1 = TableLog.snapshotFolds.get()
+    assert(TableLog.readAt(spark, dir).count() == 2L)
+    assert(TableLog.readAt(spark, dir).count() == 2L)
+    assert(TableLog.snapshotFolds.get() == folds1,
+      "repeated reads of one version must not re-fold the manifest")
+    assert(TableLog.snapshotHits.get() >= 2L)
+    // a NEW version is a different key — folds once, then caches
+    TableLog.append(spark, dir, Seq((3L, "c")).toDF("k", "s"))
+    assert(TableLog.readAt(spark, dir).count() == 3L)
+    assert(TableLog.snapshotFolds.get() > folds1)
+    // rebuilt directory at the same path: the commit-file token changes,
+    // so the cache must MISS rather than serve the old table's state
+    val f = fs(dir)
+    f.delete(new Path(dir), true)
+    TableLog.append(spark, dir, Seq((9L, "z"), (8L, "y"), (7L, "x"), (6L, "w"))
+      .toDF("k", "s"))
+    assert(TableLog.readAt(spark, dir, 1L).count() == 4L,
+      "a rebuilt table must never be served the previous table's snapshot")
+  }
+}
