@@ -156,6 +156,22 @@ object SparkEntry {
   private val tableLogConvertPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged HIVE-PARTITIONED convert fixture (q_convert_partitioned):
+    * a `l_returnflag=X/` directory lake adopted zero-copy — partition
+    * values lift into a real column and partition predicates prune via
+    * the constant min=max manifest stats.
+    */
+  private val tableLogConvertPartPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged MULTIPART-CHECKPOINT fixture (q_ckpt_multipart): a 12-file
+    * table with a dv delete, checkpointed in the parquet part format —
+    * the read resolves state through the executor-written parts, never
+    * a driver JSON monolith.
+    */
+  private val tableLogMpCkptPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -1981,6 +1997,50 @@ object SparkEntry {
         p
       })
       TableLog.readAt(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // HIVE-PARTITIONED CONVERT: adopt a `l_returnflag=X/` directory lake
+    // zero-copy — the directory-encoded values come back as a REAL typed
+    // column (Spark basePath discovery on the read arm), and the
+    // partition predicate prunes files through the constant min=max
+    // manifest stats recorded at convert (asserted: the scan must read
+    // strictly fewer files than the table holds)
+    "q_convert_partitioned" -> ((s, d) => {
+      val dir = tableLogConvertPartPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogconvpart", d) + "/lake"
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"),
+            col("l_returnflag"))
+          .repartition(4).write.partitionBy("l_returnflag").parquet(p)
+        TableLog.convertToGraft(s, p, statsCols = Seq("price"))
+        p
+      })
+      val pr = TableLog.scanWhere(s, dir, col("l_returnflag") === lit("R"))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_convert_partitioned: partition predicate must prune " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // MULTIPART CHECKPOINT: the same table state resolved through
+    // executor-written parquet checkpoint parts (the 100 TB format —
+    // never a driver-rendered JSON monolith), dv delete included; the
+    // snapshot cache is cleared at stage time so the read provably
+    // resolves THROUGH the parts at least once
+    "q_ckpt_multipart" -> ((s, d) => {
+      val dir = tableLogMpCkptPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogmpckpt", d)
+        val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("total"),
+          col("o_orderstatus").as("status"))
+        TableLog.append(s, p, base.repartitionByRange(12, col("k")),
+          statsCols = Seq("k"))
+        TableLog.deleteWhere(s, p, pmod(col("k"), lit(100)) === 0, mode = "dv")
+        TableLog.checkpoint(s, p, multipartMinEntries = 1)
+        TableLog.snapshotCacheClear()
+        p
+      })
+      TableLog.readAt(s, dir).orderBy(col("k"))
     }),
 
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
@@ -5117,6 +5177,24 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the adopted partitioned lake filtered on its partition column —
+    // directory-encoded values must come back as real column values
+    "q_convert_partitioned" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice::DOUBLE AS price,
+        |       l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the multipart-checkpointed table is orders minus the dv-deleted
+    // k%100=0 band — state resolved through the parquet parts
+    "q_ckpt_multipart" ->
+      """SELECT o_orderkey AS k, o_totalprice::DOUBLE AS total,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey % 100 <> 0
+        |ORDER BY k""".stripMargin,
 
     // the audited table is lineitem minus the two dv-erased keys; the
     // oracle recounts per requested key over that filtered state

@@ -44,6 +44,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    requireUsableCompression(corpus, vecCol, "bruteForceTopK")
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val grouped = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .join(q, col("query_id") =!= col("neighbor_id"))
@@ -114,6 +115,8 @@ object Similarity {
   def lshSignatureIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         numPlanes: Int, numTables: Int = 1,
                         seed: Long = 42L): DataFrame = {
+    // the narrow waist of every LSH path (pairs, search, semanticDedup)
+    requireUsableCompression(df, vecCol, "lshSignatureIndex")
     val sigs = array((0 until numTables).map { t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(vecCol), dim, numPlanes, seed + t).as("sig"))
@@ -257,6 +260,7 @@ object Similarity {
     */
   def ivfBuildFromCentroids(df: DataFrame, idCol: String, vecCol: String,
                             cents: Array[Array[Float]]): IvfIndex = {
+    requireUsableCompression(df, vecCol, "ivfBuildFromCentroids")
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       nearestCell(col(vecCol), cents).as("cell"))
     val spark = df.sparkSession
@@ -452,9 +456,11 @@ object Similarity {
     * codegen'd pass (`pq_encode`).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
-               codeCol: String = "pq_code"): DataFrame =
+               codeCol: String = "pq_code"): DataFrame = {
+    requireUsableCompression(df, vecCol, "pqEncode")
     df.select(col(idCol).as("id"),
       call_function("pq_encode", lit(model.bytes), col(vecCol)).as(codeCol))
+  }
 
   /** Approximate top-k over PQ codes: queries broadcast against the
     * encoded corpus, each (query, code) scored by the asymmetric
@@ -722,11 +728,65 @@ object Similarity {
     * over projections approximates full-space ranking exactly as well
     * as the kept variance share — measure with [[recallAtK]] before
     * trusting a (dim, k) pair, same discipline as LSH/IVF/PQ.
+    *
+    * The projected column CARRIES ITS OWN TELEMETRY: the model's total
+    * explained-variance share is stamped into the column metadata
+    * (`graft.pca.explained`), and every ANN entry point checks it
+    * against [[MinExplainedVarianceForAnn]] — the engine already knows
+    * when a compressed store cannot support usable recall (the r15
+    * pca48 fixture measured .539), so composing it with ANN refuses
+    * LOUDLY instead of silently serving wrong neighbors. JL models
+    * (empty `explainedVariance`) stamp nothing — theirs is a distance
+    * guarantee, not a variance share; measure with [[recallAtK]].
     */
   def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
-                 outCol: String = "pca_vec"): DataFrame =
-    df.withColumn(outCol,
-      call_function("mat_project", lit(model.bytes), col(vecCol)))
+                 outCol: String = "pca_vec"): DataFrame = {
+    val projected = call_function("mat_project", lit(model.bytes), col(vecCol))
+    if (model.explainedVariance.isEmpty) df.withColumn(outCol, projected)
+    else {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putDouble("graft.pca.explained", model.explainedTotal)
+        .putLong("graft.pca.k", model.k.toLong)
+        .putLong("graft.pca.dim", model.dim.toLong)
+        .build()
+      df.withColumn(outCol, projected.as(outCol, md))
+    }
+  }
+
+  /** The explained-variance floor below which ANN over a PCA-compressed
+    * store REFUSES: under ~0.75 kept variance, projected-cosine ranking
+    * diverges enough from full-space ranking that "approximate nearest
+    * neighbors" stops meaning anything (the near-isotropic bench
+    * fixture at 48/256 dims keeps .34 and measures recall .539 — a
+    * coin-flip neighbor list served at full confidence). Deployments
+    * that have MEASURED acceptable recall for their corpus route
+    * around the guard explicitly with [[acceptCompressedStore]] — the
+    * override is a visible act, never a default.
+    */
+  val MinExplainedVarianceForAnn: Double = 0.75
+
+  /** Strip the compression telemetry from `vecCol` — the DELIBERATE
+    * override for a store whose measured [[recallAtK]] is acceptable
+    * despite a low explained-variance share.
+    */
+  def acceptCompressedStore(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).as(vecCol,
+      org.apache.spark.sql.types.Metadata.empty))
+
+  private def requireUsableCompression(df: DataFrame, vecCol: String,
+                                       caller: String): Unit =
+    df.schema.fields.find(_.name == vecCol).map(_.metadata)
+      .filter(_.contains("graft.pca.explained")).foreach { m =>
+        val ev = m.getDouble("graft.pca.explained")
+        require(ev >= MinExplainedVarianceForAnn,
+          f"$caller: embedding column '$vecCol' is a PCA-compressed store " +
+            f"keeping only $ev%.3f of the corpus variance (floor: " +
+            f"$MinExplainedVarianceForAnn%.2f) — neighbor ranking over it is " +
+            "not trustworthy. Keep more components, use the uncompressed " +
+            "store (or a JL projection sized via recallAtK), or — if recall " +
+            "was MEASURED acceptable for this corpus — route around the " +
+            "guard explicitly with acceptCompressedStore")
+      }
 
   /** Seeded Gaussian RANDOM PROJECTION (Johnson–Lindenstrauss) — the
     * dimensionality-reduction path for stores too wide for [[pcaFit]]'s

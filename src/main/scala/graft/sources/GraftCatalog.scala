@@ -61,7 +61,8 @@ import graft.sinks.TableLog
   * degrade). UPDATE/MERGE stay on the graft SQL front (GraftSql),
   * which resolves catalog names through [[GraftCatalog.tableDirOf]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = _
   private var rootDir: String = _
@@ -154,12 +155,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(ident, dir, TableLog.versionAtTimestamp(spark, dir, ms))
   }
 
+  /** `PARTITIONED BY (col, …)` maps to the CLUSTERING layout (Delta's
+    * liquid-clustering direction): identity partition columns become
+    * `graft.cluster.cols` (maintenance keeps files clustered on them)
+    * plus `graft.stats.cols` (commit-time min/max harvest — what makes
+    * partition predicates prune). Physical dir-per-value layouts come
+    * in via CONVERT TO GRAFT over an existing hive lake; a NEW table
+    * gets the clustered form, which prunes the same and never hits the
+    * small-files-per-partition wall. Bucket/transform partitioning
+    * refuses loudly.
+    */
+  private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references().head.fieldNames().length == 1 =>
+        t.references().head.fieldNames().head
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: PARTITIONED BY ${other.describe()} is not supported — " +
+          "only identity columns (mapped to the clustering layout)")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported — declare layout with " +
-        "TBLPROPERTIES ('graft.cluster.cols'='…') and let maintenance keep it")
+    val pcols = identityPartitionCols(partitions)
+    pcols.foreach(c => require(schema.fieldNames.isEmpty || schema.fieldNames.contains(c),
+      s"graft catalog: PARTITIONED BY column '$c' is not in the column list"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val entry = entryPath(ident)
     val f = fs(entry)
@@ -198,9 +219,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
       TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
     val user = properties.asScala.filterNot { case (k, _) =>
-      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
-    if (user.nonEmpty) TableLog.setTableProperties(spark, dir, user.toMap)
+      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }.toMap
+    val withParts =
+      if (pcols.isEmpty) user
+      else {
+        user.get("graft.cluster.cols").foreach(c => require(
+          c.split(",").map(_.trim).toSeq == pcols,
+          s"graft catalog: PARTITIONED BY (${pcols.mkString(", ")}) conflicts " +
+            s"with TBLPROPERTIES graft.cluster.cols='$c' — declare one"))
+        val stats = (pcols ++ user.get("graft.stats.cols").toSeq
+          .flatMap(_.split(",").map(_.trim))).distinct
+        user + ("graft.cluster.cols" -> pcols.mkString(",")) +
+          ("graft.stats.cols" -> stats.mkString(","))
+      }
+    if (withParts.nonEmpty) TableLog.setTableProperties(spark, dir, withParts)
     loadTable(ident)
+  }
+
+  // ------------------------------------------------------- CTAS / RTAS
+
+  /** CTAS routes here (not [[createTable]]) because the catalog is a
+    * [[StagingTableCatalog]] — which is what lets CREATE TABLE … AS
+    * SELECT be DISTINGUISHED from plain CREATE TABLE. The distinction
+    * matters for LOCATION adoption: plain CREATE over an existing
+    * graft table ADOPTS it (registration, no data change), but CTAS
+    * onto a location that already holds data would APPEND the query
+    * result into it — the resulting table silently becomes
+    * old-union-new instead of the query result. Delta refuses exactly
+    * this; so do we. The staged table itself is best-effort (the
+    * create is visible immediately — same durability seam as the
+    * non-atomic path): commit is a no-op, abort drops the entry so a
+    * failed CTAS write does not leave a half-registered table.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    Option(properties.get(TableCatalog.PROP_LOCATION)).foreach { loc =>
+      val nonEmpty = TableLog.currentVersion(spark, loc) > 0L &&
+        TableLog.liveFilesAt(spark, loc).nonEmpty
+      require(!nonEmpty,
+        s"graft catalog: CREATE TABLE $ident AS SELECT onto LOCATION '$loc' " +
+          "refuses — the location already holds a table WITH DATA, and the " +
+          "CTAS result would append into it (old-union-new is never what AS " +
+          "SELECT means). Plain CREATE TABLE (no AS SELECT) adopts the " +
+          "existing table; INSERT INTO appends explicitly.")
+    }
+    new GraftStagedTable(this, ident, createTable(ident, schema, partitions, properties))
+  }
+
+  /** RTAS: a managed table drops (data and all) and recreates — true
+    * replace. An EXTERNAL location holding data refuses like CTAS:
+    * dropping the entry would not clear the location, so the "replaced"
+    * table would still append into the old rows.
+    */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    dropTable(ident)
+    stageCreate(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) dropTable(ident)
+    stageCreate(ident, schema, partitions, properties)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -276,12 +360,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * with cycle detection). Same durability model as tables: any
     * session over the same root sees the same views.
     */
+  /** View names are CASE-INSENSITIVE like every Spark identifier: the
+    * stored filename is the lower-cased name, so `gcat.ns.V_X` and
+    * `gcat.ns.v_x` are one view. Namespace segments are real
+    * directories (shared with tables, created with the user's case) —
+    * lookups try the exact segments first, then the all-lower-cased
+    * path, which covers the unquoted-identifier convention without a
+    * per-segment directory listing.
+    */
   private def viewFile(ns: Seq[String], name: String): Path =
     new Path((rootDir +: ns.map(checkPart)).mkString("/") +
-      s"/${checkPart(name)}._gcatview")
+      s"/${checkPart(name).toLowerCase(java.util.Locale.ROOT)}._gcatview")
+
+  private def viewFileResolved(ns: Seq[String], name: String): Path = {
+    val exact = viewFile(ns, name)
+    if (fs(exact).exists(exact)) exact
+    else {
+      val lower = viewFile(ns.map(_.toLowerCase(java.util.Locale.ROOT)), name)
+      if (fs(lower).exists(lower)) lower else exact
+    }
+  }
 
   def viewSql(ns: Seq[String], name: String): Option[String] = {
-    val p = viewFile(ns, name)
+    val p = viewFileResolved(ns, name)
     val f = fs(p)
     if (!f.exists(p)) None
     else {
@@ -309,7 +410,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   def dropView(ns: Seq[String], name: String): Boolean = {
-    val p = viewFile(ns, name)
+    val p = viewFileResolved(ns, name)
     fs(p).delete(p, false)
   }
 
@@ -370,6 +471,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "(DROP … CASCADE to remove its tables)")
     f.delete(p, true)
   }
+}
+
+/** The best-effort staged table behind CTAS/RTAS: the underlying table
+  * is already live (filesystem catalogs have no invisible staging), so
+  * commit is a no-op and abort unregisters the entry.
+  */
+private[sources] class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
+                                        underlying: Table)
+    extends StagedTable with SupportsRead with SupportsWrite {
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = { cat.dropTable(ident); () }
+  override def name(): String = underlying.name()
+  override def schema(): StructType = underlying.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    underlying.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    underlying.asInstanceOf[SupportsWrite].newWriteBuilder(info)
 }
 
 /** A named graft table through the V2 seam — reads/writes delegate to

@@ -48,6 +48,11 @@ import graft.sinks.TableLog
   * accepts (Delta makes the identical ones).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  // remember the delegate CHAIN for the view commands' vanilla
+  // fallback: a non-graft multi-part view statement must re-parse
+  // through everything UNDER this interceptor (other injected
+  // extensions included), not a bare SparkSqlParser
+  GraftSqlParser.vanillaDelegate = delegate
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -64,6 +69,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** The most recent interceptor's delegate — the parser chain minus
+    * this class. Sessions rebuild their chains per extension set; the
+    * chains under this interceptor are equivalent, so last-wins is
+    * sound, and a null (no interceptor constructed yet — impossible on
+    * the command path, which only exists because one parsed) falls
+    * back to a bare SparkSqlParser.
+    */
+  @volatile private[sources] var vanillaDelegate: ParserInterface = _
 
   // a target is graft.`/path`, a bare view identifier, or a dotted
   // catalog name (`gcat.ns.t` — resolved through GraftCatalog)
@@ -92,7 +106,12 @@ object GraftSqlParser {
   // ≥3 dotted parts (cat.ns.v) — a form vanilla Spark REFUSES for the
   // session catalog and every upstream V2 catalog (no V2 view support),
   // so the grab collides with nothing runnable. The run-time command
-  // still verifies the first part names a GraftCatalog.
+  // still verifies the first part names a GraftCatalog. Names resolve
+  // CASE-INSENSITIVELY (the catalog stores lower-cased view files and
+  // the catalog-name lookup falls back to lower case). LIMITATION:
+  // BACKQUOTED multi-part view names (`cat`.`ns`.`v`) are not matched
+  // by this grab — such statements delegate to Spark's parser, which
+  // refuses multi-part views; use unquoted identifier-safe names.
   private val Dotted3 = """((?:[A-Za-z_][A-Za-z0-9_]*\.){2,}[A-Za-z_][A-Za-z0-9_]*)"""
   private val CreateViewRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" + Dotted3 +
@@ -128,9 +147,10 @@ object GraftSqlParser {
       Some(GraftShowTablesCommand(root))
     case CreateViewRe(orReplace, name, body) =>
       Some(GraftCreateViewCommand(name.split('.').toSeq, body,
-        orReplace != null))
+        orReplace != null, originalSql = sql))
     case DropViewRe(ifExists, name) =>
-      Some(GraftDropViewCommand(name.split('.').toSeq, ifExists != null))
+      Some(GraftDropViewCommand(name.split('.').toSeq, ifExists != null,
+        originalSql = sql))
     case ShowViewsRe(ns) =>
       Some(GraftShowViewsCommand(ns.split('.').toSeq))
     case _ => None
@@ -301,15 +321,19 @@ private[sources] object GraftViewCommands {
       case _ => None
     }
 
-  /** Re-run `sql` through Spark's OWN parser (bypassing the graft
-    * interceptor, which would just re-grab it) — the fallback for a
-    * multi-part view statement whose catalog is NOT graft: e.g.
-    * `CREATE VIEW spark_catalog.default.v AS …` is a legitimate
-    * session-catalog statement this parser must not break.
+  /** Re-run the USER'S ORIGINAL statement text through the parser chain
+    * UNDER the graft interceptor (which would just re-grab it) — the
+    * fallback for a multi-part view statement whose catalog is NOT
+    * graft: e.g. `CREATE VIEW spark_catalog.default.v AS …` is a
+    * legitimate session-catalog statement this parser must not break.
+    * The stored delegate keeps any OTHER injected parser extensions in
+    * the loop and the original text (quoting, comments, hints) intact;
+    * a bare SparkSqlParser is only the never-taken null fallback.
     */
   def runVanilla(spark: SparkSession, sql: String): Seq[Row] = {
-    val plan = new org.apache.spark.sql.execution.SparkSqlParser().parsePlan(sql)
-    GraftSqlShimAccess.ofRows(spark, plan).collect().toSeq
+    val parser = Option(GraftSqlParser.vanillaDelegate).getOrElse(
+      new org.apache.spark.sql.execution.SparkSqlParser())
+    GraftSqlShimAccess.ofRows(spark, parser.parsePlan(sql)).collect().toSeq
   }
 }
 
@@ -322,7 +346,8 @@ private[sources] object GraftViewCommands {
   */
 private[sources] case class GraftCreateViewCommand(parts: Seq[String],
                                                    sql: String,
-                                                   orReplace: Boolean)
+                                                   orReplace: Boolean,
+                                                   originalSql: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftViewCommands.graftCatalogOf(spark, parts.head) match {
@@ -333,14 +358,13 @@ private[sources] case class GraftCreateViewCommand(parts: Seq[String],
         spark.sql(sql).queryExecution.assertAnalyzed()
         g.createView(parts.tail.init, parts.last, sql, orReplace)
         Nil
-      case None => GraftViewCommands.runVanilla(spark,
-        s"CREATE ${if (orReplace) "OR REPLACE " else ""}VIEW " +
-          s"${parts.mkString(".")} AS $sql")
+      case None => GraftViewCommands.runVanilla(spark, originalSql)
     }
 }
 
 private[sources] case class GraftDropViewCommand(parts: Seq[String],
-                                                 ifExists: Boolean)
+                                                 ifExists: Boolean,
+                                                 originalSql: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftViewCommands.graftCatalogOf(spark, parts.head) match {
@@ -349,8 +373,7 @@ private[sources] case class GraftDropViewCommand(parts: Seq[String],
         require(dropped || ifExists,
           s"DROP VIEW: ${parts.mkString(".")} does not exist (IF EXISTS to ignore)")
         Nil
-      case None => GraftViewCommands.runVanilla(spark,
-        s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}${parts.mkString(".")}")
+      case None => GraftViewCommands.runVanilla(spark, originalSql)
     }
 }
 

@@ -47,8 +47,15 @@ object GraftPlanShim {
     * view-name resolution). No behavior lives here.
     */
   def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
-                    name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
-    try Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.catalogManager.catalog(name))
-    catch { case _: Exception => None }
+                    name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
+    val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    // catalog names register under spark.sql.catalog.<name> (by
+    // convention lower-case); SQL identifiers are case-insensitive, so
+    // GCAT.ns.v must find gcat — exact first, lower-cased fallback
+    (try Some(mgr.catalog(name)) catch { case _: Exception => None })
+      .orElse(
+        try Some(mgr.catalog(name.toLowerCase(java.util.Locale.ROOT)))
+        catch { case _: Exception => None })
+  }
 }

@@ -881,6 +881,81 @@ object ScaleProbe {
       probeRun("hist_stream_catchup") { () => catchUp(h1) } { () => catchUp(h16) }
     }
 
+    // MANIFEST-ENTRY axis (round 16 — the per-TABLE state dimension the
+    // file/commit probes never exercised): 512- vs 8192-entry manifests.
+    // (1) ckpt_write: the multipart checkpoint renders entries as rows
+    // and writes parquet parts from executor tasks — 16× entries must
+    // cost far under 16× (the job overhead dominates the small side);
+    // (2) ckpt_resolve: COLD snapshot resolution reads the parts back
+    // as a Spark job — same expectation; (3) ckpt_resolve_cached: the
+    // production steady state — a repeated resolution of the same
+    // version is a cache hit, O(1) regardless of entry count.
+    val ckptProbes = Set("ckpt_write", "ckpt_resolve", "ckpt_resolve_cached")
+    if (only.isEmpty || only.exists(ckptProbes)) {
+      import graft.sinks.TableLog
+      def manyStage(name: String, nFiles: Int): String = {
+        val p = s"$StageDir/ckptfmt_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        TableLog.append(spark, p,
+          ev1.select(col("event_id"), col("user_id"), col("ts"))
+            .repartition(nFiles),
+          statsCols = Seq("event_id"))
+        p
+      }
+      val ck1 = manyStage("1x", 512)
+      val ck16 = manyStage("16x", 8192)
+      def ckWrite(p: String): Unit = {
+        val base = new org.apache.hadoop.fs.Path(p)
+        val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val v = TableLog.currentVersion(spark, p)
+        f.delete(new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.checkpoint.meta"), false)
+        f.delete(new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.checkpoint"), true)
+        TableLog.checkpoint(spark, p, multipartMinEntries = 1)
+        ()
+      }
+      probeRun("ckpt_write") { () => ckWrite(ck1) } { () => ckWrite(ck16) }
+      def resolveCold(p: String): Unit = {
+        graft.sinks.TableLog.snapshotCacheClear()
+        require(TableLog.liveFilesAt(spark, p).nonEmpty)
+      }
+      probeRun("ckpt_resolve") { () => resolveCold(ck1) } { () => resolveCold(ck16) }
+      def resolveCached(p: String): Unit =
+        require(TableLog.liveFilesAt(spark, p).nonEmpty)
+      probeRun("ckpt_resolve_cached") { () => resolveCached(ck1) } {
+        () => resolveCached(ck16)
+      }
+    }
+
+    // KEYED CHANGE FEED vs the FILE-COUNT axis (round 16): one commit
+    // whose diff holds the SAME rows spread over 8 vs 128 files — the
+    // single-pass pairing join's cost must track the diff's ROWS, not
+    // its manifest entry count (ratio ~1, not 16)
+    if (only.isEmpty || only("cdf_files_keyed")) {
+      import graft.sinks.TableLog
+      def cdfFilesStage(name: String, nFiles: Int): String = {
+        val p = s"$StageDir/cdffiles_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        val d0 = ev1.select(col("event_id"), col("user_id"), col("ts"))
+          .dropDuplicates("event_id")
+        TableLog.append(spark, p, d0.repartition(nFiles),
+          statsCols = Seq("event_id"))
+        TableLog.overwrite(spark, p,
+          d0.withColumn("user_id", -col("user_id")).repartition(nFiles),
+          statsCols = Seq("event_id"))
+        p
+      }
+      val cf1 = cdfFilesStage("1x", 8)
+      val cf16 = cdfFilesStage("16x", 128)
+      def keyedFeed(p: String): Unit = {
+        val v = TableLog.currentVersion(spark, p)
+        TableLog.readChanges(spark, p, v, v, keys = Seq("event_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("cdf_files_keyed") { () => keyedFeed(cf1) } { () => keyedFeed(cf16) }
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory

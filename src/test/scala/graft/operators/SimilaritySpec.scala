@@ -475,10 +475,15 @@ class SimilaritySpec extends SparkSpec {
           s"what flags PCA as the wrong tool here (${m16.explainedTotal})")
       def rAt(k: Int): Double = {
         val m = Similarity.pcaFit(emb, "embedding", dim = 64, k = k)
-        val c = Similarity.pcaProject(emb, "embedding", m)
-          .select(col("vec_id"), col("pca_vec"))
-        val q = Similarity.pcaProject(queries, "embedding", m)
-          .select(col("vec_id"), col("pca_vec"))
+        // measuring recall on a below-floor store is exactly what the
+        // r16 routing guard refuses by default — the MEASUREMENT is the
+        // sanctioned override path
+        val c = Similarity.acceptCompressedStore(
+          Similarity.pcaProject(emb, "embedding", m)
+            .select(col("vec_id"), col("pca_vec")), "pca_vec")
+        val q = Similarity.acceptCompressedStore(
+          Similarity.pcaProject(queries, "embedding", m)
+            .select(col("vec_id"), col("pca_vec")), "pca_vec")
         Similarity.recallAtK(
           Similarity.bruteForceTopK(c, q, "vec_id", "pca_vec", 10), bf)
       }
@@ -569,5 +574,57 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.dropHotSigBuckets(idx, 0)
     }
+  }
+
+  test("recall-floor guard: low-explained compressed stores refuse ANN; good ones pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // near-isotropic corpus in d=16: k=4 keeps ~25% of the variance —
+    // exactly the store the r15 telemetry measured recall .539 on
+    val iso = (1L to 300L).map(id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)).toDF("id", "vec")
+    val mIso = Similarity.pcaFit(iso, "vec", dim = 16, k = 4)
+    assert(mIso.explainedTotal < Similarity.MinExplainedVarianceForAnn)
+    val isoStore = Similarity.pcaProject(iso, "vec", mIso)
+    val q = isoStore.limit(3)
+    def allRefuse(store: org.apache.spark.sql.DataFrame): Unit = {
+      Seq(
+        () => Similarity.bruteForceTopK(store, q, "id", "pca_vec", 2).collect(),
+        () => Similarity.lshSignatureIndex(store, "id", "pca_vec", 4, 2).collect(),
+        () => Similarity.ivfBuild(store, "id", "pca_vec", 4),
+        () => {
+          val pq = Similarity.pqTrain(store, "pca_vec", 4, 2, 16)
+          Similarity.pqEncode(store, "id", "pca_vec", pq).collect()
+        }
+      ).foreach { op =>
+        val e = intercept[IllegalArgumentException](op())
+        assert(e.getMessage.contains("variance"),
+          s"guard message must explain the refusal: ${e.getMessage}")
+      }
+    }
+    allRefuse(isoStore)
+    // structured corpus: rank-3 signal in d=16 → k=4 keeps ~everything;
+    // the SAME composition passes untouched
+    val str = (1L to 300L).map { id =>
+      val v = Array.fill(16)(0.0f)
+      v(0) = (rnd.nextGaussian() * 4).toFloat
+      v(5) = (rnd.nextGaussian() * 2).toFloat
+      v(9) = rnd.nextGaussian().toFloat
+      (id, (v.map(_ + rnd.nextGaussian().toFloat * 0.01f)).toSeq)
+    }.toDF("id", "vec")
+    val mStr = Similarity.pcaFit(str, "vec", dim = 16, k = 4)
+    assert(mStr.explainedTotal >= 0.9)
+    val good = Similarity.pcaProject(str, "vec", mStr)
+    assert(Similarity.bruteForceTopK(good, good.limit(2), "id", "pca_vec", 2)
+      .count() > 0)
+    // the deliberate override strips the stamp — a visible act
+    val forced = Similarity.acceptCompressedStore(isoStore, "pca_vec")
+    assert(Similarity.bruteForceTopK(forced, forced.limit(2), "id", "pca_vec", 2)
+      .count() > 0)
+    // JL projections stamp nothing (distance guarantee, not variance)
+    val jl = Similarity.pcaProject(iso, "vec",
+      Similarity.randomProjectionModel(16, 8))
+    assert(Similarity.bruteForceTopK(jl, jl.limit(2), "id", "pca_vec", 2)
+      .count() > 0)
   }
 }

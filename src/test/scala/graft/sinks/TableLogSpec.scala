@@ -847,14 +847,18 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).count() == 1000L)
   }
 
-  test("convertToGraft refusals: partitioned layouts, existing tables, empty dirs") {
+  test("convertToGraft refusals: mixed layouts, existing tables, empty dirs") {
     val root = tmpDir("tlog_convert_ref")
+    // hive-partitioned layouts ADOPT as of round 16 (see
+    // TableLogConvertPartitionedSpec); what still refuses is a MIXED
+    // layout — a data subdirectory without k=v form
     val part = s"$root/part"
     Seq((1L, "a"), (2L, "b")).toDF("k", "p").write.partitionBy("p").parquet(part)
+    new java.io.File(s"$part/not_a_partition").mkdirs()
     val e = intercept[IllegalArgumentException] {
       TableLog.convertToGraft(spark, part)
     }
-    assert(e.getMessage.contains("partition"))
+    assert(e.getMessage.contains("non-partition"))
     val t = s"$root/t"
     TableLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
     assert(intercept[IllegalArgumentException] {

@@ -230,4 +230,72 @@ class GraftCatalogSpec extends SparkSpec {
       s"a small named graft table must auto-broadcast:\n$plan")
     assert(joined.count() == 4000L)
   }
+
+  test("CTAS onto a non-empty LOCATION refuses; plain CREATE adopts; empty LOCATION works") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    val extDir = java.nio.file.Files.createTempDirectory("gcat_ctas")
+      .toFile.getAbsolutePath + "/t"
+    graft.sinks.TableLog.append(spark, extDir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    // CTAS would APPEND the query result into the adopted table —
+    // old-union-new is never what AS SELECT means; it must refuse
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gcat.ctas.bad USING graft LOCATION '$extDir' " +
+        "AS SELECT CAST(5 AS BIGINT) AS k, 9.0 AS v")
+    }
+    assert(e.getMessage.contains("AS SELECT"), e.getMessage)
+    // the refusal happened BEFORE registration — no entry left behind
+    assert(spark.sql("SHOW TABLES IN gcat.ctas").count() == 0L)
+    // and the existing table is untouched
+    assert(graft.sinks.TableLog.readAt(spark, extDir).count() == 2L)
+    // plain CREATE (no AS SELECT) still adopts — registration only
+    spark.sql(s"CREATE TABLE gcat.ctas.ok USING graft LOCATION '$extDir'")
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas.ok").head().getLong(0) == 2L)
+    // CTAS onto an EMPTY location is the legitimate create-with-data
+    val freshDir = java.nio.file.Files.createTempDirectory("gcat_ctas_f")
+      .toFile.getAbsolutePath + "/t"
+    spark.sql(s"CREATE TABLE gcat.ctas.fresh USING graft LOCATION '$freshDir' " +
+      "AS SELECT CAST(7 AS BIGINT) AS k, 2.0 AS v")
+    assert(spark.sql("SELECT k FROM gcat.ctas.fresh").head().getLong(0) == 7L)
+  }
+
+  test("PARTITIONED BY identity maps to the clustering layout; transforms refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.part")
+    spark.sql("CREATE TABLE gcat.part.t (k BIGINT, region STRING) USING graft " +
+      "PARTITIONED BY (region)")
+    val props = graft.sinks.TableLog.tablePropertiesAt(spark, s"$root/part/t")
+    assert(props.get("graft.cluster.cols").contains("region"))
+    assert(props.get("graft.stats.cols").exists(_.split(",").contains("region")))
+    spark.sql("INSERT INTO gcat.part.t VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    assert(spark.sql("SELECT count(*) FROM gcat.part.t WHERE region = 'eu'")
+      .head().getLong(0) == 2L)
+    // non-identity transforms refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.part.b (k BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // a conflicting explicit clustering declaration refuses too
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.part.c (k BIGINT, r STRING) USING graft " +
+        "PARTITIONED BY (r) TBLPROPERTIES ('graft.cluster.cols'='k')")
+    }
+    assert(e2.getMessage.contains("conflicts"), e2.getMessage)
+  }
+
+  test("view names resolve case-insensitively (identifier semantics)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ci")
+    spark.sql("CREATE TABLE gcat.ci.base (k BIGINT) USING graft")
+    spark.sql("INSERT INTO gcat.ci.base VALUES (1), (2)")
+    spark.sql("CREATE VIEW gcat.ci.V_Mixed AS SELECT k FROM gcat.ci.base")
+    // every case form of catalog and view name reads the one view
+    assert(spark.sql("SELECT count(*) FROM gcat.ci.v_mixed").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM gcat.ci.V_MIXED").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM GCAT.ci.V_Mixed").head().getLong(0) == 2L)
+    // CREATE under one case, DROP under another — one object
+    spark.sql("DROP VIEW gcat.ci.v_MIXED")
+    intercept[Exception] {
+      spark.sql("DROP VIEW gcat.ci.v_mixed")
+    }
+  }
 }
