@@ -3392,7 +3392,8 @@ object TableLog {
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              retainMs: Option[Long] = None,
              dryRun: Boolean = false,
-             graceMs: Option[Long] = None): VacuumReport = {
+             graceMs: Option[Long] = None,
+             fileOpsThreshold: Int = DistributeFileOpsThreshold): VacuumReport = {
     require(keepVersions >= 1, s"TableLog.vacuum: keepVersions must be ≥1, got $keepVersions")
     require(retainMs.forall(_ >= 0L),
       s"TableLog.vacuum: retainMs must be non-negative, got $retainMs")
@@ -3456,7 +3457,7 @@ object TableLog {
     var deletedData = 0
     var skippedYoung = 0
     if (fs.exists(dataRoot)) {
-      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val doomedRels = scala.collection.mutable.ArrayBuffer.empty[String]
       // attempt dirs that still hold ANY possibly-in-flight state must
       // survive the orphan-dir sweep — a recursive dir delete of a
       // mid-write attempt is the same data loss as a file delete
@@ -3467,36 +3468,49 @@ object TableLog {
       // writer in flight — never vacuum's business, and statting it
       // races the writer's own task-commit renames. A directory that
       // vanishes mid-listing was a writer moving files — skip it this
-      // run (skipping can only UNDER-delete, never corrupt).
+      // run (skipping can only UNDER-delete, never corrupt). The
+      // PER-DIR listings distribute above the threshold (the
+      // mapOverFooters rule): a 10⁶-file table's 10⁴ attempt dirs
+      // would otherwise serialize 10⁴ listing RPCs through the driver;
+      // only the O(names + mtimes) summaries come back.
       def listOrEmpty(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
         try fs.listStatus(p)
         catch { case scala.util.control.NonFatal(_) =>
           Array.empty[org.apache.hadoop.fs.FileStatus] }
-      listOrEmpty(dataRoot).filter(_.isDirectory).foreach { d =>
-        val kids = listOrEmpty(d.getPath)
+      val attemptDirs = listOrEmpty(dataRoot).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted.toSeq
+      val summaries: Seq[(String, Boolean, Seq[(String, Long)])] =
+        mapOverFooters(spark, base, attemptDirs.map(n => s"data/$n"),
+          fileOpsThreshold) { (c, p) =>
+          val pfs = p.getFileSystem(c)
+          val kids =
+            try pfs.listStatus(p)
+            catch { case scala.util.control.NonFatal(_) =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          (p.getName, kids.exists(_.isDirectory),
+            kids.filter(_.isFile)
+              .map(s => (s.getPath.getName, s.getModificationTime)).toSeq)
+        }
+      summaries.foreach { case (dirName, hasSubdir, files) =>
         // any subdirectory (the committer's _temporary tree) = in flight
-        if (kids.exists(_.isDirectory)) youngDirs += d.getPath.getName
-        kids.filter(_.isFile).foreach { st =>
-          val f = st.getPath
-          val rel = s"data/${d.getPath.getName}/${f.getName}"
+        if (hasSubdir) youngDirs += dirName
+        files.foreach { case (fname, mtime) =>
+          val rel = s"data/$dirName/$fname"
           // young + never named by any manifest = possibly in flight
-          val inFlight = now - st.getModificationTime < grace &&
-            !everAdded.contains(rel)
-          if (inFlight) youngDirs += d.getPath.getName
-          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
-            if (inFlight) skippedYoung += 1 else doomed += f
+          val inFlight = now - mtime < grace && !everAdded.contains(rel)
+          if (inFlight) youngDirs += dirName
+          if (fname.endsWith(".parquet") && !referenced.contains(rel)) {
+            if (inFlight) skippedYoung += 1 else doomedRels += rel
           }
         }
       }
-      if (dryRun) deletedData = doomed.length
+      if (dryRun) deletedData = doomedRels.length
       else {
-        // deletes distribute like every other per-file operation (the
-        // mapOverFooters rule: driver under the threshold, executor
-        // tasks above) — a retention pass retiring 10⁵ files must not
-        // serialize 10⁵ object-store RPCs through the driver
-        val rels = doomed.map(f => s"data/${f.getParent.getName}/${f.getName}")
-        deletedData = mapOverFooters(spark, base, rels.toSeq,
-          DistributeFileOpsThreshold)((c, p) =>
+        // deletes distribute like every other per-file operation — a
+        // retention pass retiring 10⁵ files must not serialize 10⁵
+        // object-store RPCs through the driver
+        deletedData = mapOverFooters(spark, base, doomedRels.toSeq,
+          fileOpsThreshold)((c, p) =>
           p.getFileSystem(c).delete(p, false)).count(identity)
         // sweep now-empty attempt dirs (incl. crash orphans' _SUCCESS
         // litter) — but never one that held a possibly-in-flight file
@@ -3504,19 +3518,39 @@ object TableLog {
         // is inside the grace window (a dir created between the listing
         // above and this sweep). Fresh clock reading: the file deletes
         // above just TOUCHED these dirs' mtimes, so ageing them against
-        // the pre-delete `now` would mis-read our own sweep as activity
+        // the pre-delete `now` would mis-read our own sweep as activity.
+        // Per-dir reference/held verdicts compute on the DRIVER (one
+        // pass over the path sets); the re-list + emptiness check +
+        // delete distribute, with the age gate evaluated in the task
+        // for never-held dirs.
         val now2 = clockMs()
-        listOrEmpty(dataRoot).filter(_.isDirectory).foreach { d =>
-          val name = d.getPath.getName
-          val kids = listOrEmpty(d.getPath)
-          val everHeld = everAdded.exists(_.startsWith(s"data/$name/"))
-          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet") &&
-                !k.isDirectory) &&
-              !referenced.exists(_.startsWith(s"data/$name/")) &&
-              !youngDirs.contains(name) &&
-              (everHeld || now2 - d.getModificationTime >= grace))
-            fs.delete(d.getPath, true)
+        val refDirs = referenced.iterator.collect {
+          case r if r.startsWith("data/") => r.split('/')(1) }.toSet
+        val heldDirs = everAdded.iterator.collect {
+          case r if r.startsWith("data/") => r.split('/')(1) }.toSet
+        val candidates = listOrEmpty(dataRoot).filter(_.isDirectory)
+          .map(_.getPath.getName).sorted
+          .filterNot(n => refDirs.contains(n) || youngDirs.contains(n))
+        def sweep(dirNames: Seq[String], ageGated: Boolean): Unit = {
+          mapOverFooters(spark, base, dirNames.map(n => s"data/$n"),
+            fileOpsThreshold) { (c, p) =>
+            val pfs = p.getFileSystem(c)
+            val kids =
+              try pfs.listStatus(p)
+              catch { case scala.util.control.NonFatal(_) =>
+                Array.empty[org.apache.hadoop.fs.FileStatus] }
+            val empty = kids.forall(k =>
+              !k.getPath.getName.endsWith(".parquet") && !k.isDirectory)
+            val aged = !ageGated ||
+              (try now2 - pfs.getFileStatus(p).getModificationTime >= grace
+               catch { case scala.util.control.NonFatal(_) => false })
+            if (empty && aged) pfs.delete(p, true) else false
+          }
+          ()
         }
+        val (held, unheld) = candidates.partition(heldDirs.contains)
+        sweep(held.toSeq, ageGated = false)
+        sweep(unheld.toSeq, ageGated = true)
       }
     }
     val logRoot = new Path(base, "_log")

@@ -176,4 +176,40 @@ class TableLogVacuumGraceSpec extends SparkSpec {
       s"property grace 0 must sweep the young orphan: $real")
     assert(TableLog.readAt(spark, dir).count() == 1L)
   }
+
+  test("distributed listing/sweep path (threshold=1) == driver path: same deletes, same grace") {
+    // round 16: the per-attempt-dir listings and the empty-dir sweep
+    // distribute above the threshold like every other per-file op; the
+    // seam pins executor-path semantics == driver-path on one fixture
+    // covering all three verdicts (retired deletable, young in-flight
+    // survivor, aged crash orphan)
+    def build(tag: String): String = {
+      val dir = tmpDir(s"grace_dist_$tag")
+      TableLog.overwrite(spark, dir, Seq((1L, "v1")).toDF("k", "s")) // v1
+      TableLog.overwrite(spark, dir, Seq((2L, "v2")).toDF("k", "s")) // v2 retires v1
+      stageInFlight(dir, "young00cc", 42L) // young never-referenced: must survive
+      dir
+    }
+    val drv = build("drv")
+    val exe = build("exe")
+    val repD = TableLog.vacuum(spark, drv, keepVersions = 1)
+    val repE = TableLog.vacuum(spark, exe, keepVersions = 1, fileOpsThreshold = 1)
+    assert((repE.deletedDataFiles, repE.skippedYoung) ==
+      (repD.deletedDataFiles, repD.skippedYoung),
+      s"executor path must match driver path: $repE vs $repD")
+    assert(repE.skippedYoung == 1 && repE.deletedDataFiles >= 1)
+    assert(new java.io.File(s"$exe/data/young00cc").exists(),
+      "the young in-flight dir survives the distributed sweep")
+    assert(TableLog.readAt(spark, exe).count() == 1L)
+    // aged pass: the orphan goes, its dir sweeps — through executor tasks
+    val saved = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => System.currentTimeMillis() + 7L * 3600L * 1000L
+      val rep2 = TableLog.vacuum(spark, exe, keepVersions = 1, fileOpsThreshold = 1)
+      assert(rep2.skippedYoung == 0)
+      assert(!new java.io.File(s"$exe/data/young00cc").exists(),
+        "the aged orphan dir must sweep through the distributed path")
+    } finally TableLog.clockMs = saved
+    assert(TableLog.readAt(spark, exe).count() == 1L)
+  }
 }

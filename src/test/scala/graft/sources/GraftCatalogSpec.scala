@@ -283,6 +283,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("conflicts"), e2.getMessage)
   }
 
+  test("repeated named-table reads resolve the snapshot ONCE (cache, not re-parse)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cache")
+    spark.sql("CREATE TABLE gcat.cache.t (k BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO gcat.cache.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    graft.sinks.TableLog.snapshotCacheClear()
+    assert(spark.sql("SELECT sum(v) FROM gcat.cache.t").head().getDouble(0) == 6.0)
+    val folds = graft.sinks.TableLog.snapshotFolds.get()
+    assert(folds >= 1L)
+    // the dashboard shape: N more queries against the same version —
+    // the manifest state must come from the (dir, version) memo, never
+    // a re-fold; only the names-only currentVersion listing repeats
+    (1 to 5).foreach { _ =>
+      assert(spark.sql("SELECT count(*) FROM gcat.cache.t").head().getLong(0) == 3L)
+    }
+    assert(graft.sinks.TableLog.snapshotFolds.get() == folds,
+      "repeated reads of one table version must not re-fold the manifest")
+    // a write moves the head: exactly the next read folds, then memoizes
+    spark.sql("INSERT INTO gcat.cache.t VALUES (4, 4.0)")
+    val f2 = graft.sinks.TableLog.snapshotFolds.get()
+    assert(spark.sql("SELECT count(*) FROM gcat.cache.t").head().getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM gcat.cache.t").head().getLong(0) == 4L)
+    assert(graft.sinks.TableLog.snapshotFolds.get() > f2,
+      "a new version folds once")
+  }
+
   test("view names resolve case-insensitively (identifier semantics)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ci")
     spark.sql("CREATE TABLE gcat.ci.base (k BIGINT) USING graft")
