@@ -1228,8 +1228,11 @@ object TableLog {
         "layout adopts; read mixed layouts with spark.read.parquet and " +
         "overwrite() a fresh table instead")
     // recursive walk: every level is either all `k=v` dirs (descend) or
-    // all leaf parquet files — anything else refuses
-    def walk(p: Path, segs: Seq[String]): Seq[(String, Seq[String])] = {
+    // all leaf parquet files — anything else refuses. Leaf FileStatus
+    // rides along from the walk's own listings: adoption must never pay
+    // a second O(files) getFileStatus sweep for sizes
+    def walk(p: Path, segs: Seq[String])
+        : Seq[(String, Seq[String], org.apache.hadoop.fs.FileStatus)] = {
       val kids = fs.listStatus(p).toSeq
         .filterNot(s => s.getPath.getName.startsWith("_") ||
           s.getPath.getName.startsWith("."))
@@ -1247,7 +1250,7 @@ object TableLog {
       } else
         fls.filter(_.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName)
-          .map(f => ((segs :+ f.getPath.getName).mkString("/"), segs))
+          .map(f => ((segs :+ f.getPath.getName).mkString("/"), segs, f))
     }
     val leaves = subdirs.sorted.flatMap(n => walk(new Path(base, n), Seq(n)))
     require(leaves.nonEmpty, s"TableLog.convertToGraft: no parquet files in $dir")
@@ -1260,16 +1263,15 @@ object TableLog {
     // columns + inferred partition column types, partition cols last) —
     // from the explicit leaf list with basePath, never the bare dir, so
     // a stray _spark_metadata can't hijack inference
-    val absLeaves = leaves.map { case (rel, _) => new Path(base, rel).toString }
+    val absLeaves = leaves.map { case (rel, _, _) => new Path(base, rel).toString }
     val fullSchema = spark.read.option("basePath", dir)
       .parquet(absLeaves: _*).schema
     val pTypes = pcols.map(c => c -> fullSchema(c).dataType).toMap
     val statsSet = statsCols.toSet -- pcols // partition cols aren't in the files
     val harvested = mapOverFooters(spark, base, leaves.map(_._1),
       DistributeFileOpsThreshold)((c, p) => footerStats(c, p, statsSet))
-    val statuses = leaves.map { case (rel, _) => fs.getFileStatus(new Path(base, rel)) }
-    val adds = leaves.lazyZip(harvested).lazyZip(statuses).map {
-      case ((rel, segs), (rows, stats, nulls), st) =>
+    val adds = leaves.lazyZip(harvested).map {
+      case ((_, segs, st), (rows, stats, nulls)) =>
         val vals = segs.map { s =>
           val c = s.takeWhile(_ != '=')
           c -> unescapePathSeg(s.drop(c.length + 1))
@@ -1292,7 +1294,9 @@ object TableLog {
 
   /** Hive's `__HIVE_DEFAULT_PARTITION__` token decodes to null; `%XX`
     * escapes (Spark's `escapePathName` for `/`, `:` etc.) decode to
-    * their characters.
+    * their characters. A malformed escape (truncated, non-hex) passes
+    * through literally — adoption must never crash on a weird but
+    * listable directory name.
     */
   private def unescapePathSeg(s: String): String =
     if (s == "__HIVE_DEFAULT_PARTITION__") null
@@ -1301,10 +1305,15 @@ object TableLog {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { b.append(c); i += 1 }
+        val hex =
+          if (c == '%' && i + 2 < s.length)
+            try Some(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            catch { case _: NumberFormatException => None }
+          else None
+        hex match {
+          case Some(h) => b.append(h); i += 3
+          case None => b.append(c); i += 1
+        }
       }
       b.toString
     }

@@ -106,6 +106,36 @@ class TableLogConvertPartitionedSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).count() == 300L)
   }
 
+  test("adopted lake lifecycle: CoW update prunes on the partition col, maintenance composes") {
+    val dir = tmpDir("tconv_life")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    // a CoW update whose predicate names ONLY the partition column must
+    // derive its touch set from the constant min=max stats — untouched
+    // partitions' adopted entries carry over verbatim
+    val preEntries = TableLog.liveFilesAt(spark, dir)
+    TableLog.updateWhere(spark, dir, col("p") === 2,
+      Map("s" -> lit("touched")), statsCols = Seq("k"))
+    val postEntries = TableLog.liveFilesAt(spark, dir)
+    val carried = preEntries.map(_.path).toSet
+      .intersect(postEntries.map(_.path).toSet)
+    assert(carried.nonEmpty,
+      "untouched partitions' adopted entries must carry over verbatim")
+    assert(postEntries.exists(_.pcols.isEmpty),
+      "rewritten rows land as table-local files")
+    val all = TableLog.readAt(spark, dir)
+    assert(all.filter(col("p") === 2 && col("s") =!= "touched").count() == 0L)
+    assert(all.filter(col("p") =!= 2 && col("s") === "touched").count() == 0L)
+    assert(all.count() == 300L)
+    // maintenance composes: compact + (multipart) checkpoint + vacuum,
+    // then the table still reads and still prunes on the partition col
+    TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    TableLog.snapshotCacheClear()
+    val pr = TableLog.scanWhere(spark, dir, col("p") === 0)
+    assert(pr.filesRead < pr.filesTotal)
+    assert(pr.df.count() == 100L)
+  }
+
   test("mixed / non-hive layouts still refuse") {
     val dir = tmpDir("tconv_bad")
     stage(dir)
