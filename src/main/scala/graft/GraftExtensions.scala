@@ -45,7 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // documented trade for not forking the grammar; the view statements
     // grab only ≥3-part names and fall back to Spark's parser when the
     // catalog is not graft (see graft.sources.GraftSqlParser)
-    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) => {
+      // the delegate chain registers PER SESSION — the view commands'
+      // vanilla fallback must re-parse through THIS session's chain,
+      // not whichever session constructed its parser last
+      graft.sources.GraftSqlParser.registerDelegate(session, delegate)
+      new graft.sources.GraftSqlParser(delegate)
+    })
 
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),

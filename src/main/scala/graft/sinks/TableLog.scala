@@ -429,14 +429,18 @@ object TableLog {
       "TableLog.deleteWhere(dv): columns named _dv_rel/_dv_pos collide with " +
         "the position scan's working columns — rename them")
     // the position scan reads PHYSICAL columns, aliases to logical so
-    // the caller's predicate resolves, then rides the metadata columns
-    val scan = spark.read.schema(physSchemaOf(schema, cm))
-      .parquet(touched.map(f => dataFilePath(dir, f.path)): _*)
-      .select((schema.fields.map(f =>
-          col(cm.getOrElse(f.name, f.name)).as(f.name)) :+
-        col("_metadata")).toSeq: _*)
-      .withColumn("_dv_rel", dvRelPath)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
+    // the caller's predicate resolves, then rides the metadata columns.
+    // Entry-arm routing (entryArms) keeps hive-adopted files' partition
+    // columns REAL here too — a flat read would null-fill them and a
+    // partition-column predicate would silently delete nothing
+    val scan = entryArms(spark, dir, physSchemaOf(schema, cm), touched).map {
+      _.select((schema.fields.map(f =>
+            col(cm.getOrElse(f.name, f.name)).as(f.name)) :+
+          col("_metadata")).toSeq: _*)
+        .withColumn("_dv_rel", dvRelPath)
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .drop("_metadata")
+    }.reduce(_.unionByName(_))
     val existing = touched.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p)))
     val live =
       if (existing.isEmpty) scan
@@ -1227,6 +1231,21 @@ object TableLog {
         s"(${badTop.take(3).mkString(", ")}) — only a hive `k=v` directory " +
         "layout adopts; read mixed layouts with spark.read.parquet and " +
         "overwrite() a fresh table instead")
+    // level zero gets the same mixed-layout rule the walk enforces
+    // below it: loose parquet beside partition dirs would silently
+    // drop its rows from the adopted manifest — a half-adopted lake is
+    // worse than none
+    val looseRoot = {
+      val base0 = new Path(dir)
+      val fs0 = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.listStatus(base0).filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+    }
+    require(looseRoot.isEmpty,
+      s"TableLog.convertToGraft: $dir mixes loose parquet files " +
+        s"(${looseRoot.take(3).mkString(", ")}) with partition " +
+        "directories — not a hive layout")
     // recursive walk: every level is either all `k=v` dirs (descend) or
     // all leaf parquet files — anything else refuses. Leaf FileStatus
     // rides along from the walk's own listings: adoption must never pay
@@ -1292,6 +1311,23 @@ object TableLog {
     i > 0 && i < n.length - 1
   }
 
+  /** The partition column names a manifest PATH itself encodes — the
+    * CONSECUTIVE trailing `k=v` directory segments directly above the
+    * file name, in order. Used to reconstruct the remove side of a
+    * change-feed diff, where the manifest records only the path:
+    * adopted entries' partition encoding is recoverable from the path
+    * alone because [[convertPartitioned]] derives `pcols` from exactly
+    * these segments. Table-local paths (`data/(attempt)/(part)`) and
+    * clone paths yield Nil — attempt names are generated hex, never
+    * `k=v`-shaped, and the reverse take stops at the first
+    * non-partition segment so a `=` in some ANCESTOR directory of an
+    * adopted root never leaks in.
+    */
+  private def pcolsOfPath(p: String): Seq[String] = {
+    val segs = p.split('/').filter(_.nonEmpty).dropRight(1)
+    segs.reverse.takeWhile(isPartSeg).reverse.map(_.takeWhile(_ != '=')).toSeq
+  }
+
   /** Hive's `__HIVE_DEFAULT_PARTITION__` token decodes to null; `%XX`
     * escapes (Spark's `escapePathName` for `/`, `:` etc.) decode to
     * their characters. A malformed escape (truncated, non-hex) passes
@@ -1305,10 +1341,15 @@ object TableLog {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
+        def isHex(ch: Char): Boolean =
+          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+            (ch >= 'A' && ch <= 'F')
+        // both chars must be hex DIGITS — parseInt alone would accept a
+        // signed "%-1" and decode garbage instead of passing it through
         val hex =
-          if (c == '%' && i + 2 < s.length)
-            try Some(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-            catch { case _: NumberFormatException => None }
+          if (c == '%' && i + 2 < s.length &&
+              isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2)))
+            Some(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
           else None
         hex match {
           case Some(h) => b.append(h); i += 3
@@ -2148,7 +2189,13 @@ object TableLog {
       // an orphan part dir (crash after the dir rename, before the
       // meta landed) is invisible to resolution — heal it in place
       if (fs.exists(partDir)) fs.delete(partDir, true)
-      val tmpDir = new Path(base, s"_log/.tmp_ckptdir_$latest")
+      // attempt-unique staging: two checkpointers racing the same
+      // version must not clobber each other's in-flight part writes (a
+      // directory of parts is not the benign single-file overwrite the
+      // legacy path had); the loser's rename fails against the landed
+      // target and its tmp dir sweeps as vacuum litter
+      val tmpDir = new Path(base,
+        s"_log/.tmp_ckptdir_${latest}_${java.util.UUID.randomUUID().toString.take(8)}")
       fs.delete(tmpDir, true)
       val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         math.ceil(live.length.toDouble / CheckpointEntriesPerPart).toInt))
@@ -2750,32 +2797,9 @@ object TableLog {
       if (colmap.isEmpty) df
       else df.select(schema.fields.map(f =>
         col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
-    // HIVE-PARTITIONED adopted entries (pcols non-empty) read in their
-    // own scan arm with Spark's partition discovery rooted at the
-    // adopted directory (`basePath` = the file path minus its name and
-    // its pcols' `k=v` segments): the partition columns — absent from
-    // the files — materialize from the directory names, typed by the
-    // requested schema, exactly like a native partitioned read. Plain
-    // entries keep the single flat arm. Arm count is O(distinct
-    // adopted roots) — in practice ≤ 2 (one converted lake + the
-    // table-local `data/` writes) — never O(files).
-    def baseOf(e: AddFile): Option[String] =
-      if (e.pcols.isEmpty) None
-      else {
-        var p = new Path(dataFilePath(dir, e.path))
-        (0 to e.pcols.length).foreach(_ => p = p.getParent)
-        Some(p.toString)
-      }
-    def scanArm(es: Seq[AddFile], bp: Option[String]): DataFrame = {
-      val r0 = spark.read.schema(pSchema)
-      val r = bp.fold(r0)(b => r0.option("basePath", b))
-      r.parquet(es.map(f => dataFilePath(dir, f.path)): _*)
-    }
-    def arms(es: Seq[AddFile]): Seq[(Seq[AddFile], Option[String])] =
-      es.groupBy(baseOf).toSeq.sortBy(_._1.getOrElse("")).map(_.swap)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(arms(clean).map { case (es, bp) => toLogical(scanArm(es, bp)) }
+      else Some(entryArms(spark, dir, pSchema, clean).map(toLogical)
         .reduce(_.unionByName(_)))
     if (dvFiles.isEmpty) return cleanDf.get
     val doomed = spark.createDataFrame(
@@ -2783,15 +2807,45 @@ object TableLog {
       new StructType()
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val dvDf = arms(dvFiles).map { case (es, bp) =>
-      scanArm(es, bp)
-        .withColumn("_dv_rel", dvRelPath)
+    val dvDf = entryArms(spark, dir, pSchema, dvFiles).map {
+      _.withColumn("_dv_rel", dvRelPath)
         .withColumn("_dv_pos", col("_metadata.row_index"))
         .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
         .select(schema.fields.map(f =>
           col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
     }.reduce(_.unionByName(_))
     cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
+  }
+
+  /** Scan arms for a set of manifest entries: plain entries read as ONE
+    * flat multi-path scan; HIVE-PARTITIONED adopted entries (pcols
+    * non-empty) read in their own arm with Spark's partition discovery
+    * rooted at the adopted directory (`basePath` = the file path minus
+    * its name and its pcols' `k=v` segments) — the partition columns,
+    * absent from the files, materialize from the directory names typed
+    * by the requested schema, exactly like a native partitioned read.
+    * Arm count is O(distinct adopted roots) — in practice ≤ 2 (one
+    * converted lake + the table-local `data/` writes) — never O(files).
+    * EVERY path that scans manifest entries must come through here (the
+    * snapshot read, the dv position scan): a flat read of an adopted
+    * entry silently null-fills its partition columns.
+    */
+  private def entryArms(spark: SparkSession, dir: String,
+                        pSchema: StructType,
+                        entries: Seq[AddFile]): Seq[DataFrame] = {
+    def baseOf(e: AddFile): Option[String] =
+      if (e.pcols.isEmpty) None
+      else {
+        var p = new Path(dataFilePath(dir, e.path))
+        (0 to e.pcols.length).foreach(_ => p = p.getParent)
+        Some(p.toString)
+      }
+    entries.groupBy(baseOf).toSeq.sortBy(_._1.getOrElse("")).map {
+      case (bp, es) =>
+        val r0 = spark.read.schema(pSchema)
+        bp.fold(r0)(b => r0.option("basePath", b))
+          .parquet(es.map(f => dataFilePath(dir, f.path)): _*)
+    }
   }
 
   /** The history as a DATAFRAME — `DESCRIBE HISTORY` for the audit
@@ -3167,9 +3221,14 @@ object TableLog {
         if (c.op == "append" || c.remove.isEmpty)
           added.withColumn("_change_type", lit("insert"))
         else {
+          // the manifest records only the PATH for a remove — pcols
+          // reconstruct from the path's own trailing `k=v` segments, or
+          // a hive-adopted pre-image would read with NULL partition
+          // columns and every unchanged row would diff as a spurious
+          // delete+insert pair
           val removed = readWithDv(spark, dir, schema,
             c.remove.map(p => AddFile(p, 0L, Map.empty,
-              c.removeDv.getOrElse(p, Nil))), c.colmap)
+              c.removeDv.getOrElse(p, Nil), pcols = pcolsOfPath(p))), c.colmap)
           val ins = added.exceptAll(removed)
           val del = removed.exceptAll(added)
           if (keys.isEmpty)
@@ -3739,7 +3798,13 @@ object TableLog {
     * file length + mtime, one `getFileStatus`) exists only to catch a
     * table directory being deleted and REBUILT at the same path (test
     * fixtures, `rm -rf` + re-ingest), where version numbers restart but
-    * content differs. What it buys at scale: a dashboard running N
+    * content differs. Residual window, accepted and documented: a
+    * rebuild producing a SAME-LENGTH manifest within the filesystem's
+    * mtime-granularity tick collides — a sub-second in-place rebuild of
+    * an identical-size table; detecting that for real would cost
+    * reading the manifest, which is exactly the work the cache exists
+    * to skip. [[snapshotCacheClear]] is the explicit reset for
+    * orchestrators that tear down and rebuild in place. What it buys at scale: a dashboard running N
     * queries against one version parses the manifest state ONCE — the
     * 100-query planning storm costs one fold plus 99 map hits instead
     * of 100 full re-parses. Weight-bounded by ENTRY count, not snapshot
@@ -3827,13 +3892,23 @@ object TableLog {
                                   base: Path, cv: Long): (String, Seq[AddFile]) = {
     val meta = checkpointMetaPath(base, cv)
     if (!fs.exists(meta)) return parseCheckpoint(readText(fs, checkpointPath(base, cv)))
-    val (schemaJson, declared) = parseCheckpointMeta(readText(fs, meta))
+    val (schemaJson, declared, expectEntries) =
+      parseCheckpointMeta(readText(fs, meta))
     requireSupportedFeatures(declared, s"checkpoint $cv")
     val entries = spark.read
       .parquet(checkpointPartDir(base, cv).toString)
       .as[CkptEntry](org.apache.spark.sql.Encoders.product[CkptEntry])
       .collect()
       .sortBy(_.seq)
+    // the header's entry count is the integrity check: a partial part
+    // directory (torn copy, lost part) must fail LOUDLY here — a
+    // silently smaller live set is silently missing rows on every
+    // subsequent read
+    require(expectEntries < 0L || entries.length.toLong == expectEntries,
+      s"TableLog: checkpoint $cv is corrupt — header declares " +
+        s"$expectEntries entries, parts hold ${entries.length}; restore " +
+        "the missing parts or delete the header and its part dir (the " +
+        "log folds without it)")
     (schemaJson, entries.iterator.map(fromCkptEntry).toSeq)
   }
 
@@ -4154,13 +4229,17 @@ object TableLog {
       s""""parts":$parts,"entries":$entries}"""
   }
 
-  /** `(schemaJson, declared reader features)` from a multi-part header. */
-  private def parseCheckpointMeta(txt: String): (String, Seq[String]) = {
+  /** `(schemaJson, declared reader features, entry count)` from a
+    * multi-part header; a header without the count (never written by
+    * this library, tolerated on parse) reports -1 = unchecked.
+    */
+  private def parseCheckpointMeta(txt: String): (String, Seq[String], Long) = {
     import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     (n.get("schema").asText(),
       Option(n.get("features"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      Option(n.get("entries")).map(_.asLong()).getOrElse(-1L))
   }
 
   private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] = {

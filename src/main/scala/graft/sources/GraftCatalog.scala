@@ -68,7 +68,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var rootDir: String = _
 
   private def spark = SparkSession.active
-  private def fs(p: Path) =
+  private[sources] def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -178,9 +178,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val pcols = identityPartitionCols(partitions)
-    pcols.foreach(c => require(schema.fieldNames.isEmpty || schema.fieldNames.contains(c),
-      s"graft catalog: PARTITIONED BY column '$c' is not in the column list"))
+    // Spark identifiers are case-insensitive: resolve each PARTITIONED
+    // BY name to the column list's OWN spelling before it lands in
+    // properties (a property naming "id" against a field "ID" would
+    // silently cluster nothing)
+    val pcols = identityPartitionCols(partitions).map { c =>
+      if (schema.fieldNames.isEmpty) c
+      else schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: PARTITIONED BY column '$c' is not in the column list"))
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val entry = entryPath(ident)
     val f = fs(entry)
@@ -224,7 +231,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (pcols.isEmpty) user
       else {
         user.get("graft.cluster.cols").foreach(c => require(
-          c.split(",").map(_.trim).toSeq == pcols,
+          c.split(",").map(_.trim).toSeq.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            pcols.map(_.toLowerCase(java.util.Locale.ROOT)),
           s"graft catalog: PARTITIONED BY (${pcols.mkString(", ")}) conflicts " +
             s"with TBLPROPERTIES graft.cluster.cols='$c' — declare one"))
         val stats = (pcols ++ user.get("graft.stats.cols").toSeq
@@ -251,41 +259,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * non-atomic path): commit is a no-op, abort drops the entry so a
     * failed CTAS write does not leave a half-registered table.
     */
-  override def stageCreate(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): StagedTable = {
+  private def refuseCtasOntoData(ident: Identifier, what: String,
+                                 properties: util.Map[String, String]): Unit =
     Option(properties.get(TableCatalog.PROP_LOCATION)).foreach { loc =>
       val nonEmpty = TableLog.currentVersion(spark, loc) > 0L &&
         TableLog.liveFilesAt(spark, loc).nonEmpty
       require(!nonEmpty,
-        s"graft catalog: CREATE TABLE $ident AS SELECT onto LOCATION '$loc' " +
+        s"graft catalog: $what $ident onto LOCATION '$loc' " +
           "refuses — the location already holds a table WITH DATA, and the " +
-          "CTAS result would append into it (old-union-new is never what AS " +
-          "SELECT means). Plain CREATE TABLE (no AS SELECT) adopts the " +
-          "existing table; INSERT INTO appends explicitly.")
+          "AS SELECT result would append into it (old-union-new is never " +
+          "what AS SELECT means; the catalog entry cannot clear an " +
+          "external location either). Plain CREATE TABLE (no AS SELECT) " +
+          "adopts the existing table; INSERT INTO appends explicitly.")
     }
-    new GraftStagedTable(this, ident, createTable(ident, schema, partitions, properties))
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    refuseCtasOntoData(ident, "CREATE TABLE ... AS SELECT", properties)
+    new GraftStagedTable(this, ident,
+      createTable(ident, schema, partitions, properties), backup = None)
   }
 
-  /** RTAS: a managed table drops (data and all) and recreates — true
-    * replace. An EXTERNAL location holding data refuses like CTAS:
-    * dropping the entry would not clear the location, so the "replaced"
-    * table would still append into the old rows.
+  /** RTAS: the existing entry is RENAMED ASIDE (an `_replacing_*`
+    * sibling, invisible to listings), the new table is created and
+    * written, and only a successful commit deletes the backup — a
+    * failed REPLACE TABLE AS SELECT restores the original instead of
+    * destroying it (the whole point of the staging seam). Every refusal
+    * (transform partitioning, AS-SELECT onto an external location with
+    * data) runs BEFORE the rename, so a refused statement touches
+    * nothing.
     */
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    dropTable(ident)
-    stageCreate(ident, schema, partitions, properties)
+    refuseCtasOntoData(ident, "REPLACE TABLE ... AS SELECT", properties)
+    identityPartitionCols(partitions) // transform refusal, pre-rename
+    val entry = entryPath(ident)
+    val f = fs(entry)
+    val backup = new Path(entry.getParent,
+      s"_replacing_${ident.name()}_${java.util.UUID.randomUUID().toString.take(8)}")
+    require(f.rename(entry, backup),
+      s"graft catalog: could not stage REPLACE of $ident (rename failed)")
+    try new GraftStagedTable(this, ident,
+      createTable(ident, schema, partitions, properties),
+      backup = Some((backup, entry)))
+    catch {
+      case e: Throwable =>
+        f.delete(entry, true)
+        f.rename(backup, entry)
+        throw e
+    }
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
-                                    properties: util.Map[String, String]): StagedTable = {
-    if (tableExists(ident)) dropTable(ident)
-    stageCreate(ident, schema, partitions, properties)
-  }
+                                    properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -475,13 +507,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 /** The best-effort staged table behind CTAS/RTAS: the underlying table
   * is already live (filesystem catalogs have no invisible staging), so
-  * commit is a no-op and abort unregisters the entry.
+  * commit is cleanup-only and abort unregisters the entry. For RTAS,
+  * `backup` holds the original entry renamed aside: commit deletes it,
+  * abort restores it — a failed replace never loses the original.
   */
 private[sources] class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
-                                        underlying: Table)
+                                        underlying: Table,
+                                        backup: Option[(Path, Path)])
     extends StagedTable with SupportsRead with SupportsWrite {
-  override def commitStagedChanges(): Unit = ()
-  override def abortStagedChanges(): Unit = { cat.dropTable(ident); () }
+  override def commitStagedChanges(): Unit =
+    backup.foreach { case (b, _) => cat.fs(b).delete(b, true); () }
+  override def abortStagedChanges(): Unit = {
+    cat.dropTable(ident)
+    backup.foreach { case (b, orig) => cat.fs(b).rename(b, orig); () }
+  }
   override def name(): String = underlying.name()
   override def schema(): StructType = underlying.schema()
   override def capabilities(): util.Set[TableCapability] =

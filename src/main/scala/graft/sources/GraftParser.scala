@@ -48,10 +48,9 @@ import graft.sinks.TableLog
   * accepts (Delta makes the identical ones).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  // remember the delegate CHAIN for the view commands' vanilla
-  // fallback: a non-graft multi-part view statement must re-parse
-  // through everything UNDER this interceptor (other injected
-  // extensions included), not a bare SparkSqlParser
+  // last-wins fallback for parsers constructed OUTSIDE injectParser
+  // (tests wiring the interceptor directly); the per-session registry
+  // in the companion is the primary lookup
   GraftSqlParser.vanillaDelegate = delegate
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
@@ -70,13 +69,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** The most recent interceptor's delegate — the parser chain minus
-    * this class. Sessions rebuild their chains per extension set; the
-    * chains under this interceptor are equivalent, so last-wins is
-    * sound, and a null (no interceptor constructed yet — impossible on
-    * the command path, which only exists because one parsed) falls
-    * back to a bare SparkSqlParser.
+  /** PER-SESSION delegate registry (weak keys — a retired session must
+    * not pin its parser chain): the view commands' vanilla fallback
+    * re-parses through the EXECUTING session's own chain, so two
+    * concurrent sessions with different extension sets never cross
+    * wires. `vanillaDelegate` is the last-constructed fallback for
+    * parsers wired outside injectParser (tests); a bare SparkSqlParser
+    * is the never-taken final fallback.
     */
+  private val delegates = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ParserInterface]())
+  def registerDelegate(s: SparkSession, d: ParserInterface): Unit = {
+    delegates.put(s, d)
+    vanillaDelegate = d
+    ()
+  }
+  private[sources] def delegateFor(s: SparkSession): Option[ParserInterface] =
+    Option(delegates.get(s)).orElse(Option(vanillaDelegate))
   @volatile private[sources] var vanillaDelegate: ParserInterface = _
 
   // a target is graft.`/path`, a bare view identifier, or a dotted
@@ -331,7 +340,7 @@ private[sources] object GraftViewCommands {
     * a bare SparkSqlParser is only the never-taken null fallback.
     */
   def runVanilla(spark: SparkSession, sql: String): Seq[Row] = {
-    val parser = Option(GraftSqlParser.vanillaDelegate).getOrElse(
+    val parser = GraftSqlParser.delegateFor(spark).getOrElse(
       new org.apache.spark.sql.execution.SparkSqlParser())
     GraftSqlShimAccess.ofRows(spark, parser.parsePlan(sql)).collect().toSeq
   }

@@ -48,14 +48,21 @@ object GraftPlanShim {
     */
   def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
                     name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
-    val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.catalogManager
+    // the cast and sessionState access stay INSIDE the try — a
+    // non-classic session (or one mid-teardown) must yield None, not a
+    // ClassCastException out of every view-name resolution
+    val mgr =
+      try Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager)
+      catch { case _: Exception => None }
     // catalog names register under spark.sql.catalog.<name> (by
     // convention lower-case); SQL identifiers are case-insensitive, so
     // GCAT.ns.v must find gcat — exact first, lower-cased fallback
-    (try Some(mgr.catalog(name)) catch { case _: Exception => None })
-      .orElse(
-        try Some(mgr.catalog(name.toLowerCase(java.util.Locale.ROOT)))
-        catch { case _: Exception => None })
+    mgr.flatMap { m =>
+      (try Some(m.catalog(name)) catch { case _: Exception => None })
+        .orElse(
+          try Some(m.catalog(name.toLowerCase(java.util.Locale.ROOT)))
+          catch { case _: Exception => None })
+    }
   }
 }

@@ -950,7 +950,7 @@ object ScaleProbe {
       val cf16 = cdfFilesStage("16x", 128)
       def keyedFeed(p: String): Unit = {
         val v = TableLog.currentVersion(spark, p)
-        TableLog.readChanges(spark, p, v, v, keys = Seq("event_id"))
+        TableLog.readChanges(spark, p, v - 1, v, keys = Seq("event_id"))
           .write.format("noop").mode("overwrite").save()
       }
       probeRun("cdf_files_keyed") { () => keyedFeed(cf1) } { () => keyedFeed(cf16) }

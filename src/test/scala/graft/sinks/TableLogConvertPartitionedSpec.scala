@@ -136,7 +136,48 @@ class TableLogConvertPartitionedSpec extends SparkSpec {
     assert(pr.df.count() == 100L)
   }
 
-  test("mixed / non-hive layouts still refuse") {
+  test("dv delete on a partition-column predicate deletes the right rows (basePath position scan)") {
+    val dir = tmpDir("tconv_dvpart")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    // the predicate names ONLY directory-encoded columns: the position
+    // scan must materialize them through the basePath arm, or the
+    // delete silently matches nothing (the review finding)
+    TableLog.deleteWhere(spark, dir, col("p") === 1 && col("k") < 10, mode = "dv")
+    val after = TableLog.readAt(spark, dir)
+    assert(after.count() == 297L, "exactly the p=1, k<10 rows must go")
+    assert(after.filter(col("p") === 1 && col("k") < 10).count() == 0L)
+    assert(after.filter(col("p") === 1).count() == 97L)
+    // and the keyed change feed attributes the dv delete with REAL
+    // partition values on the pre-images (remove-side pcols reconstruct
+    // from the path)
+    val v = TableLog.currentVersion(spark, dir)
+    val feed = TableLog.readChanges(spark, dir, v - 1, v)
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.count() == 3L)
+    assert(dels.filter(col("p").isNull).count() == 0L,
+      "delete pre-images must carry the real partition values, not nulls")
+  }
+
+  test("CDF over a commit touching adopted entries emits the exact diff, no spurious pairs") {
+    val dir = tmpDir("tconv_cdf")
+    stage(dir)
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    // a CoW update rewrites touched adopted files into table-local
+    // files: unchanged rows in touched files must CANCEL across the
+    // remove/add sides — possible only if the remove side reads its
+    // partition columns for real
+    TableLog.updateWhere(spark, dir, col("p") === 0 && col("k") === 0,
+      Map("s" -> lit("bumped")), statsCols = Seq("k"))
+    val v = TableLog.currentVersion(spark, dir)
+    val feed = TableLog.readChanges(spark, dir, v - 1, v, keys = Seq("k"))
+    val rows = feed.select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((0L, "update_preimage"), (0L, "update_postimage")),
+      s"only the touched key may appear in the feed, got ${rows.take(5)}")
+  }
+
+  test("mixed / non-hive layouts still refuse (subdir and loose-root forms)") {
     val dir = tmpDir("tconv_bad")
     stage(dir)
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,5 +186,19 @@ class TableLogConvertPartitionedSpec extends SparkSpec {
       TableLog.convertToGraft(spark, dir)
     }
     assert(e.getMessage.contains("non-partition"))
+    // loose parquet beside partition dirs: adopting would silently drop
+    // its rows — refuse
+    val dir2 = tmpDir("tconv_bad2")
+    stage(dir2)
+    val src = new java.io.File(tmpDir("tconv_loose"))
+    Seq((99L, "x")).toDF("k", "s").coalesce(1).write
+      .mode("overwrite").parquet(src.getAbsolutePath)
+    val part = src.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir2, "loose.parquet").toPath)
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.convertToGraft(spark, dir2)
+    }
+    assert(e2.getMessage.contains("loose"), e2.getMessage)
   }
 }

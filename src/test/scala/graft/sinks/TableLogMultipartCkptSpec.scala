@@ -121,6 +121,33 @@ class TableLogMultipartCkptSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).count() == 110L)
   }
 
+  test("a partial part directory fails LOUDLY against the header's entry count") {
+    val dir = tmpDir("tlog_mp_torn")
+    TableLog.append(spark, dir,
+      spark.range(0, 200).select(col("id").as("k")).repartition(4))
+    val v = TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    val f = fs(dir)
+    val partDir = new Path(dir, f"_log/$v%020d.checkpoint")
+    // tear the checkpoint: make the header claim MORE entries than the
+    // parts hold (the observable state of a torn copy / lost part) —
+    // resolution must refuse, never silently serve a smaller live set
+    val metaFile = new java.io.File(dir, f"_log/$v%020d.checkpoint.meta")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    java.nio.file.Files.write(metaFile.toPath,
+      txt.replaceAll("\"entries\":\\d+", "\"entries\":99").getBytes("UTF-8"))
+    // hand-editing invalidates Hadoop's checksum sidecar
+    f.delete(new Path(dir, f"_log/.$v%020d.checkpoint.meta.crc"), false)
+    TableLog.snapshotCacheClear()
+    val e = intercept[Exception] { TableLog.readAt(spark, dir).count() }
+    assert(e.getMessage != null && e.getMessage.contains("corrupt"),
+      s"torn checkpoint must refuse loudly: ${e.getMessage}")
+    // the prescribed repair: remove the header + parts, the log folds
+    f.delete(new Path(dir, f"_log/$v%020d.checkpoint.meta"), false)
+    f.delete(partDir, true)
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 200L)
+  }
+
   test("snapshot cache: one fold serves repeated reads; new versions and rebuilt dirs miss") {
     val dir = tmpDir("tlog_cache")
     TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))

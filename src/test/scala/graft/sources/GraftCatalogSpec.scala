@@ -259,6 +259,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gcat.ctas.fresh").head().getLong(0) == 7L)
   }
 
+  test("REPLACE TABLE AS SELECT: success replaces; a FAILED replace restores the original") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.rtas")
+    spark.sql("CREATE TABLE gcat.rtas.t USING graft AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, 'orig' AS s")
+    // success path: the new table fully replaces the old
+    spark.sql("REPLACE TABLE gcat.rtas.t USING graft AS " +
+      "SELECT CAST(2 AS BIGINT) AS k, 'next' AS s")
+    assert(spark.sql("SELECT k, s FROM gcat.rtas.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "next")))
+    // failure path: the AS SELECT dies at execution — the original
+    // table must come back intact, not be destroyed (the staging seam's
+    // whole point); the failing write aborts the staged create
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.rtas.t USING graft AS " +
+        "SELECT CAST(3 AS BIGINT) AS k, " +
+        "CASE WHEN assert_true(false) IS NULL THEN 'boom' END AS s")
+    }
+    assert(spark.sql("SELECT k, s FROM gcat.rtas.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "next")),
+      "a failed REPLACE must restore the original table")
+    // refusal path (pre-rename): transform partitioning refuses and the
+    // original is untouched
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.rtas.t USING graft " +
+        "PARTITIONED BY (bucket(4, k)) AS SELECT CAST(4 AS BIGINT) AS k, 'x' AS s")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.rtas.t").head().getLong(0) == 1L)
+    // no _replacing_ backup litter survives either outcome
+    assert(spark.sql("SHOW TABLES IN gcat.rtas").count() == 1L)
+  }
+
   test("PARTITIONED BY identity maps to the clustering layout; transforms refuse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.part")
     spark.sql("CREATE TABLE gcat.part.t (k BIGINT, region STRING) USING graft " +
