@@ -286,4 +286,39 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(TableLog.readAt(spark, mirror).collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 5L), "source→sink must mirror the table exactly")
   }
+
+  test("streaming CDF over a hive-adopted table carries real partition values") {
+    val base = tmpDir("gss_part")
+    val dir = s"$base/lake"
+    spark.range(0, 90)
+      .select(col("id").as("k"), (col("id") % 3).cast("int").as("p"))
+      .repartition(1).write.partitionBy("p").parquet(dir)
+    TableLog.convertToGraft(spark, dir, statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, dir, col("p") === 1 && col("k") < 10, mode = "dv")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.select("k", "p", "_change_type").collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) -999 else r.getInt(1),
+              r.getString(2)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val dels = rows.filter(_._3 == "delete")
+    assert(dels.map(_._1).sorted == Seq(1L, 4L, 7L),
+      s"exactly the dv-deleted keys stream as deletes: $dels")
+    assert(dels.forall(_._2 == 1),
+      "delete pre-images must carry the REAL partition value, never null")
+    val ins = rows.filter(_._3 == "insert")
+    assert(ins.size == 90 && !ins.exists(_._2 == -999),
+      "the adoption commit streams every row with its real partition value")
+  }
 }
