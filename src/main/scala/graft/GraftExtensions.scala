@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(session => graft.plans.GraftSqlResolution(session))
 
     // SQL maintenance statements — a delegating parser that intercepts
-    // eleven statements (VACUUM [DRY RUN], OPTIMIZE [ZORDER BY],
+    // eleven statements (VACUUM [DRY RUN], OPTIMIZE [WHERE] [ZORDER BY],
     // DESCRIBE HISTORY, DESCRIBE DETAIL, RESTORE, CONVERT TO GRAFT,
     // COPY INTO, SHOW GRAFT TABLES, CREATE/DROP VIEW over graft
     // catalogs, SHOW GRAFT VIEWS) and passes everything else through

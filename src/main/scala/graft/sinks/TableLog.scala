@@ -1024,21 +1024,47 @@ object TableLog {
     * data-skipping maintenance in one commit; without it the rewrite is
     * a shuffle-free coalesce.
     */
+  /** `where` SCOPES the rewrite (Delta's `OPTIMIZE … WHERE`): only
+    * files whose manifest stats OVERLAP the predicate's box rewrite —
+    * the maintenance shape for a huge table where one hot band (today's
+    * date, one tenant) fragments while the rest sits well-laid-out; a
+    * full compaction would re-copy the whole table per run. Scoping is
+    * by FILE, not row (compaction is rows-preserving): every row of an
+    * overlapping file carries into the rewrite, so any conservative
+    * box is sound. A predicate that yields NO stats bounds refuses
+    * loudly — it would silently scope nothing out and pay the full
+    * rewrite the caller used WHERE to avoid.
+    */
   def compactTable(spark: SparkSession, dir: String, targetFileMB: Int = 128,
                    sortCols: Seq[String] = Nil,
-                   statsCols: Seq[String] = Nil): Long = {
+                   statsCols: Seq[String] = Nil,
+                   where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFileMB > 0,
       s"TableLog.compactTable: targetFileMB must be positive, got $targetFileMB")
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.compactTable: $dir has no committed versions")
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, files) = snapshotAt(spark, fs, basePath, base)
-    val totalBytes = files.map(fileBytes(fs, basePath, _)).sum
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    import org.apache.spark.sql.functions.col
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cm = columnMappingAt(spark, dir, base)
+    val cand = where.fold(files) { p =>
+      val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val bounds = boundsFromPredicate(probe, p)
+      val ns = physNullShapes(cm, nullShapesFromPredicate(probe, p))
+      require(bounds.nonEmpty || ns.nonEmpty,
+        "TableLog.compactTable: the WHERE predicate yields no stats bounds — " +
+          "it would scope nothing out and silently pay the full-table " +
+          "rewrite; drop the WHERE or use a stats-analyzable predicate")
+      files.filter(f =>
+        mayOverlap(f, physBounds(cm, bounds)) && mayPassNullShapes(f, ns))
+    }
+    if (cand.isEmpty) return base // nothing in scope: no empty commit
+    val totalBytes = cand.map(fileBytes(fs, basePath, _)).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
-    val cur = readAt(spark, dir, base)
-    import org.apache.spark.sql.functions.col
+    val cur = readWithDv(spark, dir, schema, cand, cm)
     val laid =
       if (sortCols.nonEmpty)
         cur.repartitionByRange(nOut, sortCols.map(col): _*)
@@ -1049,7 +1075,8 @@ object TableLog {
     // append-only stream passes maintenance commits through with their
     // empty diff but must refuse a real overwrite loudly
     commit(spark, dir, laid, "compact", statsCols,
-      expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
+      expectedParent = Some(base), txn = None, explicitRemoves = Some(cand),
+      schemaOverride = Some(schemaJson))
   }
 
   /** A live file's size: from the MANIFEST when recorded (the normal
@@ -2201,8 +2228,14 @@ object TableLog {
         math.ceil(live.length.toDouble / CheckpointEntriesPerPart).toInt))
       val entries = live.iterator.zipWithIndex
         .map { case (a, i) => toCkptEntry(i.toLong, a) }.toSeq
-      spark.createDataset(entries)(org.apache.spark.sql.Encoders.product[CkptEntry])
-        .repartition(nParts)
+      // parallelize-then-encode: the entry ROW ENCODING happens in
+      // executor tasks over partition-sized chunks — a 10⁶-entry
+      // checkpoint never builds one driver-side row batch (the
+      // createDataset(Seq) form would), and no repartition shuffle is
+      // needed since parallelize already split the list
+      spark.createDataset(
+          spark.sparkContext.parallelize(entries, nParts))(
+          org.apache.spark.sql.Encoders.product[CkptEntry])
         .write.mode("overwrite").parquet(tmpDir.toString)
       val parts = fs.listStatus(tmpDir)
         .count(_.getPath.getName.endsWith(".parquet"))

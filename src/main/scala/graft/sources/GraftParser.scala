@@ -16,7 +16,7 @@ import graft.sinks.TableLog
   *
   * {{{
   *   VACUUM t [RETAIN 5 VERSIONS] [DRY RUN]
-  *   OPTIMIZE t [ZORDER BY (x, y)]
+  *   OPTIMIZE t [WHERE <predicate>] [ZORDER BY (x, y)]
   *   DESCRIBE HISTORY t
   *   DESCRIBE DETAIL t
   *   RESTORE [TABLE] t [TO] VERSION AS OF n
@@ -96,7 +96,7 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + T +
-      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$""").r
+      """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DetailRe =
@@ -137,9 +137,9 @@ object GraftSqlParser {
     case VacuumRe(p, v, retain, dry) =>
       Some(GraftVacuumCommand(Option(p), Option(v),
         Option(retain).map(_.toInt), dry != null))
-    case OptimizeRe(p, v, z) =>
+    case OptimizeRe(p, v, where, z) =>
       Some(GraftOptimizeCommand(Option(p), Option(v),
-        Option(z).map(cols).getOrElse(Nil)))
+        Option(z).map(cols).getOrElse(Nil), Option(where)))
     case HistoryRe(p, v) =>
       Some(GraftHistoryCommand(Option(p), Option(v)))
     case DetailRe(p, v) =>
@@ -197,17 +197,26 @@ private[sources] case class GraftVacuumCommand(path: Option[String],
 
 private[sources] case class GraftOptimizeCommand(path: Option[String],
                                                  view: Option[String],
-                                                 zorder: Seq[String])
+                                                 zorder: Seq[String],
+                                                 where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
     .add("version", LongType, nullable = false)
     .add("operation", StringType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(spark, path, view)
+    require(where.isEmpty || zorder.isEmpty,
+      "OPTIMIZE: WHERE and ZORDER BY do not compose — a z-order is a " +
+        "whole-table layout; scope bin-packing with WHERE, or z-order " +
+        "the full table")
     val v =
-      if (zorder.isEmpty) TableLog.compactTable(spark, dir)
+      if (zorder.isEmpty) TableLog.compactTable(spark, dir,
+        where = where.map(org.apache.spark.sql.functions.expr))
       else TableLog.optimizeZOrdered(spark, dir, zorder)
-    Seq(Row(v, if (zorder.isEmpty) "compact" else s"zorder(${zorder.mkString(",")})"))
+    val op =
+      if (zorder.nonEmpty) s"zorder(${zorder.mkString(",")})"
+      else where.fold("compact")(w => s"compact where $w")
+    Seq(Row(v, op))
   }
 }
 

@@ -516,6 +516,56 @@ class TableLogSpec extends SparkSpec {
     assert(ys.min == 0.0 && ys.max == 29.9, s"re-harvested stats: $ys")
   }
 
+  test("compactTable WHERE: only files overlapping the box rewrite; the rest carry verbatim") {
+    val dir = tmpDir("tlog_compact_where")
+    // a range-clustered table whose LOW band fragments (the hot-ingest
+    // shape): 4 well-laid files over k∈[0,400), then 6 tiny appends
+    // landing inside k<100
+    TableLog.append(spark, dir,
+      (0 until 400).map(k => (k.toLong, k / 10.0)).toDF("k", "y")
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    (0 until 6).foreach { i =>
+      TableLog.append(spark, dir, Seq((11L * i, 0.5)).toDF("k", "y"),
+        statsCols = Seq("k"))
+    }
+    val preEntries = TableLog.liveFilesAt(spark, dir)
+    assert(preEntries.length == 10)
+    val before = TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    val v = TableLog.compactTable(spark, dir, targetFileMB = 1024,
+      statsCols = Seq("k"), where = Some(col("k") < 100))
+    // untouched files (the high-range files — range boundaries are
+    // sampled, so at least the top half provably sits outside the box)
+    // carry over VERBATIM
+    val postEntries = TableLog.liveFilesAt(spark, dir)
+    val carried = preEntries.map(_.path).toSet
+      .intersect(postEntries.map(_.path).toSet)
+    assert(carried.size >= 2,
+      s"out-of-box range files must carry verbatim, got ${carried.size}")
+    assert(postEntries.length < preEntries.length)
+    assert(TableLog.readAt(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == before, "compaction preserves the row multiset")
+    // the scoped commit is maintenance: its change feed is empty
+    assert(TableLog.readChanges(spark, dir, v - 1, v).count() == 0L)
+    // a predicate with NO stats bounds refuses (would silently scope
+    // nothing out); a predicate matching NO files is a no-op, no commit
+    intercept[IllegalArgumentException] {
+      TableLog.compactTable(spark, dir,
+        where = Some(col("y") + col("k") > lit(0)))
+    }
+    val head = TableLog.currentVersion(spark, dir)
+    assert(TableLog.compactTable(spark, dir,
+      where = Some(col("k") > 100000L)) == head, "out-of-range scope: no-op")
+    // the SQL surface: OPTIMIZE ... WHERE routes here; ZORDER+WHERE refuses
+    val view = s"ow_${dir.hashCode.toHexString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view USING graft OPTIONS (path '$dir')")
+    val r = spark.sql(s"OPTIMIZE $view WHERE k < 50").collect()
+    assert(r.head.getString(1).startsWith("compact where"))
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE $view WHERE k < 50 ZORDER BY (k)").collect()
+    }
+  }
+
   test("optimizeZOrdered: z-curve layout as a commit — both-column boxes prune, rows identical") {
     val dir = tmpDir("tlog_zorder")
     // arrival-ordered 40x40 grid: row-major order means a y-box touches
