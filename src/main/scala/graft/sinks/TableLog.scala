@@ -706,10 +706,19 @@ object TableLog {
     val negInf: Any = Double.NegativeInfinity
     val posInf: Any = Double.PositiveInfinity
     def numeric(v: Any): Boolean = v.isInstanceOf[Number]
+    // STRINGS have no ±∞ value, so one-sided string ranges carry the
+    // OpenBound sentinel on their open side — [[mayOverlap]] reads it
+    // as "unbounded" and checks only the closed side (what makes
+    // `tenant >= 'a' AND tenant < 'b'` a usable scoping/pruning box on
+    // a string-clustered table); every other bounds consumer
+    // pattern-matches concrete Number/String pairs, so the sentinel
+    // falls through their wildcards conservatively (keep)
     def lo(v: Any): Seq[(Any, Any)] =
-      if (numeric(v)) Seq((v, posInf)) else Nil // no top string: cannot close
+      if (numeric(v)) Seq((v, posInf))
+      else if (v.isInstanceOf[String]) Seq((v, OpenBound)) else Nil
     def hi(v: Any): Seq[(Any, Any)] =
-      if (numeric(v)) Seq((negInf, v)) else Nil
+      if (numeric(v)) Seq((negInf, v))
+      else if (v.isInstanceOf[String]) Seq((OpenBound, v)) else Nil
     def walk(e: Expression): Seq[(String, Any, Any)] = e match {
       case And(l, r) => walk(l) ++ walk(r) // conjunctive, like scanPruned
       case GreaterThan(a, v) => cmp(a, v, lo) ++ cmp(v, a, hi)
@@ -788,8 +797,9 @@ object TableLog {
       if (pruneBounds.nonEmpty) pruneBounds
       else boundsFromPredicate(probe, predicate)
     val ns = physNullShapes(colmap, nullShapesFromPredicate(probe, predicate))
+    val pb = physBounds(colmap, bounds) // hoisted: invariant across files
     val statsKept = files.filter(f =>
-      mayOverlap(f, physBounds(colmap, bounds)) && mayPassNullShapes(f, ns))
+      mayOverlap(f, pb) && mayPassNullShapes(f, ns))
     inListShape(probe, predicate) match {
       case Some((column, values)) if statsKept.nonEmpty =>
         val physCol = colmap.getOrElse(column, column)
@@ -976,9 +986,11 @@ object TableLog {
     // primary box OR any of the extra boxes) — what a full-sync merge
     // needs: its update arm touches the key box, its
     // not-matched-by-source arm touches the condition's box
+    val pb = physBounds(cm, bounds) // hoisted: invariant across files
+    val pOr = orBounds.map(physBounds(cm, _))
     val touched = files.filter(f =>
-      (mayOverlap(f, physBounds(cm, bounds)) && mayPassNullShapes(f, nullShapes)) ||
-        orBounds.exists(b => mayOverlap(f, physBounds(cm, b))))
+      (mayOverlap(f, pb) && mayPassNullShapes(f, nullShapes)) ||
+        pOr.exists(mayOverlap(f, _)))
     // dv-aware: a touched file's already-deleted positions must not
     // resurrect through the rewrite
     val touchedDf = readWithDv(spark, dir, schema, touched, cm)
@@ -1023,17 +1035,23 @@ object TableLog {
     * TIGHT manifest stats on those columns — compaction and
     * data-skipping maintenance in one commit; without it the rewrite is
     * a shuffle-free coalesce.
-    */
-  /** `where` SCOPES the rewrite (Delta's `OPTIMIZE … WHERE`): only
+    *
+    * `where` SCOPES the rewrite (Delta's `OPTIMIZE … WHERE`): only
     * files whose manifest stats OVERLAP the predicate's box rewrite —
-    * the maintenance shape for a huge table where one hot band (today's
-    * date, one tenant) fragments while the rest sits well-laid-out; a
-    * full compaction would re-copy the whole table per run. Scoping is
-    * by FILE, not row (compaction is rows-preserving): every row of an
+    * the shape for RE-LAYING-OUT one band (e.g. re-cluster a tenant's
+    * files on `sortCols`) without re-copying the table. Scoping is by
+    * FILE, not row (compaction is rows-preserving): every row of an
     * overlapping file carries into the rewrite, so any conservative
-    * box is sound. A predicate that yields NO stats bounds refuses
+    * box is sound, and the rewrite harvests stats on the SCOPING
+    * columns automatically (or the next scoped run could not exclude
+    * its own output). A predicate that yields NO stats bounds refuses
     * loudly — it would silently scope nothing out and pay the full
-    * rewrite the caller used WHERE to avoid.
+    * rewrite the caller used WHERE to avoid. NOTE a scoped
+    * compactTable rewrites its band on EVERY run (the band's files
+    * always overlap their own box); the CONVERGING maintenance loop is
+    * [[compactSmallFiles]] with `where` — size selection skips the
+    * band's already-compacted output, which is what the SQL
+    * `OPTIMIZE … WHERE` statement runs.
     */
   def compactTable(spark: SparkSession, dir: String, targetFileMB: Int = 128,
                    sortCols: Seq[String] = Nil,
@@ -1049,17 +1067,8 @@ object TableLog {
     import org.apache.spark.sql.functions.col
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val cm = columnMappingAt(spark, dir, base)
-    val cand = where.fold(files) { p =>
-      val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      val bounds = boundsFromPredicate(probe, p)
-      val ns = physNullShapes(cm, nullShapesFromPredicate(probe, p))
-      require(bounds.nonEmpty || ns.nonEmpty,
-        "TableLog.compactTable: the WHERE predicate yields no stats bounds — " +
-          "it would scope nothing out and silently pay the full-table " +
-          "rewrite; drop the WHERE or use a stats-analyzable predicate")
-      files.filter(f =>
-        mayOverlap(f, physBounds(cm, bounds)) && mayPassNullShapes(f, ns))
-    }
+    val (cand, boundCols) = where.fold((files, Seq.empty[String]))(
+      scopeByPredicate(spark, schema, cm, files, _, "compactTable"))
     if (cand.isEmpty) return base // nothing in scope: no empty commit
     val totalBytes = cand.map(fileBytes(fs, basePath, _)).sum
     val nOut = math.max(1,
@@ -1073,10 +1082,37 @@ object TableLog {
     // commits as op `compact`, NOT `overwrite`: the row multiset is
     // unchanged, and downstream consumers key off the op — an
     // append-only stream passes maintenance commits through with their
-    // empty diff but must refuse a real overwrite loudly
-    commit(spark, dir, laid, "compact", statsCols,
+    // empty diff but must refuse a real overwrite loudly. Stats UNION
+    // the scoping columns: the rewritten band must record min/max on
+    // what scoped it, or the next scoped pass (and every read-side
+    // prune on the hot band) degrades to keep-all.
+    commit(spark, dir, laid, "compact", (statsCols ++ boundCols).distinct,
       expectedParent = Some(base), txn = None, explicitRemoves = Some(cand),
       schemaOverride = Some(schemaJson))
+  }
+
+  /** Files whose manifest stats OVERLAP `pred`'s conservative box plus
+    * the LOGICAL column names the box constrains — the `WHERE` scoping
+    * shared by [[compactTable]] and [[compactSmallFiles]]. A predicate
+    * with no analyzable bounds refuses loudly: `mayOverlap` keeps every
+    * file for it, which would silently pay exactly the full-table
+    * rewrite the caller used WHERE to avoid.
+    */
+  private def scopeByPredicate(spark: SparkSession, schema: StructType,
+                               cm: Map[String, String], files: Seq[AddFile],
+                               pred: org.apache.spark.sql.Column,
+                               who: String): (Seq[AddFile], Seq[String]) = {
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val bounds = boundsFromPredicate(probe, pred)
+    val ns0 = nullShapesFromPredicate(probe, pred)
+    require(bounds.nonEmpty || ns0.nonEmpty,
+      s"TableLog.$who: the WHERE predicate yields no stats bounds — " +
+        "it would scope nothing out and silently pay the full-table " +
+        "rewrite; drop the WHERE or use a stats-analyzable predicate")
+    val pb = physBounds(cm, bounds)
+    val ns = physNullShapes(cm, ns0)
+    (files.filter(f => mayOverlap(f, pb) && mayPassNullShapes(f, ns)),
+      (bounds.map(_._1) ++ ns0.map(_._1)).distinct)
   }
 
   /** A live file's size: from the MANIFEST when recorded (the normal
@@ -2014,12 +2050,17 @@ object TableLog {
     * maintenance cycle instead of O(fragmented tail). Returns None
     * when fewer than `minSmallFiles` qualify (a one-file rewrite is
     * churn, not compaction). Rows are untouched, so the change feed
-    * of this commit is empty by construction.
+    * of this commit is empty by construction. `where` scopes the
+    * candidates to the predicate's stats box first (the SQL
+    * `OPTIMIZE … WHERE` loop — see [[compactTable]]'s note on why the
+    * size-selected form is the converging one), and the rewrite
+    * harvests stats on the scoping columns automatically.
     */
   def compactSmallFiles(spark: SparkSession, dir: String, minFileMB: Int = 32,
                         targetFileMB: Int = 128, minSmallFiles: Int = 2,
                         statsCols: Seq[String] = Nil,
-                        clusterCols: Seq[String] = Nil): Option[Long] = {
+                        clusterCols: Seq[String] = Nil,
+                        where: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
     require(minFileMB > 0 && targetFileMB >= minFileMB,
       s"TableLog.compactSmallFiles: need 0 < minFileMB <= targetFileMB, " +
         s"got ($minFileMB, $targetFileMB)")
@@ -2030,12 +2071,20 @@ object TableLog {
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    // `where` scopes candidates to the predicate's stats box FIRST (the
+    // SQL `OPTIMIZE … WHERE` loop): size selection then makes repeated
+    // scoped runs CONVERGE — the band's own compacted output is big
+    // enough to skip, so only fresh fragments rewrite next time
+    val (scoped, boundCols) = where.fold((files, Seq.empty[String]))(
+      scopeByPredicate(spark,
+        DataType.fromJson(schemaJson).asInstanceOf[StructType],
+        columnMappingAt(spark, dir, base), files, _, "compactSmallFiles"))
     // a file carrying a deletion vector qualifies REGARDLESS of size:
     // compaction is where merge-on-read deletes get materialized away
     // (the rewrite drops the dv'd rows and the new entry is clean)
     // sizes come from the manifest (fileBytes — no O(files) stat sweep
     // per maintenance run; legacy entries fall back to getFileStatus)
-    val small = files.filter(f => f.dv.nonEmpty ||
+    val small = scoped.filter(f => f.dv.nonEmpty ||
       fileBytes(fs, basePath, f) < minFileMB * 1024L * 1024L)
     if (small.length < minSmallFiles && !small.exists(_.dv.nonEmpty)) return None
     val totalBytes = small.map(fileBytes(fs, basePath, _)).sum
@@ -2063,7 +2112,7 @@ object TableLog {
     // harvesting only statsCols would silently strip it on every
     // maintenance pass
     Some(commit(spark, dir, rewritten, "compact",
-      (statsCols ++ clusterCols).distinct,
+      (statsCols ++ clusterCols ++ boundCols).distinct,
       expectedParent = Some(base), txn = None,
       explicitRemoves = Some(small),
       schemaOverride = Some(schemaJson)))
@@ -2228,14 +2277,15 @@ object TableLog {
         math.ceil(live.length.toDouble / CheckpointEntriesPerPart).toInt))
       val entries = live.iterator.zipWithIndex
         .map { case (a, i) => toCkptEntry(i.toLong, a) }.toSeq
-      // parallelize-then-encode: the entry ROW ENCODING happens in
-      // executor tasks over partition-sized chunks — a 10⁶-entry
-      // checkpoint never builds one driver-side row batch (the
-      // createDataset(Seq) form would), and no repartition shuffle is
-      // needed since parallelize already split the list
-      spark.createDataset(
-          spark.sparkContext.parallelize(entries, nParts))(
-          org.apache.spark.sql.Encoders.product[CkptEntry])
+      // createDataset(Seq) deliberately, NOT parallelize(entries):
+      // the local-relation form encodes entries to COMPACT UnsafeRows
+      // on the driver and ships row batches through the shuffle,
+      // while a ParallelCollectionRDD would Java-serialize each
+      // 100k-entry slice INSIDE its task binary — wide-stats tables
+      // would trip spark.rpc.message.maxSize long before the driver
+      // row batch matters
+      spark.createDataset(entries)(org.apache.spark.sql.Encoders.product[CkptEntry])
+        .repartition(nParts)
         .write.mode("overwrite").parquet(tmpDir.toString)
       val parts = fs.listStatus(tmpDir)
         .count(_.getPath.getName.endsWith(".parquet"))
@@ -3729,6 +3779,14 @@ object TableLog {
     else StructType(schema.fields.map(f =>
       f.copy(name = cm.getOrElse(f.name, f.name))))
 
+  /** The open side of a one-sided STRING bound (strings have no ±∞
+    * literal the way doubles do) — [[mayOverlap]] treats it as
+    * unbounded; every other consumer's concrete-type matches skip it
+    * conservatively. Internal to the bounds machinery: public
+    * `scanPruned` callers keep passing concrete (lo, hi) pairs.
+    */
+  private[sinks] case object OpenBound
+
   /** File-vs-bounds intersection — the one pruning rule: a file is kept
     * unless its recorded stats PROVE no row can satisfy every bound
     * (missing stats, type-mismatched bounds → keep; pruning must never
@@ -3744,6 +3802,8 @@ object TableLog {
         }
         case Some(StrStat(mn, mx)) => (lo, hi) match {
           case (l: String, h: String) => !(mx < l || mn > h)
+          case (l: String, OpenBound) => !(mx < l)
+          case (OpenBound, h: String) => !(mn > h)
           case _ => true
         }
         case None => true

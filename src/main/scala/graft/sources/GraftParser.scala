@@ -209,10 +209,18 @@ private[sources] case class GraftOptimizeCommand(path: Option[String],
       "OPTIMIZE: WHERE and ZORDER BY do not compose — a z-order is a " +
         "whole-table layout; scope bin-packing with WHERE, or z-order " +
         "the full table")
+    // WHERE routes through the SIZE-SELECTED compaction — repeated
+    // scoped OPTIMIZE converges (the band's own compacted output skips
+    // by size); bare OPTIMIZE stays the full bin-pack; ZORDER is the
+    // layout rewrite
     val v =
-      if (zorder.isEmpty) TableLog.compactTable(spark, dir,
-        where = where.map(org.apache.spark.sql.functions.expr))
-      else TableLog.optimizeZOrdered(spark, dir, zorder)
+      if (zorder.nonEmpty) TableLog.optimizeZOrdered(spark, dir, zorder)
+      else where match {
+        case Some(w) => TableLog.compactSmallFiles(spark, dir,
+          where = Some(org.apache.spark.sql.functions.expr(w)))
+          .getOrElse(TableLog.currentVersion(spark, dir))
+        case None => TableLog.compactTable(spark, dir)
+      }
     val op =
       if (zorder.nonEmpty) s"zorder(${zorder.mkString(",")})"
       else where.fold("compact")(w => s"compact where $w")

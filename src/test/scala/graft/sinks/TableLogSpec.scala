@@ -556,14 +556,50 @@ class TableLogSpec extends SparkSpec {
     val head = TableLog.currentVersion(spark, dir)
     assert(TableLog.compactTable(spark, dir,
       where = Some(col("k") > 100000L)) == head, "out-of-range scope: no-op")
-    // the SQL surface: OPTIMIZE ... WHERE routes here; ZORDER+WHERE refuses
+    // the SQL surface routes WHERE through the SIZE-SELECTED compaction
+    // (compactSmallFiles): repeated scoped OPTIMIZE must CONVERGE — the
+    // band's own compacted output skips by selection, so the second run
+    // is a no-op instead of re-copying the band forever
     val view = s"ow_${dir.hashCode.toHexString}"
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view USING graft OPTIONS (path '$dir')")
     val r = spark.sql(s"OPTIMIZE $view WHERE k < 50").collect()
     assert(r.head.getString(1).startsWith("compact where"))
+    val v1 = r.head.getLong(0)
+    val r2 = spark.sql(s"OPTIMIZE $view WHERE k < 50").collect()
+    assert(r2.head.getLong(0) == v1,
+      "the second scoped OPTIMIZE must converge to a no-op")
     intercept[Exception] {
       spark.sql(s"OPTIMIZE $view WHERE k < 50 ZORDER BY (k)").collect()
     }
+  }
+
+  test("compactTable WHERE on a STRING band: one-sided ranges scope via open bounds") {
+    val dir = tmpDir("tlog_compact_str")
+    val df = (0 until 260).map(i =>
+      (('a' + i % 26).toChar.toString * 3, i.toLong)).toDF("t", "k")
+    TableLog.append(spark, dir, df.repartitionByRange(4, col("t")),
+      statsCols = Seq("t"))
+    // fragment the top of the alphabet
+    (0 until 3).foreach(i => TableLog.append(spark, dir,
+      Seq((s"zz$i", 1000L + i)).toDF("t", "k"), statsCols = Seq("t")))
+    val pre = TableLog.liveFilesAt(spark, dir)
+    val before = TableLog.readAt(spark, dir).count()
+    // `t >= "x"` is a ONE-SIDED string range — strings have no +∞, so
+    // the bound carries the OpenBound sentinel; it must scope (not
+    // refuse, not keep-all)
+    TableLog.compactTable(spark, dir, statsCols = Seq("t"),
+      where = Some(col("t") >= "x"))
+    val post = TableLog.liveFilesAt(spark, dir)
+    val carried = pre.map(_.path).toSet.intersect(post.map(_.path).toSet)
+    assert(carried.nonEmpty, "lower string bands must carry verbatim")
+    assert(post.length < pre.length)
+    assert(TableLog.readAt(spark, dir).count() == before)
+    // the same open bound prunes the READ side too
+    val pr = TableLog.scanWhere(spark, dir, col("t") >= "x")
+    assert(pr.filesRead < pr.filesTotal,
+      s"one-sided string range must prune (${pr.filesRead}/${pr.filesTotal})")
+    assert(pr.df.count() ==
+      TableLog.readAt(spark, dir).filter(col("t") >= "x").count())
   }
 
   test("optimizeZOrdered: z-curve layout as a commit — both-column boxes prune, rows identical") {
@@ -1016,8 +1052,13 @@ class TableLogSpec extends SparkSpec {
     assert(b(col("x") === 1 || col("x") === 9) == Seq(("x", 1.0, 9.0)))
     // OR across different columns constrains neither
     assert(b(col("x") === 1 || col("y") === 2).isEmpty)
-    // strings have no top element: open string comparisons don't bound
-    assert(b(col("s") > "m").isEmpty)
+    // strings have no top element: one-sided string comparisons bound
+    // with the OpenBound sentinel on their open side (round 16 — what
+    // lets a string-band WHERE scope/prune; mayOverlap checks only the
+    // closed side, every other consumer skips the sentinel
+    // conservatively)
+    assert(b(col("s") > "m").map(_._1) == Seq("s"))
+    assert(b(col("s") > "m").head._2 == "m")
     // unanalyzable shapes contribute nothing (full touch set, never a miss)
     assert(b(abs(col("x")) > 3).isEmpty)
     assert(b(col("x").isNotNull).isEmpty)
