@@ -433,15 +433,17 @@ object TableLog {
     // Entry-arm routing (entryArms) keeps hive-adopted files' partition
     // columns REAL here too — a flat read would null-fill them and a
     // partition-column predicate would silently delete nothing
-    val scan = entryArms(spark, dir, physSchemaOf(schema, cm), touched).map {
-      _.select((schema.fields.map(f =>
+    val arms = entryArmsKeyed(spark, dir, physSchemaOf(schema, cm), touched)
+    val keyOf = dvKeyOf(arms)
+    val scan = arms.map { case (df, es, idx) =>
+      df.select((schema.fields.map(f =>
             col(cm.getOrElse(f.name, f.name)).as(f.name)) :+
           col("_metadata")).toSeq: _*)
-        .withColumn("_dv_rel", dvRelPath)
+        .withColumn("_dv_rel", dvRelPath(idx, dvSegCount(es.head)))
         .withColumn("_dv_pos", col("_metadata.row_index"))
         .drop("_metadata")
     }.reduce(_.unionByName(_))
-    val existing = touched.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p)))
+    val existing = touched.flatMap(e => e.dv.map(p => Row(keyOf(e.path), p)))
     val live =
       if (existing.isEmpty) scan
       else scan.join(broadcast(spark.createDataFrame(existing.asJava,
@@ -458,9 +460,9 @@ object TableLog {
         "use mode=cow for bulk deletes (or raise maxDvRows deliberately)")
     val newDv = hits.map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
-    val changed = touched.filter(f => newDv.contains(dvKey(f.path)))
+    val changed = touched.filter(f => newDv.contains(keyOf(f.path)))
     commitManifest(spark, dir, "delete", schemaJson,
-      adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(dvKey(f.path))).sorted)),
+      adds = changed.map(f => f.copy(dv = (f.dv ++ newDv(keyOf(f.path))).sorted)),
       removeEntries = changed, expectedParent = base, txn = txn)
   }
 
@@ -896,21 +898,34 @@ object TableLog {
     cond.flatMap(walk)
   }
 
-  /** The manifest-relative path of a scanned row's file, rebuilt from
-    * `_metadata.file_path`'s LAST THREE segments — committed data files
-    * always live at exactly `data/(attempt)/(part).parquet`, so the
-    * reconstruction is positional. (A split on the `/data/` separator
-    * would be ambiguous for a table directory that itself ends in a
-    * `data` segment: the overlapping separators make a left-to-right
-    * regex split pick the wrong occurrence, the recovered key matches
-    * no manifest path, and the dv anti-join silently keeps deleted
-    * rows.)
+  /** The scan-side deletion-vector join key of ONE ARM's rows, rebuilt
+    * from `_metadata.file_path`'s last `segs` segments prefixed with the
+    * arm's ordinal — the executor twin of [[armDvKey]]. Positional
+    * reconstruction (not a split on a `/data/` separator) because a
+    * table directory that itself ends in a `data` segment would make a
+    * left-to-right regex split pick the wrong occurrence, the recovered
+    * key would match no manifest path, and the dv anti-join would
+    * silently keep deleted rows.
     */
-  private def dvRelPath: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
+  private def dvRelPath(armIdx: Int, segs: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, element_at, lit, split}
     val parts = split(col("_metadata.file_path"), "/")
-    concat_ws("/", element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    concat(lit(s"$armIdx#"),
+      concat_ws("/", (segs to 1 by -1).map(i => element_at(parts, -i)): _*))
   }
+
+  /** Trailing path segments that identify an entry WITHIN its scan arm:
+    * committed/clone files live at exactly `data/(attempt)/(part)` — 3;
+    * a hive-adopted entry needs ALL its `k=v` segments plus the
+    * filename (its full path under the adopted root). The last-3 form
+    * alone is NOT unique for adopted layouts ≥3 levels deep: Spark's
+    * dynamic-partition writes reuse part filenames across partition
+    * directories, so `year=/month=/day=` twins differing only in the
+    * year segment would share a truncated key and a dv delete would
+    * attribute positions to BOTH files — silent cross-file data loss.
+    */
+  private def dvSegCount(e: AddFile): Int =
+    if (e.pcols.isEmpty) 3 else e.pcols.length + 1
 
   /** A manifest entry referencing a file OUTSIDE the table directory —
     * what a [[cloneShallow]] commit records: an absolute path (or full
@@ -928,16 +943,29 @@ object TableLog {
   private def dataFilePath(dir: String, p: String): String =
     if (isAbsEntry(p)) p else s"$dir/$p"
 
-  /** The deletion-vector JOIN KEY of a manifest path — its last three
-    * segments, the same positional form [[dvRelPath]] recovers from a
-    * scanned file's URI. For a table-relative entry this IS the entry
-    * (`data/(attempt)/(part)`); for a clone's absolute entry it strips
+  /** The deletion-vector JOIN KEY of a manifest path — the arm ordinal
+    * plus the entry's last [[dvSegCount]] segments, the same positional
+    * form [[dvRelPath]] recovers from a scanned file's URI within that
+    * arm. For a table-relative entry the segments ARE the entry
+    * (`data/(attempt)/(part)`); for a clone's absolute entry they strip
     * the source-dir prefix, so vectors on inherited files key
-    * consistently with the scan side. Unambiguous within a snapshot:
-    * part file names carry a per-write UUID.
+    * consistently with the scan side (part file names carry a per-write
+    * UUID there); for a hive-adopted entry they are the full path under
+    * the adopted root. The arm prefix disambiguates ACROSS arms — two
+    * adopted roots can hold identically-named files at identical
+    * partition values, and their arms scan separately.
     */
-  private[sinks] def dvKey(p: String): String =
-    p.split('/').filter(_.nonEmpty).takeRight(3).mkString("/")
+  private[sinks] def armDvKey(armIdx: Int, segs: Int, p: String): String =
+    s"$armIdx#" + p.split('/').filter(_.nonEmpty).takeRight(segs).mkString("/")
+
+  /** Per-entry dv join keys for a set of arms from [[entryArmsKeyed]]
+    * — the driver twin of each arm's [[dvRelPath]] column, keyed by the
+    * entry's manifest path.
+    */
+  private def dvKeyOf(arms: Seq[(DataFrame, Seq[AddFile], Int)]): Map[String, String] =
+    arms.flatMap { case (_, es, idx) =>
+      es.map(e => e.path -> armDvKey(idx, dvSegCount(e), e.path))
+    }.toMap
 
   /** Shared CoW skeleton: resolve the touch set from manifest stats,
     * hand the touched rows to `rewrite`, commit the rewrite as
@@ -1179,7 +1207,7 @@ object TableLog {
     * directory (a CoW rewrite or compaction on the clone replaces
     * inherited references with clone-local files — the clone
     * self-contains over its maintenance cadence), dv point-deletes on
-    * inherited files key by [[dvKey]] so erasure works on day one, and
+    * inherited files key by [[armDvKey]] so erasure works on day one, and
     * `vacuum` on the clone only ever deletes under the clone's own
     * data root, so it can never reclaim source bytes. The one shared
     * fate is Delta's own caveat, stated loudly here: `vacuum` on the
@@ -2852,9 +2880,11 @@ object TableLog {
     * ONE plan arm regardless of the dv file count (per-file plans
     * would explode at a 100 TB table's maintenance cadence). The join
     * key is the manifest-relative path recovered POSITIONALLY from the
-    * file URI's last three segments ([[dvRelPath]]) — exact and
-    * scheme-independent, and immune to a table directory whose own
-    * path contains a `data` segment.
+    * file URI's trailing segments per arm ([[dvRelPath]], 3 for
+    * committed/clone files, all partition segments + filename for
+    * adopted entries) — exact and scheme-independent, immune to a
+    * table directory whose own path contains a `data` segment, and
+    * unambiguous however deep an adopted partition layout nests.
     */
   private def readWithDv(spark: SparkSession, dir: String, schema: StructType,
                          entries: Seq[AddFile],
@@ -2885,13 +2915,15 @@ object TableLog {
       else Some(entryArms(spark, dir, pSchema, clean).map(toLogical)
         .reduce(_.unionByName(_)))
     if (dvFiles.isEmpty) return cleanDf.get
+    val dvArms = entryArmsKeyed(spark, dir, pSchema, dvFiles)
+    val dvKeys = dvKeyOf(dvArms)
     val doomed = spark.createDataFrame(
-      dvFiles.flatMap(e => e.dv.map(p => Row(dvKey(e.path), p))).asJava,
+      dvFiles.flatMap(e => e.dv.map(p => Row(dvKeys(e.path), p))).asJava,
       new StructType()
         .add("_dv_rel", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_dv_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val dvDf = entryArms(spark, dir, pSchema, dvFiles).map {
-      _.withColumn("_dv_rel", dvRelPath)
+    val dvDf = dvArms.map { case (df, es, idx) =>
+      df.withColumn("_dv_rel", dvRelPath(idx, dvSegCount(es.head)))
         .withColumn("_dv_pos", col("_metadata.row_index"))
         .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
         .select(schema.fields.map(f =>
@@ -2915,7 +2947,19 @@ object TableLog {
     */
   private def entryArms(spark: SparkSession, dir: String,
                         pSchema: StructType,
-                        entries: Seq[AddFile]): Seq[DataFrame] = {
+                        entries: Seq[AddFile]): Seq[DataFrame] =
+    entryArmsKeyed(spark, dir, pSchema, entries).map(_._1)
+
+  /** [[entryArms]] with each arm's entries and a stable arm ordinal —
+    * what the deletion-vector paths key their join by. Arms group by
+    * (adopted root, pcols): pcols in the grouping key keeps the
+    * trailing-segment count ([[dvSegCount]]) uniform within an arm, so
+    * the scan-side key column and the driver-side entry keys agree
+    * segment-for-segment.
+    */
+  private def entryArmsKeyed(spark: SparkSession, dir: String,
+                             pSchema: StructType,
+                             entries: Seq[AddFile]): Seq[(DataFrame, Seq[AddFile], Int)] = {
     def baseOf(e: AddFile): Option[String] =
       if (e.pcols.isEmpty) None
       else {
@@ -2923,12 +2967,15 @@ object TableLog {
         (0 to e.pcols.length).foreach(_ => p = p.getParent)
         Some(p.toString)
       }
-    entries.groupBy(baseOf).toSeq.sortBy(_._1.getOrElse("")).map {
-      case (bp, es) =>
-        val r0 = spark.read.schema(pSchema)
-        bp.fold(r0)(b => r0.option("basePath", b))
-          .parquet(es.map(f => dataFilePath(dir, f.path)): _*)
-    }
+    entries.groupBy(e => (baseOf(e), e.pcols))
+      .toSeq.sortBy { case ((bp, pc), _) => (bp.getOrElse(""), pc.mkString(",")) }
+      .zipWithIndex.map {
+        case (((bp, _), es), idx) =>
+          val r0 = spark.read.schema(pSchema)
+          val df = bp.fold(r0)(b => r0.option("basePath", b))
+            .parquet(es.map(f => dataFilePath(dir, f.path)): _*)
+          (df, es, idx)
+      }
   }
 
   /** The history as a DATAFRAME — `DESCRIBE HISTORY` for the audit

@@ -159,6 +159,47 @@ class TableLogConvertPartitionedSpec extends SparkSpec {
       "delete pre-images must carry the real partition values, not nulls")
   }
 
+  test("deep layouts: identical filenames across a 3-level hive tree keep distinct dv keys") {
+    // Spark dynamic-partition writes reuse part filenames across
+    // partition directories, so a year=/month=/day= tree holds files
+    // that differ ONLY in the year segment. A dv key truncated to the
+    // last three path segments would collide for them: the delete
+    // would attribute positions to BOTH files (write side) and the
+    // anti-join would drop the twin's rows too (read side) — silent
+    // cross-file loss. The key now spans all partition segments.
+    val root = tmpDir("tconv_deep")
+    def land(ks: Seq[Long], year: Int): Unit = {
+      val stageDir = tmpDir("tconv_deep_stage")
+      ks.toDF("k").coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val leaf = new java.io.File(s"$root/year=$year/month=1/day=2")
+      assert(leaf.mkdirs())
+      // the SAME basename in both leaves — the collision under test
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(leaf, "part-00000.parquet").toPath)
+    }
+    land(0L to 9L, 2020)
+    land(100L to 109L, 2021)
+    // no statsCols: nothing prunes, so the dv position scan touches
+    // BOTH files and the write-side keying is exercised, not dodged
+    TableLog.convertToGraft(spark, root)
+    TableLog.deleteWhere(spark, root, col("k").isin(0L, 1L, 2L), mode = "dv")
+    val after = TableLog.readAt(spark, root)
+    assert(after.count() == 17L, "only the three matching rows may go")
+    assert(after.filter(col("year") === 2021).count() == 10L,
+      "the 2021 twin (same filename, same positions) must keep every row")
+    assert(after.filter(col("year") === 2020).select("k").as[Long]
+      .collect().toSet == (3L to 9L).toSet)
+    // and a second delete against the OTHER file keys independently
+    TableLog.deleteWhere(spark, root, col("k") === 100L, mode = "dv")
+    val fin = TableLog.readAt(spark, root)
+    assert(fin.count() == 16L)
+    assert(fin.filter(col("year") === 2020).count() == 7L)
+    assert(fin.filter(col("year") === 2021).select("k").as[Long]
+      .collect().toSet == (101L to 109L).toSet)
+  }
+
   test("CDF over a commit touching adopted entries emits the exact diff, no spurious pairs") {
     val dir = tmpDir("tconv_cdf")
     stage(dir)
