@@ -2289,17 +2289,20 @@ object TableLog {
       // let EXECUTOR TASKS write the parquet parts — the driver never
       // builds a table-sized string, and the write parallelizes like
       // any other job
-      val partDir = checkpointPartDir(base, latest)
-      // an orphan part dir (crash after the dir rename, before the
-      // meta landed) is invisible to resolution — heal it in place
-      if (fs.exists(partDir)) fs.delete(partDir, true)
-      // attempt-unique staging: two checkpointers racing the same
-      // version must not clobber each other's in-flight part writes (a
-      // directory of parts is not the benign single-file overwrite the
-      // legacy path had); the loser's rename fails against the landed
-      // target and its tmp dir sweeps as vacuum litter
-      val tmpDir = new Path(base,
-        s"_log/.tmp_ckptdir_${latest}_${java.util.UUID.randomUUID().toString.take(8)}")
+      // ATTEMPT-UNIQUE final part dir, referenced by name from the
+      // meta header. Two checkpointers racing one version never touch
+      // each other's directories — the alternative (a shared final
+      // name plus a "heal the orphan" delete) races destructively: B
+      // passes the exists(meta) gate, A publishes its part dir THEN
+      // its meta, B's heal-delete removes A's just-published parts,
+      // and if B crashes before re-publishing, the landed header
+      // points at nothing and every snapshot resolution through it
+      // fails until someone hand-deletes the header. With unique
+      // names the loser's directory is mere litter (no header
+      // references it) and vacuum sweeps it age-gated.
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val partDir = new Path(base, f"_log/$latest%020d.checkpoint.$attempt")
+      val tmpDir = new Path(base, s"_log/.tmp_ckptdir_${latest}_$attempt")
       fs.delete(tmpDir, true)
       val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         math.ceil(live.length.toDouble / CheckpointEntriesPerPart).toInt))
@@ -2319,11 +2322,18 @@ object TableLog {
         .count(_.getPath.getName.endsWith(".parquet"))
       publish(tmpDir, partDir, cleanupRecursive = true)
       val body = renderCheckpointMeta(latest, schemaJson, live, txns, ingested,
-        parts, live.length.toLong)
-      val tmpMeta = new Path(base, s"_log/.tmp_ckptmeta_$latest")
+        parts, live.length.toLong, partDir.getName)
+      val tmpMeta = new Path(base, s"_log/.tmp_ckptmeta_${latest}_$attempt")
       val out = fs.create(tmpMeta, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       publish(tmpMeta, meta, cleanupRecursive = false)
+      // if ANOTHER attempt's meta won the rename race, our part dir is
+      // unreferenced litter — reclaim it now rather than waiting for
+      // vacuum (same content either way; the winner's header is the
+      // checkpoint)
+      val landedDir = try parseCheckpointMeta(readText(fs, meta))._4
+        catch { case scala.util.control.NonFatal(_) => None }
+      if (!landedDir.contains(partDir.getName)) fs.delete(partDir, true)
     }
     latest
   }
@@ -3758,20 +3768,29 @@ object TableLog {
     // failure vacuum has no business causing). A multipart
     // checkpoint's staged part directory (`.tmp_ckptdir_*`) sweeps
     // under the same rule (recursively — it is a directory of parquet
-    // parts), as does an ORPHANED part directory: a
-    // `<v>.checkpoint` dir whose `.meta` header never landed (crash
-    // between the two renames) is unreachable by construction —
-    // resolution discovers checkpoints by header only — and a fresh
-    // one may be mid-publish, so age gates it like everything else.
+    // parts), as does an ORPHANED part directory: a checkpoint part
+    // dir (`<v>.checkpoint` legacy-shared or `<v>.checkpoint.<attempt>`
+    // attempt-unique) that NO landed `.meta` header references — a
+    // crash between the two renames, or the loser of a same-version
+    // checkpoint race — is unreachable by construction (resolution
+    // discovers checkpoints by header, and follows the header's own
+    // `partdir` name), and a fresh one may be mid-publish, so age
+    // gates it like everything else.
     val logKids = fs.listStatus(logRoot)
-    val metaVersions = logKids.map(_.getPath.getName)
+    val partDirPattern = "\\d+\\.checkpoint(\\.[0-9a-f]{8})?"
+    lazy val referencedDirs: Set[String] = logKids.map(_.getPath.getName)
       .filter(_.matches("\\d+\\.checkpoint\\.meta"))
-      .map(_.stripSuffix(".checkpoint.meta").toLong).toSet
+      .map { n =>
+        val v = n.stripSuffix(".checkpoint.meta")
+        try parseCheckpointMeta(readText(fs, new Path(logRoot, n)))._4
+          .getOrElse(s"$v.checkpoint")
+        catch { case scala.util.control.NonFatal(_) => s"$v.checkpoint" }
+      }.toSet
     val oldTmps = logKids
       .filter { s =>
         val n = s.getPath.getName
-        val orphanPartDir = s.isDirectory && n.matches("\\d+\\.checkpoint") &&
-          !metaVersions.contains(n.stripSuffix(".checkpoint").toLong)
+        val orphanPartDir = s.isDirectory && n.matches(partDirPattern) &&
+          !referencedDirs.contains(n)
         (n.startsWith(".tmp_") || orphanPartDir) &&
           now - s.getModificationTime >= grace
       }
@@ -4032,11 +4051,13 @@ object TableLog {
                                   base: Path, cv: Long): (String, Seq[AddFile]) = {
     val meta = checkpointMetaPath(base, cv)
     if (!fs.exists(meta)) return parseCheckpoint(readText(fs, checkpointPath(base, cv)))
-    val (schemaJson, declared, expectEntries) =
+    val (schemaJson, declared, expectEntries, partDirName) =
       parseCheckpointMeta(readText(fs, meta))
     requireSupportedFeatures(declared, s"checkpoint $cv")
+    val partDir = partDirName.map(n => new Path(base, s"_log/$n"))
+      .getOrElse(checkpointPartDir(base, cv))
     val entries = spark.read
-      .parquet(checkpointPartDir(base, cv).toString)
+      .parquet(partDir.toString)
       .as[CkptEntry](org.apache.spark.sql.Encoders.product[CkptEntry])
       .collect()
       .sortBy(_.seq)
@@ -4349,7 +4370,8 @@ object TableLog {
                                    live: Seq[AddFile],
                                    txns: Map[String, Long],
                                    copyFiles: Set[String],
-                                   parts: Int, entries: Long): String = {
+                                   parts: Int, entries: Long,
+                                   partDirName: String): String = {
     val txnBody = txns.toSeq.sortBy(_._1)
       .map { case (a, b) => s""""${esc(a)}":$b""" }.mkString(",")
     val cfBody = copyFiles.toSeq.sorted.map(p => s""""${esc(p)}"""").mkString(",")
@@ -4366,20 +4388,25 @@ object TableLog {
       feats +
       s""""txns":{$txnBody},""" +
       s""""copyfiles":[$cfBody],""" +
-      s""""parts":$parts,"entries":$entries}"""
+      s""""parts":$parts,"entries":$entries,""" +
+      s""""partdir":"${esc(partDirName)}"}"""
   }
 
-  /** `(schemaJson, declared reader features, entry count)` from a
-    * multi-part header; a header without the count (never written by
-    * this library, tolerated on parse) reports -1 = unchecked.
+  /** `(schemaJson, declared reader features, entry count, part-dir
+    * name)` from a multi-part header; a header without the count
+    * (never written by this library, tolerated on parse) reports -1 =
+    * unchecked, and one without `partdir` (pre-attempt-unique format)
+    * resolves to the legacy shared `<v>.checkpoint` directory name.
     */
-  private def parseCheckpointMeta(txt: String): (String, Seq[String], Long) = {
+  private def parseCheckpointMeta(txt: String)
+      : (String, Seq[String], Long, Option[String]) = {
     import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     (n.get("schema").asText(),
       Option(n.get("features"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-      Option(n.get("entries")).map(_.asLong()).getOrElse(-1L))
+      Option(n.get("entries")).map(_.asLong()).getOrElse(-1L),
+      Option(n.get("partdir")).map(_.asText()))
   }
 
   private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] = {

@@ -910,7 +910,12 @@ object ScaleProbe {
         val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val v = TableLog.currentVersion(spark, p)
         f.delete(new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.checkpoint.meta"), false)
-        f.delete(new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.checkpoint"), true)
+        // part dirs are attempt-unique (<v>.checkpoint.<attempt>): sweep
+        // whatever attempt landed so each probe run re-writes cold
+        f.listStatus(new org.apache.hadoop.fs.Path(base, "_log"))
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.matches(f"$v%020d\\.checkpoint(\\.[0-9a-f]{8})?"))
+          .foreach(s => f.delete(s.getPath, true))
         TableLog.checkpoint(spark, p, multipartMinEntries = 1)
         ()
       }

@@ -22,6 +22,25 @@ class TableLogMultipartCkptSpec extends SparkSpec {
   private def fs(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The part dir the landed header actually references (attempt-unique
+    * name carried in the meta's `partdir` field).
+    */
+  private def referencedPartDir(dir: String, v: Long): Path = {
+    val metaFile = new java.io.File(dir, f"_log/$v%020d.checkpoint.meta")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    val m = "\"partdir\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+    new Path(dir, s"_log/${m.map(_.group(1)).getOrElse(f"$v%020d.checkpoint")}")
+  }
+
+  /** Every checkpoint part dir present for `v`, whatever its attempt. */
+  private def partDirsOf(dir: String, v: Long): Seq[Path] = {
+    val f = fs(dir)
+    f.listStatus(new Path(dir, "_log")).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches(f"$v%020d\\.checkpoint(\\.[0-9a-f]{8})?"))
+      .map(_.getPath)
+  }
+
   test("multipart checkpoint: exact state equivalence, reads, pruning, dv, txns") {
     val dir = tmpDir("tlog_mp")
     val df = spark.range(0, 1000).select(col("id").as("k"),
@@ -43,8 +62,8 @@ class TableLogMultipartCkptSpec extends SparkSpec {
     assert(ck == v)
     val f = fs(dir)
     val meta = new Path(dir, f"_log/$v%020d.checkpoint.meta")
-    val partDir = new Path(dir, f"_log/$v%020d.checkpoint")
     assert(f.exists(meta), "multipart header must exist")
+    val partDir = referencedPartDir(dir, v)
     assert(f.exists(partDir) && f.listStatus(partDir)
       .exists(_.getPath.getName.endsWith(".parquet")), "parquet parts must exist")
     assert(!f.exists(new Path(dir, f"_log/$v%020d.checkpoint.json")),
@@ -98,10 +117,15 @@ class TableLogMultipartCkptSpec extends SparkSpec {
     TableLog.snapshotCacheClear()
     assert(TableLog.readAt(spark, dir).count() == 100L,
       "orphan part dir must not affect resolution")
-    // re-running checkpoint heals in place (replaces the orphan)
+    // re-running checkpoint lands a NEW attempt-named part dir — it
+    // never touches the orphan (the destructive heal-delete raced a
+    // concurrent publisher; attempt-unique names make it unnecessary)
     assert(TableLog.checkpoint(spark, dir, multipartMinEntries = 1) == v)
     TableLog.snapshotCacheClear()
     assert(TableLog.readAt(spark, dir).count() == 100L)
+    val landed = referencedPartDir(dir, v)
+    assert(landed.getName != orphan.getName,
+      "the landed checkpoint must live under its own attempt name")
     // a DIFFERENT orphan (no healing checkpoint coming) ages out via
     // vacuum's grace-gated tmp sweep
     TableLog.append(spark, dir,
@@ -115,10 +139,53 @@ class TableLogMultipartCkptSpec extends SparkSpec {
       TableLog.vacuum(spark, dir, keepVersions = 100, graceMs = Some(3600000L))
     } finally TableLog.clockMs = saved
     assert(!f.exists(orphan2), "aged headerless part dir must be swept")
-    assert(f.exists(new Path(dir, f"_log/$v%020d.checkpoint")),
-      "a part dir WITH its header must never be swept")
+    assert(!f.exists(orphan),
+      "the unreferenced legacy-named orphan at v is litter too — swept")
+    assert(f.exists(landed),
+      "the part dir the header REFERENCES must never be swept")
     TableLog.snapshotCacheClear()
     assert(TableLog.readAt(spark, dir).count() == 110L)
+  }
+
+  test("two checkpointers racing one version never break resolution") {
+    // the r16 design deleted a pre-existing part dir before publishing
+    // ("heal the orphan"); with two racers that delete could remove the
+    // WINNER's just-published parts and strand a header pointing at
+    // nothing. Attempt-unique final names make the race benign: both
+    // publish disjoint dirs, one header lands, the loser reclaims its
+    // own dir. Ten rounds of two concurrent checkpointers must leave a
+    // resolvable checkpoint and no stranded litter every time.
+    val dir = tmpDir("tlog_mp_race")
+    TableLog.append(spark, dir,
+      spark.range(0, 50).select(col("id").as("k")).coalesce(2))
+    val f = fs(dir)
+    for (round <- 1 to 10) {
+      TableLog.append(spark, dir,
+        spark.range(round * 100L, round * 100L + 5).select(col("id").as("k")))
+      val v = TableLog.currentVersion(spark, dir)
+      val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val futs = (1 to 2).map { _ =>
+          ex.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              barrier.await()
+              TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+            }
+          })
+        }
+        futs.foreach(fu => assert(fu.get() == v))
+      } finally ex.shutdown()
+      // the header resolves through its own referenced dir
+      TableLog.snapshotCacheClear()
+      assert(TableLog.readAt(spark, dir).count() == 50L + 5L * round,
+        s"round $round: checkpointed state must resolve")
+      val referenced = referencedPartDir(dir, v)
+      assert(f.exists(referenced), s"round $round: referenced dir must exist")
+      // the loser self-reclaimed: nothing but the referenced dir remains
+      assert(partDirsOf(dir, v).map(_.getName) == Seq(referenced.getName),
+        s"round $round: no unreferenced part-dir litter may remain")
+    }
   }
 
   test("a partial part directory fails LOUDLY against the header's entry count") {
@@ -127,7 +194,7 @@ class TableLogMultipartCkptSpec extends SparkSpec {
       spark.range(0, 200).select(col("id").as("k")).repartition(4))
     val v = TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
     val f = fs(dir)
-    val partDir = new Path(dir, f"_log/$v%020d.checkpoint")
+    val partDir = referencedPartDir(dir, v)
     // tear the checkpoint: make the header claim MORE entries than the
     // parts hold (the observable state of a torn copy / lost part) —
     // resolution must refuse, never silently serve a smaller live set
