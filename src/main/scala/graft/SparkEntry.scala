@@ -172,6 +172,15 @@ object SparkEntry {
   private val tableLogMpCkptPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged SCOPED-Z-ORDER fixture (q_zorder_scoped): lineitem ranged
+    * on l_quantity, then `OPTIMIZE WHERE l_quantity >= 25 ZORDER BY
+    * (l_partkey, l_suppkey)` — the hot band re-lays on the curve while
+    * cold-band files carry verbatim; an in-band (partkey, suppkey) box
+    * scan prunes through the band's hyper-rectangle stats.
+    */
+  private val tableLogZScopePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -2043,6 +2052,34 @@ object SparkEntry {
       TableLog.readAt(s, dir).orderBy(col("k"))
     }),
 
+    // SCOPED Z-ORDER: `OPTIMIZE … WHERE band ZORDER BY (x, y)` — the
+    // hot band's files re-lay as curve hyper-rectangles over the band's
+    // own quantiles at O(band) cost while cold-band files carry
+    // verbatim; asserted in-query: an (x, y) box INSIDE the band reads
+    // strictly fewer files than the table holds. The oracle is the
+    // plain filter — layout maintenance never changes results.
+    "q_zorder_scoped" -> ((s, d) => {
+      val dir = tableLogZScopePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogzscope", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        TableLog.append(s, p, li.repartitionByRange(6, col("l_quantity")),
+          statsCols = Seq("l_quantity"))
+        TableLog.optimizeZOrdered(s, p, Seq("l_partkey", "l_suppkey"),
+          bitsPerCol = 5, targetFiles = 8,
+          where = Some(col("l_quantity") >= 25.0))
+        p
+      })
+      val pr = TableLog.scanWhere(s, dir,
+        col("l_quantity") >= 25.0 && col("l_partkey") <= 100 &&
+          col("l_suppkey") <= 20)
+      require(pr.filesRead < pr.filesTotal,
+        s"q_zorder_scoped: the in-band box must prune " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
     // dv-deleting keys on a HASH-distributed layout (stats prune
     // nothing; the bloom phase prunes to files that might hold a key),
@@ -3796,6 +3833,13 @@ object SparkEntry {
     "q_zorder_scan_hilbert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder_scoped" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(l_quantity AS DOUBLE) AS l_quantity
+        |FROM lineitem
+        |WHERE l_quantity >= 25 AND l_partkey <= 100 AND l_suppkey <= 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {

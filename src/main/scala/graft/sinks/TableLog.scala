@@ -2154,33 +2154,61 @@ object TableLog {
     * FOR pruning): each new file is a curve hyper-rectangle, so the
     * manifest min/max are tight on EVERY clustered column and
     * [[scanPruned]] boxes prune multiplicatively.
+    *
+    * `where` SCOPES the re-layout (Delta's partition-scoped
+    * `OPTIMIZE … WHERE … ZORDER BY`): only files whose manifest stats
+    * overlap the predicate's box rewrite, and the curve is computed
+    * over THE BAND'S rows alone — the maintenance shape a 100 TB table
+    * actually needs, re-laying-out one hot date band on `(x, y)` at
+    * O(band) instead of the full-table rewrite. Semantics to be clear
+    * about: the z-order is BAND-LOCAL. The band's files become curve
+    * hyper-rectangles over the band's own quantiles; out-of-scope
+    * files carry verbatim with whatever layout they had, and the table
+    * as a whole is NOT one z-curve afterwards. That is the point —
+    * read-side pruning is per-file min/max, so a tight band layout
+    * composes with any out-of-band layout. File-scoping rules are
+    * [[compactTable]]'s (conservative box = sound because the rewrite
+    * is rows-preserving; unanalyzable predicate refuses loudly; stats
+    * UNION the scoping columns so the band's output stays pruneable),
+    * and like the scoped compactTable, a scoped z-order REWRITES its
+    * band on every run — it is a re-layout tool, not a converging
+    * maintenance loop.
     */
   def optimizeZOrdered(spark: SparkSession, dir: String, zCols: Seq[String],
                        bitsPerCol: Int = 6, curve: String = "morton",
                        targetFileMB: Int = 128, targetFiles: Int = 0,
-                       statsCols: Seq[String] = Nil): Long = {
+                       statsCols: Seq[String] = Nil,
+                       where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFileMB > 0,
       s"TableLog.optimizeZOrdered: targetFileMB must be positive, got $targetFileMB")
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.optimizeZOrdered: $dir has no committed versions")
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, files) = snapshotAt(spark, fs, basePath, base)
-    val totalBytes = files.map(fileBytes(fs, basePath, _)).sum
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cm = columnMappingAt(spark, dir, base)
+    val (cand, boundCols) = where.fold((files, Seq.empty[String]))(
+      scopeByPredicate(spark, schema, cm, files, _, "optimizeZOrdered"))
+    if (cand.isEmpty) return base // nothing in scope: no empty commit
+    val totalBytes = cand.map(fileBytes(fs, basePath, _)).sum
     val nOut =
       if (targetFiles > 0) targetFiles
       else math.max(1,
         math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
-    val laid = DataSink.zOrderLayout(readAt(spark, dir, base), zCols,
-      bitsPerCol, curve, nOut)
+    val laid = DataSink.zOrderLayout(readWithDv(spark, dir, schema, cand, cm),
+      zCols, bitsPerCol, curve, nOut)
     // rows-preserving layout maintenance commits as `compact` (see
     // compactTable) — a streaming consumer must not die on OPTIMIZE
     // union, not either-or: explicit statsCols must never DROP the
     // zCols' stats — each new file is a curve hyper-rectangle and the
-    // z-columns' min/max are the whole point of the layout
+    // z-columns' min/max are the whole point of the layout; the
+    // scoping columns join them so the next scoped pass (and the hot
+    // band's read pruning) keeps its box
     commit(spark, dir, laid, "compact",
-      (statsCols ++ zCols).distinct,
-      expectedParent = Some(base), txn = None, explicitRemoves = Some(files))
+      (statsCols ++ zCols ++ boundCols).distinct,
+      expectedParent = Some(base), txn = None, explicitRemoves = Some(cand),
+      schemaOverride = Some(schemaJson))
   }
 
   /** Live-entry count at or above which [[checkpoint]] writes the

@@ -205,25 +205,27 @@ private[sources] case class GraftOptimizeCommand(path: Option[String],
     .add("operation", StringType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(spark, path, view)
-    require(where.isEmpty || zorder.isEmpty,
-      "OPTIMIZE: WHERE and ZORDER BY do not compose — a z-order is a " +
-        "whole-table layout; scope bin-packing with WHERE, or z-order " +
-        "the full table")
-    // WHERE routes through the SIZE-SELECTED compaction — repeated
+    // Bare WHERE routes through the SIZE-SELECTED compaction — repeated
     // scoped OPTIMIZE converges (the band's own compacted output skips
     // by size); bare OPTIMIZE stays the full bin-pack; ZORDER is the
-    // layout rewrite
-    val v =
-      if (zorder.nonEmpty) TableLog.optimizeZOrdered(spark, dir, zorder)
-      else where match {
-        case Some(w) => TableLog.compactSmallFiles(spark, dir,
+    // layout rewrite, and WHERE + ZORDER is the BAND-LOCAL re-layout
+    // (Delta's partition-scoped z-order): the band's files re-lay on
+    // the curve over the band's own quantiles, out-of-scope files carry
+    // verbatim. Unlike bare WHERE, the scoped z-order rewrites its band
+    // on every run — a re-layout statement, not a converging loop.
+    val v = (zorder, where) match {
+      case (z, w) if z.nonEmpty =>
+        TableLog.optimizeZOrdered(spark, dir, z,
+          where = w.map(org.apache.spark.sql.functions.expr))
+      case (_, Some(w)) =>
+        TableLog.compactSmallFiles(spark, dir,
           where = Some(org.apache.spark.sql.functions.expr(w)))
           .getOrElse(TableLog.currentVersion(spark, dir))
-        case None => TableLog.compactTable(spark, dir)
-      }
-    val op =
-      if (zorder.nonEmpty) s"zorder(${zorder.mkString(",")})"
-      else where.fold("compact")(w => s"compact where $w")
+      case _ => TableLog.compactTable(spark, dir)
+    }
+    val op = ((if (zorder.nonEmpty) Seq(s"zorder(${zorder.mkString(",")})")
+               else Seq("compact")) ++
+      where.map(w => s"where $w")).mkString(" ")
     Seq(Row(v, op))
   }
 }

@@ -568,9 +568,66 @@ class TableLogSpec extends SparkSpec {
     val r2 = spark.sql(s"OPTIMIZE $view WHERE k < 50").collect()
     assert(r2.head.getLong(0) == v1,
       "the second scoped OPTIMIZE must converge to a no-op")
+    // WHERE + single-column ZORDER still refuses — one column is a
+    // plain sort, not an interleave (zOrderLayout's own rule)
     intercept[Exception] {
       spark.sql(s"OPTIMIZE $view WHERE k < 50 ZORDER BY (k)").collect()
     }
+  }
+
+  test("scoped z-order: OPTIMIZE WHERE band ZORDER BY (x,y) re-lays only the band") {
+    val dir = tmpDir("tlog_zscope")
+    // two bands on d: a cold band (d in 0..49) laid down once, and a
+    // hot band (d in 50..99) fragmented across appends in arrival
+    // order — the shape whose (x,y) pruning decays until a re-layout
+    val mk = (dLo: Int, dHi: Int, n: Int) =>
+      spark.range(0, n).select(
+        (col("id") % (dHi - dLo) + dLo).cast("long").as("d"),
+        (col("id") * 37 % 1000).cast("double").as("x"),
+        (col("id") * 91 % 1000).cast("double").as("y"))
+    TableLog.append(spark, dir, mk(0, 50, 4000).repartitionByRange(4, col("d")),
+      statsCols = Seq("d", "x", "y"))
+    (0 until 4).foreach { i =>
+      TableLog.append(spark, dir, mk(50, 100, 1000).coalesce(1),
+        statsCols = Seq("d")) // arrival order: no x/y stats, no layout
+    }
+    val pre = TableLog.liveFilesAt(spark, dir)
+    val before = TableLog.readAt(spark, dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val v = TableLog.optimizeZOrdered(spark, dir, Seq("x", "y"),
+      bitsPerCol = 4, targetFiles = 8, where = Some(col("d") >= 50L))
+    // rows-preserving, committed as compact (maintenance op)
+    assert(TableLog.describeHistory(spark, dir)
+      .filter(col("version") === v).head().getString(2) == "compact")
+    val after = TableLog.readAt(spark, dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before, "scoped z-order must preserve the row multiset")
+    // out-of-scope files carry VERBATIM (same manifest entries)
+    val post = TableLog.liveFilesAt(spark, dir)
+    val coldPre = pre.filter(_.stats.get("d").exists {
+      case TableLog.NumStat(_, mx) => mx < 50.0; case _ => false })
+    assert(coldPre.nonEmpty)
+    assert(coldPre.forall(f => post.exists(_.path == f.path)),
+      "cold-band files must carry verbatim through the scoped re-layout")
+    // the band's new files are curve hyper-rectangles: an (x,y) box
+    // INSIDE the band prunes files now
+    val pr = TableLog.scanWhere(spark, dir,
+      col("d") >= 50L && col("x") < 100.0 && col("y") < 100.0)
+    assert(pr.filesRead < pr.filesTotal,
+      s"in-band (x,y) box must prune (${pr.filesRead}/${pr.filesTotal})")
+    // and the band kept its own scoping-column stats (next scoped pass
+    // and hot-band reads still have their box)
+    val bandNew = post.filterNot(f => pre.exists(_.path == f.path))
+    assert(bandNew.nonEmpty && bandNew.forall(f =>
+      f.stats.contains("d") && f.stats.contains("x") && f.stats.contains("y")),
+      "band output must carry stats on the scoping AND curve columns")
+    // the SQL surface accepts the composition
+    val view = s"zs_${dir.hashCode.toHexString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view USING graft OPTIONS (path '$dir')")
+    val r = spark.sql(s"OPTIMIZE $view WHERE d >= 50 ZORDER BY (x, y)").head()
+    assert(r.getString(1) == "zorder(x,y) where d >= 50")
+    assert(TableLog.readAt(spark, dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap == before)
   }
 
   test("compactTable WHERE on a STRING band: one-sided ranges scope via open bounds") {
