@@ -181,6 +181,15 @@ object SparkEntry {
   private val tableLogZScopePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged NESTED-STATS fixture (q_nested_prune): lineitem wrapped in
+    * a `payload` struct, stats declared on the dotted leaf paths — a
+    * predicate on `payload.kind` prunes the file listing exactly like
+    * a top-level column (struct-typed event tables are the most common
+    * wide-table shape).
+    */
+  private val tableLogNestedPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -2080,6 +2089,32 @@ object SparkEntry {
       pr.df.orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // NESTED-FIELD STATS PRUNING: manifest stats keyed by the parquet
+    // footer's dotted path — a predicate on `payload.kind` skips files
+    // through the same conservative box as a top-level column
+    // (asserted in-query: strictly fewer files read). The oracle is
+    // the flattened filter over the raw table.
+    "q_nested_prune" -> ((s, d) => {
+      val dir = tableLogNestedPath.getOrElseUpdate(d, {
+        val p = stageDir("tlognested", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"),
+          struct(col("l_returnflag").as("kind"),
+            col("l_quantity").cast("double").as("qty")).as("payload"))
+        TableLog.append(s, p,
+          li.repartitionByRange(6, col("payload.kind"), col("l_orderkey")),
+          statsCols = Seq("payload.kind", "payload.qty"))
+        p
+      })
+      val pr = TableLog.scanWhere(s, dir, col("payload.kind") === lit("R"))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_nested_prune: the nested predicate must prune " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.select(col("l_orderkey"), col("l_linenumber"),
+          col("payload.kind").as("kind"), col("payload.qty").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
     // dv-deleting keys on a HASH-distributed layout (stats prune
     // nothing; the bloom phase prunes to files that might hold a key),
@@ -3840,6 +3875,12 @@ object SparkEntry {
         |       CAST(l_quantity AS DOUBLE) AS l_quantity
         |FROM lineitem
         |WHERE l_quantity >= 25 AND l_partkey <= 100 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_nested_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS kind,
+        |       CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {

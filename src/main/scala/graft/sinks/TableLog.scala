@@ -675,6 +675,26 @@ object TableLog {
       }
   }
 
+  /** The DOTTED stats path of a column reference — a bare attribute
+    * (`k`) or a struct-field chain (`payload.kind`,
+    * `payload.geo.lat`), the exact key parquet footers report
+    * (`ColumnPath.toDotString`) and manifest stats store. Anything
+    * else (array/map extraction, computed expressions) is None —
+    * element-level stats don't exist in the footer, so there is
+    * nothing sound to prune with. This is what lets a predicate on a
+    * nested field drive file skipping: struct-typed event tables are
+    * the most common wide-table shape, and without it
+    * `payload.event_type = 'click'` reads every file.
+    */
+  private def dottedName(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      dottedName(g.child).map(p => s"$p.${g.extractFieldName}")
+    case _ => None
+  }
+
   private[sinks] def boundsFromPredicate(probe: DataFrame,
                                          pred: org.apache.spark.sql.Column): Seq[(String, Any, Any)] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -699,11 +719,10 @@ object TableLog {
       case _ => None
     }
     def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
       case c: Cast
         if c.dataType.isInstanceOf[NumericType] &&
           c.child.dataType.isInstanceOf[NumericType] => attrName(c.child)
-      case _ => None
+      case other => dottedName(other) // bare column OR struct-field chain
     }
     val negInf: Any = Double.NegativeInfinity
     val posInf: Any = Double.PositiveInfinity
@@ -833,10 +852,11 @@ object TableLog {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    cond.toSeq.flatMap(conjuncts).collect {
-      case IsNull(a: AttributeReference) => (a.name, true)
-      case Not(IsNull(a: AttributeReference)) => (a.name, false)
-      case IsNotNull(a: AttributeReference) => (a.name, false)
+    cond.toSeq.flatMap(conjuncts).flatMap {
+      case IsNull(e) => dottedName(e).map(_ -> true)
+      case Not(IsNull(e)) => dottedName(e).map(_ -> false)
+      case IsNotNull(e) => dottedName(e).map(_ -> false)
+      case _ => None
     }
   }
 
@@ -856,7 +876,7 @@ object TableLog {
   private def physNullShapes(cm: Map[String, String],
                              shapes: Seq[(String, Boolean)]): Seq[(String, Boolean)] =
     if (cm.isEmpty) shapes
-    else shapes.map { case (c, w) => (cm.getOrElse(c, c), w) }
+    else shapes.map { case (c, w) => (physPath(cm, c), w) }
 
   /** Recognize a single-column point-lookup predicate — `col = lit`,
     * `col IN (lits…)`, or an OR-chain of equalities on ONE column —
@@ -882,11 +902,14 @@ object TableLog {
       case _ => None
     }
     def walk(e: Expression): Option[(String, Seq[Any])] = e match {
-      case EqualTo(a: AttributeReference, v) => litVal(v).map(x => a.name -> Seq(x))
-      case EqualTo(v, a: AttributeReference) => litVal(v).map(x => a.name -> Seq(x))
-      case In(a: AttributeReference, vs) =>
+      case EqualTo(a, v) if dottedName(a).isDefined =>
+        litVal(v).map(x => dottedName(a).get -> Seq(x))
+      case EqualTo(v, a) if dottedName(a).isDefined =>
+        litVal(v).map(x => dottedName(a).get -> Seq(x))
+      case In(a, vs) if dottedName(a).isDefined =>
         val vals = vs.map(litVal)
-        if (vals.nonEmpty && vals.forall(_.isDefined)) Some(a.name -> vals.flatten)
+        if (vals.nonEmpty && vals.forall(_.isDefined))
+          Some(dottedName(a).get -> vals.flatten)
         else None
       case Or(l, r) =>
         (walk(l), walk(r)) match {
@@ -2454,7 +2477,7 @@ object TableLog {
     val dropped =
       if (op == "overwrite") Seq.empty[String]
       else parentC.fold(Seq.empty[String])(_.droppedCols)
-    def phys(c: String): String = cm.getOrElse(c, c)
+    def phys(c: String): String = physPath(cm, c)
     val physNames = logicalNames.map(phys)
     require(physNames.distinct.length == physNames.length,
       s"TableLog.$op: two columns resolve to the same PHYSICAL name " +
@@ -2479,9 +2502,12 @@ object TableLog {
     // pruning the table was built for. Explicit caller arguments win;
     // the properties are the default, not an override.
     val props = parentC.fold(Map.empty[String, String])(_.properties)
+    // a DOTTED declared stats col (payload.kind) qualifies through its
+    // head segment — nested-field stats are first-class
     def propCols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",")).map(_.trim)
-      .filter(c => c.nonEmpty && logicalNames.contains(c))
+      .filter(c => c.nonEmpty &&
+        logicalNames.contains(c.split('.').head))
     val effStatsCols =
       if (statsCols.nonEmpty) statsCols else propCols("graft.stats.cols")
     val declaredBlooms = propCols("graft.bloom.cols")
@@ -3858,10 +3884,22 @@ object TableLog {
     * would match no stats and pruning silently degrades to keep-all
     * (correct but O(table)).
     */
+  /** Map a LOGICAL stats path to its PHYSICAL one. Column mapping
+    * renames top-level columns only, so a dotted path maps through its
+    * HEAD segment (`payload.kind` under payload→p_1 is `p_1.kind` on
+    * disk — nested field names inside the struct are not remappable).
+    */
+  private[sinks] def physPath(cm: Map[String, String], c: String): String =
+    if (cm.isEmpty) c
+    else cm.getOrElse(c, {
+      val i = c.indexOf('.')
+      if (i < 0) c else cm.getOrElse(c.take(i), c.take(i)) + c.drop(i)
+    })
+
   private def physBounds(cm: Map[String, String],
                          bounds: Seq[(String, Any, Any)]): Seq[(String, Any, Any)] =
     if (cm.isEmpty) bounds
-    else bounds.map { case (c, lo, hi) => (cm.getOrElse(c, c), lo, hi) }
+    else bounds.map { case (c, lo, hi) => (physPath(cm, c), lo, hi) }
 
   /** The schema with every field renamed to its PHYSICAL name — what
     * the parquet reader must request (requesting a renamed logical
