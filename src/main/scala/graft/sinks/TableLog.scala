@@ -174,7 +174,7 @@ object TableLog {
   /** Injectable clock — tests pin commit timestamps (and clock skew)
     * deterministically; production leaves the default.
     */
-  private[sinks] var clockMs: () => Long = () => System.currentTimeMillis()
+  private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
 
   /** Default in-flight-commit grace for [[vacuum]]'s orphan sweep — an
     * unreferenced data file younger than this is presumed to belong to
@@ -4034,18 +4034,33 @@ object TableLog {
     * 100-query planning storm costs one fold plus 99 map hits instead
     * of 100 full re-parses. Weight-bounded by ENTRY count, not snapshot
     * count (one 10⁶-file snapshot is the memory story, not its key).
+    *
+    * SIZING (round 17): the default budget holds TWO advertised-scale
+    * (10⁶-file) snapshots — a dashboard alternating across two huge
+    * tables must not evict on every flip and silently degrade to
+    * per-query folds, which is exactly the storm the cache was built
+    * for. Deployments with more resident heap (or more hot tables) set
+    * `spark.graft.snapshotCache.maxEntries`; [[snapshotEvicts]] counts
+    * eviction churn next to the fold/hit counters, so the degraded
+    * pattern is observable instead of silent (evicts ≈ folds on a
+    * stable working set means the budget is too small).
     */
-  private val SnapshotCacheMaxEntries: Long = 1L << 20
+  private val SnapshotCacheDefaultMaxEntries: Long = 1L << 21
+  private[graft] def snapshotCacheBudget(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.snapshotCache.maxEntries")
+      .flatMap(_.toLongOption).filter(_ > 0L)
+      .getOrElse(SnapshotCacheDefaultMaxEntries)
   private val snapshotCache =
     new java.util.LinkedHashMap[(String, Long, String), (String, Seq[AddFile])](
       64, 0.75f, true)
   private var snapshotCacheWeight: Long = 0L
   private[graft] val snapshotFolds = new java.util.concurrent.atomic.AtomicLong
   private[graft] val snapshotHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val snapshotEvicts = new java.util.concurrent.atomic.AtomicLong
 
   private[graft] def snapshotCacheClear(): Unit = snapshotCache.synchronized {
     snapshotCache.clear(); snapshotCacheWeight = 0L
-    snapshotFolds.set(0L); snapshotHits.set(0L)
+    snapshotFolds.set(0L); snapshotHits.set(0L); snapshotEvicts.set(0L)
   }
 
   /** `(schemaJson, live files)` at `version`: start from the nearest
@@ -4093,12 +4108,14 @@ object TableLog {
       if (!snapshotCache.containsKey(key)) {
         snapshotCache.put(key, snap)
         snapshotCacheWeight += math.max(1L, snap._2.length.toLong)
+        val budget = snapshotCacheBudget(spark)
         val it = snapshotCache.entrySet().iterator()
-        while (snapshotCacheWeight > SnapshotCacheMaxEntries && it.hasNext) {
+        while (snapshotCacheWeight > budget && it.hasNext) {
           val e = it.next()
           if (!(e.getKey eq key)) {
             snapshotCacheWeight -= math.max(1L, e.getValue._2.length.toLong)
             it.remove()
+            snapshotEvicts.incrementAndGet()
           }
         }
       }

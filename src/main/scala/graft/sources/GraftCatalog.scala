@@ -127,6 +127,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     val f = fs(p)
     if (!f.exists(p)) throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    recoverReplacing(p, None) // aged RTAS crash orphans restore or sweep
     f.listStatus(p).filter(_.isDirectory)
       .map(_.getPath)
       .filterNot(_.getName.startsWith("_"))
@@ -134,14 +135,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(d => Identifier.of(namespace, d.getName))
   }
 
+  /** The not-found path doubles as the RTAS crash-recovery point: a
+    * table that vanished mid-replace reappears on its first lookup
+    * once the backup ages past the grace window.
+    */
+  private def requireTable(ident: Identifier): Unit =
+    if (!tableExists(ident)) {
+      recoverReplacing(entryPath(ident).getParent, Some(ident.name()))
+      if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    }
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireTable(ident)
     new GraftV2Table(ident, tableDirOf(ident), -1L)
   }
 
   /** `VERSION AS OF` through the catalog — Spark hands the version text. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireTable(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: VERSION AS OF must be a commit version number, got '$version'"))
     new GraftV2Table(ident, tableDirOf(ident), v)
@@ -149,7 +160,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF` through the catalog — Spark hands epoch MICROS. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireTable(ident)
     val dir = tableDirOf(ident)
     val ms = Math.floorDiv(timestampMicros, 1000L)
     new GraftV2Table(ident, dir, TableLog.versionAtTimestamp(spark, dir, ms))
@@ -293,25 +304,112 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireTable(ident)
     refuseCtasOntoData(ident, "REPLACE TABLE ... AS SELECT", properties)
     identityPartitionCols(partitions) // transform refusal, pre-rename
     val entry = entryPath(ident)
     val f = fs(entry)
     val backup = new Path(entry.getParent,
       s"_replacing_${ident.name()}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // stamp BEFORE the rename-aside: the stamp's age (not the dir's —
+    // a rename preserves the original table's old mtime) is what
+    // gates crash recovery, so a fresh in-flight RTAS can never look
+    // aged to a concurrent [[recoverReplacing]]. A crash between stamp
+    // and rename leaves a harmless marker in a live entry (swept by
+    // the next stageReplace's overwrite).
+    val stampOut = f.create(new Path(entry, ReplacingStamp), true)
+    try stampOut.write(
+      graft.sinks.TableLog.clockMs().toString.getBytes("UTF-8"))
+    finally stampOut.close()
     require(f.rename(entry, backup),
       s"graft catalog: could not stage REPLACE of $ident (rename failed)")
-    try new GraftStagedTable(this, ident,
-      createTable(ident, schema, partitions, properties),
-      backup = Some((backup, entry)))
-    catch {
+    try {
+      val staged = createTable(ident, schema, partitions, properties)
+      // the STAGED marker makes crash states unambiguous to recovery:
+      // while it exists, the entry at this path is an uncommitted
+      // replace (roll back to the backup); its deletion is the commit
+      // point (backup becomes litter)
+      f.create(new Path(entry, StagedMarker), true).close()
+      new GraftStagedTable(this, ident, staged,
+        backup = Some((backup, entry)))
+    } catch {
       case e: Throwable =>
         f.delete(entry, true)
         f.rename(backup, entry)
+        f.delete(new Path(entry, ReplacingStamp), false)
         throw e
     }
   }
+
+  /** Crash recovery for RTAS backups (round 17; mirrors the table
+    * log's vacuum-grace discipline): a driver crash between
+    * [[stageReplace]]'s rename-aside and the staged commit leaves the
+    * table VANISHED from listings (or visible only as an uncommitted
+    * staged entry) with its real bytes stranded in an `_replacing_*`
+    * sibling forever. On catalog listing (and on a failed named
+    * lookup) every AGED backup resolves by the crash state:
+    *
+    *  - target entry ABSENT (crash before the staged create) →
+    *    RESTORE the backup; the table reappears, original rows intact.
+    *  - target entry present WITH the [[StagedMarker]] (crash mid-
+    *    write, before the commit point) → the replace never happened:
+    *    drop the staged entry, RESTORE the backup.
+    *  - target entry present WITHOUT the marker (crash after the
+    *    commit point, before backup cleanup) → the replace committed;
+    *    the backup is litter, SWEEP it.
+    *
+    * Age gates on the PRE-RENAME stamp (the dir's own mtime is the old
+    * table's, not the stage instant), so an in-flight RTAS is never
+    * touched inside the grace window; a write that outlives the window
+    * is the same residual every age-gated crash protocol carries
+    * (vacuum's in-flight-commit grace included) — size
+    * [[GraftCatalog.replacingGraceMs]] above the longest expected
+    * AS-SELECT. Stacked backups (repeated crashes) restore the NEWEST
+    * stamp; older ones become sweep-litter on the next pass.
+    */
+  private[sources] def recoverReplacing(parent: Path,
+                                        target: Option[String]): Unit = {
+    val f = fs(parent)
+    val kids = try f.listStatus(parent)
+      catch { case scala.util.control.NonFatal(_) => return }
+    val now = graft.sinks.TableLog.clockMs()
+    def sinceOf(b: Path, fallback: Long): Long =
+      try {
+        val in = f.open(new Path(b, ReplacingStamp))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => fallback }
+    val backups = kids.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_replacing_")).flatMap { s =>
+      val core = s.getPath.getName.stripPrefix("_replacing_")
+      val cut = core.lastIndexOf('_')
+      if (cut <= 0) None
+      else {
+        val name = core.take(cut)
+        if (target.forall(_ == name))
+          Some((name, s.getPath, sinceOf(s.getPath, s.getModificationTime)))
+        else None
+      }
+    }
+    backups.groupBy(_._1).foreach { case (name, bs) =>
+      // newest stamp is the latest pre-crash state; it decides
+      val (_, b, since) = bs.maxBy(_._3)
+      if (now - since >= GraftCatalog.replacingGraceMs) {
+        val entry = new Path(parent, name)
+        val staged = f.exists(new Path(entry, StagedMarker))
+        if (f.exists(entry) && !staged) { f.delete(b, true); () }
+        else {
+          if (staged) f.delete(entry, true) // uncommitted staged entry
+          if (f.rename(b, entry)) {
+            f.delete(new Path(entry, ReplacingStamp), false); ()
+          }
+        }
+      }
+    }
+  }
+
+  private val ReplacingStamp = "_replacing_since"
+  private val StagedMarker = "_gcat_staged"
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
@@ -463,6 +561,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     val f = fs(p)
     if (!f.exists(p)) throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    recoverReplacing(p, None) // aged RTAS crash orphans restore or sweep
     f.listStatus(p).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName.startsWith("_"))
       .filterNot(isTableDir)
@@ -516,10 +615,21 @@ private[sources] class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
                                         backup: Option[(Path, Path)])
     extends StagedTable with SupportsRead with SupportsWrite {
   override def commitStagedChanges(): Unit =
-    backup.foreach { case (b, _) => cat.fs(b).delete(b, true); () }
+    backup.foreach { case (b, orig) =>
+      // marker deletion IS the commit point: from here on, crash
+      // recovery reads this entry as a committed replace and treats
+      // the backup as litter
+      cat.fs(b).delete(new Path(orig, "_gcat_staged"), false)
+      cat.fs(b).delete(b, true)
+      ()
+    }
   override def abortStagedChanges(): Unit = {
     cat.dropTable(ident)
-    backup.foreach { case (b, orig) => cat.fs(b).rename(b, orig); () }
+    backup.foreach { case (b, orig) =>
+      cat.fs(b).rename(b, orig)
+      cat.fs(b).delete(new Path(orig, "_replacing_since"), false)
+      ()
+    }
   }
   override def name(): String = underlying.name()
   override def schema(): StructType = underlying.schema()
@@ -700,4 +810,13 @@ private[sources] class GraftCatalogWriteBuilder(dir: String)
         ()
       }
   }
+}
+
+object GraftCatalog {
+  /** Grace window before an `_replacing_*` RTAS backup is eligible for
+    * crash recovery (restore-or-sweep) — long enough that no live
+    * staged write is ever mistaken for a crash. Var for test clocks
+    * only, like [[graft.sinks.TableLog.clockMs]].
+    */
+  @volatile var replacingGraceMs: Long = 6L * 3600L * 1000L
 }

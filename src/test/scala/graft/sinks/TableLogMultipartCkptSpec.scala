@@ -239,4 +239,43 @@ class TableLogMultipartCkptSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir, 1L).count() == 4L,
       "a rebuilt table must never be served the previous table's snapshot")
   }
+
+  test("snapshot cache sizing: a too-small budget reports eviction churn; the real budget holds both") {
+    // the r16 weight budget was ONE big table: a dashboard alternating
+    // over TWO near-budget snapshots evicted on every flip and silently
+    // degraded to per-query folds. The budget is now configurable and
+    // eviction churn is counted next to folds/hits, so the degraded
+    // pattern is observable; the default holds two advertised-scale
+    // (2^20-entry) snapshots.
+    val dirA = tmpDir("tlog_cache_a")
+    val dirB = tmpDir("tlog_cache_b")
+    TableLog.append(spark, dirA,
+      spark.range(0, 96).selectExpr("id AS k").repartition(24))
+    TableLog.append(spark, dirB,
+      spark.range(0, 96).selectExpr("id AS k").repartition(24))
+    // budget smaller than ONE snapshot's 24 entries → every alternation
+    // evicts the other table and re-folds: churn ≈ folds, all visible
+    spark.conf.set("spark.graft.snapshotCache.maxEntries", "20")
+    try {
+      TableLog.snapshotCacheClear()
+      (1 to 3).foreach { _ =>
+        assert(TableLog.readAt(spark, dirA).count() == 96L)
+        assert(TableLog.readAt(spark, dirB).count() == 96L)
+      }
+      assert(TableLog.snapshotEvicts.get() >= 4L,
+        s"alternating under-budget must CHURN (evicts=${TableLog.snapshotEvicts.get()})")
+      assert(TableLog.snapshotFolds.get() >= 5L,
+        "every under-budget alternation re-folds")
+    } finally spark.conf.unset("spark.graft.snapshotCache.maxEntries")
+    // at the default budget the same alternation caches both: one fold
+    // per table, zero evictions
+    TableLog.snapshotCacheClear()
+    (1 to 3).foreach { _ =>
+      assert(TableLog.readAt(spark, dirA).count() == 96L)
+      assert(TableLog.readAt(spark, dirB).count() == 96L)
+    }
+    assert(TableLog.snapshotFolds.get() == 2L,
+      s"both tables must stay resident (folds=${TableLog.snapshotFolds.get()})")
+    assert(TableLog.snapshotEvicts.get() == 0L)
+  }
 }

@@ -290,6 +290,69 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.rtas").count() == 1L)
   }
 
+  test("RTAS crash recovery: an aged orphan backup restores the vanished table; committed litter sweeps") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.connector.expressions.Transform
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.crash")
+    spark.sql("CREATE TABLE gcat.crash.t USING graft AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, 'orig' AS s")
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("crash"), "t")
+    val schema = new StructType().add("k", LongType).add("s", StringType)
+    // CRASH MID-WRITE: stage the replace (rename-aside + staged
+    // create), then abandon it — no commit, no abort. The staged entry
+    // sits at the table path with the staged marker; the real bytes
+    // are in the _replacing_* backup.
+    cat.stageReplace(ident, schema, Array.empty[Transform],
+      new java.util.HashMap[String, String]())
+    val f = cat.fs(new Path(root))
+    def backups() = f.listStatus(new Path(s"$root/crash"))
+      .map(_.getPath.getName).filter(_.startsWith("_replacing_")).toSeq
+    assert(backups().nonEmpty, "the backup must exist after staging")
+    // inside the grace window NOTHING recovers — an in-flight RTAS
+    // must never be rolled back by a concurrent listing
+    assert(spark.sql("SHOW TABLES IN gcat.crash").count() == 1L)
+    assert(backups().nonEmpty, "young backups are untouchable")
+    // age past the grace: the next listing rolls the crash back —
+    // staged entry dropped, original restored, no litter
+    val saved = graft.sinks.TableLog.clockMs
+    var offset = GraftCatalog.replacingGraceMs + 1000L
+    try {
+      graft.sinks.TableLog.clockMs = () => System.currentTimeMillis() + offset
+      assert(spark.sql("SHOW TABLES IN gcat.crash").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      assert(spark.sql("SELECT k, s FROM gcat.crash.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "orig")),
+        "the vanished table must reappear with its original rows")
+      assert(backups().isEmpty, "recovery must leave no backup litter")
+      // COMMITTED-BUT-UNCLEANED: simulate a crash after the commit
+      // point (marker deleted) but before backup cleanup — recovery
+      // must SWEEP the backup and keep the new table
+      val staged2 = cat.stageReplace(ident, schema, Array.empty[Transform],
+        new java.util.HashMap[String, String]())
+      spark.sql("INSERT INTO gcat.crash.t VALUES (9, 'next')")
+      f.delete(new Path(s"$root/crash/t/_gcat_staged"), false) // commit point
+      assert(backups().nonEmpty)
+      offset += GraftCatalog.replacingGraceMs + 1000L // age the 2nd backup
+      assert(spark.sql("SHOW TABLES IN gcat.crash").count() == 1L)
+      assert(backups().isEmpty, "a committed replace's backup is litter — swept")
+      assert(spark.sql("SELECT k, s FROM gcat.crash.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "next")),
+        "a committed replace must never be rolled back")
+      staged2 // keep the reference alive; never committed nor aborted
+    } finally graft.sinks.TableLog.clockMs = saved
+    // SUCCESS PATH leaves no litter and no stray markers
+    spark.sql("REPLACE TABLE gcat.crash.t USING graft AS " +
+      "SELECT CAST(5 AS BIGINT) AS k, 'clean' AS s")
+    assert(backups().isEmpty)
+    assert(!f.exists(new Path(s"$root/crash/t/_gcat_staged")))
+    assert(!f.exists(new Path(s"$root/crash/t/_replacing_since")))
+    assert(spark.sql("SELECT s FROM gcat.crash.t").head().getString(0) == "clean")
+  }
+
   test("PARTITIONED BY identity maps to the clustering layout; transforms refuse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.part")
     spark.sql("CREATE TABLE gcat.part.t (k BIGINT, region STRING) USING graft " +
