@@ -26,11 +26,13 @@ import graft.sinks.TableLog
   *   CREATE [OR REPLACE] VIEW cat.ns.v AS SELECT …   -- graft-catalog views
   *   DROP VIEW [IF EXISTS] cat.ns.v
   *   SHOW GRAFT VIEWS IN cat[.ns]
+  *   ALTER TABLE t ADD CONSTRAINT nn CHECK (expr)
+  *   ALTER TABLE t DROP CONSTRAINT nn
   * }}}
   *
   * where `t` is a `USING graft` temp-view name, the path form
   * `` graft.`/path` ``, or a graft-catalog name. Anything that does not
-  * match one of these ELEVEN statements delegates VERBATIM to Spark's
+  * match one of these THIRTEEN statements delegates VERBATIM to Spark's
   * parser — this class adds grammar, it never changes any. The view
   * statements intercept only ≥3-part dotted names and fall back to
   * Spark's own parser at run time when the leading part is not a graft
@@ -51,7 +53,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // last-wins fallback for parsers constructed OUTSIDE injectParser
   // (tests wiring the interceptor directly); the per-session registry
   // in the companion is the primary lookup
-  GraftSqlParser.vanillaDelegate = delegate
+  GraftSqlParser.vanillaDelegate = new java.lang.ref.WeakReference(delegate)
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -77,16 +79,26 @@ object GraftSqlParser {
     * parsers wired outside injectParser (tests); a bare SparkSqlParser
     * is the never-taken final fallback.
     */
+  // VALUES are WeakReferences too: the delegate chain strongly
+  // references its session (sessionState), so a strong value would
+  // defeat the weak KEY and pin every retired session forever — the
+  // live session's own sessionState holds the only strong ref, and
+  // when it dies both key and value clear together. Same for the
+  // last-wins fallback: a strong `vanillaDelegate` would pin the
+  // last session for the driver's lifetime.
   private val delegates = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, ParserInterface]())
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[ParserInterface]]())
   def registerDelegate(s: SparkSession, d: ParserInterface): Unit = {
-    delegates.put(s, d)
-    vanillaDelegate = d
+    delegates.put(s, new java.lang.ref.WeakReference(d))
+    vanillaDelegate = new java.lang.ref.WeakReference(d)
     ()
   }
   private[sources] def delegateFor(s: SparkSession): Option[ParserInterface] =
-    Option(delegates.get(s)).orElse(Option(vanillaDelegate))
-  @volatile private[sources] var vanillaDelegate: ParserInterface = _
+    Option(delegates.get(s)).flatMap(r => Option(r.get()))
+      .orElse(Option(vanillaDelegate).flatMap(r => Option(r.get())))
+  @volatile private[sources] var vanillaDelegate
+      : java.lang.ref.WeakReference[ParserInterface] = _
 
   // a target is graft.`/path`, a bare view identifier, or a dotted
   // catalog name (`gcat.ns.t` — resolved through GraftCatalog)
@@ -111,6 +123,16 @@ object GraftSqlParser {
       """\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""").r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+  // CHECK constraints as SQL (round 17; Delta's own grammar) — the
+  // reference's validators.py enforce-at-load rule, declarable without
+  // leaving SQL. The trailing (.+) is greedy through the LAST `)` so
+  // nested parens inside the CHECK expression survive the grab.
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_-]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_-]*)\s*;?\s*$""").r
   // PERSISTENT VIEWS over the graft catalog: intercept only names with
   // ≥3 dotted parts (cat.ns.v) — a form vanilla Spark REFUSES for the
   // session catalog and every upstream V2 catalog (no V2 view support),
@@ -154,6 +176,10 @@ object GraftSqlParser {
         Option(st).map(cols).getOrElse(Nil)))
     case ShowTablesRe(root) =>
       Some(GraftShowTablesCommand(root))
+    case AddConstraintRe(p, v, name, check) =>
+      Some(GraftAddConstraintCommand(Option(p), Option(v), name, check.trim))
+    case DropConstraintRe(p, v, name) =>
+      Some(GraftDropConstraintCommand(Option(p), Option(v), name))
     case CreateViewRe(orReplace, name, body) =>
       Some(GraftCreateViewCommand(name.split('.').toSeq, body,
         orReplace != null, originalSql = sql))
@@ -283,6 +309,41 @@ private[sources] case class GraftRestoreCommand(path: Option[String],
     val v = TableLog.restore(spark,
       GraftSqlParser.dirOf(spark, path, view), toVersion)
     Seq(Row(v, toVersion))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — the method API's
+  * [[TableLog.addCheckConstraint]] as SQL: existing data is verified
+  * first (refuses with a witness row), then every future commit
+  * enforces the expression and a rebase across a constraint change
+  * stays blocked (all inherited from the one implementation).
+  */
+private[sources] case class GraftAddConstraintCommand(path: Option[String],
+                                                      view: Option[String],
+                                                      constraint: String,
+                                                      check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = false)
+    .add("constraint", StringType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableLog.addCheckConstraint(spark,
+      GraftSqlParser.dirOf(spark, path, view), constraint, check)
+    Seq(Row(v, constraint))
+  }
+}
+
+private[sources] case class GraftDropConstraintCommand(path: Option[String],
+                                                       view: Option[String],
+                                                       constraint: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = false)
+    .add("constraint", StringType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableLog.dropCheckConstraint(spark,
+      GraftSqlParser.dirOf(spark, path, view), constraint)
+    Seq(Row(v, constraint))
   }
 }
 

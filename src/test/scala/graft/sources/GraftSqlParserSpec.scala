@@ -119,4 +119,45 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("does not resolve to a graft table"))
     spark.sql("DROP VIEW gsp_plain")
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT as SQL: full lifecycle") {
+    val dir = tmpDir("gsp_ck") + "/t"
+    TableLog.append(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gsp_ck USING graft OPTIONS (path '$dir')")
+    // declare through SQL (nested parens must survive the grab)
+    val r = spark.sql(
+      "ALTER TABLE gsp_ck ADD CONSTRAINT amount_pos CHECK ((amount) > 0)").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "amount_pos")
+    // the SQL-added constraint refuses a violating SQL INSERT…
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gsp_ck VALUES (3, -5.0)")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("amount_pos"),
+      s"violating insert must name the constraint: ${e.getMessage}")
+    assert(TableLog.readAt(spark, dir).count() == 2L)
+    // …and a passing one commits
+    spark.sql("INSERT INTO gsp_ck VALUES (3, 5.0)")
+    assert(TableLog.readAt(spark, dir).count() == 3L)
+    // adding over violating EXISTING data refuses with a witness
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gsp_ck ADD CONSTRAINT k_big CHECK (k > 100)")
+    }
+    assert(e2.getMessage.contains("existing data violates"), e2.getMessage)
+    // drop through SQL re-opens the gate; the path form works too
+    spark.sql("ALTER TABLE gsp_ck DROP CONSTRAINT amount_pos")
+    spark.sql("INSERT INTO gsp_ck VALUES (4, -1.0)")
+    assert(TableLog.readAt(spark, dir).count() == 4L)
+    val r2 = spark.sql(
+      s"ALTER TABLE graft.`$dir` ADD CONSTRAINT k_pos CHECK (k > 0)").head()
+    assert(r2.getString(1) == "k_pos")
+    // every OTHER ALTER TABLE form delegates verbatim to Spark's parser
+    assert(GraftSqlParser.maintenancePlan(
+      "ALTER TABLE t SET TBLPROPERTIES ('a'='b')").isEmpty)
+    assert(GraftSqlParser.maintenancePlan(
+      "ALTER TABLE t RENAME TO t2").isEmpty)
+    assert(GraftSqlParser.maintenancePlan(
+      "ALTER TABLE t ADD COLUMNS (x INT)").isEmpty)
+    spark.sql("DROP VIEW gsp_ck")
+  }
 }
