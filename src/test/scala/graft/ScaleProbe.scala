@@ -961,6 +961,76 @@ object ScaleProbe {
       probeRun("cdf_files_keyed") { () => keyedFeed(cf1) } { () => keyedFeed(cf16) }
     }
 
+    // ADOPTED LAKE vs the FILE-COUNT axis (round 17): the same rows
+    // hive-adopted over 8 vs 128 files, constant selected fraction —
+    // the basePath read arm, CoW touch-set resolution, and the keyed
+    // feed's pcolsOfPath reconstruction must track ROWS (+ a per-file
+    // scan-task constant), never per-entry linear, like the rest of
+    // the lakehouse family
+    if (only.isEmpty || only("adopted_scan") || only("adopted_cow") ||
+        only("adopted_feed")) {
+      import graft.sinks.TableLog
+      def adoptedStage(name: String, pVals: Int, perDir: Int): String = {
+        val p = s"$StageDir/adopted_$name"
+        val fsp = new org.apache.hadoop.fs.Path(p)
+        fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+        ev1.select(col("event_id"), col("user_id"), col("ts"))
+          .dropDuplicates("event_id")
+          .withColumn("p", pmod(col("event_id"), lit(pVals)).cast("int"))
+          .repartition(perDir)
+          .write.partitionBy("p").parquet(p)
+        TableLog.convertToGraft(spark, p, statsCols = Seq("event_id"))
+        p
+      }
+      val ad1 = adoptedStage("1x", 4, 2)    // ≈8 files
+      val ad16 = adoptedStage("16x", 32, 4) // ≈128 files
+      // constant ¼ of the rows selected through the partition column
+      def adScan(p: String, hi: Int): Unit =
+        TableLog.scanWhere(spark, p, col("p") < hi).df
+          .write.format("noop").mode("overwrite").save()
+      probeRun("adopted_scan") { () => adScan(ad1, 1) } { () => adScan(ad16, 8) }
+      // CoW update touching a constant row slice (stats-pruned files)
+      var flip = 1L
+      def adCow(p: String): Unit = {
+        flip += 1
+        TableLog.updateWhere(spark, p, col("event_id") < 2000L,
+          Map("user_id" -> (col("user_id") * -1L + flip)),
+          statsCols = Seq("event_id"))
+        ()
+      }
+      probeRun("adopted_cow") { () => adCow(ad1) } { () => adCow(ad16) }
+      def adFeed(p: String): Unit = {
+        val v = TableLog.currentVersion(spark, p)
+        TableLog.readChanges(spark, p, v - 1, v, keys = Seq("event_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("adopted_feed") { () => adFeed(ad1) } { () => adFeed(ad16) }
+    }
+
+    // MANIFEST-ENTRY DRIVER HEAP (round 17; measure before engineering):
+    // the resolved snapshot is a driver-resident Seq[AddFile] — this
+    // prints the RETAINED bytes/entry of a real harvested entry list
+    // (path + stats + null counts at 3 stats columns) and the projected
+    // 10⁶-file figure, the number behind the entries-as-Dataset
+    // go/no-go in PLANS.md
+    if (only.isEmpty || only("manifest_heap")) {
+      import graft.sinks.TableLog
+      val p = s"$StageDir/manifest_heap"
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+      TableLog.append(spark, p,
+        ev1.select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(4096),
+        statsCols = Seq("event_id", "user_id", "ts"))
+      val entries = TableLog.liveFilesAt(spark, p).toVector
+      val bytes = org.apache.spark.util.SizeEstimator.estimate(
+        entries.asInstanceOf[AnyRef])
+      val per = bytes.toDouble / entries.length
+      println(f"[scale] manifest_heap         entries=${entries.length}%d  " +
+        f"retained=${bytes / 1048576.0}%.1f MiB  per-entry=${per}%.0f B  " +
+        f"projected 1e6 entries=${per * 1e6 / 1073741824.0}%.2f GiB")
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory
