@@ -4035,21 +4035,41 @@ object TableLog {
     * of 100 full re-parses. Weight-bounded by ENTRY count, not snapshot
     * count (one 10⁶-file snapshot is the memory story, not its key).
     *
-    * SIZING (round 17): the default budget holds TWO advertised-scale
-    * (10⁶-file) snapshots — a dashboard alternating across two huge
-    * tables must not evict on every flip and silently degrade to
-    * per-query folds, which is exactly the storm the cache was built
-    * for. Deployments with more resident heap (or more hot tables) set
-    * `spark.graft.snapshotCache.maxEntries`; [[snapshotEvicts]] counts
+    * SIZING (round 17): the budget is BYTE-WEIGHTED — each snapshot
+    * weighs its MEASURED retained heap (per-entry SizeEstimator over a
+    * bounded sample × entry count; entry-count weighting would let one
+    * wide-stats table consume 10× its share invisibly). The default
+    * (768 MiB) holds TWO advertised-scale snapshots (the probe-measured
+    * figure is 381 B/entry → ~0.36 GiB per 10⁶-file table) — a
+    * dashboard alternating across two huge tables must not evict on
+    * every flip and silently degrade to per-query folds, which is
+    * exactly the storm the cache was built for. Deployments with more
+    * resident heap (or more hot tables) set
+    * `spark.graft.snapshotCache.maxBytes`; [[snapshotEvicts]] counts
     * eviction churn next to the fold/hit counters, so the degraded
     * pattern is observable instead of silent (evicts ≈ folds on a
     * stable working set means the budget is too small).
     */
-  private val SnapshotCacheDefaultMaxEntries: Long = 1L << 21
+  private val SnapshotCacheDefaultMaxBytes: Long = 768L << 20
   private[graft] def snapshotCacheBudget(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.snapshotCache.maxEntries")
+    spark.conf.getOption("spark.graft.snapshotCache.maxBytes")
       .flatMap(_.toLongOption).filter(_ > 0L)
-      .getOrElse(SnapshotCacheDefaultMaxEntries)
+      .getOrElse(SnapshotCacheDefaultMaxBytes)
+
+  /** Retained-heap weight of a snapshot: per-entry estimate over a
+    * bounded sample (SizeEstimator walks object graphs reflectively —
+    * full-list walks on a 10⁶-entry snapshot would cost more than the
+    * fold the cache saves) × entry count, floored at 1 so empty
+    * snapshots still occupy a slot.
+    */
+  private def snapshotWeight(snap: (String, Seq[AddFile])): Long = {
+    val n = snap._2.length
+    if (n == 0) return 1L
+    val sample = if (n <= 256) snap._2 else snap._2.take(256)
+    val perEntry = org.apache.spark.util.SizeEstimator.estimate(
+      sample.toVector.asInstanceOf[AnyRef]).toDouble / sample.length
+    math.max(1L, (perEntry * n).toLong)
+  }
   private val snapshotCache =
     new java.util.LinkedHashMap[(String, Long, String), (String, Seq[AddFile])](
       64, 0.75f, true)
@@ -4107,13 +4127,13 @@ object TableLog {
     if (key != null) snapshotCache.synchronized {
       if (!snapshotCache.containsKey(key)) {
         snapshotCache.put(key, snap)
-        snapshotCacheWeight += math.max(1L, snap._2.length.toLong)
+        snapshotCacheWeight += snapshotWeight(snap)
         val budget = snapshotCacheBudget(spark)
         val it = snapshotCache.entrySet().iterator()
         while (snapshotCacheWeight > budget && it.hasNext) {
           val e = it.next()
           if (!(e.getKey eq key)) {
-            snapshotCacheWeight -= math.max(1L, e.getValue._2.length.toLong)
+            snapshotCacheWeight -= snapshotWeight(e.getValue)
             it.remove()
             snapshotEvicts.incrementAndGet()
           }

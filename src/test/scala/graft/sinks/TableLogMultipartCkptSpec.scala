@@ -253,9 +253,10 @@ class TableLogMultipartCkptSpec extends SparkSpec {
       spark.range(0, 96).selectExpr("id AS k").repartition(24))
     TableLog.append(spark, dirB,
       spark.range(0, 96).selectExpr("id AS k").repartition(24))
-    // budget smaller than ONE snapshot's 24 entries → every alternation
-    // evicts the other table and re-folds: churn ≈ folds, all visible
-    spark.conf.set("spark.graft.snapshotCache.maxEntries", "20")
+    // byte budget smaller than ONE snapshot's retained weight (24
+    // entries × ~400 B) → every alternation evicts the other table and
+    // re-folds: churn ≈ folds, all visible
+    spark.conf.set("spark.graft.snapshotCache.maxBytes", "4096")
     try {
       TableLog.snapshotCacheClear()
       (1 to 3).foreach { _ =>
@@ -266,7 +267,7 @@ class TableLogMultipartCkptSpec extends SparkSpec {
         s"alternating under-budget must CHURN (evicts=${TableLog.snapshotEvicts.get()})")
       assert(TableLog.snapshotFolds.get() >= 5L,
         "every under-budget alternation re-folds")
-    } finally spark.conf.unset("spark.graft.snapshotCache.maxEntries")
+    } finally spark.conf.unset("spark.graft.snapshotCache.maxBytes")
     // at the default budget the same alternation caches both: one fold
     // per table, zero evictions
     TableLog.snapshotCacheClear()
