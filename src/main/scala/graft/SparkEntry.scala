@@ -190,6 +190,13 @@ object SparkEntry {
   private val tableLogNestedPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged MERGE-EVOLUTION fixture (q_merge_evolve): a merge whose
+    * source carries a column the target lacks — autoMerge appends it
+    * to the schema in the same commit, untouched rows null-fill.
+    */
+  private val tableLogMergeEvolvePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -2275,6 +2282,31 @@ object SparkEntry {
     // files the merge never touched
     "q_merge_sync" -> ((s, d) => {
       TableLog.readAt(s, syncFixture(s, d)).orderBy(col("k"))
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge): the source
+    // carries a column the target lacks — the merge appends it to the
+    // table schema in the same commit, matched rows take the source
+    // values, and every untouched row null-fills the new column at
+    // read (no rewrite for the schema change). The oracle reconstructs
+    // the merged state with a CASE over the raw table.
+    "q_merge_evolve" -> ((s, d) => {
+      val dir = tableLogMergeEvolvePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogmergeevo", d)
+        val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("total"))
+        TableLog.append(s, p, base.repartitionByRange(6, col("k")),
+          statsCols = Seq("k"))
+        val src = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice").cast("double") * 2).as("total"),
+            col("o_orderstatus").as("status"))
+        TableLog.mergeInto(s, p, src, keys = Seq("k"),
+          statsCols = Seq("k"), evolveSchema = true)
+        p
+      })
+      TableLog.readAt(s, dir).orderBy(col("k"))
     }),
 
     // zero-copy RESTORE: version 5 rolled the whole CoW history back to
@@ -5478,6 +5510,13 @@ object SparkEntry {
         |LEFT JOIN src s USING (k)
         |WHERE s.k IS NULL AND (t.status IS NULL OR t.status <> 'F')
         |ORDER BY k""".stripMargin,
+
+    "q_merge_evolve" ->
+      """SELECT o_orderkey AS k,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice::DOUBLE * 2
+        |            ELSE o_totalprice::DOUBLE END AS total,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus END AS status
+        |FROM orders ORDER BY k""".stripMargin,
 
     // change feed (1, 3]: the SAME multiset-diff formulation the feed
     // itself uses (EXCEPT ALL of the after-state vs the before-state,

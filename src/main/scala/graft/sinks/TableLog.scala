@@ -563,6 +563,15 @@ object TableLog {
     * merges are never auto-rebased: their read is table-wide (or
     * condition-wide), so ANY concurrent add invalidates the
     * not-matched decision — the race stays a loud conflict.
+    *
+    * `evolveSchema = true` is Delta's merge `autoMerge`: source-only
+    * columns APPEND to the table schema in the same commit (nullable;
+    * existing rows null-fill at read — untouched files never rewrite
+    * for a schema change). Default OFF keeps the long-standing rule
+    * that extra source columns are dropped by the row-replacement
+    * projection; a source missing a TARGET column refuses loudly
+    * either way (a merge replaces whole rows, so it must provide
+    * them). Case-only name collisions refuse.
     */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keys: Seq[String], whenMatched: String = "update",
@@ -570,7 +579,8 @@ object TableLog {
                 statsCols: Seq[String] = Nil,
                 txn: Option[(String, Long)] = None,
                 whenNotMatchedBySource: String = "none",
-                notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None): Long = {
+                notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None,
+                evolveSchema: Boolean = false): Long = {
     require(keys.nonEmpty, "TableLog.mergeInto: keys must be non-empty")
     require(whenMatched == "update" || whenMatched == "delete",
       s"TableLog.mergeInto: whenMatched must be update|delete, got $whenMatched")
@@ -613,7 +623,8 @@ object TableLog {
     rewriteTouched(spark, dir, "merge", bounds, statsCols,
         schemaCheck = whenMatched == "update" || insertUnmatched,
         txn = txn, readBounds = bounds, orBounds = nmbsBounds,
-        rebaseable = !fullSync) { touched =>
+        rebaseable = !fullSync,
+        evolveWith = if (evolveSchema) Some(source.schema) else None) { touched =>
       import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
       val keptUnmatched = touched.join(
         source.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1005,14 +1016,35 @@ object TableLog {
                              readBounds: Seq[(String, Any, Any)] = Nil,
                              orBounds: Seq[Seq[(String, Any, Any)]] = Nil,
                              rebaseable: Boolean = true,
-                             writeOptions: Map[String, String] = Map.empty)
+                             writeOptions: Map[String, String] = Map.empty,
+                             evolveWith: Option[StructType] = None)
                             (rewrite: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.$op: $dir has no committed versions")
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val (committedJson, files) = snapshotAt(spark, fs, basePath, base)
+    val committed = DataType.fromJson(committedJson).asInstanceOf[StructType]
+    // SCHEMA EVOLUTION seam (merge autoMerge): `evolveWith`'s source-only
+    // fields append to the committed schema; touched files read through
+    // the EVOLVED shape (Spark null-fills columns a parquet file lacks —
+    // the same read rule the mergeSchema append relies on), untouched
+    // entries carry over and null-fill at read forever after. Names that
+    // differ only in case from an existing column refuse: Spark's
+    // case-insensitive resolution would make every later reference
+    // ambiguous.
+    val schema = evolveWith.fold(committed) { src =>
+      val have = committed.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val extra = src.fields.filterNot(f =>
+        committed.fieldNames.contains(f.name)).toSeq
+      extra.foreach(f => require(
+        !have.contains(f.name.toLowerCase(java.util.Locale.ROOT)),
+        s"TableLog.$op: evolved column '${f.name}' differs only in case " +
+          "from an existing column — ambiguous under case-insensitive " +
+          "resolution; rename it"))
+      StructType(committed.fields ++ extra.map(_.copy(nullable = true)))
+    }
+    val schemaJson = schema.json
     val cm = columnMappingAt(spark, dir, base)
     val bounds =
       if (pruneBounds.nonEmpty) pruneBounds

@@ -575,6 +575,54 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("merge schema evolution: source-only columns append; untouched files carry and null-fill") {
+    val dir = tmpDir("tlog_mergeevo")
+    TableLog.append(spark, dir,
+      spark.range(0, 400).select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("total"))
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val pre = TableLog.liveFilesAt(spark, dir)
+    // default OFF: the extra source column drops through the
+    // row-replacement projection, schema unchanged (documented rule)
+    TableLog.mergeInto(spark, dir,
+      Seq((1L, 100.0, "x")).toDF("k", "total", "note"), keys = Seq("k"),
+      statsCols = Seq("k"))
+    assert(!TableLog.readAt(spark, dir).columns.contains("note"))
+    // evolveSchema: the new column lands, matched rows take source
+    // values, every other row null-fills — and the CoW still PRUNES
+    // (untouched files carry verbatim through the schema change)
+    val src = Seq((2L, 200.0, "two"), (3L, 300.0, "three"))
+      .toDF("k", "total", "note")
+    TableLog.mergeInto(spark, dir, src, keys = Seq("k"),
+      statsCols = Seq("k"), evolveSchema = true)
+    val got = TableLog.readAt(spark, dir)
+    assert(got.columns.toSeq == Seq("k", "total", "note"))
+    assert(got.count() == 400L)
+    assert(got.filter(col("k") === 2L).select("total", "note").head()
+      .toSeq == Seq(200.0, "two"))
+    assert(got.filter(col("note").isNotNull).count() == 2L,
+      "only the merged keys may carry the new column")
+    val post = TableLog.liveFilesAt(spark, dir)
+    assert(pre.map(_.path).toSet.intersect(post.map(_.path).toSet).nonEmpty,
+      "files outside the key box must carry verbatim — no rewrite for a schema change")
+    // a later plain merge on the evolved table works; appends must now
+    // carry the full schema
+    TableLog.mergeInto(spark, dir,
+      Seq((5L, 500.0, "five")).toDF("k", "total", "note"), keys = Seq("k"),
+      statsCols = Seq("k"))
+    assert(TableLog.readAt(spark, dir).filter(col("k") === 5L)
+      .select("note").head().getString(0) == "five")
+    // case-only collision refuses — ambiguous under case-insensitive
+    // resolution
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark, dir,
+        Seq((6L, 1.0, "x")).toDF("k", "total", "NOTE"), keys = Seq("k"),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("case"), e.getMessage)
+  }
+
   test("scoped z-order: OPTIMIZE WHERE band ZORDER BY (x,y) re-lays only the band") {
     val dir = tmpDir("tlog_zscope")
     // two bands on d: a cold band (d in 0..49) laid down once, and a
