@@ -64,9 +64,9 @@ object GraftSql {
     }
 
   private def execMerge(spark: SparkSession, m: MergeIntoTable): Long = {
-    require(!m.schemaEvolutionEnabled,
-      "GraftSql MERGE: WITH SCHEMA EVOLUTION is not supported — evolve " +
-        "with append(mergeSchema) first, then merge")
+    // `MERGE INTO … WITH SCHEMA EVOLUTION` (Spark's own grammar flag)
+    // routes to the method API's evolveSchema: source-only columns
+    // append to the table schema in the merge's commit
     val dir = targetDir(spark, m.targetTable)
     val source = GraftSqlShimAccess.ofRows(spark, m.sourceTable)
     val keys = equiKeys(m.mergeCondition,
@@ -100,7 +100,8 @@ object GraftSql {
     TableLog.mergeInto(spark, dir, source.select(keys.map(k => source(k)) ++
         source.columns.filterNot(keys.contains).map(source(_)): _*),
       keys, whenMatched = whenMatched, insertUnmatched = insertUnmatched,
-      whenNotMatchedBySource = nmbs, notMatchedBySourceCondition = nmbsCond)
+      whenNotMatchedBySource = nmbs, notMatchedBySourceCondition = nmbsCond,
+      evolveSchema = m.withSchemaEvolution)
   }
 
   /** The merge keys: the ON clause must be a conjunction of

@@ -79,6 +79,34 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("DROP VIEW tmrg"); spark.sql("DROP VIEW tmrg_src")
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION: source-only columns append from SQL") {
+    val dir = stage("tmev")
+    Seq((2L, -2.0, "upd", "extra2"), (5000L, 5.0, "new", "extra5"))
+      .toDF("k", "v", "s", "tag").createOrReplaceTempView("tmev_src")
+    // without the flag, the extra column drops (the documented default)
+    GraftSql.exec(spark,
+      """MERGE INTO tmev t USING tmev_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(!spark.table("tmev").columns.contains("tag"))
+    // with it, the column lands and untouched rows null-fill
+    GraftSql.exec(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO tmev t USING tmev_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // a TEMP VIEW freezes its relation's schema at creation (Spark V1
+    // semantics) — re-create it to see the evolved shape; the table
+    // itself carries the new column immediately
+    assert(TableLog.readAt(spark, dir).columns.contains("tag"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tmev USING graft OPTIONS (path '$dir')")
+    val t = spark.table("tmev")
+    assert(t.columns.contains("tag"))
+    assert(t.filter(col("k") === 2L).select("tag").head().getString(0) == "extra2")
+    assert(t.filter(col("k") === 5000L).select("tag").head().getString(0) == "extra5")
+    assert(t.filter(col("tag").isNotNull).count() == 2L)
+    assert(t.count() == 1001L)
+    spark.sql("DROP VIEW tmev"); spark.sql("DROP VIEW tmev_src")
+  }
+
   test("graft.`/path` identifier form targets a table without a view") {
     val dir = stage("tpath")
     GraftSql.exec(spark, s"DELETE FROM graft.`$dir` WHERE k = 7")
