@@ -197,6 +197,13 @@ object SparkEntry {
   private val tableLogMergeEvolvePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged NESTED-UPDATE fixture (q_update_nested): a struct field
+    * rewritten in place through withField — schema unchanged, siblings
+    * untouched, nested-predicate-pruned CoW.
+    */
+  private val tableLogNestedUpdPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def nullsFixture(s: SparkSession, d: String): String =
     tableLogNullsPath.getOrElseUpdate(d, {
       val p = stageDir("tlognulls", d)
@@ -2122,6 +2129,32 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // NESTED-FIELD UPDATE: `UPDATE … SET payload.qty = …` rebuilds the
+    // struct field in place through withField — schema unchanged,
+    // sibling fields untouched, stats-pruned CoW touch set derived
+    // from the (nested) predicate. Oracle reconstructs with a CASE
+    // over the flattened raw table.
+    "q_update_nested" -> ((s, d) => {
+      val dir = tableLogNestedUpdPath.getOrElseUpdate(d, {
+        val p = stageDir("tlognestedupd", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"),
+          struct(col("l_returnflag").as("kind"),
+            col("l_quantity").cast("double").as("qty")).as("payload"))
+        TableLog.append(s, p,
+          li.repartitionByRange(6, col("payload.kind"), col("l_orderkey")),
+          statsCols = Seq("payload.kind", "payload.qty"))
+        TableLog.updateWhere(s, p, col("payload.kind") === lit("R"),
+          Map("payload.qty" -> (col("payload.qty") * 10)),
+          statsCols = Seq("payload.kind", "payload.qty"))
+        p
+      })
+      TableLog.readAt(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("payload.kind").as("kind"), col("payload.qty").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
     // dv-deleting keys on a HASH-distributed layout (stats prune
     // nothing; the bloom phase prunes to files that might hold a key),
@@ -3914,6 +3947,12 @@ object SparkEntry {
         |       CAST(l_quantity AS DOUBLE) AS qty
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_update_nested" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS kind,
+        |       CASE WHEN l_returnflag = 'R' THEN l_quantity::DOUBLE * 10
+        |            ELSE l_quantity::DOUBLE END AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {
       // one UNION ALL branch per lineitem column, all stats from one CTE scan

@@ -482,13 +482,55 @@ object TableLog {
     rewriteTouched(spark, dir, "update", pruneBounds, statsCols,
         autoBoundsFrom = Some(predicate)) { touched =>
       val fields = touched.schema.fields
-      val unknown = set.keySet -- fields.map(_.name).toSet
+      // NESTED assignments (`payload.kind` → expr) rebuild their head
+      // struct through withField — one per-row struct copy, no schema
+      // change, arbitrary depth; sibling fields carry untouched. A
+      // whole-column assignment and a nested one on the SAME head
+      // would be ambiguous (which wins?) — refused.
+      val (nested0, plain) = set.partition(_._1.contains("."))
+      val nestedByHead = nested0.toSeq
+        .map { case (k, v) => (k.split('.').head, k.split('.').drop(1), v) }
+        .groupBy(_._1)
+      val overlap = plain.keySet.intersect(nestedByHead.keySet)
+      require(overlap.isEmpty,
+        s"TableLog.updateWhere: both whole-column and nested SET on " +
+          s"${overlap.mkString(", ")} — ambiguous; pick one form")
+      val unknown = (plain.keySet ++ nestedByHead.keySet) --
+        fields.map(_.name).toSet
       require(unknown.isEmpty,
         s"TableLog.updateWhere: SET columns not in the table: ${unknown.mkString(", ")}")
+      def leafType(dt: DataType, path: Seq[String], full: String): DataType =
+        path.foldLeft(dt) {
+          case (s: StructType, seg) =>
+            s.fields.find(_.name == seg).getOrElse(throw new IllegalArgumentException(
+              s"TableLog.updateWhere: no field '$seg' in SET path '$full'")).dataType
+          case (other, seg) => throw new IllegalArgumentException(
+            s"TableLog.updateWhere: SET path '$full' descends into " +
+              s"non-struct type ${other.simpleString} at '$seg'")
+        }
       val cond = fnCoalesce(predicate, lit(false))
       touched.select(fields.map { f =>
-        set.get(f.name)
+        plain.get(f.name)
           .map(expr => when(cond, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .orElse(nestedByHead.get(f.name).map { assigns =>
+            val updated = assigns.foldLeft(col(f.name)) {
+              case (c, (_, path, expr)) =>
+                val full = (f.name +: path).mkString(".")
+                val typed = expr.cast(leafType(f.dataType, path, full))
+                // withField replaces at one level; deeper paths nest
+                def place(base: org.apache.spark.sql.Column,
+                          dt: DataType, p: Seq[String]): org.apache.spark.sql.Column =
+                  if (p.length == 1) base.withField(p.head, typed)
+                  else {
+                    val inner = dt.asInstanceOf[StructType]
+                      .fields.find(_.name == p.head).get.dataType
+                    base.withField(p.head,
+                      place(base.getField(p.head), inner, p.tail))
+                  }
+                place(c, f.dataType, path)
+            }
+            when(cond, updated).otherwise(col(f.name)).as(f.name)
+          })
           .getOrElse(col(f.name))
       }.toSeq: _*)
     }

@@ -53,7 +53,7 @@ object GraftSql {
         val as = aliasesOf(u.table)
         val cond = u.condition.map(c => toColumn(c, as)).getOrElse(lit(true))
         val set = u.assignments.map(a =>
-          attrName(a.key, "UPDATE SET column", as) -> toColumn(a.value, as)).toMap
+          setKeyName(a.key, as) -> toColumn(a.value, as)).toMap
         TableLog.updateWhere(spark, dir, cond, set)
       case m: MergeIntoTable =>
         execMerge(spark, m)
@@ -182,6 +182,26 @@ object GraftSql {
     plainName(e, aliases).getOrElse(throw new IllegalArgumentException(
       s"GraftSql: $what must be a plain top-level column reference, got " +
         s"${e.sql} — struct-field assignment is not supported"))
+
+  /** An UPDATE SET target: a top-level column OR a struct-field path
+    * (`payload.kind` → the dotted key [[TableLog.updateWhere]] rebuilds
+    * through withField). After the leading target alias strips, any
+    * remaining multi-part name IS a struct path — exactly one relation
+    * is in scope in UPDATE.
+    */
+  private def setKeyName(e: Expression, aliases: Set[String]): String =
+    e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        val parts =
+          if (a.nameParts.length > 1 &&
+              aliases.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+            a.nameParts.tail
+          else a.nameParts
+        parts.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"GraftSql: UPDATE SET column must be a column or struct-field " +
+          s"reference, got ${other.sql}")
+    }
 
   /** Resolve a DML target to its table directory: a temp view created
     * with `USING graft` (looked up through the session catalog, so any

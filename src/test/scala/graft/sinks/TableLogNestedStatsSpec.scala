@@ -108,6 +108,53 @@ class TableLogNestedStatsSpec extends SparkSpec {
     }
   }
 
+  test("nested SET: UPDATE rebuilds struct fields in place, siblings and schema untouched") {
+    val dir = tmpDir("tlog_nested_set")
+    stageStruct(dir)
+    val schemaBefore = TableLog.readAt(spark, dir).schema
+    TableLog.updateWhere(spark, dir,
+      col("payload.kind") === "view" && col("k") < 30L,
+      Map("payload.kind" -> lit("seen")))
+    val after = TableLog.readAt(spark, dir)
+    assert(after.schema == schemaBefore, "a nested SET never changes the schema")
+    assert(after.filter(col("payload.kind") === "seen").count() == 10L)
+    assert(after.count() == 300L)
+    // sibling fields of updated rows carry their original values
+    val r = after.filter(col("payload.kind") === "seen" && col("k") === 1L).head()
+    assert(r.getStruct(1).getDouble(1) == 1.0, "sibling score must be untouched")
+    // two-level path
+    TableLog.updateWhere(spark, dir, col("k") === 0L,
+      Map("payload.geo.lat" -> lit(99.5)))
+    assert(TableLog.readAt(spark, dir).filter(col("k") === 0L)
+      .select("payload.geo.lat").head().getDouble(0) == 99.5)
+    assert(TableLog.readAt(spark, dir).filter(col("k") === 0L)
+      .select("payload.geo.lon").head().getDouble(0) == 0.0)
+    // whole-column + nested on the same head is ambiguous — refused
+    val amb = intercept[IllegalArgumentException] {
+      TableLog.updateWhere(spark, dir, col("k") === 1L, Map(
+        "payload" -> col("payload"),
+        "payload.kind" -> lit("x")))
+    }
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // unknown leaf and non-struct descent refuse loudly
+    intercept[IllegalArgumentException] {
+      TableLog.updateWhere(spark, dir, col("k") === 1L,
+        Map("payload.nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.updateWhere(spark, dir, col("k") === 1L,
+        Map("payload.score.deeper" -> lit(1)))
+    }
+    // the SQL form: UPDATE … SET payload.score = …
+    val view = s"ns_${dir.hashCode.toHexString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view USING graft OPTIONS (path '$dir')")
+    graft.sources.GraftSql.exec(spark,
+      s"UPDATE $view SET payload.score = payload.score + 1000 WHERE k = 5")
+    assert(TableLog.readAt(spark, dir).filter(col("k") === 5L)
+      .select("payload.score").head().getDouble(0) == 1005.0)
+    spark.sql(s"DROP VIEW $view")
+  }
+
   test("column mapping: a renamed struct column's nested stats map through the head segment") {
     val dir = tmpDir("tlog_nested_cm")
     stageStruct(dir)

@@ -145,8 +145,11 @@ class GraftSqlSpec extends SparkSpec {
     refuse("""MERGE INTO tref t USING tref_src s ON t.meta.k = s.meta.k
              |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
       "same top-level column")
+    // nested SET is supported as of r17 — a path whose HEAD is not a
+    // table column still refuses loudly (never silently collapses to
+    // the last name part)
     refuse("UPDATE tref SET meta.field = 5 WHERE k = 1",
-      "struct-field assignment")
+      "set columns not in the table: meta")
     refuse("SELECT * FROM tref", "delete from / update / merge")
     // a plain (non-graft) temp view is not a DML target
     val e2 = intercept[IllegalArgumentException] {
