@@ -488,8 +488,12 @@ object TableLog {
       // whole-column assignment and a nested one on the SAME head
       // would be ambiguous (which wins?) — refused.
       val (nested0, plain) = set.partition(_._1.contains("."))
+      nested0.keys.foreach(k => require(
+        k.split('.').count(_.nonEmpty) >= 2 && !k.startsWith(".") &&
+          !k.endsWith(".") && !k.contains(".."),
+        s"TableLog.updateWhere: malformed SET path '$k'"))
       val nestedByHead = nested0.toSeq
-        .map { case (k, v) => (k.split('.').head, k.split('.').drop(1), v) }
+        .map { case (k, v) => (k.split('.').head, k.split('.').drop(1).toSeq, v) }
         .groupBy(_._1)
       val overlap = plain.keySet.intersect(nestedByHead.keySet)
       require(overlap.isEmpty,
