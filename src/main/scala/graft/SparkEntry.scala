@@ -813,6 +813,22 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // STRING z-order: part re-clustered on two STRING columns (brand,
+    // container) through the monotone common-prefix hex bucketing —
+    // min-max StrStats prune string boxes on either column; the box
+    // filter returns exactly the raw table's rows (layout never
+    // changes results; pruning evidence is in DataSinkSpec).
+    "q_zorder_string" -> ((s, d) => {
+      val stage = stageDir("zstring", d)
+      DataSink.writeZOrdered(
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+          col("p_type"), col("p_retailprice")),
+        stage, Seq("p_brand", "p_type"), bitsPerCol = 5, targetFiles = 8)
+      s.read.parquet(stage)
+        .filter(col("p_brand") <= "Brand#23" && col("p_type") >= "STANDARD")
+        .orderBy(col("p_partkey"))
+    }),
+
     // ORC ingest round-trip: the second columnar format the lake holds.
     // ORC carries its own schema + type system (no parse step), so the
     // round-trip proves type fidelity (longs/ints/doubles/strings land
@@ -3947,6 +3963,11 @@ object SparkEntry {
         |       CAST(l_quantity AS DOUBLE) AS qty
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder_string" ->
+      """SELECT p_partkey, p_brand, p_type, p_retailprice
+        |FROM part WHERE p_brand <= 'Brand#23' AND p_type >= 'STANDARD'
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_update_nested" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS kind,

@@ -97,9 +97,6 @@ object DataSink {
     // files — same quantile bucketing, different curve through the grid
     require(curve == "morton" || curve == "hilbert",
       s"writeZOrdered: curve must be morton or hilbert, got '$curve'")
-    val buckets = 1 << bitsPerCol
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
     // bucket = #(distinct boundaries ≤ value) via the native
     // binary-search `quantile_buckets` (bounds ride as a plan
     // reference), then one fused interleave kernel. The original
@@ -131,10 +128,52 @@ object DataSink {
       s"zOrderLayout: curve must be morton or hilbert, got '$curve'")
     val buckets = 1 << bitsPerCol
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    // STRING z-columns (round 17): approxQuantile refuses StringType
+    // and cast("double") would silently NULL-bucket every row, so
+    // strings map through a MONOTONE view — strip the COLUMN-WIDE
+    // common prefix (the prefix min and max share is shared by every
+    // value between them), then hex-parse the next 6.5 bytes of UTF-8
+    // to a double (< 2^52, exact). Without the strip, the
+    // discriminating bytes of `tenant_NN` / `2026-01-DD` shapes sit
+    // PAST the window and every value collapses to one bucket.
+    // Lexicographic order is preserved; values tied beyond the window
+    // share a bucket, exactly like any other quantile tie. The written
+    // files then carry tight per-file StrStat min/max on the REAL
+    // column, so string boxes prune the same way numeric ones do.
+    // Costs one two-row min/max aggregate over the string z-columns.
+    val strZ = zCols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val prefixLen: Map[String, Int] =
+      if (strZ.isEmpty) Map.empty
+      else {
+        val aggs = strZ.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        strZ.zipWithIndex.map { case (c, i) =>
+          val mn = if (r.isNullAt(2 * i)) "" else r.getString(2 * i)
+          val mx = if (r.isNullAt(2 * i + 1)) "" else r.getString(2 * i + 1)
+          c -> mn.lazyZip(mx).takeWhile { case (a, b) => a == b }.size
+        }.toMap
+      }
+    def zNum(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          // a value EQUAL to the common prefix hex-parses from the
+          // empty string (null) — it is the column minimum, so 0.0
+          // keeps the order (and a true null ends up in the lowest
+          // bucket, same as the numeric path's null)
+          coalesce(
+            conv(substring(hex(encode(
+              substring(col(c), prefixLen(c) + 1, 1 << 30), "UTF-8")),
+              1, 13), 16, 10).cast("double"),
+            lit(0.0))
+        case _ => col(c).cast("double")
+      }
+    val numView = zCols.map(c => zNum(c).as(s"_zq_$c"))
+    val bounds = df.select(numView: _*)
+      .stat.approxQuantile(zCols.map(c => s"_zq_$c").toArray, probs, 0.001)
     val spec = bounds.map(_.distinct.mkString(",")).mkString("|")
     val bucketArr = call_function("quantile_buckets",
-      array(zCols.map(c => col(c).cast("double")): _*), lit(spec))
+      array(zCols.map(zNum): _*), lit(spec))
     val keyed = df.withColumn("_zval",
       call_function(if (curve == "hilbert") "hilbert_index" else "morton_index",
         bucketArr, lit(bitsPerCol)))

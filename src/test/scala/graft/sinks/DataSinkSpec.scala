@@ -179,6 +179,38 @@ class DataSinkSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered on STRING columns: monotone prefix bucketing, string boxes prune") {
+    // a tenant×day grid of string keys — the layout shape date-string
+    // partitioned event tables want; before r17, approxQuantile refused
+    // StringType outright
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val grid = (0 until 4096).map { i =>
+      (i.toLong, f"tenant_${i % 64}%02d", f"2026-d${i / 64}%02d")
+    }.toDF("id", "tenant", "day")
+    DataSink.writeZOrdered(grid, s"$dir/zs", Seq("tenant", "day"),
+      bitsPerCol = 6, targetFiles = 16)
+    // a day-only box overlaps few files (the y-box discipline, strings)
+    val parts = new java.io.File(s"$dir/zs").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val hit = parts.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("day")), max(col("day"))).head()
+      !r.isNullAt(0) && r.getString(0) <= "2026-d15" && r.getString(1) >= "2026-d08"
+    }
+    assert(parts.length == 16)
+    assert(hit <= 6, s"string z-order must confine the day box to few files, got $hit")
+    // rows intact, filters exact on the clustered layout
+    val back = spark.read.parquet(s"$dir/zs")
+    assert(back.count() == 4096)
+    assert(back.filter(col("day") === "2026-d05" && col("tenant") === "tenant_03")
+      .count() == grid.filter(col("day") === "2026-d05" &&
+        col("tenant") === "tenant_03").count())
+    // mixed string+numeric interleave works too
+    DataSink.writeZOrdered(grid.withColumn("n", col("id") % 64),
+      s"$dir/zm", Seq("tenant", "n"), bitsPerCol = 5, targetFiles = 8)
+    assert(spark.read.parquet(s"$dir/zm").count() == 4096)
+  }
+
   test("writeZOrdered hilbert: same pruning discipline as morton on the box query; bad curve refused") {
     val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
     val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
