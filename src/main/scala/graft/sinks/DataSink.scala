@@ -136,8 +136,16 @@ object DataSink {
     // to a double (< 2^52, exact). Without the strip, the
     // discriminating bytes of `tenant_NN` / `2026-01-DD` shapes sit
     // PAST the window and every value collapses to one bucket.
-    // Lexicographic order is preserved; values tied beyond the window
-    // share a bucket, exactly like any other quantile tie. The written
+    // The hex window is RIGHT-PADDED to its full 13 digits before the
+    // parse (round 18): conv() left-parses, so without the pad a short
+    // value numerically undercuts a longer one that sorts before it
+    // ("b" → 0x62 = 98 vs "abc" → 0x616263 — order inverted). Padding
+    // makes every key a fixed-width 52-bit integer, so lexicographic
+    // order IS preserved for mixed-length values; values tied beyond
+    // the window share a bucket, exactly like any other quantile tie
+    // (and since "a" < "a …" is the only tie the pad introduces
+    // and UTF-8 strings never contain interior NULs in practice, the
+    // pad never REORDERS distinct real values). The written
     // files then carry tight per-file StrStat min/max on the REAL
     // column, so string boxes prune the same way numeric ones do.
     // Costs one two-row min/max aggregate over the string z-columns.
@@ -162,9 +170,9 @@ object DataSink {
           // keeps the order (and a true null ends up in the lowest
           // bucket, same as the numeric path's null)
           coalesce(
-            conv(substring(hex(encode(
+            conv(rpad(substring(hex(encode(
               substring(col(c), prefixLen(c) + 1, 1 << 30), "UTF-8")),
-              1, 13), 16, 10).cast("double"),
+              1, 13), 13, "0"), 16, 10).cast("double"),
             lit(0.0))
         case _ => col(c).cast("double")
       }

@@ -2459,10 +2459,18 @@ object TableLog {
       // if ANOTHER attempt's meta won the rename race, our part dir is
       // unreferenced litter — reclaim it now rather than waiting for
       // vacuum (same content either way; the winner's header is the
-      // checkpoint)
+      // checkpoint). FAIL-SAFE direction (round 18): delete ONLY when
+      // the landed header POSITIVELY names a different dir. A read or
+      // parse failure here (transient store 5xx, read-after-write lag
+      // — exactly the environments this design targets) must NOT be
+      // conflated with losing the race: if OUR meta actually landed,
+      // deleting the dir it references breaks every snapshot
+      // resolution through this checkpoint. An unreadable header keeps
+      // the dir; if it really was the loser's, it is unreferenced
+      // litter and vacuum's age-gated orphan sweep reclaims it.
       val landedDir = try parseCheckpointMeta(readText(fs, meta))._4
         catch { case scala.util.control.NonFatal(_) => None }
-      if (!landedDir.contains(partDir.getName)) fs.delete(partDir, true)
+      if (landedDir.exists(_ != partDir.getName)) fs.delete(partDir, true)
     }
     latest
   }
@@ -3910,19 +3918,32 @@ object TableLog {
     // gates it like everything else.
     val logKids = fs.listStatus(logRoot)
     val partDirPattern = "\\d+\\.checkpoint(\\.[0-9a-f]{8})?"
-    lazy val referencedDirs: Set[String] = logKids.map(_.getPath.getName)
-      .filter(_.matches("\\d+\\.checkpoint\\.meta"))
-      .map { n =>
-        val v = n.stripSuffix(".checkpoint.meta")
-        try parseCheckpointMeta(readText(fs, new Path(logRoot, n)))._4
-          .getOrElse(s"$v.checkpoint")
-        catch { case scala.util.control.NonFatal(_) => s"$v.checkpoint" }
-      }.toSet
+    // FAIL-SAFE on unreadable metas (round 18): a meta whose read or
+    // parse throws (transient store failure) may reference ANY of its
+    // version's part dirs — assuming the legacy `<v>.checkpoint` name
+    // would classify the attempt-unique dir it actually references as
+    // an orphan and sweep a LIVE checkpoint while its header remains.
+    // Such a version is treated as referencing ALL of its part dirs:
+    // none of them sweep this pass; the next vacuum (with the meta
+    // readable again) reclaims the true litter.
+    lazy val metaRefs: (Set[String], Set[String]) = {
+      val parsed = logKids.map(_.getPath.getName)
+        .filter(_.matches("\\d+\\.checkpoint\\.meta"))
+        .map { n =>
+          val v = n.stripSuffix(".checkpoint.meta")
+          try Left(parseCheckpointMeta(readText(fs, new Path(logRoot, n)))._4
+            .getOrElse(s"$v.checkpoint"))
+          catch { case scala.util.control.NonFatal(_) => Right(v) }
+        }
+      (parsed.collect { case Left(d) => d }.toSet,
+       parsed.collect { case Right(v) => v }.toSet)
+    }
     val oldTmps = logKids
       .filter { s =>
         val n = s.getPath.getName
         val orphanPartDir = s.isDirectory && n.matches(partDirPattern) &&
-          !referencedDirs.contains(n)
+          !metaRefs._1.contains(n) &&
+          !metaRefs._2.contains(n.takeWhile(_ != '.'))
         (n.startsWith(".tmp_") || orphanPartDir) &&
           now - s.getModificationTime >= grace
       }
@@ -4055,7 +4076,16 @@ object TableLog {
     if (!fs.exists(wm)) 1L else readText(fs, wm).trim.toLong
   }
 
+  /** Test seam (round 18): lets specs inject the transient read
+    * failures an object store produces but a local FS cannot (5xx,
+    * read-after-write lag) — the fail-SAFE paths (checkpoint reclaim,
+    * vacuum's orphan classification) are otherwise untestable here.
+    * No-op in production.
+    */
+  private[graft] var readTextIntercept: Path => Unit = _ => ()
+
   private def readText(fs: FileSystem, p: Path): String = {
+    readTextIntercept(p)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }

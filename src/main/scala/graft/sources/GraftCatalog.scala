@@ -324,12 +324,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(f.rename(entry, backup),
       s"graft catalog: could not stage REPLACE of $ident (rename failed)")
     try {
-      val staged = createTable(ident, schema, partitions, properties)
       // the STAGED marker makes crash states unambiguous to recovery:
       // while it exists, the entry at this path is an uncommitted
       // replace (roll back to the backup); its deletion is the commit
-      // point (backup becomes litter)
+      // point (backup becomes litter). It is planted BEFORE
+      // createTable (round 18): createTable's own mkdirs + empty-v1
+      // commit used to run first, opening a window where a crash left
+      // the entry present WITHOUT the marker — the exact shape
+      // recovery reads as "committed replace", so it swept the backup
+      // and the original rows were gone for good. With the marker
+      // first, every crash state from here to commitStagedChanges
+      // carries it (createTable tolerates the pre-made dir and never
+      // touches the marker); the one residual instant — entry dir
+      // created, marker not yet — is closed on the recovery side,
+      // which only reads entry-without-marker as committed when the
+      // entry is a REAL table dir (a committed replace always is; a
+      // bare crash-litter dir is not).
+      f.mkdirs(entry)
       f.create(new Path(entry, StagedMarker), true).close()
+      val staged = createTable(ident, schema, partitions, properties)
       new GraftStagedTable(this, ident, staged,
         backup = Some((backup, entry)))
     } catch {
@@ -397,9 +410,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (now - since >= GraftCatalog.replacingGraceMs) {
         val entry = new Path(parent, name)
         val staged = f.exists(new Path(entry, StagedMarker))
-        if (f.exists(entry) && !staged) { f.delete(b, true); () }
-        else {
-          if (staged) f.delete(entry, true) // uncommitted staged entry
+        // committed = entry present, marker gone, AND the entry is a
+        // real table dir (_log or external pointer). A bare dir with
+        // neither is the mkdirs-before-marker crash instant — NOT a
+        // committed replace (commit only ever deletes the marker from
+        // a fully created table), so the backup restores instead of
+        // being swept (round 18; pre-fix this branch silently
+        // destroyed the original rows).
+        if (f.exists(entry) && !staged && isTableDir(entry)) {
+          f.delete(b, true); ()
+        } else {
+          // uncommitted staged entry, or bare crash-litter dir
+          if (f.exists(entry)) f.delete(entry, true)
           if (f.rename(b, entry)) {
             f.delete(new Path(entry, ReplacingStamp), false); ()
           }

@@ -211,6 +211,53 @@ class DataSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/zm").count() == 4096)
   }
 
+  test("writeZOrdered on MIXED-LENGTH strings: bucket order follows lexicographic order") {
+    // round 18 (ADVICE-medium): conv() left-parses, so the unpadded hex
+    // window numerically INVERTED mixed-length keys ("b" → 0x62 = 98
+    // undercut "abc" → 0x616263 = 6,382,179 despite "abc" < "b") —
+    // quantile bounds and bucket assignment scrambled and the layout
+    // silently degraded toward random whenever short and long values
+    // mixed (ordinary ID/code/name shapes). The hex is now right-padded
+    // to its full 13 digits (fixed-width 52-bit key), restoring the
+    // advertised monotone view. Fixture: a 64-word vocabulary of
+    // lengths 1–3 INCLUDING strict-prefix pairs ("a" < "aa") and the
+    // short-beats-long inversion shape ("azz" < "b") — every r17
+    // fixture was fixed-width past the prefix, which is why the bug
+    // survived a green suite.
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (letters.map(_.toString) ++
+      letters.flatMap(a => Seq(s"${a}a", s"${a}zz", s"${a}m${a}")))
+      .distinct.sorted.take(64)
+    assert(vocab.map(_.length).distinct.size > 1, "fixture must mix lengths")
+    val grid = (0 until 4096).map(i => (i.toLong, vocab(i % 64), (i / 64).toDouble))
+      .toDF("id", "s", "y")
+    DataSink.writeZOrdered(grid, s"$dir/zmix", Seq("s", "y"),
+      bitsPerCol = 6, targetFiles = 16)
+    // a lexicographically CONTIGUOUS s-range must confine to few files;
+    // under the unpadded parse the range scatters across buckets and
+    // nearly every file's (min, max) straddles it
+    val lo = vocab(8); val hi = vocab(15)
+    val parts = new java.io.File(s"$dir/zmix").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val hit = parts.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("s")), max(col("s"))).head()
+      !r.isNullAt(0) && r.getString(0) <= hi && r.getString(1) >= lo
+    }
+    assert(parts.length == 16)
+    // 8/16 is the observed clustered ceiling (mixed-length quantile
+    // boundaries are coarser than fixed-width); the pre-fix scrambled
+    // assignment scatters the contiguous range across nearly all 16
+    assert(hit <= 8,
+      s"mixed-length string box [$lo, $hi] must stay clustered, got $hit/16 files")
+    // rows and filters exact on the clustered layout
+    val back = spark.read.parquet(s"$dir/zmix")
+    assert(back.count() == 4096)
+    assert(back.filter(col("s") >= lo && col("s") <= hi).count() ==
+      8L * 64L, "range filter on the real column stays exact")
+  }
+
   test("writeZOrdered hilbert: same pruning discipline as morton on the box query; bad curve refused") {
     val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
     val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))

@@ -215,6 +215,90 @@ class TableLogMultipartCkptSpec extends SparkSpec {
     assert(TableLog.readAt(spark, dir).count() == 200L)
   }
 
+  test("post-publish reclaim FAILS SAFE: an unreadable landed header keeps the part dir") {
+    // round 18 (ADVICE-medium): the reclaim used to resolve a read/parse
+    // failure to None and `!None.contains(name)` deleted the writer's
+    // OWN header-referenced part dir — a landed header pointing at
+    // nothing, the exact failure the attempt-unique design exists to
+    // prevent, reintroduced through the error path. The direction is
+    // now positive-mismatch-only: unreadable header → keep the dir
+    // (vacuum's age-gated sweep reclaims true litter).
+    val dir = tmpDir("tlog_mp_failsafe")
+    TableLog.append(spark, dir,
+      spark.range(0, 80).select(col("id").as("k")).coalesce(2))
+    val v = TableLog.currentVersion(spark, dir)
+    val metaName = f"$v%020d.checkpoint.meta"
+    val savedHook = TableLog.readTextIntercept
+    try {
+      // the ONLY read of this meta inside checkpoint() is the
+      // post-publish reclaim read-back — make it fail transiently
+      TableLog.readTextIntercept = p =>
+        if (p.getName == metaName)
+          throw new java.io.IOException("injected transient store failure")
+      assert(TableLog.checkpoint(spark, dir, multipartMinEntries = 1) == v)
+    } finally TableLog.readTextIntercept = savedHook
+    val f = fs(dir)
+    val landed = referencedPartDir(dir, v)
+    assert(f.exists(landed),
+      "an unreadable header must NEVER trigger deletion of the dir it references")
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 80L,
+      "resolution through the checkpoint must work once the store heals")
+    // and the true-loser direction still reclaims: a positive mismatch
+    // (another attempt's header landed) deletes only the loser's dir
+    assert(partDirsOf(dir, v).map(_.getName) == Seq(landed.getName))
+  }
+
+  test("vacuum FAILS SAFE: an unreadable meta protects ALL of its version's part dirs") {
+    // round 18 (ADVICE-medium): referencedDirs used to fall back to the
+    // legacy '<v>.checkpoint' name when a meta read threw, so the
+    // attempt-unique dir that (transiently unreadable) meta references
+    // looked like an orphan and an aged vacuum swept a LIVE checkpoint
+    // out from under its header. An unreadable meta now shields every
+    // '<v>.checkpoint*' dir of its version for that pass.
+    val dir = tmpDir("tlog_mp_vacsafe")
+    TableLog.append(spark, dir,
+      spark.range(0, 60).select(col("id").as("k")).coalesce(2))
+    val v = TableLog.checkpoint(spark, dir, multipartMinEntries = 1)
+    val f = fs(dir)
+    val landed = referencedPartDir(dir, v)
+    // plus a genuine headerless orphan at a DIFFERENT version — the
+    // sweep must still reclaim what nothing could possibly reference
+    TableLog.append(spark, dir,
+      spark.range(60, 70).select(col("id").as("k")).coalesce(1))
+    val v2 = TableLog.currentVersion(spark, dir)
+    val orphan = new Path(dir, f"_log/$v2%020d.checkpoint.aaaaaaaa")
+    f.mkdirs(orphan)
+    val metaName = f"$v%020d.checkpoint.meta"
+    // warm the snapshot cache for every version so vacuum's OWN live-set
+    // resolution rides the cache — the injected failure then hits only
+    // the orphan-classification meta read under test
+    (1L to v2).foreach(vv => TableLog.readAt(spark, dir, vv).count())
+    val savedHook = TableLog.readTextIntercept
+    val savedClock = TableLog.clockMs
+    try {
+      TableLog.clockMs = () => System.currentTimeMillis() + 10L * 3600L * 1000L
+      TableLog.readTextIntercept = p =>
+        if (p.getName == metaName)
+          throw new java.io.IOException("injected transient store failure")
+      TableLog.vacuum(spark, dir, keepVersions = 100, graceMs = Some(3600000L))
+      assert(f.exists(landed),
+        "the dir an UNREADABLE meta references must survive the sweep")
+      assert(!f.exists(orphan),
+        "a headerless orphan at another version still sweeps")
+      // store heals → the next pass sees the real reference and would
+      // reclaim only true litter; the landed dir stays referenced
+      TableLog.readTextIntercept = savedHook
+      TableLog.vacuum(spark, dir, keepVersions = 100, graceMs = Some(3600000L))
+      assert(f.exists(landed))
+    } finally {
+      TableLog.readTextIntercept = savedHook
+      TableLog.clockMs = savedClock
+    }
+    TableLog.snapshotCacheClear()
+    assert(TableLog.readAt(spark, dir).count() == 70L)
+  }
+
   test("snapshot cache: one fold serves repeated reads; new versions and rebuilt dirs miss") {
     val dir = tmpDir("tlog_cache")
     TableLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))

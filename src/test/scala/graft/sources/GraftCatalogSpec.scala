@@ -353,6 +353,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT s FROM gcat.crash.t").head().getString(0) == "clean")
   }
 
+  test("RTAS crash litter: a bare entry dir without the marker RESTORES the backup") {
+    // round 18 (ADVICE-high): pre-fix, createTable's mkdirs + empty-v1
+    // commit ran BEFORE the staged marker landed, so a crash in that
+    // window left the entry present WITHOUT the marker — the exact
+    // shape recovery read as "committed replace", and it deleted the
+    // backup: permanent silent loss of the original rows. The marker
+    // now lands first, and the one remaining instant (dir made, marker
+    // not yet) is classified on the recovery side: entry-without-marker
+    // counts as committed ONLY when the entry is a real table dir.
+    // This test plants that exact crash state by hand.
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.crash2")
+    spark.sql("CREATE TABLE gcat.crash2.t USING graft AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, 'orig' AS s")
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val f = cat.fs(new Path(root))
+    val entry = new Path(s"$root/crash2/t")
+    val backup = new Path(s"$root/crash2/_replacing_t_deadbeef")
+    // exactly stageReplace's on-disk prologue: stamp into the live
+    // entry, rename it aside, then the crash instant — a bare mkdirs
+    // with NO marker and NO table content
+    val out = f.create(new Path(entry, "_replacing_since"), true)
+    try out.write(graft.sinks.TableLog.clockMs().toString.getBytes("UTF-8"))
+    finally out.close()
+    assert(f.rename(entry, backup))
+    f.mkdirs(entry)
+    def backups() = f.listStatus(new Path(s"$root/crash2"))
+      .map(_.getPath.getName).filter(_.startsWith("_replacing_")).toSeq
+    val saved = graft.sinks.TableLog.clockMs
+    try {
+      graft.sinks.TableLog.clockMs =
+        () => System.currentTimeMillis() + GraftCatalog.replacingGraceMs + 1000L
+      // the aged listing must treat the bare dir as crash litter and
+      // RESTORE — sweeping here is the data-loss direction
+      assert(spark.sql("SHOW TABLES IN gcat.crash2").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      assert(spark.sql("SELECT k, s FROM gcat.crash2.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "orig")),
+        "the original rows must survive the pre-marker crash window")
+      assert(backups().isEmpty, "the restored backup leaves no litter")
+    } finally graft.sinks.TableLog.clockMs = saved
+  }
+
   test("PARTITIONED BY identity maps to the clustering layout; transforms refuse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.part")
     spark.sql("CREATE TABLE gcat.part.t (k BIGINT, region STRING) USING graft " +
