@@ -96,6 +96,17 @@ object SparkEntry {
   private val catalogRootPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged HIDDEN-PARTITIONING fixture (q_partition_transform): a
+    * catalog table declared `PARTITIONED BY (days(o_orderdate),
+    * bucket(32, o_custkey))` — the Iceberg DDL shapes — loaded with one
+    * shuffled INSERT. The transforms map to the clustering layout
+    * (source columns cluster+stats, bucket adds a bloom), so the
+    * predicate on the RAW timestamp prunes files with no transform
+    * mentioned anywhere in the query.
+    */
+  private val partitionTransformPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged copy-on-write TableLog history (the q_table_log_delete /
     * _update / q_merge_into / q_table_log_cdf fixture): v1 = lineitem
     * as 16 price-range files, v2 = stats-pruned DELETE of a price band,
@@ -2264,6 +2275,49 @@ object SparkEntry {
         "ORDER BY l_orderkey, l_linenumber")
     }),
 
+    // HIDDEN PARTITIONING (round 18): `PARTITIONED BY (days(ts),
+    // bucket(n, key))` — the Iceberg DDL a user ports first — maps to
+    // the clustering layout (cluster+stats on the source columns, a
+    // bloom for bucket), every INSERT range-clusters its batch, and the
+    // query's predicate on the RAW timestamp prunes files (asserted
+    // in-query) without the transform appearing anywhere in it.
+    "q_partition_transform" -> ((s, d) => {
+      val dir = partitionTransformPath.getOrElseUpdate(d, {
+        val r = stageDir("gcathproot", d)
+        val cat = s"gcathp_${java.lang.Integer.toHexString(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", r)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE $cat.wh.ord (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_orderdate TIMESTAMP_NTZ, " +
+          "o_totalprice DOUBLE) USING graft " +
+          "PARTITIONED BY (days(o_orderdate), bucket(32, o_custkey))")
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .createOrReplaceTempView("q_hp_src")
+        // keep the range exchange's fan-out at test scale (AQE would
+        // coalesce a few MB to one partition → one file, nothing to
+        // prune); at 100 TB the same INSERT fans out on data size
+        val saved = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled",
+          "true")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try s.sql(s"INSERT INTO $cat.wh.ord SELECT * FROM q_hp_src")
+        finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+        s"$r/wh/ord"
+      })
+      val pr = TableLog.scanWhere(s, dir,
+        col("o_orderdate") >= lit("1995-03-01 00:00:00").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1995-06-01 00:00:00").cast("timestamp_ntz"))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_partition_transform: the raw-timestamp predicate must prune " +
+          s"through the hidden-partitioning layout " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // PERSISTENT NAMED VIEW (the reference's schema.sql shape as a
     // catalog object): an aggregate view defined ONCE over the catalog
     // table, read by name — definition stored, data live
@@ -3963,6 +4017,13 @@ object SparkEntry {
         |       CAST(l_quantity AS DOUBLE) AS qty
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_partition_transform" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_zorder_string" ->
       """SELECT p_partkey, p_brand, p_type, p_retailprice

@@ -4171,6 +4171,7 @@ object TableLog {
     * snapshots still occupy a slot.
     */
   private def snapshotWeight(snap: (String, Seq[AddFile])): Long = {
+    snapshotWeighs.incrementAndGet()
     val n = snap._2.length
     if (n == 0) return 1L
     val sample = if (n <= 256) snap._2 else snap._2.take(256)
@@ -4178,17 +4179,26 @@ object TableLog {
       sample.toVector.asInstanceOf[AnyRef]).toDouble / sample.length
     math.max(1L, (perEntry * n).toLong)
   }
+  // the weight rides NEXT TO the cached snapshot (round 18): estimating
+  // once per insert, not once per eviction — SizeEstimator's reflective
+  // walk is bounded by the 256-entry sample but still the most
+  // expensive thing an eviction sweep would otherwise repeat per victim
   private val snapshotCache =
-    new java.util.LinkedHashMap[(String, Long, String), (String, Seq[AddFile])](
-      64, 0.75f, true)
+    new java.util.LinkedHashMap[(String, Long, String),
+      ((String, Seq[AddFile]), Long)](64, 0.75f, true)
   private var snapshotCacheWeight: Long = 0L
   private[graft] val snapshotFolds = new java.util.concurrent.atomic.AtomicLong
   private[graft] val snapshotHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val snapshotEvicts = new java.util.concurrent.atomic.AtomicLong
+  /** Counts SizeEstimator walks — the invariant is one per cache
+    * insert, NEVER one per eviction (pinned in the churn spec).
+    */
+  private[graft] val snapshotWeighs = new java.util.concurrent.atomic.AtomicLong
 
   private[graft] def snapshotCacheClear(): Unit = snapshotCache.synchronized {
     snapshotCache.clear(); snapshotCacheWeight = 0L
     snapshotFolds.set(0L); snapshotHits.set(0L); snapshotEvicts.set(0L)
+    snapshotWeighs.set(0L)
   }
 
   /** `(schemaJson, live files)` at `version`: start from the nearest
@@ -4211,7 +4221,7 @@ object TableLog {
       else (fs.makeQualified(base).toUri.toString, version, token)
     if (key != null) {
       val hit = snapshotCache.synchronized(Option(snapshotCache.get(key)))
-      hit.foreach { s => snapshotHits.incrementAndGet(); return s }
+      hit.foreach { case (s, _) => snapshotHits.incrementAndGet(); return s }
     }
     snapshotFolds.incrementAndGet()
     val ckpt = checkpointVersions(fs, base).filter(_ <= version).lastOption
@@ -4234,14 +4244,15 @@ object TableLog {
     val snap = (schemaJson, live.values.toSeq)
     if (key != null) snapshotCache.synchronized {
       if (!snapshotCache.containsKey(key)) {
-        snapshotCache.put(key, snap)
-        snapshotCacheWeight += snapshotWeight(snap)
+        val w = snapshotWeight(snap)
+        snapshotCache.put(key, (snap, w))
+        snapshotCacheWeight += w
         val budget = snapshotCacheBudget(spark)
         val it = snapshotCache.entrySet().iterator()
         while (snapshotCacheWeight > budget && it.hasNext) {
           val e = it.next()
           if (!(e.getKey eq key)) {
-            snapshotCacheWeight -= snapshotWeight(e.getValue)
+            snapshotCacheWeight -= e.getValue._2
             it.remove()
             snapshotEvicts.incrementAndGet()
           }

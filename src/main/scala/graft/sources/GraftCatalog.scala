@@ -168,22 +168,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `PARTITIONED BY (col, …)` maps to the CLUSTERING layout (Delta's
     * liquid-clustering direction): identity partition columns become
-    * `graft.cluster.cols` (maintenance keeps files clustered on them)
-    * plus `graft.stats.cols` (commit-time min/max harvest — what makes
+    * `graft.cluster.cols` (every catalog INSERT range-clusters the
+    * batch on them, and maintenance keeps files clustered) plus
+    * `graft.stats.cols` (commit-time min/max harvest — what makes
     * partition predicates prune). Physical dir-per-value layouts come
     * in via CONVERT TO GRAFT over an existing hive lake; a NEW table
     * gets the clustered form, which prunes the same and never hits the
-    * small-files-per-partition wall. Bucket/transform partitioning
-    * refuses loudly.
+    * small-files-per-partition wall.
+    *
+    * HIDDEN-PARTITIONING transforms (round 18; the Iceberg public-spec
+    * shapes — the most common date-partitioned DDL a user ports) map
+    * onto the same clustering machinery instead of refusing:
+    *
+    *  - `years/months/days/hours(ts)` and `truncate(w, col)` are
+    *    MONOTONE in their source column, so range-clustering on the
+    *    RAW column produces file boundaries at least as tight as the
+    *    transform's own — a query predicate on the raw timestamp
+    *    prunes through ordinary manifest min/max with no derived
+    *    column materialized and nothing to translate at read time.
+    *  - `bucket(n, col)` declares point-lookup intent on a high-
+    *    cardinality key. The clustering realization is range
+    *    clustering on the column (min/max then prunes point AND range
+    *    predicates — strictly wider coverage than hash buckets) plus a
+    *    parquet BLOOM on it for sub-file point pruning; `n` is
+    *    advisory (file count is byte-budgeted, not fixed at n).
+    *
+    * The declared spec round-trips verbatim through the
+    * `graft.partition.transforms` property and [[GraftV2Table]]'s
+    * `partitioning()` (DESCRIBE shows it), so the user's DDL intent is
+    * never silently flattened away.
     */
-  private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map {
-      case t if t.name == "identity" && t.references().length == 1 &&
-          t.references().head.fieldNames().length == 1 =>
+  private[sources] case class PartField(fn: String, col: String,
+                                        arg: Option[Int]) {
+    def render: String = fn match {
+      case "identity" => col
+      case "bucket" | "truncate" => s"$fn(${arg.get}, $col)"
+      case _ => s"$fn($col)"
+    }
+  }
+
+  private[sources] def partitionFields(partitions: Array[Transform]): Seq[PartField] =
+    partitions.toSeq.map { t =>
+      val fn = t.name().toLowerCase(java.util.Locale.ROOT)
+      def col1: String = {
+        require(t.references().length == 1 &&
+            t.references().head.fieldNames().length == 1,
+          s"graft catalog: PARTITIONED BY ${t.describe()} must reference " +
+            "exactly one top-level column")
         t.references().head.fieldNames().head
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: PARTITIONED BY ${other.describe()} is not supported — " +
-          "only identity columns (mapped to the clustering layout)")
+      }
+      def intArg: Int = {
+        val ints = t.arguments().toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        require(ints.length == 1 && ints.head > 0,
+          s"graft catalog: PARTITIONED BY ${t.describe()} needs one positive " +
+            "integer argument")
+        ints.head
+      }
+      fn match {
+        case "identity" => PartField("identity", col1, None)
+        case "years" | "months" | "days" | "hours" =>
+          PartField(fn, col1, None)
+        case "bucket" | "truncate" => PartField(fn, col1, Some(intArg))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: PARTITIONED BY ${t.describe()} is not supported — " +
+            "use identity columns, years/months/days/hours(ts), " +
+            "truncate(w, col), or bucket(n, col)")
+      }
     }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -193,12 +247,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BY name to the column list's OWN spelling before it lands in
     // properties (a property naming "id" against a field "ID" would
     // silently cluster nothing)
-    val pcols = identityPartitionCols(partitions).map { c =>
-      if (schema.fieldNames.isEmpty) c
-      else schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft catalog: PARTITIONED BY column '$c' is not in the column list"))
+    val pfields = partitionFields(partitions).map { pf =>
+      if (schema.fieldNames.isEmpty) pf
+      else pf.copy(col = schema.fieldNames.find(_.equalsIgnoreCase(pf.col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: PARTITIONED BY column '${pf.col}' is not in the " +
+            "column list")))
     }
+    // the SOURCE columns carry the layout: monotone transforms prune
+    // through them directly; bucket() adds a bloom on top
+    val pcols = pfields.map(_.col).distinct
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val entry = entryPath(ident)
     val f = fs(entry)
@@ -239,7 +297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val user = properties.asScala.filterNot { case (k, _) =>
       reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }.toMap
     val withParts =
-      if (pcols.isEmpty) user
+      if (pfields.isEmpty) user
       else {
         user.get("graft.cluster.cols").foreach(c => require(
           c.split(",").map(_.trim).toSeq.map(_.toLowerCase(java.util.Locale.ROOT)) ==
@@ -248,8 +306,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"with TBLPROPERTIES graft.cluster.cols='$c' — declare one"))
         val stats = (pcols ++ user.get("graft.stats.cols").toSeq
           .flatMap(_.split(",").map(_.trim))).distinct
+        // bucket(n, col) → bloom on col: range min/max cannot prune a
+        // point lookup on a high-cardinality key whose range spans
+        // files after OTHER cluster columns dominate the sort; the
+        // bloom is the per-file membership answer bucketing promises
+        val bucketCols = pfields.filter(_.fn == "bucket").map(_.col)
+        val blooms = (user.get("graft.bloom.cols").toSeq
+          .flatMap(_.split(",").map(_.trim)) ++ bucketCols).distinct
         user + ("graft.cluster.cols" -> pcols.mkString(",")) +
-          ("graft.stats.cols" -> stats.mkString(","))
+          ("graft.stats.cols" -> stats.mkString(",")) +
+          ("graft.partition.transforms" -> pfields.map(_.render).mkString(",")) ++
+          (if (blooms.isEmpty) Map.empty[String, String]
+           else Map("graft.bloom.cols" -> blooms.mkString(",")))
       }
     if (withParts.nonEmpty) TableLog.setTableProperties(spark, dir, withParts)
     loadTable(ident)
@@ -306,7 +374,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                             properties: util.Map[String, String]): StagedTable = {
     requireTable(ident)
     refuseCtasOntoData(ident, "REPLACE TABLE ... AS SELECT", properties)
-    identityPartitionCols(partitions) // transform refusal, pre-rename
+    partitionFields(partitions) // unsupported-transform refusal, pre-rename
     val entry = entryPath(ident)
     val f = fs(entry)
     val backup = new Path(entry.getParent,
@@ -323,6 +391,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     finally stampOut.close()
     require(f.rename(entry, backup),
       s"graft catalog: could not stage REPLACE of $ident (rename failed)")
+    noLitterUntil.remove(entry.getParent.toString) // backup exists now
     try {
       // the STAGED marker makes crash states unambiguous to recovery:
       // while it exists, the entry at this path is an uncommitted
@@ -380,12 +449,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * AS-SELECT. Stacked backups (repeated crashes) restore the NEWEST
     * stamp; older ones become sweep-litter on the next pass.
     */
+  /** Per-namespace no-litter memo (round 18): recovery runs on EVERY
+    * listing and failed lookup, and each run re-lists the namespace dir
+    * plus a stamp read per backup — fine at catalog scale, but a busy
+    * namespace pays it per listing. A sweep that finds ZERO
+    * `_replacing_*` entries memoizes the namespace clean for a window
+    * (grace/4, capped at 5 min) and later sweeps return immediately;
+    * this instance's own [[stageReplace]] invalidates the memo for its
+    * namespace, and a CONCURRENT writer's crash litter is still found
+    * once the window lapses — harmless, since recovery is age-gated
+    * far beyond it. Nothing is memoized while litter exists (ages must
+    * keep being re-checked).
+    */
+  private val noLitterUntil =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def litterMemoMs: Long =
+    math.min(GraftCatalog.replacingGraceMs / 4, 5L * 60L * 1000L)
+  /** Counts REAL sweeps (namespace listings) — the fast-path spec pins
+    * that memoized calls don't list.
+    */
+  private[sources] val recoverySweeps =
+    new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def recoverReplacing(parent: Path,
                                         target: Option[String]): Unit = {
+    val memoKey = parent.toString
+    val now0 = graft.sinks.TableLog.clockMs()
+    val until = noLitterUntil.get(memoKey)
+    if (until != null && until > now0) return
+    recoverySweeps.incrementAndGet()
     val f = fs(parent)
     val kids = try f.listStatus(parent)
       catch { case scala.util.control.NonFatal(_) => return }
     val now = graft.sinks.TableLog.clockMs()
+    if (!kids.exists(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_replacing_"))) {
+      noLitterUntil.put(memoKey, now + litterMemoMs)
+      return
+    }
     def sinceOf(b: Path, fallback: Long): Long =
       try {
         val in = f.open(new Path(b, ReplacingStamp))
@@ -708,6 +809,26 @@ private[sources] class GraftV2Table(ident: Identifier, val dir: String,
     (p + (TableCatalog.PROP_LOCATION -> dir)).asJava
   }
 
+  /** The declared `PARTITIONED BY` spec, round-tripped from the
+    * `graft.partition.transforms` property — DESCRIBE/SHOW surfaces the
+    * user's DDL intent even though the physical realization is the
+    * clustering layout, not dir-per-value trees.
+    */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val spec = TableLog.tablePropertiesAt(spark, dir, version)
+      .get("graft.partition.transforms")
+    val withArg = """(\w+)\((\d+)\s*,\s*([^)]+)\)""".r
+    val plain = """(\w+)\(([^)]+)\)""".r
+    spec.toSeq.flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter(_.nonEmpty)
+      .map {
+        case withArg(fn, n, c) => Expressions.apply(fn,
+          Expressions.literal(n.toInt), Expressions.column(c.trim))
+        case plain(fn, c) => Expressions.apply(fn, Expressions.column(c.trim))
+        case c => Expressions.identity(c)
+      }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, dir, version, schema)
 
@@ -824,10 +945,26 @@ private[sources] class GraftCatalogWriteBuilder(dir: String)
     override def toInsertableRelation: InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
         val spark = data.sparkSession
+        // declared clustering (PARTITIONED BY / graft.cluster.cols)
+        // applies ON WRITE (round 18): each INSERT range-clusters its
+        // batch so every landed file is a tight min/max box on the
+        // layout columns and predicates prune from the FIRST commit,
+        // not the first maintenance pass. No explicit partition count —
+        // AQE sizes the exchange to the batch, so a small INSERT lands
+        // one file, a 10 TB backfill fans out.
+        val ccols = TableLog.tablePropertiesAt(spark, dir)
+          .get("graft.cluster.cols").toSeq
+          .flatMap(_.split(",")).map(_.trim)
+          .filter(c => c.nonEmpty && data.columns.contains(c))
+        val laid =
+          if (ccols.isEmpty) data
+          else data
+            .repartitionByRange(ccols.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(ccols.map(org.apache.spark.sql.functions.col): _*)
         mode match {
-          case Right(()) => TableLog.overwrite(spark, dir, data)
-          case Left(Some(cond)) => TableLog.replaceWhere(spark, dir, data, cond)
-          case Left(None) => TableLog.append(spark, dir, data)
+          case Right(()) => TableLog.overwrite(spark, dir, laid)
+          case Left(Some(cond)) => TableLog.replaceWhere(spark, dir, laid, cond)
+          case Left(None) => TableLog.append(spark, dir, laid)
         }
         ()
       }

@@ -351,6 +351,13 @@ class TableLogMultipartCkptSpec extends SparkSpec {
         s"alternating under-budget must CHURN (evicts=${TableLog.snapshotEvicts.get()})")
       assert(TableLog.snapshotFolds.get() >= 5L,
         "every under-budget alternation re-folds")
+      // the weight rides beside the cached value: exactly ONE
+      // SizeEstimator walk per insert (== per fold), never one per
+      // eviction — under churn the pre-r18 code re-estimated every
+      // victim (weighs would be folds + evicts here)
+      assert(TableLog.snapshotWeighs.get() == TableLog.snapshotFolds.get(),
+        s"one weight estimate per insert (weighs=${TableLog.snapshotWeighs.get()}, " +
+          s"folds=${TableLog.snapshotFolds.get()}, evicts=${TableLog.snapshotEvicts.get()})")
     } finally spark.conf.unset("spark.graft.snapshotCache.maxBytes")
     // at the default budget the same alternation caches both: one fold
     // per table, zero evictions
