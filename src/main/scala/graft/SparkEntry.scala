@@ -107,6 +107,21 @@ object SparkEntry {
   private val partitionTransformPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged GENERATED-COLUMN fixture (q_generated_col): `o_year
+    * GENERATED ALWAYS AS (year(o_orderdate))`, never supplied by the
+    * INSERT — computed at commit, clustered and stats-harvested like
+    * any stored column, pruned by the query's predicate on it.
+    */
+  private val generatedColPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged NESTED-RENAME fixture (q_rename_nested): payload.kind →
+    * payload.category through the dotted column mapping, plus a
+    * post-rename append — old and new files serve one logical shape.
+    */
+  private val renameNestedPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged copy-on-write TableLog history (the q_table_log_delete /
     * _update / q_merge_into / q_table_log_cdf fixture): v1 = lineitem
     * as 16 price-range files, v2 = stats-pruned DELETE of a price band,
@@ -2318,6 +2333,46 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // GENERATED COLUMNS (round 18): `o_year GENERATED ALWAYS AS
+    // (year(o_orderdate))` + `PARTITIONED BY (o_year)` — the
+    // derive-a-date-for-pruning pattern (Delta's public generated-
+    // column spec). The INSERT never supplies o_year (NULL → computed
+    // at commit), the layout clusters on it, and the predicate on the
+    // GENERATED column prunes files (asserted in-query); a mismatched
+    // explicit value refuses via the auto-declared `_gen_o_year` CHECK
+    // (spec-pinned).
+    "q_generated_col" -> ((s, d) => {
+      val dir = generatedColPath.getOrElseUpdate(d, {
+        val r = stageDir("gcatgenroot", d)
+        val cat = s"gcatgen_${java.lang.Integer.toHexString(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", r)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE $cat.wh.ord (o_orderkey BIGINT, " +
+          "o_orderdate TIMESTAMP_NTZ, o_totalprice DOUBLE, " +
+          "o_year BIGINT GENERATED ALWAYS AS " +
+          "(CAST(year(o_orderdate) AS BIGINT))) USING graft " +
+          "PARTITIONED BY (o_year)")
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), lit(null).cast("bigint").as("o_year"))
+          .createOrReplaceTempView("q_gen_src")
+        val saved = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled",
+          "true")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try s.sql(s"INSERT INTO $cat.wh.ord SELECT * FROM q_gen_src")
+        finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+        s"$r/wh/ord"
+      })
+      val pr = TableLog.scanWhere(s, dir, col("o_year") === lit(1995L))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_generated_col: the generated-column predicate must prune " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("o_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // PERSISTENT NAMED VIEW (the reference's schema.sql shape as a
     // catalog object): an aggregate view defined ONCE over the catalog
     // table, read by name — definition stored, data live
@@ -2489,6 +2544,45 @@ object SparkEntry {
       val dir = renameFixture(s, d)
       TableLog.readAt(s, dir, version = 4L)
         .orderBy(col("l_orderkey"), col("unit_price"))
+    }),
+
+    // NESTED RENAME (round 18): `RENAME COLUMN payload.kind TO
+    // category` — a manifest-only commit on a struct FIELD (full
+    // dotted column mapping; reads translate by a positional struct
+    // cast, zero data rewritten). The renamed logical path keeps
+    // pruning through the frozen physical footer path (asserted
+    // in-query) and post-rename appends mix transparently.
+    "q_rename_nested" -> ((s, d) => {
+      val dir = renameNestedPath.getOrElseUpdate(d, {
+        val p = stageDir("tlognestedren", d)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"),
+          struct(col("l_returnflag").as("kind"),
+            col("l_quantity").cast("double").as("qty")).as("payload"))
+        TableLog.append(s, p,
+          li.filter(col("l_orderkey") <= 30000L)
+            .repartitionByRange(6, col("payload.kind"), col("l_orderkey")),
+          statsCols = Seq("payload.kind", "payload.qty"))
+        TableLog.renameColumn(s, p, "payload.kind", "category")
+        // a post-rename append arrives in the NEW logical shape and
+        // lands under the frozen physical field name
+        TableLog.append(s, p,
+          li.filter(col("l_orderkey") > 30000L)
+            .withColumn("payload", struct(
+              col("payload.kind").as("category"),
+              col("payload.qty").as("qty")))
+            .repartitionByRange(2, col("payload.category"), col("l_orderkey")),
+          statsCols = Seq("payload.category", "payload.qty"))
+        p
+      })
+      val pr = TableLog.scanWhere(s, dir, col("payload.category") === lit("R"))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_rename_nested: the renamed nested path must keep pruning " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.select(col("l_orderkey"), col("l_linenumber"),
+          col("payload.category").as("category"),
+          col("payload.qty").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // change data feed across the delete + update commits: the delete
@@ -4024,6 +4118,18 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_generated_col" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_rename_nested" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS category,
+        |       CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_zorder_string" ->
       """SELECT p_partkey, p_brand, p_type, p_retailprice

@@ -880,7 +880,7 @@ object TableLog {
       mayOverlap(f, pb) && mayPassNullShapes(f, ns))
     inListShape(probe, predicate) match {
       case Some((column, values)) if statsKept.nonEmpty =>
-        val physCol = colmap.getOrElse(column, column)
+        val physCol = physPath(colmap, column)
         val verdicts = mapOverFooters(spark, basePath, statsKept.map(_.path),
           DistributeFileOpsThreshold)((c, p) =>
           bloomMightContain(c, p, physCol, values))
@@ -1683,6 +1683,40 @@ object TableLog {
     * loud (properties changes are rare and deliberate); a concurrent
     * APPEND rebasing over this commit carries the new values forward.
     */
+  /** `graft.generated.cols` codec — `GENERATED ALWAYS AS (expr)`
+    * columns as a table property (`name:urlencoded-expr;…`): expression
+    * text is arbitrary SQL, so each one is URL-encoded to keep the
+    * property a flat one-liner that survives every property channel.
+    */
+  private[graft] def encodeGeneratedCols(gen: Seq[(String, String)]): String =
+    gen.map { case (c, e) =>
+      s"$c:${java.net.URLEncoder.encode(e, "UTF-8")}" }.mkString(";")
+
+  private[graft] def decodeGeneratedCols(spec: String): Seq[(String, String)] =
+    spec.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf(':')
+      require(i > 0, s"TableLog: malformed graft.generated.cols entry '$kv'")
+      kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+    }
+
+  /** NULL-fill every generated column from its declared expression — a
+    * NULL means "not provided" (Delta's generated-column rule); a
+    * non-NULL value is left alone for the `_gen_<col>` CHECK to judge.
+    * Applied in [[commit]] on every write path, and again by the
+    * catalog write builder BEFORE its range-clustering exchange (a
+    * generated PARTITION column must hold its values when the layout
+    * shuffles on it).
+    */
+  private[graft] def generatedFill(df: DataFrame,
+                                   props: Map[String, String]): DataFrame =
+    props.get("graft.generated.cols").map(decodeGeneratedCols).getOrElse(Nil)
+      .foldLeft(df) { case (d, (c, e)) =>
+        if (!d.columns.contains(c)) d
+        else d.withColumn(c, org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col(c),
+          org.apache.spark.sql.functions.expr(e)))
+      }
+
   def setTableProperties(spark: SparkSession, dir: String,
                          props: Map[String, String]): Long = {
     require(props.nonEmpty, "TableLog.setTableProperties: empty property map")
@@ -1800,40 +1834,109 @@ object TableLog {
                    oldName: String, newName: String): Long = {
     require(oldName != newName,
       s"TableLog.renameColumn: '$oldName' to itself is a no-op")
-    require(newName != "_dv_rel" && newName != "_dv_pos",
-      "TableLog.renameColumn: _dv_rel/_dv_pos shadow the deletion-vector " +
-        "scan's working columns")
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.renameColumn: $dir has no committed versions")
     val basePath = new Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(oldName),
-      s"TableLog.renameColumn: no column '$oldName' in ${schema.fieldNames.mkString(", ")}")
-    require(!schema.fieldNames.contains(newName),
-      s"TableLog.renameColumn: '$newName' already exists")
+    // NESTED rename (round 18): a dotted oldName addresses a struct
+    // field (`payload.kind`) unless a top-level column literally
+    // carries the dotted name (exact top-level match wins — dots in
+    // plain column names stay addressable). The rename stays WITHIN
+    // its parent struct — moving a field across structs is a data
+    // transform, not a rename.
+    val segs: Seq[String] =
+      if (schema.fieldNames.contains(oldName) || !oldName.contains('.'))
+        Seq(oldName)
+      else oldName.split('.').toSeq
+    def structAt(path: Seq[String]): StructType =
+      path.foldLeft(schema) { (st, s) =>
+        st.fields.find(_.name == s).getOrElse(throw new IllegalArgumentException(
+          s"TableLog.renameColumn: no field '$s' on the path '$oldName' " +
+            s"(have: ${st.fieldNames.mkString(", ")})")).dataType match {
+          case inner: StructType => inner
+          case other => throw new IllegalArgumentException(
+            s"TableLog.renameColumn: '$s' in '$oldName' is " +
+              s"${other.simpleString}, not a struct — only struct chains " +
+              "are renameable below the top level")
+        }
+      }
+    val parentSegs = segs.init
+    val parent = structAt(parentSegs)
+    val oldLeaf = segs.last
+    require(parent.fieldNames.contains(oldLeaf),
+      s"TableLog.renameColumn: no column '$oldName' " +
+        s"(parent has: ${parent.fieldNames.mkString(", ")})")
+    val newLeaf = {
+      val ns = newName.split('.').toSeq
+      if (ns.length == 1) ns.head
+      else {
+        require(ns.init == parentSegs,
+          s"TableLog.renameColumn: '$oldName' → '$newName' would MOVE the " +
+            "field across structs — a rename stays within its parent")
+        ns.last
+      }
+    }
+    require(newLeaf.nonEmpty, "TableLog.renameColumn: empty new name")
+    require(newLeaf != "_dv_rel" && newLeaf != "_dv_pos",
+      "TableLog.renameColumn: _dv_rel/_dv_pos shadow the deletion-vector " +
+        "scan's working columns")
+    require(!parent.fieldNames.contains(newLeaf),
+      s"TableLog.renameColumn: '$newLeaf' already exists" +
+        (if (parentSegs.isEmpty) "" else s" in ${parentSegs.mkString(".")}"))
+    val oldPath = segs.mkString(".")
+    val newPath = (parentSegs :+ newLeaf).mkString(".")
     val cm = columnMappingAt(spark, dir, base)
-    def phys(c: String): String = cm.getOrElse(c, c)
-    require(!schema.fieldNames.filterNot(_ == oldName).map(phys).contains(newName),
-      s"TableLog.renameColumn: '$newName' is the PHYSICAL name of another " +
+    val siblingPhys = parent.fieldNames.toSeq.filterNot(_ == oldLeaf)
+      .map(s => physPath(cm, (parentSegs :+ s).mkString(".")))
+    require(!siblingPhys.contains(newPath),
+      s"TableLog.renameColumn: '$newPath' is the PHYSICAL name of another " +
         "live column — a later write would merge two logical columns into " +
         "one on-disk column")
     val cks = constraintsAt(spark, dir, base)
     val referencing = cks.filter { case (_, sql) =>
-      s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+      s"\\b${java.util.regex.Pattern.quote(oldLeaf)}\\b".r
         .findFirstIn(sql).isDefined }
     require(referencing.isEmpty,
       s"TableLog.renameColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
-        s"reference '$oldName' — drop them, rename, re-add under the new name")
-    val newSchema = StructType(schema.fields.map(f =>
-      if (f.name == oldName) f.copy(name = newName) else f))
-    // renaming BACK to the physical name collapses to identity (no entry)
-    val p = phys(oldName)
-    val newCm = (cm - oldName) ++ (if (p == newName) Map.empty else Map(newName -> p))
+        s"reference '$oldLeaf' — drop them, rename, re-add under the new name")
+    def rebuild(st: StructType, path: Seq[String]): StructType =
+      StructType(st.fields.map { f =>
+        if (f.name != path.head) f
+        else if (path.length == 1) f.copy(name = newLeaf)
+        else f.copy(dataType =
+          rebuild(f.dataType.asInstanceOf[StructType], path.tail))
+      })
+    val newSchema = rebuild(schema, segs)
+    // renaming BACK to the physical path collapses to identity (no
+    // entry). Descendant entries REKEY (their key's parent segments
+    // must stay current logical names — the physPath invariant).
+    val p = physPath(cm, oldPath)
+    val rekeyed = (cm - oldPath).map { case (k, v) =>
+      (if (k.startsWith(oldPath + ".")) newPath + k.drop(oldPath.length)
+       else k) -> v
+    }
+    val newCm = rekeyed ++
+      (if (p == newPath) Map.empty else Map(newPath -> p))
+    // declared layout properties follow the rename — a stats/cluster/
+    // bloom declaration on the old path would silently stop harvesting
+    val props = tablePropertiesAt(spark, dir, base)
+    val renamedProps = Seq("graft.stats.cols", "graft.cluster.cols",
+        "graft.bloom.cols").flatMap { k =>
+      props.get(k).map { v =>
+        k -> v.split(",").map(_.trim).map { c =>
+          if (c == oldPath) newPath
+          else if (c.startsWith(oldPath + ".")) newPath + c.drop(oldPath.length)
+          else c
+        }.mkString(",")
+      }
+    }.filter { case (k, v) => props.get(k) != Some(v) }
     commitManifest(spark, dir, "rename", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None,
-      colmapOverride = Some(newCm))
+      colmapOverride = Some(newCm),
+      propertiesOverride =
+        if (renamedProps.isEmpty) None else Some(props ++ renamedProps))
   }
 
   /** `ALTER TABLE … DROP COLUMN` as a MANIFEST-ONLY commit: the logical
@@ -1855,23 +1958,62 @@ object TableLog {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(name),
-      s"TableLog.dropColumn: no column '$name' in ${schema.fieldNames.mkString(", ")}")
-    require(schema.fields.length > 1,
-      s"TableLog.dropColumn: '$name' is the table's last column")
+    // NESTED drop (round 18): a dotted name addresses a struct field
+    // unless a top-level column literally carries the dotted name
+    // (exact match wins, same precedence as renameColumn). The field
+    // vanishes from the logical schema; old files keep its bytes
+    // (parquet's nested schema pruning never reads them), new files
+    // simply lack it — the mixed layout reads uniformly by name.
+    val segs: Seq[String] =
+      if (schema.fieldNames.contains(name) || !name.contains('.')) Seq(name)
+      else name.split('.').toSeq
+    def structAt(path: Seq[String]): StructType =
+      path.foldLeft(schema) { (st, s) =>
+        st.fields.find(_.name == s).getOrElse(throw new IllegalArgumentException(
+          s"TableLog.dropColumn: no field '$s' on the path '$name' " +
+            s"(have: ${st.fieldNames.mkString(", ")})")).dataType match {
+          case inner: StructType => inner
+          case other => throw new IllegalArgumentException(
+            s"TableLog.dropColumn: '$s' in '$name' is ${other.simpleString}, " +
+              "not a struct — only struct chains are droppable below the " +
+              "top level")
+        }
+      }
+    val parent = structAt(segs.init)
+    val leaf = segs.last
+    require(parent.fieldNames.contains(leaf),
+      s"TableLog.dropColumn: no column '$name' " +
+        s"(parent has: ${parent.fieldNames.mkString(", ")})")
+    require(parent.fields.length > 1,
+      if (segs.length == 1)
+        s"TableLog.dropColumn: '$name' is the table's last column"
+      else
+        s"TableLog.dropColumn: '$name' is its struct's last field — drop " +
+          s"the struct '${segs.init.mkString(".")}' instead")
     val cks = constraintsAt(spark, dir, base)
     val referencing = cks.filter { case (_, sql) =>
-      s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+      s"\\b${java.util.regex.Pattern.quote(leaf)}\\b".r
         .findFirstIn(sql).isDefined }
     require(referencing.isEmpty,
       s"TableLog.dropColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
-        s"reference '$name' — drop them first")
+        s"reference '$leaf' — drop them first")
     val cm = columnMappingAt(spark, dir, base)
-    val physName = cm.getOrElse(name, name)
-    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val path = segs.mkString(".")
+    val physName = physPath(cm, path)
+    def rebuild(st: StructType, p: Seq[String]): StructType =
+      if (p.length == 1) StructType(st.fields.filterNot(_.name == p.head))
+      else StructType(st.fields.map { f =>
+        if (f.name != p.head) f
+        else f.copy(dataType =
+          rebuild(f.dataType.asInstanceOf[StructType], p.tail))
+      })
+    val newSchema = rebuild(schema, segs)
+    // mapping entries at or below the dropped path fall away
+    val newCm = cm.filterNot { case (k, _) =>
+      k == path || k.startsWith(path + ".") }
     commitManifest(spark, dir, "drop", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None,
-      colmapOverride = Some(cm - name),
+      colmapOverride = Some(newCm),
       droppedColsOverride =
         Some((droppedColsAt(spark, dir, base) :+ physName).distinct))
   }
@@ -2558,13 +2700,17 @@ object TableLog {
     // away; an overwrite replaces every live file, so the dropped-
     // column tombstones reset with it
     val logicalNames = df.schema.fieldNames.toSeq
+    // a DOTTED entry (nested rename) qualifies through its head segment
     val cm = parentC.fold(Map.empty[String, String])(_.colmap)
-      .filter { case (l, _) => logicalNames.contains(l) }
+      .filter { case (l, _) => logicalNames.contains(l.split('.').head) }
     val dropped =
       if (op == "overwrite") Seq.empty[String]
       else parentC.fold(Seq.empty[String])(_.droppedCols)
     def phys(c: String): String = physPath(cm, c)
-    val physNames = logicalNames.map(phys)
+    // the full physical shape (nested renames included) — what the
+    // files are written as and what the parquet footer paths carry
+    val pWriteSchema = physSchemaOf(df.schema, cm)
+    val physNames = pWriteSchema.fields.map(_.name).toSeq
     require(physNames.distinct.length == physNames.length,
       s"TableLog.$op: two columns resolve to the same PHYSICAL name " +
         s"(${physNames.mkString(", ")}) — a renamed column's original name " +
@@ -2575,11 +2721,32 @@ object TableLog {
         "earlier and live files still carry their old bytes — adding them " +
         "back would silently resurrect stale data; pick another name or " +
         "overwrite the table")
-    val checked = enforceConstraints(df, cks)
+    // GENERATED COLUMNS (round 18): a NULL arriving in a generated
+    // column means "not provided" — computed here from the declared
+    // expression on EVERY write path (INSERT, MERGE, COPY INTO;
+    // maintenance rewrites are no-ops because stored values already
+    // match). A NON-null value must equal the expression — enforced by
+    // the `_gen_<col>` CHECK constraint the catalog declares at CREATE,
+    // through the same codegen'd one-pass channel as any user
+    // constraint (Delta's generated-column rule, public spec). The
+    // consequence, also Delta's: an arbitrary NULL cannot be stored in
+    // a generated column unless its expression yields NULL.
+    val genFilled =
+      generatedFill(df, parentC.fold(Map.empty[String, String])(_.properties))
+    val checked = enforceConstraints(genFilled, cks)
+    // logical → physical: alias top-level names; a NESTED rename casts
+    // the struct to its physical shape (positional — renames never
+    // reorder or retype, so the cast is a pure name rewrite)
     val toWrite =
       if (cm.isEmpty) checked
-      else checked.select(logicalNames.map(c =>
-        org.apache.spark.sql.functions.col(c).as(phys(c))): _*)
+      else checked.select(checked.schema.fields.toSeq
+        .zip(pWriteSchema.fields.toSeq).map { case (lf, pf) =>
+          val base = org.apache.spark.sql.functions.col(lf.name)
+          // nullable form: the cast is a pure nested-name rewrite (see
+          // readWithDv's logicalCols)
+          (if (nullableForm(pf.dataType) == nullableForm(lf.dataType)) base
+           else base.cast(nullableForm(pf.dataType))).as(pf.name)
+        }: _*)
     // DECLARED layout survives every rewrite path: a table whose owner
     // set `graft.bloom.cols` / `graft.stats.cols` keeps its bloom
     // filters and manifest stats through CoW rewrites, compaction,
@@ -3054,12 +3221,22 @@ object TableLog {
         "vector scan's working columns — rename them")
     // column mapping: request the PHYSICAL schema from parquet, alias
     // back to logical as the scan's projection — one select, no data
-    // movement, and a mapping-free table takes the identical plan
+    // movement, and a mapping-free table takes the identical plan. A
+    // NESTED rename translates by a positional struct CAST (renames
+    // never reorder or retype fields, so cast is a pure name rewrite —
+    // still codegen'd, still zero data movement).
     val pSchema = physSchemaOf(schema, colmap)
+    def logicalCols: Seq[org.apache.spark.sql.Column] =
+      schema.fields.toSeq.zip(pSchema.fields.toSeq).map { case (lf, pf) =>
+        val base = col(pf.name)
+        // the nullable form on BOTH sides: the cast is a pure nested-
+        // name rewrite, and parquet scans are always nullable — casting
+        // to a NOT NULL struct field would refuse at analysis
+        (if (nullableForm(pf.dataType) == nullableForm(lf.dataType)) base
+         else base.cast(nullableForm(lf.dataType))).as(lf.name)
+      }
     def toLogical(df: DataFrame): DataFrame =
-      if (colmap.isEmpty) df
-      else df.select(schema.fields.map(f =>
-        col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+      if (colmap.isEmpty) df else df.select(logicalCols: _*)
     val cleanDf =
       if (clean.isEmpty) None
       else Some(entryArms(spark, dir, pSchema, clean).map(toLogical)
@@ -3076,8 +3253,7 @@ object TableLog {
       df.withColumn("_dv_rel", dvRelPath(idx, dvSegCount(es.head)))
         .withColumn("_dv_pos", col("_metadata.row_index"))
         .join(broadcast(doomed), Seq("_dv_rel", "_dv_pos"), "left_anti")
-        .select(schema.fields.map(f =>
-          col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+        .select(logicalCols: _*)
     }.reduce(_.unionByName(_))
     cleanDf.fold(dvDf)(c => c.unionByName(dvDf))
   }
@@ -3983,16 +4159,29 @@ object TableLog {
     * would match no stats and pruning silently degrades to keep-all
     * (correct but O(table)).
     */
-  /** Map a LOGICAL stats path to its PHYSICAL one. Column mapping
-    * renames top-level columns only, so a dotted path maps through its
-    * HEAD segment (`payload.kind` under payload→p_1 is `p_1.kind` on
-    * disk — nested field names inside the struct are not remappable).
+  /** Map a LOGICAL stats path to its PHYSICAL one. Column-mapping
+    * entries key FULL dotted logical paths to FULL dotted physical
+    * paths (round 18 — nested fields are renameable, not just
+    * top-level columns), so translation is: exact match first, then
+    * the LONGEST dotted-prefix entry with the untouched suffix carried
+    * over (`payload.kind` under payload→p_1 is `p_1.kind`;
+    * `payload.category.x` under payload.category→payload.kind is
+    * `payload.kind.x`). [[renameColumn]] keeps the invariant that a
+    * key's parent segments are CURRENT logical names and the value is
+    * the complete physical path, so one lookup pass suffices.
     */
   private[sinks] def physPath(cm: Map[String, String], c: String): String =
     if (cm.isEmpty) c
     else cm.getOrElse(c, {
-      val i = c.indexOf('.')
-      if (i < 0) c else cm.getOrElse(c.take(i), c.take(i)) + c.drop(i)
+      var i = c.lastIndexOf('.')
+      var res: String = null
+      while (i > 0 && res == null) {
+        cm.get(c.take(i)) match {
+          case Some(p) => res = p + c.drop(i)
+          case None => i = c.lastIndexOf('.', i - 1)
+        }
+      }
+      if (res == null) c else res
     })
 
   private def physBounds(cm: Map[String, String],
@@ -4005,10 +4194,24 @@ object TableLog {
     * name would silently null-fill the column).
     */
   private def physSchemaOf(schema: StructType,
-                           cm: Map[String, String]): StructType =
-    if (cm.isEmpty) schema
-    else StructType(schema.fields.map(f =>
-      f.copy(name = cm.getOrElse(f.name, f.name))))
+                           cm: Map[String, String]): StructType = {
+    if (cm.isEmpty) return schema
+    // recursive: nested renames rewrite the struct FIELD names too —
+    // the parquet reader must request the on-disk nested names, and the
+    // read/write casts translate between the two shapes positionally
+    def walk(prefix: String, st: StructType): StructType =
+      StructType(st.fields.map { f =>
+        val lpath = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val ppath = physPath(cm, lpath)
+        val pname = ppath.substring(ppath.lastIndexOf('.') + 1)
+        val dt = f.dataType match {
+          case s: StructType => walk(lpath, s)
+          case other => other
+        }
+        f.copy(name = pname, dataType = dt)
+      })
+    walk("", schema)
+  }
 
   /** The open side of a one-sided STRING bound (strings have no ±∞
     * literal the way doubles do) — [[mayOverlap]] treats it as

@@ -240,6 +240,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
+  /** Generated columns are the one capability beyond the default set:
+    * Spark validates `GENERATED ALWAYS AS (expr)` DDL (deterministic,
+    * no subquery/self-reference, type match) and hands the expression
+    * through the column metadata — [[createTable]] turns it into the
+    * `graft.generated.cols` property (write-time NULL fill in the
+    * table log's commit) plus a `_gen_<col>` CHECK constraint (every
+    * write path refuses a mismatched explicit value).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** `GENERATED ALWAYS AS` expressions arrive ONLY on the `Column[]`
+    * DDL overloads — `CatalogV2Util.v2ColumnToStructField` does not
+    * fold `generationExpression()` into field metadata, so the default
+    * delegation would silently drop them. Each Column[] route (CREATE,
+    * CTAS staging, RTAS staging) captures the expressions here for the
+    * StructType implementation it funnels into; same-thread by
+    * construction (the capture wraps the delegation call).
+    */
+  private val pendingGenerated =
+    new ThreadLocal[Seq[(String, String)]] {
+      override def initialValue: Seq[(String, String)] = Nil
+    }
+
+  /** The `Column[]` → `StructType` collapse (CatalogV2Util's is
+    * `private[sql]`): name/type/nullable/metadata/comment carry over;
+    * generation expressions travel through [[captureGenerated]] and
+    * column DEFAULTs are not supported by this catalog.
+    */
+  private def columnsToStructType(columns: Array[Column]): StructType =
+    StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"graft catalog: column '${c.name()}' declares a DEFAULT value — " +
+          "not supported (generated columns are)")
+      val meta = Option(c.metadataInJSON())
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val f = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), meta)
+      Option(c.comment()).map(f.withComment).getOrElse(f)
+    })
+
+  private def captureGenerated[A](columns: Array[Column])(body: => A): A = {
+    pendingGenerated.set(columns.toSeq.flatMap(c =>
+      Option(c.generationExpression()).map(e => c.name() -> e)))
+    try body finally pendingGenerated.remove()
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    captureGenerated(columns)(createTable(ident,
+      columnsToStructType(columns), partitions, properties))
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    captureGenerated(columns)(stageCreate(ident,
+      columnsToStructType(columns), partitions, properties))
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    captureGenerated(columns)(stageReplace(ident,
+      columnsToStructType(columns), partitions, properties))
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    captureGenerated(columns)(stageCreateOrReplace(ident,
+      columnsToStructType(columns), partitions, properties))
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -319,7 +392,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (if (blooms.isEmpty) Map.empty[String, String]
            else Map("graft.bloom.cols" -> blooms.mkString(",")))
       }
-    if (withParts.nonEmpty) TableLog.setTableProperties(spark, dir, withParts)
+    // GENERATED ALWAYS AS (expr) — Spark validated the expression at
+    // analysis (capability-gated); it arrives in the field metadata.
+    // Stored as a property (commit-time NULL fill) + stats on the
+    // generated column (it exists to be pruned on) + a CHECK constraint
+    // so EVERY write path — SQL or direct TableLog — refuses a
+    // mismatched explicit value instead of silently diverging from the
+    // derivation.
+    val genCols: Seq[(String, String)] = {
+      // direct-API callers may carry the expression in field metadata
+      // (GeneratedColumn's key); SQL DDL arrives via the Column[]
+      // capture above
+      val fromMeta = schema.fields.toSeq.flatMap { f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).map(e => f.name -> e)
+      }
+      if (fromMeta.nonEmpty) fromMeta else pendingGenerated.get()
+    }
+    val withGen =
+      if (genCols.isEmpty) withParts
+      else {
+        val stats = (withParts.getOrElse("graft.stats.cols", "")
+          .split(",").map(_.trim).filter(_.nonEmpty) ++ genCols.map(_._1)).distinct
+        withParts +
+          ("graft.generated.cols" -> TableLog.encodeGeneratedCols(genCols)) +
+          ("graft.stats.cols" -> stats.mkString(","))
+      }
+    if (withGen.nonEmpty) TableLog.setTableProperties(spark, dir, withGen)
+    genCols.foreach { case (c, e) =>
+      TableLog.addCheckConstraint(spark, dir, s"_gen_$c", s"`$c` <=> ($e)")
+    }
     loadTable(ident)
   }
 
@@ -549,13 +651,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RemoveProperty =>
         TableLog.unsetTableProperties(spark, dir, Seq(r.property()))
       case c: TableChange.RenameColumn =>
-        require(c.fieldNames().length == 1,
-          "graft catalog: nested column renames are not supported")
-        TableLog.renameColumn(spark, dir, c.fieldNames().head, c.newName())
+        // nested renames (round 18): the dotted path rides the column
+        // mapping — manifest-only, zero data rewritten
+        TableLog.renameColumn(spark, dir, c.fieldNames().mkString("."),
+          c.newName())
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          "graft catalog: nested column drops are not supported")
-        TableLog.dropColumn(spark, dir, d.fieldNames().head)
+        TableLog.dropColumn(spark, dir, d.fieldNames().mkString("."))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested column adds are not supported")
@@ -952,13 +1053,18 @@ private[sources] class GraftCatalogWriteBuilder(dir: String)
         // not the first maintenance pass. No explicit partition count —
         // AQE sizes the exchange to the batch, so a small INSERT lands
         // one file, a 10 TB backfill fans out.
-        val ccols = TableLog.tablePropertiesAt(spark, dir)
-          .get("graft.cluster.cols").toSeq
+        val props = TableLog.tablePropertiesAt(spark, dir)
+        // generated columns fill BEFORE the clustering exchange — a
+        // generated PARTITION column (the days-from-timestamp pattern)
+        // must hold its values when the layout shuffles on it; commit's
+        // own fill then no-ops on this batch
+        val filled = TableLog.generatedFill(data, props)
+        val ccols = props.get("graft.cluster.cols").toSeq
           .flatMap(_.split(",")).map(_.trim)
-          .filter(c => c.nonEmpty && data.columns.contains(c))
+          .filter(c => c.nonEmpty && filled.columns.contains(c))
         val laid =
-          if (ccols.isEmpty) data
-          else data
+          if (ccols.isEmpty) filled
+          else filled
             .repartitionByRange(ccols.map(org.apache.spark.sql.functions.col): _*)
             .sortWithinPartitions(ccols.map(org.apache.spark.sql.functions.col): _*)
         mode match {

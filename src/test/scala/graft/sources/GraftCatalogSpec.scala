@@ -65,6 +65,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT label FROM gcat2.sales.orders WHERE k = 9")
       .head().getString(0) == "z")
     assert(spark.sql("SHOW TABLES IN gcat2.sales").count() == 1L)
+    // NESTED rename/drop through SQL (round 18): the dotted path rides
+    // the column mapping — Spark's parser hands multipart fieldNames
+    spark.sql("CREATE TABLE gcat.sales.ev (id BIGINT, " +
+      "payload STRUCT<kind: STRING, qty: DOUBLE>) USING graft")
+    spark.sql("INSERT INTO gcat.sales.ev VALUES (1, named_struct('kind', 'a', 'qty', 2.0))")
+    spark.sql("ALTER TABLE gcat.sales.ev RENAME COLUMN payload.kind TO category")
+    assert(spark.sql("SELECT payload.category FROM gcat.sales.ev")
+      .head().getString(0) == "a")
+    spark.sql("ALTER TABLE gcat.sales.ev DROP COLUMN payload.qty")
+    assert(spark.sql("SELECT payload FROM gcat.sales.ev").schema("payload")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("category"))
   }
 
   test("CTAS, managed vs external drop semantics, rename, adoption by LOCATION") {
@@ -395,6 +407,59 @@ class GraftCatalogSpec extends SparkSpec {
         "the original rows must survive the pre-marker crash window")
       assert(backups().isEmpty, "the restored backup leaves no litter")
     } finally graft.sinks.TableLog.clockMs = saved
+  }
+
+  test("GENERATED ALWAYS AS: NULL computes, wrong value refuses, composes with PARTITIONED BY") {
+    // round 18 (verdict What's-missing #2, Delta's public generated-
+    // column rules): a NULL arriving in the generated column means
+    // "not provided" and is computed from the expression on every
+    // write path; a non-NULL explicit value must MATCH or the write
+    // refuses through the auto-declared `_gen_<col>` CHECK; the column
+    // is a real stored column (stats harvested, identity-partitionable)
+    // — the derive-a-date-for-pruning pattern end to end.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.gen")
+    spark.sql("CREATE TABLE gcat.gen.ev (id BIGINT, ts TIMESTAMP_NTZ, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) USING graft " +
+      "PARTITIONED BY (d)")
+    val dir = s"$root/gen/ev"
+    val props = graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+    assert(props.contains("graft.generated.cols"))
+    assert(props.get("graft.stats.cols").exists(_.split(",").contains("d")))
+    // NULL → computed
+    spark.sql("INSERT INTO gcat.gen.ev VALUES " +
+      "(1, TIMESTAMP_NTZ'2026-02-03 10:30:00', NULL), " +
+      "(2, TIMESTAMP_NTZ'2026-02-04 23:59:00', NULL)")
+    // explicit CORRECT value passes untouched
+    spark.sql("INSERT INTO gcat.gen.ev VALUES " +
+      "(3, TIMESTAMP_NTZ'2026-02-05 01:00:00', DATE'2026-02-05')")
+    assert(spark.sql("SELECT d FROM gcat.gen.ev ORDER BY id").collect()
+      .map(_.getDate(0).toString).toSeq ==
+      Seq("2026-02-03", "2026-02-04", "2026-02-05"))
+    // explicit WRONG value refuses, naming the generated-column check
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.gen.ev VALUES " +
+        "(4, TIMESTAMP_NTZ'2026-02-06 12:00:00', DATE'1999-01-01')")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("_gen_d"), s"refusal must name the check: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM gcat.gen.ev").head().getLong(0) == 3L,
+      "a refused insert must commit nothing")
+    // the generated column prunes like any stored column: per-insert
+    // files carry tight d stats (PARTITIONED BY d clusters on it)
+    val pr = graft.sinks.TableLog.scanWhere(spark, dir,
+      col("d") === lit("2026-02-04").cast("date"))
+    assert(pr.filesRead < pr.filesTotal,
+      s"generated-column predicate must prune (${pr.filesRead}/${pr.filesTotal})")
+    assert(pr.df.count() == 1L)
+    // direct-path writers (no catalog in sight) hit the same contract:
+    // the commit-time fill computes, the check refuses divergence
+    import spark.implicits._
+    graft.sinks.TableLog.append(spark, dir,
+      Seq((9L, java.time.LocalDateTime.of(2026, 3, 1, 8, 0), null))
+        .toDF("id", "ts", "d").select(col("id"), col("ts"),
+          col("d").cast("date")))
+    assert(spark.sql("SELECT d FROM gcat.gen.ev WHERE id = 9").head()
+      .getDate(0).toString == "2026-03-01")
   }
 
   test("recovery fast path: a clean namespace sweeps once per memo window, not per listing") {
