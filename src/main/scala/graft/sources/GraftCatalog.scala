@@ -250,7 +250,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `GENERATED ALWAYS AS` expressions arrive ONLY on the `Column[]`
     * DDL overloads — `CatalogV2Util.v2ColumnToStructField` does not
@@ -270,18 +271,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * generation expressions travel through [[captureGenerated]] and
     * column DEFAULTs are not supported by this catalog.
     */
-  private def columnsToStructType(columns: Array[Column]): StructType =
-    StructType(columns.map { c =>
-      require(c.defaultValue() == null,
-        s"graft catalog: column '${c.name()}' declares a DEFAULT value — " +
-          "not supported (generated columns are)")
-      val meta = Option(c.metadataInJSON())
+  private def columnsToStructType(columns: Array[Column]): StructType = {
+    val raw = StructType(columns.map { c =>
+      val meta0 = Option(c.metadataInJSON())
         .map(org.apache.spark.sql.types.Metadata.fromJson)
         .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      // column DEFAULTs (round 18): the default's SQL text rides the
+      // field metadata under Spark's OWN keys — the analyzer's
+      // ResolveDefaultColumns then pads missing INSERT columns and the
+      // DEFAULT keyword from it; values land MATERIALIZED in the files,
+      // so reads need nothing. The metadata persists through the commit
+      // schemaJson like any other field metadata (DESCRIBE shows it).
+      val meta = Option(c.defaultValue()).fold(meta0) { dv =>
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(meta0)
+          .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql)
+          .build()
+      }
       val f = org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), meta)
       Option(c.comment()).map(f.withComment).getOrElse(f)
     })
+    // fold CURRENT → EXISTS (Delta does the same at DDL time): rows
+    // that predate a default read it from here if a later feature adds
+    // post-hoc defaults; for CREATE-time defaults the two coincide
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(raw, "CREATE TABLE")
+  }
 
   private def captureGenerated[A](columns: Array[Column])(body: => A): A = {
     pendingGenerated.set(columns.toSeq.flatMap(c =>

@@ -113,6 +113,11 @@ object GraftSqlParser {
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DetailRe =
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  // clustering-quality report (round 18): columns optional — defaults
+  // to the declared graft.cluster.cols
+  private val LayoutRe =
+    ("""(?is)^\s*DESCRIBE\s+LAYOUT\s+""" + T +
+      """(?:\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -166,6 +171,9 @@ object GraftSqlParser {
       Some(GraftHistoryCommand(Option(p), Option(v)))
     case DetailRe(p, v) =>
       Some(GraftDetailCommand(Option(p), Option(v)))
+    case LayoutRe(p, v, cs) =>
+      Some(GraftLayoutCommand(Option(p), Option(v),
+        Option(cs).map(cols).getOrElse(Nil)))
     case RestoreRe(p, v, ver) =>
       Some(GraftRestoreCommand(Option(p), Option(v), ver.toLong))
     case ConvertRe(path, st) =>
@@ -292,6 +300,28 @@ private[sources] case class GraftDetailCommand(path: Option[String],
   override def run(spark: SparkSession): Seq[Row] =
     TableLog.describeDetail(spark,
       GraftSqlParser.dirOf(spark, path, view)).collect().toSeq
+}
+
+/** `DESCRIBE LAYOUT t [(c1, c2)]` — the clustering-quality report:
+  * per-column normalized file extents and the expected files a point
+  * predicate reads, straight from the manifest (see
+  * [[graft.sinks.TableLog.describeLayout]]) — the observable the
+  * OPTIMIZE maintenance loop watches.
+  */
+private[sources] case class GraftLayoutCommand(path: Option[String],
+                                               view: Option[String],
+                                               columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("column", StringType)
+    .add("files", IntegerType)
+    .add("files_with_stats", IntegerType)
+    .add("avg_extent", DoubleType)
+    .add("p95_extent", DoubleType)
+    .add("est_files_point", DoubleType))
+  override def run(spark: SparkSession): Seq[Row] =
+    TableLog.describeLayout(spark,
+      GraftSqlParser.dirOf(spark, path, view), columns).collect().toSeq
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n` — the zero-copy rollback:
