@@ -115,6 +115,13 @@ object SparkEntry {
   private val generatedColPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged IDENTITY-COLUMN fixture (q_identity_col): engine-minted
+    * surrogate keys across two insert batches — uniqueness asserted
+    * in-query, payload hash-matched against the oracle.
+    */
+  private val identityColPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged NESTED-RENAME fixture (q_rename_nested): payload.kind →
     * payload.category through the dotted column mapping, plus a
     * post-rename append — old and new files serve one logical shape.
@@ -2333,6 +2340,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // IDENTITY COLUMNS (round 18, Delta's documented semantics): an
+    // `id BIGINT GENERATED ALWAYS AS IDENTITY` column minted across
+    // TWO insert batches — values are engine-assigned (sparse, unique,
+    // ascending; asserted in-query since sparseness makes them
+    // non-deterministic), and the deterministic payload columns
+    // hash-match the oracle: identity assignment loses and duplicates
+    // nothing.
+    "q_identity_col" -> ((s, d) => {
+      val dir = identityColPath.getOrElseUpdate(d, {
+        val r = stageDir("gcatidroot", d)
+        val cat = s"gcatid_${java.lang.Integer.toHexString(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", r)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE $cat.wh.ord (id BIGINT GENERATED ALWAYS AS " +
+          "IDENTITY, o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")
+        Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_totalprice")).createOrReplaceTempView("q_id_src")
+        s.sql(s"INSERT INTO $cat.wh.ord (o_orderkey, o_totalprice) " +
+          "SELECT * FROM q_id_src WHERE o_orderkey % 2 = 0")
+        s.sql(s"INSERT INTO $cat.wh.ord (o_orderkey, o_totalprice) " +
+          "SELECT * FROM q_id_src WHERE o_orderkey % 2 = 1")
+        s"$r/wh/ord"
+      })
+      val t = TableLog.readAt(s, dir)
+      val chk = t.agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("d"), min(col("id")).as("mn")).head()
+      require(chk.getLong(0) == chk.getLong(1) && chk.getLong(2) >= 1L,
+        s"q_identity_col: identities must be unique and >= start " +
+          s"(n=${chk.getLong(0)}, distinct=${chk.getLong(1)}, min=${chk.getLong(2)})")
+      t.select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // GENERATED COLUMNS (round 18): `o_year GENERATED ALWAYS AS
     // (year(o_orderdate))` + `PARTITIONED BY (o_year)` — the
     // derive-a-date-for-pruning pattern (Delta's public generated-
@@ -4123,6 +4165,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderdate, o_totalprice,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_identity_col" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_rename_nested" ->

@@ -1699,6 +1699,28 @@ object TableLog {
       kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
     }
 
+  /** `graft.identity.cols` codec — `GENERATED … AS IDENTITY` columns as
+    * a table property (`name:start:step:allowExplicit;…`). The high-
+    * water mark per column rides `graft.identity.high.<col>`, advanced
+    * by each assigning commit FROM ITS OWN HARVESTED STATS (the footer
+    * max is already in the manifest — zero extra passes) and serialized
+    * by the commit CAS (assigning commits never rebase).
+    */
+  final case class IdentitySpec(col: String, start: Long, step: Long,
+                                allowExplicit: Boolean)
+
+  private[graft] def encodeIdentityCols(specs: Seq[IdentitySpec]): String =
+    specs.map(s => s"${s.col}:${s.start}:${s.step}:${s.allowExplicit}")
+      .mkString(";")
+
+  private[graft] def decodeIdentityCols(spec: String): Seq[IdentitySpec] =
+    spec.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+      val p = kv.split(":")
+      require(p.length == 4,
+        s"TableLog: malformed graft.identity.cols entry '$kv'")
+      IdentitySpec(p(0), p(1).toLong, p(2).toLong, p(3).toBoolean)
+    }
+
   /** NULL-fill every generated column from its declared expression — a
     * NULL means "not provided" (Delta's generated-column rule); a
     * non-NULL value is left alone for the `_gen_<col>` CHECK to judge.
@@ -2826,9 +2848,45 @@ object TableLog {
     // constraint (Delta's generated-column rule, public spec). The
     // consequence, also Delta's: an arbitrary NULL cannot be stored in
     // a generated column unless its expression yields NULL.
-    val genFilled =
-      generatedFill(df, parentC.fold(Map.empty[String, String])(_.properties))
-    val checked = enforceConstraints(genFilled, cks)
+    val parentProps = parentC.fold(Map.empty[String, String])(_.properties)
+    val genFilled = generatedFill(df, parentProps)
+    // IDENTITY COLUMNS (round 18): NULLs in a declared identity column
+    // are assigned `next + step × monotonically_increasing_id()` —
+    // unique and increasing within the batch, SPARSE by design (the
+    // identity contract guarantees uniqueness and direction, never
+    // contiguity — Delta's documented semantics), computed without a
+    // single extra pass or shuffle. Only USER write ops assign;
+    // maintenance/CoW rewrites carry existing values verbatim. A
+    // GENERATED ALWAYS column refuses explicit non-NULL values through
+    // the same codegen'd raise channel as constraints; BY DEFAULT
+    // coalesces. The high-water mark advances from this commit's own
+    // harvested footer max (below), and an assigning commit never
+    // auto-rebases — two racers serialize on the CAS, so duplicates
+    // cannot be minted.
+    val idUserOp = op == "append" || op == "overwrite" || op == "copyinto"
+    val idSpecs =
+      if (!idUserOp) Nil
+      else parentProps.get("graft.identity.cols")
+        .map(decodeIdentityCols).getOrElse(Nil)
+        .filter(s0 => df.columns.contains(s0.col))
+    val idFilled = idSpecs.foldLeft(genFilled) { (d, s0) =>
+      import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col,
+        lit, monotonically_increasing_id, raise_error, when}
+      val hwmNext = parentProps.get(s"graft.identity.high.${s0.col}")
+        .flatMap(_.toLongOption).map(_ + s0.step).getOrElse(s0.start)
+      val dt = d.schema(s0.col).dataType
+      val fill = (lit(hwmNext) +
+        lit(s0.step) * monotonically_increasing_id()).cast(dt)
+      val out =
+        if (s0.allowExplicit) fnCoalesce(col(s0.col), fill)
+        else when(col(s0.col).isNotNull, raise_error(lit(
+          s"TableLog: identity column '${s0.col}' is GENERATED ALWAYS — " +
+            "explicit values are not accepted (declare GENERATED BY " +
+            "DEFAULT AS IDENTITY to allow them)")).cast(dt))
+          .otherwise(fill)
+      d.withColumn(s0.col, out)
+    }
+    val checked = enforceConstraints(idFilled, cks)
     // logical → physical: alias top-level names; a NESTED rename casts
     // the struct to its physical shape (positional — renames never
     // reorder or retype, so the cast is a pure name rewrite)
@@ -2849,15 +2907,18 @@ object TableLog {
     // after declaring blooms would silently strip the point-lookup
     // pruning the table was built for. Explicit caller arguments win;
     // the properties are the default, not an override.
-    val props = parentC.fold(Map.empty[String, String])(_.properties)
+    val props = parentProps
     // a DOTTED declared stats col (payload.kind) qualifies through its
     // head segment — nested-field stats are first-class
     def propCols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",")).map(_.trim)
       .filter(c => c.nonEmpty &&
         logicalNames.contains(c.split('.').head))
+    // identity columns ALWAYS harvest stats: the footer max IS the
+    // high-water-mark source (zero extra passes)
     val effStatsCols =
-      if (statsCols.nonEmpty) statsCols else propCols("graft.stats.cols")
+      ((if (statsCols.nonEmpty) statsCols else propCols("graft.stats.cols")) ++
+        idSpecs.map(_.col)).distinct
     val declaredBlooms = propCols("graft.bloom.cols")
     val effWriteOptions =
       if (declaredBlooms.isEmpty ||
@@ -2914,13 +2975,50 @@ object TableLog {
     // silently drop the winner's rows: the lost-update this CAS
     // exists to prevent), and evolution appends stay loud (their
     // schema was derived from the base they read).
-    val autoRetryEligible = rebaseable &&
+    // identity high-water marks advance from THIS commit's harvested
+    // footer max — monotone (an explicit BY-DEFAULT value above the
+    // mark raises it, so later fills can never collide under it)
+    val idPropsOverride: Option[Map[String, String]] =
+      if (idSpecs.isEmpty) None
+      else {
+        val ups = idSpecs.flatMap { s0 =>
+          val assigned = adds.flatMap(_.stats.get(phys(s0.col)))
+            .collect { case NumStat(_, m) => m }
+            .reduceOption(_ max _).map(_.toLong)
+          val prev = parentProps.get(s"graft.identity.high.${s0.col}")
+            .flatMap(_.toLongOption)
+          (assigned.toSeq ++ prev.toSeq).reduceOption(_ max _)
+            .map(h => s"graft.identity.high.${s0.col}" -> h.toString)
+        }
+        if (ups.isEmpty) None else Some(parentProps ++ ups)
+      }
+    // an identity-assigning commit NEVER auto-rebases: its values were
+    // minted against the parent's high-water mark, and rebasing over a
+    // winner that also assigned would duplicate them — losing the race
+    // loudly is the correct (and Delta's) behavior
+    val autoRetryEligible = rebaseable && idPropsOverride.isEmpty &&
       Set("append", "delete", "update", "merge", "compact")(op) &&
         (op != "append" || schemaOverride.isEmpty)
-    publishCommit(spark, dir, op, schemaOverride.getOrElse(df.schema.json),
+    // schema continuity (round 18): when the batch's names+types equal
+    // the parent's, re-store the PARENT's schema JSON verbatim — a
+    // batch analyzed through projections arrives with field METADATA
+    // stripped (identity/default/comment annotations), and writing the
+    // batch's schema would silently erase them from the table (found
+    // by: the second INSERT into an identity table lost the identity
+    // info the analyzer pads missing columns from). A genuine schema
+    // change (overwrite/evolution) still stores the new shape.
+    val schemaJsonOut = schemaOverride.getOrElse {
+      parentC.map(_.schemaJson).filter { pj =>
+        try nullableForm(DataType.fromJson(pj).asInstanceOf[StructType]) ==
+          nullableForm(df.schema)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }.getOrElse(df.schema.json)
+    }
+    publishCommit(spark, dir, op, schemaJsonOut,
       adds, removeEntries, parent, txn, autoRetryEligible,
       conflictCleanup = Some(new Path(base, dataSub)), readBounds = readBounds,
       copyFiles = copyFiles, colmapOverride = Some(cm),
+      propertiesOverride = idPropsOverride,
       droppedColsOverride = Some(dropped))
   }
 

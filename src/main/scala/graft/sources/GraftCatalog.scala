@@ -207,6 +207,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Split Spark 4's `CLUSTER BY (c1, c2)` DDL transform out of the
+    * partition list (round 18; Delta liquid clustering's syntax — the
+    * native fit for this catalog, whose "partitioning" IS clustering):
+    * its columns land directly in `graft.cluster.cols`/stats, marked by
+    * `graft.cluster.ddl` so [[GraftV2Table.partitioning]] re-emits the
+    * ClusterByTransform for DESCRIBE.
+    */
+  private[sources] def splitClusterBy(partitions: Array[Transform])
+      : (Seq[String], Array[Transform]) = {
+    val (cb, rest) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val cols = cb.toSeq
+      .flatMap(_.asInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform]
+        .columnNames.map { r =>
+          require(r.fieldNames().length == 1,
+            s"graft catalog: CLUSTER BY ${r.describe()} must be a top-level column")
+          r.fieldNames().head
+        })
+    require(cols.isEmpty || rest.isEmpty,
+      "graft catalog: CLUSTER BY and PARTITIONED BY cannot combine — " +
+        "both map to the clustering layout; declare one")
+    (cols, rest)
+  }
+
   private[sources] def partitionFields(partitions: Array[Transform]): Seq[PartField] =
     partitions.toSeq.map { t =>
       val fn = t.name().toLowerCase(java.util.Locale.ROOT)
@@ -251,6 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `GENERATED ALWAYS AS` expressions arrive ONLY on the `Column[]`
@@ -299,10 +324,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .constantFoldCurrentDefaultsToExistDefaults(raw, "CREATE TABLE")
   }
 
+  private val pendingIdentity =
+    new ThreadLocal[Seq[TableLog.IdentitySpec]] {
+      override def initialValue: Seq[TableLog.IdentitySpec] = Nil
+    }
+
   private def captureGenerated[A](columns: Array[Column])(body: => A): A = {
     pendingGenerated.set(columns.toSeq.flatMap(c =>
       Option(c.generationExpression()).map(e => c.name() -> e)))
-    try body finally pendingGenerated.remove()
+    pendingIdentity.set(columns.toSeq.flatMap(c =>
+      Option(c.identityColumnSpec()).map { s =>
+        require(s.getStep > 0,
+          s"graft catalog: identity column '${c.name()}' declares step " +
+            s"${s.getStep} — only ascending identities are supported (the " +
+            "high-water mark rides the harvested footer MAX)")
+        require(!c.name().contains(":") && !c.name().contains(";"),
+          s"graft catalog: identity column name '${c.name()}' cannot " +
+            "contain ':' or ';'")
+        TableLog.IdentitySpec(c.name(), s.getStart, s.getStep,
+          s.isAllowExplicitInsert)
+      }))
+    try body finally { pendingGenerated.remove(); pendingIdentity.remove() }
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -336,16 +378,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BY name to the column list's OWN spelling before it lands in
     // properties (a property naming "id" against a field "ID" would
     // silently cluster nothing)
-    val pfields = partitionFields(partitions).map { pf =>
-      if (schema.fieldNames.isEmpty) pf
-      else pf.copy(col = schema.fieldNames.find(_.equalsIgnoreCase(pf.col))
+    val (clusterByCols0, partOnly) = splitClusterBy(partitions)
+    def resolveCase(c: String): String =
+      if (schema.fieldNames.isEmpty) c
+      else schema.fieldNames.find(_.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
-          s"graft catalog: PARTITIONED BY column '${pf.col}' is not in the " +
-            "column list")))
-    }
+          s"graft catalog: PARTITIONED BY / CLUSTER BY column '$c' is not " +
+            "in the column list"))
+    val clusterByCols = clusterByCols0.map(resolveCase)
+    val pfields = partitionFields(partOnly).map(pf =>
+      pf.copy(col = resolveCase(pf.col)))
     // the SOURCE columns carry the layout: monotone transforms prune
-    // through them directly; bucket() adds a bloom on top
-    val pcols = pfields.map(_.col).distinct
+    // through them directly; bucket() adds a bloom on top; CLUSTER BY
+    // columns are the layout verbatim
+    val pcols = (pfields.map(_.col) ++ clusterByCols).distinct
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val entry = entryPath(ident)
     val f = fs(entry)
@@ -386,13 +432,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val user = properties.asScala.filterNot { case (k, _) =>
       reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }.toMap
     val withParts =
-      if (pfields.isEmpty) user
+      if (pfields.isEmpty && clusterByCols.isEmpty) user
       else {
         user.get("graft.cluster.cols").foreach(c => require(
           c.split(",").map(_.trim).toSeq.map(_.toLowerCase(java.util.Locale.ROOT)) ==
             pcols.map(_.toLowerCase(java.util.Locale.ROOT)),
-          s"graft catalog: PARTITIONED BY (${pcols.mkString(", ")}) conflicts " +
-            s"with TBLPROPERTIES graft.cluster.cols='$c' — declare one"))
+          s"graft catalog: PARTITIONED BY/CLUSTER BY (${pcols.mkString(", ")}) " +
+            s"conflicts with TBLPROPERTIES graft.cluster.cols='$c' — declare one"))
         val stats = (pcols ++ user.get("graft.stats.cols").toSeq
           .flatMap(_.split(",").map(_.trim))).distinct
         // bucket(n, col) → bloom on col: range min/max cannot prune a
@@ -403,8 +449,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val blooms = (user.get("graft.bloom.cols").toSeq
           .flatMap(_.split(",").map(_.trim)) ++ bucketCols).distinct
         user + ("graft.cluster.cols" -> pcols.mkString(",")) +
-          ("graft.stats.cols" -> stats.mkString(",")) +
-          ("graft.partition.transforms" -> pfields.map(_.render).mkString(",")) ++
+          ("graft.stats.cols" -> stats.mkString(",")) ++
+          (if (pfields.isEmpty) Map("graft.cluster.ddl" -> "true")
+           else Map("graft.partition.transforms" ->
+             pfields.map(_.render).mkString(","))) ++
           (if (blooms.isEmpty) Map.empty[String, String]
            else Map("graft.bloom.cols" -> blooms.mkString(",")))
       }
@@ -434,7 +482,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("graft.generated.cols" -> TableLog.encodeGeneratedCols(genCols)) +
           ("graft.stats.cols" -> stats.mkString(","))
       }
-    if (withGen.nonEmpty) TableLog.setTableProperties(spark, dir, withGen)
+    // GENERATED … AS IDENTITY — assignment happens inside the table
+    // log's commit (NULL → high-water-mark fill; ALWAYS refuses
+    // explicit values); the column always carries stats because the
+    // footer max IS the mark's source
+    val idSpecs = pendingIdentity.get()
+    val withIdent =
+      if (idSpecs.isEmpty) withGen
+      else {
+        val stats = (withGen.getOrElse("graft.stats.cols", "")
+          .split(",").map(_.trim).filter(_.nonEmpty) ++ idSpecs.map(_.col)).distinct
+        withGen +
+          ("graft.identity.cols" -> TableLog.encodeIdentityCols(idSpecs)) +
+          ("graft.stats.cols" -> stats.mkString(","))
+      }
+    if (withIdent.nonEmpty) TableLog.setTableProperties(spark, dir, withIdent)
     genCols.foreach { case (c, e) =>
       TableLog.addCheckConstraint(spark, dir, s"_gen_$c", s"`$c` <=> ($e)")
     }
@@ -492,7 +554,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                             properties: util.Map[String, String]): StagedTable = {
     requireTable(ident)
     refuseCtasOntoData(ident, "REPLACE TABLE ... AS SELECT", properties)
-    partitionFields(partitions) // unsupported-transform refusal, pre-rename
+    partitionFields(splitClusterBy(partitions)._2) // transform refusal, pre-rename
     val entry = entryPath(ident)
     val f = fs(entry)
     val backup = new Path(entry.getParent,
@@ -673,6 +735,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           c.newName())
       case d: TableChange.DeleteColumn =>
         TableLog.dropColumn(spark, dir, d.fieldNames().mkString("."))
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE … CLUSTER BY (c1, c2) / CLUSTER BY NONE — re-point
+        // the declared layout; maintenance re-clusters the tail, data
+        // already written keeps its old (still stats-pruned) layout
+        val cols = cb.clusteringColumns().toSeq.map { r =>
+          require(r.fieldNames().length == 1,
+            s"graft catalog: CLUSTER BY ${r.describe()} must be a top-level column")
+          r.fieldNames().head
+        }
+        if (cols.isEmpty)
+          TableLog.unsetTableProperties(spark, dir,
+            Seq("graft.cluster.cols", "graft.cluster.ddl"))
+        else {
+          val stats = (TableLog.tablePropertiesAt(spark, dir)
+            .get("graft.stats.cols").toSeq
+            .flatMap(_.split(",").map(_.trim)) ++ cols).distinct
+          TableLog.setTableProperties(spark, dir, Map(
+            "graft.cluster.cols" -> cols.mkString(","),
+            "graft.stats.cols" -> stats.mkString(","),
+            "graft.cluster.ddl" -> "true"))
+        }
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested column adds are not supported")
@@ -933,8 +1016,18 @@ private[sources] class GraftV2Table(ident: Identifier, val dir: String,
     */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    val spec = TableLog.tablePropertiesAt(spark, dir, version)
-      .get("graft.partition.transforms")
+    val props = TableLog.tablePropertiesAt(spark, dir, version)
+    // CLUSTER BY DDL round-trips as the ClusterByTransform (DESCRIBE
+    // shows Clustering Information, Spark's own rendering)
+    if (props.get("graft.cluster.ddl").contains("true")) {
+      val cols = props.get("graft.cluster.cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty) return Array.empty
+      return Array(org.apache.spark.sql.connector.expressions.ClusterByTransform(
+        cols.map(c => Expressions.column(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference])))
+    }
+    val spec = props.get("graft.partition.transforms")
     val withArg = """(\w+)\((\d+)\s*,\s*([^)]+)\)""".r
     val plain = """(\w+)\(([^)]+)\)""".r
     spec.toSeq.flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter(_.nonEmpty)

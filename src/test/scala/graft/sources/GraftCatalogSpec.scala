@@ -462,6 +462,104 @@ class GraftCatalogSpec extends SparkSpec {
       .getDate(0).toString == "2026-03-01")
   }
 
+  test("CLUSTER BY: liquid-clustering DDL maps to the layout, ALTER re-points it") {
+    // round 18: Spark 4's CLUSTER BY (Delta liquid clustering syntax)
+    // is the native fit — this catalog's "partitioning" IS clustering.
+    // CREATE lands cluster+stats cols; inserts cluster on write; ALTER
+    // CLUSTER BY re-points the declared layout; DESCRIBE round-trips.
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.liq")
+    spark.sql("CREATE TABLE gcat.liq.t (k BIGINT, v DOUBLE, s STRING) " +
+      "USING graft CLUSTER BY (k, v)")
+    val dir = s"$root/liq/t"
+    val props = graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+    assert(props.get("graft.cluster.cols").contains("k,v"))
+    assert(props.get("graft.stats.cols").exists { s =>
+      val cs = s.split(","); cs.contains("k") && cs.contains("v") })
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val parts = cat.loadTable(Identifier.of(Array("liq"), "t"))
+      .partitioning().map(_.describe()).toSeq
+    assert(parts.length == 1 && parts.head.contains("k") &&
+      parts.head.contains("v"), parts.toString)
+    // inserts cluster on the declared columns (tight per-file stats)
+    val savedSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      (0 until 1024).map(i => (i.toLong, i / 10.0, s"s$i"))
+        .toDF("k", "v", "s").createOrReplaceTempView("liq_src")
+      spark.sql("INSERT INTO gcat.liq.t SELECT * FROM liq_src")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", savedSp)
+    }
+    val pr = graft.sinks.TableLog.scanWhere(spark, dir,
+      col("k") >= 100L && col("k") < 200L)
+    assert(pr.filesRead < pr.filesTotal,
+      s"CLUSTER BY layout must prune (${pr.filesRead}/${pr.filesTotal})")
+    // ALTER re-points; NONE clears
+    spark.sql("ALTER TABLE gcat.liq.t CLUSTER BY (s)")
+    assert(graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+      .get("graft.cluster.cols").contains("s"))
+    spark.sql("ALTER TABLE gcat.liq.t CLUSTER BY NONE")
+    assert(!graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+      .contains("graft.cluster.cols"))
+    // combining CLUSTER BY with PARTITIONED BY refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.liq.bad (k BIGINT, r STRING) USING graft " +
+        "PARTITIONED BY (r) CLUSTER BY (k)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("IDENTITY columns: unique ascending fill, high-water mark persists, ALWAYS refuses explicit") {
+    // round 18 (Delta's documented identity semantics): NULLs mint
+    // `next + step × monotonically_increasing_id()` — unique and
+    // ascending, SPARSE by contract (uniqueness + direction, never
+    // contiguity); the high-water mark advances from the commit's own
+    // harvested footer max (zero extra passes) and survives sessions
+    // as a property; GENERATED ALWAYS refuses explicit values through
+    // the codegen'd raise channel; BY DEFAULT accepts them and a high
+    // explicit value RAISES the mark so later fills stay above it.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ident")
+    spark.sql("CREATE TABLE gcat.ident.t (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, s STRING) USING graft")
+    val dir = s"$root/ident/t"
+    assert(graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+      .get("graft.identity.cols").contains("id:1:1:false"))
+    spark.sql("INSERT INTO gcat.ident.t (s) VALUES ('a'), ('b'), ('c')")
+    val batch1 = spark.sql("SELECT id FROM gcat.ident.t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch1.distinct.length == 3 && batch1.min >= 1L,
+      s"identities must be unique and >= start: $batch1")
+    // the next batch's values sit strictly ABOVE the first batch's
+    spark.sql("INSERT INTO gcat.ident.t (s) VALUES ('d'), ('e')")
+    val batch2 = spark.sql("SELECT id FROM gcat.ident.t").collect()
+      .map(_.getLong(0)).toSeq.diff(batch1)
+    assert(batch2.length == 2 && batch2.min > batch1.max,
+      s"later batches must mint above the mark: $batch1 then $batch2")
+    assert(graft.sinks.TableLog.tablePropertiesAt(spark, dir)
+      .get("graft.identity.high.id").exists(_.toLong == batch2.max))
+    // ALWAYS refuses an explicit value, loudly, committing nothing
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ident.t VALUES (999, 'x')")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("GENERATED ALWAYS"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gcat.ident.t").head().getLong(0) == 5L)
+    // BY DEFAULT accepts explicit values; a high one raises the mark
+    spark.sql("CREATE TABLE gcat.ident.d (id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY (START WITH 100 INCREMENT BY 10), s STRING) USING graft")
+    spark.sql("INSERT INTO gcat.ident.d VALUES (5000, 'big')")
+    spark.sql("INSERT INTO gcat.ident.d (s) VALUES ('auto')")
+    val dRows = spark.sql("SELECT id, s FROM gcat.ident.d").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap.map(_.swap)
+    assert(dRows("big") == 5000L)
+    assert(dRows("auto") > 5000L,
+      s"fill after a high explicit value must mint above it: $dRows")
+  }
+
   test("column DEFAULTs: missing INSERT columns and the DEFAULT keyword fill; values materialize") {
     // round 18: the default's SQL text rides Spark's own field-metadata
     // keys, so the analyzer pads missing columns / DEFAULT keywords
