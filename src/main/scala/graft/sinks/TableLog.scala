@@ -2863,9 +2863,13 @@ object TableLog {
     // harvested footer max (below), and an assigning commit never
     // auto-rebases — two racers serialize on the CAS, so duplicates
     // cannot be minted.
+    // merge REWRITES touched files alongside its inserts, so its batch
+    // mixes carried rows (non-NULL identities, kept verbatim) with new
+    // ones (NULL → minted) — ALWAYS-refusal cannot apply there, only
+    // the fill; append/overwrite/copyinto get the full contract
     val idUserOp = op == "append" || op == "overwrite" || op == "copyinto"
     val idSpecs =
-      if (!idUserOp) Nil
+      if (!idUserOp && op != "merge") Nil
       else parentProps.get("graft.identity.cols")
         .map(decodeIdentityCols).getOrElse(Nil)
         .filter(s0 => df.columns.contains(s0.col))
@@ -2878,7 +2882,7 @@ object TableLog {
       val fill = (lit(hwmNext) +
         lit(s0.step) * monotonically_increasing_id()).cast(dt)
       val out =
-        if (s0.allowExplicit) fnCoalesce(col(s0.col), fill)
+        if (s0.allowExplicit || op == "merge") fnCoalesce(col(s0.col), fill)
         else when(col(s0.col).isNotNull, raise_error(lit(
           s"TableLog: identity column '${s0.col}' is GENERATED ALWAYS — " +
             "explicit values are not accepted (declare GENERATED BY " +

@@ -548,6 +548,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("GENERATED ALWAYS"), e.getMessage)
     assert(spark.sql("SELECT count(*) FROM gcat.ident.t").head().getLong(0) == 5L)
+    // MERGE: inserted rows mint identities, matched rows keep theirs
+    // (merge's batch mixes carried and new rows, so the fill applies
+    // and ALWAYS-refusal does not — the documented merge contract)
+    val pre = spark.sql("SELECT id, s FROM gcat.ident.t").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    import spark.implicits._
+    graft.sinks.TableLog.mergeInto(spark, dir,
+      Seq(("a", "A2"), ("zz", "Z1")).toDF("s", "s2")
+        .select(lit(null).cast("bigint").as("id"), col("s2").as("s"),
+          col("s").as("_match")).drop("_match"),
+      keys = Seq("s"))
+    // (merge keyed on s: 'A2'/'Z1' are new keys → inserts minting ids)
+    val post = spark.sql("SELECT id, s FROM gcat.ident.t").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    pre.foreach { case (s, id) => assert(post(s) == id,
+      s"merge must carry existing identities verbatim ($s)") }
+    assert(post.contains("A2") && post.contains("Z1"))
+    assert(Seq(post("A2"), post("Z1")).forall(_ > pre.values.max),
+      s"merge-inserted rows must mint above the mark: $post")
+    assert(post.values.toSeq.distinct.length == post.size,
+      "identities stay unique through merge")
     // BY DEFAULT accepts explicit values; a high one raises the mark
     spark.sql("CREATE TABLE gcat.ident.d (id BIGINT GENERATED BY DEFAULT " +
       "AS IDENTITY (START WITH 100 INCREMENT BY 10), s STRING) USING graft")
