@@ -1031,6 +1031,69 @@ object ScaleProbe {
         f"projected 1e6 entries=${per * 1e6 / 1073741824.0}%.2f GiB")
     }
 
+    // ROUND-18 FEATURES: cluster-on-write INSERT and identity fill must
+    // cost the BATCH (a 100 TB table ingests constant-size batches all
+    // day — table size must not appear in the insert's cost), and the
+    // DESCRIBE LAYOUT report must cost the MANIFEST (flat in DATA
+    // volume at a fixed file count — it reads zero data pages). All
+    // three probe a CONSTANT workload against a 1× vs 16× table, so the
+    // healthy ratio is ~1, not 16.
+    if (only.isEmpty || only("clustered_insert") || only("identity_insert") ||
+        only("layout_report")) {
+      import graft.sinks.TableLog
+      val croot = s"$StageDir/gcat_probe"
+      spark.conf.set("spark.sql.catalog.gprobe",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gprobe.root", croot)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.p")
+      val base1 = ev1.select(pmod(col("event_id"), lit(100000L)).as("k"),
+        col("user_id").cast("double").as("v"))
+      val base16 = ev.select(pmod(col("event_id"), lit(100000L)).as("k"),
+        col("user_id").cast("double").as("v"))
+      def mkClustered(name: String, preload: DataFrame): Unit = {
+        spark.sql(s"CREATE TABLE gprobe.p.$name (k BIGINT, v DOUBLE) " +
+          "USING graft PARTITIONED BY (k)")
+        preload.createOrReplaceTempView(s"${name}_pre")
+        spark.sql(s"INSERT INTO gprobe.p.$name SELECT * FROM ${name}_pre")
+        ()
+      }
+      mkClustered("c1", base1)
+      mkClustered("c16", base16)
+      base1.limit(20000).createOrReplaceTempView("probe_batch")
+      def ins(t: String): Unit = {
+        spark.sql(s"INSERT INTO gprobe.p.$t SELECT * FROM probe_batch"); ()
+      }
+      probeRun("clustered_insert") { () => ins("c1") } { () => ins("c16") }
+      def mkIdent(name: String, preload: DataFrame): Unit = {
+        spark.sql(s"CREATE TABLE gprobe.p.$name (id BIGINT GENERATED " +
+          "ALWAYS AS IDENTITY, k BIGINT, v DOUBLE) USING graft")
+        preload.createOrReplaceTempView(s"${name}_pre")
+        spark.sql(s"INSERT INTO gprobe.p.$name (k, v) SELECT * FROM ${name}_pre")
+        ()
+      }
+      mkIdent("i1", base1)
+      mkIdent("i16", base16)
+      def insId(t: String): Unit = {
+        spark.sql(s"INSERT INTO gprobe.p.$t (k, v) SELECT * FROM probe_batch")
+        ()
+      }
+      probeRun("identity_insert") { () => insId("i1") } { () => insId("i16") }
+      // layout report: 64 files either way, 16× the rows — flat
+      def mkLayout(name: String, preload: DataFrame): String = {
+        val p = s"$StageDir/layout_$name"
+        TableLog.append(spark, p,
+          preload.repartitionByRange(64, col("k")), statsCols = Seq("k", "v"))
+        p
+      }
+      val lp1 = mkLayout("1x", base1)
+      val lp16 = mkLayout("16x", base16)
+      def rep(p: String): Unit = {
+        TableLog.describeLayout(spark, p, Seq("k", "v"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      probeRun("layout_report") { () => rep(lp1) } { () => rep(lp16) }
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory
