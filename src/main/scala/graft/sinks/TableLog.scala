@@ -1721,6 +1721,37 @@ object TableLog {
       IdentitySpec(p(0), p(1).toLong, p(2).toLong, p(3).toBoolean)
     }
 
+  /** `ALTER TABLE … SYNC IDENTITY` (Delta's statement): re-derive every
+    * identity column's high-water mark from the CURRENT table — one
+    * manifest pass over the live files' harvested maxes (zero data
+    * read; identity columns always carry stats), conservative upward
+    * (a dv-deleted max still counts — identity safety is "never mint
+    * under a value that may exist", gaps are free). The recovery tool
+    * after a RESTORE, a CONVERT adoption, or hand-edited properties.
+    * Returns the committed version, or None when no identity columns
+    * are declared or every mark already matches.
+    */
+  def syncIdentity(spark: SparkSession, dir: String): Option[Long] = {
+    val v = currentVersion(spark, dir)
+    require(v > 0L, s"TableLog.syncIdentity: $dir has no committed versions")
+    val props = tablePropertiesAt(spark, dir, v)
+    val specs = props.get("graft.identity.cols")
+      .map(decodeIdentityCols).getOrElse(Nil)
+    if (specs.isEmpty) return None
+    val cm = columnMappingAt(spark, dir, v)
+    val files = liveFilesAt(spark, dir, v)
+    val ups = specs.flatMap { s0 =>
+      val mx = files.flatMap(_.stats.get(physPath(cm, s0.col)))
+        .collect { case NumStat(_, m) => m }
+        .reduceOption(_ max _).map(_.toLong)
+      val key = s"graft.identity.high.${s0.col}"
+      mx.filterNot(h => props.get(key).flatMap(_.toLongOption).contains(h))
+        .map(h => key -> h.toString)
+    }
+    if (ups.isEmpty) None
+    else Some(setTableProperties(spark, dir, ups.toMap))
+  }
+
   /** NULL-fill every generated column from its declared expression — a
     * NULL means "not provided" (Delta's generated-column rule); a
     * non-NULL value is left alone for the `_gen_<col>` CHECK to judge.
@@ -1823,15 +1854,51 @@ object TableLog {
     val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val cm = columnMappingAt(spark, dir, base)
-    require(!schema.fieldNames.contains(name) && !cm.values.exists(_ == name),
-      s"TableLog.addColumn: column '$name' already exists (logically or physically)")
+    // NESTED add (round 18, completing the nested DDL family): a dotted
+    // name appends a field to its parent STRUCT (exact top-level match
+    // wins, same precedence as rename/drop). Manifest-only either way:
+    // old files simply lack the nested field and the parquet reader
+    // null-fills a requested-but-missing struct member exactly like a
+    // missing top-level column.
+    val segs: Seq[String] =
+      if (schema.fieldNames.contains(name) || !name.contains('.')) Seq(name)
+      else name.split('.').toSeq
+    def structAt(path: Seq[String]): StructType =
+      path.foldLeft(schema) { (st, s) =>
+        st.fields.find(_.name == s).getOrElse(throw new IllegalArgumentException(
+          s"TableLog.addColumn: no field '$s' on the path '$name' " +
+            s"(have: ${st.fieldNames.mkString(", ")})")).dataType match {
+          case inner: StructType => inner
+          case other => throw new IllegalArgumentException(
+            s"TableLog.addColumn: '$s' in '$name' is ${other.simpleString}, " +
+              "not a struct")
+        }
+      }
+    val parent = structAt(segs.init)
+    val leaf = segs.last
+    val path = segs.mkString(".")
+    require(!parent.fieldNames.contains(leaf),
+      s"TableLog.addColumn: column '$path' already exists")
+    val siblingPhys = parent.fieldNames.toSeq
+      .map(s => physPath(cm, (segs.init :+ s).mkString(".")))
+    require(!siblingPhys.contains(path),
+      s"TableLog.addColumn: '$path' is the PHYSICAL name of another live " +
+        "column — a later write would merge two logical columns into one " +
+        "on-disk column")
     val dropped = droppedColsAt(spark, dir, base)
-    require(!dropped.contains(name),
-      s"TableLog.addColumn: '$name' was DROPPED earlier and live files still " +
+    require(!dropped.contains(path),
+      s"TableLog.addColumn: '$path' was DROPPED earlier and live files still " +
         "carry its old bytes — adding it back would silently resurrect stale " +
         "data; pick another name or overwrite the table")
-    val newSchema = StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    def rebuild(st: StructType, p: Seq[String]): StructType =
+      if (p.length == 1) StructType(st.fields :+
+        org.apache.spark.sql.types.StructField(p.head, dataType, nullable = true))
+      else StructType(st.fields.map { f =>
+        if (f.name != p.head) f
+        else f.copy(dataType =
+          rebuild(f.dataType.asInstanceOf[StructType], p.tail))
+      })
+    val newSchema = rebuild(schema, segs)
     commitManifest(spark, dir, "evolve", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None)
   }

@@ -757,12 +757,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "graft.cluster.ddl" -> "true"))
         }
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "graft catalog: nested column adds are not supported")
         require(a.isNullable,
           "graft catalog: added columns must be nullable — existing files " +
             "null-fill them on read")
-        TableLog.addColumn(spark, dir, a.fieldNames().head, a.dataType())
+        // nested adds (round 18): the dotted path appends a field to
+        // its parent struct, manifest-only
+        TableLog.addColumn(spark, dir, a.fieldNames().mkString("."),
+          a.dataType())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +
           "schema changes beyond rename/drop/properties go through the " +

@@ -138,6 +138,9 @@ object GraftSqlParser {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_-]*)\s*;?\s*$""").r
+  // Delta's identity-mark recovery statement (round 18)
+  private val SyncIdentityRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T + """\s+SYNC\s+IDENTITY\s*;?\s*$""").r
   // PERSISTENT VIEWS over the graft catalog: intercept only names with
   // ≥3 dotted parts (cat.ns.v) — a form vanilla Spark REFUSES for the
   // session catalog and every upstream V2 catalog (no V2 view support),
@@ -188,6 +191,8 @@ object GraftSqlParser {
       Some(GraftAddConstraintCommand(Option(p), Option(v), name, check.trim))
     case DropConstraintRe(p, v, name) =>
       Some(GraftDropConstraintCommand(Option(p), Option(v), name))
+    case SyncIdentityRe(p, v) =>
+      Some(GraftSyncIdentityCommand(Option(p), Option(v)))
     case CreateViewRe(orReplace, name, body) =>
       Some(GraftCreateViewCommand(name.split('.').toSeq, body,
         orReplace != null, originalSql = sql))
@@ -322,6 +327,20 @@ private[sources] case class GraftLayoutCommand(path: Option[String],
   override def run(spark: SparkSession): Seq[Row] =
     TableLog.describeLayout(spark,
       GraftSqlParser.dirOf(spark, path, view), columns).collect().toSeq
+}
+
+/** `ALTER TABLE t SYNC IDENTITY` — re-derive identity high-water marks
+  * from the live files' harvested maxes (one manifest pass, zero data
+  * read); the recovery statement after RESTORE/CONVERT.
+  */
+private[sources] case class GraftSyncIdentityCommand(path: Option[String],
+                                                     view: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("synced_version", LongType, nullable = true))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TableLog.syncIdentity(spark,
+      GraftSqlParser.dirOf(spark, path, view)).map(java.lang.Long.valueOf).orNull))
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n` — the zero-copy rollback:

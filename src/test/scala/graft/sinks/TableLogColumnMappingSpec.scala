@@ -360,4 +360,47 @@ class TableLogColumnMappingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("last field"), e.getMessage)
   }
+
+  test("NESTED add: manifest-only append to a struct; old files null-fill the new field") {
+    val dir = stagedNested()
+    TableLog.addColumn(spark, dir, "payload.tag",
+      org.apache.spark.sql.types.StringType)
+    assert(TableLog.history(spark, dir).last.op == "evolve")
+    assert(TableLog.history(spark, dir).last.add.isEmpty, "manifest-only")
+    val df = TableLog.readAt(spark, dir)
+    assert(df.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("kind", "qty", "tag"))
+    assert(df.filter(col("payload.tag").isNull).count() == 40L,
+      "pre-evolution files must null-fill the nested field")
+    // appends in the evolved shape mix with old files
+    TableLog.append(spark, dir,
+      Seq((41L, ("k1", 41.0, "hot"))).toDF("id", "p")
+        .select(col("id"), struct(col("p._1").as("kind"),
+          col("p._2").as("qty"), col("p._3").as("tag")).as("payload")))
+    val all = TableLog.readAt(spark, dir)
+    assert(all.count() == 41L)
+    assert(all.filter(col("payload.tag") === "hot").count() == 1L)
+    // refusals: existing leaf, non-struct path, unknown parent
+    intercept[IllegalArgumentException] {
+      TableLog.addColumn(spark, dir, "payload.kind",
+        org.apache.spark.sql.types.StringType)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.addColumn(spark, dir, "id.sub",
+        org.apache.spark.sql.types.StringType)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.addColumn(spark, dir, "nope.sub",
+        org.apache.spark.sql.types.StringType)
+    }
+    // interplay with rename: add under a RENAMED parent resolves the
+    // current logical path
+    TableLog.renameColumn(spark, dir, "payload", "body")
+    TableLog.addColumn(spark, dir, "body.note",
+      org.apache.spark.sql.types.StringType)
+    assert(TableLog.readAt(spark, dir).schema("body").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("kind", "qty", "tag", "note"))
+  }
 }

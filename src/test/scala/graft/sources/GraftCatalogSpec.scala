@@ -579,6 +579,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dRows("big") == 5000L)
     assert(dRows("auto") > 5000L,
       s"fill after a high explicit value must mint above it: $dRows")
+    // SYNC IDENTITY re-derives the mark from the manifest (the
+    // recovery statement after RESTORE/CONVERT/hand-edited properties):
+    // sabotage the mark low, sync, and the next fill still mints above
+    // every live value
+    val dDir = s"$root/ident/d"
+    graft.sinks.TableLog.setTableProperties(spark, dDir,
+      Map("graft.identity.high.id" -> "1"))
+    val synced = spark.sql("ALTER TABLE gcat.ident.d SYNC IDENTITY").collect()
+    assert(synced.length == 1 && !synced.head.isNullAt(0),
+      "sync must commit a corrected mark")
+    assert(graft.sinks.TableLog.tablePropertiesAt(spark, dDir)
+      .get("graft.identity.high.id").exists(_.toLong >= 5000L))
+    spark.sql("INSERT INTO gcat.ident.d (s) VALUES ('post-sync')")
+    val postSync = spark.sql("SELECT id FROM gcat.ident.d WHERE s = 'post-sync'")
+      .head().getLong(0)
+    assert(postSync > 5000L,
+      s"post-sync fill must mint above the re-derived mark, got $postSync")
+    // a second sync with nothing to fix is a no-op (NULL version)
+    assert(spark.sql("ALTER TABLE gcat.ident.d SYNC IDENTITY")
+      .head().isNullAt(0))
   }
 
   test("column DEFAULTs: missing INSERT columns and the DEFAULT keyword fill; values materialize") {
