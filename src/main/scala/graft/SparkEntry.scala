@@ -122,6 +122,12 @@ object SparkEntry {
   private val identityColPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged CLUSTER-BY fixture (q_cluster_by): liquid-clustering DDL —
+    * the declared layout clusters every INSERT, pruning from commit 1.
+    */
+  private val clusterByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged NESTED-RENAME fixture (q_rename_nested): payload.kind →
     * payload.category through the dotted column mapping, plus a
     * post-rename append — old and new files serve one logical shape.
@@ -2340,6 +2346,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CLUSTER BY DDL (round 18; Spark 4's liquid-clustering syntax):
+    // the declared layout clusters every INSERT on write, so a band
+    // predicate on the cluster column prunes files from the first
+    // commit (asserted in-query) — no OPTIMIZE pass needed first.
+    "q_cluster_by" -> ((s, d) => {
+      val dir = clusterByPath.getOrElseUpdate(d, {
+        val r = stageDir("gcatliqroot", d)
+        val cat = s"gcatliq_${java.lang.Integer.toHexString(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", r)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE $cat.wh.items (l_orderkey BIGINT, " +
+          "l_linenumber BIGINT, price DOUBLE) USING graft " +
+          "CLUSTER BY (price)")
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"))
+          .createOrReplaceTempView("q_liq_src")
+        val saved = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled",
+          "true")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try s.sql(s"INSERT INTO $cat.wh.items SELECT * FROM q_liq_src")
+        finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+        s"$r/wh/items"
+      })
+      val pr = TableLog.scanWhere(s, dir,
+        col("price") >= 10000.0 && col("price") <= 20000.0)
+      require(pr.filesRead < pr.filesTotal,
+        s"q_cluster_by: the declared clustering must prune from commit 1 " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      pr.df.filter(col("price").between(10000.0, 20000.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // IDENTITY COLUMNS (round 18, Delta's documented semantics): an
     // `id BIGINT GENERATED ALWAYS AS IDENTITY` column minted across
     // TWO insert batches — values are engine-assigned (sparse, unique,
@@ -4170,6 +4211,13 @@ object SparkEntry {
     "q_identity_col" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cluster_by" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DOUBLE) AS price
+        |FROM lineitem
+        |WHERE l_extendedprice BETWEEN 10000.0 AND 20000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_rename_nested" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS category,
