@@ -1592,6 +1592,26 @@ object TableLog {
     }
   }
 
+  /** CHECK constraints whose SQL references the column at `path` — the
+    * rename/drop refusal test. The match is on the FULL dotted path
+    * (backquotes stripped first so `` `payload`.`kind` `` and
+    * `payload.kind` compare equal), standing alone: not a suffix of a
+    * longer dotted path (a constraint on an unrelated top-level `kind`
+    * must not block renaming `payload.kind`, and one on `payload.kind`
+    * must not block renaming a top-level `kind` — the leaf-only match
+    * this replaces produced both false refusals), and not a prefix of
+    * a longer identifier. A trailing '.' DOES count as a reference so
+    * renaming/dropping a struct still refuses over constraints on its
+    * descendants.
+    */
+  private def constraintsReferencing(cks: Map[String, String],
+                                     path: String): Map[String, String] = {
+    val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(path) +
+      "(?!\\w)").r
+    cks.filter { case (_, sql) =>
+      re.findFirstIn(sql.replace("`", "")).isDefined }
+  }
+
   /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: validates the
     * EXISTING table first (Delta's rule — a constraint that the current
     * data violates must not land; the check is one stats-prunable scan
@@ -1690,6 +1710,11 @@ object TableLog {
     */
   private[graft] def encodeGeneratedCols(gen: Seq[(String, String)]): String =
     gen.map { case (c, e) =>
+      // same guard identity columns get at capture: a ':'/';' in the
+      // NAME would corrupt the property on decode (only the expression
+      // side is URL-encoded) — refuse the DDL instead
+      require(!c.contains(":") && !c.contains(";"),
+        s"TableLog: generated column name '$c' cannot contain ':' or ';'")
       s"$c:${java.net.URLEncoder.encode(e, "UTF-8")}" }.mkString(";")
 
   private[graft] def decodeGeneratedCols(spec: String): Seq[(String, String)] =
@@ -1721,6 +1746,28 @@ object TableLog {
       IdentitySpec(p(0), p(1).toLong, p(2).toLong, p(3).toBoolean)
     }
 
+  /** The smallest Long CERTAINLY ≥ every Long whose Double image is
+    * `d`. Footer stats ride [[NumStat]] (Double): above 2^53 a Long
+    * max ROUNDS on the way in, possibly DOWN — advancing the identity
+    * mark from that truncated view lets the next fill (mark + step)
+    * collide with a value that already exists, and the sparse
+    * monotonically_increasing_id fill makes 2^53 reachable on a
+    * long-lived high-parallelism table. Inside the exactly-
+    * representable window the value returns unchanged (the Double IS
+    * the Long); at or above 2^53 the mark rounds UP past the widest
+    * possible preimage — identity safety is one-directional ("never
+    * mint under a value that may exist"; gaps are free), so
+    * conservative-up is exact enough.
+    */
+  private[sinks] def conservativeLongMax(d: Double): Long =
+    if (d >= 9.223372036854776E18) Long.MaxValue
+    else if (math.abs(d) < 9007199254740992.0 && d.toLong.toDouble == d)
+      d.toLong
+    else {
+      val up = Math.ceil(Math.nextUp(d))
+      if (up >= 9.223372036854776E18) Long.MaxValue else up.toLong
+    }
+
   /** `ALTER TABLE … SYNC IDENTITY` (Delta's statement): re-derive every
     * identity column's high-water mark from the CURRENT table — one
     * manifest pass over the live files' harvested maxes (zero data
@@ -1743,7 +1790,7 @@ object TableLog {
     val ups = specs.flatMap { s0 =>
       val mx = files.flatMap(_.stats.get(physPath(cm, s0.col)))
         .collect { case NumStat(_, m) => m }
-        .reduceOption(_ max _).map(_.toLong)
+        .reduceOption(_ max _).map(conservativeLongMax)
       val key = s"graft.identity.high.${s0.col}"
       mx.filterNot(h => props.get(key).flatMap(_.toLongOption).contains(h))
         .map(h => key -> h.toString)
@@ -1879,17 +1926,25 @@ object TableLog {
     val path = segs.mkString(".")
     require(!parent.fieldNames.contains(leaf),
       s"TableLog.addColumn: column '$path' already exists")
+    // the new column's PHYSICAL landing spot: it has no mapping entry
+    // of its own, but a renamed ANCESTOR prefixes it — 'body.qty' under
+    // body→payload writes to 'payload.qty'. Both guards below compare
+    // physical against physical; comparing the logical name would let
+    // 'body.qty' slip past a 'payload.qty' tombstone and resurrect the
+    // dropped field's stale bytes from every pre-drop file.
+    val physNew = physPath(cm, path)
     val siblingPhys = parent.fieldNames.toSeq
       .map(s => physPath(cm, (segs.init :+ s).mkString(".")))
-    require(!siblingPhys.contains(path),
-      s"TableLog.addColumn: '$path' is the PHYSICAL name of another live " +
-        "column — a later write would merge two logical columns into one " +
-        "on-disk column")
+    require(!siblingPhys.contains(physNew),
+      s"TableLog.addColumn: '$path' lands on the PHYSICAL name " +
+        s"'$physNew' of another live column — a later write would merge " +
+        "two logical columns into one on-disk column")
     val dropped = droppedColsAt(spark, dir, base)
-    require(!dropped.contains(path),
-      s"TableLog.addColumn: '$path' was DROPPED earlier and live files still " +
-        "carry its old bytes — adding it back would silently resurrect stale " +
-        "data; pick another name or overwrite the table")
+    require(!dropped.contains(physNew),
+      s"TableLog.addColumn: '$path' lands on the physical name '$physNew' " +
+        "of a DROPPED column and live files still carry its old bytes — " +
+        "adding it back would silently resurrect stale data; pick another " +
+        "name or overwrite the table")
     def rebuild(st: StructType, p: Seq[String]): StructType =
       if (p.length == 1) StructType(st.fields :+
         org.apache.spark.sql.types.StructField(p.head, dataType, nullable = true))
@@ -1984,12 +2039,10 @@ object TableLog {
         "live column — a later write would merge two logical columns into " +
         "one on-disk column")
     val cks = constraintsAt(spark, dir, base)
-    val referencing = cks.filter { case (_, sql) =>
-      s"\\b${java.util.regex.Pattern.quote(oldLeaf)}\\b".r
-        .findFirstIn(sql).isDefined }
+    val referencing = constraintsReferencing(cks, oldPath)
     require(referencing.isEmpty,
       s"TableLog.renameColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
-        s"reference '$oldLeaf' — drop them, rename, re-add under the new name")
+        s"reference '$oldPath' — drop them, rename, re-add under the new name")
     def rebuild(st: StructType, path: Seq[String]): StructType =
       StructType(st.fields.map { f =>
         if (f.name != path.head) f
@@ -2021,11 +2074,45 @@ object TableLog {
         }.mkString(",")
       }
     }.filter { case (k, v) => props.get(k) != Some(v) }
+    // identity specs REKEY (col name + the graft.identity.high.<col>
+    // mark) — a spec left on the old name silently stops minting:
+    // commit's df.columns filter no longer matches and later INSERTs
+    // store NULLs in a column whose contract is "unique, never NULL"
+    val idSpecs = props.get("graft.identity.cols")
+      .map(decodeIdentityCols).getOrElse(Nil)
+    val idRenamed = idSpecs.exists(_.col == oldPath)
+    if (idRenamed) require(!newPath.contains(":") && !newPath.contains(";"),
+      s"TableLog.renameColumn: identity column name '$newPath' cannot " +
+        "contain ':' or ';'")
+    val idProps: Seq[(String, String)] =
+      if (!idRenamed) Nil
+      else ("graft.identity.cols" -> encodeIdentityCols(
+          idSpecs.map(s => if (s.col == oldPath) s.copy(col = newPath) else s))) +:
+        props.get(s"graft.identity.high.$oldPath").toSeq
+          .map(v => s"graft.identity.high.$newPath" -> v)
+    val idRemoved: Set[String] =
+      if (idRenamed) Set(s"graft.identity.high.$oldPath") else Set.empty
+    // declared partition transforms follow too — DESCRIBE would
+    // otherwise keep showing days(<old name>) forever
+    val ptProps: Seq[(String, String)] =
+      props.get("graft.partition.transforms").toSeq.map { spec =>
+        val withArg = """(\w+)\((\d+)\s*,\s*([^)]+)\)""".r
+        val plain = """(\w+)\(([^)]+)\)""".r
+        "graft.partition.transforms" ->
+          spec.split(",(?![^(]*\\))").map(_.trim).map {
+            case withArg(fn, n, c) if c.trim == oldPath => s"$fn($n, $newPath)"
+            case plain(fn, c) if c.trim == oldPath => s"$fn($newPath)"
+            case c if c == oldPath => newPath
+            case other => other
+          }.mkString(",")
+      }.filter { case (k, v) => props.get(k) != Some(v) }
+    val propUps = renamedProps ++ idProps ++ ptProps
     commitManifest(spark, dir, "rename", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None,
       colmapOverride = Some(newCm),
       propertiesOverride =
-        if (renamedProps.isEmpty) None else Some(props ++ renamedProps))
+        if (propUps.isEmpty && idRemoved.isEmpty) None
+        else Some(props -- idRemoved ++ propUps))
   }
 
   /** `ALTER TABLE … DROP COLUMN` as a MANIFEST-ONLY commit: the logical
@@ -2079,15 +2166,30 @@ object TableLog {
       else
         s"TableLog.dropColumn: '$name' is its struct's last field — drop " +
           s"the struct '${segs.init.mkString(".")}' instead")
+    val path = segs.mkString(".")
     val cks = constraintsAt(spark, dir, base)
-    val referencing = cks.filter { case (_, sql) =>
-      s"\\b${java.util.regex.Pattern.quote(leaf)}\\b".r
-        .findFirstIn(sql).isDefined }
+    val referencing = constraintsReferencing(cks, path)
     require(referencing.isEmpty,
       s"TableLog.dropColumn: CHECK constraint(s) ${referencing.keys.mkString(", ")} " +
-        s"reference '$leaf' — drop them first")
+        s"reference '$path' — drop them first")
+    // declared PARTITIONED BY transforms pin their source column: the
+    // table's layout contract would dangle (DESCRIBE shows days(ts)
+    // over a column that no longer exists) — refuse, like constraints
+    val props = tablePropertiesAt(spark, dir, base)
+    val ptRefs = props.get("graft.partition.transforms").toSeq
+      .flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter { ent =>
+        val inner = ent.indexOf('(') match {
+          case -1 => ent
+          case i => ent.substring(i + 1, ent.length - 1)
+            .split(',').last.trim
+        }
+        inner == path
+      }
+    require(ptRefs.isEmpty,
+      s"TableLog.dropColumn: PARTITIONED BY transform(s) " +
+        s"${ptRefs.mkString(", ")} reference '$path' — the declared " +
+        "partitioning would dangle")
     val cm = columnMappingAt(spark, dir, base)
-    val path = segs.mkString(".")
     val physName = physPath(cm, path)
     def rebuild(st: StructType, p: Seq[String]): StructType =
       if (p.length == 1) StructType(st.fields.filterNot(_.name == p.head))
@@ -2100,11 +2202,39 @@ object TableLog {
     // mapping entries at or below the dropped path fall away
     val newCm = cm.filterNot { case (k, _) =>
       k == path || k.startsWith(path + ".") }
+    // declared layout + identity properties shed the dropped column:
+    // a stale identity spec is the dangerous one — re-ADDING a column
+    // under the same name later would silently resume minting from a
+    // dead mark and overwrite user-supplied values
+    val idSpecs = props.get("graft.identity.cols")
+      .map(decodeIdentityCols).getOrElse(Nil)
+    val keptIds = idSpecs.filterNot(_.col == path)
+    val idUps: Map[String, String] =
+      if (keptIds.length == idSpecs.length) Map.empty
+      else if (keptIds.isEmpty) Map.empty
+      else Map("graft.identity.cols" -> encodeIdentityCols(keptIds))
+    val idGone: Set[String] =
+      if (keptIds.length == idSpecs.length) Set.empty
+      else Set(s"graft.identity.high.$path") ++
+        (if (keptIds.isEmpty) Set("graft.identity.cols") else Set.empty)
+    val listUps = Seq("graft.stats.cols", "graft.cluster.cols",
+        "graft.bloom.cols").flatMap { k =>
+      props.get(k).map { v =>
+        k -> v.split(",").map(_.trim).filterNot(c =>
+          c == path || c.startsWith(path + ".")).mkString(",")
+      }
+    }.filter { case (k, v) => props.get(k) != Some(v) }
+    val (listGone, listKept) = listUps.partition(_._2.isEmpty)
+    val propUps = idUps ++ listKept
+    val propGone = idGone ++ listGone.map(_._1)
     commitManifest(spark, dir, "drop", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None,
       colmapOverride = Some(newCm),
       droppedColsOverride =
-        Some((droppedColsAt(spark, dir, base) :+ physName).distinct))
+        Some((droppedColsAt(spark, dir, base) :+ physName).distinct),
+      propertiesOverride =
+        if (propUps.isEmpty && propGone.isEmpty) None
+        else Some(props -- propGone ++ propUps))
   }
 
   /** [[maintain]] with every knob resolved from TABLE PROPERTIES
@@ -3055,7 +3185,7 @@ object TableLog {
         val ups = idSpecs.flatMap { s0 =>
           val assigned = adds.flatMap(_.stats.get(phys(s0.col)))
             .collect { case NumStat(_, m) => m }
-            .reduceOption(_ max _).map(_.toLong)
+            .reduceOption(_ max _).map(conservativeLongMax)
           val prev = parentProps.get(s"graft.identity.high.${s0.col}")
             .flatMap(_.toLongOption)
           (assigned.toSeq ++ prev.toSeq).reduceOption(_ max _)
