@@ -128,6 +128,21 @@ object SparkEntry {
   private val clusterByPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged TYPE-WIDENING fixture (q_widen_column): an int column
+    * widened to bigint manifest-only — the narrow batch's files never
+    * rewrite, the wide batch lands beyond int range, and stats keep
+    * pruning across the mixed physical layout.
+    */
+  private val widenColumnPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged REORG-PURGE fixture (q_reorg_purge): dv-deletes scattered
+    * over a multi-file layout, then `REORG TABLE … APPLY (PURGE)`
+    * materializes the vectors away — only dv carriers rewrite.
+    */
+  private val reorgPurgePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Staged NESTED-RENAME fixture (q_rename_nested): payload.kind →
     * payload.category through the dotted column mapping, plus a
     * post-rename append — old and new files serve one logical shape.
@@ -2210,6 +2225,83 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // TYPE WIDENING (round 19): `ALTER COLUMN cust_i TYPE BIGINT` is a
+    // MANIFEST-ONLY commit — the narrow batch's int32 pages stay on
+    // disk and PROMOTE at scan (Spark's parquet reader up-casts
+    // natively), the wide batch lands beyond int range, and the two
+    // physical layouts read as one bigint column. The in-query require
+    // pins what makes this 100 TB-shaped: stats still prune across the
+    // mixed files (the wide-range predicate skips every narrow file),
+    // and the widen commit itself moved ZERO files.
+    "q_widen_column" -> ((s, d) => {
+      val dir = widenColumnPath.getOrElseUpdate(d, {
+        val p = stageDir("tlogwiden", d)
+        val o = Tables.orders(s, d)
+        TableLog.append(s, p,
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"),
+              col("o_custkey").cast("int").as("cust_i"),
+              col("o_totalprice").cast("double").as("price"))
+            .repartitionByRange(4, col("cust_i")),
+          statsCols = Seq("o_orderkey", "cust_i"))
+        TableLog.alterColumnType(s, p, "cust_i",
+          org.apache.spark.sql.types.LongType)
+        TableLog.append(s, p,
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"),
+              (col("o_custkey") + lit(10000000000L)).as("cust_i"),
+              col("o_totalprice").cast("double").as("price"))
+            .repartitionByRange(2, col("cust_i")),
+          statsCols = Seq("o_orderkey", "cust_i"))
+        p
+      })
+      val widen = TableLog.history(s, dir).find(_.op == "widen").get
+      require(widen.add.isEmpty && widen.remove.isEmpty,
+        "q_widen_column: the widen commit must move zero files")
+      val pr = TableLog.scanWhere(s, dir, col("cust_i") >= lit(10000000000L))
+      require(pr.filesRead < pr.filesTotal,
+        s"q_widen_column: stats must prune the narrow files " +
+          s"(${pr.filesRead}/${pr.filesTotal})")
+      TableLog.readAt(s, dir)
+        .select(col("o_orderkey"), col("cust_i"), col("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // REORG … APPLY (PURGE) (round 19): after scattered dv deletes,
+    // the purge pass rewrites ONLY the dv-carrying files (clean files
+    // carry verbatim — pinned in-query by path identity), leaves no
+    // live vector behind, and keeps the row multiset exact — the
+    // GDPR debt-paydown op at O(dv files), never O(table).
+    "q_reorg_purge" -> ((s, d) => {
+      val dir = reorgPurgePath.getOrElseUpdate(d, {
+        val p = stageDir("tlogpurge", d)
+        TableLog.append(s, p,
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice").cast("double").as("price"))
+            .repartitionByRange(8, col("l_orderkey")),
+          statsCols = Seq("l_orderkey"))
+        TableLog.deleteWhere(s, p, col("l_orderkey").isin(1L, 32L),
+          mode = "dv")
+        val preClean = TableLog.history(s, p)
+          .foldLeft(Map.empty[String, TableLog.AddFile]) { (m, c) =>
+            m -- c.remove ++ c.add.map(a => a.path -> a) }
+          .filter(_._2.dv.isEmpty).keySet
+        s.sql(s"REORG TABLE graft.`$p` APPLY (PURGE)").collect()
+        val post = TableLog.history(s, p)
+          .foldLeft(Map.empty[String, TableLog.AddFile]) { (m, c) =>
+            m -- c.remove ++ c.add.map(a => a.path -> a) }
+        require(post.values.forall(_.dv.isEmpty),
+          "q_reorg_purge: purge must leave no live deletion vector")
+        require(preClean.subsetOf(post.keySet),
+          "q_reorg_purge: clean files must carry verbatim — purge " +
+            "rewrites only dv carriers")
+        p
+      })
+      TableLog.readAt(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ERASURE AUDIT: the verification half of the GDPR pipeline — after
     // dv-deleting keys on a HASH-distributed layout (stats prune
     // nothing; the bloom phase prunes to files that might hold a key),
@@ -4235,6 +4327,19 @@ object SparkEntry {
         |       CASE WHEN l_returnflag = 'R' THEN l_quantity::DOUBLE * 10
         |            ELSE l_quantity::DOUBLE END AS qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_widen_column" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS BIGINT)
+        |            ELSE CAST(o_custkey AS BIGINT) + 10000000000 END AS cust_i,
+        |       CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_reorg_purge" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DOUBLE) AS price
+        |FROM lineitem WHERE l_orderkey NOT IN (1, 32)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" -> {
       // one UNION ALL branch per lineitem column, all stats from one CTE scan

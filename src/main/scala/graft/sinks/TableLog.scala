@@ -5,7 +5,7 @@ import scala.language.existentials
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Transactional table log over the parquet sinks — the lakehouse commit
   * protocol (the public Delta/Iceberg pattern, implemented from the
@@ -2176,15 +2176,7 @@ object TableLog {
     // table's layout contract would dangle (DESCRIBE shows days(ts)
     // over a column that no longer exists) — refuse, like constraints
     val props = tablePropertiesAt(spark, dir, base)
-    val ptRefs = props.get("graft.partition.transforms").toSeq
-      .flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter { ent =>
-        val inner = ent.indexOf('(') match {
-          case -1 => ent
-          case i => ent.substring(i + 1, ent.length - 1)
-            .split(',').last.trim
-        }
-        inner == path
-      }
+    val ptRefs = transformsReferencing(props, path)
     require(ptRefs.isEmpty,
       s"TableLog.dropColumn: PARTITIONED BY transform(s) " +
         s"${ptRefs.mkString(", ")} reference '$path' — the declared " +
@@ -2235,6 +2227,183 @@ object TableLog {
       propertiesOverride =
         if (propUps.isEmpty && propGone.isEmpty) None
         else Some(props -- propGone ++ propUps))
+  }
+
+  /** Declared `graft.partition.transforms` entries whose SOURCE column
+    * is `path` — the refusal set for DDL that would break the table's
+    * layout contract (drop the column, change its type under a
+    * transform whose output depends on the physical representation).
+    */
+  private def transformsReferencing(props: Map[String, String],
+                                    path: String): Seq[String] =
+    props.get("graft.partition.transforms").toSeq
+      .flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter { ent =>
+        val inner = ent.indexOf('(') match {
+          case -1 => ent
+          case i => ent.substring(i + 1, ent.length - 1)
+            .split(',').last.trim
+        }
+        inner == path
+      }
+
+  /** Is `from` → `to` a SAFE WIDENING — every value of `from`
+    * representable EXACTLY in `to`, and Spark's parquet reader able to
+    * promote the narrow physical pages at scan time (verified for each
+    * pair: the vectorized reader promotes int32→int64, int→double,
+    * float→double, and rescales decimals)? Long→double is absent on
+    * purpose (2^53 truncation), as is int→float (24-bit mantissa) and
+    * any decimal change that shrinks integer digits or scale.
+    */
+  private[sinks] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case _ => false
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN name TYPE newType` — TYPE WIDENING as
+    * a MANIFEST-ONLY commit (Delta's type-widening feature, public
+    * spec): the logical schema re-types the column, existing files
+    * keep their narrow physical pages untouched, and every scan
+    * promotes them at read (Spark's parquet reader up-casts
+    * int32→int64 / float→double / rescales decimals natively — zero
+    * data movement however big the table). New writes land in the wide
+    * type; a copy-on-write rewrite of an old file re-lands it wide as
+    * a side effect. Stats stay sound: numeric manifest stats live in
+    * Double value space on both sides of the widen, and parquet-bloom
+    * probes hash by each FILE's physical type, so point-lookup pruning
+    * keeps answering exactly.
+    *
+    * Accepts the widening matrix of [[widens]] only — a narrowing or
+    * cross-family change is a data transform, not DDL. Refuses when
+    * the column is an IDENTITY column (minting arithmetic is typed),
+    * is or feeds a GENERATED column (the stored `_gen_` CHECK compares
+    * computed vs stored under the OLD cast semantics), is pinned by a
+    * declared PARTITIONED BY transform (`bucket(n, col)` hashes the
+    * physical representation — int 5 and long 5 hash differently, so
+    * old files' bucket ids would lie), or appears in a CHECK
+    * constraint (its expression may be representation-sensitive —
+    * Delta's rule). Dotted names address struct fields, same
+    * resolution as [[renameColumn]]. A concurrent writer racing this
+    * commit stays loud: [[rebaseOk]] refuses to rebase across a schema
+    * whose types changed.
+    */
+  def alterColumnType(spark: SparkSession, dir: String, name: String,
+                      newType: DataType): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.alterColumnType: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val segs: Seq[String] =
+      if (schema.fieldNames.contains(name) || !name.contains('.')) Seq(name)
+      else name.split('.').toSeq
+    def structAt(p: Seq[String]): StructType =
+      p.foldLeft(schema) { (st, s) =>
+        st.fields.find(_.name == s).getOrElse(throw new IllegalArgumentException(
+          s"TableLog.alterColumnType: no field '$s' on the path '$name' " +
+            s"(have: ${st.fieldNames.mkString(", ")})")).dataType match {
+          case inner: StructType => inner
+          case other => throw new IllegalArgumentException(
+            s"TableLog.alterColumnType: '$s' in '$name' is " +
+              s"${other.simpleString}, not a struct")
+        }
+      }
+    val parent = structAt(segs.init)
+    val leaf = segs.last
+    val field = parent.fields.find(_.name == leaf).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableLog.alterColumnType: no column '$name' " +
+          s"(parent has: ${parent.fieldNames.mkString(", ")})"))
+    val path = segs.mkString(".")
+    require(field.dataType != newType,
+      s"TableLog.alterColumnType: '$path' is already ${newType.simpleString}")
+    require(widens(field.dataType, newType),
+      s"TableLog.alterColumnType: ${field.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a safe widening — only " +
+        "byte/short/int→long, byte/short/int/float→double, and " +
+        "decimal(p,s)→decimal(p',s') with p'-s' ≥ p-s, s' ≥ s are " +
+        "manifest-only; anything else rewrites data (SELECT + overwrite)")
+    val props = tablePropertiesAt(spark, dir, base)
+    require(!props.get("graft.identity.cols").map(decodeIdentityCols)
+        .getOrElse(Nil).exists(_.col == path),
+      s"TableLog.alterColumnType: '$path' is an IDENTITY column — its " +
+        "minting arithmetic is typed; drop the identity spec first")
+    val gen = props.get("graft.generated.cols")
+      .map(decodeGeneratedCols).getOrElse(Nil)
+    val genHits = gen.filter { case (c, e) =>
+      c == path || constraintsReferencing(Map(c -> e), path).nonEmpty }
+    require(genHits.isEmpty,
+      s"TableLog.alterColumnType: '$path' is or feeds GENERATED column(s) " +
+        s"${genHits.map(_._1).mkString(", ")} — their stored expressions " +
+        "were validated under the old type")
+    val ptRefs = transformsReferencing(props, path)
+    require(ptRefs.isEmpty,
+      s"TableLog.alterColumnType: PARTITIONED BY transform(s) " +
+        s"${ptRefs.mkString(", ")} pin '$path' — bucket/time transforms " +
+        "hash the physical representation; old files' partition values " +
+        "would disagree with new ones")
+    val cks = constraintsReferencing(constraintsAt(spark, dir, base), path)
+    require(cks.isEmpty,
+      s"TableLog.alterColumnType: CHECK constraint(s) ${cks.keys.mkString(", ")} " +
+        s"reference '$path' — drop them, widen, re-add")
+    def rebuild(st: StructType, p: Seq[String]): StructType =
+      StructType(st.fields.map { f =>
+        if (f.name != p.head) f
+        else if (p.length == 1) f.copy(dataType = newType)
+        else f.copy(dataType =
+          rebuild(f.dataType.asInstanceOf[StructType], p.tail))
+      })
+    commitManifest(spark, dir, "widen", rebuild(schema, segs).json,
+      adds = Nil, removeEntries = Nil, expectedParent = base, txn = None)
+  }
+
+  /** `REORG TABLE … APPLY (PURGE)` — materialize DELETION VECTORS away:
+    * rewrite ONLY the files whose manifest entry carries a dv (read
+    * with the vector anti-applied, land clean replacements), leave
+    * every clean file untouched. The targeted debt-paydown twin of
+    * [[compactSmallFiles]] (which also pulls dv files in, but sweeps
+    * small clean files with them): after an erasure campaign has
+    * scattered vectors across a 100 TB table, this pass costs
+    * O(dv-carrying files) — never the table — and the GDPR story
+    * completes: the deleted rows' BYTES leave the live files here, and
+    * leave history when [[vacuum]] retires the originals. Optional
+    * `where` narrows to a stats-analyzable band (same scoping rule as
+    * [[compactTable]]). Commits as op `purge`: row multiset unchanged,
+    * so the CDF diff is empty and append-only streams pass it through
+    * like any maintenance commit.
+    */
+  def reorgPurge(spark: SparkSession, dir: String, targetFileMB: Int = 128,
+                 statsCols: Seq[String] = Nil,
+                 where: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(targetFileMB > 0,
+      s"TableLog.reorgPurge: targetFileMB must be positive, got $targetFileMB")
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.reorgPurge: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cm = columnMappingAt(spark, dir, base)
+    val (scoped, boundCols) = where.fold((files, Seq.empty[String]))(
+      scopeByPredicate(spark, schema, cm, files, _, "reorgPurge"))
+    val cand = scoped.filter(_.dv.nonEmpty)
+    if (cand.isEmpty) return base // nothing to purge: no empty commit
+    val totalBytes = cand.map(fileBytes(fs, basePath, _)).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val cur = readWithDv(spark, dir, schema, cand, cm)
+    commit(spark, dir, cur.coalesce(nOut), "purge",
+      (statsCols ++ boundCols).distinct,
+      expectedParent = Some(base), txn = None, explicitRemoves = Some(cand),
+      schemaOverride = Some(schemaJson))
   }
 
   /** [[maintain]] with every knob resolved from TABLE PROPERTIES
@@ -3198,7 +3367,7 @@ object TableLog {
     // winner that also assigned would duplicate them — losing the race
     // loudly is the correct (and Delta's) behavior
     val autoRetryEligible = rebaseable && idPropsOverride.isEmpty &&
-      Set("append", "delete", "update", "merge", "compact")(op) &&
+      Set("append", "delete", "update", "merge", "compact", "purge")(op) &&
         (op != "append" || schemaOverride.isEmpty)
     // schema continuity (round 18): when the batch's names+types equal
     // the parent's, re-store the PARENT's schema JSON verbatim — a

@@ -764,6 +764,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // its parent struct, manifest-only
         TableLog.addColumn(spark, dir, a.fieldNames().mkString("."),
           a.dataType())
+      case u: TableChange.UpdateColumnType =>
+        // ALTER TABLE … ALTER COLUMN c TYPE t — type WIDENING only,
+        // manifest-only; old files promote at scan (round 19)
+        TableLog.alterColumnType(spark, dir, u.fieldNames().mkString("."),
+          u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +
           "schema changes beyond rename/drop/properties go through the " +

@@ -118,6 +118,11 @@ object GraftSqlParser {
   private val LayoutRe =
     ("""(?is)^\s*DESCRIBE\s+LAYOUT\s+""" + T +
       """(?:\s*\(([^)]+)\))?\s*;?\s*$""").r
+  // Delta's deletion-vector materialization statement (round 19):
+  // REORG TABLE t [WHERE band] APPLY (PURGE)
+  private val ReorgRe =
+    ("""(?is)^\s*REORG\s+TABLE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -177,6 +182,8 @@ object GraftSqlParser {
     case LayoutRe(p, v, cs) =>
       Some(GraftLayoutCommand(Option(p), Option(v),
         Option(cs).map(cols).getOrElse(Nil)))
+    case ReorgRe(p, v, where) =>
+      Some(GraftReorgCommand(Option(p), Option(v), Option(where)))
     case RestoreRe(p, v, ver) =>
       Some(GraftRestoreCommand(Option(p), Option(v), ver.toLong))
     case ConvertRe(path, st) =>
@@ -266,6 +273,21 @@ private[sources] case class GraftOptimizeCommand(path: Option[String],
                else Seq("compact")) ++
       where.map(w => s"where $w")).mkString(" ")
     Seq(Row(v, op))
+  }
+}
+
+private[sources] case class GraftReorgCommand(path: Option[String],
+                                              view: Option[String],
+                                              where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = false)
+    .add("operation", StringType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(spark, path, view)
+    val v = TableLog.reorgPurge(spark, dir,
+      where = where.map(org.apache.spark.sql.functions.expr))
+    Seq(Row(v, ("purge" +: where.map(w => s"where $w").toSeq).mkString(" ")))
   }
 }
 

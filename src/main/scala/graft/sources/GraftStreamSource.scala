@@ -135,7 +135,7 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
         // (rows preserved), so layout maintenance passes through.
         val rowChanging = TableLog.historyRange(spark, dir, from, to)
           .filter(c => c.remove.nonEmpty &&
-            !Set("compact", "txn", "checkpoint").contains(c.op))
+            !Set("compact", "purge", "txn", "checkpoint").contains(c.op))
         require(rowChanging.isEmpty,
           s"graft streaming source: versions ${rowChanging.map(_.version).mkString(", ")} " +
             s"of $dir contain row-changing commits (${rowChanging.map(_.op).distinct.mkString(", ")}) — " +
