@@ -4189,7 +4189,10 @@ object TableLog {
     * costs its touch set, and a [[compactTable]]/[[optimizeZOrdered]]
     * commit that rewrites bytes but not rows emits NOTHING (pinned in
     * spec). Column evolution across the range null-fills via
-    * per-commit schemas; a type change inside the range fails loudly.
+    * per-commit schemas; a WIDEN commit inside the range coerces the
+    * older commits' batches up (set-operation type widening — the
+    * whole feed reads in the final wide type); any other type change
+    * fails loudly.
     *
     * ATTRIBUTION SEMANTICS: the per-commit diff is a MULTISET
     * difference over whole rows (`EXCEPT ALL`), not a keyed
@@ -4703,8 +4706,10 @@ object TableLog {
 
   /** Schema with every nullability flag (and metadata) normalized —
     * names and types are the append contract, nullable bits are not.
+    * (`private[graft]`: the streaming source compares batch schemas
+    * against its stream-start schema through the same normalization.)
     */
-  private def nullableForm(dt: DataType): DataType = dt match {
+  private[graft] def nullableForm(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f => f.copy(
       dataType = nullableForm(f.dataType), nullable = true,
       metadata = org.apache.spark.sql.types.Metadata.empty)))

@@ -148,11 +148,28 @@ private[sources] class GraftStreamSource(val sqlContext: SQLContext,
     }
   }
 
+  /** The declared stream schema is FIXED at query start; a schema
+    * change committed mid-stream (a widen, an evolved append) would
+    * otherwise surface as MicroBatchExecution's opaque "Invalid batch"
+    * assertion. Fail INSTRUCTIVELY instead (Delta's behavior): the
+    * checkpointed offset stops BEFORE the changing batch, so a restart
+    * re-opens the source with the new schema and resumes exactly where
+    * the old stream stopped — nothing is skipped or double-read.
+    */
+  private def conformed(df: DataFrame): DataFrame = {
+    require(TableLog.nullableForm(df.schema) == TableLog.nullableForm(schema),
+      s"graft streaming source: the table's schema changed mid-stream " +
+        s"(stream started with ${schema.simpleString}, this batch is " +
+        s"${df.schema.simpleString}) — restart the streaming query to " +
+        "adopt the new schema; the checkpoint resumes at this batch")
+    df
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
     // MicroBatchExecution asserts isStreaming on the returned frame —
     // stamp the batch plan through the shim (plan content unchanged)
     org.apache.spark.sql.graftshim.GraftStreamingShim.asStreaming(
-      batchFrame(start, end))
+      conformed(batchFrame(start, end)))
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()

@@ -55,6 +55,13 @@ class TableLogWidenPurgeSpec extends SparkSpec {
       Map("v" -> lit(11.0)), statsCols = Seq("id"))
     assert(TableLog.readAt(spark, dir).filter(col("id") === 1L)
       .select("v").as[Double].head() == 11.0)
+    // the change feed ACROSS the widen coerces the narrow commits up —
+    // one wide-typed feed, no loud failure, no double-emits
+    val ch = TableLog.readChanges(spark, dir, 0L)
+    assert(ch.schema("id").dataType == LongType, ch.schema.simpleString)
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+      .containsSlice(Seq(1L, 2L, 5000000000L)))
   }
 
   test("nested field widen: payload.qty int→long through the struct chain") {

@@ -321,4 +321,44 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(ins.size == 90 && !ins.exists(_._2 == -999),
       "the adoption commit streams every row with its real partition value")
   }
+
+  test("mid-stream widen fails instructively; restart adopts the wide schema exactly-once") {
+    val base = tmpDir("gssw")
+    val dir = s"$base/t"
+    TableLog.append(spark, dir,
+      (1 to 5).map(i => (i, s"a$i")).toDF("k", "tag"), statsCols = Seq("k"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(_.getAs[Number]("k").longValue) }
+        ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    assert(seen.sorted.toSeq == (1L to 5L), seen.toString)
+    // the table widens and grows WHILE the stream runs: the running
+    // query must die with the restart instruction, not the opaque
+    // MicroBatchExecution assertion — and must NOT emit the batch
+    TableLog.alterColumnType(spark, dir, "k",
+      org.apache.spark.sql.types.LongType)
+    TableLog.append(spark, dir,
+      Seq((5000000000L, "wide")).toDF("k", "tag"), statsCols = Seq("k"))
+    val deadline = System.currentTimeMillis() + 30000
+    try q.processAllAvailable() catch { case _: Throwable => () }
+    while (q.exception.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val err = q.exception.getOrElse(fail("query must fail on the widen"))
+    assert(err.getMessage.contains("restart the streaming query"),
+      err.getMessage.take(500))
+    assert(seen.size == 5, "the widening batch must not half-deliver")
+    q.stop()
+    // restart on the SAME checkpoint: the re-opened source declares the
+    // WIDE schema, re-runs the failed range, and delivers exactly once
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.sorted.toSeq == (1L to 5L) :+ 5000000000L, seen.toString)
+  }
 }
