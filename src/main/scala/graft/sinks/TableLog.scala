@@ -2365,6 +2365,71 @@ object TableLog {
       adds = Nil, removeEntries = Nil, expectedParent = base, txn = None)
   }
 
+  /** `ALTER TABLE … ALTER COLUMN name SET DEFAULT expr | DROP DEFAULT`
+    * — post-hoc column defaults as a MANIFEST-ONLY commit: the
+    * default's SQL text lands in (or leaves) the field's metadata
+    * under Spark's own `CURRENT_DEFAULT` key, where the analyzer's
+    * ResolveDefaultColumns pads missing INSERT columns and the
+    * `DEFAULT` keyword from it — exactly the CREATE-time channel, so
+    * INSERT semantics are identical however the default arrived.
+    * APPLIES TO FUTURE WRITES ONLY (Spark's and Delta's documented
+    * post-hoc rule): rows already on disk keep their stored values —
+    * nulls stay null — because values MATERIALIZE at write; no
+    * `EXISTS_DEFAULT` is back-filled and no file is touched. The
+    * expression must be constant-foldable and castable to the column
+    * type (validated HERE via the analyzer, not at first INSERT — a
+    * bad default must refuse at DDL time). Top-level columns only
+    * (Spark's own DEFAULT surface); identity and generated columns
+    * refuse (their fill channels own the column).
+    */
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+                       defaultSql: Option[String]): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.setColumnDefault: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TableLog.setColumnDefault: no top-level column '$name' — DEFAULT " +
+        s"applies to top-level columns only (have: ${schema.fieldNames.mkString(", ")})")
+    val props = tablePropertiesAt(spark, dir, base)
+    require(!props.get("graft.identity.cols").map(decodeIdentityCols)
+        .getOrElse(Nil).exists(_.col == name),
+      s"TableLog.setColumnDefault: '$name' is an IDENTITY column — its " +
+        "fill is the identity mint, not a DEFAULT")
+    require(!props.get("graft.generated.cols").map(decodeGeneratedCols)
+        .getOrElse(Nil).exists(_._1 == name),
+      s"TableLog.setColumnDefault: '$name' is a GENERATED column — its " +
+        "fill is the generation expression, not a DEFAULT")
+    val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else defaultSql match {
+        case Some(sql) =>
+          val cand = f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString(key, sql).build())
+          // loud at DDL time: resolves the text, folds it constant,
+          // and checks the cast to the column type
+          try org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(cand, "ALTER TABLE ALTER COLUMN", key)
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"TableLog.setColumnDefault: DEFAULT ($sql) for '$name' " +
+                s"is not a valid constant default: ${e.getMessage}", e)
+          }
+          cand
+        case None =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(key).build())
+      }
+    })
+    commitManifest(spark, dir, "default", newSchema.json, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None)
+  }
+
   /** `REORG TABLE … APPLY (PURGE)` — materialize DELETION VECTORS away:
     * rewrite ONLY the files whose manifest entry carries a dv (read
     * with the vector anti-applied, land clean replacements), leave

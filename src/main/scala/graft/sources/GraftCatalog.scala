@@ -769,6 +769,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // manifest-only; old files promote at scan (round 19)
         TableLog.alterColumnType(spark, dir, u.fieldNames().mkString("."),
           u.newDataType())
+      case d: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT expr / DROP DEFAULT (empty string = drop — what
+        // Spark's AlterColumn sends for DROP DEFAULT)
+        TableLog.setColumnDefault(spark, dir, d.fieldNames().mkString("."),
+          Option(d.newDefaultValue()).map(_.trim).filter(_.nonEmpty))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +
           "schema changes beyond rename/drop/properties go through the " +

@@ -197,6 +197,51 @@ class TableLogDdlEdgeSpec extends SparkSpec {
     assert(ids.filter(_ != big).forall(_ > big), ids.toString)
   }
 
+  test("post-hoc SET DEFAULT fills future INSERTs only; DROP DEFAULT clears") {
+    val root = tmpDir("tldef")
+    spark.conf.set("spark.sql.catalog.defcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.defcat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE defcat.ns")
+      spark.sql("CREATE TABLE defcat.ns.t (k INT, s STRING) USING graft")
+      spark.sql("INSERT INTO defcat.ns.t VALUES (1, 'a')")
+      spark.sql("ALTER TABLE defcat.ns.t ALTER COLUMN s SET DEFAULT 'dflt'")
+      // padded when omitted, resolved for the DEFAULT keyword
+      spark.sql("INSERT INTO defcat.ns.t (k) VALUES (2)")
+      spark.sql("INSERT INTO defcat.ns.t VALUES (3, DEFAULT)")
+      spark.sql("ALTER TABLE defcat.ns.t ALTER COLUMN s DROP DEFAULT")
+      spark.sql("INSERT INTO defcat.ns.t (k) VALUES (4)")
+      val out = spark.sql("SELECT k, s FROM defcat.ns.t ORDER BY k")
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      assert(out == Seq(1 -> "a", 2 -> "dflt", 3 -> "dflt", 4 -> null), out)
+      // a bad default refuses at DDL time, not at first INSERT
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE defcat.ns.t ALTER COLUMN k SET DEFAULT rand()")
+      }
+      assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.defcat")
+      spark.conf.unset("spark.sql.catalog.defcat.root")
+    }
+    // identity / generated columns refuse the channel (direct API)
+    val dir = tmpDir("tldefid")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("id", "s"),
+      statsCols = Seq("id"))
+    TableLog.setTableProperties(spark, dir,
+      Map("graft.identity.cols" -> "id:1:1:true"))
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.setColumnDefault(spark, dir, "id", Some("7"))
+    }
+    assert(e1.getMessage.contains("IDENTITY"), e1.getMessage)
+    TableLog.setTableProperties(spark, dir, Map("graft.generated.cols" ->
+      TableLog.encodeGeneratedCols(Seq("s" -> "cast(id as string)"))))
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.setColumnDefault(spark, dir, "s", Some("'x'"))
+    }
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+  }
+
   test("generated-column names refuse the property codec's metacharacters") {
     val e = intercept[IllegalArgumentException] {
       TableLog.encodeGeneratedCols(Seq("a:b" -> "x + 1"))
