@@ -2061,11 +2061,12 @@ object TableLog {
     }
     val newCm = rekeyed ++
       (if (p == newPath) Map.empty else Map(newPath -> p))
-    // declared layout properties follow the rename — a stats/cluster/
-    // bloom declaration on the old path would silently stop harvesting
+    // declared layout + contract properties follow the rename — a
+    // stats/cluster/bloom declaration on the old path would silently
+    // stop harvesting, and a notnull declaration would stop enforcing
     val props = tablePropertiesAt(spark, dir, base)
     val renamedProps = Seq("graft.stats.cols", "graft.cluster.cols",
-        "graft.bloom.cols").flatMap { k =>
+        "graft.bloom.cols", "graft.notnull.cols").flatMap { k =>
       props.get(k).map { v =>
         k -> v.split(",").map(_.trim).map { c =>
           if (c == oldPath) newPath
@@ -2210,7 +2211,7 @@ object TableLog {
       else Set(s"graft.identity.high.$path") ++
         (if (keptIds.isEmpty) Set("graft.identity.cols") else Set.empty)
     val listUps = Seq("graft.stats.cols", "graft.cluster.cols",
-        "graft.bloom.cols").flatMap { k =>
+        "graft.bloom.cols", "graft.notnull.cols").flatMap { k =>
       props.get(k).map { v =>
         k -> v.split(",").map(_.trim).filterNot(c =>
           c == path || c.startsWith(path + ".")).mkString(",")
@@ -2428,6 +2429,89 @@ object TableLog {
     })
     commitManifest(spark, dir, "default", newSchema.json, adds = Nil,
       removeEntries = Nil, expectedParent = base, txn = None)
+  }
+
+  /** The EXPLICITLY declared NOT NULL columns — `graft.notnull.cols`.
+    * Deliberately a property, never the schema's nullable flags: a
+    * Scala case-class encoder marks primitive columns non-nullable as
+    * an ARTIFACT, and treating that as a contract would make every
+    * `Seq(...).toDF`-created table silently refuse nulls it always
+    * accepted. Enforcement and DDL both key off the declaration.
+    */
+  private[graft] def notNullColsOf(props: Map[String, String]): Seq[String] =
+    props.get("graft.notnull.cols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** `ALTER TABLE … ALTER COLUMN name SET NOT NULL | DROP NOT NULL` —
+    * nullability as a MANIFEST commit carrying the declaration in
+    * `graft.notnull.cols` (see [[notNullColsOf]] for why a property).
+    * DROP is trivial (the declaration relaxes; nothing to check). SET
+    * validates the ENTIRE backlog first, Delta's rule — and the
+    * validation is the scale story: the manifest's per-file null
+    * counts answer for every file that carries the stat (ZERO data
+    * read on a stats-covered table however big it is); only files
+    * WITHOUT the stat — columns outside the stats set, files that
+    * predate the column (they read null-filled, so they must be
+    * checked) — pay one targeted dv-aware scan, O(uncovered files). A
+    * file with recorded nulls refuses loudly with its count.
+    *
+    * From the commit on, every write enforces the declaration through
+    * the codegen'd raise channel in [[commit]] (same as CHECK
+    * constraints and ALWAYS-identity). The op (`notnull`) BLOCKS
+    * auto-rebase for concurrent writers, like `constraint`: a racing
+    * append validated its rows against the OLD nullable table —
+    * nullability never enters rebaseOk's schema compare, so the op
+    * check is what keeps an unvalidated null from landing behind the
+    * new declaration. Top-level columns only. NOTE: Spark's analyzer
+    * refuses nullable→non-nullable ALTERs on every v2 catalog, so the
+    * SQL route for SET is the delegating parser's own statement; DROP
+    * flows through `TableChange.UpdateColumnNullability` natively.
+    */
+  def setColumnNullability(spark: SparkSession, dir: String, name: String,
+                           nullable: Boolean): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.setColumnNullability: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, files) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TableLog.setColumnNullability: no top-level column '$name' " +
+        s"(have: ${schema.fieldNames.mkString(", ")}) — nullability DDL " +
+        "applies to top-level columns only")
+    val props = tablePropertiesAt(spark, dir, base)
+    val declared = notNullColsOf(props)
+    if (!nullable) {
+      require(!declared.contains(name),
+        s"TableLog.setColumnNullability: '$name' is already NOT NULL")
+      val cm = columnMappingAt(spark, dir, base)
+      val p = physPath(cm, name)
+      val withNulls = files.filter(_.nullCounts.get(p).exists(_ > 0L))
+      require(withNulls.isEmpty,
+        s"TableLog.setColumnNullability: ${withNulls.size} live file(s) " +
+          s"record ${withNulls.flatMap(_.nullCounts.get(p)).sum} NULL(s) " +
+          s"in '$name' — clean them (UPDATE/DELETE) before SET NOT NULL")
+      val uncovered = files.filterNot(_.nullCounts.contains(p))
+      if (uncovered.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val n = readWithDv(spark, dir, schema, uncovered, cm)
+          .filter(col(name).isNull).count()
+        require(n == 0L,
+          s"TableLog.setColumnNullability: $n NULL(s) in '$name' across " +
+            s"${uncovered.size} file(s) without null stats — clean them " +
+            "before SET NOT NULL")
+      }
+    } else require(declared.contains(name),
+      s"TableLog.setColumnNullability: '$name' is not declared NOT NULL")
+    val newDeclared =
+      if (nullable) declared.filterNot(_ == name) else declared :+ name
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(nullable = nullable) else f))
+    commitManifest(spark, dir, "notnull", newSchema.json, adds = Nil,
+      removeEntries = Nil, expectedParent = base, txn = None,
+      propertiesOverride = Some(
+        if (newDeclared.isEmpty) props - "graft.notnull.cols"
+        else props + ("graft.notnull.cols" -> newDeclared.mkString(","))))
   }
 
   /** `REORG TABLE … APPLY (PURGE)` — materialize DELETION VECTORS away:
@@ -3321,7 +3405,26 @@ object TableLog {
           .otherwise(fill)
       d.withColumn(s0.col, out)
     }
-    val checked = enforceConstraints(idFilled, cks)
+    val checked0 = enforceConstraints(idFilled, cks)
+    // NOT NULL columns (round 19): the DECLARED `graft.notnull.cols`
+    // (never the schema's nullable flags — those are encoder
+    // artifacts, see notNullColsOf) enforce on EVERY write through the
+    // same codegen'd raise channel as constraints and ALWAYS-identity
+    // — one when() per declared column, zero extra passes. Maintenance
+    // rewrites pass trivially (their rows were validated when they
+    // landed, and setColumnNullability validated the backlog when the
+    // declaration was set); the explicit drop channel is `ALTER
+    // COLUMN … DROP NOT NULL`, never a silent write.
+    val notNullCols = notNullColsOf(parentProps).filter(df.columns.contains)
+    val checked = notNullCols.foldLeft(checked0) { (d, c) =>
+      import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+      val dt = d.schema(c).dataType
+      d.withColumn(c, when(col(c).isNull, raise_error(lit(
+          s"TableLog: column '$c' is NOT NULL — a NULL cannot be " +
+            "written (ALTER COLUMN … DROP NOT NULL to allow them)"))
+          .cast(dt))
+        .otherwise(col(c)))
+    }
     // logical → physical: alias top-level names; a NESTED rename casts
     // the struct to its physical shape (positional — renames never
     // reorder or retype, so the cast is a pure name rewrite)
@@ -3626,7 +3729,7 @@ object TableLog {
     // rebasing an append over a concurrent ADD CONSTRAINT would land
     // unchecked rows behind a constraint that claims the whole table
     // passed its existing-data validation
-    if (intervening.exists(_.op == "constraint"))
+    if (intervening.exists(c => c.op == "constraint" || c.op == "notnull"))
       return false
     if (readBounds.nonEmpty &&
         intervening.exists(_.add.exists(f => mayOverlap(f, readBounds))))

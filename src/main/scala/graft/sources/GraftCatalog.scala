@@ -496,7 +496,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("graft.identity.cols" -> TableLog.encodeIdentityCols(idSpecs)) +
           ("graft.stats.cols" -> stats.mkString(","))
       }
-    if (withIdent.nonEmpty) TableLog.setTableProperties(spark, dir, withIdent)
+    // `k BIGINT NOT NULL` in the column list is an EXPLICIT declaration
+    // (unlike an encoder's nullable flag) — record it so every write
+    // path enforces it; identity columns own their own fill channel
+    val nnCols = schema.fields.toSeq
+      .filterNot(_.nullable).map(_.name)
+      .filterNot(idSpecs.map(_.col).toSet)
+    val withNotNull =
+      if (nnCols.isEmpty) withIdent
+      else withIdent + ("graft.notnull.cols" ->
+        (TableLog.notNullColsOf(withIdent) ++ nnCols).distinct.mkString(","))
+    if (withNotNull.nonEmpty) TableLog.setTableProperties(spark, dir, withNotNull)
     genCols.foreach { case (c, e) =>
       TableLog.addCheckConstraint(spark, dir, s"_gen_$c", s"`$c` <=> ($e)")
     }
@@ -769,6 +779,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // manifest-only; old files promote at scan (round 19)
         TableLog.alterColumnType(spark, dir, u.fieldNames().mkString("."),
           u.newDataType())
+      case n: TableChange.UpdateColumnNullability =>
+        // SET NOT NULL validates the backlog from manifest null counts
+        // (zero data read when stats cover); DROP NOT NULL relaxes
+        TableLog.setColumnNullability(spark, dir,
+          n.fieldNames().mkString("."), n.nullable())
       case d: TableChange.UpdateColumnDefaultValue =>
         // SET DEFAULT expr / DROP DEFAULT (empty string = drop — what
         // Spark's AlterColumn sends for DROP DEFAULT)

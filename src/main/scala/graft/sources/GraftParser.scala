@@ -143,6 +143,13 @@ object GraftSqlParser {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_-]*)\s*;?\s*$""").r
+  // SET NOT NULL must be OUR statement (round 19): Spark's analyzer
+  // refuses nullable→non-nullable ALTERs against every v2 catalog, so
+  // the only route to the validated declaration is the delegating
+  // parser. DROP NOT NULL flows through Spark natively.
+  private val SetNotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ALTER\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+NOT\s+NULL\s*;?\s*$""").r
   // Delta's identity-mark recovery statement (round 18)
   private val SyncIdentityRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T + """\s+SYNC\s+IDENTITY\s*;?\s*$""").r
@@ -198,6 +205,8 @@ object GraftSqlParser {
       Some(GraftAddConstraintCommand(Option(p), Option(v), name, check.trim))
     case DropConstraintRe(p, v, name) =>
       Some(GraftDropConstraintCommand(Option(p), Option(v), name))
+    case SetNotNullRe(p, v, c) =>
+      Some(GraftSetNotNullCommand(Option(p), Option(v), c))
     case SyncIdentityRe(p, v) =>
       Some(GraftSyncIdentityCommand(Option(p), Option(v)))
     case CreateViewRe(orReplace, name, body) =>
@@ -273,6 +282,20 @@ private[sources] case class GraftOptimizeCommand(path: Option[String],
                else Seq("compact")) ++
       where.map(w => s"where $w")).mkString(" ")
     Seq(Row(v, op))
+  }
+}
+
+private[sources] case class GraftSetNotNullCommand(path: Option[String],
+                                                   view: Option[String],
+                                                   column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
+    .add("version", LongType, nullable = false)
+    .add("operation", StringType, nullable = false))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(spark, path, view)
+    val v = TableLog.setColumnNullability(spark, dir, column, nullable = false)
+    Seq(Row(v, s"set not null $column"))
   }
 }
 

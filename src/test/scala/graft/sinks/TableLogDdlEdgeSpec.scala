@@ -242,6 +242,101 @@ class TableLogDdlEdgeSpec extends SparkSpec {
     assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
   }
 
+  test("SET NOT NULL validates from manifest null counts; writes enforce; DROP relaxes") {
+    val dir = tmpDir("tlnn")
+    TableLog.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), statsCols = Seq("k"))
+    // fast path: every live file carries nullCounts(k)=0 — zero data read
+    TableLog.setColumnNullability(spark, dir, "k", nullable = false)
+    assert(TableLog.tablePropertiesAt(spark, dir)
+      .get("graft.notnull.cols").contains("k"))
+    // from now on a NULL refuses through the codegen'd raise channel
+    val e = intercept[Exception] {
+      TableLog.append(spark, dir,
+        Seq("c").toDF("s").select(lit(null).cast("bigint").as("k"), col("s")),
+        statsCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("NOT NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("NOT NULL")),
+      e.toString)
+    assert(TableLog.readAt(spark, dir).count() == 2L,
+      "the refused batch must commit nothing")
+    // DROP NOT NULL re-opens the channel
+    TableLog.setColumnNullability(spark, dir, "k", nullable = true)
+    TableLog.append(spark, dir,
+      Seq("c").toDF("s").select(lit(null).cast("bigint").as("k"), col("s")),
+      statsCols = Seq("k"))
+    assert(TableLog.readAt(spark, dir).filter(col("k").isNull).count() == 1L)
+    // and SET NOT NULL now refuses loudly from the RECORDED null count
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.setColumnNullability(spark, dir, "k", nullable = false)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
+  test("SET NOT NULL scan fallback covers files without the stat") {
+    val dir = tmpDir("tlnns")
+    // 's' is OUTSIDE statsCols: no nullCounts harvested → the targeted
+    // dv-aware scan is the only sound answer
+    TableLog.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), statsCols = Seq("k"))
+    TableLog.setColumnNullability(spark, dir, "s", nullable = false) // scans, clean
+    TableLog.setColumnNullability(spark, dir, "s", nullable = true)
+    TableLog.append(spark, dir,
+      Seq(3L).toDF("k").select(col("k"), lit(null).cast("string").as("s")),
+      statsCols = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.setColumnNullability(spark, dir, "s", nullable = false)
+    }
+    assert(e.getMessage.contains("without null stats"), e.getMessage)
+    // a column added AFTER files landed null-fills at read — the scan
+    // fallback must catch that too (the files lack the column)
+    TableLog.addColumn(spark, dir, "note", org.apache.spark.sql.types.StringType)
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.setColumnNullability(spark, dir, "note", nullable = false)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
+  test("nullability DDL through Spark SQL: SET NOT NULL then a null INSERT refuses") {
+    val root = tmpDir("tlnncat")
+    spark.conf.set("spark.sql.catalog.nncat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nncat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE nncat.ns")
+      spark.sql("CREATE TABLE nncat.ns.t (k BIGINT, s STRING) USING graft")
+      spark.sql("INSERT INTO nncat.ns.t VALUES (1, 'a')")
+      // SET NOT NULL is OUR statement (Spark's analyzer refuses
+      // nullable→non-nullable against every v2 catalog)
+      spark.sql("ALTER TABLE nncat.ns.t ALTER COLUMN k SET NOT NULL")
+      // Spark's v2 write resolver sees the non-nullable schema field
+      // and refuses with its own NOT_NULL_ASSERT_VIOLATION before our
+      // raise channel even runs — either way the null never lands
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO nncat.ns.t VALUES (CAST(NULL AS BIGINT), 'x')")
+      }
+      assert(e.getMessage.replace('_', ' ').contains("NOT NULL") ||
+        Option(e.getCause).exists(
+          _.getMessage.replace('_', ' ').contains("NOT NULL")), e.toString)
+      // DROP NOT NULL flows through Spark's own DDL natively
+      spark.sql("ALTER TABLE nncat.ns.t ALTER COLUMN k DROP NOT NULL")
+      spark.sql("INSERT INTO nncat.ns.t VALUES (CAST(NULL AS BIGINT), 'y')")
+      assert(spark.sql("SELECT count(*) FROM nncat.ns.t WHERE k IS NULL")
+        .head().getLong(0) == 1L)
+      // a NOT NULL in the CREATE column list is an explicit declaration
+      // — enforced from the first INSERT
+      spark.sql("CREATE TABLE nncat.ns.u (k BIGINT NOT NULL, s STRING) USING graft")
+      spark.sql("INSERT INTO nncat.ns.u VALUES (1, 'ok')")
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO nncat.ns.u VALUES (CAST(NULL AS BIGINT), 'x')")
+      }
+      assert(e2.toString.toLowerCase.contains("null"), e2.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.nncat")
+      spark.conf.unset("spark.sql.catalog.nncat.root")
+    }
+  }
+
   test("generated-column names refuse the property codec's metacharacters") {
     val e = intercept[IllegalArgumentException] {
       TableLog.encodeGeneratedCols(Seq("a:b" -> "x + 1"))
