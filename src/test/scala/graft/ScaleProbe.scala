@@ -1094,6 +1094,72 @@ object ScaleProbe {
       probeRun("layout_report") { () => rep(lp1) } { () => rep(lp16) }
     }
 
+    // round-19 write-path probes: REORG PURGE is O(dv-carrying files)
+    // (per-file size held constant — 64 files at 1×, 1024 at 16× — so
+    // a flat ratio means the pass paid the touched files, never the
+    // table); manifest-only DDL (SET/DROP DEFAULT) and the NOT NULL
+    // declaration (stats-backed backlog validation, a driver fold over
+    // 64 vs 1024 manifest entries) should both stay near-flat.
+    if (only.isEmpty || only("reorg_purge") || only("ddl_manifest") ||
+        only("notnull_set")) {
+      import graft.sinks.TableLog
+      val b1 = ev1.select(pmod(col("event_id"), lit(100000L)).as("k"),
+        col("user_id").cast("double").as("v"))
+      val b16 = ev.select(pmod(col("event_id"), lit(100000L)).as("k"),
+        col("user_id").cast("double").as("v"))
+      // blooms on k: the erasure deployment shape — without them the
+      // dv delete's position scan reads the whole key-range box (the
+      // documented bloom-less fallback), which is the workload's cost,
+      // not the purge's
+      def mkPurge(name: String, preload: DataFrame, nFiles: Int): String = {
+        val p = s"$StageDir/purge_$name"
+        TableLog.append(spark, p,
+          preload.repartitionByRange(nFiles, col("k")), statsCols = Seq("k"),
+          writeOptions = TableLog.bloomOptions(Seq("k")))
+        p
+      }
+      val pg1 = mkPurge("1x", b1, 64)
+      val pg16 = mkPurge("16x", b16, 1024)
+      // the PURGE is what's timed — the dv-delete that seeds the
+      // vectors runs OUTSIDE the clock (its own scaling is the
+      // standing erasure_bloom / table_log_dv probes' axis). Fresh
+      // keys per seed so every purge does real work; warm + timed
+      // passes each get their own vectors.
+      var runNo = 0
+      def seedDv(p: String): Unit = {
+        runNo += 1
+        val keys = Seq(0L, 25000L, 50000L, 75000L).map(_ + runNo * 7L)
+        TableLog.deleteWhere(spark, p, col("k").isin(keys: _*), mode = "dv")
+        ()
+      }
+      def timePurge(p: String): Double = {
+        seedDv(p)
+        TableLog.reorgPurge(spark, p, statsCols = Seq("k")) // warm
+        seedDv(p)
+        val t0 = System.nanoTime()
+        TableLog.reorgPurge(spark, p, statsCols = Seq("k"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (only.isEmpty || only("reorg_purge")) {
+        val oneX = timePurge(pg1)
+        val t = timePurge(pg16)
+        println(f"[scale] ${"reorg_purge"}%-22s ${Mult}x=${t}%6.2f s   " +
+          f"1x=${oneX}%5.2f s   ratio=${t / oneX}%5.1f (linear=$Mult)")
+      }
+      def ddlPair(p: String): Unit = {
+        TableLog.setColumnDefault(spark, p, "v", Some("0.0"))
+        TableLog.setColumnDefault(spark, p, "v", None)
+        ()
+      }
+      probeRun("ddl_manifest") { () => ddlPair(pg1) } { () => ddlPair(pg16) }
+      def nnPair(p: String): Unit = {
+        TableLog.setColumnNullability(spark, p, "k", nullable = false)
+        TableLog.setColumnNullability(spark, p, "k", nullable = true)
+        ()
+      }
+      probeRun("notnull_set") { () => nnPair(pg1) } { () => nnPair(pg16) }
+    }
+
     // stage cleanup — ~3 GB of amplified parquet has no business outliving
     // the probe
     import scala.reflect.io.Directory
