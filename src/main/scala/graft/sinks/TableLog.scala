@@ -2442,6 +2442,49 @@ object TableLog {
     props.get("graft.notnull.cols").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** `ALTER TABLE … ALTER COLUMN name COMMENT 'text'` — a MANIFEST-ONLY
+    * commit that sets (or clears, with None) the field's comment
+    * metadata; DESCRIBE reads it back. Dotted names address struct
+    * fields through the same resolution as the other column DDL. The
+    * comment survives later appends through the schema-continuity rule
+    * (commits re-store the parent schema when names+types are
+    * unchanged, so projection-stripped batch metadata never erases it).
+    */
+  def setColumnComment(spark: SparkSession, dir: String, name: String,
+                       comment: Option[String]): Long = {
+    val base = currentVersion(spark, dir)
+    require(base > 0L, s"TableLog.setColumnComment: $dir has no committed versions")
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schemaJson, _) = snapshotAt(spark, fs, basePath, base)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val segs: Seq[String] =
+      if (schema.fieldNames.contains(name) || !name.contains('.')) Seq(name)
+      else name.split('.').toSeq
+    def rebuild(st: StructType, p: Seq[String]): StructType = {
+      require(st.fieldNames.contains(p.head),
+        s"TableLog.setColumnComment: no field '${p.head}' on the path " +
+          s"'$name' (have: ${st.fieldNames.mkString(", ")})")
+      StructType(st.fields.map { f =>
+        if (f.name != p.head) f
+        else if (p.length == 1)
+          comment.fold(f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).remove("comment").build()))(
+            f.withComment)
+        else f.dataType match {
+          case inner: StructType =>
+            f.copy(dataType = rebuild(inner, p.tail))
+          case other => throw new IllegalArgumentException(
+            s"TableLog.setColumnComment: '${p.head}' in '$name' is " +
+              s"${other.simpleString}, not a struct")
+        }
+      })
+    }
+    commitManifest(spark, dir, "comment", rebuild(schema, segs).json,
+      adds = Nil, removeEntries = Nil, expectedParent = base, txn = None)
+  }
+
   /** `ALTER TABLE … ALTER COLUMN name SET NOT NULL | DROP NOT NULL` —
     * nullability as a MANIFEST commit carrying the declaration in
     * `graft.notnull.cols` (see [[notNullColsOf]] for why a property).

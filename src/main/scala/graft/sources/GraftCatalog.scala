@@ -779,6 +779,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // manifest-only; old files promote at scan (round 19)
         TableLog.alterColumnType(spark, dir, u.fieldNames().mkString("."),
           u.newDataType())
+      case c: TableChange.UpdateColumnComment =>
+        TableLog.setColumnComment(spark, dir, c.fieldNames().mkString("."),
+          Option(c.newComment()).filter(_.nonEmpty))
       case n: TableChange.UpdateColumnNullability =>
         // SET NOT NULL validates the backlog from manifest null counts
         // (zero data read when stats cover); DROP NOT NULL relaxes

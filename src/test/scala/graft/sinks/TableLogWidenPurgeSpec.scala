@@ -85,6 +85,61 @@ class TableLogWidenPurgeSpec extends SparkSpec {
       .select("payload.qty").as[Long].head() == 5000000000L)
   }
 
+  test("widen composes with column mapping: renamed struct, widened leaf") {
+    val dir = tmpDir("tlwcm")
+    TableLog.append(spark, dir,
+      Seq((1L, (5, "a"))).toDF("id", "p")
+        .select(col("id"),
+          struct(col("p._1").as("qty"), col("p._2").as("tag")).as("payload")),
+      statsCols = Seq("payload.qty"))
+    // rename first (colmap pins the physical name), then widen the
+    // renamed leaf — the scan must promote the OLD physical int pages
+    // through the mapping's positional cast
+    TableLog.renameColumn(spark, dir, "payload", "body")
+    TableLog.alterColumnType(spark, dir, "body.qty", LongType)
+    TableLog.append(spark, dir,
+      Seq((2L, (6000000000L, "b"))).toDF("id", "p")
+        .select(col("id"),
+          struct(col("p._1").as("qty"), col("p._2").as("tag")).as("body")),
+      statsCols = Seq("body.qty"))
+    val out = TableLog.readAt(spark, dir).select("id", "body.qty")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L, 2L -> 6000000000L), out.toString)
+  }
+
+  test("column comments set, survive appends, and clear") {
+    val dir = tmpDir("tlcmt")
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"),
+      statsCols = Seq("k"))
+    TableLog.setColumnComment(spark, dir, "k", Some("the key"))
+    def commentOf(c: String): Option[String] =
+      org.apache.spark.sql.types.DataType
+        .fromJson(TableLog.history(spark, dir).last.schemaJson)
+        .asInstanceOf[StructType](c).getComment()
+    assert(commentOf("k").contains("the key"))
+    // schema continuity: a later append must not strip it
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "s"),
+      statsCols = Seq("k"))
+    assert(commentOf("k").contains("the key"), "append stripped the comment")
+    TableLog.setColumnComment(spark, dir, "k", None)
+    assert(commentOf("k").isEmpty)
+    // SQL route through the catalog
+    val root = tmpDir("tlcmtcat")
+    spark.conf.set("spark.sql.catalog.cmtcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cmtcat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE cmtcat.ns")
+      spark.sql("CREATE TABLE cmtcat.ns.t (k BIGINT, s STRING) USING graft")
+      spark.sql("ALTER TABLE cmtcat.ns.t ALTER COLUMN s COMMENT 'freeform'")
+      val desc = spark.sql("DESCRIBE TABLE cmtcat.ns.t").collect()
+        .map(r => (r.getString(0), r.getString(2))).toMap
+      assert(desc.get("s").contains("freeform"), desc.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cmtcat")
+      spark.conf.unset("spark.sql.catalog.cmtcat.root")
+    }
+  }
+
   test("decimal widen rescales: (10,2) → (20,4) keeps values exact") {
     val dir = tmpDir("tlwd")
     TableLog.append(spark, dir,
