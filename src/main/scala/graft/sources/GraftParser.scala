@@ -105,7 +105,7 @@ object GraftSqlParser {
   private val T = """(?:graft\.`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*))"""
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(?:(\d+)\s+VERSIONS|(\d+(?:\.\d+)?)\s+HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + T +
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$""").r
@@ -125,7 +125,7 @@ object GraftSqlParser {
       """(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
-      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\.|graft\.)?`([^`]+)`(?:\s+STATS\s+\(([^)]+)\))?\s*;?\s*$""".r
   private val CopyIntoRe =
@@ -176,9 +176,11 @@ object GraftSqlParser {
     s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
 
   private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
-    case VacuumRe(p, v, retain, dry) =>
+    case VacuumRe(p, v, retain, hours, dry) =>
       Some(GraftVacuumCommand(Option(p), Option(v),
-        Option(retain).map(_.toInt), dry != null))
+        Option(retain).map(_.toInt),
+        Option(hours).map(h => (h.toDouble * 3600 * 1000).toLong),
+        dry != null))
     case OptimizeRe(p, v, where, z) =>
       Some(GraftOptimizeCommand(Option(p), Option(v),
         Option(z).map(cols).getOrElse(Nil), Option(where)))
@@ -191,8 +193,10 @@ object GraftSqlParser {
         Option(cs).map(cols).getOrElse(Nil)))
     case ReorgRe(p, v, where) =>
       Some(GraftReorgCommand(Option(p), Option(v), Option(where)))
-    case RestoreRe(p, v, ver) =>
-      Some(GraftRestoreCommand(Option(p), Option(v), ver.toLong))
+    case RestoreRe(p, v, ver, ts) =>
+      Some(GraftRestoreCommand(Option(p), Option(v),
+        Option(ver).map(_.toLong).getOrElse(-1L),
+        Option(ts).map(GraftTableSource.parseTsMillis)))
     case ConvertRe(path, st) =>
       Some(GraftConvertCommand(path, Option(st).map(cols).getOrElse(Nil)))
     case CopyIntoRe(p, v, glob, fmt, st) =>
@@ -235,6 +239,7 @@ object GraftSqlParser {
 private[sources] case class GraftVacuumCommand(path: Option[String],
                                                view: Option[String],
                                                retain: Option[Int],
+                                               retainMs: Option[Long],
                                                dry: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
@@ -244,8 +249,10 @@ private[sources] case class GraftVacuumCommand(path: Option[String],
     .add("skipped_young", IntegerType, nullable = false)
     .add("dry_run", BooleanType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] = {
+    // RETAIN n HOURS (Delta's grammar) maps onto the age floor; RETAIN
+    // n VERSIONS stays the version floor — both are "keep at least"
     val r = TableLog.vacuum(spark, GraftSqlParser.dirOf(spark, path, view),
-      keepVersions = retain.getOrElse(2), dryRun = dry)
+      keepVersions = retain.getOrElse(2), retainMs = retainMs, dryRun = dry)
     Seq(Row(r.deletedDataFiles, r.deletedTmp, r.retainedFrom, r.skippedYoung, dry))
   }
 }
@@ -394,15 +401,20 @@ private[sources] case class GraftSyncIdentityCommand(path: Option[String],
   */
 private[sources] case class GraftRestoreCommand(path: Option[String],
                                                 view: Option[String],
-                                                toVersion: Long)
+                                                toVersion: Long,
+                                                toTsMillis: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrsOf(new StructType()
     .add("version", LongType, nullable = false)
     .add("restored_to", LongType, nullable = false))
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = TableLog.restore(spark,
-      GraftSqlParser.dirOf(spark, path, view), toVersion)
-    Seq(Row(v, toVersion))
+    val dir = GraftSqlParser.dirOf(spark, path, view)
+    // TIMESTAMP AS OF resolves through the same at-or-before rule as
+    // snapshot reads, then restores that version zero-copy
+    val target = toTsMillis.fold(toVersion)(
+      TableLog.versionAtTimestamp(spark, dir, _))
+    val v = TableLog.restore(spark, dir, target)
+    Seq(Row(v, target))
   }
 }
 

@@ -74,7 +74,33 @@ class GraftSqlParserSpec extends SparkSpec {
     val r = spark.sql(s"RESTORE TABLE graft.`$dir` TO VERSION AS OF 1").head()
     assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
     assert(TableLog.readAt(spark, dir).count() == 2L, "the deleted row is back")
+    // TIMESTAMP AS OF resolves at-or-before, then restores zero-copy:
+    // v2's commit instant names the dv-deleted state
+    val ts2 = TableLog.history(spark, dir).find(_.version == 2L).get.ts
+    val rt = spark.sql(s"RESTORE TABLE graft.`$dir` TO TIMESTAMP AS OF '$ts2'").head()
+    assert(rt.getLong(1) == 2L, rt.toString)
+    assert(TableLog.readAt(spark, dir).count() == 1L, "back to the post-delete state")
     spark.sql("DROP VIEW gsp_dr")
+  }
+
+  test("VACUUM RETAIN n HOURS keeps young versions by age") {
+    val dir = tmpDir("gsp_vh") + "/t"
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    TableLog.overwrite(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gsp_vh USING graft OPTIONS (path '$dir')")
+    // grammar: VERSIONS and HOURS are alternates of one RETAIN — the
+    // combined form must NOT parse (falls through to Spark's parser,
+    // which errors)
+    intercept[Exception] {
+      spark.sql("VACUUM gsp_vh RETAIN 1 VERSIONS RETAIN 1 HOURS DRY RUN")
+    }
+    // everything is seconds old: a 1-hour age floor retains all history
+    // even though keepVersions alone would allow reclaiming v1
+    val dry = spark.sql("VACUUM gsp_vh RETAIN 1 HOURS DRY RUN").head()
+    assert(dry.getInt(0) == 0,
+      s"age floor must keep the seconds-old v1 file: $dry")
+    assert(TableLog.readAt(spark, dir, 1L).count() == 1L)
+    spark.sql("DROP VIEW gsp_vh")
   }
 
   test("COPY INTO is idempotent from SQL; SHOW GRAFT TABLES discovers the warehouse") {
