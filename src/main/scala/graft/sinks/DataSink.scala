@@ -143,7 +143,7 @@ object DataSink {
     // makes every key a fixed-width 52-bit integer, so lexicographic
     // order IS preserved for mixed-length values; values tied beyond
     // the window share a bucket, exactly like any other quantile tie
-    // (and since "a" < "a …" is the only tie the pad introduces
+    // (and since "a" < "a\u0000..." is the only tie the pad introduces
     // and UTF-8 strings never contain interior NULs in practice, the
     // pad never REORDERS distinct real values). The written
     // files then carry tight per-file StrStat min/max on the REAL
