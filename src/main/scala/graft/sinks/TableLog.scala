@@ -1893,7 +1893,7 @@ object TableLog {
     * rule).
     */
   def addColumn(spark: SparkSession, dir: String, name: String,
-                dataType: DataType): Long = {
+                dataType: DataType, default: Option[String] = None): Long = {
     val base = currentVersion(spark, dir)
     require(base > 0L, s"TableLog.addColumn: $dir has no committed versions")
     val basePath = new Path(dir)
@@ -1945,9 +1945,41 @@ object TableLog {
         "of a DROPPED column and live files still carry its old bytes — " +
         "adding it back would silently resurrect stale data; pick another " +
         "name or overwrite the table")
+    // ADD COLUMN … DEFAULT expr (round 19): the default's SQL text
+    // lands under BOTH of Spark's metadata keys — CURRENT_DEFAULT pads
+    // future INSERTs (the analyzer's channel, same as SET DEFAULT) and
+    // EXISTS_DEFAULT makes every file that PREDATES the column read
+    // the constant-folded default instead of null (Spark's parquet
+    // reader honors it natively for missing columns — probed, then
+    // pinned in spec). Delta's exact two-key design, manifest-only:
+    // zero files rewritten however big the backlog. Constant-folding
+    // happens HERE (a bad default refuses at DDL time); files written
+    // AFTER the add store real values, so an explicit NULL stays NULL
+    // (exists-defaults apply only to physically missing columns).
+    // Top-level only — Spark's own DEFAULT surface.
+    val newField = default match {
+      case None =>
+        org.apache.spark.sql.types.StructField(segs.last, dataType,
+          nullable = true)
+      case Some(sql) =>
+        require(segs.length == 1,
+          s"TableLog.addColumn: DEFAULT applies to top-level columns " +
+            s"only, not '$path'")
+        val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val cand = org.apache.spark.sql.types.StructField(segs.last,
+          dataType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql).build())
+        try rdc.constantFoldCurrentDefaultsToExistDefaults(
+          StructType(Array(cand)), "ALTER TABLE ADD COLUMN").head
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"TableLog.addColumn: DEFAULT ($sql) for '$path' is not a " +
+              s"valid constant default: ${e.getMessage}", e)
+        }
+    }
     def rebuild(st: StructType, p: Seq[String]): StructType =
-      if (p.length == 1) StructType(st.fields :+
-        org.apache.spark.sql.types.StructField(p.head, dataType, nullable = true))
+      if (p.length == 1) StructType(st.fields :+ newField)
       else StructType(st.fields.map { f =>
         if (f.name != p.head) f
         else f.copy(dataType =

@@ -771,9 +771,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: added columns must be nullable — existing files " +
             "null-fill them on read")
         // nested adds (round 18): the dotted path appends a field to
-        // its parent struct, manifest-only
+        // its parent struct, manifest-only. A DEFAULT (round 19) rides
+        // both metadata keys: future INSERTs pad, old files read it
         TableLog.addColumn(spark, dir, a.fieldNames().mkString("."),
-          a.dataType())
+          a.dataType(), Option(a.defaultValue()).map(_.getSql))
       case u: TableChange.UpdateColumnType =>
         // ALTER TABLE … ALTER COLUMN c TYPE t — type WIDENING only,
         // manifest-only; old files promote at scan (round 19)

@@ -337,6 +337,50 @@ class TableLogDdlEdgeSpec extends SparkSpec {
     }
   }
 
+  test("ADD COLUMN DEFAULT: the backlog reads the default, inserts pad") {
+    val root = tmpDir("tladcat")
+    spark.conf.set("spark.sql.catalog.adcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.adcat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE adcat.ns")
+      spark.sql("CREATE TABLE adcat.ns.t (k BIGINT, s STRING) USING graft")
+      spark.sql("INSERT INTO adcat.ns.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE adcat.ns.t ADD COLUMN extra INT DEFAULT 40 + 2")
+      // files that PREDATE the column read the folded default — zero
+      // files rewritten (exists-default, honored by the parquet reader)
+      assert(spark.sql("SELECT extra FROM adcat.ns.t").collect()
+        .map(_.getInt(0)).toSeq == Seq(42, 42))
+      // future INSERTs pad from the same declaration; an explicit NULL
+      // is STORED, so it stays null (exists-defaults apply only to
+      // physically missing columns)
+      spark.sql("INSERT INTO adcat.ns.t (k, s) VALUES (3, 'c')")
+      spark.sql("INSERT INTO adcat.ns.t VALUES (4, 'd', NULL)")
+      val out = spark.sql("SELECT k, extra FROM adcat.ns.t ORDER BY k")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getInt(1))).toSeq
+      assert(out == Seq(1L -> 42, 2L -> 42, 3L -> 42, 4L -> null), out)
+      // a non-constant default refuses at DDL time
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE adcat.ns.t ADD COLUMN bad INT DEFAULT rand()")
+      }
+      assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.adcat")
+      spark.conf.unset("spark.sql.catalog.adcat.root")
+    }
+    // defaults are top-level only (direct API, nested path)
+    val dir = tmpDir("tladn")
+    TableLog.append(spark, dir,
+      Seq((1L, ("x", 2L))).toDF("id", "p")
+        .select(col("id"), struct(col("p._1").as("a"), col("p._2").as("b"))
+          .as("payload")), statsCols = Nil)
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.addColumn(spark, dir, "payload.c",
+        org.apache.spark.sql.types.LongType, Some("7"))
+    }
+    assert(e2.getMessage.contains("top-level"), e2.getMessage)
+  }
+
   test("generated-column names refuse the property codec's metacharacters") {
     val e = intercept[IllegalArgumentException] {
       TableLog.encodeGeneratedCols(Seq("a:b" -> "x + 1"))
