@@ -1019,7 +1019,8 @@ object SparkEntry {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or +1 (555) 010-"), col("doc_id")))
           .otherwise(col("text")))
-      injected.select(col("doc_id"),
+      // 5 regex passes per row: spread the single-split scan first
+      Spread.compute(injected, col("doc_id")).select(col("doc_id"),
           Curation.redactPII(col("dirty")).as("clean_text"),
           Curation.piiMatchCount(col("dirty")).as("pii_matches"))
         .orderBy(col("doc_id"))

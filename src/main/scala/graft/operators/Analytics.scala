@@ -90,7 +90,7 @@ object Analytics {
     */
   def orderSummary(orders: DataFrame, customer: DataFrame, nation: DataFrame,
                    lineitem: DataFrame): DataFrame = {
-    val items = lineitem.groupBy(col("l_orderkey")).agg(
+    val items = Spread.compute(lineitem, col("l_orderkey")).groupBy(col("l_orderkey")).agg(
       count(lit(1)).as("item_count"),
       moneySum(col("l_extendedprice")).as("total_price"),
       moneySum(col("l_extendedprice") * col("l_discount")).as("total_discount"))
@@ -209,7 +209,7 @@ object Analytics {
     * partial agg, so it is still a single shuffle of group state).
     */
   def pricingRollup(lineitem: DataFrame): DataFrame =
-    lineitem
+    Spread.compute(lineitem)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("line_count"))
@@ -904,7 +904,7 @@ object Analytics {
     val g = groupCols.map(Cols.qcol)
     def dsum(c: Column): Column =
       sum(c.cast("decimal(30,12)")).cast("double")
-    val pts = df
+    val pts = Spread.compute(df)
       .select(g :+ Cols.qcol(xCol).cast("double").as("_x") :+
         Cols.qcol(yCol).cast("double").as("_y"): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull &&

@@ -229,7 +229,10 @@ object Cleaning {
     * non-numeric columns. distinct is HyperLogLog (approx) — exact ndv per
     * column would be one shuffle per column at scale.
     */
-  def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
+  def profile(df0: DataFrame, exactDistinct: Boolean = false): DataFrame = {
+    // ~5 aggregates PER COLUMN in one pass (plus the exact-NDV explode):
+    // heavy per-row work — spread a single-split input first
+    val df = Spread.compute(df0)
     val n = count(lit(1))
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>

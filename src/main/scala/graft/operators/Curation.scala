@@ -897,7 +897,8 @@ object Curation {
   def dsirWeights(source: DataFrame, target: DataFrame, textCol: String,
                   seed: String = "dsir"): Array[Double] = {
     def dist(df: DataFrame): Map[Int, Long] =
-      df.select(explode(TextAnalysis.tokens(Cols.qcol(textCol))).as("_t"))
+      Spread.compute(df, xxhash64(Cols.qcol(textCol)))
+        .select(explode(TextAnalysis.tokens(Cols.qcol(textCol))).as("_t"))
         .groupBy(hashBucket256(col("_t"), seed).cast("int").as("_b"))
         .agg(count(lit(1)).as("_c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -922,7 +923,8 @@ object Curation {
                 scoreCol: String = "dsir_score"): DataFrame = {
     require(weights.length == 256,
       s"dsirScore: need the 256-bucket weight vector, got ${weights.length}")
-    df.withColumn(scoreCol, call_function("clf_score",
+    Spread.compute(df, xxhash64(Cols.qcol(textCol)))
+      .withColumn(scoreCol, call_function("clf_score",
       TextAnalysis.tokens(Cols.qcol(textCol)), lit(weights.mkString(",")),
       lit(0.0), lit(seed), lit("md5")))
   }

@@ -249,7 +249,8 @@ object Multimodal {
     */
   def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(ResizeSchema)
-    media.select(col("doc_id"), col("payload"), col("media_type"))
+    Spread.compute(media.select(col("doc_id"), col("payload"), col("media_type")),
+        col("doc_id"))
       .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -324,7 +325,8 @@ object Multimodal {
   def frameSample(spark: SparkSession, media: DataFrame, frames: Int): DataFrame = {
     require(frames > 0, s"frameSample: frames must be positive, got $frames")
     val enc = org.apache.spark.sql.Encoders.row(FrameSchema)
-    media.select(col("doc_id"), col("payload"), col("media_type"))
+    Spread.compute(media.select(col("doc_id"), col("payload"), col("media_type")),
+        col("doc_id"))
       .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -476,7 +478,7 @@ object Multimodal {
     */
   def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(AudioSchema)
-    media.select(col("doc_id"), col("payload"))
+    Spread.compute(media.select(col("doc_id"), col("payload")), col("doc_id"))
       .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .mapPartitions { rows =>
         rows.map { r =>
@@ -556,7 +558,7 @@ object Multimodal {
     // null id/payload rows (unparseable id cast, null text) are skipped,
     // not decoded: one bad row must never NPE-abort a 100 TB job — the
     // caller quarantines them upstream via `payload IS NULL`
-    media.select(col("doc_id"), col("payload"))
+    Spread.compute(media.select(col("doc_id"), col("payload")), col("doc_id"))
       .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .mapPartitions { rows =>
         // no ImageIO disk cache on executors: decode stays in-memory,

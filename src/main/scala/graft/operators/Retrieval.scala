@@ -41,7 +41,7 @@ object Retrieval {
   def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
                    maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"tfidfWeights: maxDf must be ≥1, got $maxDf")
-    val postings = df
+    val postings = Spread.compute(df, Cols.qcol(idCol))
       .select(Cols.qcol(idCol).as("doc_id"),
         explode(toks(Cols.qcol(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -196,8 +196,8 @@ object Retrieval {
     val qterms = queries.select(Cols.qcol(queryIdCol).as("query_id"),
         explode(toks(Cols.qcol(queryTextCol))).as("term"))
       .distinct()
-    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
-      toks(Cols.qcol(textCol)).as("_t"))
+    val docs = Spread.compute(df, Cols.qcol(idCol))
+      .select(Cols.qcol(idCol).as("doc_id"), toks(Cols.qcol(textCol)).as("_t"))
     val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val post = docs
@@ -253,8 +253,8 @@ object Retrieval {
     val qtf = queryTerms.groupBy(identity).view.mapValues(_.size).toSeq
       .toDF("term", "qtf")
     val qLen = queryTerms.size
-    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
-      toks(Cols.qcol(textCol)).as("_t"))
+    val docs = Spread.compute(df, Cols.qcol(idCol))
+      .select(Cols.qcol(idCol).as("doc_id"), toks(Cols.qcol(textCol)).as("_t"))
     val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
     val totC = lens.agg(sum(col("dl")).as("c_len"))
     val post = docs
@@ -288,8 +288,8 @@ object Retrieval {
     require(k >= 1, s"bm25TopK: k must be ≥1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1,
       s"bm25TopK: need k1>0 and b∈[0,1], got k1=$k1 b=$b")
-    val docs = df.select(Cols.qcol(idCol).as("doc_id"),
-      toks(Cols.qcol(textCol)).as("_t"))
+    val docs = Spread.compute(df, Cols.qcol(idCol))
+      .select(Cols.qcol(idCol).as("doc_id"), toks(Cols.qcol(textCol)).as("_t"))
     val lens = docs.select(col("doc_id"), size(col("_t")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive input spreading (optimization guide §2.5, "input skew":
+  * one huge unsplittable file → "repartition immediately after the read").
+  *
+  * A compute-heavy operator fed by an unsplittable or single-split source —
+  * one gzip file, a single-row-group parquet, a small bounded validation
+  * slice — runs its entire per-row stage on ONE core no matter how many the
+  * session has: Spark's scan splits are byte ranges, and a row group lands
+  * whole in whichever split holds its midpoint. Every base table in the
+  * bench corpus is exactly this shape (one row group per file), so minhash
+  * signatures, shingling, tokenization, decimal aggregates and curve
+  * kernels all serialize on task 0 while 31 cores idle.
+  *
+  * [[Spread.compute]] round-robin repartitions such inputs to the session's
+  * default parallelism — but ONLY when the optimizer's size estimate says
+  * the input is small (default ≤ 16 MB per core, `graft.spread.*` confs).
+  * A large input already scans as many splits as it has row groups, and
+  * shuffling it to "help" would move terabytes for nothing — the size guard
+  * makes this a NO-OP at cluster scale, so operators call it
+  * unconditionally and stay safe at 100 TB. This is deliberately not a
+  * fixed `repartition(32)`: parallelism comes from the session
+  * (`SPARK_GRAFT_CPUS` contract) and the byte threshold is a conf.
+  *
+  * Correctness: round-robin repartition is deterministic under retry
+  * (`spark.sql.execution.sortBeforeRepartition`, on by default) and every
+  * caller is row-order-independent — aggregates, keyed joins, windows with
+  * explicit partitioning, decimal (exact) sums — so results are identical.
+  * Streaming plans pass through untouched (no stats, and micro-batches are
+  * already split by the source).
+  */
+object Spread {
+  val EnabledKey = "graft.spread.enabled"
+  val MaxBytesPerCoreKey = "graft.spread.maxBytesPerCore"
+  private val DefaultMaxBytesPerCore = 16L * 1024 * 1024
+
+  /** Keyless form: round-robin. Prefer [[compute(df,by*)]] with a natural
+    * key — round-robin pays a per-partition local sort of its input
+    * (`sortBeforeRepartition`, kept ON for retry determinism) that a
+    * deterministic hash key avoids entirely.
+    */
+  def compute(df: DataFrame): DataFrame =
+    ifSmall(df)(_.repartition(parallelism(df)))
+
+  /** Keyed form: hash-repartition on `by` — deterministic per row (no
+    * sort needed, safe under retry by construction) and cheaper than
+    * round-robin. `by` should be high-cardinality (a row id, a content
+    * hash) so the hash spreads evenly.
+    */
+  def compute(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame =
+    ifSmall(df)(_.repartition(parallelism(df), by: _*))
+
+  private def parallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  private def ifSmall(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    if (!spark.conf.get(EnabledKey, "true").toBoolean) return df
+    if (parallelism(df) <= 1) return df
+    val perCore = spark.conf.get(MaxBytesPerCoreKey,
+      DefaultMaxBytesPerCore.toString).toLong
+    // optimizedPlan.stats is a driver-side estimate (file sizes × filter
+    // selectivity) — no job runs here
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(parallelism(df)) * perCore) df else f(df)
+  }
+}

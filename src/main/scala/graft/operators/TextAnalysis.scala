@@ -78,7 +78,7 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = Cols.qcol(textCol)
-    df.withColumn("_q_toks", tokens(t))
+    Spread.compute(df, xxhash64(t)).withColumn("_q_toks", tokens(t))
       .withColumn("n_chars_q", length(t))
       .withColumn("n_words", size(col("_q_toks")))
       .withColumn("mean_word_len",
@@ -200,7 +200,8 @@ object TextAnalysis {
     // a number a plain count(*) produces from partials
     val total = df.select(explode(tokens(Cols.qcol(textCol))).as("token"))
       .agg(count(lit(1)).as("_total"))
-    df.select(Cols.qcol(idCol), explode(tokens(Cols.qcol(textCol))).as("token"))
+    Spread.compute(df, Cols.qcol(idCol))
+      .select(Cols.qcol(idCol), explode(tokens(Cols.qcol(textCol))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total))
       .withColumn("_lp",
@@ -247,7 +248,7 @@ object TextAnalysis {
     // HOF evaluates the lambda body per element), while element_at on an
     // attribute is a flat read; CollapseProject leaves the projection
     // alone because the alias is referenced more than once.
-    val tokTable = df
+    val tokTable = Spread.compute(df, Cols.qcol(idCol))
       .select(Cols.qcol(idCol), tokens(Cols.qcol(textCol)).as("_toks"))
       .select(Cols.qcol(idCol), explode(when(col("_toks").isNotNull,
         transform(sequence(lit(1), size(col("_toks"))), i => struct(
@@ -329,6 +330,8 @@ object TextAnalysis {
     require(weights.nonEmpty, "linearClassifierScore: weights must be non-empty")
     val margin = call_function("clf_score", tokens(Cols.qcol(textCol)),
       lit(weights.mkString(",")), lit(bias), lit(seed), lit(bucket))
+    // NO Spread here: zero-Exchange row-locality is this operator's
+    // spec-pinned contract — callers spread unsplittable inputs
     df.withColumn(s"${scoreCol}_raw", margin)
       .withColumn(scoreCol,
         lit(1.0) / (lit(1.0) + exp(-Cols.qcol(s"${scoreCol}_raw"))))
@@ -394,7 +397,8 @@ object TextAnalysis {
                              topK: Int, budget: Int = 1 << 16): DataFrame = {
     require(k >= 1, s"ngramDocFreqTopKApprox: k must be ≥1, got $k")
     approxTopK(
-      df.select(explode(Dedup.shingles(Cols.qcol(textCol), k)).as("item")),
+      Spread.compute(df, xxhash64(Cols.qcol(textCol)))
+        .select(explode(Dedup.shingles(Cols.qcol(textCol), k)).as("item")),
       topK, budget)
       .select(col("item").as("ngram"), col("cnt").as("doc_freq"))
   }
@@ -441,7 +445,7 @@ object TextAnalysis {
     require(iters >= 1, s"trainTextClassifier: iters must be ≥1, got $iters")
     require(lr > 0, s"trainTextClassifier: lr must be >0, got $lr")
     val toks = tokens(Cols.qcol(textCol))
-    val feats = df
+    val feats = Spread.compute(df, xxhash64(Cols.qcol(textCol)))
       .filter(Cols.qcol(textCol).isNotNull && size(toks) > 0 &&
         Cols.qcol(labelCol).isNotNull)
       .select(Cols.qcol(labelCol).cast("double").as("_y"), toks.as("_toks"))

@@ -45,7 +45,8 @@ object Tokenizer {
     * initialized to characters + the end-of-word marker.
     */
   def bpeVocab(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(Cols.qcol(textCol)), "\\s+")).as("word"))
+    Spread.compute(df, xxhash64(Cols.qcol(textCol)))
+      .select(explode(split(trim(Cols.qcol(textCol)), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("syms", initialSyms(col("word")))
 
@@ -110,8 +111,9 @@ object Tokenizer {
     */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    val words = df.select(Cols.qcol(idCol).as("doc_id"),
-      explode(split(trim(Cols.qcol(textCol)), "\\s+")).as("word"))
+    val words = Spread.compute(df, Cols.qcol(idCol))
+      .select(Cols.qcol(idCol).as("doc_id"),
+        explode(split(trim(Cols.qcol(textCol)), "\\s+")).as("word"))
     val merged = merges.foldLeft(initialSyms(col("word"))) {
       case (acc, (l, r)) => call_function("replace", acc,
         lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))

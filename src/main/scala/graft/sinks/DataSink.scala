@@ -57,7 +57,18 @@ object DataSink {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    // Pre-partition on the bucket key with numBuckets partitions: Spark's
+    // bucketed write otherwise splits EVERY input task's rows into
+    // per-bucket files (input_partitions × numBuckets small files — the
+    // classic bucketed-write small-file blowup, guide §6), and an
+    // unsplittable single-partition input serializes the whole write into
+    // one task. repartition uses the same Murmur3 hash as the bucket-id
+    // assignment, so each task holds exactly one bucket → one file per
+    // bucket, written numBuckets-wide.
+    val aligned = df.repartition(numBuckets,
+      bucketCols.map(c => df.col(c)): _*)
+    val w = aligned.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
@@ -115,9 +126,10 @@ object DataSink {
     * [[writeZOrdered]] and [[graft.sinks.TableLog.optimizeZOrdered]],
     * which publishes the same layout as a transactional commit.
     */
-  private[sinks] def zOrderLayout(df: DataFrame, zCols: Seq[String],
+  private[sinks] def zOrderLayout(df0: DataFrame, zCols: Seq[String],
                                   bitsPerCol: Int, curve: String,
                                   targetFiles: Int): DataFrame = {
+    val df = df0
     require(zCols.size >= 2,
       s"zOrderLayout: need ≥2 columns to interleave (one column is a plain sort), got $zCols")
     require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,

@@ -149,8 +149,13 @@ class DedupSpec extends SparkSpec {
     // plan and break its Exchange-count assertions)
     evals.reset()
     assert(spans.count() > 0)
-    assert(evals.value == 60,
-      s"released plan must re-evaluate both branches, got ${evals.value}")
+    // ≥30, not ==60: the r19 Spread repartition gives both semi-join
+    // branches an identical Exchange subtree, so Spark's ReusedExchange
+    // dedups the second branch's scan WITHIN one action — a re-run then
+    // pays one full evaluation (30), two when reuse doesn't fire. Either
+    // way a LIVE cache would pay ZERO; any recompute proves the release.
+    assert(evals.value >= 30,
+      s"released plan must re-evaluate the window subtree, got ${evals.value}")
   }
 
   test("mergeSpans collapses overlapping, adjacent and contained spans per doc") {
@@ -536,7 +541,13 @@ class DedupSpec extends SparkSpec {
     // driver-side single-row aggregate, no hashpartitioning exchange
     val plan = Dedup.corpusOverlap(a, b, "text", k = 3, mode = "sketch")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
+    // no REQUIRED hash exchange (a key shuffle the agg would need);
+    // the r19 Spread's explicit REPARTITION_BY_NUM is allowed — it moves
+    // input rows once for parallelism, never distinct keys, and is a
+    // size-guarded no-op at corpus scale
+    val keyShuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(keyShuffles.isEmpty,
       s"sketch overlap must not shuffle distinct keys:\n$plan")
   }
 
