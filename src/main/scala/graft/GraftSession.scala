@@ -75,6 +75,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescer refuses to split below minPartitionSize (1 MiB
+      // default) even when that leaves most cores idle: a 5 MB
+      // post-shuffle stage of window scans or text kernels coalesces to
+      // 5 tasks on a 32-core session. 256k keeps tiny-but-compute-heavy
+      // stages wide without drowning trivial stages in task overhead
+      // (64k measured faster on window families but regressed global-
+      // window and tiny-join queries; 256k held both sets). At cluster
+      // scale shuffles dwarf the advisory size (64 MiB, untouched) and
+      // this floor is inert. Overridable via graft.conf like every conf
+      // here.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -502,7 +502,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- E. analytics / views ----------
-    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(
+      Spread.compute(Tables.lineitem(s, d), col("l_orderkey")))),
 
     "q_order_summary" -> ((s, d) => Analytics.orderSummary(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.lineitem(s, d))),
@@ -549,7 +550,7 @@ object SparkEntry {
     // price) from six decimal-partial sufficient statistics — one
     // partial-aggregated pass, the exchange carries 6 numbers per brand
     "q_price_elasticity" -> ((s, d) => {
-      val pts = Tables.lineitem(s, d)
+      val pts = Spread.compute(Tables.lineitem(s, d), col("l_orderkey"))
         .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"),
@@ -803,7 +804,7 @@ object SparkEntry {
 
     "q_timestamp_standardize" -> ((s, d) => {
       val fmt = "yyyy-MM-dd HH:mm:ss"
-      Tables.orders(s, d)
+      Spread.compute(Tables.orders(s, d), col("o_orderkey"))
         .withColumn("ts_str", date_format(col("o_orderdate"), fmt))
         .select(col("o_orderkey"), col("ts_str"),
           try_to_timestamp(col("ts_str"), lit(fmt)).as("reparsed"),
@@ -826,7 +827,7 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
-        .repartition(8)
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").option("header", "true").csv(stage)
       val schema = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
@@ -893,7 +894,7 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
-        .repartition(8)
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").orc(stage)
       s.read.orc(stage)
         .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -52,6 +52,17 @@ object Spread {
   def compute(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame =
     ifSmall(df)(_.repartition(parallelism(df), by: _*))
 
+  /** Spread + EAGER localCheckpoint: for a small input consumed by
+    * SEVERAL plan branches (quantile probe + range sampling + the shuffle
+    * itself in a z-order write), a bare repartition is re-evaluated per
+    * branch — each pays scan + exchange again. Materializing once to the
+    * block manager makes every consumer read the same 32 cached splits.
+    * Same size guard: at cluster scale this is a no-op (checkpointing a
+    * large table into executor storage would be the opposite of help).
+    */
+  def materialized(df: DataFrame): DataFrame =
+    ifSmall(df)(d => d.repartition(parallelism(d)).localCheckpoint())
+
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 

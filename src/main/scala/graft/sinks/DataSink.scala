@@ -129,6 +129,12 @@ object DataSink {
   private[sinks] def zOrderLayout(df0: DataFrame, zCols: Seq[String],
                                   bitsPerCol: Int, curve: String,
                                   targetFiles: Int): DataFrame = {
+    // NOT spread/materialized (tried in r19 opt): redistributing the
+    // input shifts approxQuantile/range-sampling boundaries enough to
+    // cost 1-2 files of box-overlap on the pinned clustering-quality
+    // fixtures — layout quality outranks the ~0.2 s the parallel probe
+    // passes saved at bench scale (at table scale the scan is parallel
+    // anyway and the range exchange dominates).
     val df = df0
     require(zCols.size >= 2,
       s"zOrderLayout: need ≥2 columns to interleave (one column is a plain sort), got $zCols")
