@@ -75,7 +75,22 @@ object Spread {
       DefaultMaxBytesPerCore.toString).toLong
     // optimizedPlan.stats is a driver-side estimate (file sizes × filter
     // selectivity) — no job runs here
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    // MID-PIPELINE inputs are already distributed: an upstream aggregate,
+    // window or explicit repartition means the rows arrive via a shuffle
+    // whose AQE-coalesced width matches their size — another exchange
+    // here is pure overhead (measured +0.4 s on the e2e curation chain,
+    // where every stage's operator would otherwise re-spread). The
+    // single-task hazard this helper exists for is raw unsplittable
+    // SCANS (optionally filtered/projected/unioned), which contain none
+    // of these nodes.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, RepartitionOperation, Window => WindowOp}
+    val redistributed = plan.exists {
+      case _: Aggregate | _: WindowOp | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (redistributed) return df
+    val est = plan.stats.sizeInBytes
     if (est > BigInt(parallelism(df)) * perCore) df else f(df)
   }
 }
