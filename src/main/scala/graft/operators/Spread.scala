@@ -14,20 +14,23 @@ import org.apache.spark.sql.DataFrame
   * signatures, shingling, tokenization, decimal aggregates and curve
   * kernels all serialize on task 0 while 31 cores idle.
   *
-  * [[Spread.compute]] round-robin repartitions such inputs to the session's
+  * [[Spread.compute]] hash-repartitions such inputs to the session's
   * default parallelism — but ONLY when the optimizer's size estimate says
-  * the input is small (default ≤ 16 MB per core, `graft.spread.*` confs).
+  * the input is small (default ≤ 16 MB per core, `graft.spread.*` confs)
+  * AND the plan has no upstream Aggregate/Window/Repartition (mid-pipeline
+  * rows already arrived via a shuffle; re-spreading them is pure overhead).
   * A large input already scans as many splits as it has row groups, and
-  * shuffling it to "help" would move terabytes for nothing — the size guard
-  * makes this a NO-OP at cluster scale, so operators call it
+  * shuffling it to "help" would move terabytes for nothing — the guards
+  * make this a NO-OP at cluster scale, so operators call it
   * unconditionally and stay safe at 100 TB. This is deliberately not a
   * fixed `repartition(32)`: parallelism comes from the session
   * (`SPARK_GRAFT_CPUS` contract) and the byte threshold is a conf.
   *
-  * Correctness: round-robin repartition is deterministic under retry
-  * (`spark.sql.execution.sortBeforeRepartition`, on by default) and every
-  * caller is row-order-independent — aggregates, keyed joins, windows with
-  * explicit partitioning, decimal (exact) sums — so results are identical.
+  * Correctness: prefer the KEYED form (hash partitioning on a natural
+  * high-cardinality key is deterministic per row, retry-safe, and skips
+  * round-robin's `sortBeforeRepartition` local sort); every caller is
+  * row-order-independent — aggregates, keyed joins, windows with explicit
+  * partitioning, decimal (exact) sums — so results are identical.
   * Streaming plans pass through untouched (no stats, and micro-batches are
   * already split by the source).
   */
@@ -51,17 +54,6 @@ object Spread {
     */
   def compute(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame =
     ifSmall(df)(_.repartition(parallelism(df), by: _*))
-
-  /** Spread + EAGER localCheckpoint: for a small input consumed by
-    * SEVERAL plan branches (quantile probe + range sampling + the shuffle
-    * itself in a z-order write), a bare repartition is re-evaluated per
-    * branch — each pays scan + exchange again. Materializing once to the
-    * block manager makes every consumer read the same 32 cached splits.
-    * Same size guard: at cluster scale this is a no-op (checkpointing a
-    * large table into executor storage would be the opposite of help).
-    */
-  def materialized(df: DataFrame): DataFrame =
-    ifSmall(df)(d => d.repartition(parallelism(d)).localCheckpoint())
 
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
