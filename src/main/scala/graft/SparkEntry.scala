@@ -794,8 +794,11 @@ object SparkEntry {
           upper(trim(col("c_name"))).as("name_uc"))
         .orderBy(col("c_custkey"))),
 
+    // registry-level keyed Spread (guide §2.5): the single-split lineitem
+    // scan otherwise feeds the join + the orderBy's range-sampling pass at
+    // 3-way parallelism (probe: two ~0.5-0.8 s serialized stages per pass)
     "q_derived_metrics" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Spread.compute(Tables.lineitem(s, d), col("l_orderkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           Cleaning.durationHours(col("l_shipdate"), col("o_orderdate")).as("ship_delay_hours"),

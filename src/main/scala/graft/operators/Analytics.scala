@@ -550,9 +550,17 @@ object Analytics {
       s"basketAffinity: minPairCount must be ≥1, got $minPairCount")
     require(maxBasketSize >= 2,
       s"basketAffinity: maxBasketSize must be ≥2, got $maxBasketSize")
+    // checkpoint the deduped basket table ONCE: it feeds the size guard,
+    // the order count, the per-item counts and BOTH sides of the pair
+    // self-join — five plan branches that each re-ran the scan+distinct
+    // (probe: the distinct was ~70% of the operator's executor time).
+    // The table is (order, item) pairs — the same order of bytes the
+    // pair join must shuffle anyway, so materializing it is shape-safe
+    // at any scale.
     val baskets = lineitem
       .select(Cols.qcol(orderCol).as("_o"), Cols.qcol(itemCol).as("_i"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = baskets.groupBy(col("_o")).agg(count(lit(1)).as("_bn"))
     val guarded = baskets.join(sizes, Seq("_o"))
       .withColumn("_i", when(col("_bn") <= maxBasketSize, col("_i"))
@@ -1041,12 +1049,19 @@ object Analytics {
           struct(newLevel.as("level"), newTrend.as("trend"), (n + 1).as("n"),
             concat(acc.getField("preds"), array(pred)).as("preds"))
         }).getField("preds"))
+    // checkpoint the folded residual rows ONCE: they feed BOTH the σ
+    // aggregate (broadcast build) and the join probe side, and the
+    // sequential per-group fold is the operator's whole cost — without
+    // this the fold pipeline runs twice per query. The table is one row
+    // per (group, day) — calendar-bounded, never event-volume-bounded,
+    // so materializing it is safe at any scale.
     val rows = folded
       .select(g :+ posexplode(arrays_zip(col("_s"), col("_preds"))): _*)
       .select(g ++ Seq(col("col._s._d").as("_d"), col("col._s._v").as("_v"),
         col("col._preds").as("expected")): _*)
       .withColumn("_err", col("_v") - col("expected"))
       .filter(col("_err").isNotNull)
+      .localCheckpoint(true)
     // order-independent σ: decimal partial sums of e and e², assembled
     // in a fixed double expression both engines can replay
     val stats = rows.groupBy(g: _*).agg(

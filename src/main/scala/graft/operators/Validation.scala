@@ -144,8 +144,17 @@ object Validation {
         .join(sideCounts(current, "_qc"), Seq("_b"), "left")
         .select(col("_b"), coalesce(col("_pc"), lit(0L)).as("_pc"),
           coalesce(col("_qc"), lit(0L)).as("_qc"))
-      val tot = joined.agg(sum(col("_pc")).as("_pn"), sum(col("_qc")).as("_qn"))
-      joined.crossJoin(broadcast(tot))
+      // side totals via a global window over the ≤`buckets`-row frame,
+      // not a separate agg + crossJoin(broadcast): the broadcast build
+      // re-evaluated the whole joined lineage (both side scans + the
+      // percentile cuts) a second time per column. One partition for ≤
+      // 1000 rows is bounded by the buckets guard — scale-safe.
+      val tw = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      joined
+        .withColumn("_pn", sum(col("_pc")).over(tw))
+        .withColumn("_qn", sum(col("_qc")).over(tw))
         .withColumn("_p",
           (col("_pc") + lit(0.5)) / (col("_pn") + lit(buckets / 2.0)))
         .withColumn("_q",
@@ -191,10 +200,14 @@ object Validation {
         df.filter(qc.isNotNull)
           .groupBy(qc.cast("string").as("_cat"))
           .agg(count(lit(1)).as(name))
+      // checkpoint the ≤maxCategories-row joined frame: it feeds the
+      // cardinality guard count, the totals and the psi sum — without
+      // it each consumer re-ran both side scans
       val joined = sideCounts(base, "_pc")
         .join(sideCounts(current, "_qc"), Seq("_cat"), "full_outer")
         .select(col("_cat"), coalesce(col("_pc"), lit(0L)).as("_pc"),
           coalesce(col("_qc"), lit(0L)).as("_qc"))
+        .localCheckpoint(true)
       val k = joined.count()
       require(k >= 1,
         s"psiReportCategorical: column $c has no non-null values on either side")
@@ -203,8 +216,14 @@ object Validation {
           s"maxCategories=$maxCategories — this operator is for low-cardinality " +
           "codes (status, segment, country); bucket high-cardinality columns " +
           "with psiReport instead")
-      val tot = joined.agg(sum(col("_pc")).as("_pn"), sum(col("_qc")).as("_qn"))
-      joined.crossJoin(broadcast(tot))
+      // totals via a global window over the checkpointed frame (same
+      // integer sums as the old agg + crossJoin, one evaluation)
+      val tw = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      joined
+        .withColumn("_pn", sum(col("_pc")).over(tw))
+        .withColumn("_qn", sum(col("_qc")).over(tw))
         .withColumn("_p", (col("_pc") + lit(0.5)) / (col("_pn") + lit(k / 2.0)))
         .withColumn("_q", (col("_qc") + lit(0.5)) / (col("_qn") + lit(k / 2.0)))
         .agg(round(sum(((col("_p") - col("_q")) * log(col("_p") / col("_q")))

@@ -4494,8 +4494,41 @@ object TableLog {
           val removed = readWithDv(spark, dir, schema,
             c.remove.map(p => AddFile(p, 0L, Map.empty,
               c.removeDv.getOrElse(p, Nil), pcols = pcolsOfPath(p))), c.colmap)
-          val ins = added.exceptAll(removed)
-          val del = removed.exceptAll(added)
+          // ONE-PASS multiset diff: the old two-exceptAll form
+          // (added∖removed, removed∖added) is rewritten by Spark into
+          // scan+union+aggregate PER DIRECTION — 4 side-scans and 2
+          // full-row shuffles per commit (probe: ~25 s executor time per
+          // q_table_log_cdf pass, wall-hidden at 32 cores, exposed at
+          // low core counts). The net-count form computes BOTH
+          // directions from one union aggregate: net = count_added −
+          // count_removed per row value; net>0 emits that many inserts,
+          // net<0 that many deletes — exactly exceptAll's max(a−b, 0)
+          // multiset semantics, in both directions, with null-safe and
+          // NaN-normalizing grouping identical to the set-op rewrite.
+          // The ins/del branches share the aggregate's Exchange subtree,
+          // so ReuseExchange runs the scans and the shuffle ONCE.
+          import org.apache.spark.sql.functions.{abs => fnAbs,
+            explode => fnExplode, sequence => fnSequence, sum => fnSum}
+          def fresh(base: String): String = {
+            var n = base
+            while (schema.fieldNames.contains(n)) n += "_"
+            n
+          }
+          val wCol = fresh("_graft_w")
+          val netCol = fresh("_graft_net")
+          val dataAll = schema.fieldNames.toSeq
+          val counted = added.withColumn(wCol, lit(1L))
+            .unionByName(removed.withColumn(wCol, lit(-1L)))
+            .groupBy(dataAll.map(col): _*)
+            .agg(fnSum(col(wCol)).as(netCol))
+            .filter(col(netCol) =!= 0L)
+          // |net| copies per surviving row value (dup full rows within a
+          // commit are near-singular in practice — CoW rewrites carry at
+          // most the file's own duplicates)
+          val replicated = counted
+            .withColumn(wCol, fnExplode(fnSequence(lit(1L), fnAbs(col(netCol)))))
+          val ins = replicated.filter(col(netCol) > 0L).select(dataAll.map(col): _*)
+          val del = replicated.filter(col(netCol) < 0L).select(dataAll.map(col): _*)
           if (keys.isEmpty)
             ins.withColumn("_change_type", lit("insert"))
               .unionByName(del.withColumn("_change_type", lit("delete")))
