@@ -550,17 +550,9 @@ object Analytics {
       s"basketAffinity: minPairCount must be ≥1, got $minPairCount")
     require(maxBasketSize >= 2,
       s"basketAffinity: maxBasketSize must be ≥2, got $maxBasketSize")
-    // checkpoint the deduped basket table ONCE: it feeds the size guard,
-    // the order count, the per-item counts and BOTH sides of the pair
-    // self-join — five plan branches that each re-ran the scan+distinct
-    // (probe: the distinct was ~70% of the operator's executor time).
-    // The table is (order, item) pairs — the same order of bytes the
-    // pair join must shuffle anyway, so materializing it is shape-safe
-    // at any scale.
     val baskets = lineitem
       .select(Cols.qcol(orderCol).as("_o"), Cols.qcol(itemCol).as("_i"))
       .distinct()
-      .localCheckpoint(true)
     val sizes = baskets.groupBy(col("_o")).agg(count(lit(1)).as("_bn"))
     val guarded = baskets.join(sizes, Seq("_o"))
       .withColumn("_i", when(col("_bn") <= maxBasketSize, col("_i"))
